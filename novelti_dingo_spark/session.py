@@ -1,0 +1,35 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local test posture: one reused session, small shuffle-partition count
+(testdata is ≤ 600k rows — overhead, not throughput, is the risk).
+Cluster posture (100 TB): the same code relies on AQE to coalesce/split
+partitions at runtime; only the static `shuffle.partitions` seed differs
+and is configurable via env.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "novelti-dingo-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle = os.environ.get("SPARK_DINGO_SHUFFLE_PARTITIONS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "32m")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DINGO_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # events.ts is ns in parquet; truncate to µs instead of erroring.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,72 @@
+"""Sources and sinks (SURVEY.md §2.1: S1-S4).
+
+S1 parquet scan with pinned schema — the hot path. Column pruning and
+predicate pushdown are preserved by expressing reads declaratively
+(`spark.read.schema(...).parquet(...)`): Catalyst pushes filters into the
+vectorized parquet reader (visible as PushedFilters in `.explain`).
+
+S2 csv/json ingest with FAILFAST so schema drift is a loud error.
+S3 partitioned parquet sink.
+S4 table registry mirroring the driver's ten DuckDB views.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from .. import schemas
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1: read one test table with its pinned schema (schema drift → error)."""
+    schema = schemas.TABLES.get(name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """S4: register all ten tables as temp views (mirrors the oracle views)."""
+    out: dict[str, DataFrame] = {}
+    for name in schemas.TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType, **options) -> DataFrame:
+    """S2: schema'd CSV ingest, FAILFAST (bad rows are errors, not nulls)."""
+    opts = {"header": "true", "mode": "FAILFAST", **options}
+    return spark.read.options(**opts).schema(schema).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType, **options) -> DataFrame:
+    """S2: schema'd JSON-lines ingest, FAILFAST."""
+    opts = {"mode": "FAILFAST", **options}
+    return spark.read.options(**opts).schema(schema).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """S3: (optionally partitioned) parquet sink.
+
+    At 100 TB, `partition_by` low-cardinality columns gives partition
+    pruning on downstream reads; never partition by a high-cardinality key
+    (small-files explosion).
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
