@@ -1,1 +1,253 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming-shaped operators over the events table (SURVEY.md §2.9).
+
+Batch-first, stream-ready: each op here is the *batch* semantics the
+oracle can check; the identical transformations run under readStream via
+``novelti_dingo_spark.streaming`` (ST1/ST2 use the same `F.window` calls,
+ST3's stream form swaps the lag+cumsum idiom for `F.session_window`).
+
+Time canonicalization: every output timestamp leaves as an epoch-seconds
+or epoch-µs BIGINT, so the parquet-ns (DuckDB) vs µs (Spark) reader
+difference can never reach the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.io import load_table
+
+
+@register(
+    "tumbling_1h_agg",
+    """
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_start,
+           event_type,
+           count(*)              AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey_rows="ST1,A1",
+)
+def tumbling_1h_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1: tumbling 1h window × event_type. `F.window` works identically
+    in batch and under readStream+watermark (epoch-aligned buckets)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "sliding_1h_15m_agg",
+    """
+    SELECT (epoch_us(ts) // 900000000) * 900 - k.k * 900 AS window_start,
+           count(*)              AS n_events,
+           round(sum(value), 2)  AS sum_value
+    FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+    GROUP BY 1
+    """,
+    survey_rows="ST2,A1",
+)
+def sliding_1h_15m_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2: sliding window (1h length, 15min slide) — each event lands in
+    4 windows; Spark's `F.window` materializes the per-event window list.
+    The oracle expands the same 4 epoch-grid buckets arithmetically."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "sessionize_30min",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*)                       AS n_events,
+           min(epoch_us(ts))              AS session_start_us,
+           max(epoch_us(ts))              AS session_end_us,
+           round(sum(value), 2)           AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+    survey_rows="ST3,W2,W3,A1",
+)
+def sessionize_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3: sessionization with a 30-minute inactivity gap — the classic
+    lag + cumulative-sum idiom (one shuffle on user_id; both window passes
+    and the final agg reuse the same partitioning, so Catalyst plans a
+    single Exchange). Streaming form: `F.session_window(ts, '30 minutes')`
+    in novelti_dingo_spark.streaming."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_us = 30 * 60 * 1_000_000
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = flagged.select(
+        "user_id", "ts", "value", F.sum("new_session").over(wc).alias("session_id")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("session_start_us"),
+        F.max(F.unix_micros("ts")).alias("session_end_us"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "watermark_late_drop",
+    """
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+    FROM events
+    WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 DAY
+    """,
+    survey_rows="ST4",
+)
+def watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 batch analogue: drop rows older than (max event time - horizon),
+    exactly the filter a 1-day watermark applies. The scalar max is a
+    1-row broadcast cross join — no data shuffle. Streaming form:
+    `withWatermark('ts', '1 day')` in novelti_dingo_spark.streaming."""
+    e = load_table(spark, sf_dir, "events")
+    horizon = e.agg(
+        (F.max("ts") - F.expr("INTERVAL 1 DAY")).alias("_cutoff")
+    )
+    return (
+        e.crossJoin(F.broadcast(horizon))
+        .filter(F.col("ts") >= F.col("_cutoff"))
+        .select(
+            "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+        )
+    )
+
+
+@register(
+    "stream_dedup_first",
+    """
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+    survey_rows="ST5,W1",
+)
+def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5 batch analogue of dropDuplicatesWithinWatermark: keep the first
+    event per (user_id, event_type), deterministically (ts, event_id).
+    Streaming form keeps whichever arrives first within the watermark."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "ts",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us"))
+    )
+
+
+@register(
+    "running_user_totals",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS event_seq
+    FROM events
+    """,
+    survey_rows="ST6,W3",
+)
+def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6: per-user incremental totals — batch form of an update-mode
+    streaming aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("event_seq"),
+    )
+
+
+@register(
+    "json_props_extract",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*)              AS n,
+           round(avg(value), 6)  AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    survey_rows="F6,A1",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: JSON extraction from the props column feeding an agg.
+    `get_json_object` is JVM-side (no Python); at scale prefer parsing
+    once via from_json into a struct column rather than repeated path
+    extraction."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy((k % 10).alias("k_mod")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )

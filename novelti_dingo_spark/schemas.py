@@ -80,13 +80,14 @@ LINEITEM = _st(
     ("l_shipdate", TimestampType()),
 )
 
-# events.ts is timestamp[ns] in parquet; Spark reads it as microsecond
-# TimestampType. Measured (FIXTURES.md): every value is exactly µs-aligned,
-# so no precision is lost — but queries still canonicalize ts-derived output
-# to epoch bigints / strings before hashing against the ns-native oracle.
+# events.ts is TIMESTAMP(NANOS) in parquet, which Spark's vectorized reader
+# cannot decode as TimestampType; with spark.sql.legacy.parquet.nanosAsLong
+# it reads as epoch-ns LongType, and sources/io.py converts it to a µs
+# TimestampType column at load (measured: every value is µs-aligned, so the
+# conversion is lossless). Queries therefore always see ts: TimestampType.
 EVENTS = _st(
     ("event_id", LongType()),
-    ("ts", TimestampType()),
+    ("ts", LongType()),
     ("user_id", LongType()),
     ("event_type", StringType()),
     ("value", DoubleType()),

@@ -28,8 +28,10 @@ def get_spark(app_name: str = "novelti-dingo-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DINGO_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        # events.ts is ns in parquet; truncate to µs instead of erroring.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+        # events.ts is TIMESTAMP(NANOS) in parquet, which Spark's reader
+        # rejects as TimestampType; read it as epoch-ns LongType instead
+        # (sources/io.py converts to a µs TimestampType column on load).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
     )
     return builder.getOrCreate()
