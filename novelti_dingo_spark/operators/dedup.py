@@ -1,1 +1,275 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators (SURVEY.md §2.10 L1/L2 + SimHash + n-gram
+Jaccard): the dedup family a pretraining-data pipeline needs.
+
+Design for 100 TB:
+- exact dedup groups on a 256-bit content hash, never on raw text — the
+  shuffle carries 32-byte keys, not documents;
+- MinHash-LSH shuffles (band_idx, band_hash) buckets, so candidate
+  generation is linear in corpus size + bucket joins; only candidate
+  PAIRS (a vanishing fraction) get exact verification;
+- SimHash reduces each doc to one 32-bit integer; banding on 8-bit
+  sub-keys finds hamming-close pairs without an all-pairs join;
+- every self-join is `a.key < b.key` so each pair materializes once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text_funcs import token_bigrams, tokens
+from ..registry import register
+from ..sources.io import load_table
+
+# n-gram Jaccard similarity threshold shared by the exact pair query and
+# the MinHash-LSH verifier, so tests can compare their outputs directly.
+JACCARD_THRESHOLD = 0.5
+
+
+@register(
+    "exact_dedup_docs",
+    """
+    SELECT count(*)                       AS n_docs,
+           count(DISTINCT md5(text))      AS n_distinct,
+           count(*) - count(DISTINCT md5(text)) AS n_removed
+    FROM documents
+    """,
+    survey_rows="L1,F7",
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 summary: corpus size vs distinct content hashes."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_removed"),
+    )
+
+
+@register(
+    "exact_dedup_survivors",
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    survey_rows="L1,U3,F7",
+)
+def exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: keep the minimum doc_id per identical text (hash-grouped, so
+    the shuffle key is 16 bytes regardless of document size)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("_h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("_h")
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(string_split(text, ' '))),
+                    i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')))
+               AS gram
+      FROM documents
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+    """,
+    survey_rows="L2-exact,F5",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-bigram Jaccard pairs ≥ threshold via inverted-index
+    join (gram → docs). This is the exact-but-quadratic-in-collisions
+    baseline the LSH variant approximates; on this corpus the shared
+    vocabulary is tiny, so it doubles as a worst-case skew exercise —
+    common grams fan out, AQE's skew-join split handles the hot grams."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(token_bigrams("text"))).alias("gram")
+    )
+    sz = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    common = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- MinHash-LSH -----------------------------------------------------------
+
+N_HASHES = 16  # minhash signature length
+N_BANDS = 8  # bands of r = N_HASHES / N_BANDS rows each
+
+
+def minhash_signature(text_col) -> F.Column:
+    """Array of N_HASHES min-hashes over token-bigram shingles. Hash i of a
+    shingle is xxhash64(i, shingle) — one 64-bit hash family, no stored
+    coefficients, identical on every executor."""
+    grams = F.array_distinct(token_bigrams(text_col))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+        lambda i: F.array_min(
+            F.transform(grams, lambda g: F.xxhash64(i, g))
+        ),
+    )
+
+
+@register(
+    "minhash_lsh_pairs",
+    None,  # LSH is probabilistic by construction → rows-only; recall vs
+    # the exact ngram_jaccard_pairs output is asserted in tests/test_dedup.py.
+    survey_rows="L2,P",
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: MinHash-LSH near-duplicate pairs.
+
+    Pipeline: bigram shingles → 16-hash minhash signature → 8 bands of 2
+    → explode (band_idx, band_hash) → self-join buckets → distinct
+    candidate pairs → exact Jaccard verification ≥ JACCARD_THRESHOLD.
+
+    Scale: signatures are computed in one scan (array HOFs); the shuffle
+    key is the 16-byte band bucket; candidates (not the corpus) pay the
+    verification join. Hot buckets (boilerplate docs) are the skew risk —
+    AQE skew-join splitting, or salting the band hash, handles them.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sigs = d.select("doc_id", "text", minhash_signature("text").alias("sig"))
+    r = N_HASHES // N_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",", F.slice(F.col("sig"), b * r + 1, r).cast("array<string>")
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+    candidates = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact verification on the candidate set only
+    grams = d.select("doc_id", F.array_distinct(token_bigrams("text")).alias("grams"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    jac = inter * F.lit(1.0) / union
+    return (
+        candidates.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 8-bit blocks; hamming-close pairs share ≥1 block w.h.p.
+HAMMING_MAX = 4
+
+
+@register(
+    "simhash_pairs",
+    None,  # banding is probabilistic → rows-only; hamming distances are
+    # re-checked exactly in tests/test_dedup.py.
+    survey_rows="L2-family",
+)
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit signature from frequency-weighted
+    token hashes, 4×8-bit band blocking, exact hamming ≤ HAMMING_MAX on
+    candidates.
+
+    Scale: each doc reduces to ONE long before any shuffle; banding joins
+    on 1-byte sub-keys. The token→bit tally is a (doc, bit) grouBy —
+    corpus×32 rows, map-side combined."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tok = tok.select("doc_id", F.xxhash64("token").alias("h"))
+    # shift amounts must be Python literals (shiftright rejects Columns),
+    # so the per-bit arrays are built with plain loops.
+    bits = tok.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1)
+                    .otherwise(-1)
+                    for b in range(SIMHASH_BITS)
+                ]
+            )
+        ).alias("bit", "contrib"),
+    )
+    tall = bits.groupBy("doc_id", "bit").agg(F.sum("contrib").alias("s"))
+    pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
+    sims = tall.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.element_at(pow2, F.col("bit") + 1)).otherwise(0)
+        ).alias("simhash")
+    )
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), j * 8).bitwiseAND(255)
+                    for j in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+        "band_idx", "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+        "band_idx", "band_val",
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )

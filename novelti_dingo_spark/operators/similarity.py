@@ -1,1 +1,214 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over the embeddings table (SURVEY.md §2.10 L3/L4 and
+the ANN scale path; §2.11 X1).
+
+Corpus: 64-d unit-L2 float vectors → cosine == dot product. All distance
+math is JVM-side HOFs from ``functions.vector``; the only Python here is
+the deliberately-exercised pandas-UDF surface (X1), which is NOT the
+recommended path for plain vector math.
+
+Scale design:
+- brute-force kNN broadcasts the (tiny) query side and computes dot
+  products in one scan — O(n) per query, embarrassingly parallel, the
+  correct baseline at any scale;
+- all-pairs top-k blocks the self-join (here by label) so the cross
+  product never materializes globally;
+- the ANN path buckets vectors with random-hyperplane LSH (sign bits of
+  dot(v, r_i)) and only scans the query's bucket — sub-linear probes at
+  the cost of recall, verified against brute force in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from ..functions.vector import dot, l2_norm
+from ..registry import register
+from ..sources.io import load_table
+
+_DOT_SQL = "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+
+
+@register(
+    "knn_bruteforce_top10",
+    f"""
+    SELECT b.vec_id, b.label, round({_DOT_SQL}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0
+    ORDER BY cos_sim DESC, b.vec_id LIMIT 10
+    """,
+    survey_rows="L3,F5,O2",
+)
+def knn_bruteforce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: exact top-10 cosine neighbors of vector 0 — broadcast the query
+    row, one scan over the corpus, TakeOrderedAndProject for the top-k."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(dot("embedding", "q_emb"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "knn_allpairs_label_top3",
+    f"""
+    SELECT vec_id, neighbor_id, cos_sim FROM (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             round({_DOT_SQL}, 6) AS cos_sim,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY round({_DOT_SQL}, 6) DESC, b.vec_id) AS rn
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id)
+    WHERE rn <= 3
+    """,
+    survey_rows="L4,W4",
+)
+def knn_allpairs_label_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: batch kNN join — per-vector top-3 within the same label block.
+    The label equi-key turns the quadratic all-pairs into per-block hash
+    joins; at 100 TB the block key would be an LSH bucket instead."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id"), F.col("label"), F.col("embedding")
+    )
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("b_label"),
+        F.col("embedding").alias("b_emb"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        a.join(b, (a.label == b.b_label) & (a.vec_id != b.neighbor_id))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(dot("embedding", "b_emb"), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
+    "embedding_neardup_cosine",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_DOT_SQL}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_DOT_SQL} > 0.4
+    """,
+    survey_rows="L2-family,B-dedup",
+)
+def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.4 — the corpus is
+    random unit vectors, max observed cos ≈ 0.51, so this is the
+    interesting tail). Full self-join here; the production-scale variant is
+    `ann_lsh_topk` + threshold filter."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("_dot", dot("ea", "eb"))
+        .filter(F.col("_dot") > 0.4)
+        .select("vec_a", "vec_b", F.round("_dot", 6).alias("cos_sim"))
+    )
+
+
+def lsh_bucket(emb_col, n_planes: int = 8):
+    """Random-hyperplane LSH bucket id: bit i = sign(dot(v, r_i)) where the
+    hyperplane r_i is derived deterministically from (i, dim) via xxhash64
+    — no stored model, identically computable on every executor."""
+    def plane_component(i, j):
+        h = F.xxhash64(F.lit("plane"), i, j)
+        return (h % 2001 - 1000).cast("double") / 1000.0
+
+    def bit(i):
+        prods = F.transform(
+            F.sequence(F.lit(0), F.size(emb_col) - 1),
+            lambda j: F.element_at(emb_col, j + 1).cast("double")
+            * plane_component(i, j),
+        )
+        s = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    bucket = F.lit(0)
+    for i in range(n_planes):
+        bucket = bucket * 2 + bit(F.lit(i))
+    return bucket
+
+
+@register(
+    "ann_lsh_topk",
+    None,  # approximate by construction → rows-only; recall vs brute force
+    # is asserted in tests/test_similarity.py.
+    survey_rows="L3-scale,P",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: top-3 neighbors per vector, probing only the vector's LSH
+    bucket (8 hyperplanes → 256 buckets). Sub-linear candidate sets; the
+    bucket join is an equi-join, so it shuffles once on bucket id."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", lsh_bucket(F.col("embedding"))
+    )
+    a = e.select("vec_id", "bucket", "embedding")
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("bucket").alias("b_bucket"),
+        F.col("embedding").alias("b_emb"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        a.join(b, (a.bucket == b.b_bucket) & (a.vec_id != b.neighbor_id))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(dot("embedding", "b_emb"), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
+    "pandas_udf_vector_norm",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6)
+             AS l2_norm
+    FROM embeddings
+    """,
+    survey_rows="X1,F5",
+)
+def pandas_udf_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: scalar pandas UDF (Arrow-batched) computing the L2 norm.
+
+    Exists to exercise the vectorized-UDF surface — for pure vector math
+    the JVM HOF path (`functions.vector.l2_norm`) is preferred and is what
+    every other query here uses. Arrow moves each batch to Python once;
+    numpy does the math columnar-style."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    def _norms(emb):  # pd.Series[list[float]] -> pd.Series[float]
+        return emb.map(
+            lambda v: round(float(np.sqrt(np.dot(np.asarray(v, dtype=np.float64),
+                                                 np.asarray(v, dtype=np.float64)))), 6)
+        )
+
+    # lambda-style registration: module uses PEP 563 postponed annotations,
+    # which pandas_udf's hint introspection can't resolve.
+    norm_udf = pandas_udf(_norms, DoubleType())
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", norm_udf("embedding").alias("l2_norm"))

@@ -1,1 +1,220 @@
-"""Placeholder — populated in a later milestone."""
+"""Text analysis over the documents table (SURVEY.md §2.10 L5): corpus
+stats, token frequencies, TF-IDF, language-ID heuristic, quality scoring,
+document fingerprinting.
+
+All tokenization is JVM-side (`split` + array HOFs) — a 100 TB corpus
+never ships a row into Python. Per-document work is embarrassingly
+parallel; corpus-level stats (df, vocab) are small aggregates broadcast
+back for joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text_funcs import tokens
+from ..registry import register
+from ..sources.io import load_table
+
+# Stopword list for quality scoring / lang-id (the corpus vocabulary is
+# 31 English-ish tokens; see FIXTURES.md).
+_STOPWORDS = ("the", "a")
+
+
+@register(
+    "text_stats_by_lang",
+    """
+    SELECT lang,
+           count(*)                                        AS n_docs,
+           round(avg(n_chars), 6)                          AS avg_chars,
+           round(avg(len(string_split(text, ' '))), 6)     AS avg_tokens,
+           count(DISTINCT source)                          AS n_sources
+    FROM documents GROUP BY lang
+    """,
+    survey_rows="L5,F1,A1,A2",
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: per-language corpus stats (doc counts, length moments)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(F.size(tokens("text"))), 6).alias("avg_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "token_counts",
+    """
+    SELECT token, count(*) AS cnt FROM (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ) GROUP BY token
+    """,
+    survey_rows="L5,F1,X4",
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: global token frequency via explode (the UDTF-shaped row→rows
+    expansion, X4). Map-side partial agg keeps the shuffle at vocab size,
+    not corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE doc_id < 50
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      ) GROUP BY 1
+    ), n AS (SELECT count(*) AS n FROM documents)
+    SELECT doc_id, term, score FROM (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n * 1.0 / df.df), 6) AS score,
+             row_number() OVER (PARTITION BY tf.doc_id
+                 ORDER BY round(tf.tf * ln(n.n * 1.0 / df.df), 6) DESC, tf.term) AS rn
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+    WHERE rn <= 3
+    """,
+    survey_rows="L5,A1,W4,F3",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: TF-IDF-lite — tf per (doc, term), idf = ln(N/df) from a
+    broadcast document-frequency table, top-3 terms per doc (docs 0-49).
+
+    Scale: df and N are vocab-sized aggregates (31 rows here) broadcast to
+    the tf side; no corpus-sized shuffle beyond the tf groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = (
+        toks.filter(F.col("doc_id") < 50)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df")), 6).alias(
+                "score"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
+    "doc_quality_score",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           len(toks) AS n_tokens,
+           round(len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0
+                 / len(toks), 6) AS stopword_ratio,
+           round(n_chars * 1.0 / len(toks), 6) AS avg_token_len,
+           round(least(len(toks) / 50.0, 1.0) * 0.6
+                 + (1 - len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0
+                    / len(toks)) * 0.4, 6) AS quality
+    FROM t
+    """,
+    survey_rows="L5,F5,F3",
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: heuristic quality score — length saturation + (1 - stopword
+    ratio), the shape of a pretraining-corpus quality filter. Pure
+    row-level HOFs; trivially parallel at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tokens = F.size(toks).cast("long")
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))) * F.lit(1.0) / n_tokens
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(F.col("n_chars") * 1.0 / n_tokens, 6).alias("avg_token_len"),
+        F.round(
+            F.least(n_tokens / 50.0, F.lit(1.0)) * 0.6 + (1 - stop_ratio) * 0.4, 6
+        ).alias("quality"),
+    )
+
+
+@register(
+    "lang_id_agreement",
+    """
+    WITH pred AS (
+      SELECT lang,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                           x -> x IN ('the', 'a'))) >= 1
+                  THEN 'en' ELSE 'unknown' END AS predicted
+      FROM documents
+    )
+    SELECT lang, predicted, count(*) AS n FROM pred GROUP BY 1, 2
+    """,
+    survey_rows="L5",
+)
+def lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: stopword-hit language-ID heuristic vs the labeled lang column.
+    (The corpus shares one English-ish vocabulary across lang labels, so
+    the detector degenerates to en/unknown — the machinery, a real n-gram
+    profile table join, is what this exercises.)"""
+    d = load_table(spark, sf_dir, "documents")
+    hits = F.size(F.filter(tokens("text"), lambda x: x.isin(*_STOPWORDS)))
+    pred = F.when(hits >= 1, "en").otherwise("unknown")
+    return d.select("lang", pred.alias("predicted")).groupBy(
+        "lang", "predicted"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "doc_fingerprint",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           list_min(list_transform(range(1, len(toks) - 3),
+                    i -> md5(array_to_string(toks[i:i+4], ' ')))) AS fingerprint
+    FROM t WHERE len(toks) >= 5
+    """,
+    survey_rows="L5,F7,F5",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: content fingerprint = min(md5) over 5-token shingles (the
+    1-hash core of winnowing/MinHash). md5 hex matches across engines;
+    docs shorter than one shingle are excluded on both sides."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    fp = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 5))),
+        )
+    )
+    return (
+        d.filter(F.size(toks) >= 5)
+        .select("doc_id", fp.alias("fingerprint"))
+    )

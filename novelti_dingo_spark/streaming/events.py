@@ -1,0 +1,112 @@
+"""Structured Streaming pipeline over the events stream (SURVEY.md §2.9,
+streaming forms of ST1-ST5).
+
+The batch operators in ``operators.events_ops`` define the oracle-checked
+semantics; this module runs the SAME transformations under
+``spark.readStream`` — `F.window` calls are shared verbatim, sessionization
+swaps the lag+cumsum idiom for the native `session_window`, dedup swaps
+row_number for `dropDuplicatesWithinWatermark`.
+
+At production scale the source is Kafka/files-on-arrival; here the file
+source replays the events parquet, which is time-ordered (FIXTURES.md), so
+watermark semantics behave as they would live.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source replay of the events table as a stream (ns→µs ts
+    conversion identical to the batch reader)."""
+    # the file source requires a directory; filter to the events file
+    df = (
+        spark.readStream.schema(schemas.EVENTS)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """ST1 streaming: tumbling 1h × event_type with late-data watermark.
+    Identical `F.window` call to the batch `tumbling_1h_agg`."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """ST2 streaming: sliding 1h/15min windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """ST3 streaming: native session windows (30-min inactivity gap) —
+    the stateful twin of the batch lag+cumsum sessionizer."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """ST5 streaming: state-bounded dedup on (user_id, event_type) — state
+    for a key is dropped once the watermark passes it, so memory is bounded
+    by stream rate × watermark horizon, not stream history."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
+    """Drain a streaming DataFrame into an in-memory table (test harness:
+    processes all available input, then stops). Returns the query name to
+    SELECT from."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name

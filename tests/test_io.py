@@ -1,0 +1,84 @@
+"""Source/sink tests (SURVEY.md §2.1): csv/json FAILFAST ingest, partitioned
+parquet sink, schema pinning."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.errors import PythonException
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from novelti_dingo_spark.sources import (
+    load_table,
+    read_csv,
+    read_json,
+    register_views,
+    write_parquet,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", IntegerType()),
+        StructField("name", StringType()),
+    ]
+)
+
+
+def test_csv_roundtrip_failfast(spark, tmp_path):
+    p = str(tmp_path / "t.csv")
+    with open(p, "w") as f:
+        f.write("id,name\n1,alpha\n2,beta\n")
+    df = read_csv(spark, p, SCHEMA)
+    assert [(r.id, r.name) for r in df.orderBy("id").collect()] == [
+        (1, "alpha"),
+        (2, "beta"),
+    ]
+
+
+def test_csv_failfast_raises_on_bad_row(spark, tmp_path):
+    p = str(tmp_path / "bad.csv")
+    with open(p, "w") as f:
+        f.write("id,name\nnot_an_int,alpha\n")
+    with pytest.raises(Exception):
+        read_csv(spark, p, SCHEMA).collect()
+
+
+def test_json_ingest(spark, tmp_path):
+    p = str(tmp_path / "t.jsonl")
+    with open(p, "w") as f:
+        f.write('{"id": 1, "name": "alpha"}\n{"id": 2, "name": "beta"}\n')
+    df = read_json(spark, p, SCHEMA)
+    assert df.count() == 2
+
+
+def test_partitioned_parquet_sink(spark, sf_small, tmp_path):
+    out = str(tmp_path / "orders_by_status")
+    orders = load_table(spark, sf_small, "orders")
+    write_parquet(orders, out, partition_by=["o_orderstatus"])
+    # partition dirs exist → downstream reads get partition pruning
+    assert any(d.startswith("o_orderstatus=") for d in os.listdir(out))
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    pruned = back.filter(F.col("o_orderstatus") == "F")
+    assert "o_orderstatus=F" in pruned._jdf.queryExecution().executedPlan().toString() or pruned.count() > 0
+
+
+def test_register_views(spark, sf_small):
+    views = register_views(spark, sf_small)
+    assert set(views) == {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+    assert spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0].n == 6000
+
+
+def test_events_ts_is_timestamp(spark, sf_small):
+    e = load_table(spark, sf_small, "events")
+    assert dict(e.dtypes)["ts"] == "timestamp"

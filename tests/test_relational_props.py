@@ -1,0 +1,56 @@
+"""Property tests where the oracle is weak (SURVEY.md §5.4): HLL bounds,
+plus hand-built-DataFrame unit checks of tricky semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from novelti_dingo_spark.operators.relational import agg_approx_distinct
+from novelti_dingo_spark.sources import load_table
+
+
+def test_approx_distinct_within_rsd(spark, sf_med):
+    exact = {
+        r.o_orderstatus: r.n
+        for r in load_table(spark, sf_med, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.o_orderstatus: r.approx_custs
+        for r in agg_approx_distinct(spark, sf_med).collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.1 * n), (k, n, approx[k])
+
+
+def test_asof_semantics_on_tiny_frame(spark):
+    """As-of join on a hand-built frame: latest click ≤ purchase ts."""
+    from novelti_dingo_spark.operators import asof as _asof  # registry import
+    import novelti_dingo_spark.sources.io as io_mod
+
+    rows = [
+        (1, 1_000_000, 7, "click", 0.0, "{}"),
+        (2, 2_000_000, 7, "purchase", 5.0, "{}"),
+        (3, 3_000_000, 7, "click", 0.0, "{}"),
+        (4, 4_000_000, 7, "purchase", 6.0, "{}"),
+        (5, 500_000, 8, "purchase", 1.0, "{}"),  # no prior click
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, t, v, p) for i, ts, u, t, v, p in rows],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.timestamp_micros("ts"))
+
+    orig = io_mod.load_table
+    try:
+        io_mod.load_table = lambda spark, sf_dir, name: df
+        _asof.load_table = io_mod.load_table
+        out = {
+            r.purchase_id: r.last_click_id
+            for r in _asof.asof_join_latest_click(spark, "ignored").collect()
+        }
+    finally:
+        io_mod.load_table = orig
+        _asof.load_table = orig
+    assert out == {2: 1, 4: 3, 5: None}

@@ -1,0 +1,52 @@
+"""Structured Streaming vs batch equivalence: the streaming pipelines must
+reproduce the oracle-checked batch semantics when replaying the full
+events table (SURVEY.md §2.9 batch-first strategy)."""
+
+from __future__ import annotations
+
+import pytest
+
+from novelti_dingo_spark import streaming
+from novelti_dingo_spark.operators.events_ops import (
+    stream_dedup_first,
+    tumbling_1h_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_small):
+    return streaming.stream_events(spark, sf_small)
+
+
+def test_stream_tumbling_equals_batch(spark, sf_small, events_stream):
+    agg = streaming.tumbling_counts(events_stream)
+    name = streaming.run_to_memory(agg, "t_tumble", mode="complete")
+    got = {
+        (r.bucket_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        (r.bucket_start, r.event_type): (r.n_events, r.sum_value)
+        for r in tumbling_1h_agg(spark, sf_small).collect()
+    }
+    assert got == want
+
+
+def test_stream_dedup_counts_match_batch(spark, sf_small, events_stream):
+    dedup = streaming.dedup_within_watermark(events_stream)
+    name = streaming.run_to_memory(dedup, "t_dedup", mode="append")
+    got = spark.sql(f"SELECT count(*) AS n FROM {name}").collect()[0].n
+    want = stream_dedup_first(spark, sf_small).count()
+    # within-watermark dedup over an ordered replay keeps exactly the
+    # first event per key, same as the batch row_number idiom
+    assert got == want
+
+
+def test_stream_sessions_complete(spark, sf_small, events_stream):
+    sess = streaming.session_counts(events_stream)
+    name = streaming.run_to_memory(sess, "t_sess", mode="complete")
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert rows
+    for r in rows:
+        assert r.session_end_us >= r.session_start_us
+        assert r.n_events >= 1
