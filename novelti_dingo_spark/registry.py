@@ -54,6 +54,7 @@ def _load_all() -> None:
         return
     from .operators import (  # noqa: F401
         relational,
+        tpch_suite,
         functions_suite,
         windows,
         events_ops,
