@@ -1,0 +1,139 @@
+"""Remaining surface rows: statistical aggregates, JSON map functions
+(F6), a real Python UDTF (X4), and the events→customer FK join the
+testdata encodes (SURVEY.md §2.3 key list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+from ..registry import register
+from ..sources.io import load_table
+
+
+@register(
+    "agg_stats_moments",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6)            AS qty_stddev,
+           round(var_samp(l_quantity), 6)               AS qty_var,
+           round(median(l_extendedprice), 6)            AS price_median,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90,
+           round(avg(l_quantity), 6)                    AS qty_avg
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey_rows="A1-stats",
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: sample stddev/variance (both engines use
+    ddof=1), exact interpolated median and p90 (Spark `percentile` ==
+    DuckDB `quantile_cont`). Exact percentiles sort within groups — at
+    100 TB switch to `approx_percentile` (t-digest, mergeable partials);
+    kept exact here for the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("price_median"),
+        F.round(F.percentile("l_extendedprice", 0.9), 6).alias("price_p90"),
+        F.round(F.avg("l_quantity"), 6).alias("qty_avg"),
+    )
+
+
+@register(
+    "json_map_functions",
+    """
+    SELECT event_id,
+           array_to_string(json_keys(props), ',')        AS prop_keys,
+           CAST(json_extract(props, '$.k') AS BIGINT)    AS k_val,
+           CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS k_doubled
+    FROM events WHERE event_id < 500
+    """,
+    survey_rows="F6",
+)
+def json_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: parse props JSON once into a typed map, then project keys and
+    values — the parse-once pattern (vs repeated get_json_object path
+    extraction, which re-parses per call)."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.filter(F.col("event_id") < 500).select(
+        "event_id", F.from_json("props", "map<string,bigint>").alias("m")
+    )
+    return parsed.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("prop_keys"),
+        F.element_at("m", "k").alias("k_val"),
+        (F.element_at("m", "k") * 2).alias("k_doubled"),
+    )
+
+
+@register(
+    "udtf_token_positions",
+    """
+    SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS token
+    FROM documents CROSS JOIN range(1, 400) r(i)
+    WHERE doc_id < 20 AND i <= len(string_split(text, ' '))
+    """,
+    survey_rows="X4",
+)
+def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: genuine Python UDTF (row → rows) emitting (pos, token) pairs.
+
+    Exists to exercise the UDTF surface; `posexplode` expresses the same
+    thing JVM-side and is what production code should use (see
+    token_counts). Restricted to 20 docs — per-row Python is the slow
+    path by design."""
+    from pyspark.sql.functions import udtf
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("pos", LongType()),
+            StructField("token", StringType()),
+        ]
+    )
+
+    class SplitTokens:
+        def eval(self, doc_id, text):
+            for i, tok in enumerate(text.split(" "), start=1):
+                yield doc_id, i, tok
+
+    spark.udtf.register("split_tokens", udtf(SplitTokens, returnType=schema))
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    d.select(F.col("doc_id").alias("in_doc_id"), "text").createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.token "
+        "FROM _udtf_docs, LATERAL split_tokens(in_doc_id, text) t"
+    )
+
+
+@register(
+    "events_per_segment",
+    """
+    SELECT c_mktsegment,
+           count(*)                 AS n_events,
+           round(avg(value), 6)    AS avg_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    survey_rows="J1,A1,A2",
+)
+def events_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim join over the measured events.user_id → customer FK:
+    event volume per market segment (customer broadcast)."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -61,8 +61,10 @@ def _load_all() -> None:
         asof,
         dedup,
         similarity,
+        ivf,
         text,
         multimodal,
+        extras,
     )
 
     _LOADED = True

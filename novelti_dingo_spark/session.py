@@ -28,6 +28,7 @@ def get_spark(app_name: str = "novelti-dingo-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DINGO_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/ndspark-warehouse")
         # events.ts is TIMESTAMP(NANOS) in parquet, which Spark's reader
         # rejects as TimestampType; read it as epoch-ns LongType instead
         # (sources/io.py converts to a µs TimestampType column on load).

@@ -1,0 +1,78 @@
+"""Custom stateful streaming operator (SURVEY.md §2.9 / brief: "custom
+stateful operators via applyInPandasWithState").
+
+`running_user_stats` keeps one state row per user (count, sum, max ts)
+and emits an updated aggregate row per user per micro-batch — the shape
+of a per-entity online metric (fraud counters, rate limits, feature
+freshness) that plain windowed aggs can't express.
+
+Scale: state is partitioned by the group key across executors and backed
+by the state store; memory is O(distinct keys), not O(events). A watermark
+with state TTL (GroupStateTimeout) bounds it for churning key spaces —
+here keys are bounded (user ids), so no timeout is set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("max_ts_us", LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+
+def _update(key, pdfs, state: GroupState):
+    import pandas as pd
+
+    n, total, max_ts = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        ts_us = (pdf["ts"].astype("int64") // 1000).max()
+        max_ts = max(max_ts, int(ts_us))
+    state.update((n, total, max_ts))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [round(total, 2)],
+            "last_ts_us": [max_ts],
+        }
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum, last-seen) via arbitrary stateful
+    processing. Emits the current aggregate for every user touched by the
+    micro-batch (update semantics)."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,54 @@
+"""IVF / k-means invariants: deterministic model, correct assignment,
+probe containment, exact scores on the probed subset."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from novelti_dingo_spark.operators.ivf import (
+    K,
+    N_PROBE,
+    _assign,
+    ivf_cell_sizes,
+    ivf_knn_top10,
+    kmeans_fit,
+)
+from novelti_dingo_spark.sources import load_table
+
+
+def test_kmeans_deterministic_and_total(spark, sf_med):
+    e = load_table(spark, sf_med, "embeddings")
+    sizes1 = {r.cid: r.n_vectors for r in ivf_cell_sizes(spark, sf_med).collect()}
+    sizes2 = {r.cid: r.n_vectors for r in ivf_cell_sizes(spark, sf_med).collect()}
+    assert sizes1 == sizes2, "k-means must be run-to-run deterministic"
+    assert sum(sizes1.values()) == e.count()
+    assert len(sizes1) <= K
+
+
+def test_assignment_is_argmin(spark, sf_med):
+    e = load_table(spark, sf_med, "embeddings")
+    centroids = kmeans_fit(e)
+    cent = {r.cid: np.array(r.centroid) for r in centroids.collect()}
+    assigned = {r.vec_id: r.cid for r in _assign(e, centroids).collect()}
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in e.limit(50).collect()
+    }
+    for vid, v in vecs.items():
+        dists = {cid: float(((v - c) ** 2).sum()) for cid, c in cent.items()}
+        best = min(dists, key=lambda c: (round(dists[c], 9), c))
+        assert abs(dists[assigned[vid]] - dists[best]) < 1e-9
+
+
+def test_ivf_results_scores_exact(spark, sf_med):
+    e = load_table(spark, sf_med, "embeddings")
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64) for r in e.collect()
+    }
+    q = vecs[0]
+    rows = ivf_knn_top10(spark, sf_med).collect()
+    assert 0 < len(rows) <= 10
+    cells = {r.cid for r in rows}
+    assert len(cells) <= N_PROBE
+    for r in rows:
+        assert abs(float(vecs[r.vec_id] @ q) - r.cos_sim) < 1e-5

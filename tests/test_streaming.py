@@ -50,3 +50,34 @@ def test_stream_sessions_complete(spark, sf_small, events_stream):
     for r in rows:
         assert r.session_end_us >= r.session_start_us
         assert r.n_events >= 1
+
+
+def test_stateful_running_stats_match_batch(spark, sf_small, events_stream):
+    """applyInPandasWithState final per-user aggregates == batch groupBy."""
+    from pyspark.sql import functions as F
+
+    from novelti_dingo_spark.sources import load_table
+    from novelti_dingo_spark.streaming.stateful import running_user_stats
+
+    out = running_user_stats(events_stream)
+    name = streaming.run_to_memory(out, "t_stateful", mode="update")
+    # update mode emits one row per user per micro-batch; the final row
+    # per user is the completed aggregate
+    rows = spark.sql(
+        f"""SELECT user_id, n_events, sum_value, last_ts_us FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY n_events DESC) rn FROM {name}) WHERE rn = 1"""
+    ).collect()
+    got = {r.user_id: (r.n_events, r.sum_value, r.last_ts_us) for r in rows}
+    want = {
+        r.user_id: (r.n_events, r.sum_value, r.last_ts_us)
+        for r in load_table(spark, sf_small, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.max(F.unix_micros("ts")).alias("last_ts_us"),
+        )
+        .collect()
+    }
+    assert got == want
