@@ -744,3 +744,100 @@ def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3: row dedup — a hash aggregate on all projected columns."""
     c = load_table(spark, sf_dir, "customer")
     return c.select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "join_full_outer",
+    """
+    WITH ord AS (
+      SELECT o_custkey AS custkey, count(*) AS n_orders
+      FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01' GROUP BY 1),
+    ev AS (
+      SELECT user_id AS custkey, count(*) AS n_events
+      FROM events GROUP BY 1)
+    SELECT coalesce(ord.custkey, ev.custkey) AS custkey,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(n_events, 0) AS n_events
+    FROM ord FULL OUTER JOIN ev USING (custkey)
+    """,
+    survey_rows="J2,F4",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: full outer join of two asymmetric aggregates (recent-order
+    customers vs event-active users) — null-extends both sides."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _ts("2001-01-01"))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return o.join(e, "custkey", "full_outer").select(
+        "custkey",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+@register(
+    "join_right_outer",
+    """
+    SELECT c_custkey, c_mktsegment, count(event_id) AS n_events
+    FROM events RIGHT JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+    survey_rows="J2",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: right outer join — every customer kept, event-less customers
+    count 0 (count(col) skips null-extended rows)."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        e.join(c, e.user_id == c.c_custkey, "right")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("event_id").alias("n_events"))
+    )
+
+
+@register(
+    "setop_except_all",
+    """
+    SELECT l_suppkey, count(*) AS n FROM (
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+      EXCEPT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    ) GROUP BY 1
+    """,
+    survey_rows="U2",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: bag (multiset) difference — exceptAll keeps surplus
+    multiplicity, unlike set EXCEPT."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    return a.exceptAll(r).groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "setop_intersect_all",
+    """
+    SELECT l_suppkey, count(*) AS n FROM (
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+      INTERSECT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    ) GROUP BY 1
+    """,
+    survey_rows="U2",
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: bag intersection — min multiplicity per value."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    return a.intersectAll(r).groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
