@@ -1,0 +1,72 @@
+"""CLI: `python -m novelti_dingo_spark <command>`.
+
+Commands:
+  list                         list registered queries (+oracle status)
+  run NAME [--sf-dir DIR] [-n N]   run a query, print N rows (default 20)
+  explain NAME [--sf-dir DIR]  print the formatted physical plan
+  check [NAMES...]             run the DuckDB oracle gate (all or subset)
+  bench                        run the headline benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="novelti_dingo_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list")
+    for c in ("run", "explain"):
+        p = sub.add_parser(c)
+        p.add_argument("name")
+        p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+        if c == "run":
+            p.add_argument("-n", type=int, default=20)
+    p = sub.add_parser("check")
+    p.add_argument("names", nargs="*")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sub.add_parser("bench")
+    args = ap.parse_args(argv)
+
+    from . import registry
+
+    if args.cmd == "list":
+        for name, spec in sorted(registry.all_specs().items()):
+            oracle = "oracle" if spec.oracle else "rows-only"
+            print(f"{name:32s} [{oracle:9s}] {spec.survey_rows}")
+        return 0
+    if args.cmd == "bench":
+        import bench
+
+        bench.main()
+        return 0
+    if args.cmd == "check":
+        sys.path.insert(0, "tools")
+        from check_oracle import run as check_run
+
+        return check_run(args.sf_dir, args.names or None)
+
+    from .session import get_spark
+
+    spark = get_spark("cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    spec = registry.all_specs().get(args.name)
+    if spec is None:
+        print(f"unknown query: {args.name}", file=sys.stderr)
+        return 2
+    df = spec.fn(spark, args.sf_dir)
+    if args.cmd == "explain":
+        print(
+            df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        )
+    else:
+        df.show(args.n, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -65,6 +65,7 @@ def _load_all() -> None:
         text,
         multimodal,
         extras,
+        sql_entry,
     )
 
     _LOADED = True

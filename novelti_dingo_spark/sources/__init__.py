@@ -1,3 +1,19 @@
-from .io import load_table, register_views, write_parquet, read_csv, read_json
+from .io import (
+    load_table,
+    register_views,
+    write_parquet,
+    read_csv,
+    read_json,
+    read_orc,
+    write_orc,
+)
 
-__all__ = ["load_table", "register_views", "write_parquet", "read_csv", "read_json"]
+__all__ = [
+    "load_table",
+    "register_views",
+    "write_parquet",
+    "read_csv",
+    "read_json",
+    "read_orc",
+    "write_orc",
+]

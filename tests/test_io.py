@@ -82,3 +82,13 @@ def test_register_views(spark, sf_small):
 def test_events_ts_is_timestamp(spark, sf_small):
     e = load_table(spark, sf_small, "events")
     assert dict(e.dtypes)["ts"] == "timestamp"
+
+
+def test_orc_roundtrip(spark, sf_small, tmp_path):
+    from novelti_dingo_spark.sources.io import read_orc, write_orc
+
+    out = str(tmp_path / "nation_orc")
+    nation = load_table(spark, sf_small, "nation")
+    write_orc(nation, out)
+    back = read_orc(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
