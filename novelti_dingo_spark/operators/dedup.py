@@ -132,7 +132,13 @@ N_BANDS = 8  # bands of r = N_HASHES / N_BANDS rows each
 def minhash_signature(text_col) -> F.Column:
     """Array of N_HASHES min-hashes over token-bigram shingles. Hash i of a
     shingle is xxhash64(i, shingle) — one 64-bit hash family, no stored
-    coefficients, identical on every executor."""
+    coefficients, identical on every executor.
+
+    NOTE: referencing this expression multiple times in one projection
+    makes Catalyst's projection-collapse duplicate the whole computation
+    per reference (measured 8x blowup when banding). Query code uses the
+    explode + groupBy-min formulation below instead, which materializes at
+    an aggregation barrier AND gets map-side partial combine."""
     grams = F.array_distinct(token_bigrams(text_col))
     return F.transform(
         F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
@@ -161,18 +167,35 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE skew-join splitting, or salting the band hash, handles them.
     """
     d = load_table(spark, sf_dir, "documents")
-    sigs = d.select("doc_id", "text", minhash_signature("text").alias("sig"))
+    # signatures via explode + groupBy-min: one scan, map-side combined,
+    # and the agg is a materialization barrier so banding below can't
+    # re-inline the signature computation (see minhash_signature note)
+    gram_rows = d.select(
+        "doc_id", F.explode(F.array_distinct(token_bigrams("text"))).alias("g")
+    )
+    sigs = gram_rows.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    )
     r = N_HASHES // N_BANDS
     bands = sigs.select(
         "doc_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",", F.slice(F.col("sig"), b * r + 1, r).cast("array<string>")
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{b * r + j}").cast("string")
+                                for j in range(r)
+                            ],
+                        )
                     )
-                ),
+                    for b in range(N_BANDS)
+                ]
             )
         ).alias("band_idx", "band_hash"),
     )
