@@ -94,32 +94,83 @@ def exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_rows="L2-exact,F5",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-bigram Jaccard pairs ≥ threshold via inverted-index
-    join (gram → docs). This is the exact-but-quadratic-in-collisions
-    baseline the LSH variant approximates; on this corpus the shared
-    vocabulary is tiny, so it doubles as a worst-case skew exercise —
-    common grams fan out, AQE's skew-join split handles the hot grams."""
-    d = load_table(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id", F.explode(F.array_distinct(token_bigrams("text"))).alias("gram")
+    """Exact token-bigram Jaccard pairs ≥ threshold.
+
+    Implementation: blocked set-intersection GEMM — docs hash into B
+    blocks; each block PAIR is one grouped-pandas-UDF task that builds
+    local binary gram-membership matrices and computes all intersection
+    counts with one numpy matmul. Chosen because this corpus has a
+    degenerate 31-word vocabulary: the classic inverted-index join (gram →
+    docs) fans out quadratically on hot grams here (measured 31s vs ~4s at
+    sf0.1). On a natural-vocabulary 100 TB corpus the roles flip —
+    inverted index + prefix filtering prunes almost everything and is the
+    scalable exact method; use LSH (minhash_lsh_pairs) when approximate is
+    acceptable. Oracle stays the straightforward inverted-index SQL."""
+    import numpy as np
+    import pandas as pd
+
+    B = 8
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(token_bigrams("text")).alias("grams"),
+        (F.col("doc_id") % B).alias("blk"),
     )
-    sz = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = grams.select(F.col("doc_id").alias("doc_a"), "gram")
-    b = grams.select(F.col("doc_id").alias("doc_b"), "gram")
-    common = (
-        a.join(b, "gram")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    pairs = spark.createDataFrame(
+        [(b1, b2) for b1 in range(B) for b2 in range(B) if b1 <= b2],
+        "b1 int, b2 int",
     )
-    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    side_a = pairs.join(d, pairs.b1 == d.blk).select(
+        (F.col("b1") * B + F.col("b2")).alias("pair_id"),
+        F.lit(0).alias("side"),
+        "doc_id",
+        "grams",
+    )
+    side_b = pairs.join(d, pairs.b2 == d.blk).select(
+        (F.col("b1") * B + F.col("b2")).alias("pair_id"),
+        F.lit(1).alias("side"),
+        "doc_id",
+        "grams",
+    )
+
+    def block_jaccard(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        b1, b2 = divmod(int(pdf["pair_id"].iloc[0]), B)
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        vocab: dict[str, int] = {}
+        for gs in pdf["grams"]:
+            for g in gs:
+                vocab.setdefault(g, len(vocab))
+
+        def mat(rows):
+            m = np.zeros((len(rows), len(vocab)), dtype=np.float64)
+            for i, gs in enumerate(rows["grams"]):
+                for g in gs:
+                    m[i, vocab[g]] = 1.0
+            return m
+
+        ma, mb = mat(a), mat(b)
+        ida = a["doc_id"].to_numpy()
+        idb = b["doc_id"].to_numpy()
+        inter = ma @ mb.T
+        na = ma.sum(axis=1)[:, None]
+        nb = mb.sum(axis=1)[None, :]
+        jac = inter / (na + nb - inter)
+        ii, jj = np.nonzero(jac >= JACCARD_THRESHOLD)
+        da, db, s = ida[ii], idb[jj], jac[ii, jj]
+        if b1 == b2:
+            keep = da < db
+            da, db, s = da[keep], db[keep], s[keep]
+        else:
+            da, db = np.minimum(da, db), np.maximum(da, db)
+        return pd.DataFrame(
+            {"doc_a": da, "doc_b": db, "jaccard": np.round(s, 6)}
+        )
+
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        side_a.unionByName(side_b)
+        .groupBy("pair_id")
+        .applyInPandas(block_jaccard, "doc_a long, doc_b long, jaccard double")
+        .distinct()
     )
 
 
