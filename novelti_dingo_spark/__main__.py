@@ -58,11 +58,9 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     df = spec.fn(spark, args.sf_dir)
     if args.cmd == "explain":
-        print(
-            df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
-        )
+        from .plans import explain_formatted
+
+        print(explain_formatted(df))
     else:
         df.show(args.n, truncate=False)
     return 0

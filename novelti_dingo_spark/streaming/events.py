@@ -110,3 +110,46 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
     )
     q.awaitTermination()
     return name
+
+
+def purchases_with_recent_click(
+    events: DataFrame, horizon: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to clicks by the same
+    user within the preceding `horizon`. Both sides carry watermarks so
+    state is bounded — Spark buffers each side only until the watermark
+    passes the join window (the canonical bounded-state stream join).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""p_user = c_user
+                AND click_ts <= purchase_ts
+                AND click_ts >= purchase_ts - INTERVAL {horizon}"""
+        ),
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        "click_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+    )

@@ -12,13 +12,12 @@ sys.path.insert(0, "/root/repo/tools")
 from audit_plans import EXPECT, audit  # noqa: E402
 
 from novelti_dingo_spark import registry
+from novelti_dingo_spark.plans import explain_formatted
 
 
 def _plan(spark, name, sf_dir):
     df = registry.all_specs()[name].fn(spark, sf_dir)
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    return explain_formatted(df)
 
 
 def test_all_audited_plans_hold(spark, sf_med):

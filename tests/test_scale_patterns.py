@@ -70,9 +70,9 @@ def test_bucketed_join_has_no_shuffle(spark, sf_small, tmp_path):
         spark.table("b_orders").hint("merge"),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
-    plan = joined._sc._jvm.PythonSQLUtils.explainString(
-        joined._jdf.queryExecution(), "formatted"
-    )
+    from novelti_dingo_spark.plans import explain_formatted
+
+    plan = explain_formatted(joined)
     assert "SortMergeJoin" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert joined.count() == li.count()

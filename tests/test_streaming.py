@@ -81,3 +81,40 @@ def test_stateful_running_stats_match_batch(spark, sf_small, events_stream):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, sf_small, events_stream):
+    """Stream-stream interval join == the same join run in batch."""
+    from pyspark.sql import functions as F
+
+    from novelti_dingo_spark.sources import load_table
+    from novelti_dingo_spark.streaming.events import purchases_with_recent_click
+
+    out = purchases_with_recent_click(events_stream)
+    name = streaming.run_to_memory(out, "t_ssjoin", mode="append")
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    e = load_table(spark, sf_small, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = {
+        (r.purchase_id, r.click_id)
+        for r in p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 2 HOURS")),
+        ).collect()
+    }
+    assert got == want
+    assert got, "expected at least one purchase with a recent click"
