@@ -1,4 +1,5 @@
 from .io import (
+    ensure_session_confs,
     load_table,
     register_views,
     write_parquet,
@@ -9,6 +10,7 @@ from .io import (
 )
 
 __all__ = [
+    "ensure_session_confs",
     "load_table",
     "register_views",
     "write_parquet",

@@ -23,8 +23,24 @@ from .. import schemas
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make any caller-provided SparkSession safe for this engine's
+    queries (the driver passes its OWN session to entry()/queries(), built
+    without our session.py defaults):
+
+    - nanosAsLong: events.ts is parquet TIMESTAMP(NANOS), which Spark's
+      reader otherwise hard-rejects (PARQUET_TYPE_ILLEGAL);
+    - UTC session timezone: date_format/unix_timestamp canonicalizations
+      must not shift with the host timezone.
+
+    Both are runtime-settable SQL confs (verified); idempotent."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1: read one test table with its pinned schema (schema drift → error)."""
+    ensure_session_confs(spark)
     schema = schemas.TABLES.get(name)
     path = os.path.join(sf_dir, f"{name}.parquet")
     reader = spark.read

@@ -92,3 +92,21 @@ def test_orc_roundtrip(spark, sf_small, tmp_path):
     write_orc(nation, out)
     back = read_orc(spark, out)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_queries_survive_foreign_session(spark, sf_small):
+    """The driver passes its OWN SparkSession (without our session.py
+    configs) to queries(); load_table must self-heal the confs it needs
+    (ns-parquet read, UTC) on whatever session it is handed."""
+    s2 = spark.newSession()
+    for conf in (
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.session.timeZone",
+    ):
+        try:
+            s2.conf.unset(conf)
+        except Exception:
+            pass
+    e = load_table(s2, sf_small, "events")
+    assert dict(e.dtypes)["ts"] == "timestamp"
+    assert e.count() == 1000
