@@ -28,6 +28,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("names", nargs="*")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     sub.add_parser("bench")
+    p = sub.add_parser("mart")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--out", required=True)
     args = ap.parse_args(argv)
 
     from . import registry
@@ -41,6 +44,14 @@ def main(argv: list[str] | None = None) -> int:
         import bench
 
         bench.main()
+        return 0
+    if args.cmd == "mart":
+        from .pipelines import build_order_mart
+        from .session import get_spark as _gs
+
+        paths = build_order_mart(_gs("mart"), args.sf_dir, args.out)
+        for k, v in paths.items():
+            print(f"{k}: {v}")
         return 0
     if args.cmd == "check":
         sys.path.insert(0, "tools")

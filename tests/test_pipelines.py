@@ -1,0 +1,53 @@
+"""ETL pipeline tests: mart correctness + partition layout, and the
+exactly-once idempotent-rerun contract of incremental ingestion."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from novelti_dingo_spark.pipelines import build_order_mart, incremental_events_ingest
+from novelti_dingo_spark.sources import load_table
+
+
+def test_order_mart_build(spark, sf_small, tmp_path):
+    out = build_order_mart(spark, sf_small, str(tmp_path))
+    mart = spark.read.parquet(out["order_mart"])
+    li = load_table(spark, sf_small, "lineitem")
+    assert mart.count() == li.count()  # denormalization preserves the grain
+    assert any(
+        d.startswith("order_year=") for d in os.listdir(out["order_mart"])
+    ), "mart must be partitioned by order year"
+    daily = spark.read.parquet(out["daily_revenue"])
+    # rollup total == mart total
+    a = daily.agg(F.round(F.sum("revenue"), 0).alias("t")).collect()[0].t
+    b = mart.agg(F.round(F.sum("net_price"), 0).alias("t")).collect()[0].t
+    assert abs(a - b) <= 1  # 2dp-rounded daily partials vs raw sum
+
+
+def test_incremental_ingest_exactly_once(spark, sf_small, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    shutil.copy(f"{sf_small}/events.parquet", f"{src}/batch1.parquet")
+
+    incremental_events_ingest(spark, src, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 1000
+
+    # rerun with no new files: nothing is reprocessed
+    incremental_events_ingest(spark, src, out, ckpt)
+    assert spark.read.parquet(out).count() == n1
+
+    # new file arrives: only it is processed
+    shutil.copy(f"{sf_small}/events.parquet", f"{src}/batch2.parquet")
+    incremental_events_ingest(spark, src, out, ckpt)
+    assert spark.read.parquet(out).count() == 2 * n1
+
+    # schema of the sink is the normalized one
+    cols = set(spark.read.parquet(out).columns)
+    assert {"event_id", "ts", "user_id", "event_type", "value", "k", "event_hour"} <= cols
+    assert "props" not in cols
