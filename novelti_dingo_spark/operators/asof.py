@@ -47,18 +47,13 @@ def asof_join_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6: for every purchase, the latest click by the same user at or
     before the purchase time (NULL if none)."""
     e = load_table(spark, sf_dir, "events")
-    clicks = (
-        e.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("click_id"))
-        .select(
-            "user_id",
-            "ts",
-            "click_id",
-            F.lit(None).cast("long").alias("purchase_id"),
-            F.lit(None).cast("double").alias("purchase_value"),
-            F.lit(0).alias("_side"),  # clicks sort before purchases at equal ts
-        )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("double").alias("purchase_value"),
+        F.lit(0).alias("_side"),  # clicks sort before purchases at equal ts
     )
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "user_id",
@@ -69,9 +64,13 @@ def asof_join_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("_side"),
     )
     merged = clicks.unionByName(purchases)
+    # click_id as the third sort key makes ties at equal (user, ts)
+    # deterministic: last() then picks the max click_id, matching the
+    # oracle's pre-deduplicated ASOF match — no separate dedup aggregation
+    # (and no second shuffle; the window Exchange is the plan's only one).
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "_side")
+        .orderBy("ts", "_side", F.asc_nulls_first("click_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

@@ -7,7 +7,6 @@ from __future__ import annotations
 import hashlib
 
 import duckdb
-import pytest
 
 from novelti_dingo_spark.operators.dedup import (
     JACCARD_THRESHOLD,

@@ -6,7 +6,6 @@ from __future__ import annotations
 import os
 
 import pytest
-from pyspark.errors import PythonException
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,

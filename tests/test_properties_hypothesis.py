@@ -110,3 +110,50 @@ def test_sessionize_invariant_under_input_order(spark, seed):
     finally:
         eo.load_table = orig
     assert out[0] == out[1]
+
+
+@settings(max_examples=4, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_asof_equals_naive_quadratic(spark, seed):
+    """Union-merge as-of join == the naive per-purchase max-scan on
+    generated event frames (including ts ties and clickless users)."""
+    import novelti_dingo_spark.operators.asof as asof_mod
+
+    rng = random.Random(seed)
+    rows, eid = [], 0
+    for user in range(4):
+        t = 1_700_000_000_000_000
+        for _ in range(rng.randint(0, 20)):
+            # coarse steps force frequent ts collisions
+            t += rng.randint(0, 2) * 60_000_000
+            typ = rng.choice(["click", "purchase", "view"])
+            rows.append((eid, t, user, typ, 1.0, "{}"))
+            eid += 1
+    if not any(r[3] == "purchase" for r in rows):
+        rows.append((eid, 1_700_000_000_000_000, 0, "purchase", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.timestamp_micros("ts"))
+
+    orig = asof_mod.load_table
+    try:
+        asof_mod.load_table = lambda spark, sf_dir, name: df
+        got = {
+            r.purchase_id: r.last_click_id
+            for r in asof_mod.asof_join_latest_click(spark, "x").collect()
+        }
+    finally:
+        asof_mod.load_table = orig
+
+    clicks = [r for r in rows if r[3] == "click"]
+    want = {}
+    for p in rows:
+        if p[3] != "purchase":
+            continue
+        cands = [c for c in clicks if c[2] == p[2] and c[1] <= p[1]]
+        # latest ts; ties broken by max event_id (the dedup contract)
+        best = max(cands, key=lambda c: (c[1], c[0]), default=None)
+        want[p[0]] = best[0] if best else None
+    assert got == want

@@ -3,7 +3,6 @@ their plain forms, and bucketed tables co-locate joins (no Exchange)."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from novelti_dingo_spark.operators.skew import salted_grouped_agg, salted_join

@@ -47,6 +47,20 @@ EXPECT = {
     "knn_bruteforce_top10": {"no_python_udf": True, "take_ordered": True},
     "exact_dedup_survivors": {"partial_agg": True},
     "tumbling_1h_agg": {"partial_agg": True},
+    "q7_volume_shipping": {"pushed_filters": True, "broadcast_joins": 4},
+    "q10_returned_items": {
+        "pushed_filters": True,
+        "broadcast_joins": 2,
+        "take_ordered": True,
+    },
+    "q17_small_qty_revenue": {"broadcast_joins": 1, "partial_agg": True},
+    "asof_join_latest_click": {"single_shuffle": True, "pushed_filters": True},
+    # .pivot() plans two aggregations (keys+pivot col, then pivot) — two
+    # shuffles is its documented cost; the one-shuffle alternative is the
+    # count(when()) matrix (see the query's oracle SQL)
+    "pivot_event_counts": {"partial_agg": True, "max_exchanges": 4},
+    "events_per_segment": {"broadcast_joins": 1, "partial_agg": True},
+    "q18_large_orders": {"partial_agg": True, "take_ordered": True},
 }
 
 
@@ -69,6 +83,10 @@ def audit(name: str, plan: str) -> list[str]:
     if exp.get("hash_join_not_nlj"):
         if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
             problems.append("theta join degenerated to nested-loop/cartesian")
+    if "max_exchanges" in exp:
+        n = plan.count("Exchange")
+        if n > exp["max_exchanges"]:
+            problems.append(f"{n} Exchange mentions > {exp['max_exchanges']}")
     if exp.get("single_shuffle"):
         n = plan.count("Exchange")
         # AQE may show the same exchange twice (logical+final); count unique ids
