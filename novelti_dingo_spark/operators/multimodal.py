@@ -123,3 +123,101 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return packed.mapInPandas(extract, _DECODE_SCHEMA)
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("resized_bytes", IntegerType()),
+        StructField("decoder", StringType()),
+    ]
+)
+
+
+def resize_stub(payload: bytes, max_side: int) -> tuple[int, int, int]:
+    """STUB resize: scales the fake-decoded dimensions to fit max_side and
+    reports a deterministic output byte count. Production: swap body for
+    PIL/libvips thumbnail; plumbing (batch shape, schema) unchanged."""
+    w, h = decode_image_stub(payload)
+    scale = min(1.0, max_side / max(w, h))
+    ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+    return ow, oh, ow * oh * 3
+
+
+@register(
+    "multimodal_resize",
+    None,  # stubbed codec → rows-only; determinism checked in tests.
+    survey_rows="L6,X1",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: batched 'resize' over binary payloads (target 256px max side).
+    JVM-side metadata filters would prune before this stage at scale."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    packed = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def resize_batches(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = [resize_stub(p, 256) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_width": [w for w, _, _ in out],
+                    "out_height": [h for _, h, _ in out],
+                    "resized_bytes": [b for _, _, b in out],
+                    "decoder": "stub-v1",
+                }
+            )
+
+    return packed.mapInPandas(resize_batches, _RESIZE_SCHEMA)
+
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_offset_bytes", LongType()),
+        StructField("frame_sha256_8", StringType()),
+    ]
+)
+
+
+@register(
+    "multimodal_frame_sample",
+    None,  # stubbed codec → rows-only; row-explosion shape tested.
+    survey_rows="L6,X4",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: frame sampling — one input 'video' row explodes into k frame
+    rows (UDTF-shaped row→rows via mapInPandas). The stub samples 4
+    evenly-spaced byte offsets as stand-in frames; a real build decodes
+    keyframes at those timestamps with the same output schema."""
+    import hashlib
+
+    import pandas as pd
+
+    K = 4
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    packed = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def sample(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_offset_bytes": [],
+                    "frame_sha256_8": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                for k in range(K):
+                    off = (n * k) // K
+                    chunk = payload[off : off + 16]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(k)
+                    rows["frame_offset_bytes"].append(off)
+                    rows["frame_sha256_8"].append(
+                        hashlib.sha256(chunk).hexdigest()[:8]
+                    )
+            yield pd.DataFrame(rows)
+
+    return packed.mapInPandas(sample, _FRAME_SCHEMA)

@@ -47,3 +47,33 @@ def test_multimodal_decode_plumbing(spark, sf_small):
         w, h = decode_image_stub(payload)
         assert (r.fake_width, r.fake_height) == (w, h)
         assert r.decoder == "stub-v1"
+
+
+def test_multimodal_resize_deterministic(spark, sf_small):
+    from novelti_dingo_spark.operators.multimodal import multimodal_resize, resize_stub
+
+    texts = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{sf_small}/documents.parquet'"
+        ).fetchall()
+    )
+    rows = multimodal_resize(spark, sf_small).collect()
+    assert len(rows) == len(texts)
+    for r in rows[:30]:
+        w, h, b = resize_stub(texts[r.doc_id].encode(), 256)
+        assert (r.out_width, r.out_height, r.resized_bytes) == (w, h, b)
+        assert max(r.out_width, r.out_height) <= 256
+
+
+def test_multimodal_frame_sample_shape(spark, sf_small):
+    from novelti_dingo_spark.operators.multimodal import multimodal_frame_sample
+
+    rows = multimodal_frame_sample(spark, sf_small).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert all(len(v) == 4 for v in by_doc.values())
+    for frames in list(by_doc.values())[:20]:
+        offs = [f.frame_offset_bytes for f in sorted(frames, key=lambda x: x.frame_idx)]
+        assert offs == sorted(offs)
+        assert offs[0] == 0
