@@ -43,8 +43,8 @@ def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(F.col("doc_id") < 100).select(
         "doc_id",
         F.upper(F.substring("text", 1, 12)).alias("head_upper"),
-        F.length("text").alias("text_len"),
-        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.length("text").cast("long").alias("text_len"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
         F.concat_ws(":", "lang", "source").alias("lang_source"),
         F.regexp_extract("text", r"^([a-z]+)", 1).alias("first_word"),
         F.replace(
@@ -77,21 +77,19 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.filter(F.col("o_orderkey") < 200).select(
         "o_orderkey",
-        F.year("o_orderdate").alias("o_year"),
-        F.month("o_orderdate").alias("o_month"),
-        F.dayofmonth("o_orderdate").alias("o_day"),
-        F.dayofweek("o_orderdate").alias("o_dow"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
+        F.dayofweek("o_orderdate").cast("long").alias("o_dow"),
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
             "month_start"
         ),
         F.date_format(
             F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
         ).alias("plus_30d"),
-        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
-            "days_since_95"
-        ),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_95"),
         F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
-        F.quarter("o_orderdate").alias("o_quarter"),
+        F.quarter("o_orderdate").cast("long").alias("o_quarter"),
     )
 
 
@@ -100,14 +98,14 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey,
            abs(o_totalprice - 150000)            AS abs_diff,
-           ceil(o_totalprice / 1000)             AS price_k_ceil,
-           floor(o_totalprice / 1000)            AS price_k_floor,
+           CAST(ceil(o_totalprice / 1000) AS BIGINT)  AS price_k_ceil,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k_floor,
            round(sqrt(o_totalprice), 6)          AS sqrt_price,
            round(ln(o_totalprice), 6)            AS ln_price,
            round(log10(o_totalprice), 6)         AS log10_price,
            round(pow(o_totalprice / 100000, 2), 6) AS pow_price,
            o_orderkey % 7                        AS key_mod7,
-           sign(o_totalprice - 150000)           AS above_mid
+           CAST(sign(o_totalprice - 150000) AS DOUBLE) AS above_mid
     FROM orders WHERE o_orderkey < 300
     """,
     survey_rows="F3",
@@ -182,7 +180,7 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     head8 = F.slice(emb_d, 1, 8)
     return e.filter(F.col("vec_id") < 100).select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         F.round(F.element_at(emb_d, 1), 6).alias("first_elem"),
         F.round(
             F.aggregate(
@@ -193,7 +191,7 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("head8_sq_sum"),
         F.round(F.array_max(emb_d), 6).alias("max_elem"),
-        F.size(F.filter(emb_d, lambda x: x > 0)).alias("n_positive"),
+        F.size(F.filter(emb_d, lambda x: x > 0)).cast("long").alias("n_positive"),
     )
 
 

@@ -63,7 +63,7 @@ def multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return packed.select(
         "doc_id",
-        F.octet_length("payload").alias("payload_bytes"),
+        F.octet_length("payload").cast("long").alias("payload_bytes"),
         F.sha2("payload", 256).alias("payload_sha256"),
         F.col("meta.media_type").alias("media_type"),
         F.col("meta.meta_lang").alias("meta_lang"),

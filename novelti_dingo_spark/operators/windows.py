@@ -38,7 +38,12 @@ def window_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
     return (
-        e.select("event_id", "user_id", "value", F.row_number().over(w).alias("rn"))
+        e.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
         .filter(F.col("rn") <= 3)
     )
 
@@ -69,9 +74,9 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(wt).alias("quartile"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(wt).cast("long").alias("quartile"),
     )
 
 
