@@ -12,7 +12,13 @@ keeps each Spark query function and its DuckDB oracle SQL side-by-side.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the driver may import this module with a cwd elsewhere; make the package
+# resolvable regardless
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 

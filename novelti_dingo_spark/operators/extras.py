@@ -137,3 +137,125 @@ def events_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "gapfill_hourly",
+    """
+    WITH bounds AS (
+      SELECT (epoch_us(min(ts)) // 3600000000) * 3600 AS t0,
+             (epoch_us(max(ts)) // 3600000000) * 3600 AS t1
+      FROM events
+    ), grid AS (
+      SELECT t0 + 3600 * i AS bucket_start
+      FROM bounds CROSS JOIN range(0, 2000) r(i)
+      WHERE t0 + 3600 * i <= t1
+    ), agg AS (
+      SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_start,
+             count(*) AS n_events,
+             round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1
+    )
+    SELECT g.bucket_start,
+           coalesce(a.n_events, 0)    AS n_events,
+           coalesce(a.sum_value, 0.0) AS sum_value
+    FROM grid g LEFT JOIN agg a USING (bucket_start)
+    """,
+    survey_rows="ST1,J2,F2,gapfill",
+)
+def gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense hourly grid (sequence between the
+    corpus min/max hour) left-joined to the tumbling aggregate — empty
+    buckets appear with zeros instead of being absent. Scale: the grid is
+    generated from a 1-row bounds aggregate (time-range/3600 rows total);
+    the join broadcasts the real aggregate, never the raw events."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        ((F.unix_micros(F.min("ts")) / 3_600_000_000).cast("long") * 3600).alias("t0"),
+        ((F.unix_micros(F.max("ts")) / 3_600_000_000).cast("long") * 3600).alias("t1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("t0"), F.col("t1"), F.lit(3600))).alias(
+            "bucket_start"
+        )
+    )
+    agg = e.groupBy(
+        ((F.unix_micros("ts") / 3_600_000_000).cast("long") * 3600).alias(
+            "bucket_start"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return grid.join(agg, "bucket_start", "left").select(
+        "bucket_start",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
+
+
+@register(
+    "window_distribution",
+    """
+    SELECT event_id, user_id,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume,
+           first_value(event_id) OVER w    AS first_event,
+           last_value(event_id) OVER (PARTITION BY user_id ORDER BY value, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+    survey_rows="W1,W2",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2: distribution (percent_rank, cume_dist) and positional
+    (first_value, full-frame last_value) window functions."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(wfull).alias("last_event"),
+    )
+
+
+@register(
+    "levenshtein_neighbors",
+    """
+    SELECT a.doc_id,
+           levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30)) AS edit_dist,
+           CAST(abs(a.n_chars - b.n_chars) AS BIGINT) AS len_diff
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id < 100
+    """,
+    survey_rows="F1",
+)
+def levenshtein_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: edit distance between consecutive documents' 30-char prefixes
+    (string-similarity surface; both engines implement classic
+    Wagner-Fischer so values agree exactly)."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select("doc_id", F.col("text").alias("ta"), F.col("n_chars").alias("na"))
+    b = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.col("text").alias("tb"),
+        F.col("n_chars").alias("nb"),
+    )
+    return (
+        a.filter(F.col("doc_id") < 100)
+        .join(b, "doc_id")
+        .select(
+            "doc_id",
+            F.levenshtein(
+                F.substring("ta", 1, 30), F.substring("tb", 1, 30)
+            ).cast("long").alias("edit_dist"),
+            F.abs(F.col("na") - F.col("nb")).alias("len_diff"),
+        )
+    )
