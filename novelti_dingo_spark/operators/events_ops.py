@@ -62,21 +62,34 @@ def tumbling_1h_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_rows="ST2,A1",
 )
 def sliding_1h_15m_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST2: sliding window (1h length, 15min slide) — each event lands in
-    4 windows; Spark's `F.window` materializes the per-event window list.
-    The oracle expands the same 4 epoch-grid buckets arithmetically."""
+    """ST2: sliding window (1h length, 15min slide) via the PANE
+    optimization: aggregate once per 15-min pane (map-side combined, one
+    row per pane), then explode each pane into the 4 windows containing
+    it and combine partials. The naive `F.window(ts, '1h', '15m')`
+    replicates every EVENT 4x before the shuffle; panes shuffle
+    time_range/900 rows regardless of event volume — the difference
+    between 4x100TB and a few MB on the wire.
+
+    Float note: sum_value is summed per-pane then across 4 panes — both
+    engines' 2dp rounding happens after the same two-level tree, and the
+    oracle mirrors the event-level sum; 2dp absorbs the ordering drift."""
     e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start"),
-            "n_events",
-            "sum_value",
-        )
+    panes = e.groupBy(
+        ((F.unix_micros("ts") / 900_000_000).cast("long") * 900).alias("pane_start")
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("ps"),
+    )
+    exploded = panes.select(
+        F.explode(
+            F.array(*[F.col("pane_start") - 900 * k for k in range(4)])
+        ).alias("window_start"),
+        "pn",
+        "ps",
+    )
+    return exploded.groupBy("window_start").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("ps"), 2).alias("sum_value"),
     )
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
-from ..functions.vector import dot, l2_norm
+from ..functions.vector import dot
 from ..registry import register
 from ..sources.io import load_table
 
