@@ -31,6 +31,7 @@ from ..sources.io import load_table
            concat(lang, ':', source)                        AS lang_source,
            regexp_extract(text, '^([a-z]+)', 1)             AS first_word,
            replace(substr(text, 1, 20), ' ', '_')           AS head_snake,
+           regexp_replace(substr(text, 1, 15), '[aeiou]', '*', 'g') AS vowels_masked,
            trim(' ' || lang || ' ')                         AS lang_trim
     FROM documents WHERE doc_id < 100
     """,
@@ -50,6 +51,9 @@ def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(
             F.substring("text", 1, 20), F.lit(" "), F.lit("_")
         ).alias("head_snake"),
+        F.regexp_replace(F.substring("text", 1, 15), "[aeiou]", "*").alias(
+            "vowels_masked"
+        ),
         F.trim(F.concat(F.lit(" "), F.col("lang"), F.lit(" "))).alias("lang_trim"),
     )
 
@@ -292,3 +296,33 @@ def grouped_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(geomean("value").alias("geomean_value"))
+
+
+@register(
+    "bit_hex_funcs",
+    """
+    SELECT event_id,
+           event_id & 255                    AS low_byte,
+           (user_id | 1)                     AS odd_user,
+           xor(event_id, user_id)            AS xored,
+           event_id << 2                     AS shl2,
+           event_id >> 1                     AS shr1,
+           hex(event_id)                     AS id_hex
+    FROM events WHERE event_id < 300
+    """,
+    survey_rows="F3",
+)
+def bit_hex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: bitwise family (AND/OR/XOR/shifts) + hex formatting — the bit
+    plumbing the SimHash/LSH internals rely on, surfaced as an
+    oracle-checked query."""
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(F.col("event_id") < 300).select(
+        "event_id",
+        F.col("event_id").bitwiseAND(255).alias("low_byte"),
+        F.col("user_id").bitwiseOR(1).alias("odd_user"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("xored"),
+        F.shiftleft(F.col("event_id"), 2).alias("shl2"),
+        F.shiftright(F.col("event_id"), 1).alias("shr1"),
+        F.hex(F.col("event_id")).alias("id_hex"),
+    )
