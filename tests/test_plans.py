@@ -7,7 +7,9 @@ from __future__ import annotations
 
 import sys
 
-sys.path.insert(0, "/root/repo/tools")
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
 from audit_plans import EXPECT, audit  # noqa: E402
 

@@ -9,10 +9,12 @@ query. tests/test_plans.py asserts the same properties in CI.
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 
-sys.path.insert(0, "/root/repo")
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
 
 from novelti_dingo_spark import registry  # noqa: E402
 from novelti_dingo_spark.plans import explain_formatted  # noqa: E402
@@ -130,7 +132,7 @@ def main() -> int:
             + (f"\n\n**PROBLEMS: {'; '.join(problems)}**" if problems else " — all hold")
             + f"\n\n```\n{plan.strip()}\n```\n"
         )
-    with open("/root/repo/PLANS.md", "w") as f:
+    with open(os.path.join(REPO_ROOT, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit evidence\n\n"
             "Generated by tools/audit_plans.py at sf0.01. Each section shows "

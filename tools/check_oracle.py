@@ -14,13 +14,15 @@ import argparse
 import hashlib
 import json
 import math
+import os
 import sys
 import time
 from datetime import date, datetime
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
 
 from novelti_dingo_spark import registry, schemas  # noqa: E402
 from novelti_dingo_spark.session import get_spark  # noqa: E402
