@@ -1,0 +1,131 @@
+"""Product-analytics operators over the events stream — the query shapes
+an analytics user of the reference runs daily: threshold outliers, cohort
+retention, ordered funnels. All are compositions of §2 primitives
+(scalar-subquery thresholds, two-level aggregation, conditional min) and
+all are oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.io import load_table
+
+
+@register(
+    "outliers_above_p99",
+    """
+    WITH thresholds AS (
+      SELECT event_type, quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value, round(p99, 6) AS p99
+    FROM events e JOIN thresholds t ON e.event_type = t.event_type
+    WHERE e.value > t.p99
+    """,
+    survey_rows="A1,J4,P2,stats",
+)
+def outliers_above_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold outlier detection: events above their type's p99.
+
+    The per-type thresholds are a 5-row aggregate broadcast back against
+    the stream — the scalable two-pass shape (never a per-row percentile
+    window). At 100 TB swap the exact percentile for approx_percentile."""
+    e = load_table(spark, sf_dir, "events")
+    thresholds = e.groupBy("event_type").agg(
+        F.percentile("value", 0.99).alias("_p99")
+    )
+    return (
+        e.join(F.broadcast(thresholds), "event_type")
+        .filter(F.col("value") > F.col("_p99"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("_p99", 6).alias("p99"),
+        )
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             (epoch_us(min(ts)) // (86400000000 * 7)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id,
+             (epoch_us(ts) // (86400000000 * 7)) AS active_week
+      FROM events
+    )
+    SELECT cohort_week, active_week - cohort_week AS weeks_since,
+           count(*) AS active_users
+    FROM activity JOIN firsts USING (user_id)
+    GROUP BY 1, 2
+    """,
+    survey_rows="A1,A2,J1,F2",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    per week-offset of later activity. Two aggregations over the same
+    user_id partitioning + a broadcastable firsts table."""
+    e = load_table(spark, sf_dir, "events")
+    week = lambda c: (F.unix_micros(c) / (86_400_000_000 * 7)).cast("long")  # noqa: E731
+    firsts = e.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    activity = e.select("user_id", week(F.col("ts")).alias("active_week")).distinct()
+    return (
+        activity.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("active_week") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+@register(
+    "funnel_signup_click_purchase",
+    """
+    WITH stages AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'signup')   AS t_signup,
+             min(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) FILTER (WHERE t_signup IS NOT NULL)  AS n_signup,
+           count(*) FILTER (WHERE t_signup IS NOT NULL
+                              AND t_click > t_signup)    AS n_then_click,
+           count(*) FILTER (WHERE t_signup IS NOT NULL
+                              AND t_click > t_signup
+                              AND t_purchase > t_click)  AS n_then_purchase
+    FROM stages
+    """,
+    survey_rows="A5,A6,funnel",
+)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who signed up, then clicked after signup,
+    then purchased after that click. One grouped pass computes each
+    user's first-stage timestamps (conditional min), one global pass
+    counts stage survivors — no self-joins, no per-user sorting."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stages = e.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    signed = F.col("t_signup").isNotNull()
+    clicked = signed & (F.col("t_click") > F.col("t_signup"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        F.count(F.when(signed, F.lit(1))).alias("n_signup"),
+        F.count(F.when(clicked, F.lit(1))).alias("n_then_click"),
+        F.count(F.when(purchased, F.lit(1))).alias("n_then_purchase"),
+    )

@@ -66,6 +66,7 @@ def _load_all() -> None:
         multimodal,
         extras,
         sql_entry,
+        analytics,
     )
 
     _LOADED = True

@@ -153,3 +153,14 @@ def purchases_with_recent_click(
         "click_id",
         F.unix_micros("click_ts").alias("click_ts_us"),
     )
+
+
+def enrich_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with the (batch)
+    customer dimension — the broadcast lookup every streaming pipeline
+    needs. The static side is re-resolved per micro-batch, so a slowly
+    refreshed dim table is picked up without restarting the query."""
+    c = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+    return events.join(F.broadcast(c), "user_id", "left")

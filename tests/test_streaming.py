@@ -118,3 +118,17 @@ def test_stream_stream_join_matches_batch(spark, sf_small, events_stream):
     }
     assert got == want
     assert got, "expected at least one purchase with a recent click"
+
+
+def test_stream_static_enrichment(spark, sf_small, events_stream):
+    from novelti_dingo_spark.sources import load_table
+    from novelti_dingo_spark.streaming.events import enrich_with_customer
+
+    cust = load_table(spark, sf_small, "customer")
+    out = enrich_with_customer(events_stream, cust)
+    name = streaming.run_to_memory(out, "t_enrich", mode="append")
+    rows = spark.sql(
+        f"SELECT count(*) AS n, count(c_mktsegment) AS m FROM {name}"
+    ).collect()[0]
+    assert rows.n == 1000
+    assert rows.m == 1000  # every event's user exists in customer (FK measured)
