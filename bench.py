@@ -40,16 +40,6 @@ HEADLINE = [
 ]
 
 
-def _median_time(run, n: int) -> float:
-    run()  # warm
-    samples = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        run()
-        samples.append(time.perf_counter() - t0)
-    return statistics.median(samples)
-
-
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("BENCH_RUNS", "5"))
@@ -63,19 +53,40 @@ def main() -> None:
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     specs = registry.all_specs()
-    spark_t: dict[str, float] = {}
-    duck_t: dict[str, float] = {}
+    # pre-build both sides, full warm pass, then N interleaved passes:
+    # a transient system-load spike lands on whichever query happens to be
+    # running, so interleaving spreads it thin instead of poisoning one
+    # query's entire sample; per-query median over passes.
+    # toPandas = Spark's Arrow-batched result fetch (the analytics fetch
+    # path), the like-for-like analogue of duckdb fetchall; row-pickling
+    # collect() would bill Spark 4x for serialization.
+    runners = []
     for name in HEADLINE:
         df = specs[name].fn(spark, sf_dir)
-        # toPandas = Spark's Arrow-batched result fetch (the analytics
-        # fetch path), the like-for-like analogue of duckdb fetchall;
-        # row-pickling collect() would bill Spark 4x for serialization.
-        spark_t[name] = round(_median_time(df.toPandas, runs), 4)
+        runners.append((name, "spark", df.toPandas))
         oracle = specs[name].oracle
         if oracle:
-            duck_t[name] = round(
-                _median_time(lambda: con.sql(oracle).fetchall(), runs), 4
+            runners.append(
+                (name, "duckdb", lambda o=oracle: con.sql(o).fetchall())
             )
+    for _name, _eng, fn in runners:
+        fn()  # warm: plan cache, codegen, page cache
+    samples: dict[tuple[str, str], list[float]] = {
+        (n, e): [] for n, e, _ in runners
+    }
+    for _ in range(runs):
+        for name, eng, fn in runners:
+            t0 = time.perf_counter()
+            fn()
+            samples[(name, eng)].append(time.perf_counter() - t0)
+    spark_t = {
+        n: round(statistics.median(samples[(n, "spark")]), 4) for n in HEADLINE
+    }
+    duck_t = {
+        n: round(statistics.median(samples[(n, "duckdb")]), 4)
+        for n in HEADLINE
+        if (n, "duckdb") in samples
+    }
     total = round(sum(spark_t.values()), 4)
     duck_total = round(sum(duck_t.values()), 4)
     print(
