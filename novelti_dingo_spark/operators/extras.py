@@ -259,3 +259,49 @@ def levenshtein_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("na") - F.col("nb")).alias("len_diff"),
         )
     )
+
+
+@register(
+    "dq_summary",
+    """
+    SELECT (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+              ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+             AS orphan_lineitems,
+           (SELECT count(*) FROM events e LEFT JOIN customer c
+              ON e.user_id = c.c_custkey WHERE c.c_custkey IS NULL)
+             AS orphan_events,
+           (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+              GROUP BY 1 HAVING count(*) > 1)) AS dup_orderkeys,
+           (SELECT count(*) FROM documents WHERE n_chars <> length(text))
+             AS bad_nchars
+    """,
+    survey_rows="J3,A5,quality",
+)
+def dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality scorecard: FK orphans, duplicate keys, and row-level
+    invariant violations in one row (all zero on this corpus — measured
+    invariants from FIXTURES.md). Composes the quality module's checks;
+    each is an anti join or aggregate, so the scorecard runs at corpus
+    scale as a handful of shuffles."""
+    from .. import quality
+    from pyspark.sql import functions as F2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+    d = load_table(spark, sf_dir, "documents")
+    counts = [
+        quality.fk_orphans(li, "l_orderkey", o, "o_orderkey")
+        .agg(F2.count(F2.lit(1)).alias("orphan_lineitems")),
+        quality.fk_orphans(e, "user_id", c, "c_custkey")
+        .agg(F2.count(F2.lit(1)).alias("orphan_events")),
+        quality.duplicate_keys(o, ["o_orderkey"])
+        .agg(F2.count(F2.lit(1)).alias("dup_orderkeys")),
+        quality.range_violations(d, F2.col("n_chars") == F2.length("text"))
+        .agg(F2.count(F2.lit(1)).alias("bad_nchars")),
+    ]
+    out = counts[0]
+    for df in counts[1:]:
+        out = out.crossJoin(df)
+    return out
