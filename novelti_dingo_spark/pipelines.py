@@ -19,6 +19,7 @@ Two production shapes:
 from __future__ import annotations
 
 import os
+import pathlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -100,3 +101,30 @@ def incremental_events_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    target_mb: int = 256,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into files of
+    roughly `target_mb` each (the chronic operational task of any
+    file-based lake — streaming sinks and fine-grained partitioning leave
+    thousands of KB-sized files whose per-file open/footer cost dominates
+    scans).
+
+    File count is computed from the dataset's on-disk size, then the data
+    is round-robin repartitioned (even output sizes, no skew by key) and
+    rewritten. Returns the output file count. At 100 TB run per partition
+    directory, not whole-dataset."""
+    ensure_session_confs(spark)
+    df = spark.read.parquet(in_dir)
+    total_bytes = sum(
+        f.stat().st_size
+        for f in pathlib.Path(in_dir).rglob("*.parquet")
+    )
+    n_files = max(1, round(total_bytes / (target_mb * 1024 * 1024)))
+    df.repartition(n_files).write.mode("overwrite").parquet(out_dir)
+    return n_files

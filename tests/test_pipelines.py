@@ -51,3 +51,35 @@ def test_incremental_ingest_exactly_once(spark, sf_small, tmp_path):
     cols = set(spark.read.parquet(out).columns)
     assert {"event_id", "ts", "user_id", "event_type", "value", "k", "event_hour"} <= cols
     assert "props" not in cols
+
+
+def test_compaction_reduces_file_count(spark, sf_small, tmp_path):
+    from novelti_dingo_spark.pipelines import compact_parquet
+
+    frag = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    li = load_table(spark, sf_small, "lineitem")
+    li.repartition(64).write.parquet(frag)  # simulate small-files problem
+    n_before = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_before >= 32
+    compact_parquet(spark, frag, out, target_mb=256)
+    n_after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_after <= 2
+    assert spark.read.parquet(out).count() == li.count()
+
+
+def test_schema_evolution_merge(spark, sf_small, tmp_path):
+    """mergeSchema read across files written with evolving schemas — new
+    columns appear as nulls for old files (additive evolution contract)."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "evolving")
+    v1 = load_table(spark, sf_small, "region")
+    v1.write.parquet(d + "/batch=1")
+    v2 = v1.withColumn("r_comment", F.concat(F.lit("about "), "r_name"))
+    v2.write.parquet(d + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"r_regionkey", "r_name", "r_comment", "batch"}
+    assert merged.count() == 2 * v1.count()
+    old = merged.filter(F.col("batch") == 1)
+    assert old.filter(F.col("r_comment").isNull()).count() == old.count()
