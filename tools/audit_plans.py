@@ -63,6 +63,11 @@ EXPECT = {
     "pivot_event_counts": {"partial_agg": True, "max_exchanges": 4},
     "events_per_segment": {"broadcast_joins": 1, "partial_agg": True},
     "q18_large_orders": {"partial_agg": True, "take_ordered": True},
+    "outliers_above_p99": {"broadcast_joins": 1, "partial_agg": True},
+    "cohort_retention": {"broadcast_joins": 1, "partial_agg": True},
+    # one data-sized shuffle (user_id) + the inherent 1-row global-agg exchange
+    "funnel_signup_click_purchase": {"partial_agg": True, "max_exchanges": 4},
+    "gapfill_hourly": {"broadcast_joins": 1},
 }
 
 
