@@ -305,3 +305,49 @@ def dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in counts[1:]:
         out = out.crossJoin(df)
     return out
+
+
+@register(
+    "stratified_sample",
+    None,  # engine-specific RNG by design → rows-only; per-stratum
+    # proportions sanity-checked here and in tests.
+    survey_rows="P2,sampling",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-key fraction) sampling via sampleBy — the
+    class-balancing primitive for training-data curation (e.g. downsample
+    the dominant language, keep the rare ones whole)."""
+    d = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.25, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    return d.sampleBy("lang", fractions, seed=42).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "sql_scalar_function",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
+    FROM lineitem WHERE l_orderkey < 50
+    """,
+    survey_rows="S4,X-sqludf,P1",
+)
+def sql_scalar_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF (CREATE TEMPORARY FUNCTION ... RETURN expr): the
+    user-extensible function surface that stays fully JVM-side — the
+    function body is inlined by the analyzer, so unlike Python UDFs it
+    costs nothing at 100 TB. Oracle inlines the same expression."""
+    from ..sources.io import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION charged_price(
+               price DOUBLE, disc DOUBLE, tax DOUBLE)
+           RETURNS DOUBLE RETURN price * (1 - disc) * (1 + tax)"""
+    )
+    return spark.sql(
+        """SELECT l_orderkey, l_linenumber,
+                  charged_price(l_extendedprice, l_discount, l_tax) AS charged
+           FROM lineitem WHERE l_orderkey < 50"""
+    )

@@ -54,3 +54,22 @@ def test_asof_semantics_on_tiny_frame(spark):
         io_mod.load_table = orig
         _asof.load_table = orig
     assert out == {2: 1, 4: 3, 5: None}
+
+
+def test_stratified_sample_proportions(spark, sf_med):
+    """sampleBy keeps rare strata whole and downsamples the dominant one
+    to ~fraction (within binomial tolerance); deterministic under a seed."""
+    from novelti_dingo_spark.operators.extras import stratified_sample
+    from novelti_dingo_spark.sources import load_table
+
+    d = load_table(spark, sf_med, "documents")
+    full = {r.lang: r.n for r in d.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    s1 = stratified_sample(spark, sf_med)
+    got = {r.lang: r.n for r in s1.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    for lang in ("de", "es", "fr", "zh"):
+        assert got.get(lang) == full[lang], lang  # fraction 1.0 = keep all
+    en_frac = got.get("en", 0) / full["en"]
+    assert 0.1 < en_frac < 0.45  # 0.25 +- binomial noise on ~200 docs
+    # seeded determinism
+    got2 = {r.lang: r.n for r in stratified_sample(spark, sf_med).groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    assert got == got2
