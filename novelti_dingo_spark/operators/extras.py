@@ -351,3 +351,58 @@ def sql_scalar_function(spark: SparkSession, sf_dir: str) -> DataFrame:
                   charged_price(l_extendedprice, l_discount, l_tax) AS charged
            FROM lineitem WHERE l_orderkey < 50"""
     )
+
+
+@register(
+    "agg_argminmax_mode",
+    """
+    SELECT o_orderstatus,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           mode(o_orderpriority)             AS top_priority,
+           round(max(o_totalprice), 2)       AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    survey_rows="A1,argminmax",
+)
+def agg_argminmax_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+: positional aggregates — max_by/min_by (arg_max/arg_min) and
+    mode. Deterministic on this corpus (extrema and mode winners verified
+    unique per group); on tie-prone data pair them with a tiebreaker
+    struct instead."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.mode("o_orderpriority").alias("top_priority"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT c_mktsegment, n_name,
+           count(*) AS n_customers,
+           GROUPING(c_mktsegment) + 2 * GROUPING(n_name) AS gid
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+    """,
+    survey_rows="A4",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: explicit GROUPING SETS (neither rollup nor cube) with a
+    grouping-id so NULL group markers are distinguishable from NULL data.
+    Spark's grouping_id bit order is reversed vs the per-column GROUPING
+    sum — the oracle composes GROUPING() bits to match."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).createOrReplaceTempView(
+        "_gs_cust"
+    )
+    return spark.sql(
+        """SELECT c_mktsegment, n_name, count(*) AS n_customers,
+                  grouping(c_mktsegment) + 2 * grouping(n_name) AS gid
+           FROM _gs_cust
+           GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())"""
+    )
