@@ -326,3 +326,43 @@ def bit_hex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(F.col("event_id"), 1).alias("shr1"),
         F.hex(F.col("event_id")).alias("id_hex"),
     )
+
+
+@register(
+    "date_arith_funcs",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d')   AS plus_3_months,
+           strftime(date_trunc('week', o_orderdate), '%Y-%m-%d')  AS week_start,
+           (2001 - year(o_orderdate)) * 12 + (8 - month(o_orderdate)) AS months_to_ref,
+           datediff('day', o_orderdate, TIMESTAMP '2001-08-01') // 7   AS weeks_to_ref,
+           strftime(make_date(year(o_orderdate), 12, 31), '%Y-%m-%d') AS year_end
+    FROM orders WHERE o_orderkey < 200
+    """,
+    survey_rows="F2",
+)
+def date_arith_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: calendar arithmetic — add_months, week truncation (both engines
+    start Monday), month/week spans via explicit integer arithmetic
+    (cross-engine month-difference semantics differ, so the span is
+    computed identically on both sides), make_date."""
+    o = load_table(spark, sf_dir, "orders")
+    ref_y, ref_m = 2001, 8
+    return o.filter(F.col("o_orderkey") < 200).select(
+        "o_orderkey",
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias(
+            "plus_3_months"
+        ),
+        F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd").alias(
+            "week_start"
+        ),
+        (
+            (ref_y - F.year("o_orderdate")) * 12 + (ref_m - F.month("o_orderdate"))
+        ).cast("long").alias("months_to_ref"),
+        F.floor(
+            F.datediff(F.lit("2001-08-01").cast("date"), F.to_date("o_orderdate")) / 7
+        ).alias("weeks_to_ref"),
+        F.date_format(
+            F.make_date(F.year("o_orderdate"), F.lit(12), F.lit(31)), "yyyy-MM-dd"
+        ).alias("year_end"),
+    )
