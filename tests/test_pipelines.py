@@ -83,3 +83,33 @@ def test_schema_evolution_merge(spark, sf_small, tmp_path):
     assert merged.count() == 2 * v1.count()
     old = merged.filter(F.col("batch") == 1)
     assert old.filter(F.col("r_comment").isNull()).count() == old.count()
+
+
+def test_curate_corpus_funnel(spark, tmp_path):
+    """End-to-end curation at sf0.1 (the sf with real exact+near dups):
+    monotone funnel, published parquet partitioned by lang, and the
+    near-dup losers provably absent."""
+    from novelti_dingo_spark.operators.dedup import minhash_lsh_pairs
+    from novelti_dingo_spark.pipelines import curate_corpus
+
+    sf = "/root/testdata/sf0.1"
+    out = str(tmp_path / "curated")
+    stats = curate_corpus(spark, sf, out, min_quality=0.5,
+                          lang_fractions={"en": 0.5})
+    assert (
+        stats["raw"]
+        >= stats["after_exact_dedup"]
+        >= stats["after_neardup"]
+        >= stats["after_quality"]
+        >= stats["published"]
+    )
+    assert stats["raw"] == 5000
+    assert stats["after_exact_dedup"] == 4992  # measured: 8 exact dups
+    assert stats["after_neardup"] < stats["after_exact_dedup"]  # 216 near-dup groups
+    published = spark.read.parquet(out)
+    assert published.count() == stats["published"]
+    assert any(d.startswith("lang=") for d in os.listdir(out))
+    # no published doc is the dropped side of a high-jaccard pair
+    losers = {r.doc_b for r in minhash_lsh_pairs(spark, sf).collect()}
+    kept = {r.doc_id for r in published.select("doc_id").collect()}
+    assert not (losers & kept)
