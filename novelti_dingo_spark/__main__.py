@@ -31,6 +31,10 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("mart")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p.add_argument("--out", required=True)
+    p = sub.add_parser("curate")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--out", required=True)
+    p.add_argument("--min-quality", type=float, default=0.5)
     args = ap.parse_args(argv)
 
     from . import registry
@@ -52,6 +56,17 @@ def main(argv: list[str] | None = None) -> int:
         paths = build_order_mart(_gs("mart"), args.sf_dir, args.out)
         for k, v in paths.items():
             print(f"{k}: {v}")
+        return 0
+    if args.cmd == "curate":
+        import json
+
+        from .pipelines import curate_corpus
+        from .session import get_spark as _gs
+
+        stats = curate_corpus(
+            _gs("curate"), args.sf_dir, args.out, min_quality=args.min_quality
+        )
+        print(json.dumps(stats))
         return 0
     if args.cmd == "check":
         sys.path.insert(0, "tools")

@@ -132,3 +132,32 @@ def test_stream_static_enrichment(spark, sf_small, events_stream):
     ).collect()[0]
     assert rows.n == 1000
     assert rows.m == 1000  # every event's user exists in customer (FK measured)
+
+
+def test_pane_sliding_equals_naive_window(spark, sf_small):
+    """Regression net for the pane optimization: the pane-combined sliding
+    aggregate must equal the naive F.window(1h, 15m) formulation."""
+    from pyspark.sql import functions as F
+
+    from novelti_dingo_spark.operators.events_ops import sliding_1h_15m_agg
+    from novelti_dingo_spark.sources import load_table
+
+    got = {
+        (r.window_start): (r.n_events, r.sum_value)
+        for r in sliding_1h_15m_agg(spark, sf_small).collect()
+    }
+    e = load_table(spark, sf_small, "events")
+    naive = (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    want = {r.window_start: (r.n_events, r.sum_value) for r in naive.collect()}
+    assert got == want
