@@ -148,10 +148,13 @@ def curate_corpus(
       4. stratified sample  per-language fractions (class balancing)
       5. publish            curated parquet partitioned by lang + a stats row
 
-    Returns stage-by-stage row counts (the curation funnel). Every stage
-    is a DataFrame transform — the same code curates 100 TB, with stage
-    counts computed from the lazy plan only at publish time.
+    Returns stage-by-stage row counts (the curation funnel), collected
+    with the Observation API: each stage is instrumented with an observed
+    count, so ALL funnel metrics ride the single publish action — no
+    per-stage count() jobs re-executing the pipeline prefix (at 100 TB
+    each of those would be a full re-scan).
     """
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     from .operators.dedup import minhash_lsh_pairs
@@ -159,8 +162,14 @@ def curate_corpus(
     from .sources.io import load_table
 
     ensure_session_confs(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    n_raw = docs.count()
+    obs = {name: Observation(name) for name in
+           ("raw", "after_exact_dedup", "after_neardup", "after_quality",
+            "published")}
+
+    def observed(df, stage):
+        return df.observe(obs[stage], F.count(F.lit(1)).alias("n"))
+
+    docs = observed(load_table(spark, sf_dir, "documents"), "raw")
 
     # 1. exact dedup (16-byte shuffle keys, never the text)
     survivors = (
@@ -168,34 +177,29 @@ def curate_corpus(
         .agg(F.min("doc_id").alias("doc_id"))
         .drop("_h")
     )
-    docs = docs.join(survivors, "doc_id", "left_semi")
-    n_exact = docs.count()
+    docs = observed(docs.join(survivors, "doc_id", "left_semi"),
+                    "after_exact_dedup")
 
     # 2. near-dup removal: drop the higher id of each verified pair
     pairs = minhash_lsh_pairs(spark, sf_dir).filter(
         F.col("jaccard") >= jaccard_threshold
     )
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    docs = docs.join(losers, "doc_id", "left_anti")
-    n_neardup = docs.count()
+    docs = observed(docs.join(losers, "doc_id", "left_anti"), "after_neardup")
 
     # 3. quality gate
     quality = doc_quality_score(spark, sf_dir).select("doc_id", "quality")
-    docs = docs.join(quality, "doc_id").filter(F.col("quality") >= min_quality)
-    n_quality = docs.count()
+    docs = observed(
+        docs.join(quality, "doc_id").filter(F.col("quality") >= min_quality),
+        "after_quality",
+    )
 
     # 4. language stratification (default: keep everything)
     if lang_fractions:
         langs = [r.lang for r in docs.select("lang").distinct().collect()]
         fr = {lang: lang_fractions.get(lang, 1.0) for lang in langs}
         docs = docs.sampleBy("lang", fr, seed=42)
-    n_final = docs.count()
+    docs = observed(docs, "published")
 
     docs.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
-    return {
-        "raw": n_raw,
-        "after_exact_dedup": n_exact,
-        "after_neardup": n_neardup,
-        "after_quality": n_quality,
-        "published": n_final,
-    }
+    return {name: int(o.get["n"]) for name, o in obs.items()}
