@@ -157,3 +157,30 @@ def test_asof_equals_naive_quadratic(spark, seed):
         best = max(cands, key=lambda c: (c[1], c[0]), default=None)
         want[p[0]] = best[0] if best else None
     assert got == want
+
+
+@settings(max_examples=3, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_salted_join_under_generated_skew(spark, seed):
+    """Salted join == plain join on pathologically skewed keys (one key
+    holding ~90% of rows — the case salting exists for)."""
+    from novelti_dingo_spark.operators.skew import salted_join
+
+    rng = random.Random(seed)
+    hot = rng.randint(0, 5)
+    facts = [(i, hot if rng.random() < 0.9 else rng.randint(0, 5), rng.random())
+             for i in range(400)]
+    dims = [(k, f"dim_{k}") for k in range(6)]
+    fdf = spark.createDataFrame(facts, "row_id long, k long, v double")
+    ddf = spark.createDataFrame(dims, "k long, label string")
+    plain = sorted(
+        (r.row_id, r.label)
+        for r in fdf.join(ddf, "k").select("row_id", "label").collect()
+    )
+    salted = sorted(
+        (r.row_id, r.label)
+        for r in salted_join(fdf, ddf, key="k", row_id="row_id")
+        .select("row_id", "label")
+        .collect()
+    )
+    assert plain == salted and len(plain) == 400

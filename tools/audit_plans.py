@@ -26,6 +26,7 @@ EXPECT = {
         "pushed_filters": True,      # l_shipdate <= ...
         "partial_agg": True,         # two-phase HashAggregate
         "max_scan_cols": 8,          # pruned ReadSchema
+        "no_python_udf": True,
     },
     "q3_shipping_priority": {
         "pushed_filters": True,
@@ -35,6 +36,7 @@ EXPECT = {
     "q5_join_chain": {
         "pushed_filters": True,
         "broadcast_joins": 4,        # customer, supplier, nation, region
+        "no_python_udf": True,
     },
     "q6_forecast_revenue": {
         "pushed_filters": True,
@@ -43,12 +45,13 @@ EXPECT = {
     "join_broadcast_dim": {"broadcast_joins": 1},
     "join_theta_range": {"hash_join_not_nlj": True},
     "q19_disjunctive": {"broadcast_joins": 1, "hash_join_not_nlj": True},
-    "window_topk_per_user": {"single_shuffle": True},
-    "sessionize_30min": {"single_shuffle": True},
+    "window_topk_per_user": {"single_shuffle": True, "no_python_udf": True},
+    "sessionize_30min": {"single_shuffle": True, "no_python_udf": True},
     "topk_orders": {"take_ordered": True},
     "knn_bruteforce_top10": {"no_python_udf": True, "take_ordered": True},
     "exact_dedup_survivors": {"partial_agg": True},
-    "tumbling_1h_agg": {"partial_agg": True},
+    "tumbling_1h_agg": {"partial_agg": True, "no_python_udf": True,
+                        "max_scan_cols": 3},
     "q7_volume_shipping": {"pushed_filters": True, "broadcast_joins": 4},
     "q10_returned_items": {
         "pushed_filters": True,
