@@ -406,3 +406,37 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM _gs_cust
            GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())"""
     )
+
+
+@register(
+    "agg_corr_regression",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)          AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4)    AS qty_price_covar,
+           round(regr_slope(l_extendedprice, l_quantity), 6)    AS price_per_qty,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS price_intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)       AS r2
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey_rows="A1,stats",
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates: sample correlation/covariance and
+    single-pass linear regression (slope/intercept/R²) per group — all
+    mergeable moment computations, so they stay two-phase map-side
+    partials at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias(
+            "price_per_qty"
+        ),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "price_intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+    )
