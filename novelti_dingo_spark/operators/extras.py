@@ -440,3 +440,31 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
     )
+
+
+@register(
+    "hll_sketch_rollup",
+    None,  # sketch estimates are approximate by design → rows-only; the
+    # ±rsd bound vs exact is asserted in tests/test_relational_props.py.
+    survey_rows="A3,sketch",
+)
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Apache DataSketches HLL): per-event-type
+    distinct-user sketches, then a SKETCH MERGE for the overall count —
+    the pattern that makes 100 TB distinct-count rollups cheap: daily
+    partitions keep tiny sketch blobs instead of raw IDs, and any
+    cross-partition rollup is a union of sketches, never a re-scan."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    detail = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sketch").cast("long").alias("approx_users"),
+    )
+    total = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("long").alias(
+            "approx_users"
+        )
+    ).select(F.lit("ALL_MERGED").alias("event_type"), "approx_users")
+    return detail.unionByName(total)

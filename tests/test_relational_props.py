@@ -73,3 +73,25 @@ def test_stratified_sample_proportions(spark, sf_med):
     # seeded determinism
     got2 = {r.lang: r.n for r in stratified_sample(spark, sf_med).groupBy("lang").count().withColumnRenamed("count", "n").collect()}
     assert got == got2
+
+
+def test_hll_sketch_rollup_accuracy(spark, sf_med):
+    """Sketch estimates (per-type and merged) within HLL error of exact;
+    the merged estimate must reflect the union cardinality, not the sum."""
+    from novelti_dingo_spark.operators.extras import hll_sketch_rollup
+    from novelti_dingo_spark.sources import load_table
+
+    got = {r.event_type: r.approx_users for r in hll_sketch_rollup(spark, sf_med).collect()}
+    e = load_table(spark, sf_med, "events")
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL_MERGED"] = e.select("user_id").distinct().count()
+    for k, n in exact.items():
+        assert abs(got[k] - n) <= max(3, 0.05 * n), (k, n, got[k])
+    # merged != sum of parts (every user does every type in this corpus,
+    # so the union must be ~150, not ~750)
+    assert got["ALL_MERGED"] < sum(v for k, v in got.items() if k != "ALL_MERGED")
