@@ -841,3 +841,38 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
     r = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
     return a.intersectAll(r).groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "join_null_safe",
+    """
+    WITH f AS (
+      SELECT nullif(o_orderpriority, '4-NOT SPECIFIED') AS prio,
+             count(*) AS n_f
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+    o AS (
+      SELECT nullif(o_orderpriority, '4-NOT SPECIFIED') AS prio,
+             count(*) AS n_o
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+    SELECT f.prio, n_f, n_o
+    FROM f JOIN o ON f.prio IS NOT DISTINCT FROM o.prio
+    """,
+    survey_rows="J1,F4,null-safe",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the NULL bucket
+    joins to itself instead of vanishing — still a hash join (null-safe
+    equality is a valid hash key), NOT a nested loop."""
+    ords = load_table(spark, sf_dir, "orders")
+    prio = F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED"))
+    f = (
+        ords.filter(F.col("o_orderstatus") == "F")
+        .groupBy(prio.alias("prio"))
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    o = (
+        ords.filter(F.col("o_orderstatus") == "O")
+        .groupBy(prio.alias("prio_o"))
+        .agg(F.count(F.lit(1)).alias("n_o"))
+    )
+    return f.join(o, f.prio.eqNullSafe(o.prio_o)).select("prio", "n_f", "n_o")
