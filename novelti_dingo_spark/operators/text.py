@@ -218,3 +218,27 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.size(toks) >= 5)
         .select("doc_id", fp.alias("fingerprint"))
     )
+
+
+@register(
+    "token_counts_regex",
+    """
+    SELECT token, count(*) AS cnt FROM (
+      SELECT unnest(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS token
+      FROM documents
+    ) GROUP BY token
+    """,
+    survey_rows="L5,F1",
+)
+def token_counts_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: regex-based tokenization (the BPE-ish pre-tokenizer shape:
+    letter runs / digit runs as atoms) — the tokenizer to swap in for
+    corpora that aren't whitespace-clean. Pattern kept to a dialect-safe
+    subset so Java regex (Spark) and RE2 (DuckDB) agree."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0)
+    return (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
