@@ -203,3 +203,67 @@ def curate_corpus(
 
     docs.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
     return {name: int(o.get["n"]) for name, o in obs.items()}
+
+
+def upsert_by_partition(
+    spark: SparkSession,
+    target_dir: str,
+    updates: DataFrame,
+    key: str,
+    partition_col: str,
+) -> int:
+    """Parquet-lake upsert without a table format: rewrite ONLY the
+    partitions containing updated keys (dynamic partition overwrite).
+
+    Mechanics: find the affected partition values from the updates, read
+    just those partitions from the target (partition pruning), anti-join
+    out the updated keys, union the new rows, and write back with
+    partitionOverwriteMode=dynamic so untouched partitions are left
+    byte-identical. At 100 TB the rewrite cost is proportional to the
+    touched partitions, not the table. Returns #partitions rewritten.
+
+    (A table format — Delta/Iceberg — adds ACID + concurrent writers on
+    top; this is the engine-level primitive underneath.)"""
+    ensure_session_confs(spark)
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    target = spark.read.parquet(target_dir).filter(
+        F.col(partition_col).isin(parts)
+    )
+    keep = target.join(updates.select(key), key, "left_anti")
+    merged = keep.unionByName(updates)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(target_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(parts)
+
+
+def scd2_build(
+    spark: SparkSession,
+    snapshots: DataFrame,
+    key: str,
+    change_cols: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: collapse a history of snapshots
+    into validity intervals. Consecutive identical snapshots merge; each
+    change opens a new interval; the current row has valid_to = NULL.
+
+    One shuffle (window over the key); change detection is lag-compare on
+    the tracked columns."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(ts_col)
+    changed = F.lit(False)
+    for c in change_cols:
+        changed = changed | ~F.lag(F.col(c)).over(w).eqNullSafe(F.col(c))
+    changed = changed | F.lag(F.col(ts_col)).over(w).isNull()  # first row
+    versions = snapshots.withColumn("_chg", changed).filter(F.col("_chg"))
+    w2 = Window.partitionBy(key).orderBy(ts_col)
+    return (
+        versions.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(F.col(ts_col)).over(w2))
+        .drop("_chg", ts_col)
+    )

@@ -113,3 +113,56 @@ def test_curate_corpus_funnel(spark, tmp_path):
     losers = {r.doc_b for r in minhash_lsh_pairs(spark, sf).collect()}
     kept = {r.doc_id for r in published.select("doc_id").collect()}
     assert not (losers & kept)
+
+
+def test_upsert_by_partition(spark, sf_small, tmp_path):
+    from pyspark.sql import functions as F
+
+    from novelti_dingo_spark.pipelines import upsert_by_partition
+
+    target = str(tmp_path / "mart")
+    orders = load_table(spark, sf_small, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    orders.write.partitionBy("order_year").parquet(target)
+    years = [r[0] for r in spark.read.parquet(target).select("order_year").distinct().collect()]
+
+    updates = (
+        orders.filter(F.col("order_year") == 1996)
+        .limit(10)
+        .withColumn("o_totalprice", F.lit(0.0))
+    )
+    n_parts = upsert_by_partition(
+        spark, target, updates, key="o_orderkey", partition_col="order_year"
+    )
+    assert n_parts == 1
+    back = spark.read.parquet(target)
+    assert back.count() == orders.count()  # upsert, not append
+    zeroed = back.filter(F.col("o_totalprice") == 0.0)
+    assert zeroed.count() == 10
+    assert set(
+        r[0] for r in back.select("order_year").distinct().collect()
+    ) == set(years)  # untouched partitions intact
+
+
+def test_scd2_intervals(spark):
+    from novelti_dingo_spark.pipelines import scd2_build
+
+    snaps = spark.createDataFrame(
+        [
+            (1, "gold", 10),
+            (1, "gold", 20),    # no change -> merged
+            (1, "platinum", 30),
+            (2, "silver", 10),
+        ],
+        "cust long, tier string, snap_ts long",
+    )
+    out = {
+        (r.cust, r.valid_from): (r.tier, r.valid_to)
+        for r in scd2_build(spark, snaps, "cust", ["tier"], "snap_ts").collect()
+    }
+    assert out == {
+        (1, 10): ("gold", 30),
+        (1, 30): ("platinum", None),
+        (2, 10): ("silver", None),
+    }
