@@ -468,3 +468,57 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).select(F.lit("ALL_MERGED").alias("event_type"), "approx_users")
     return detail.unionByName(total)
+
+
+@register(
+    "scd2_priority_history",
+    """
+    WITH snaps AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate,
+             CASE WHEN lag(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), versions AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate
+      FROM snaps WHERE chg = 1
+    )
+    SELECT o_custkey, o_orderpriority,
+           epoch_us(o_orderdate) AS valid_from_us,
+           epoch_us(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate)) AS valid_to_us
+    FROM versions
+    WHERE o_custkey < 100
+    """,
+    survey_rows="W2,scd2",
+)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 built from order history: each customer's order-priority
+    timeline collapsed to validity intervals (same lag-compare + lead
+    idiom as pipelines.scd2_build, inlined here because the change scan
+    needs a composite (date, orderkey) total order while interval
+    endpoints use the date alone — both sides of the oracle agree on
+    that split)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderdate",
+        "o_orderkey",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = ~F.lag("o_orderpriority").over(w).eqNullSafe(F.col("o_orderpriority"))
+    versions = o.withColumn("_chg", chg | F.lag("o_orderdate").over(w).isNull()).filter(
+        F.col("_chg")
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    return (
+        versions.filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderpriority",
+            F.unix_micros("o_orderdate").alias("valid_from_us"),
+            F.unix_micros(F.lead("o_orderdate").over(w2)).alias("valid_to_us"),
+        )
+    )
