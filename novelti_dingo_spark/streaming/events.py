@@ -164,3 +164,59 @@ def enrich_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
         F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
     )
     return events.join(F.broadcast(c), "user_id", "left")
+
+
+def stream_upsert_hourly_counts(
+    events: DataFrame, target_dir: str, checkpoint_dir: str
+):
+    """foreachBatch sink: maintain an hourly-counts mart from the stream.
+    Each micro-batch aggregates its slice and MERGES into the parquet
+    mart via partition-surgical upsert — the streaming-refresh pattern for
+    marts that downstream batch queries read directly. foreachBatch gives
+    batch-API power (joins, upserts) per micro-batch with the stream's
+    checkpointed exactly-once progress tracking."""
+    from ..pipelines import upsert_by_partition
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hourly = (
+            batch_df.groupBy(
+                F.date_trunc("hour", "ts").alias("hour"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .withColumn("hour_key", F.date_format("hour", "yyyyMMddHH"))
+            .withColumn("row_key", F.concat_ws("|", "hour_key", "event_type"))
+            .drop("hour")
+        )
+        import os
+
+        if not os.path.exists(target_dir):
+            hourly.write.partitionBy("hour_key").parquet(target_dir)
+            return
+        # merge with existing mart rows for the touched hours
+        existing = spark.read.parquet(target_dir)
+        touched = [r[0] for r in hourly.select("hour_key").distinct().collect()]
+        prev = existing.filter(F.col("hour_key").isin(touched)).join(
+            hourly.select("row_key"), "row_key", "left_semi"
+        )
+        combined = (
+            prev.unionByName(hourly)
+            .groupBy("row_key", "hour_key", "event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.round(F.sum("sum_value"), 2).alias("sum_value"),
+            )
+        )
+        upsert_by_partition(
+            spark, target_dir, combined, key="row_key", partition_col="hour_key"
+        )
+
+    return (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

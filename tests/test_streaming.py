@@ -161,3 +161,32 @@ def test_pane_sliding_equals_naive_window(spark, sf_small):
     )
     want = {r.window_start: (r.n_events, r.sum_value) for r in naive.collect()}
     assert got == want
+
+
+def test_foreachbatch_upsert_mart(spark, sf_small, tmp_path):
+    """Stream -> foreachBatch -> partition-surgical mart upsert: after a
+    full replay, the mart equals the batch hourly aggregate."""
+    from pyspark.sql import functions as F
+
+    from novelti_dingo_spark.operators.events_ops import tumbling_1h_agg
+    from novelti_dingo_spark.sources import load_table
+    from novelti_dingo_spark.streaming.events import stream_upsert_hourly_counts
+
+    target = str(tmp_path / "hourly_mart")
+    ckpt = str(tmp_path / "ckpt")
+    ev = streaming.stream_events(spark, sf_small)
+    q = stream_upsert_hourly_counts(ev, target, ckpt)
+    q.awaitTermination()
+    mart = spark.read.parquet(target)
+    # partition-column inference reads hour_key back as int; normalize
+    got = {
+        (str(r.hour_key), r.event_type): (r.n_events, r.sum_value)
+        for r in mart.collect()
+    }
+    want = {}
+    for r in tumbling_1h_agg(spark, sf_small).collect():
+        import datetime
+
+        hk = datetime.datetime.utcfromtimestamp(r.bucket_start).strftime("%Y%m%d%H")
+        want[(hk, r.event_type)] = (r.n_events, r.sum_value)
+    assert got == want
