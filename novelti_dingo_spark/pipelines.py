@@ -267,3 +267,64 @@ def scd2_build(
         .withColumn("valid_to", F.lead(F.col(ts_col)).over(w2))
         .drop("_chg", ts_col)
     )
+
+
+def publish_versioned(
+    df: DataFrame,
+    base_dir: str,
+    meta: dict | None = None,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Versioned dataset publish: write to `base_dir/v=N/` (N = next
+    version), then atomically update `base_dir/LATEST` to point at it,
+    and drop a manifest.json (row count via Observation — no extra job —
+    plus caller metadata). Readers either pin a version (reproducible
+    training runs) or follow LATEST; an interrupted publish never
+    corrupts the previous version because LATEST flips only after the
+    write completes."""
+    import json
+    import pathlib
+
+    from pyspark.sql import Observation
+
+    base = pathlib.Path(base_dir)
+    base.mkdir(parents=True, exist_ok=True)
+    existing = [
+        int(p.name.split("=")[1])
+        for p in base.glob("v=*")
+        if p.name.split("=")[1].isdigit()
+    ]
+    version = max(existing, default=0) + 1
+    out = str(base / f"v={version}")
+    obs = Observation(f"publish_v{version}")
+    instrumented = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    writer = instrumented.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out)
+    manifest = {
+        "version": version,
+        "rows": int(obs.get["n"]),
+        "schema": df.schema.simpleString(),
+        **(meta or {}),
+    }
+    (base / f"v={version}" / "_manifest.json").write_text(json.dumps(manifest))
+    # underscore prefix: Spark data-source listing ignores it (like _SUCCESS)
+    tmp = base / "LATEST.tmp"
+    tmp.write_text(str(version))
+    tmp.replace(base / "LATEST")  # atomic on POSIX
+    return version
+
+
+def read_version(spark: SparkSession, base_dir: str, version: int | None = None):
+    """Read a pinned dataset version, or LATEST when version is None.
+    Returns (DataFrame, manifest dict)."""
+    import json
+    import pathlib
+
+    base = pathlib.Path(base_dir)
+    if version is None:
+        version = int((base / "LATEST").read_text())
+    out = base / f"v={version}"
+    manifest = json.loads((out / "_manifest.json").read_text())
+    return spark.read.parquet(str(out)), manifest

@@ -166,3 +166,24 @@ def test_scd2_intervals(spark):
         (1, 30): ("platinum", None),
         (2, 10): ("silver", None),
     }
+
+
+def test_versioned_publish_and_pinning(spark, sf_small, tmp_path):
+    from pyspark.sql import functions as F
+
+    from novelti_dingo_spark.pipelines import publish_versioned, read_version
+
+    base = str(tmp_path / "dataset")
+    d1 = load_table(spark, sf_small, "documents")
+    v1 = publish_versioned(d1, base, meta={"stage": "raw"})
+    d2 = d1.filter(F.col("lang") != "zh")
+    v2 = publish_versioned(d2, base, meta={"stage": "filtered"})
+    assert (v1, v2) == (1, 2)
+
+    latest, m_latest = read_version(spark, base)
+    assert m_latest["version"] == 2 and m_latest["stage"] == "filtered"
+    assert latest.count() == d2.count() == m_latest["rows"]
+
+    pinned, m1 = read_version(spark, base, version=1)
+    assert pinned.count() == d1.count() == m1["rows"]  # v1 untouched by v2
+    assert "doc_id" in m1["schema"]
