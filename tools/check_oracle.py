@@ -58,7 +58,7 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
-def run(sf_dir: str, names: list[str] | None) -> int:
+def run(sf_dir: str, names: list[str] | None, json_out: str | None = None) -> int:
     specs = registry.all_specs()
     if names:
         specs = {n: specs[n] for n in names}
@@ -70,6 +70,7 @@ def run(sf_dir: str, names: list[str] | None) -> int:
             f"SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     failures = 0
+    results = {}
     for name, spec in specs.items():
         t0 = time.time()
         try:
@@ -78,11 +79,14 @@ def run(sf_dir: str, names: list[str] | None) -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            results[name] = {"status": "spark-error"}
             failures += 1
             continue
         if spec.oracle is None:
             print(f"ok    {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s)")
+            results[name] = {"status": "rows-only", "rows": len(srows),
+                             "ms": round((time.time() - t0) * 1000)}
             continue
         try:
             ores = con.sql(spec.oracle)
@@ -115,16 +119,26 @@ def run(sf_dir: str, names: list[str] | None) -> int:
             print(f"FAIL  {name}: " + "; ".join(problems[:1]))
             for p in problems[1:]:
                 print(f"      {p}")
+            results[name] = {"status": "fail", "problems": problems[:1]}
             failures += 1
         else:
             print(f"PASS  {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
-    print(json.dumps({"total": len(specs), "failures": failures}))
+            results[name] = {"status": "oracle-match", "rows": len(srows),
+                             "ms": round((time.time() - t0) * 1000)}
+    summary = {"total": len(specs), "failures": failures, "sf_dir": sf_dir}
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"summary": summary, "queries": results}, f, indent=1,
+                      sort_keys=True)
+    print(json.dumps(summary))
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--json-out", default=None,
+                    help="write per-query status/timing JSON evidence here")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
-    sys.exit(run(args.sf_dir, args.names or None))
+    sys.exit(run(args.sf_dir, args.names or None, args.json_out))
