@@ -184,3 +184,45 @@ def test_salted_join_under_generated_skew(spark, seed):
         .collect()
     )
     assert plain == salted and len(plain) == 400
+
+
+@settings(max_examples=4, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_running_sum_equals_prefix_sums(spark, seed):
+    """Framed running aggregates == Python prefix sums over the same
+    per-key order (generated keys/values, duplicate order-dates forced)."""
+    rng = random.Random(seed)
+    rows = []
+    for cust in range(4):
+        for ok in range(rng.randint(1, 15)):
+            rows.append(
+                (cust, ok, rng.choice([10, 20, 30]), round(rng.random() * 100, 2))
+            )
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderkey long, day long, o_totalprice double"
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        (r.o_custkey, r.o_orderkey): (round(r.rt, 6), r.seq)
+        for r in df.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum("o_totalprice").over(w).alias("rt"),
+            F.count(F.lit(1)).over(w).alias("seq"),
+        ).collect()
+    }
+    want = {}
+    for cust in {r[0] for r in rows}:
+        hist = sorted((r for r in rows if r[0] == cust), key=lambda r: (r[2], r[1]))
+        acc = 0.0
+        for i, r in enumerate(hist, 1):
+            acc += r[3]
+            want[(cust, r[1])] = (round(acc, 6), i)
+    assert got == want
