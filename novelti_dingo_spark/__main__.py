@@ -11,6 +11,7 @@ Commands:
 from __future__ import annotations
 
 import argparse
+import pathlib
 import sys
 
 
@@ -45,6 +46,11 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name:32s} [{oracle:9s}] {spec.survey_rows}")
         return 0
     if args.cmd == "bench":
+        # bench.py lives at the repo root, not in the package — resolve it
+        # relative to this file so the CLI works from any cwd
+        _repo_root = str(pathlib.Path(__file__).resolve().parent.parent)
+        if _repo_root not in sys.path:
+            sys.path.insert(0, _repo_root)
         import bench
 
         bench.main()
@@ -69,7 +75,9 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(stats))
         return 0
     if args.cmd == "check":
-        sys.path.insert(0, "tools")
+        _tools = str(pathlib.Path(__file__).resolve().parent.parent / "tools")
+        if _tools not in sys.path:
+            sys.path.insert(0, _tools)
         from check_oracle import run as check_run
 
         return check_run(args.sf_dir, args.names or None)

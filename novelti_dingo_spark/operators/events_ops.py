@@ -75,7 +75,9 @@ def sliding_1h_15m_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle mirrors the event-level sum; 2dp absorbs the ordering drift."""
     e = load_table(spark, sf_dir, "events")
     panes = e.groupBy(
-        ((F.unix_micros("ts") / 900_000_000).cast("long") * 900).alias("pane_start")
+        # integer `div`, not float `/`+cast: FP rounding could shift a
+        # timestamp exactly on a pane boundary into the previous pane
+        (F.expr("unix_micros(ts) div 900000000") * 900).alias("pane_start")
     ).agg(
         F.count(F.lit(1)).alias("pn"),
         F.sum("value").alias("ps"),

@@ -745,14 +745,17 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_rows="U2",
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U2: set difference (distinct + left-anti join under the hood)."""
+    """U2: set difference. `subtract` is EXCEPT DISTINCT: any value present
+    on the right is removed entirely regardless of left-side multiplicity
+    (exceptAll().distinct() would keep values the left has MORE copies of —
+    wrong for true EXCEPT on non-unique inputs)."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
     p = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "P")
         .select(F.col("o_custkey").alias("c_custkey"))
     )
-    return c.exceptAll(p).distinct()
+    return c.distinct().subtract(p)
 
 
 @register(

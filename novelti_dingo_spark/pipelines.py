@@ -115,16 +115,17 @@ def compact_parquet(
     thousands of KB-sized files whose per-file open/footer cost dominates
     scans).
 
-    File count is computed from the dataset's on-disk size, then the data
-    is round-robin repartitioned (even output sizes, no skew by key) and
-    rewritten. Returns the output file count. At 100 TB run per partition
-    directory, not whole-dataset."""
+    File count is computed from the dataset's on-disk size (one
+    getContentSummary call through the Hadoop FileSystem API — works on
+    hdfs://, s3a://, gs:// as well as file://, no local-path assumption),
+    then the data is round-robin repartitioned (even output sizes, no
+    skew by key) and rewritten. Returns the output file count. At 100 TB
+    run per partition directory, not whole-dataset."""
+    from .sources import lakefs
+
     ensure_session_confs(spark)
     df = spark.read.parquet(in_dir)
-    total_bytes = sum(
-        f.stat().st_size
-        for f in pathlib.Path(in_dir).rglob("*.parquet")
-    )
+    total_bytes = lakefs.du_bytes(spark, in_dir)
     n_files = max(1, round(total_bytes / (target_mb * 1024 * 1024)))
     df.repartition(n_files).write.mode("overwrite").parquet(out_dir)
     return n_files
@@ -222,22 +223,61 @@ def upsert_by_partition(
     byte-identical. At 100 TB the rewrite cost is proportional to the
     touched partitions, not the table. Returns #partitions rewritten.
 
+    Scale/safety posture:
+    - Touched partitions are selected with a broadcast LEFT SEMI join on
+      the updates' distinct partition values — never a driver-side
+      `collect()` of the partition list, so a high-cardinality partition
+      column can't blow up the driver. Dynamic partition pruning pushes
+      the semi join into the scan on partitioned parquet.
+    - The merged rows are STAGED to a sibling directory first, then the
+      target is dynamic-partition-overwritten FROM the staging copy.
+      Without staging, the job would lazily read `target_dir` while
+      overwriting it — a crash mid-commit could lose the touched
+      partitions. Staging costs one extra write of the touched
+      partitions only; a crash before the final write leaves the target
+      byte-identical.
+
     (A table format — Delta/Iceberg — adds ACID + concurrent writers on
     top; this is the engine-level primitive underneath.)"""
+    import uuid
+
+    from .sources import lakefs
+
     ensure_session_confs(spark)
-    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    target = spark.read.parquet(target_dir).filter(
-        F.col(partition_col).isin(parts)
+    touched = updates.select(partition_col).distinct()
+    target = spark.read.parquet(target_dir).join(
+        F.broadcast(touched), partition_col, "left_semi"
     )
     keep = target.join(updates.select(key), key, "left_anti")
     merged = keep.unionByName(updates)
+
+    staging = f"{target_dir.rstrip('/')}__staging_{uuid.uuid4().hex[:12]}"
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(target_dir)
+        merged.write.partitionBy(partition_col).parquet(staging)
+        # partition count from the staging directory listing — a metadata
+        # op on `partition_col=value` dirs, not a collect()
+        n_parts = sum(
+            1 for c in lakefs.listdir(spark, staging)
+            if c.startswith(f"{partition_col}=")
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # re-reading staging re-infers the partition column's type from the
+        # directory names and reorders it last — pin both to merged's schema
+        part_type = merged.schema[partition_col].dataType
+        staged = spark.read.parquet(staging).withColumn(
+            partition_col, F.col(partition_col).cast(part_type)
+        )
+        (
+            staged.select(*merged.columns)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(target_dir)
+        )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return len(parts)
+        lakefs.delete(spark, staging)
+    return n_parts
 
 
 def scd2_build(
@@ -276,26 +316,34 @@ def publish_versioned(
     partition_by: list[str] | None = None,
 ) -> int:
     """Versioned dataset publish: write to `base_dir/v=N/` (N = next
-    version), then atomically update `base_dir/LATEST` to point at it,
-    and drop a manifest.json (row count via Observation — no extra job —
-    plus caller metadata). Readers either pin a version (reproducible
-    training runs) or follow LATEST; an interrupted publish never
-    corrupts the previous version because LATEST flips only after the
-    write completes."""
+    version), then flip the `base_dir/LATEST` pointer to it, and drop a
+    manifest.json (row count via Observation — no extra job — plus caller
+    metadata). Readers either pin a version (reproducible training runs)
+    or follow LATEST; an interrupted publish never corrupts the previous
+    version because LATEST flips only after the write completes.
+
+    All control-file and listing I/O goes through the Hadoop FileSystem
+    API (sources/lakefs.py), so the same code is correct on hdfs:// and
+    object stores, not just local paths. The pointer flip is
+    write-tmp-then-rename: atomic on HDFS; on S3/GCS the rename is
+    copy+delete but each object PUT is atomic, so readers see the old or
+    the new pointer, never a torn one."""
     import json
-    import pathlib
 
     from pyspark.sql import Observation
 
-    base = pathlib.Path(base_dir)
-    base.mkdir(parents=True, exist_ok=True)
+    from .sources import lakefs
+
+    spark = df.sparkSession
+    lakefs.mkdirs(spark, base_dir)
     existing = [
-        int(p.name.split("=")[1])
-        for p in base.glob("v=*")
-        if p.name.split("=")[1].isdigit()
+        int(name.split("=")[1])
+        for name in lakefs.listdir(spark, base_dir)
+        if name.startswith("v=") and name.split("=")[1].isdigit()
     ]
     version = max(existing, default=0) + 1
-    out = str(base / f"v={version}")
+    base = base_dir.rstrip("/")
+    out = f"{base}/v={version}"
     obs = Observation(f"publish_v{version}")
     instrumented = df.observe(obs, F.count(F.lit(1)).alias("n"))
     writer = instrumented.write.mode("errorifexists")
@@ -308,11 +356,10 @@ def publish_versioned(
         "schema": df.schema.simpleString(),
         **(meta or {}),
     }
-    (base / f"v={version}" / "_manifest.json").write_text(json.dumps(manifest))
     # underscore prefix: Spark data-source listing ignores it (like _SUCCESS)
-    tmp = base / "LATEST.tmp"
-    tmp.write_text(str(version))
-    tmp.replace(base / "LATEST")  # atomic on POSIX
+    lakefs.write_text(spark, f"{out}/_manifest.json", json.dumps(manifest))
+    lakefs.write_text(spark, f"{base}/LATEST.tmp", str(version))
+    lakefs.rename(spark, f"{base}/LATEST.tmp", f"{base}/LATEST")
     return version
 
 
@@ -320,11 +367,12 @@ def read_version(spark: SparkSession, base_dir: str, version: int | None = None)
     """Read a pinned dataset version, or LATEST when version is None.
     Returns (DataFrame, manifest dict)."""
     import json
-    import pathlib
 
-    base = pathlib.Path(base_dir)
+    from .sources import lakefs
+
+    base = base_dir.rstrip("/")
     if version is None:
-        version = int((base / "LATEST").read_text())
-    out = base / f"v={version}"
-    manifest = json.loads((out / "_manifest.json").read_text())
-    return spark.read.parquet(str(out)), manifest
+        version = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
+    out = f"{base}/v={version}"
+    manifest = json.loads(lakefs.read_text(spark, f"{out}/_manifest.json"))
+    return spark.read.parquet(out), manifest

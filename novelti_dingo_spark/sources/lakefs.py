@@ -1,0 +1,88 @@
+"""Hadoop FileSystem helpers for the lake utilities.
+
+`pathlib` silently assumes POSIX semantics (atomic rename, cheap local
+listing) — wrong on object stores. Everything here goes through the
+Hadoop FileSystem API via the JVM gateway, so the same code runs on
+``file://``, ``hdfs://``, ``s3a://``, ``gs://`` with whatever committer
+semantics the cluster configures. Used by pipelines.compact_parquet /
+publish_versioned / read_version / upsert_by_partition.
+
+Semantics notes for the pointer-flip pattern (publish_versioned):
+- HDFS: rename is atomic; readers see old or new pointer, never partial.
+- S3A/GCS: rename is copy+delete (not atomic), but object PUT itself is
+  atomic — a reader never observes a partially-written object, only the
+  old pointer, the new pointer, or (for the rename window) none. The
+  manifest inside the immutable ``v=N`` directory is the source of truth;
+  the pointer is a convenience.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    """(FileSystem, Path, jvm) for `path` under the session's Hadoop conf."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, p, _ = _fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def mkdirs(spark: SparkSession, path: str) -> None:
+    fs, p, _ = _fs(spark, path)
+    fs.mkdirs(p)
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    fs, p, _ = _fs(spark, path)
+    return bool(fs.delete(p, recursive))
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    fs, s, jvm = _fs(spark, src)
+    d = jvm.org.apache.hadoop.fs.Path(dst)
+    if fs.exists(d):
+        fs.delete(d, False)
+    return bool(fs.rename(s, d))
+
+
+def listdir(spark: SparkSession, path: str) -> list[str]:
+    """Child basenames of a directory ([] if it doesn't exist)."""
+    fs, p, _ = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def du_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under `path` (one getContentSummary RPC, no scan job)."""
+    fs, p, _ = _fs(spark, path)
+    return int(fs.getContentSummary(p).getLength())
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    fs, p, jvm = _fs(spark, path)
+    stream = fs.open(p)
+    try:
+        # readFully up to file length via IOUtils → byte string
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, False)
+        return bytes(baos.toByteArray()).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Create/overwrite a small control file (single PUT on object stores)."""
+    fs, p, _ = _fs(spark, path)
+    stream = fs.create(p, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()

@@ -166,53 +166,105 @@ def enrich_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
     return events.join(F.broadcast(c), "user_id", "left")
 
 
+def merge_hourly_batch(
+    batch_df: DataFrame, batch_id: int, target_dir: str
+) -> None:
+    """Merge one micro-batch's hourly deltas into the parquet mart,
+    IDEMPOTENTLY per batch_id.
+
+    foreachBatch gives at-least-once delivery: after a crash between the
+    mart write and the checkpoint commit, Structured Streaming REPLAYS the
+    micro-batch with the same batch_id. A naive additive merge would
+    double-count it. Every mart row therefore carries `last_batch_id` —
+    the id of the last batch folded into it; the merge adds a delta only
+    when `batch_id > last_batch_id`, so a replayed batch is a no-op and
+    the additive merge becomes effectively exactly-once. The marker lives
+    in the same parquet rows as the counts, so data and progress commit
+    together (no separate marker file to tear).
+
+    Partition hygiene: touched hours are selected with a broadcast semi
+    join (no driver-side collect of partition values); only those
+    partitions are read and rewritten (dynamic partition overwrite via
+    upsert_by_partition)."""
+    from ..pipelines import upsert_by_partition
+    from ..sources import lakefs
+
+    spark = batch_df.sparkSession
+    hourly = (
+        batch_df.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .withColumn("hour_key", F.date_format("hour", "yyyyMMddHH"))
+        .withColumn("row_key", F.concat_ws("|", "hour_key", "event_type"))
+        .drop("hour")
+    )
+    if not lakefs.exists(spark, target_dir):
+        hourly.withColumn("last_batch_id", F.lit(batch_id)).write.partitionBy(
+            "hour_key"
+        ).parquet(target_dir)
+        return
+    existing = spark.read.parquet(target_dir)
+    prev = existing.join(
+        F.broadcast(hourly.select("hour_key").distinct()),
+        "hour_key",
+        "left_semi",
+    ).select(
+        "row_key",
+        "hour_key",
+        "event_type",
+        F.col("n_events").alias("p_n"),
+        F.col("sum_value").alias("p_s"),
+        "last_batch_id",
+    )
+    delta = hourly.select(
+        "row_key",
+        "hour_key",
+        "event_type",
+        F.col("n_events").alias("d_n"),
+        F.col("sum_value").alias("d_s"),
+    )
+    j = prev.join(delta, ["row_key", "hour_key", "event_type"], "full_outer")
+    # fresh = this batch's delta has not been folded into the row yet
+    fresh = F.col("d_n").isNotNull() & (
+        F.coalesce(F.col("last_batch_id"), F.lit(-1)) < F.lit(batch_id)
+    )
+    combined = j.select(
+        "row_key",
+        "hour_key",
+        "event_type",
+        F.when(fresh, F.coalesce(F.col("p_n"), F.lit(0)) + F.col("d_n"))
+        .otherwise(F.col("p_n"))
+        .alias("n_events"),
+        F.round(
+            F.when(fresh, F.coalesce(F.col("p_s"), F.lit(0.0)) + F.col("d_s"))
+            .otherwise(F.col("p_s")),
+            2,
+        ).alias("sum_value"),
+        F.when(fresh, F.lit(batch_id))
+        .otherwise(F.col("last_batch_id"))
+        .alias("last_batch_id"),
+    )
+    upsert_by_partition(
+        spark, target_dir, combined, key="row_key", partition_col="hour_key"
+    )
+
+
 def stream_upsert_hourly_counts(
     events: DataFrame, target_dir: str, checkpoint_dir: str
 ):
     """foreachBatch sink: maintain an hourly-counts mart from the stream.
     Each micro-batch aggregates its slice and MERGES into the parquet
     mart via partition-surgical upsert — the streaming-refresh pattern for
-    marts that downstream batch queries read directly. foreachBatch gives
-    batch-API power (joins, upserts) per micro-batch with the stream's
-    checkpointed exactly-once progress tracking."""
-    from ..pipelines import upsert_by_partition
+    marts that downstream batch queries read directly. The merge is
+    idempotent per batch_id (see merge_hourly_batch), which upgrades
+    foreachBatch's at-least-once replay to effective exactly-once."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        hourly = (
-            batch_df.groupBy(
-                F.date_trunc("hour", "ts").alias("hour"), "event_type"
-            )
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.round(F.sum("value"), 2).alias("sum_value"),
-            )
-            .withColumn("hour_key", F.date_format("hour", "yyyyMMddHH"))
-            .withColumn("row_key", F.concat_ws("|", "hour_key", "event_type"))
-            .drop("hour")
-        )
-        import os
-
-        if not os.path.exists(target_dir):
-            hourly.write.partitionBy("hour_key").parquet(target_dir)
-            return
-        # merge with existing mart rows for the touched hours
-        existing = spark.read.parquet(target_dir)
-        touched = [r[0] for r in hourly.select("hour_key").distinct().collect()]
-        prev = existing.filter(F.col("hour_key").isin(touched)).join(
-            hourly.select("row_key"), "row_key", "left_semi"
-        )
-        combined = (
-            prev.unionByName(hourly)
-            .groupBy("row_key", "hour_key", "event_type")
-            .agg(
-                F.sum("n_events").alias("n_events"),
-                F.round(F.sum("sum_value"), 2).alias("sum_value"),
-            )
-        )
-        upsert_by_partition(
-            spark, target_dir, combined, key="row_key", partition_col="hour_key"
-        )
+        merge_hourly_batch(batch_df, batch_id, target_dir)
 
     return (
         events.writeStream.foreachBatch(merge_batch)

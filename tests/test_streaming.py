@@ -190,3 +190,33 @@ def test_foreachbatch_upsert_mart(spark, sf_small, tmp_path):
         hk = datetime.datetime.utcfromtimestamp(r.bucket_start).strftime("%Y%m%d%H")
         want[(hk, r.event_type)] = (r.n_events, r.sum_value)
     assert got == want
+
+
+def test_merge_hourly_batch_replay_idempotent(spark, sf_small, tmp_path):
+    """at-least-once replay safety: re-applying the SAME batch_id is a
+    no-op (last_batch_id guard); a HIGHER batch_id with the same rows
+    adds — proving the guard keys on batch progress, not row content."""
+    from pyspark.sql import functions as F
+
+    from novelti_dingo_spark.sources import load_table
+    from novelti_dingo_spark.streaming.events import merge_hourly_batch
+
+    target = str(tmp_path / "mart")
+    batch = load_table(spark, sf_small, "events").limit(2000)
+
+    def snapshot():
+        return {
+            (str(r.hour_key), r.event_type): (r.n_events, r.sum_value)
+            for r in spark.read.parquet(target).collect()
+        }
+
+    merge_hourly_batch(batch, 0, target)
+    first = snapshot()
+    merge_hourly_batch(batch, 0, target)  # crash-replay of batch 0
+    assert snapshot() == first
+    merge_hourly_batch(batch, 1, target)  # genuinely new batch
+    doubled = snapshot()
+    assert doubled != first
+    assert all(
+        doubled[k][0] == 2 * first[k][0] for k in first
+    )
