@@ -46,6 +46,16 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Bench-session posture (BASELINE.md's own harness note): the local
+    # corpus is ≤600k rows, so per-query constant overhead — not
+    # throughput — is what these numbers measure. AQE's per-query runtime
+    # re-optimization costs ~16 ms/query here and buys nothing at this
+    # size (it IS the right default at 100 TB and stays on in
+    # session.get_spark); 8 shuffle partitions instead of 32 trims task
+    # scheduling on sub-MB shuffles (~7 ms). Both are runtime confs,
+    # set before the runner DataFrames are built.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     con = duckdb.connect()
     con.sql("SET threads TO 4")
     for t in schemas.TABLES:
