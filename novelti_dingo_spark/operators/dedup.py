@@ -176,8 +176,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MinHash-LSH -----------------------------------------------------------
 
-N_HASHES = 16  # minhash signature length
-N_BANDS = 8  # bands of r = N_HASHES / N_BANDS rows each
+# 128 hashes in 32 bands of r=4. Banding math on this corpus (bimodal
+# jaccard: near-dup groups at j>=0.8, junk mass at j<=0.2):
+#   P(candidate) = 1 - (1 - j^r)^bands
+#   j=0.8: miss = (1-0.41)^32 ~ 5e-8        (recall ~1 on true pairs)
+#   j=0.1: hit  = 32 * 1e-4   ~ 0.3%        (vs ~8% at the old r=2 —
+#   the permissive banding the round-1 review flagged: per-band collision
+#   j^2 lets boilerplate-heavy corpora flood the candidate set)
+# tests/test_dedup.py asserts the >=5x candidate reduction at equal recall.
+N_HASHES = 128  # minhash signature length
+N_BANDS = 32  # bands of r = N_HASHES / N_BANDS rows each
 
 
 def minhash_signature(text_col) -> F.Column:
@@ -199,38 +207,32 @@ def minhash_signature(text_col) -> F.Column:
     )
 
 
-@register(
-    "minhash_lsh_pairs",
-    None,  # LSH is probabilistic by construction → rows-only; recall vs
-    # the exact ngram_jaccard_pairs output is asserted in tests/test_dedup.py.
-    survey_rows="L2,P",
-)
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2: MinHash-LSH near-duplicate pairs.
+def lsh_candidate_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """MinHash-LSH candidate generation, parameterized so tests can compare
+    banding configurations. Returns distinct (doc_a, doc_b) candidates.
 
-    Pipeline: bigram shingles → 16-hash minhash signature → 8 bands of 2
-    → explode (band_idx, band_hash) → self-join buckets → distinct
-    candidate pairs → exact Jaccard verification ≥ JACCARD_THRESHOLD.
-
-    Scale: signatures are computed in one scan (array HOFs); the shuffle
-    key is the 16-byte band bucket; candidates (not the corpus) pay the
-    verification join. Hot buckets (boilerplate docs) are the skew risk —
-    AQE skew-join splitting, or salting the band hash, handles them.
-    """
+    Signatures via explode + groupBy-min: one scan, map-side combined, and
+    the agg is a materialization barrier so banding can't re-inline the
+    signature computation (see minhash_signature note). The bucket
+    self-join shuffles 16-byte (band_idx, band_hash) keys; hot buckets
+    (boilerplate docs) are the skew risk — AQE skew-join splitting, or
+    salting the band hash (operators/skew.py), handles them."""
     d = load_table(spark, sf_dir, "documents")
-    # signatures via explode + groupBy-min: one scan, map-side combined,
-    # and the agg is a materialization barrier so banding below can't
-    # re-inline the signature computation (see minhash_signature note)
     gram_rows = d.select(
         "doc_id", F.explode(F.array_distinct(token_bigrams("text"))).alias("g")
     )
     sigs = gram_rows.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}")
-            for i in range(N_HASHES)
+            for i in range(n_hashes)
         ]
     )
-    r = N_HASHES // N_BANDS
+    r = n_hashes // n_bands
     bands = sigs.select(
         "doc_id",
         F.posexplode(
@@ -245,19 +247,41 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ],
                         )
                     )
-                    for b in range(N_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("band_idx", "band_hash"),
     )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
-    candidates = (
+    return (
         a.join(b, ["band_idx", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+@register(
+    "minhash_lsh_pairs",
+    None,  # LSH is probabilistic by construction → rows-only; recall vs
+    # the exact ngram_jaccard_pairs output is asserted in tests/test_dedup.py.
+    survey_rows="L2,P",
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: MinHash-LSH near-duplicate pairs.
+
+    Pipeline: bigram shingles → 128-hash minhash signature → 32 bands of
+    4 → explode (band_idx, band_hash) → self-join buckets → distinct
+    candidate pairs → exact Jaccard verification ≥ JACCARD_THRESHOLD.
+
+    Scale: signatures are computed in one scan (map-side combined agg);
+    the shuffle key is the 16-byte band bucket; only candidates (a
+    vanishing fraction of all pairs — see the banding math above
+    N_HASHES) pay the verification join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    candidates = lsh_candidate_pairs(spark, sf_dir)
     # exact verification on the candidate set only
     grams = d.select("doc_id", F.array_distinct(token_bigrams("text")).alias("grams"))
     ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))

@@ -289,3 +289,113 @@ def pandas_udf_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return e.select("vec_id", norm_udf("embedding").alias("l2_norm"))
+
+
+# --- Composed near-dup pipeline: LSH candidates -> exact verify ------------
+
+
+def embedding_lsh_buckets(
+    emb_df: DataFrame, n_tables: int = 16, n_bits: int = 8, seed: int = 7
+) -> DataFrame:
+    """Random-hyperplane LSH bucket ids: (vec_id, table_idx, bucket).
+
+    One Arrow-batched pass computes all n_tables*n_bits sign bits with a
+    single numpy GEMM per batch (the hyperplanes are regenerated from the
+    seed inside each task — deterministic everywhere, nothing broadcast).
+    Each vector emits n_tables rows keyed by an 8-byte bucket id, so the
+    downstream self-join shuffles tiny keys, never embeddings."""
+    import numpy as np
+    import pandas as pd
+
+    def buckets(batches):
+        planes = None
+        w = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if planes is None:
+                rng = np.random.RandomState(seed)
+                planes = rng.standard_normal((mat.shape[1], n_tables * n_bits))
+                w = 1 << np.arange(n_bits, dtype=np.int64)
+            signs = (mat @ planes) > 0
+            ids = signs.reshape(len(mat), n_tables, n_bits) @ w
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_tables),
+                    "table_idx": np.tile(
+                        np.arange(n_tables, dtype=np.int32), len(mat)
+                    ),
+                    "bucket": ids.reshape(-1),
+                }
+            )
+
+    return emb_df.select("vec_id", "embedding").mapInPandas(
+        buckets, "vec_id long, table_idx int, bucket long"
+    )
+
+
+def embedding_neardup_lsh_pairs(
+    emb_df: DataFrame,
+    threshold: float = 0.9,
+    n_tables: int = 16,
+    n_bits: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Composed scalable near-dup pipeline: LSH candidate generation →
+    exact cosine verification. The plan never materializes an unblocked
+    self-join: vectors meet only inside (table_idx, bucket) groups, and
+    only the candidate pairs (a vanishing fraction at near-dup
+    thresholds) pay the exact dot product.
+
+    Regime math (p = P[one sign bit agrees] = 1 - acos(cos)/π):
+      cos=0.97 pair: p≈0.92, miss = (1-p^8)^16 ≈ 8e-6   → recall ~1
+      cos=0    pair: p=0.5,  hit  ≈ 16×0.0039 ≈ 6%      → candidates ≪ all-pairs
+    This is the 100 TB near-dup tool (threshold ≥0.9). It is NOT a tool
+    for thresholds in the noise tail: at cos≈0.4, p≈0.63 is so close to
+    the junk p=0.5 that full recall forces candidates → all-pairs; that
+    regime belongs to the exact blocked-GEMM (embedding_neardup_cosine).
+    tests/test_similarity.py proves both claims on a planted corpus."""
+    cands = (
+        embedding_lsh_buckets(emb_df, n_tables, n_bits, seed)
+        .alias("a")
+        .join(
+            embedding_lsh_buckets(emb_df, n_tables, n_bits, seed).alias("b"),
+            ["table_idx", "bucket"],
+        )
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    ea = emb_df.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    eb = emb_df.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    sim = dot("emb_a", "emb_b")
+    return (
+        cands.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .filter(sim >= threshold)
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+    )
+
+
+@register(
+    "embedding_neardup_lsh",
+    None,  # LSH candidate generation is probabilistic → rows-only; output
+    # equality with the exact path is asserted in tests/test_similarity.py
+    # on both this corpus and a planted near-dup corpus.
+    survey_rows="L2-family,L3-scale,B-dedup",
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of the composed LSH→exact near-dup pipeline at the
+    near-dup threshold (0.9). On THIS corpus (random unit vectors, max
+    cos ≈ 0.51) the output is empty — identically to the exact path at
+    the same threshold, which the test asserts; the planted-corpus test
+    proves full recall + candidate collapse where near-dups exist."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_lsh_pairs(e, threshold=0.9)

@@ -11,6 +11,7 @@ from novelti_dingo_spark.session import get_spark
 
 SF_SMALL = "/root/testdata/sf0.001"
 SF_MED = "/root/testdata/sf0.01"
+SF_BIG = "/root/testdata/sf0.1"
 
 
 @pytest.fixture(scope="session")
@@ -29,3 +30,8 @@ def sf_small():
 @pytest.fixture(scope="session")
 def sf_med():
     return SF_MED
+
+
+@pytest.fixture(scope="session")
+def sf_big():
+    return SF_BIG

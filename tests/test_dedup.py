@@ -43,8 +43,8 @@ def test_lsh_pairs_jaccard_is_exact(spark, sf_med):
 
 
 def test_lsh_recall_of_high_jaccard_pairs(spark, sf_med):
-    """Pairs with Jaccard ≥ 0.8 must be found w.h.p. (16 hashes / 8 bands
-    of 2: per-pair miss prob = (1 - j²)^8 ≤ 0.36^8 ≈ 3e-4 at j=0.8)."""
+    """Pairs with Jaccard ≥ 0.8 must be found w.h.p. (128 hashes / 32
+    bands of 4: per-pair miss prob = (1 - j⁴)^32 ≈ 5e-8 at j=0.8)."""
     exact = {
         (r.doc_a, r.doc_b): r.jaccard
         for r in ngram_jaccard_pairs(spark, sf_med).collect()
@@ -82,3 +82,33 @@ def test_exact_dedup_survivors_unique(spark, sf_med):
     survivors = {r.doc_id: r.n_copies for r in rows}
     for _h, ids in by_hash.items():
         assert survivors[min(ids)] == len(ids)
+
+
+def test_lsh_banding_candidate_reduction(spark, sf_big):
+    """The r=4 banding must cut the candidate set >=5x vs the permissive
+    round-1 r=2 banding AT EQUAL RECALL of true (j >= threshold) pairs —
+    the tuning the round-1 review asked for. Run at sf0.1 where the
+    corpus has real near-dup groups (256 pairs at j >= 0.8)."""
+    from novelti_dingo_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    truth = {
+        (r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(spark, sf_big).collect()
+    }
+    assert truth, "sf0.1 corpus should contain near-dup pairs"
+
+    old = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(spark, sf_big, 16, 8).collect()
+    }
+    new = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(spark, sf_big, 128, 32).collect()
+    }
+    recall_old = len(truth & old) / len(truth)
+    recall_new = len(truth & new) / len(truth)
+    assert recall_new >= recall_old, (recall_new, recall_old)
+    assert recall_new >= 0.99, recall_new
+    assert len(old) >= 5 * len(new), (len(old), len(new))

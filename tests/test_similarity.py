@@ -55,3 +55,82 @@ def test_ann_pairs_share_bucket_and_scores_exact(spark, sf_med):
 def test_vector_norms_are_unit(spark, sf_med):
     rows = pandas_udf_vector_norm(spark, sf_med).collect()
     assert all(abs(r.l2_norm - 1.0) < 1e-4 for r in rows)
+
+
+def test_embedding_neardup_lsh_corpus_matches_exact(spark, sf_med):
+    """On the real corpus (random unit vectors, max cos ~0.51) the composed
+    LSH->exact pipeline at the near-dup threshold returns exactly what the
+    exact path returns: nothing. Verified against an independent numpy
+    all-pairs check, and the plan must contain no unblocked self-join."""
+    import numpy as np
+
+    from novelti_dingo_spark.operators.similarity import (
+        embedding_neardup_lsh_pairs,
+    )
+    from novelti_dingo_spark.sources import load_table
+
+    e = load_table(spark, sf_med, "embeddings")
+    pipe = embedding_neardup_lsh_pairs(e, threshold=0.9)
+    plan = pipe._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert pipe.collect() == []
+    mat = np.array(
+        [r.embedding for r in e.select("embedding").collect()], dtype=np.float64
+    )
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, 0.0)
+    assert sims.max() < 0.9  # exact path at 0.9 is empty too
+
+
+def test_embedding_neardup_lsh_planted_recall_and_collapse(spark):
+    """Planted near-dup corpus: 200 random unit vectors + 60 perturbed
+    copies (cos ~0.97). The composed pipeline must (a) return exactly the
+    exact-all-pairs answer, and (b) generate candidates for only a small
+    fraction of all pairs — the collapse that makes it the 100 TB path."""
+    import numpy as np
+
+    from novelti_dingo_spark.operators.similarity import (
+        embedding_lsh_buckets,
+        embedding_neardup_lsh_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((200, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dup = base[:60] + 0.03 * rng.standard_normal((60, 64))
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    allv = np.vstack([base, dup])
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(allv)],
+        "vec_id long, embedding array<double>",
+    )
+
+    sims = allv @ allv.T
+    iu = np.triu_indices(len(allv), 1)
+    want = {
+        (int(a), int(b)): sims[a, b]
+        for a, b in zip(*[x[sims[iu] >= 0.9] for x in iu], strict=True)
+    }
+    assert len(want) >= 55, "planting should create ~60 true pairs"
+
+    got = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in embedding_neardup_lsh_pairs(df, threshold=0.9).collect()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-5, k
+
+    buckets = embedding_lsh_buckets(df)
+    a = buckets.toDF("vec_a", "table_idx", "bucket")
+    b = buckets.toDF("vec_b", "table_idx", "bucket")
+    n_cand = (
+        a.join(b, ["table_idx", "bucket"])
+        .filter(a.vec_a < b.vec_b)
+        .select("vec_a", "vec_b")
+        .distinct()
+        .count()
+    )
+    all_pairs = len(allv) * (len(allv) - 1) // 2
+    assert n_cand <= 0.15 * all_pairs, (n_cand, all_pairs)
