@@ -170,9 +170,11 @@ def gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated from a 1-row bounds aggregate (time-range/3600 rows total);
     the join broadcasts the real aggregate, never the raw events."""
     e = load_table(spark, sf_dir, "events")
+    # integer `div`, not float `/`+cast: FP rounding could shift an exact
+    # hour boundary into the wrong bucket (same hazard as pane bucketing)
     bounds = e.agg(
-        ((F.unix_micros(F.min("ts")) / 3_600_000_000).cast("long") * 3600).alias("t0"),
-        ((F.unix_micros(F.max("ts")) / 3_600_000_000).cast("long") * 3600).alias("t1"),
+        (F.expr("unix_micros(min(ts)) div 3600000000") * 3600).alias("t0"),
+        (F.expr("unix_micros(max(ts)) div 3600000000") * 3600).alias("t1"),
     )
     grid = bounds.select(
         F.explode(F.sequence(F.col("t0"), F.col("t1"), F.lit(3600))).alias(
@@ -180,9 +182,7 @@ def gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     agg = e.groupBy(
-        ((F.unix_micros("ts") / 3_600_000_000).cast("long") * 3600).alias(
-            "bucket_start"
-        )
+        (F.expr("unix_micros(ts) div 3600000000") * 3600).alias("bucket_start")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
@@ -557,4 +557,47 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("o_orderdate").alias("valid_from_us"),
             F.unix_micros(F.lead("o_orderdate").over(w2)).alias("valid_to_us"),
         )
+    )
+
+
+@register(
+    "approx_percentile_witness",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+           TRUE AS approx_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+    survey_rows="A3,sketch",
+)
+def approx_percentile_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3-family: quantile sketch (percentile_approx — constant memory per
+    group, mergeable, the 100 TB path for latency/price distributions)
+    validated in-query against the exact interpolated percentile, same
+    witness pattern as agg_approx_distinct: the row carries the exact
+    values plus a boolean that the sketch landed within 1% of the group's
+    price range, so the DuckDB oracle (quantile_cont == Spark exact
+    `percentile`) hash-checks grouping, exact math, AND sketch accuracy."""
+    o = load_table(spark, sf_dir, "orders")
+    exact = F.expr(
+        "percentile(o_totalprice, array(0.5D, 0.95D))"
+    )
+    approx = F.percentile_approx(
+        "o_totalprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+    )
+    g = o.groupBy("o_orderstatus").agg(
+        exact.alias("_ex"),
+        approx.alias("_ap"),
+        (F.max("o_totalprice") - F.min("o_totalprice")).alias("_rng"),
+    )
+    tol = F.lit(0.01) * F.col("_rng")
+    return g.select(
+        "o_orderstatus",
+        F.round(F.col("_ex").getItem(0), 2).alias("p50"),
+        F.round(F.col("_ex").getItem(1), 2).alias("p95"),
+        (
+            (F.abs(F.col("_ap").getItem(0) - F.col("_ex").getItem(0)) <= tol)
+            & (F.abs(F.col("_ap").getItem(1) - F.col("_ex").getItem(1)) <= tol)
+        ).alias("approx_ok"),
     )

@@ -67,6 +67,7 @@ def _load_all() -> None:
         extras,
         sql_entry,
         analytics,
+        typed,
     )
 
     _LOADED = True

@@ -220,3 +220,75 @@ def test_merge_hourly_batch_replay_idempotent(spark, sf_small, tmp_path):
     assert all(
         doubled[k][0] == 2 * first[k][0] for k in first
     )
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """ST4 end-to-end: a 1-hour watermark must DROP late rows that arrive
+    in a later micro-batch after their window closed. Three files drained
+    with maxFilesPerTrigger=1 under Trigger.AvailableNow: file1 advances
+    the watermark, file3 carries a late row for an already-emitted window
+    — the emitted aggregate must equal the batch aggregate of the on-time
+    rows only.
+
+    Why three files, not two: Spark's LATE-DATA filter uses the watermark
+    as of the PREVIOUS batch, while window eviction uses the updated one
+    (verified empirically — a late row arriving exactly one batch after
+    its window closes is still merged). The late row therefore arrives
+    two batches after file1 so the lagged filter watermark (H10:30)
+    already covers its window [H2,H3)."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def hour(h, minute=0):
+        return dt.datetime(2024, 1, 1, h, minute)
+
+    # file1: one event per hour H0..H10 (on time) → wm after it: H9:30
+    f1 = pd.DataFrame(
+        {
+            "ts": [hour(h, 30) for h in range(11)],
+            "event_type": ["click"] * 11,
+            "value": [1.0] * 11,
+        }
+    )
+    # file2: on-time row at H11 → wm advances to H10:30
+    f2 = pd.DataFrame(
+        {"ts": [hour(11, 30)], "event_type": ["click"], "value": [1.0]}
+    )
+    # file3: a LATE row at H2:45 ([H2,H3) closed long ago) + on-time H12
+    f3 = pd.DataFrame(
+        {
+            "ts": [hour(2, 45), hour(12, 30)],
+            "event_type": ["click", "click"],
+            "value": [100.0, 1.0],
+        }
+    )
+    # µs timestamps: the session reads parquet NANOS as long (nanosAsLong
+    # conf for the testdata), which would clash with the declared schema;
+    # mtimes force the file-source processing order
+    for i, f in enumerate((f1, f2, f3), 1):
+        path = src / f"f{i}.parquet"
+        f.assign(ts=f["ts"].astype("datetime64[us]")).to_parquet(path)
+        os.utime(path, (1_900_000_000 + i * 1000,) * 2)
+
+    ev = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = streaming.tumbling_counts(ev, watermark="1 hour")
+    name = streaming.run_to_memory(agg, "t_late", mode="append")
+    got = {
+        r.bucket_start: (r.n_events, r.sum_value)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    base = int(hour(0).replace(tzinfo=dt.timezone.utc).timestamp())
+    # emitted: H0..H10 (each exactly one on-time event); H11/H12 still
+    # open at drain end. The late H2 row must NOT appear: the H2 window
+    # stays (1, 1.0).
+    want = {base + 3600 * h: (1, 1.0) for h in range(11)}
+    assert got == want
