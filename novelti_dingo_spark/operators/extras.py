@@ -601,3 +601,51 @@ def approx_percentile_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.abs(F.col("_ap").getItem(1) - F.col("_ex").getItem(1)) <= tol)
         ).alias("approx_ok"),
     )
+
+
+@register(
+    "salted_skew_agg",
+    """
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    survey_rows="A1,skew",
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation recipe as an oracle-checked query: the two-stage
+    salted aggregation (operators/skew.py) — partial agg on (key, salt
+    from a row-unique hash, so deterministic), final re-agg on key — must
+    produce EXACTLY the plain GROUP BY answer. This is the recipe for a
+    hot group key whose single reducer would otherwise bottleneck a
+    100 TB aggregation; n_users rides along as a salted partial
+    count-distinct (distinct user sets are disjoint across salt only
+    after the per-(key,salt) collect_set union — here sum of partial
+    distincts would be WRONG, so the final stage unions sets and sizes
+    them, the subtlety worth proving against an oracle).
+
+    Float note: value sums combine per-(key,salt) partials then re-sum —
+    2dp rounding after the two-level tree absorbs ordering drift (same
+    argument as the pane-optimized sliding window)."""
+    from .skew import salted_grouped_agg
+
+    e = load_table(spark, sf_dir, "events")
+    out = salted_grouped_agg(
+        e,
+        key="event_type",
+        row_id="event_id",
+        aggs=[
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("value").alias("ps"),
+            F.collect_set("user_id").alias("pu"),
+        ],
+        reaggs=[
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("ps"), 2).alias("sum_value"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("pu")))).cast(
+                "long"
+            ).alias("n_users"),
+        ],
+    )
+    return out

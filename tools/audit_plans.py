@@ -71,6 +71,29 @@ EXPECT = {
     # one data-sized shuffle (user_id) + the inherent 1-row global-agg exchange
     "funnel_signup_click_purchase": {"partial_agg": True, "max_exchanges": 4},
     "gapfill_hourly": {"broadcast_joins": 1},
+    # round-2 additions
+    "decimal_exact_agg": {
+        "partial_agg": True,
+        "no_python_udf": True,
+        "max_scan_cols": 4,  # returnflag, quantity, extendedprice, discount
+    },
+    "struct_nested_project": {
+        # the nested-field filter must push through the struct to the
+        # region scan; struct construction must not widen any ReadSchema
+        "pushed_filters": True,
+        "broadcast_joins": 2,
+        "max_scan_cols": 3,
+    },
+    "sample_fraction": {
+        # md5-prefix predicate is not scan-pushable by design; the check
+        # here is pruning + staying JVM-side
+        "no_python_udf": True,
+        "max_scan_cols": 3,
+    },
+    "approx_percentile_witness": {"partial_agg": True, "no_python_udf": True},
+    # LSH bucket generation is deliberately Python (Arrow GEMM); the scale
+    # property is the equi-join on bucket keys — never nested-loop/cartesian
+    "embedding_neardup_lsh": {"hash_join_not_nlj": True},
 }
 
 
