@@ -65,6 +65,7 @@ def _load_all() -> None:
         text,
         multimodal,
         extras,
+        curation,
         sql_entry,
         analytics,
         typed,

@@ -94,6 +94,16 @@ EXPECT = {
     # LSH bucket generation is deliberately Python (Arrow GEMM); the scale
     # property is the equi-join on bucket keys — never nested-loop/cartesian
     "embedding_neardup_lsh": {"hash_join_not_nlj": True},
+    # curation ops: corpus side must never shuffle for the benchmark join
+    # (broadcast), and everything stays JVM-side
+    "benchmark_contamination": {
+        "broadcast_joins": 1,
+        "partial_agg": True,
+        "no_python_udf": True,
+    },
+    "repetition_stats": {"partial_agg": True, "no_python_udf": True},
+    "pii_redact": {"no_python_udf": True, "max_scan_cols": 2},
+    "source_quality_rollup": {"partial_agg": True, "no_python_udf": True},
 }
 
 
