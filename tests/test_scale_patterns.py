@@ -49,6 +49,8 @@ def test_bucketed_join_has_no_shuffle(spark, sf_small, tmp_path):
     co-located join that saves the dominant shuffle at 100 TB."""
     import shutil
 
+    from novelti_dingo_spark.sources.catalog import save_bucketed
+
     li = load_table(spark, sf_small, "lineitem").select(
         "l_orderkey", "l_quantity"
     )
@@ -56,12 +58,8 @@ def test_bucketed_join_has_no_shuffle(spark, sf_small, tmp_path):
     for t in ("b_lineitem", "b_orders"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"/tmp/ndspark-warehouse/{t}", ignore_errors=True)
-    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
-        "l_orderkey"
-    ).saveAsTable("b_lineitem")
-    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy(
-        "o_orderkey"
-    ).saveAsTable("b_orders")
+    save_bucketed(li, "b_lineitem", "l_orderkey", n_buckets=8)
+    save_bucketed(o, "b_orders", "o_orderkey", n_buckets=8)
     # force SMJ (tiny test tables would otherwise broadcast — a
     # BroadcastExchange, which is not a shuffle); at real scale both
     # sides exceed the broadcast threshold and SMJ is what Spark picks
@@ -75,3 +73,42 @@ def test_bucketed_join_has_no_shuffle(spark, sf_small, tmp_path):
     assert "SortMergeJoin" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert joined.count() == li.count()
+
+
+def test_external_tables_queryable_by_sql(spark, sf_small):
+    """Catalog-registered external tables answer plain SQL identically to
+    the schema'd path reads, and survive temp-view teardown."""
+    from novelti_dingo_spark.sources.catalog import create_external_tables
+
+    names = create_external_tables(spark, sf_small, ["region", "orders"])
+    assert set(names) == {"ext_region", "ext_orders"}
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT o_custkey) AS c FROM ext_orders"
+    ).first()
+    want = load_table(spark, sf_small, "orders")
+    assert got.n == want.count()
+    assert got.c == want.select("o_custkey").distinct().count()
+    # external: dropping the table must not delete the source parquet
+    spark.sql("DROP TABLE ext_region")
+    assert load_table(spark, sf_small, "region").count() == 5
+
+
+def test_partitioned_table_prunes_partitions(spark, sf_small):
+    """A predicate on the partition column becomes a PartitionFilter —
+    whole directories are skipped before any I/O."""
+    import shutil
+
+    from novelti_dingo_spark.plans import explain_formatted
+    from novelti_dingo_spark.sources.catalog import save_partitioned
+
+    spark.sql("DROP TABLE IF EXISTS p_orders")
+    shutil.rmtree("/tmp/ndspark-warehouse/p_orders", ignore_errors=True)
+    o = load_table(spark, sf_small, "orders")
+    save_partitioned(o, "p_orders", ["o_orderpriority"])
+    q = spark.table("p_orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = explain_formatted(q)
+    assert "PartitionFilters: [" in plan and "o_orderpriority" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    want = o.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert q.count() == want
