@@ -46,7 +46,7 @@ from ..sources.io import load_table
            dup_word_frac <= 0.8 AND max(cnt) * 1.0 / sum(cnt) <= 0.2 AS keep
     FROM c GROUP BY 1, 2, 3
     """,
-    survey_rows="L5,F5,A1",
+    survey_rows="L8,L5,F5,A1",
 )
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document: duplicate-
@@ -109,7 +109,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            strpos(redacted, '@') = 0 AS clean
     FROM r
     """,
-    survey_rows="L5,F1",
+    survey_rows="L9,L5,F1",
 )
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing for a pretraining corpus: regexp-redact emails and
@@ -165,7 +165,7 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dg LEFT JOIN ev ON dg.h = ev.h
     GROUP BY dg.doc_id
     """,
-    survey_rows="L2,L5,J2",
+    survey_rows="L10,L2,J2",
 )
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination detection: fraction of each training
@@ -228,7 +228,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS keep_source
     FROM t GROUP BY source
     """,
-    survey_rows="L5,A1,A2",
+    survey_rows="L11,A1,A2",
 )
 def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level curation decision table (RefinedWeb/C4-style): roll

@@ -371,3 +371,114 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_MAX)
     )
+
+
+@register(
+    "neardup_clusters",
+    """
+    WITH RECURSIVE t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), x AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(toks) - 3),
+                    i -> md5(array_to_string(toks[i:i+4], ' ')))) AS h
+      FROM t WHERE len(toks) >= 5
+    ), p AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM x a JOIN x b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 4
+    ), edges AS (
+      SELECT a_id AS src, b_id AS dst FROM p
+      UNION ALL SELECT b_id, a_id FROM p
+    ), reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON r.node = e.src
+    ), cc AS (
+      SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM cc
+    """,
+    survey_rows="L7,L2,J1,A1",
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-pipeline finale: group near-dup PAIRS into CLUSTERS
+    (connected components) and elect one canonical survivor per cluster —
+    pairs alone can't drive deletion, since near-dup is not transitive
+    (A~B and B~C does not imply A~C; keeping "one of each pair" either
+    over- or under-deletes on chains).
+
+    Pair relation: >= 4 shared 5-token shingle hashes (measured at
+    sf0.01: chance collisions between unrelated word-soup docs top out at
+    1 shared shingle; true exact/prefix near-dups share 8+). The shingle
+    equi-join is linear in corpus size — bucket fan-out measured <= 3
+    docs/shingle, and a production run would cap bucket width (drop
+    boilerplate shingles) exactly like the LSH band join.
+
+    Connected components: Pregel-style min-label propagation — labels
+    start as doc_id, each round every node takes the min label among
+    itself and its neighbors, converging in O(graph diameter) rounds
+    (here <= 3; real near-dup clusters are shallow too). Each round is
+    one shuffle-join + partial-agg min; `localCheckpoint` cuts the
+    iterative lineage (on a cluster: reliable checkpoint dir). For
+    planet-scale graphs swap the loop body for the two-phase
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — same DataFrame surface.
+
+    DuckDB oracle: recursive CTE enumerating reachable labels, min per
+    node — identical fixpoint, declaratively."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    shingle = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 5))),
+        )
+    ).alias("h")
+    x = d.filter(F.size(toks) >= 5).select("doc_id", shingle).distinct()
+    a = x.select(F.col("doc_id").alias("a_id"), "h")
+    b = x.select(F.col("doc_id").alias("b_id"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 4)
+        .select("a_id", "b_id")
+    )
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionAll(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    edges = edges.localCheckpoint()
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(20):  # diameter bound; converges in <= 3 here
+        prop = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "lab"
+        )
+        new_labels = (
+            labels.unionAll(prop).groupBy("node").agg(F.min("lab").alias("lab"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lab", "old"), "node")
+            .filter(F.col("lab") < F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
+    ).select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )

@@ -112,3 +112,50 @@ def test_lsh_banding_candidate_reduction(spark, sf_big):
     assert recall_new >= recall_old, (recall_new, recall_old)
     assert recall_new >= 0.99, recall_new
     assert len(old) >= 5 * len(new), (len(old), len(new))
+
+
+def test_neardup_clusters_match_union_find(spark, sf_med):
+    """Label-propagation CC must equal a Python union-find over the same
+    pair relation (>= 4 shared 5-shingles), including canonical election."""
+    import hashlib
+
+    import duckdb
+
+    from novelti_dingo_spark.operators.dedup import neardup_clusters
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_med}/documents.parquet'"
+    ).fetchall()
+    shingles = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        if len(toks) < 5:
+            continue
+        shingles[doc_id] = {
+            hashlib.md5(" ".join(toks[i : i + 5]).encode()).hexdigest()
+            for i in range(len(toks) - 4)
+        }
+    parent = {d: d for d in shingles}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(shingles)
+    in_pair = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if len(shingles[a] & shingles[b]) >= 4:
+                in_pair.update((a, b))
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in in_pair}
+    got = {r.doc_id: r for r in neardup_clusters(spark, sf_med).collect()}
+    assert set(got) == set(want)
+    for d, root in want.items():
+        assert got[d].cluster_id == root
+        assert got[d].is_canonical == (d == root)
+        assert got[d].cluster_size == sum(1 for v in want.values() if v == root)
