@@ -373,6 +373,47 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(
+    pairs: DataFrame, src: str = "a_id", dst: str = "b_id", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over an undirected pair list → (node,
+    cluster_id) with cluster_id = min node id in the component.
+
+    Pregel-style min-label propagation: labels start as the node id; each
+    round every node takes the min label among itself and its neighbors;
+    converges in O(graph diameter) rounds (near-dup graphs are shallow).
+    Each round is one shuffle-join + partial-agg min; `localCheckpoint`
+    cuts the iterative lineage (on a cluster: reliable checkpoint dir).
+    For planet-scale graphs swap the loop body for the two-phase
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — same DataFrame surface."""
+    edges = pairs.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).unionAll(pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "lab"
+        )
+        new_labels = (
+            labels.unionAll(prop).groupBy("node").agg(F.min("lab").alias("lab"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lab", "old"), "node")
+            .filter(F.col("lab") < F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("lab").alias("cluster_id"))
+
+
 @register(
     "neardup_clusters",
     """
@@ -418,15 +459,8 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs/shingle, and a production run would cap bucket width (drop
     boilerplate shingles) exactly like the LSH band join.
 
-    Connected components: Pregel-style min-label propagation — labels
-    start as doc_id, each round every node takes the min label among
-    itself and its neighbors, converging in O(graph diameter) rounds
-    (here <= 3; real near-dup clusters are shallow too). Each round is
-    one shuffle-join + partial-agg min; `localCheckpoint` cuts the
-    iterative lineage (on a cluster: reliable checkpoint dir). For
-    planet-scale graphs swap the loop body for the two-phase
-    large-star/small-star contraction (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") — same DataFrame surface.
+    Connected components: see `connected_components` (min-label
+    propagation, converges in O(diameter) rounds — here <= 3).
 
     DuckDB oracle: recursive CTE enumerating reachable labels, min per
     node — identical fixpoint, declaratively."""
@@ -449,33 +483,12 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared") >= 4)
         .select("a_id", "b_id")
     )
-    edges = pairs.select(
-        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
-    ).unionAll(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
-    edges = edges.localCheckpoint()
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("lab")
-    )
-    for _ in range(20):  # diameter bound; converges in <= 3 here
-        prop = edges.join(labels, edges.src == labels.node).select(
-            F.col("dst").alias("node"), "lab"
-        )
-        new_labels = (
-            labels.unionAll(prop).groupBy("node").agg(F.min("lab").alias("lab"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.join(labels.withColumnRenamed("lab", "old"), "node")
-            .filter(F.col("lab") < F.col("old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    cc = connected_components(pairs)
     from pyspark.sql import Window
 
     w = Window.partitionBy("cluster_id")
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
+    return cc.select(
+        F.col("node").alias("doc_id"), "cluster_id"
     ).select(
         "doc_id",
         "cluster_id",

@@ -144,7 +144,8 @@ def curate_corpus(
 
       1. exact dedup        keep min doc_id per identical text (hash-grouped)
       2. near-dup removal   MinHash-LSH candidate pairs, exact-Jaccard
-                            verified; drop the higher doc_id of each pair
+                            verified → connected components → one
+                            canonical survivor per cluster
       3. quality filter     heuristic score >= min_quality
       4. stratified sample  per-language fractions (class balancing)
       5. publish            curated parquet partitioned by lang + a stats row
@@ -158,7 +159,7 @@ def curate_corpus(
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    from .operators.dedup import minhash_lsh_pairs
+    from .operators.dedup import connected_components, minhash_lsh_pairs
     from .operators.text import doc_quality_score
     from .sources.io import load_table
 
@@ -181,11 +182,16 @@ def curate_corpus(
     docs = observed(docs.join(survivors, "doc_id", "left_semi"),
                     "after_exact_dedup")
 
-    # 2. near-dup removal: drop the higher id of each verified pair
+    # 2. near-dup removal: verified pairs → connected components → keep
+    # one canonical doc per CLUSTER (near-dup is non-transitive; dropping
+    # "the higher id of each pair" over-deletes on chains A~B~C with A!~C)
     pairs = minhash_lsh_pairs(spark, sf_dir).filter(
         F.col("jaccard") >= jaccard_threshold
     )
-    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    clusters = connected_components(pairs, src="doc_a", dst="doc_b")
+    losers = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
     docs = observed(docs.join(losers, "doc_id", "left_anti"), "after_neardup")
 
     # 3. quality gate
