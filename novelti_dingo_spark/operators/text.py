@@ -121,6 +121,26 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def with_quality(d: DataFrame) -> DataFrame:
+    """Append the quality-signal columns to any documents-shaped frame
+    (batch or streaming — pure row-level expressions, so the same code
+    runs under Structured Streaming unchanged)."""
+    toks = tokens("text")
+    n_tokens = F.size(toks).cast("long")
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))) * F.lit(1.0) / n_tokens
+    )
+    return d.select(
+        "*",
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(F.col("n_chars") * 1.0 / n_tokens, 6).alias("avg_token_len"),
+        F.round(
+            F.least(n_tokens / 50.0, F.lit(1.0)) * 0.6 + (1 - stop_ratio) * 0.4, 6
+        ).alias("quality"),
+    )
+
+
 @register(
     "doc_quality_score",
     """
@@ -145,20 +165,13 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio), the shape of a pretraining-corpus quality filter. Pure
     row-level HOFs; trivially parallel at any scale."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    n_tokens = F.size(toks).cast("long")
-    stop_ratio = (
-        F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))) * F.lit(1.0) / n_tokens
-    )
-    return d.select(
+    return with_quality(d).select(
         "doc_id",
         "lang",
-        n_tokens.alias("n_tokens"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(F.col("n_chars") * 1.0 / n_tokens, 6).alias("avg_token_len"),
-        F.round(
-            F.least(n_tokens / 50.0, F.lit(1.0)) * 0.6 + (1 - stop_ratio) * 0.4, 6
-        ).alias("quality"),
+        "n_tokens",
+        "stopword_ratio",
+        "avg_token_len",
+        "quality",
     )
 
 
