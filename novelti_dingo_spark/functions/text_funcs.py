@@ -30,3 +30,24 @@ def shingles(text: Column | str, k: int = 3) -> Column:
         F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(t, i, k)),
     )
+
+
+def shingle_md5s(text: Column | str, k: int = 5) -> Column:
+    """md5 hex of each k-token shingle (the cross-engine-stable shingle
+    hash used by contamination checks and near-dup clustering; production
+    swap: xxhash64 for 8-byte keys). Docs shorter than one shingle yield
+    an empty array — filter `size(tokens) >= k` at the call site."""
+    t = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.size(t) - (k - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, k))),
+    )
+
+
+# DuckDB oracle fragment for shingle_md5s(k=5) over a `toks` list column —
+# keep in sync with the Spark expression above (both change together or
+# the contamination/cluster oracles silently diverge).
+SHINGLE5_MD5_SQL = (
+    "list_transform(range(1, len(toks) - 3), "
+    "i -> md5(array_to_string(toks[i:i+4], ' ')))"
+)

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text_funcs import tokens
+from ..functions.text_funcs import SHINGLE5_MD5_SQL, shingle_md5s, tokens
 from ..registry import register
 from ..sources.io import load_table
 
@@ -145,13 +145,11 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "benchmark_contamination",
-    """
+    f"""
     WITH t AS (
       SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
     ), x AS (
-      SELECT doc_id, source,
-             unnest(list_transform(range(1, len(toks) - 3),
-                    i -> md5(array_to_string(toks[i:i+4], ' ')))) AS h
+      SELECT doc_id, source, unnest({SHINGLE5_MD5_SQL}) AS h
       FROM t WHERE len(toks) >= 5
     ), ev AS (
       SELECT DISTINCT h FROM x WHERE source = 'src0'
@@ -181,12 +179,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 a production run would key on."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
-    grams = F.explode(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 4),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 5))),
-        )
-    ).alias("h")
+    grams = F.explode(shingle_md5s("text")).alias("h")
     long_enough = d.filter(F.size(toks) >= 5)
     ev = (
         long_enough.filter(F.col("source") == "src0")

@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text_funcs import token_bigrams, tokens
+from ..functions.text_funcs import (
+    SHINGLE5_MD5_SQL,
+    shingle_md5s,
+    token_bigrams,
+    tokens,
+)
 from ..registry import register
 from ..sources.io import load_table
 
@@ -411,18 +416,24 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent non-convergence would hand callers WRONG labels (multiple
+        # "canonical" docs per cluster) — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "rounds (graph diameter exceeds max_iter); raise max_iter or "
+            "switch to large-star/small-star contraction"
+        )
     return labels.select("node", F.col("lab").alias("cluster_id"))
 
 
 @register(
     "neardup_clusters",
-    """
+    f"""
     WITH RECURSIVE t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), x AS (
-      SELECT DISTINCT doc_id,
-             unnest(list_transform(range(1, len(toks) - 3),
-                    i -> md5(array_to_string(toks[i:i+4], ' ')))) AS h
+      SELECT DISTINCT doc_id, unnest({SHINGLE5_MD5_SQL}) AS h
       FROM t WHERE len(toks) >= 5
     ), p AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id
@@ -466,12 +477,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     node — identical fixpoint, declaratively."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
-    shingle = F.explode(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 4),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 5))),
-        )
-    ).alias("h")
+    shingle = F.explode(shingle_md5s("text")).alias("h")
     x = d.filter(F.size(toks) >= 5).select("doc_id", shingle).distinct()
     a = x.select(F.col("doc_id").alias("a_id"), "h")
     b = x.select(F.col("doc_id").alias("b_id"), "h")

@@ -68,7 +68,13 @@ def knn_bruteforce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     import operator
 
     e = load_table(spark, sf_dir, "embeddings")
-    qv = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    if qrow is None:
+        # no query vector in this corpus → empty result, same schema
+        return e.filter(F.lit(False)).select(
+            "vec_id", "label", F.lit(0.0).alias("cos_sim")
+        )
+    qv = qrow[0]
     emb = F.col("embedding")
     score = functools.reduce(
         operator.add,
@@ -356,13 +362,16 @@ def embedding_neardup_lsh_pairs(
     the junk p=0.5 that full recall forces candidates → all-pairs; that
     regime belongs to the exact blocked-GEMM (embedding_neardup_cosine).
     tests/test_similarity.py proves both claims on a planted corpus."""
+    # ONE bucket frame aliased on both join sides, merge-hinted: the
+    # bucket frame is corpus-sized, so the join must never broadcast it
+    # (statistics on the sandbox corpus would pick BHJ), and under SMJ
+    # both sides sit behind identical hashpartitioning Exchanges that
+    # collapse via ReuseExchange — the Arrow GEMM bucket pass runs ONCE
+    # over the corpus, not once per side (verified in the executed plan)
+    buckets = embedding_lsh_buckets(emb_df, n_tables, n_bits, seed)
     cands = (
-        embedding_lsh_buckets(emb_df, n_tables, n_bits, seed)
-        .alias("a")
-        .join(
-            embedding_lsh_buckets(emb_df, n_tables, n_bits, seed).alias("b"),
-            ["table_idx", "bucket"],
-        )
+        buckets.alias("a").hint("merge")
+        .join(buckets.alias("b").hint("merge"), ["table_idx", "bucket"])
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")

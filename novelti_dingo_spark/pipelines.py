@@ -267,6 +267,11 @@ def upsert_by_partition(
             1 for c in lakefs.listdir(spark, staging)
             if c.startswith(f"{partition_col}=")
         )
+        if n_parts == 0:
+            # empty updates (e.g. a replayed/empty micro-batch): staging
+            # holds only _SUCCESS and reading it would throw
+            # UNABLE_TO_INFER_SCHEMA — the correct merge is a no-op
+            return 0
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # re-reading staging re-infers the partition column's type from the
         # directory names and reorders it last — pin both to merged's schema
@@ -331,9 +336,10 @@ def publish_versioned(
     All control-file and listing I/O goes through the Hadoop FileSystem
     API (sources/lakefs.py), so the same code is correct on hdfs:// and
     object stores, not just local paths. The pointer flip is
-    write-tmp-then-rename: atomic on HDFS; on S3/GCS the rename is
-    copy+delete but each object PUT is atomic, so readers see the old or
-    the new pointer, never a torn one."""
+    write-tmp-then-rename-with-OVERWRITE (lakefs.replace_text): atomic on
+    HDFS/local via FileContext, a single last-write-wins PUT on S3/GCS —
+    readers see the old or the new pointer, never a missing or torn
+    one."""
     import json
 
     from pyspark.sql import Observation
@@ -364,8 +370,7 @@ def publish_versioned(
     }
     # underscore prefix: Spark data-source listing ignores it (like _SUCCESS)
     lakefs.write_text(spark, f"{out}/_manifest.json", json.dumps(manifest))
-    lakefs.write_text(spark, f"{base}/LATEST.tmp", str(version))
-    lakefs.rename(spark, f"{base}/LATEST.tmp", f"{base}/LATEST")
+    lakefs.replace_text(spark, f"{base}/LATEST", str(version))
     return version
 
 

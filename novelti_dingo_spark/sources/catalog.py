@@ -36,14 +36,24 @@ def create_external_tables(
     """Register the test tables as *external* parquet tables in the
     catalog (idempotent, data stays in place). Unlike temp views these
     survive `spark.catalog.dropTempView` and are visible to plain SQL in
-    any downstream session sharing the metastore."""
+    any downstream session sharing the metastore.
+
+    Schemas are PINNED from `schemas.TABLES` rather than inferred — the
+    same drift protection as the path reads. Note `ext_events.ts` is the
+    raw epoch-ns long (parquet TIMESTAMP(NANOS), which Spark's reader
+    can't expose as TimestampType); convert with
+    `timestamp_micros(ts div 1000)` exactly like `io.load_table`."""
     out = []
     for name in tables or list(schemas.TABLES):
         path = f"{sf_dir}/{name}.parquet"
         spark.sql(f"DROP TABLE IF EXISTS ext_{name}")
-        spark.sql(
-            f"CREATE TABLE ext_{name} USING parquet LOCATION '{path}'"
-        )
+        schema = schemas.TABLES.get(name)
+        if schema is not None:
+            spark.catalog.createTable(
+                f"ext_{name}", path=path, source="parquet", schema=schema
+            )
+        else:
+            spark.sql(f"CREATE TABLE ext_{name} USING parquet LOCATION '{path}'")
         out.append(f"ext_{name}")
     return out
 

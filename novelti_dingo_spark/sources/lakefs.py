@@ -86,3 +86,31 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
         stream.write(bytearray(text.encode("utf-8")))
     finally:
         stream.close()
+
+
+def replace_text(spark: SparkSession, path: str, text: str) -> None:
+    """ATOMIC pointer flip: write `path`.tmp, then rename-with-overwrite
+    onto `path` via FileContext (atomic on HDFS and local FS; a single
+    last-write-wins PUT on object stores). Readers observe the old or the
+    new content, never a missing/partial pointer — unlike delete+rename,
+    which has a no-pointer window and loses the pointer outright if the
+    writer dies between the two calls."""
+    fs, p, jvm = _fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+    conf = spark._jsc.hadoopConfiguration()
+    uri = p.toUri()
+    fc = (
+        jvm.org.apache.hadoop.fs.FileContext.getFileContext(uri, conf)
+        if uri.getScheme()
+        else jvm.org.apache.hadoop.fs.FileContext.getFileContext(conf)
+    )
+    overwrite = spark.sparkContext._gateway.new_array(
+        jvm.org.apache.hadoop.fs.Options.Rename, 1
+    )
+    overwrite[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fc.rename(tmp, p, overwrite)

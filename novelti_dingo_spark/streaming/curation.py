@@ -63,5 +63,8 @@ def run_curate_stream(
         .partitionBy("lang")
         .trigger(availableNow=True)
         .start()
-        .awaitTermination(300)
+        # no timeout: AvailableNow terminates on its own once the input is
+        # drained; a timed wait could return with the query still running
+        # (partial output + a leaked query holding the checkpoint lock)
+        .awaitTermination()
     )

@@ -203,6 +203,12 @@ def merge_hourly_batch(
         .drop("hour")
     )
     if not lakefs.exists(spark, target_dir):
+        if hourly.isEmpty():
+            # an empty FIRST batch must not create the mart: a zero-row
+            # write leaves a schema-less parquet dir (only _SUCCESS) that
+            # poisons every later read — leave creation to the first
+            # non-empty batch instead
+            return
         hourly.withColumn("last_batch_id", F.lit(batch_id)).write.partitionBy(
             "hour_key"
         ).parquet(target_dir)

@@ -187,3 +187,57 @@ def test_versioned_publish_and_pinning(spark, sf_small, tmp_path):
     pinned, m1 = read_version(spark, base, version=1)
     assert pinned.count() == d1.count() == m1["rows"]  # v1 untouched by v2
     assert "doc_id" in m1["schema"]
+
+
+def test_upsert_empty_updates_is_noop(spark, sf_small, tmp_path):
+    """Empty updates (a replayed/empty micro-batch) must be a clean no-op
+    — not an UNABLE_TO_INFER_SCHEMA crash from a schema-less staging dir."""
+    import duckdb
+
+    from novelti_dingo_spark.pipelines import upsert_by_partition
+    from novelti_dingo_spark.sources.io import load_table
+
+    target = str(tmp_path / "t")
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    o.write.partitionBy("o_orderpriority").parquet(target)
+    before = duckdb.sql(f"SELECT count(*) FROM '{target}/*/*.parquet'").fetchone()
+    n = upsert_by_partition(
+        spark,
+        target,
+        o.filter("o_orderkey < 0"),  # empty
+        key="o_orderkey",
+        partition_col="o_orderpriority",
+    )
+    assert n == 0
+    after = duckdb.sql(f"SELECT count(*) FROM '{target}/*/*.parquet'").fetchone()
+    assert after == before
+
+
+def test_merge_hourly_empty_first_batch_defers_creation(spark, sf_small, tmp_path):
+    """An empty FIRST micro-batch must not create a schema-less mart dir
+    that poisons every later merge."""
+    from novelti_dingo_spark.sources import lakefs
+    from novelti_dingo_spark.sources.io import load_table
+    from novelti_dingo_spark.streaming.events import merge_hourly_batch
+
+    target = str(tmp_path / "mart")
+    ev = load_table(spark, sf_small, "events")
+    merge_hourly_batch(ev.filter("event_id < 0"), 0, target)
+    assert not lakefs.exists(spark, target)
+    merge_hourly_batch(ev.filter("event_id < 500"), 1, target)
+    got = spark.read.parquet(target)
+    assert got.count() > 0 and "last_batch_id" in got.columns
+
+
+def test_replace_text_atomic_pointer(spark, tmp_path):
+    """replace_text overwrites in place with no missing-pointer window
+    artifacts (no stale .tmp, correct content after repeated flips)."""
+    from novelti_dingo_spark.sources import lakefs
+
+    ptr = str(tmp_path / "LATEST")
+    for v in ("1", "2", "3"):
+        lakefs.replace_text(spark, ptr, v)
+        assert lakefs.read_text(spark, ptr) == v
+    assert not lakefs.exists(spark, ptr + ".tmp")
