@@ -69,3 +69,27 @@ def sql_segment_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment, o_orderpriority
         """
     )
+
+
+_LATERAL_SQL = """
+    SELECT n_name, c_name, c_acctbal
+    FROM nation,
+    LATERAL (SELECT c_name, c_acctbal FROM customer
+             WHERE c_nationkey = n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 1) top_cust
+"""
+
+
+@register(
+    "sql_lateral_top1",
+    _LATERAL_SQL,
+    survey_rows="S4,J1,W4",
+)
+def sql_lateral_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: richest customer
+    per nation — the per-group-top-k shape expressed as a lateral join
+    (identical ANSI text runs on both engines). Catalyst decorrelates it
+    into a join + per-group limit rather than a per-row re-execution, so
+    the plan scales like W4, not like a nested loop."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

@@ -102,6 +102,9 @@ EXPECT = {
         "no_python_udf": True,
     },
     "repetition_stats": {"partial_agg": True, "no_python_udf": True},
+    # correlated LATERAL+LIMIT must decorrelate to join+WindowGroupLimit,
+    # never a per-outer-row nested-loop re-execution
+    "sql_lateral_top1": {"hash_join_not_nlj": True, "broadcast_joins": 1},
     "pii_redact": {"no_python_udf": True, "max_scan_cols": 2},
     "source_quality_rollup": {"partial_agg": True, "no_python_udf": True},
 }
