@@ -93,3 +93,73 @@ def sql_lateral_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan scales like W4, not like a nested loop."""
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "sql_udf_pricing",
+    """
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey_rows="S4,A1,F3",
+)
+def sql_udf_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDF (Spark 4 `CREATE FUNCTION ... RETURN expr`):
+    the business expression is named once and reused across queries, and
+    Catalyst INLINES it into the plan — unlike a Python UDF there is no
+    serialization boundary, so it stays inside whole-stage codegen (the
+    oracle is the same query with the expression inlined by hand)."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(sum(disc_price(l_extendedprice, l_discount)), 2) AS revenue,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
+    "sql_recursive_calendar",
+    """
+    WITH RECURSIVE cal(d) AS (
+      SELECT DATE '1996-01-01'
+      UNION ALL
+      SELECT d + INTERVAL 1 DAY FROM cal WHERE d < DATE '1996-03-31'
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, count(o_orderkey) AS n_orders
+    FROM cal LEFT JOIN orders ON o_orderdate = CAST(d AS TIMESTAMP)
+    GROUP BY d
+    """,
+    survey_rows="S4,J2,F2",
+)
+def sql_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): generate a Q1-1996 daily
+    calendar spine by recursion, then LEFT JOIN order counts onto it so
+    zero-order days surface — the gap-filling shape, this time driven by
+    recursion instead of `sequence()` (gapfill_hourly). Spark's recursive
+    CTEs are UNION ALL-only (no set-dedup step yet), which a bounded
+    monotone spine satisfies; fixpoints needing UNION-distinct (e.g.
+    graph reachability) stay on the iterative DataFrame path
+    (dedup.connected_components)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE cal(d) AS (
+          SELECT DATE '1996-01-01'
+          UNION ALL
+          SELECT date_add(d, 1) FROM cal WHERE d < DATE '1996-03-31'
+        )
+        SELECT date_format(d, 'yyyy-MM-dd') AS day,
+               count(o_orderkey) AS n_orders
+        FROM cal LEFT JOIN orders ON o_orderdate = CAST(d AS TIMESTAMP)
+        GROUP BY d
+        """
+    )

@@ -99,3 +99,32 @@ def struct_nested_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.geo.nation").alias("nation"),
         )
     )
+
+
+@register(
+    "variant_props_agg",
+    """
+    SELECT event_type,
+           CAST(sum(json_extract(props, '$.k')::INT) AS BIGINT) AS sum_k,
+           count(*) FILTER (WHERE json_extract(props, '$.k')::INT > 5)
+             AS n_high
+    FROM events GROUP BY event_type
+    """,
+    survey_rows="T3,F6,A1,A6",
+)
+def variant_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns through Spark 4's VARIANT type:
+    `parse_json` once into a variant, then typed `variant_get` paths —
+    the open-schema ingestion shape (vs. the rigid from_json(schema)
+    path in json_map_functions). Variant stores a binary-encoded tree, so
+    repeated path extraction skips re-parsing the JSON text; at 100 TB
+    ingest parses once and all downstream extractions are binary reads.
+    Oracle: DuckDB json_extract over the same props strings."""
+    from ..sources.io import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k > 5, F.lit(1))).alias("n_high"),
+    )
