@@ -533,3 +533,378 @@ def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(F.substring(key, 1, 4) < "1999").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, supplycost
+    FROM ps
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_size <= 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+      AND supplycost = (SELECT min(ps2.supplycost) FROM ps ps2
+                        JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+                        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+                        JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+                        WHERE ps2.l_partkey = ps.l_partkey
+                          AND r2.r_name = 'EUROPE')
+    """,
+    survey_rows="J1,A1,scalar-subquery",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier per part in a region). The
+    testdata has no partsupp, so the supply catalogue is derived from
+    lineitem: supplycost(part, supp) = min observed unit price. The
+    correlated MIN subquery is expressed as its decorrelated form — a
+    per-part min agg joined back on (partkey, cost) equality; the cost is
+    a single IEEE division (no accumulation), so the equality join key is
+    bit-exact in both engines. The per-part min agg is map-side
+    combinable and the part/nation/region dims broadcast — at 100 TB the
+    only real shuffle is the groupBy(part, supp) over the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey).join(
+            r, n.n_regionkey == r.r_regionkey
+        )
+    )
+    eu = ps.join(eu_supp, ps.l_suppkey == eu_supp.s_suppkey)
+    min_cost = eu.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(
+            (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+        )
+    )
+    return (
+        eu.join(p, eu.l_partkey == p.p_partkey)
+        .join(
+            min_cost,
+            (F.col("l_partkey") == F.col("mc_partkey"))
+            & (F.col("supplycost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "supplycost")
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                          - CAST(0.6 AS DECIMAL(2,1))
+                            * CAST(p_retailprice AS DECIMAL(12,2))
+                            * CAST(l_quantity AS DECIMAL(12,2))), 2)
+                AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, o_year
+    """,
+    survey_rows="J1,A1,F1",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year; supplycost
+    substituted with 0.6 * p_retailprice — no partsupp in the testdata).
+    The LIKE filter prunes part BEFORE the join (predicate pushdown into
+    the broadcast build side); lineitem is joined once and never
+    re-scanned. Profit is summed in DECIMAL — a float sum rounded 2dp is
+    NOT stable here (a real group landed within ulps of a .xx5 boundary
+    and the two engines' summation orders rounded it differently);
+    decimal partial aggs are still map-side combinable, so the 100 TB
+    shape is unchanged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    o = load_table(spark, sf_dir, "orders")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    retail = F.col("p_retailprice").cast("decimal(12,2)")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    profit = ep * (F.lit(1) - disc) - F.lit(0.6).cast("decimal(2,1)") * retail * qty
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    """
+    WITH v AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey)
+    SELECT l_partkey, CAST(value AS VARCHAR) AS stock_value
+    FROM v WHERE value * 500 > (SELECT sum(value) FROM v)
+    """,
+    survey_rows="A1,T1,scalar-subquery",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock: parts whose value exceeds a
+    fraction of the nation's total — HAVING with a global scalar
+    subquery). Value is summed in DECIMAL so the threshold comparison is
+    digit-exact in both engines (float sums could flip borderline rows by
+    summation order). The comparison is value*500 > total — an integer
+    decimal multiply, still exact. The total is a 1-row broadcast; the
+    only shuffle is the per-part agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    )
+    v = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("value"))
+    )
+    total = v.agg(F.sum("value").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value") * 500 > F.col("total"))
+        .select("l_partkey", F.col("value").cast("string").alias("stock_value"))
+    )
+
+
+@register(
+    "q12_priority_class",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+    survey_rows="J1,A6,P3",
+)
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode substituted with returnflag — the
+    testdata has no l_shipmode): conditional counts split one pass over
+    the joined facts into high/low priority lines. The date filter is
+    pushed to the lineitem scan; both CASE sums fold into one partial
+    agg."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+    survey_rows="J2,A1",
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution; the comment
+    NOT LIKE filter substituted with a priority exclusion). The exclusion
+    lives INSIDE the outer-join condition — filtering after the join
+    would wrongly drop zero-order customers, the classic Q13 trap.
+    count(o_orderkey) counts matches only (null for the unmatched side),
+    so no-order customers land in the c_count=0 bucket. Two aggs, both
+    map-side combinable; the second input is one row per customer."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q20_excess_inventory",
+    """
+    WITH avail AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS avail_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-01-01'
+      GROUP BY l_partkey, l_suppkey)
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3' AND s_suppkey IN (
+      SELECT l_suppkey FROM avail
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE 'red%')
+        AND avail_qty > 0.5 * (
+              SELECT sum(l2.l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = avail.l_partkey
+                AND l2.l_suppkey = avail.l_suppkey
+                AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l2.l_shipdate <  TIMESTAMP '1997-01-01'))
+    """,
+    survey_rows="J3,A1,scalar-subquery",
+)
+def q20_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers holding excess stock of promoted parts
+    — nested IN subqueries + a correlated quantity-threshold subquery).
+    availqty is derived from 1995 shipments (no partsupp); the threshold
+    compares against half the 1996 demand for the same (part, supplier).
+    The correlated scalar subquery decorrelates to a per-(part, supp) agg
+    INNER-joined back — matching SQL semantics exactly, because a
+    no-1996-rows pair yields a NULL threshold in SQL, and NULL
+    comparisons exclude the row just as the inner join does. Quantities
+    are integral doubles, so sums and the 0.5× comparison are exact in
+    both engines. Both IN subqueries become left-semi joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avail = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1995-01-01"))
+            & (F.col("l_shipdate") < _ts("1996-01-01"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("avail_qty"))
+    )
+    demand96 = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("d_partkey"),
+            F.col("l_suppkey").alias("d_suppkey"),
+        )
+        .agg(F.sum("l_quantity").alias("qty96"))
+    )
+    red_parts = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    )
+    excess = (
+        avail.join(red_parts, avail.l_partkey == red_parts.p_partkey, "left_semi")
+        .join(
+            demand96,
+            (F.col("l_partkey") == F.col("d_partkey"))
+            & (F.col("l_suppkey") == F.col("d_suppkey")),
+        )
+        .filter(F.col("avail_qty") > 0.5 * F.col("qty96"))
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    )
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders   ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_5'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    """,
+    survey_rows="J3,J1,A1",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who were the SOLE late shipper on a
+    multi-supplier order; late = shipped >90 days after order date — no
+    receipt/commit dates in the testdata). The EXISTS becomes a left-semi
+    self-join, the NOT EXISTS a left-anti self-join; both correlate on
+    orderkey with a suppkey inequality, and the anti join carries the
+    order-date lateness predicate in its condition. Self-join fan-out is
+    bounded by lines-per-order (≤7), and the semi/anti forms never
+    materialize the pairs — only membership is tested."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    )
+    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > late_cut)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+        F.col("l_shipdate").alias("x_shipdate"),
+    )
+    l1 = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_semi",
+    )
+    l1 = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey"))
+        & (F.col("x_shipdate") > late_cut),
+        "left_anti",
+    )
+    return l1.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
