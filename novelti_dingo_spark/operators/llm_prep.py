@@ -1,0 +1,199 @@
+"""Training-data preparation operators: document chunking, sequence
+packing, and quantized similarity (SURVEY.md §2 L-rows — the corpus →
+training-batch path that sits between curation and the data loader).
+
+All three are expressed with JVM-side built-ins (split / slice /
+sequence / window cumsum / HOF arithmetic) so they stay inside
+whole-stage codegen; none needs a Python worker. Chunking and packing
+are per-document / per-group local computations — at 100 TB they
+parallelize embarrassingly with zero or one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.io import load_table
+
+CHUNK_TOKENS = 20  # tokens per chunk
+CHUNK_STRIDE = 15  # new tokens per chunk → 5-token overlap between chunks
+PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+@register(
+    "chunk_documents",
+    f"""
+    SELECT doc_id, i AS chunk_id,
+           array_to_string(toks[i*{CHUNK_STRIDE}+1 : i*{CHUNK_STRIDE}+{CHUNK_TOKENS}], ' ')
+             AS chunk_text,
+           len(toks[i*{CHUNK_STRIDE}+1 : i*{CHUNK_STRIDE}+{CHUNK_TOKENS}])
+             AS n_chunk_tokens
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         range(0, 8) r(i)
+    WHERE i*{CHUNK_STRIDE} < len(toks)
+    """,
+    survey_rows="L12,X4,F5",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    {CHUNK_TOKENS}-token chunks advancing {CHUNK_STRIDE} tokens per step
+    (5-token overlap), the standard prep for embedding or context-window
+    training. Pure built-ins: split → sequence → explode → slice, all
+    codegen'd; chunk count per doc is data-driven (no padding rows). A
+    row only ever expands into its own chunks — no shuffle at any scale;
+    the explode multiplies rows ~n_tokens/stride ≈ 3× here, and column
+    pruning drops the original text before the explode output is wide.
+    (The oracle's range(0,8) is a static spine ≥ the max chunks/doc at
+    this corpus — 99 tokens → 7 chunks — filtered to the same data-driven
+    condition; the Spark side computes the exact sequence per row.)"""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    d = d.select("doc_id", toks.alias("toks"), n.alias("n"))
+    # chunk starts: 0, stride, 2*stride, ... while start < n_tokens
+    idx = F.sequence(
+        F.lit(0), F.floor((F.col("n") - 1) / CHUNK_STRIDE).cast("int")
+    )
+    chunked = d.select(
+        "doc_id", "toks", F.explode(idx).alias("chunk_id")
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_TOKENS
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+    )
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY source
+                                             ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING)
+                         - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS bin_id
+      FROM toks)
+    SELECT source, bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM packed GROUP BY source, bin_id
+    """,
+    survey_rows="L13,W3,A1",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (in stable doc_id order, per
+    source shard) to fixed token-budget training bins of {PACK_BUDGET}
+    tokens via a running-sum window — bin_id = completed budget units
+    before the doc starts. This is the streaming-pack formulation: a
+    document whose tokens straddle a boundary stays with its starting
+    bin, so bins can overflow by at most max_doc_tokens — exactly how
+    concat-then-split packing behaves in LLM data loaders (first-fit
+    greedy packing is inherently sequential state and would need
+    applyInPandasWithState; the cumsum form is order-deterministic,
+    engine-portable, and one shuffle). Token counts are integers, so the
+    running sum is exact in both engines. At 100 TB the window partitions
+    by shard (source here), so no global ordering bottleneck."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET),
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "knn_quantized_top10",
+    """
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS v,
+             127.0 / list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+               AS scale
+      FROM embeddings WHERE vec_id = 0),
+    qq AS (SELECT list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT))
+                    AS qa, scale AS qscale FROM q),
+    c AS (
+      SELECT vec_id, label,
+             127.0 / list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+               AS scale,
+             embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id <> 0),
+    cq AS (SELECT vec_id, label,
+                  list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT))
+                    AS qb, scale AS cscale FROM c)
+    SELECT vec_id, label,
+           list_sum(list_transform(list_zip(qa, qb), p -> p[1] * p[2]))
+             / (qscale * cscale) AS qdot
+    FROM cq CROSS JOIN qq
+    ORDER BY qdot DESC, vec_id LIMIT 10
+    """,
+    survey_rows="L14,L3,F5",
+)
+def knn_quantized_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized kNN: symmetric per-vector int8 quantization
+    (scale = 127/max|x|, q = floor(x*scale + 0.5)) and top-10 by
+    dequantized integer dot product — the memory-layout trade every
+    vector store makes (4× smaller vectors, integer SIMD dots) with
+    recall loss bounded by quantization error. floor(x+0.5) instead of
+    round() because the two engines' float round() modes differ
+    (HALF_UP vs half-even) while floor is IEEE-exact in both. The
+    integer dot is exact arithmetic; the dequantize divide is one IEEE
+    op — both engines produce bit-identical scores, so this is
+    oracle-checked (unlike LSH/IVF, which are rows-only by randomness).
+    Same scan shape as knn_bruteforce_top10: broadcast 1-row query,
+    single corpus scan, TakeOrderedAndProject top-k; at 100 TB the
+    quantized corpus column is what you'd persist (pack to binary), and
+    the scan reads 1/4 the bytes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    scale = 127.0 / F.array_max(F.transform(v, lambda x: F.abs(x)))
+    qvec = F.transform(F.col("v"), lambda x: F.floor(x * F.col("scale") + 0.5))
+    quant = e.select("vec_id", "label", v.alias("v"), scale.alias("scale")).select(
+        "vec_id", "label", "scale", qvec.alias("q")
+    )
+    qside = (
+        quant.filter(F.col("vec_id") == 0)
+        .select(F.col("q").alias("qa"), F.col("scale").alias("qscale"))
+    )
+    cside = quant.filter(F.col("vec_id") != 0).select(
+        "vec_id", "label", F.col("q").alias("qb"), F.col("scale").alias("cscale")
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cside.crossJoin(F.broadcast(qside))
+        .select(
+            "vec_id",
+            "label",
+            (idot / (F.col("qscale") * F.col("cscale"))).alias("qdot"),
+        )
+        .orderBy(F.desc("qdot"), F.asc("vec_id"))
+        .limit(10)
+    )

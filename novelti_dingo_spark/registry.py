@@ -66,6 +66,7 @@ def _load_all() -> None:
         multimodal,
         extras,
         curation,
+        llm_prep,
         sql_entry,
         analytics,
         typed,
