@@ -17,7 +17,7 @@ Scale design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text_funcs import SHINGLE5_MD5_SQL, shingle_md5s, tokens
@@ -241,4 +241,148 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("n_chars") * 1.0 / n_toks), 6).alias("avg_token_len"),
         F.count_distinct(F.col("lang")).alias("n_langs"),
         (long_share >= 0.4).alias("keep_source"),
+    )
+
+
+@register(
+    "lm_quality_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    vocab AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    total AS (SELECT sum(c) AS n FROM vocab)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(c / n)), 6) AS avg_logprob
+    FROM toks JOIN vocab USING (tok) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+    survey_rows="L17,A1,F3",
+)
+def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity scoring (the CCNet/KenLM quality-filter
+    shape): score every document by its average token log-probability
+    under the corpus' own unigram distribution — gibberish and
+    boilerplate score far from the mode. Two passes over the exploded
+    tokens: one to build the LM (vocab counts — tiny, broadcast back),
+    one to score; at 100 TB the LM is trained on a sample but applied
+    the same way, and the explode → broadcast-join → re-agg never
+    shuffles the corpus itself. avg(ln p) is a float agg → 6dp."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("n"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+@register(
+    "train_val_test_split",
+    """
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4) < 'cccc'
+                    THEN 'train'
+                  WHEN substr(md5(doc_id::VARCHAR), 1, 4) < 'e666'
+                    THEN 'val'
+                  ELSE 'test' END AS split,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents)
+    SELECT lang, split, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM assigned GROUP BY lang, split
+    """,
+    survey_rows="L15,P2,A1",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: the first 4 hex
+    digits of md5(doc_id) partition the hash space at 0xcccc (80%) and
+    0xe666 (90%) — a pure string comparison, so the assignment is
+    identical in any engine, stable under re-runs, cluster size, and
+    data order, and a document can never leak between splits. Per
+    (lang, split) rollup proves balance. At 100 TB this is a scan-time
+    predicate: no shuffle, no state, no RNG seed to version."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(h < "cccc", "train").when(h < "e666", "val").otherwise("test")
+    )
+    return (
+        d.select(
+            "lang",
+            split.alias("split"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "mixture_sample",
+    """
+    WITH budgets AS (
+      SELECT source, n_tokens, doc_id, hkey,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY hkey, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+             CASE WHEN CAST(substr(source, 4) AS INT) < 10
+                  THEN 500 ELSE 250 END AS budget
+      FROM (SELECT source, doc_id, md5(doc_id::VARCHAR) AS hkey,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents))
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sampled_tokens,
+           CAST(max(budget) AS BIGINT) AS budget
+    FROM budgets WHERE cum - n_tokens < budget
+    GROUP BY source
+    """,
+    survey_rows="L16,W3,A1",
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture sampling: draw a per-source token budget (the
+    domain-weighting step of corpus assembly — e.g. upweight curated
+    sources, downweight crawl) by walking each source's documents in
+    md5-hash order and keeping documents until the budget is crossed.
+    Hash order makes the draw a deterministic uniform sample without an
+    RNG; the take-while is the same streaming-pack cumsum idiom as
+    pack_sequences (a doc straddling the budget line is kept — bounded
+    overflow). One shuffle (per-source window); budgets here are a CASE
+    over the source id standing in for a real mixture spec table, which
+    would broadcast-join instead. Token counts are integers — exact."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.select(
+        "source",
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("hkey"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    budget = F.when(
+        F.substring("source", 4, 10).cast("int") < 10, 500
+    ).otherwise(250)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("hkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = d.withColumn("cum", F.sum("n_tokens").over(w)).filter(
+        F.col("cum") - F.col("n_tokens") < budget
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sampled_tokens"),
+        F.max(budget).cast("long").alias("budget"),
     )

@@ -266,3 +266,93 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("value"), 6).alias("avg_value"),
     )
+
+
+@register(
+    "interp_linear_hourly",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, round(avg(value), 6) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    rng AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+    spine AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM rng),
+    j AS (SELECT spine.h, v FROM spine LEFT JOIN hourly USING (h)),
+    f AS (
+      SELECT h, v,
+        last_value(v IGNORE NULLS) OVER wp AS pv,
+        first_value(v IGNORE NULLS) OVER wn AS nv,
+        last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+          OVER wp AS ph,
+        first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+          OVER wn AS nh
+      FROM j
+      WINDOW wp AS (ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT epoch_us(h) AS hour_us,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv)
+                     * (CAST(epoch_us(h) - epoch_us(ph) AS DOUBLE)
+                        / CAST(epoch_us(nh) - epoch_us(ph) AS DOUBLE))
+           END AS value_interp,
+           v IS NOT NULL AS observed
+    FROM f
+    """,
+    survey_rows="ST8,W3,F2",
+)
+def interp_linear_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series linear interpolation: hourly purchase averages on a
+    dense hour spine, gaps filled by interpolating between the nearest
+    observed hours (edges extend the nearest value). The idiom is
+    spine → left join → last/first IGNORE NULLS both directions →
+    weighted blend; everything after the per-hour agg operates on
+    |hours| rows, not |events|, so the unpartitioned window is bounded
+    by the calendar, never the data (for per-key series, partition the
+    windows by the key). The hourly avg is rounded before interpolation
+    so both engines blend identical inputs; the blend itself is
+    deterministic IEEE arithmetic (µs deltas are exact integers)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
+    rng = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = rng.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    j = spine.join(hourly, "h", "left")
+    wp = Window.orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.orderBy("h").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    known_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    f = j.select(
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.last(known_h, ignorenulls=True).over(wp).alias("ph"),
+        F.first(known_h, ignorenulls=True).over(wn).alias("nh"),
+    )
+    frac = (
+        (F.unix_micros("h") - F.unix_micros("ph")).cast("double")
+        / (F.unix_micros("nh") - F.unix_micros("ph")).cast("double")
+    )
+    return f.select(
+        F.unix_micros("h").alias("hour_us"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        .alias("value_interp"),
+        F.col("v").isNotNull().alias("observed"),
+    )

@@ -163,3 +163,27 @@ def sql_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d
         """
     )
+
+
+_NOT_IN_SQL = """
+    SELECT c_mktsegment, count(*) AS n_never_partial
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderstatus = 'P')
+    GROUP BY c_mktsegment
+"""
+
+
+@register("sql_not_in_subquery", _NOT_IN_SQL, survey_rows="S4,J3")
+def sql_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery — identical SQL text on both engines. NOT IN is
+    NOT the same as an anti join: if the subquery produced even one NULL,
+    three-valued logic makes every row's predicate UNKNOWN and the result
+    is empty, so Spark plans a null-aware anti join
+    (BroadcastHashJoin ... LeftAnti, NULL-aware) rather than the plain
+    LeftAnti a NOT EXISTS would get. Here o_custkey is non-null so rows
+    survive — but the plan shape (and the trap) is the point. At scale
+    prefer NOT EXISTS unless NULL-propagating semantics are genuinely
+    wanted: the null-aware build side must be broadcast in one piece."""
+    register_views(spark, sf_dir)
+    return spark.sql(_NOT_IN_SQL)

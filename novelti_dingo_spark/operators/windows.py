@@ -187,3 +187,50 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.sum("value").over(w), 2).alias("sum_last_hour"),
     )
+
+
+@register(
+    "window_first_last_nth",
+    """
+    SELECT event_id, user_id,
+           first_value(good_value IGNORE NULLS) OVER w AS first_good,
+           last_value(good_value IGNORE NULLS)  OVER w AS last_good,
+           nth_value(good_value, 2 IGNORE NULLS) OVER w AS second_good
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_type <> 'error' THEN value END AS good_value
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    survey_rows="W2,F4",
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/F4: positional window values with NULL skipping — first, last,
+    and 2nd non-error reading per user. Two hazards this query pins down:
+    the frame must be explicitly unbounded BOTH ways (the default frame
+    stops at CURRENT ROW, silently making last_value ≡ current row), and
+    ignoreNulls must be engine-consistent (Spark's ignorenulls flag ==
+    SQL IGNORE NULLS). The whole-partition frame evaluates once per
+    partition, not per row — same single-shuffle cost as any per-user
+    window at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        good.alias("good_value"),
+    ).select(
+        "event_id",
+        "user_id",
+        F.first("good_value", ignorenulls=True).over(w).alias("first_good"),
+        F.last("good_value", ignorenulls=True).over(w).alias("last_good"),
+        F.nth_value("good_value", 2, ignoreNulls=True).over(w).alias(
+            "second_good"
+        ),
+    )

@@ -107,6 +107,46 @@ EXPECT = {
     "sql_lateral_top1": {"hash_join_not_nlj": True, "broadcast_joins": 1},
     "pii_redact": {"no_python_udf": True, "max_scan_cols": 2},
     "source_quality_rollup": {"partial_agg": True, "no_python_udf": True},
+    # round-2 TPC-H completion
+    "q2_min_cost_supplier": {"partial_agg": True, "broadcast_joins": 2,
+                             "no_python_udf": True},
+    "q9_product_profit": {"partial_agg": True, "broadcast_joins": 3,
+                          "no_python_udf": True},
+    "q11_important_stock": {"partial_agg": True, "broadcast_joins": 2,
+                            "no_python_udf": True},
+    "q12_priority_class": {"pushed_filters": True, "partial_agg": True,
+                           "max_scan_cols": 3},
+    "q13_order_distribution": {"partial_agg": True, "no_python_udf": True},
+    "q20_excess_inventory": {"pushed_filters": True, "partial_agg": True,
+                             "broadcast_joins": 2},
+    "q21_waiting_supplier": {"pushed_filters": True, "broadcast_joins": 2,
+                             "partial_agg": True},
+    # training-data prep: chunk/pack stay JVM-side; chunking must not
+    # shuffle at all, packing shuffles once (per-shard window + agg reuse
+    # the same partitioning)
+    "chunk_documents": {"no_python_udf": True, "max_exchanges": 0,
+                        "max_scan_cols": 2},
+    "pack_sequences": {"no_python_udf": True, "single_shuffle": True,
+                       "max_scan_cols": 3},
+    # the 1-row query side arrives via broadcast crossJoin — planned as a
+    # BroadcastNestedLoopJoin (no equi keys to hash on), which is the
+    # right shape: corpus never moves, never a CartesianProduct
+    "knn_quantized_top10": {"no_python_udf": True, "take_ordered": True},
+    # whole-partition frame still = one shuffle on user_id
+    "window_first_last_nth": {"single_shuffle": True, "no_python_udf": True,
+                              "max_scan_cols": 5},
+    # NOT IN must plan the null-aware anti join, never a cartesian
+    "sql_not_in_subquery": {"hash_join_not_nlj": True, "partial_agg": True},
+    # post-agg windows operate on the |hours| spine, events scan pruned
+    "interp_linear_hourly": {"pushed_filters": True, "partial_agg": True,
+                             "max_scan_cols": 3, "no_python_udf": True},
+    # LM build + rescore: vocab/total broadcast back, corpus never shuffles
+    "lm_quality_score": {"broadcast_joins": 1, "partial_agg": True,
+                         "no_python_udf": True, "max_scan_cols": 2},
+    "train_val_test_split": {"partial_agg": True, "no_python_udf": True,
+                             "max_scan_cols": 3},
+    "mixture_sample": {"single_shuffle": True, "no_python_udf": True,
+                       "max_scan_cols": 3},
 }
 
 
