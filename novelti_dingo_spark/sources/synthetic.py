@@ -1,0 +1,183 @@
+"""Custom connector via the Python DataSource API (Spark 4): a
+deterministic synthetic-events source with real partition parallelism
+and filter pushdown (SURVEY.md §2 row S6).
+
+Why this exists: an analytics engine needs an extensible connector
+surface, not just file formats. The Python DataSource API is Spark's
+sanctioned way to add one — the planner calls `partitions()` once,
+ships each `InputPartition` to an executor, and runs `read(partition)`
+there, so a source written this way scales exactly like a parquet scan:
+N partitions → N parallel tasks, no driver bottleneck. `pushFilters`
+lets the source drop rows before they ever enter the DataFrame (here:
+event_type equality and event_id range filters are applied inside the
+generator, and Spark re-applies nothing it was told is handled).
+
+Everything is hash-deterministic (splitmix64 finalizer on the event id)
+— no RNG object whose state would depend on partitioning — so the same
+(rows, partitions) options produce byte-identical data on any cluster
+layout, which is what makes the source usable for reproducible load
+tests and CI.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+_EPOCH_US = 820_454_400_000_000  # 1996-01-01 UTC
+_MASK = (1 << 64) - 1
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("user_id", LongType(), False),
+        StructField("event_type", StringType(), False),
+        StructField("value", DoubleType(), False),
+    ]
+)
+
+
+def _mix(x: int) -> int:
+    """splitmix64 finalizer — a public-domain integer hash."""
+    x = (x + 0x9E3779B97F4A7C15) & _MASK
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _MASK
+    return x ^ (x >> 31)
+
+
+@dataclass
+class _RangePartition(InputPartition):
+    start: int
+    end: int
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.num_partitions = int(options.get("partitions", 4))
+        self.seed = int(options.get("seed", 0))
+        self.type_eq: str | None = None
+        self.id_lo = 0
+        self.id_hi = self.rows  # exclusive
+
+    def pushFilters(self, filters):
+        # Called once per query plan — but the reader INSTANCE can be
+        # shared by every query derived from the same DataFrame, so a
+        # pushed filter from one query would silently constrain the next
+        # (observed: count() after planning a filtered sibling returned
+        # the filtered count). Reset to the unfiltered baseline before
+        # applying this plan's filters.
+        self.type_eq = None
+        self.id_lo = 0
+        self.id_hi = self.rows
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("event_type",):
+                self.type_eq = f.value
+            elif isinstance(f, GreaterThan) and f.attribute == ("event_id",):
+                self.id_lo = max(self.id_lo, f.value + 1)
+            elif isinstance(f, GreaterThanOrEqual) and f.attribute == (
+                "event_id",
+            ):
+                self.id_lo = max(self.id_lo, f.value)
+            elif isinstance(f, LessThan) and f.attribute == ("event_id",):
+                self.id_hi = min(self.id_hi, f.value)
+            elif isinstance(f, LessThanOrEqual) and f.attribute == (
+                "event_id",
+            ):
+                self.id_hi = min(self.id_hi, f.value + 1)
+            else:
+                yield f  # not handled — Spark keeps evaluating it
+
+    def partitions(self):
+        span = max(self.id_hi - self.id_lo, 0)
+        n = max(min(self.num_partitions, span), 1)
+        step = -(-span // n) if span else 1
+        return [
+            _RangePartition(
+                self.id_lo + i * step,
+                min(self.id_lo + (i + 1) * step, self.id_hi),
+            )
+            for i in range(n)
+        ]
+
+    def read(self, partition: _RangePartition):
+        import datetime
+
+        tz = datetime.timezone.utc
+        for i in range(partition.start, partition.end):
+            h = _mix(i ^ self.seed)
+            etype = EVENT_TYPES[h % 5]
+            if self.type_eq is not None and etype != self.type_eq:
+                continue
+            ts = datetime.datetime.fromtimestamp(
+                (_EPOCH_US + (h >> 3) % (365 * 86_400_000_000)) / 1e6, tz
+            ).replace(tzinfo=None)
+            yield (
+                i,
+                ts,
+                (h >> 32) % 1000,
+                etype,
+                round((h % 100_000) / 100.0, 2),
+            )
+
+
+class SyntheticEventsSource(DataSource):
+    """`spark.read.format("synthetic_events").option("rows", N)` source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> StructType:
+        return SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return SyntheticEventsReader(self.options)
+
+
+def register_synthetic_source(spark) -> None:
+    """Idempotently register the connector on a session."""
+    # opt-in: Spark refuses to plan a pushFilters() reader without it
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SyntheticEventsSource)
+
+
+def read_synthetic(spark, rows: int, partitions: int = 4, seed: int = 0):
+    """Fresh-relation read — USE THIS, not a shared `load()` result.
+
+    The Python DataSource wrapper instantiates ONE reader per relation
+    and `pushFilters` is only invoked for plans that have filters, so two
+    queries derived from the same loaded DataFrame share pushdown state:
+    after planning a filtered sibling, an unfiltered `count()` on the
+    shared relation would see the filtered rows (observed, and why this
+    helper exists). A fresh `load()` per query gives each plan its own
+    reader, restoring the per-query pushdown scoping that native DSv2
+    sources get from per-scan ScanBuilders."""
+    register_synthetic_source(spark)
+    return (
+        spark.read.format("synthetic_events")
+        .option("rows", rows)
+        .option("partitions", partitions)
+        .option("seed", seed)
+        .load()
+    )
