@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
     DoubleType,
@@ -141,8 +142,46 @@ class SyntheticEventsReader(DataSourceReader):
             )
 
 
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same generator: the offset is simply the
+    next event_id, so replay is trivially deterministic — `read(start)`
+    advances by `rows_per_batch` ids per micro-batch (capped at `rows`),
+    and `readBetweenOffsets` (crash-recovery re-read) regenerates the
+    identical rows from the hash, giving exactly-once output with no
+    source-side buffering. This is the shape of any replayable cursor
+    source (Kafka offset, log sequence number): commit() has nothing to
+    do precisely because the data is addressable by offset."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.per_batch = int(options.get("rows_per_batch", 100))
+        self.seed = int(options.get("seed", 0))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + self.per_batch, self.rows)
+        # a LIST, not a generator: the wrapper prefetches on the driver
+        # and pickles the records out to executors
+        return list(self._gen(lo, hi)), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(self._gen(start["next"], end["next"]))
+
+    def _gen(self, lo: int, hi: int):
+        part = _RangePartition(lo, hi)
+        # reuse the batch generator so batch ≡ stream row-for-row
+        batch = SyntheticEventsReader(
+            {"rows": str(self.rows), "seed": str(self.seed)}
+        )
+        yield from batch.read(part)
+
+
 class SyntheticEventsSource(DataSource):
-    """`spark.read.format("synthetic_events").option("rows", N)` source."""
+    """`spark.read.format("synthetic_events").option("rows", N)` source;
+    also streamable: `spark.readStream.format("synthetic_events")`."""
 
     @classmethod
     def name(cls) -> str:
@@ -153,6 +192,9 @@ class SyntheticEventsSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType):
+        return SyntheticEventsStreamReader(self.options)
 
 
 def register_synthetic_source(spark) -> None:
