@@ -76,3 +76,67 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+)
+
+
+class RunningStatsProcessor(StatefulProcessor):
+    """StatefulProcessor for transformWithStateInPandas — Spark 4's
+    successor to applyInPandasWithState. Differences that matter at
+    scale: state is TYPED and COMPOSABLE (named ValueState/ListState/
+    MapState handles instead of one tuple row, each a separate state-store
+    column family), timers replace the single timeout conf, and the
+    processor object makes init/close explicit. Same physics as the
+    legacy API: state partitioned by key across executors, O(distinct
+    keys) memory, RocksDB-backed on a cluster."""
+
+    def init(self, handle) -> None:
+        self._stats = handle.getValueState("stats", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n, total, max_ts = (
+            self._stats.get() if self._stats.exists() else (0, 0.0, 0)
+        )
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            ts_us = (pdf["ts"].astype("int64") // 1000).max()
+            max_ts = max(max_ts, int(ts_us))
+        self._stats.update((n, total, max_ts))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [round(total, 2)],
+                "last_ts_us": [max_ts],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """`running_user_stats` re-expressed on transformWithStateInPandas.
+    Semantically identical to the applyInPandasWithState form; kept
+    side-by-side because the new API is where timers/TTL and multi-state
+    operators land. Deployment requirements (why its parity test is
+    environment-gated): the state protocol needs `google.protobuf`
+    (absent from this container), and the operator only runs on the
+    RocksDB state store provider
+    (`spark.sql.streaming.stateStore.providerClass=...RocksDBStateStoreProvider`)."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningStatsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

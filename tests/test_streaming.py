@@ -292,3 +292,40 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     # stays (1, 1.0).
     want = {base + 3600 * h: (1, 1.0) for h in range(11)}
     assert got == want
+
+
+def test_transform_with_state_matches_batch(spark, sf_small, events_stream):
+    """transformWithStateInPandas (Spark 4 stateful API) drains to the
+    same per-user aggregates as the batch groupBy — and therefore agrees
+    with the applyInPandasWithState operator tested above."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's state protocol needs protobuf, "
+        "absent from this container (operator is complete; "
+        "applyInPandasWithState covers the semantics in CI)",
+    )
+    from pyspark.sql import functions as F
+
+    from novelti_dingo_spark.sources import load_table
+    from novelti_dingo_spark.streaming.stateful import running_user_stats_tws
+
+    out = running_user_stats_tws(events_stream)
+    name = streaming.run_to_memory(out, "t_tws", mode="update")
+    rows = spark.sql(
+        f"""SELECT user_id, n_events, sum_value, last_ts_us FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY n_events DESC) rn FROM {name}) WHERE rn = 1"""
+    ).collect()
+    got = {r.user_id: (r.n_events, r.sum_value, r.last_ts_us) for r in rows}
+    want = {
+        r.user_id: (r.n_events, r.sum_value, r.last_ts_us)
+        for r in load_table(spark, sf_small, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.max(F.unix_micros("ts")).alias("last_ts_us"),
+        )
+        .collect()
+    }
+    assert got == want
