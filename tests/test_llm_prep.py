@@ -103,3 +103,87 @@ def test_quantized_knn_tracks_exact_knn(spark, sf_small):
     if not exact and not quant:
         return  # corpus without vec 0 — both empty is consistent
     assert len(exact & quant) >= 7
+
+
+def test_chunk_pack_properties_random_corpora(spark):
+    """Hypothesis-style randomized invariants for chunking and packing
+    over generated corpora (fixed seeds — each example is a Spark job):
+    chunk reconstruction is lossless and packing partitions the corpus
+    for any token-length distribution, including 1-token docs."""
+    import random
+
+    from pyspark.sql import Window
+
+    for seed in (7, 1234, 999_999):
+        rng = random.Random(seed)
+        docs = [
+            (
+                i,
+                " ".join(
+                    f"t{rng.randrange(50)}"
+                    for _ in range(rng.choice([1, 2, 5, 19, 20, 21, 35, 80]))
+                ),
+                f"s{rng.randrange(3)}",
+            )
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+        df.createOrReplaceTempView("rand_docs")
+
+        # chunking: rebuild every document from stride-prefixes
+        from novelti_dingo_spark.operators.llm_prep import (
+            CHUNK_STRIDE,
+            CHUNK_TOKENS,
+            PACK_BUDGET,
+        )
+
+        toks = F.split("text", " ")
+        idx = F.sequence(
+            F.lit(0),
+            F.floor((F.size(toks) - 1) / CHUNK_STRIDE).cast("int"),
+        )
+        chunks = df.select(
+            "doc_id", toks.alias("toks"), F.explode(idx).alias("cid")
+        ).select(
+            "doc_id",
+            "cid",
+            F.array_join(
+                F.slice(F.col("toks"), F.col("cid") * CHUNK_STRIDE + 1, CHUNK_TOKENS),
+                " ",
+            ).alias("chunk_text"),
+        )
+        prefix = F.slice(F.split("chunk_text", " "), 1, CHUNK_STRIDE)
+        rebuilt = (
+            chunks.withColumn("p", F.array_join(prefix, " "))
+            .groupBy("doc_id")
+            .agg(
+                F.array_join(
+                    F.array_sort(F.collect_list(F.struct("cid", "p"))).p, " "
+                ).alias("rebuilt")
+            )
+        )
+        bad = (
+            df.join(rebuilt, "doc_id")
+            .filter(F.col("text") != F.col("rebuilt"))
+            .count()
+        )
+        assert bad == 0, f"seed {seed}: chunk reconstruction lost tokens"
+
+        # packing: bins partition tokens; overflow bounded by max doc
+        d = df.select(
+            "doc_id", "source", F.size(F.split("text", " ")).alias("n")
+        )
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        packed = d.withColumn(
+            "bin", F.floor((F.sum("n").over(w) - F.col("n")) / PACK_BUDGET)
+        )
+        bins = packed.groupBy("source", "bin").agg(F.sum("n").alias("tot"))
+        max_doc = d.agg(F.max("n")).head()[0]
+        assert bins.filter(F.col("tot") >= PACK_BUDGET + max_doc).count() == 0
+        assert (
+            bins.agg(F.sum("tot")).head()[0] == d.agg(F.sum("n")).head()[0]
+        )
