@@ -42,31 +42,30 @@ _DOT_SQL = "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
 def knn_bruteforce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3: exact top-10 cosine neighbors of vector 0 — the query vector is
     fetched once at plan-build time (it's the query PARAMETER, a 1×64
-    lookup, exactly what a serving path receives) and inlined into the
-    scoring expression as literals: sum_i embedding[i]*q_i, 64 codegen'd
-    multiply-adds per row. One scan, zero joins/exchanges,
-    TakeOrderedAndProject for the top-k.
+    lookup, exactly what a serving path receives) and inlined as a
+    literal array; the score is aggregate(zip_with(emb, q, *), +) — one
+    interpreted HOF pass over the zipped pair. One scan, zero
+    joins/exchanges, TakeOrderedAndProject for the top-k.
 
-    Why this shape (measured at sf0.1, prebuilt-plan median):
-    - aggregate(zip_with(...)) HOF dot over a broadcast-joined query row:
-      interpreted, never enters whole-stage codegen → 109 ms
-    - the same HOF against a literal query array (no join): 93 ms
-    - broadcast-join + unrolled element_at on both columns: 137 ms
-    - Arrow mapInPandas GEMV: Python worker round-trip dominates at this
-      corpus size → ~165 ms
-    - literal-inlined getItem scan (this): 75 ms, of which ~31 ms is the
-      local-mode job floor
-    getItem (GetArrayItem) beats element_at here: no ANSI error branch
-    per access, and float×double-literal promotes without an explicit
-    cast node, keeping the serialized expression tree smaller. The
-    crossover: for corpora where per-partition row counts are large, the
-    Arrow-batched numpy GEMM (see embedding_neardup_cosine) wins —
+    Why this shape (measured at sf0.1 under bench conditions — AQE off,
+    8 shuffle partitions, warmed session, median of 9; the job floor is
+    ~29 ms = the same session's scan-count() time):
+    - HOF dot vs literal array (this): 49 ms
+    - 64 unrolled getItem*literal multiply-adds: 69 ms — codegen'd, but
+      the 64-term expression tree costs more per row than the HOF's
+      single zipped loop at this width
+    - HOF dot against a broadcast-joined query row: ~109 ms
+    - broadcast-join + unrolled element_at on both columns: ~137 ms
+    - Arrow mapInPandas GEMV: worker round-trip dominates → ~165 ms
+    The crossover: for corpora where per-partition row counts are large,
+    the Arrow-batched numpy GEMM (see embedding_neardup_cosine) wins —
     transfer amortizes and BLAS beats per-row eval. For a single query
-    vector the inlined scan is optimal: it streams, keeps
-    predicate/column pruning, and is embarrassingly parallel."""
-    import functools
-    import operator
+    vector the literal-array scan is optimal: it streams, keeps
+    predicate/column pruning, and is embarrassingly parallel.
 
+    IEEE note: the HOF accumulates left-to-right from 0.0 exactly like
+    the unrolled `+` chain, so the switch is bit-identical (oracle hash
+    unchanged)."""
     e = load_table(spark, sf_dir, "embeddings")
     qrow = e.filter(F.col("vec_id") == 0).select("embedding").head()
     if qrow is None:
@@ -75,10 +74,13 @@ def knn_bruteforce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "label", F.lit(0.0).alias("cos_sim")
         )
     qv = qrow[0]
-    emb = F.col("embedding")
-    score = functools.reduce(
-        operator.add,
-        [emb.getItem(i) * float(qv[i]) for i in range(len(qv))],
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    score = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"), qlit, lambda a, b: a * b
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     return (
         e.filter(F.col("vec_id") != 0)
