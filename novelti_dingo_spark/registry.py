@@ -70,6 +70,7 @@ def _load_all() -> None:
         sql_entry,
         analytics,
         typed,
+        interval,
     )
 
     _LOADED = True

@@ -120,6 +120,29 @@ def test_stream_stream_join_matches_batch(spark, sf_small, events_stream):
     assert got, "expected at least one purchase with a recent click"
 
 
+def test_stream_stream_join_matches_oracle_checked_query(
+    spark, sf_small, events_stream
+):
+    """Full evidence chain: the streaming interval join at a 1-hour
+    horizon emits exactly the tuples of the DuckDB-oracle-checked batch
+    query `interval_join_pairs` — stream ≡ batch ≡ oracle."""
+    from novelti_dingo_spark.operators.interval import interval_join_pairs
+    from novelti_dingo_spark.streaming.events import purchases_with_recent_click
+
+    out = purchases_with_recent_click(events_stream, horizon="1 hour")
+    name = streaming.run_to_memory(out, "t_ssjoin_oracle", mode="append")
+    got = {
+        (r.purchase_id, r.click_id, r.user_id, r.purchase_ts_us, r.click_ts_us)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        (r.purchase_id, r.click_id, r.user_id, r.purchase_ts_us, r.click_ts_us)
+        for r in interval_join_pairs(spark, sf_small).collect()
+    }
+    assert got == want
+    assert got, "expected at least one joined pair at the 1h horizon"
+
+
 def test_stream_static_enrichment(spark, sf_small, events_stream):
     from novelti_dingo_spark.sources import load_table
     from novelti_dingo_spark.streaming.events import enrich_with_customer
