@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..functions.text_funcs import (
     SHINGLE5_MD5_SQL,
     shingle_md5s,
+    shingles,
     token_bigrams,
     tokens,
 )
@@ -500,4 +501,71 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+@register(
+    "boilerplate_shingle_coverage",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS s
+      FROM toks, LATERAL unnest(generate_series(1, len(t) - 7)) AS g(i)
+      WHERE len(t) >= 8
+    ), freq AS (
+      SELECT s, count(DISTINCT doc_id) AS nd FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           count(*)                                              AS n_shingles,
+           sum(CASE WHEN freq.nd >= 3 THEN 1 ELSE 0 END)         AS n_boilerplate,
+           (sum(CASE WHEN freq.nd >= 3 THEN 1 ELSE 0 END)
+              * 1000000) // count(*)                             AS boilerplate_ppm
+    FROM sh JOIN freq ON sh.s = freq.s
+    GROUP BY sh.doc_id
+    """,
+    survey_rows="L18,F5,A1",
+)
+def boilerplate_shingle_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L18: duplicated-span (boilerplate) detection, the C4/Gopher-style
+    cross-document span dedup: an 8-token shingle occurring in >= 3
+    distinct documents is boilerplate; each document reports how many of
+    its shingle positions are covered by such spans, as parts-per-million
+    in pure integer arithmetic (no float rounding hazard between engines).
+
+    Scale shape: the explode is linear (one row per token position, not
+    per pair); the global shingle-frequency agg is a partial-aggregable
+    groupBy whose key is the shingle string — at real corpus scale, group
+    on xxhash64(shingle) instead so the shuffle carries an 8-byte key
+    (same trick as exact_dedup_docs' md5 key; kept as the raw string here
+    only because the DuckDB oracle must group on an identical key). The
+    re-join of shingles to frequencies is a self-equi-join on the same
+    key, so both sides share one shuffle partitioning; the final per-doc
+    rollup groups on doc_id. No step is quadratic in corpus size, unlike
+    pairwise near-dup — this is the operator you run FIRST at 100 TB to
+    strip boilerplate before MinHash."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    sh = (
+        d.filter(F.size(toks) >= 8)
+        .select(
+            "doc_id",
+            F.posexplode(shingles("text", k=8)).alias("i", "s"),
+        )
+    )
+    freq = sh.groupBy("s").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    boiler = F.sum(F.when(F.col("nd") >= 3, 1).otherwise(0))
+    return (
+        sh.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            boiler.alias("n_boilerplate"),
+            F.expr(
+                "(sum(CASE WHEN nd >= 3 THEN 1 ELSE 0 END) * 1000000)"
+                " div count(1)"
+            ).alias("boilerplate_ppm"),
+        )
     )
