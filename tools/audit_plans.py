@@ -147,6 +147,20 @@ EXPECT = {
                              "max_scan_cols": 3},
     "mixture_sample": {"single_shuffle": True, "no_python_udf": True,
                        "max_scan_cols": 3},
+    # binned interval join: the range condition must ride as a residual on
+    # a hash join keyed (user_id, bin) — never a nested-loop range probe
+    "interval_join_clicks_before_purchase": {
+        "hash_join_not_nlj": True, "partial_agg": True,
+        "no_python_udf": True, "max_scan_cols": 4,
+    },
+    "interval_join_pairs": {"hash_join_not_nlj": True, "pushed_filters": True,
+                            "no_python_udf": True, "max_scan_cols": 4},
+    # linear span dedup: shingle freq agg is two-phase; freq→shingle
+    # re-join and per-doc rollup are hash ops, corpus scan reads 2 cols
+    "boilerplate_shingle_coverage": {
+        "partial_agg": True, "hash_join_not_nlj": True,
+        "no_python_udf": True, "max_scan_cols": 2,
+    },
 }
 
 
