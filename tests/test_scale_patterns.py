@@ -112,3 +112,50 @@ def test_partitioned_table_prunes_partitions(spark, sf_small):
     )[1].split("]")[0], plan
     want = o.filter(F.col("o_orderpriority") == "1-URGENT").count()
     assert q.count() == want
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_small):
+    """Runtime bloom-filter join pruning (the 100 TB fact-scan saver):
+    when a selective filter sits on one side of a shuffle join, Spark
+    seeds a bloom filter from that side and applies it to the other
+    side's scan, skipping fact rows that cannot join BEFORE the shuffle.
+    Off at defaults here only because local testdata is below the size
+    thresholds — this test lowers them and pins (a) the filter is
+    actually injected and (b) results are identical to the plain join."""
+    o = load_table(spark, sf_small, "orders")
+    li = load_table(spark, sf_small, "lineitem")
+
+    def run():
+        sel = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey).groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+        )
+        return j
+
+    baseline = run().collect()[0]
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        df = run()
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized, (
+            "runtime bloom filter was not injected:\n" + optimized
+        )
+        got = df.collect()[0]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert got == baseline
