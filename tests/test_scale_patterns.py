@@ -159,3 +159,33 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_small):
             else:
                 spark.conf.set(k, v)
     assert got == baseline
+
+
+def test_dynamic_partition_pruning_on_join(spark, sf_small):
+    """Dynamic partition pruning: joining a partitioned fact table on its
+    partition column with a FILTERED dim makes Spark compute the
+    surviving partition set at runtime (from the dim side's broadcast)
+    and skip the other partitions' files entirely — the partition-level
+    sibling of the bloom-filter row pruning above. The plan carries a
+    `dynamicpruning` subquery in the fact scan's PartitionFilters."""
+    import shutil
+
+    from novelti_dingo_spark.plans import explain_formatted
+    from novelti_dingo_spark.sources.catalog import save_partitioned
+
+    spark.sql("DROP TABLE IF EXISTS dpp_orders")
+    shutil.rmtree("/tmp/ndspark-warehouse/dpp_orders", ignore_errors=True)
+    o = load_table(spark, sf_small, "orders")
+    save_partitioned(o, "dpp_orders", ["o_orderpriority"])
+
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("5-LOW", 5)], "prio string, rank int"
+    ).filter(F.col("rank") == 1)
+    fact = spark.table("dpp_orders")
+    q = fact.join(dim, fact.o_orderpriority == dim.prio).groupBy().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = explain_formatted(q)
+    assert "dynamicpruning" in plan, plan
+    want = o.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert q.collect()[0].n == want
