@@ -129,3 +129,43 @@ def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(clicked, F.lit(1))).alias("n_then_click"),
         F.count(F.when(purchased, F.lit(1))).alias("n_then_purchase"),
     )
+
+
+@register(
+    "percentile_exact_quartiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5)  AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           quantile_disc(l_quantity, 0.5)  AS med_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey_rows="A8,A1",
+)
+def percentile_exact_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: EXACT quantiles (vs A3's approx sketch) — linear-interpolated
+    quartiles plus the discrete median, per return flag.
+
+    Both engines interpolate as a + f*(b-a) with f ∈ {0, .25, .5, .75}
+    over integer-valued quantities ≤ 50, so every intermediate is exact
+    in binary double and the hash match is bit-level, no rounding needed.
+
+    Scale note: exact percentile requires a per-group sort of the values
+    — Spark's `percentile` buffers the group into a sorted structure, so
+    memory is O(distinct values) per group after partial aggregation
+    merges counts (quantity has ≤ 50 distinct values here, trivially
+    small). For unbounded-cardinality columns at 100 TB, this operator is
+    the wrong tool by construction — use approx_percentile (A3, constant
+    memory, rsd-bounded) and keep exact quantiles for bounded-domain
+    columns; that split is the documented guidance, not a limitation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("q50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)"
+        ).alias("med_disc"),
+    )
