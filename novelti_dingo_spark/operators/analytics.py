@@ -169,3 +169,68 @@ def percentile_exact_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)"
         ).alias("med_disc"),
     )
+
+
+@register(
+    "column_profile",
+    """
+    SELECT 'o_totalprice' AS col, count(*) AS n,
+           count(*) - count(o_totalprice) AS n_null,
+           count(DISTINCT o_totalprice) AS n_distinct,
+           round(min(o_totalprice), 2) AS min_d,
+           round(max(o_totalprice), 2) AS max_d
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*),
+           count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           round(min(o_custkey), 2), round(max(o_custkey), 2)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority|len', count(*),
+           count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           round(min(length(o_orderpriority)), 2),
+           round(max(length(o_orderpriority)), 2)
+    FROM orders
+    """,
+    survey_rows="Q1,A5,A2",
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: ANALYZE-style column profiling — rowcount, null count, exact
+    distinct count, min/max (string columns profiled by value length so
+    the output stays numeric and engine-portable) as one row per column.
+
+    Single pass: all per-column aggregates run in ONE scan/agg (Spark
+    plans the multi-distinct via Expand — one extra shuffle, never one
+    scan per column like the naive UNION the oracle spells for clarity).
+    At 100 TB swap exact distinct for approx_count_distinct (A3) — same
+    plan minus the Expand; the profile is how table stats for CBO and
+    layout decisions (Z-order column choice, S7) get gathered."""
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias("tp_null"),
+        F.count_distinct("o_totalprice").alias("tp_distinct"),
+        F.round(F.min("o_totalprice"), 2).alias("tp_min"),
+        F.round(F.max("o_totalprice"), 2).alias("tp_max"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("ck_null"),
+        F.count_distinct("o_custkey").alias("ck_distinct"),
+        F.round(F.min("o_custkey").cast("double"), 2).alias("ck_min"),
+        F.round(F.max("o_custkey").cast("double"), 2).alias("ck_max"),
+        F.sum(F.col("o_orderpriority").isNull().cast("long")).alias("op_null"),
+        F.count_distinct("o_orderpriority").alias("op_distinct"),
+        F.round(F.min(F.length("o_orderpriority")).cast("double"), 2).alias(
+            "op_min"
+        ),
+        F.round(F.max(F.length("o_orderpriority")).cast("double"), 2).alias(
+            "op_max"
+        ),
+    )
+    return row.selectExpr(
+        """stack(3,
+             'o_totalprice',        n, tp_null, tp_distinct, tp_min, tp_max,
+             'o_custkey',           n, ck_null, ck_distinct, ck_min, ck_max,
+             'o_orderpriority|len', n, op_null, op_distinct, op_min, op_max
+           ) AS (col, n, n_null, n_distinct, min_d, max_d)"""
+    )

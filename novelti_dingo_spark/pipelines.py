@@ -374,6 +374,40 @@ def publish_versioned(
     return version
 
 
+def vacuum_versions(
+    spark: SparkSession, base_dir: str, keep_last: int = 2
+) -> list[int]:
+    """Retention for the versioned lake: delete all but the newest
+    `keep_last` versions, never the one LATEST points to (a pinned-older
+    LATEST — e.g. after a rollback — is protected even if it falls
+    outside the keep window). Returns the deleted version numbers.
+
+    Deletion order is oldest-first and the LATEST pointer is never
+    touched, so a crash mid-vacuum leaves a smaller but fully consistent
+    store — every surviving version is complete, LATEST still resolves.
+    All I/O via the Hadoop FileSystem API (object-store safe)."""
+    from .sources import lakefs
+
+    base = base_dir.rstrip("/")
+    versions = sorted(
+        int(name.split("=")[1])
+        for name in lakefs.listdir(spark, base)
+        if name.startswith("v=") and name.split("=")[1].isdigit()
+    )
+    pinned = None
+    if lakefs.exists(spark, f"{base}/LATEST"):
+        pinned = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
+    keep = set(versions[-keep_last:]) if keep_last > 0 else set()
+    if pinned is not None:
+        keep.add(pinned)
+    deleted = []
+    for v in versions:
+        if v not in keep:
+            lakefs.delete(spark, f"{base}/v={v}")
+            deleted.append(v)
+    return deleted
+
+
 def read_version(spark: SparkSession, base_dir: str, version: int | None = None):
     """Read a pinned dataset version, or LATEST when version is None.
     Returns (DataFrame, manifest dict)."""

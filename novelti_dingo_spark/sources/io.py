@@ -77,6 +77,40 @@ def read_json(spark: SparkSession, path: str, schema: StructType, **options) -> 
     return spark.read.options(**opts).schema(schema).json(path)
 
 
+def read_json_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    quarantine_dir: str | None = None,
+    **options,
+) -> DataFrame:
+    """S2 (lenient path): JSON-lines ingest that SPLITS instead of failing
+    — well-formed rows come back typed, malformed lines land in a
+    quarantine sink (as raw text, for later repair/replay) rather than
+    aborting a 100 TB job for one bad byte like FAILFAST, or silently
+    nulling fields like bare PERMISSIVE.
+
+    PERMISSIVE mode with `columnNameOfCorruptRecord` tags unparseable
+    lines in one pass; the two output legs share the scan. Quarantine
+    rows are written as text (one raw line each) so nothing about the
+    malformation is lost."""
+    corrupt = "_corrupt_record"
+    from pyspark.sql.types import StringType, StructField
+
+    # fresh StructType — StructType.add mutates in place, and the caller's
+    # schema (often a shared module constant) must not grow a corrupt col
+    full = StructType(list(schema.fields) + [StructField(corrupt, StringType())])
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt, **options}
+    df = spark.read.options(**opts).schema(full).json(path)
+    # Spark requires cache/materialization before filtering on the
+    # corrupt-record column (it is populated at parse time, not re-derivable)
+    df = df.cache()
+    bad = df.filter(F.col(corrupt).isNotNull()).select(corrupt)
+    if quarantine_dir is not None and bad.limit(1).count() > 0:
+        bad.write.mode("append").text(quarantine_dir)
+    return df.filter(F.col(corrupt).isNull()).drop(corrupt)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

@@ -109,3 +109,33 @@ def test_queries_survive_foreign_session(spark, sf_small):
     e = load_table(s2, sf_small, "events")
     assert dict(e.dtypes)["ts"] == "timestamp"
     assert e.count() == 1000
+
+
+def test_json_quarantine_splits_good_and_bad(spark, tmp_path):
+    """Lenient ingest: good lines parse typed, malformed lines go to the
+    quarantine sink verbatim, nothing aborts."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from novelti_dingo_spark.sources.io import read_json_quarantine
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"id": 1, "name": "ok"}\n'
+        '{"id": "NOT_A_NUMBER", "name": "bad-type"}\n'
+        '{"id": 3, "name": "also ok"}\n'
+        "{this is not json at all\n"
+    )
+    qdir = str(tmp_path / "quarantine")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    good = read_json_quarantine(spark, str(src), schema, quarantine_dir=qdir)
+    assert sorted((r.id, r.name) for r in good.collect()) == [
+        (1, "ok"),
+        (3, "also ok"),
+    ]
+    bad_lines = {r.value for r in spark.read.text(qdir).collect()}
+    assert len(bad_lines) == 2
+    assert any("NOT_A_NUMBER" in x for x in bad_lines)
+    assert any("not json at all" in x for x in bad_lines)

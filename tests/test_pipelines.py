@@ -241,3 +241,29 @@ def test_replace_text_atomic_pointer(spark, tmp_path):
         lakefs.replace_text(spark, ptr, v)
         assert lakefs.read_text(spark, ptr) == v
     assert not lakefs.exists(spark, ptr + ".tmp")
+
+
+def test_vacuum_versions_respects_retention_and_pin(spark, sf_small, tmp_path):
+    """vacuum keeps the newest N versions plus whatever LATEST pins,
+    deletes the rest, and surviving versions stay fully readable."""
+    from novelti_dingo_spark.pipelines import (
+        publish_versioned,
+        read_version,
+        vacuum_versions,
+    )
+    from novelti_dingo_spark.sources import lakefs
+
+    base = str(tmp_path / "vds")
+    r = load_table(spark, sf_small, "region")
+    for i in range(4):
+        publish_versioned(r.limit(i + 1), base)
+
+    # roll LATEST back to v2, then vacuum keeping only the newest 1
+    lakefs.replace_text(spark, f"{base}/LATEST", "2")
+    deleted = vacuum_versions(spark, base, keep_last=1)
+    assert deleted == [1, 3]  # v4 kept by retention, v2 kept by the pin
+    df, manifest = read_version(spark, base)  # follows LATEST -> v2
+    assert manifest["version"] == 2 and df.count() == 2
+    df4, _ = read_version(spark, base, version=4)
+    assert df4.count() == 4
+    assert not lakefs.exists(spark, f"{base}/v=1")
