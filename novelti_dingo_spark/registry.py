@@ -71,6 +71,7 @@ def _load_all() -> None:
         analytics,
         typed,
         interval,
+        pca,
     )
 
     _LOADED = True
