@@ -189,3 +189,76 @@ def test_dynamic_partition_pruning_on_join(spark, sf_small):
     assert "dynamicpruning" in plan, plan
     want = o.filter(F.col("o_orderpriority") == "1-URGENT").count()
     assert q.collect()[0].n == want
+
+
+def test_exchange_reuse_for_shared_subplan(spark, sf_small):
+    """Self-union of two aggregates over the same shuffled base: Spark
+    plans ONE exchange and a ReusedExchange for the second branch — at
+    100 TB the dominant shuffle is paid once, not per branch."""
+    from novelti_dingo_spark.plans import explain_formatted
+
+    li = load_table(spark, sf_small, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.round(F.sum("l_quantity"), 2).alias("q")
+    )
+    hi = per_order.filter(F.col("q") > 150).withColumn("band", F.lit("hi"))
+    lo = per_order.filter(F.col("q") <= 150).withColumn("band", F.lit("lo"))
+    u = hi.unionAll(lo).groupBy("band").agg(F.count(F.lit(1)).alias("n"))
+    got = {r.band: r.n for r in u.collect()}
+    # under AQE the reuse is decided at runtime — assert on the final
+    # executed plan, not the static one
+    final = u._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
+    assert got["hi"] + got["lo"] == per_order.count()
+
+
+def test_aqe_splits_skewed_join_partition(spark, sf_small):
+    """AQE skew-join handling: a hot key whose partition dwarfs the
+    others is split into multiple tasks at runtime (plan shows the skew
+    marker), with results identical to the unsplit join. This is the
+    no-code-change answer to real-world key skew; the manual salting in
+    operators/skew.py remains for aggregations and pre-AQE engines.
+
+    Load-bearing detail: a skewed reduce partition can only split at MAP
+    TASK boundaries (each split consumes a subset of mapper outputs), so
+    a shuffle fed by a single map task — e.g. one small parquet file —
+    can never split, whatever the thresholds. The `repartition(16)`
+    below provides the multi-mapper map side that a real 100 TB scan has
+    naturally; this is also why coalescing tiny input files (compaction,
+    pipelines.compact_parquet) matters for skew handling, not just for
+    scan throughput."""
+    e = load_table(spark, sf_small, "events").repartition(16, "event_id")
+    # manufacture a hot key: collapse most user_ids onto one value
+    left = e.select(
+        F.when(F.col("user_id") % 10 != 0, F.lit(7))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "event_id",
+    )
+    right = e.select(F.col("user_id").alias("k"), "value")
+    overrides = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        j = left.join(right, "k")
+        n_aqe = len(j.collect())
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # ground truth without AQE interference
+    n_plain = left.join(right, "k").count()
+    assert n_aqe == n_plain
