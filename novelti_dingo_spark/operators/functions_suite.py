@@ -366,3 +366,75 @@ def date_arith_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.make_date(F.year("o_orderdate"), F.lit(12), F.lit(31)), "yyyy-MM-dd"
         ).alias("year_end"),
     )
+
+
+@register(
+    "error_safe_funcs",
+    """
+    SELECT o_orderkey,
+           o_totalprice / nullif(o_custkey % 5, 0)              AS safe_div,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT)    AS prio_num,
+           TRY_CAST(o_orderstatus AS BIGINT)                    AS status_num,
+           [o_orderkey, o_custkey][3]                           AS oob_elem
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+    survey_rows="F8,F4",
+)
+def error_safe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: error-safe expression family — the ANSI-mode companions that
+    turn runtime errors into NULLs instead of failing a 1000-executor
+    job 6 hours in: try_divide (÷0), try_cast (malformed input),
+    try_element_at (out-of-bounds). DuckDB spells them NULLIF-guarded
+    division, TRY_CAST, and (naturally NULL-returning) list indexing.
+
+    At scale this is a data-quality posture, not sugar: with ANSI SQL
+    mode on (correctness default), one malformed row aborts the stage;
+    try_* keeps the job alive and lets the quarantine path (S2,
+    read_json_quarantine) collect offenders instead."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        F.try_divide("o_totalprice", F.col("o_custkey") % 5).alias("safe_div"),
+        F.try_to_number(
+            F.substring("o_orderpriority", 1, 1), F.lit("9")
+        ).cast("long").alias("prio_num"),
+        F.expr("try_cast(o_orderstatus AS bigint)").alias("status_num"),
+        F.try_element_at(
+            F.array(F.col("o_orderkey"), F.col("o_custkey")), F.lit(3)
+        ).alias("oob_elem"),
+    )
+
+
+@register(
+    "histogram_totalprice",
+    """
+    SELECT CAST(least(floor(o_totalprice / 50000.0), 11) AS BIGINT) AS bucket,
+           50000.0 * least(floor(o_totalprice / 50000.0), 11)       AS bucket_lo,
+           count(*)                                                 AS n,
+           round(sum(o_totalprice), 2)                              AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    survey_rows="A9,A1,F3",
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: equal-width histogram (fixed 50k buckets, top-capped) — the
+    single-pass distribution profile behind data validation dashboards
+    and Z-order column choice. Bucket id from one double divide + floor
+    (identical IEEE op in both engines); one partial-aggregable groupBy
+    on a ≤12-value key, so the shuffle is 12 rows regardless of table
+    size. (DuckDB lacks width_bucket; the arithmetic is spelled out for
+    both engines to keep the expressions bit-identical.)"""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(11))
+    return (
+        o.groupBy(
+            bucket.cast("long").alias("bucket"),
+            (bucket * 50000.0).alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
