@@ -53,6 +53,14 @@ ROWS = {
     "L15": "deterministic train/val/test split",
     "L16": "data-mixture sampling (per-source token budgets)",
     "L17": "unigram-LM quality scoring",
+    "L18": "duplicated-span / boilerplate detection (C4-style)",
+    "L19": "distributed PCA / embedding whitening",
+    "J8": "time-interval (windowed range) join",
+    "ST9": "stream-stream interval join",
+    "A8": "exact percentiles (interpolated + discrete)",
+    "A9": "equal-width histogram",
+    "F8": "error-safe (try_*) family",
+    "Q1": "ANALYZE-style column profiling",
     "X1": "scalar pandas UDF", "X2": "grouped-map applyInPandas",
     "X3": "grouped-agg UDAF", "X4": "UDTF / explode",
     "T1": "exact DECIMAL arithmetic", "T2": "nested struct project/filter",
