@@ -569,3 +569,56 @@ def boilerplate_shingle_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boilerplate_ppm"),
         )
     )
+
+
+@register(
+    "incremental_dedup_new_batch",
+    """
+    WITH corpus AS (
+      SELECT md5(text) AS h FROM documents WHERE source <> 'src3'
+      GROUP BY 1
+    ), batch AS (
+      SELECT doc_id, md5(text) AS h,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents WHERE source = 'src3'
+    )
+    SELECT b.doc_id
+    FROM batch b LEFT JOIN corpus c ON b.h = c.h
+    WHERE c.h IS NULL AND b.rn = 1
+    ORDER BY b.doc_id
+    """,
+    survey_rows="L20,J3,F7",
+)
+def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L20: incremental dedup — admit from a NEW batch (here: docs from
+    src3) only texts unseen in the EXISTING corpus (all other
+    sources), keeping one survivor per text within the batch itself.
+
+    This is the production shape of corpus growth: the historical corpus
+    is never re-scanned as documents — it is represented by its compact
+    content-hash index (16-byte md5 per distinct text, buildable once
+    and appended per batch). The batch anti-joins that index, then
+    window-dedups within itself. At 100 TB the index is ~0.1% the corpus
+    size, the anti join broadcasts when the DAILY batch is small, and
+    nothing ever touches historical text bytes again. Pair with
+    boilerplate_shingle_coverage (L18) upstream and minhash_lsh_pairs
+    (L2) downstream for the full incremental-ingest dedup stack."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus_index = (
+        d.filter(F.col("source") != "src3")
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    batch = d.filter(F.col("source") == "src3").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        batch.join(corpus_index, "h", "left_anti")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

@@ -55,6 +55,7 @@ ROWS = {
     "L17": "unigram-LM quality scoring",
     "L18": "duplicated-span / boilerplate detection (C4-style)",
     "L19": "distributed PCA / embedding whitening",
+    "L20": "incremental dedup vs existing corpus",
     "J8": "time-interval (windowed range) join",
     "ST9": "stream-stream interval join",
     "A8": "exact percentiles (interpolated + discrete)",
