@@ -197,3 +197,68 @@ def knn_quantized_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("qdot"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "pack_sequences_firstfit",
+    None,  # first-fit is inherently sequential per shard (each placement
+    # depends on every bin's current fill) — not window-expressible;
+    # invariants pinned in tests/test_llm_prep.py: partition of docs,
+    # no bin over budget unless a single doc exceeds it, fill >= cumsum
+    # packing, determinism
+    survey_rows="L13,X2",
+)
+def pack_sequences_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L13 (exact variant): TRUE first-fit bin packing per source shard —
+    each doc (stable doc_id order) goes into the lowest-numbered open bin
+    it fits; a doc longer than the budget gets a bin alone. Unlike the
+    cumsum formulation (pack_sequences), bins never overflow (except the
+    single-oversized-doc case) and tail gaps get back-filled by later
+    short docs, so fewer bins at equal budget.
+
+    Scale shape: the sequential state is PER SHARD, so each shard is one
+    `applyInPandas` task (Arrow-batched, a plain Python loop over the
+    shard's docs). Shards are the parallelism unit exactly as in the
+    cumsum variant — the difference is only within-shard: O(docs × open
+    bins) worst case, O(docs) with the one-open-bin-per-fill-level trick
+    kept simple here since shard ≈ 10⁵ docs at 100 TB. The output
+    contract matches pack_sequences so downstream shard writers accept
+    either."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        fills: list[int] = []  # bin_id -> current token fill
+        assign = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            for b, f in enumerate(fills):
+                if f + n <= PACK_BUDGET:
+                    fills[b] = f + n
+                    assign.append(b)
+                    break
+            else:
+                fills.append(n)
+                assign.append(len(fills) - 1)
+        out = pdf.assign(bin_id=assign)
+        return (
+            out.groupby("bin_id", as_index=False)
+            .agg(
+                source=("source", "first"),
+                n_docs=("doc_id", "size"),
+                total_tokens=("n_tokens", "sum"),
+                first_doc=("doc_id", "min"),
+                last_doc=("doc_id", "max"),
+            )[["source", "bin_id", "n_docs", "total_tokens",
+               "first_doc", "last_doc"]]
+        )
+
+    return d.groupBy("source").applyInPandas(
+        pack,
+        "source string, bin_id long, n_docs long, total_tokens long, "
+        "first_doc long, last_doc long",
+    )

@@ -187,3 +187,44 @@ def test_chunk_pack_properties_random_corpora(spark):
         assert (
             bins.agg(F.sum("tot")).head()[0] == d.agg(F.sum("n")).head()[0]
         )
+
+
+def test_firstfit_packing_invariants(spark, sf_small):
+    """First-fit packing: every doc assigned exactly once, no bin over
+    budget (single-oversized-doc bins excepted), at least as tight as
+    the cumsum packing, deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from novelti_dingo_spark.operators.llm_prep import (
+        PACK_BUDGET,
+        pack_sequences_firstfit,
+    )
+    from novelti_dingo_spark.sources import load_table
+
+    ff = pack_sequences_firstfit(spark, sf_small).collect()
+    d = load_table(spark, sf_small, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n")
+    )
+    total_docs = d.count()
+    total_tokens = d.agg(F.sum("n")).first()[0]
+
+    # partition: doc counts and token totals are conserved
+    assert sum(r.n_docs for r in ff) == total_docs
+    assert sum(r.total_tokens for r in ff) == total_tokens
+    # budget: a bin only exceeds PACK_BUDGET when it holds one oversized doc
+    for r in ff:
+        assert r.total_tokens <= PACK_BUDGET or r.n_docs == 1, r
+    # classic first-fit tightness invariant: per shard, at most ONE bin
+    # can end at most half full (two half-empty bins would have merged);
+    # note the cumsum form (pack_sequences) gives NO such guarantee — it
+    # trades overflow for statelessness, which is exactly the contrast
+    # this operator exists to close
+    from collections import Counter
+
+    half_empty = Counter(
+        r.source for r in ff if r.total_tokens <= PACK_BUDGET // 2
+    )
+    assert all(c <= 1 for c in half_empty.values()), half_empty
+    # deterministic
+    again = pack_sequences_firstfit(spark, sf_small).collect()
+    assert sorted(map(tuple, ff)) == sorted(map(tuple, again))
