@@ -421,3 +421,106 @@ def read_version(spark: SparkSession, base_dir: str, version: int | None = None)
     out = f"{base}/v={version}"
     manifest = json.loads(lakefs.read_text(spark, f"{out}/_manifest.json"))
     return spark.read.parquet(out), manifest
+
+
+def publish_snapshot(
+    dfs: dict[str, DataFrame],
+    base_dir: str,
+    meta: dict | None = None,
+) -> int:
+    """Atomic MULTI-table publish: write every table under
+    `base_dir/snap=N/<table>/`, then flip one `LATEST` pointer for the
+    whole set. Readers following LATEST always see a consistent snapshot
+    — mutually-consistent fact+dim tables, never fact@N joined with
+    dim@N-1 (the cross-table anomaly single-table versioning can't
+    prevent). A crash after any number of table writes but before the
+    flip leaves LATEST on the previous snapshot; the orphaned partial
+    snapshot is invisible and reclaimed by vacuum_snapshots.
+
+    Same I/O discipline as publish_versioned: Hadoop FileSystem API
+    throughout, per-table row counts via Observation (no recount jobs),
+    pointer flip via write-tmp-then-atomic-rename."""
+    import json
+
+    from pyspark.sql import Observation
+
+    from .sources import lakefs
+
+    if not dfs:
+        raise ValueError("publish_snapshot needs at least one table")
+    spark = next(iter(dfs.values())).sparkSession
+    lakefs.mkdirs(spark, base_dir)
+    base = base_dir.rstrip("/")
+    existing = [
+        int(name.split("=")[1])
+        for name in lakefs.listdir(spark, base)
+        if name.startswith("snap=") and name.split("=")[1].isdigit()
+    ]
+    version = max(existing, default=0) + 1
+    out = f"{base}/snap={version}"
+    counts: dict[str, int] = {}
+    for name, df in dfs.items():
+        obs = Observation(f"snap{version}_{name}")
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "errorifexists"
+        ).parquet(f"{out}/{name}")
+        counts[name] = int(obs.get["n"])
+    manifest = {
+        "snapshot": version,
+        "tables": {
+            name: {"rows": counts[name], "schema": df.schema.simpleString()}
+            for name, df in dfs.items()
+        },
+        **(meta or {}),
+    }
+    lakefs.write_text(spark, f"{out}/_manifest.json", json.dumps(manifest))
+    lakefs.replace_text(spark, f"{base}/LATEST", str(version))
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, base_dir: str, version: int | None = None
+):
+    """Read a full snapshot (or LATEST): returns ({table: DataFrame},
+    manifest). Every returned table is from the SAME snapshot."""
+    import json
+
+    from .sources import lakefs
+
+    base = base_dir.rstrip("/")
+    if version is None:
+        version = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
+    out = f"{base}/snap={version}"
+    manifest = json.loads(lakefs.read_text(spark, f"{out}/_manifest.json"))
+    tables = {
+        name: spark.read.parquet(f"{out}/{name}")
+        for name in manifest["tables"]
+    }
+    return tables, manifest
+
+
+def vacuum_snapshots(
+    spark: SparkSession, base_dir: str, keep_last: int = 2
+) -> list[int]:
+    """Reclaim old and orphaned (crash-abandoned, never-pointed-to)
+    snapshots; same retention + LATEST-pin rules as vacuum_versions."""
+    from .sources import lakefs
+
+    base = base_dir.rstrip("/")
+    versions = sorted(
+        int(name.split("=")[1])
+        for name in lakefs.listdir(spark, base)
+        if name.startswith("snap=") and name.split("=")[1].isdigit()
+    )
+    pinned = None
+    if lakefs.exists(spark, f"{base}/LATEST"):
+        pinned = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
+    keep = set(versions[-keep_last:]) if keep_last > 0 else set()
+    if pinned is not None:
+        keep.add(pinned)
+    deleted = []
+    for v in versions:
+        if v not in keep:
+            lakefs.delete(spark, f"{base}/snap={v}")
+            deleted.append(v)
+    return deleted

@@ -267,3 +267,44 @@ def test_vacuum_versions_respects_retention_and_pin(spark, sf_small, tmp_path):
     df4, _ = read_version(spark, base, version=4)
     assert df4.count() == 4
     assert not lakefs.exists(spark, f"{base}/v=1")
+
+
+def test_snapshot_publish_atomic_multi_table(spark, sf_small, tmp_path):
+    """Multi-table snapshots: LATEST always names a mutually-consistent
+    table set; a failed publish (crash before the pointer flip) is
+    invisible; vacuum reclaims it."""
+    from novelti_dingo_spark.pipelines import (
+        publish_snapshot,
+        read_snapshot,
+        vacuum_snapshots,
+    )
+    from novelti_dingo_spark.sources import lakefs
+
+    base = str(tmp_path / "snaps")
+    r = load_table(spark, sf_small, "region")
+    n = load_table(spark, sf_small, "nation")
+
+    v1 = publish_snapshot({"region": r, "nation": n}, base)
+    v2 = publish_snapshot({"region": r.limit(3), "nation": n.limit(10)}, base)
+    assert (v1, v2) == (1, 2)
+
+    tables, manifest = read_snapshot(spark, base)
+    assert manifest["snapshot"] == 2
+    assert tables["region"].count() == 3 and tables["nation"].count() == 10
+    assert manifest["tables"]["nation"]["rows"] == 10
+    old, m1 = read_snapshot(spark, base, version=1)
+    assert old["region"].count() == 5 and m1["snapshot"] == 1
+
+    # simulate a crash mid-publish: tables written, manifest+flip missing
+    lakefs.mkdirs(spark, f"{base}/snap=3")
+    r.limit(1).write.parquet(f"{base}/snap=3/region")
+    tables, manifest = read_snapshot(spark, base)
+    assert manifest["snapshot"] == 2  # readers never see the torn snapshot
+
+    deleted = vacuum_snapshots(spark, base, keep_last=1)
+    # snap=3 is newest by number → kept by retention; snap=2 kept by pin;
+    # snap=1 reclaimed
+    assert deleted == [1]
+    assert not lakefs.exists(spark, f"{base}/snap=1")
+    tables, manifest = read_snapshot(spark, base)
+    assert manifest["snapshot"] == 2
