@@ -161,6 +161,22 @@ EXPECT = {
         "partial_agg": True, "hash_join_not_nlj": True,
         "no_python_udf": True, "max_scan_cols": 2,
     },
+    # batch anti join against the (broadcastable) content-hash index;
+    # history text never shuffles
+    "incremental_dedup_new_batch": {
+        "hash_join_not_nlj": True, "no_python_udf": True,
+        "max_scan_cols": 3,
+    },
+    "percentile_exact_quartiles": {"partial_agg": True, "no_python_udf": True,
+                                   "max_scan_cols": 2},
+    # one scan + one multi-distinct Expand agg for all three columns —
+    # never one scan per profiled column
+    "column_profile": {"partial_agg": True, "no_python_udf": True,
+                       "max_scan_cols": 3},
+    "histogram_totalprice": {"partial_agg": True, "no_python_udf": True,
+                             "max_scan_cols": 1},
+    "error_safe_funcs": {"pushed_filters": True, "no_python_udf": True,
+                         "max_scan_cols": 5},
 }
 
 
