@@ -226,3 +226,75 @@ def test_running_sum_equals_prefix_sums(spark, seed):
             acc += r[3]
             want[(cust, r[1])] = (round(acc, 6), i)
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_binned_interval_join_equals_naive_quadratic(spark, seed):
+    """The 2-candidate-bin equi-join (operators/interval.py) must equal
+    the naive all-pairs range scan on random timestamps — including
+    boundary hits (multiples of the window width), sub-second spacings,
+    and pre-epoch (negative µs) times, where `div` truncation vs floor
+    semantics could plausibly diverge."""
+    from pyspark.sql import functions as F
+
+    W_US = 3_600_000_000
+    rng = random.Random(seed)
+    n_users = rng.randint(1, 4)
+    rows = []
+    eid = 0
+    for _ in range(rng.randint(10, 60)):
+        u = rng.randint(0, n_users - 1)
+        kind = rng.choice(["click", "purchase"])
+        # cluster times around ±2h of epoch, with exact boundary cases
+        t = rng.choice(
+            [
+                rng.randint(-2 * W_US, 2 * W_US),
+                rng.randint(-3, 3) * W_US,            # exact bin edges
+                rng.randint(-2, 2) * W_US + rng.choice([-1, 0, 1]),
+            ]
+        )
+        rows.append((eid, u, kind, t))
+        eid += 1
+
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, us long"
+    ).withColumn("ts", F.timestamp_micros("us"))
+
+    # production operator, applied to the generated frame via the same
+    # binning expressions
+    clicks = df.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("us").alias("c_us"),
+        F.expr(f"us div {W_US}").alias("bin"),
+    )
+    purchases = df.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("us").alias("p_us"),
+        F.expr(f"us div {W_US}").alias("p_bin"),
+    )
+    probes = purchases.withColumn(
+        "bin", F.explode(F.array(F.col("p_bin") - 1, F.col("p_bin")))
+    ).drop("p_bin")
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in probes.join(clicks, ["user_id", "bin"])
+        .filter(
+            (F.col("c_us") >= F.col("p_us") - F.lit(W_US))
+            & (F.col("c_us") <= F.col("p_us"))
+        )
+        .collect()
+    }
+
+    want = {
+        (pe, ce)
+        for (pe, pu, pk, pt) in rows
+        for (ce, cu, ck, ct) in rows
+        if pk == "purchase"
+        and ck == "click"
+        and pu == cu
+        and pt - W_US <= ct <= pt
+    }
+    assert got == want
