@@ -83,12 +83,20 @@ def incremental_events_ingest(
     downstream pruning), append to the parquet sink, stop. Exactly-once
     per input file via the streaming checkpoint + sink transaction log."""
     ensure_session_confs(spark)
+    from .sources.io import events_ts_is_nanos
+
+    ns = events_ts_is_nanos(src_dir)
     events = (
-        spark.readStream.schema(schemas.EVENTS)
+        spark.readStream.schema(
+            schemas.EVENTS_TS_NS if ns else schemas.EVENTS
+        )
         .option("pathGlobFilter", "*.parquet")
         .parquet(src_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+    )
+    if ns:
+        events = events.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    events = (
+        events.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
         .withColumn("event_hour", F.date_trunc("hour", "ts"))
         .drop("props")
     )

@@ -80,12 +80,24 @@ LINEITEM = _st(
     ("l_shipdate", TimestampType()),
 )
 
-# events.ts is TIMESTAMP(NANOS) in parquet, which Spark's vectorized reader
-# cannot decode as TimestampType; with spark.sql.legacy.parquet.nanosAsLong
-# it reads as epoch-ns LongType, and sources/io.py converts it to a µs
-# TimestampType column at load (measured: every value is µs-aligned, so the
-# conversion is lossless). Queries therefore always see ts: TimestampType.
+# events.ts encoding varies across testdata generations: TIMESTAMP(NANOS)
+# (which Spark's vectorized reader cannot decode as TimestampType — with
+# spark.sql.legacy.parquet.nanosAsLong it reads as epoch-ns LongType and
+# sources/io.py converts to µs at load) vs plain timestamp[us] (read
+# directly as TimestampType). sources/io.py sniffs the parquet footer per
+# file and picks the matching pinned schema, so queries ALWAYS see
+# ts: TimestampType regardless of the file's physical encoding.
 EVENTS = _st(
+    ("event_id", LongType()),
+    ("ts", TimestampType()),
+    ("user_id", LongType()),
+    ("event_type", StringType()),
+    ("value", DoubleType()),
+    ("props", StringType()),
+)
+
+# variant pinned for TIMESTAMP(NANOS) files (ts arrives as epoch-ns long)
+EVENTS_TS_NS = _st(
     ("event_id", LongType()),
     ("ts", LongType()),
     ("user_id", LongType()),

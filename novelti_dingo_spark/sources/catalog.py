@@ -39,10 +39,11 @@ def create_external_tables(
     any downstream session sharing the metastore.
 
     Schemas are PINNED from `schemas.TABLES` rather than inferred — the
-    same drift protection as the path reads. Note `ext_events.ts` is the
-    raw epoch-ns long (parquet TIMESTAMP(NANOS), which Spark's reader
-    can't expose as TimestampType); convert with
-    `timestamp_micros(ts div 1000)` exactly like `io.load_table`."""
+    same drift protection as the path reads. `ext_events` pins the µs
+    TimestampType schema (the current testdata encoding); for
+    TIMESTAMP(NANOS) files use the encoding-sniffing path reader
+    (`io.load_table`) — a catalog table can't carry the read-time
+    conversion those files need."""
     out = []
     for name in tables or list(schemas.TABLES):
         path = f"{sf_dir}/{name}.parquet"

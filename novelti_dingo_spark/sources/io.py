@@ -38,21 +38,50 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+_TS_IS_NANOS_CACHE: dict[str, bool] = {}
+
+
+def events_ts_is_nanos(path: str) -> bool:
+    """Footer-sniff whether events.ts is TIMESTAMP(NANOS) at this path.
+
+    Testdata generations have flipped between timestamp[ns] and
+    timestamp[us]; reading ns files needs the nanosAsLong long schema +
+    explicit ns→µs conversion, while pinning that schema onto a µs file
+    silently yields epoch-µs values mislabeled as ns (1000× off). One
+    driver-side footer read per path (cached) — O(KB), plan-time only.
+    `path` may be a single file or a directory (first *.parquet sniffed —
+    a stream source dir is homogeneous by contract)."""
+    if path not in _TS_IS_NANOS_CACHE:
+        import glob
+
+        f = path
+        if os.path.isdir(f):
+            cands = sorted(glob.glob(os.path.join(f, "*.parquet")))
+            if not cands:
+                return _TS_IS_NANOS_CACHE.setdefault(path, False)
+            f = cands[0]
+        import pyarrow.parquet as pq
+
+        t = pq.read_schema(f).field("ts").type
+        _TS_IS_NANOS_CACHE[path] = getattr(t, "unit", None) == "ns"
+    return _TS_IS_NANOS_CACHE[path]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1: read one test table with its pinned schema (schema drift → error)."""
     ensure_session_confs(spark)
     schema = schemas.TABLES.get(name)
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events" and events_ts_is_nanos(path):
+        # ts stored as TIMESTAMP(NANOS) → read as epoch-ns long
+        # (schemas.EVENTS_TS_NS), surface as µs TimestampType to queries.
+        # integer div — float /1000 loses µs precision at epoch-ns magnitude
+        df = spark.read.schema(schemas.EVENTS_TS_NS).parquet(path)
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    df = reader.parquet(path)
-    if name == "events":
-        # parquet stores ts as TIMESTAMP(NANOS) → read as epoch-ns long
-        # (see schemas.EVENTS), surface as µs TimestampType to queries.
-        # integer div — float /1000 loses µs precision at epoch-ns magnitude
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+    return reader.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

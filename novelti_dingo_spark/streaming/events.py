@@ -21,15 +21,24 @@ from .. import schemas
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source replay of the events table as a stream (ns→µs ts
-    conversion identical to the batch reader)."""
+    """File-source replay of the events table as a stream (ts-encoding
+    sniff + ns→µs conversion identical to the batch reader)."""
+    import os
+
+    from ..sources.io import events_ts_is_nanos
+
     # the file source requires a directory; filter to the events file
+    ns = events_ts_is_nanos(os.path.join(sf_dir, "events.parquet"))
     df = (
-        spark.readStream.schema(schemas.EVENTS)
+        spark.readStream.schema(
+            schemas.EVENTS_TS_NS if ns else schemas.EVENTS
+        )
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ns:
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -139,3 +139,38 @@ def test_json_quarantine_splits_good_and_bad(spark, tmp_path):
     assert len(bad_lines) == 2
     assert any("NOT_A_NUMBER" in x for x in bad_lines)
     assert any("not json at all" in x for x in bad_lines)
+
+
+def test_events_ts_encoding_sniff(spark, tmp_path):
+    """load_table must yield identical µs TimestampType values whether the
+    file stores ts as timestamp[ns] (older testdata generations, read via
+    nanosAsLong + explicit conversion) or timestamp[us] (current)."""
+    import pandas as pd
+
+    base = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:07.179575",
+                    "2024-01-15 12:30:00.000000",
+                    "2024-01-30 23:59:59.500000",
+                ]
+            ),
+            "user_id": [10, 11, 12],
+            "event_type": ["click", "view", "purchase"],
+            "value": [1.5, 2.5, 3.5],
+            "props": ['{"k":1}', '{"k":2}', '{"k":3}'],
+        }
+    )
+    got = {}
+    for unit in ("ns", "us"):
+        d = tmp_path / unit
+        d.mkdir()
+        base.assign(ts=base["ts"].astype(f"datetime64[{unit}]")).to_parquet(
+            d / "events.parquet", coerce_timestamps=None
+        )
+        df = load_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", unit
+        got[unit] = sorted(r.ts for r in df.select("ts").collect())
+    assert got["ns"] == got["us"]
