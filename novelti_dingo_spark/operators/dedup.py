@@ -428,9 +428,121 @@ def connected_components(
     return labels.select("node", F.col("lab").alias("cluster_id"))
 
 
-@register(
-    "neardup_clusters",
-    f"""
+def connected_components_two_phase(
+    pairs: DataFrame, src: str = "a_id", dst: str = "b_id", max_iter: int = 50
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) → (node, cluster_id), cluster_id = min node id.
+
+    Why a second CC implementation: min-label propagation
+    (`connected_components`) converges in O(diameter) rounds — fine for
+    shallow near-dup graphs, hopeless on a 10M-link chain. Large/small-star
+    contracts paths exponentially: O(log² n) rounds on ANY topology, each
+    round two groupBy-min shuffles over the edge list with no growth in
+    edge count (edges only ever re-point toward smaller ids). That is the
+    planet-scale swap-in the min-label docstring promises.
+
+    Round body (all DataFrame ops, no driver state beyond the loop):
+    - large-star: group the symmetrized edge list by u; every neighbor
+      v > u re-points to m = min(N(u) ∪ {u});
+    - small-star: key each edge by its max endpoint; every neighbor
+      v ≤ u (and u itself) re-points to m = min(N(u) ∪ {u}).
+    Fixpoint when the edge set stops changing (count + order-insensitive
+    xxhash64 checksum — one tiny agg per round, no driver materialization
+    of edges). After convergence edges form stars (v, min-of-component).
+    `localCheckpoint` per round cuts the iterative lineage exactly like
+    the min-label loop."""
+    e = pairs.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    # canonical undirected form (small end first), deduped
+    edges = (
+        e.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _star(edges: DataFrame, large: bool) -> DataFrame:
+        if large:
+            # symmetrize: every node sees its full neighborhood
+            nbrs = edges.unionAll(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+        else:
+            # key by max endpoint: u sees only neighbors ≤ u
+            nbrs = edges.select(
+                F.col("v").alias("u"), F.col("u").alias("v")
+            )
+        m = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        joined = nbrs.join(m, "u")
+        if large:
+            out = joined.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            )
+        else:
+            out = joined.select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            ).unionAll(
+                m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+        return (
+            out.filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .distinct()
+        )
+
+    def _sig(edges: DataFrame) -> tuple[int, int]:
+        # order-insensitive set checksum: XOR of per-edge hashes (edges are
+        # distinct, so XOR is collision-safe up to hash collisions; sum
+        # would overflow long under ANSI mode)
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+            ).alias("h"),
+        ).head()
+        return (row.n, row.h)
+
+    sig = _sig(edges)
+    for _ in range(max_iter):
+        edges = _star(_star(edges, large=True), large=False).localCheckpoint()
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_two_phase did not converge within "
+            f"{max_iter} rounds (theoretical bound is O(log² n) — "
+            "this indicates a bug, not a hard graph)"
+        )
+    # converged stars: (v, m) with m the component min; centers map to
+    # themselves. Nodes from the original pair list that lost all edges
+    # to canonicalization (self-pairs) are singletons: node → node.
+    nodes = (
+        pairs.select(F.col(src).cast("long").alias("node"))
+        .unionAll(pairs.select(F.col(dst).cast("long").alias("node")))
+        .distinct()
+    )
+    star_lab = edges.groupBy(F.col("v").alias("node")).agg(
+        F.min("u").alias("lab")
+    )
+    return nodes.join(star_lab, "node", "left").select(
+        "node", F.coalesce("lab", "node").alias("cluster_id")
+    )
+
+
+# shared by neardup_clusters and neardup_clusters_bigstar: both compute
+# the SAME clustering, by different distributed algorithms — the oracle
+# (declarative recursive-CTE fixpoint) is implementation-agnostic.
+_NEARDUP_CC_ORACLE = f"""
     WITH RECURSIVE t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), x AS (
@@ -454,7 +566,12 @@ def connected_components(
            count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
            doc_id = cluster_id AS is_canonical
     FROM cc
-    """,
+    """
+
+
+@register(
+    "neardup_clusters",
+    _NEARDUP_CC_ORACLE,
     survey_rows="L7,L2,J1,A1",
 )
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,13 +593,38 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     DuckDB oracle: recursive CTE enumerating reachable labels, min per
     node — identical fixpoint, declaratively."""
+    cc = connected_components(_neardup_pairs(spark, sf_dir))
+    return _cluster_rollup(cc)
+
+
+@register(
+    "neardup_clusters_bigstar",
+    _NEARDUP_CC_ORACLE,
+    survey_rows="L7,L2,J1,A1",
+)
+def neardup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7 at planet scale: identical clustering to `neardup_clusters`,
+    computed by large-star/small-star contraction instead of min-label
+    propagation. Same pair relation, same oracle — the driver hash-match
+    therefore certifies the contraction algorithm end-to-end against the
+    declarative fixpoint. O(log² n) rounds on any topology (vs O(diameter)
+    for min-label): THIS is the variant to run on a 10⁹-node web-dedup
+    graph where near-dup chains get long. See
+    `connected_components_two_phase` for the round mechanics."""
+    cc = connected_components_two_phase(_neardup_pairs(spark, sf_dir))
+    return _cluster_rollup(cc)
+
+
+def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pair relation for the clustering queries: doc pairs sharing
+    >= 4 five-token shingle hashes (see neardup_clusters docstring)."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     shingle = F.explode(shingle_md5s("text")).alias("h")
     x = d.filter(F.size(toks) >= 5).select("doc_id", shingle).distinct()
     a = x.select(F.col("doc_id").alias("a_id"), "h")
     b = x.select(F.col("doc_id").alias("b_id"), "h")
-    pairs = (
+    return (
         a.join(b, "h")
         .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
@@ -490,7 +632,9 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared") >= 4)
         .select("a_id", "b_id")
     )
-    cc = connected_components(pairs)
+
+
+def _cluster_rollup(cc: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("cluster_id")
@@ -518,9 +662,10 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT sh.doc_id,
            count(*)                                              AS n_shingles,
-           sum(CASE WHEN freq.nd >= 3 THEN 1 ELSE 0 END)         AS n_boilerplate,
-           (sum(CASE WHEN freq.nd >= 3 THEN 1 ELSE 0 END)
-              * 1000000) // count(*)                             AS boilerplate_ppm
+           CAST(sum(CASE WHEN freq.nd >= 3 THEN 1 ELSE 0 END)
+                AS BIGINT)                                       AS n_boilerplate,
+           CAST((sum(CASE WHEN freq.nd >= 3 THEN 1 ELSE 0 END)
+              * 1000000) // count(*) AS BIGINT)                  AS boilerplate_ppm
     FROM sh JOIN freq ON sh.s = freq.s
     GROUP BY sh.doc_id
     """,

@@ -159,3 +159,54 @@ def test_neardup_clusters_match_union_find(spark, sf_med):
         assert got[d].cluster_id == root
         assert got[d].is_canonical == (d == root)
         assert got[d].cluster_size == sum(1 for v in want.values() if v == root)
+
+
+def _labels(df):
+    return {r.node: r.cluster_id for r in df.collect()}
+
+
+def test_two_phase_cc_matches_min_label_random_graphs(spark):
+    """Large-star/small-star must produce exactly the min-label components
+    on random graphs (deterministic seeds, mixed topologies)."""
+    import random
+
+    from novelti_dingo_spark.operators.dedup import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40)
+        ]
+        pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+        want = _labels(connected_components(pairs, max_iter=100))
+        got = _labels(connected_components_two_phase(pairs))
+        assert got == want, f"seed={seed}"
+
+
+def test_two_phase_cc_long_chain_converges_fast(spark):
+    """The scale story: a 256-node path graph (diameter 255) — min-label
+    needs 255 rounds; large/small-star contracts it in O(log² n). We cap
+    max_iter at 12 to prove the exponential contraction actually happens."""
+    from novelti_dingo_spark.operators.dedup import (
+        connected_components_two_phase,
+    )
+
+    chain = [(i, i + 1) for i in range(255)]
+    pairs = spark.createDataFrame(chain, "a_id long, b_id long")
+    got = _labels(connected_components_two_phase(pairs, max_iter=12))
+    assert got == {i: 0 for i in range(256)}
+
+
+def test_two_phase_cc_self_pairs_and_empty(spark):
+    from novelti_dingo_spark.operators.dedup import (
+        connected_components_two_phase,
+    )
+
+    pairs = spark.createDataFrame([(7, 7), (3, 9)], "a_id long, b_id long")
+    assert _labels(connected_components_two_phase(pairs)) == {7: 7, 3: 3, 9: 3}
+    empty = spark.createDataFrame([], "a_id long, b_id long")
+    assert _labels(connected_components_two_phase(empty)) == {}
