@@ -1,0 +1,221 @@
+"""Product quantization (PQ) for approximate nearest neighbor search
+(PAPERS.md top-k families; Jégou et al., "Product Quantization for
+Nearest Neighbor Search", TPAMI'11).
+
+The missing piece between brute-force kNN (exact, O(n·d) per query) and
+IVF (prunes WHICH vectors are scored): PQ compresses HOW each vector is
+scored. Each 64-dim embedding becomes M=8 one-byte codes (32× smaller
+than float64); a query is answered by building an M×K lookup table of
+partial dot products and summing M table entries per vector — no float
+vector ever touched at query time. At 100 TB this is the difference
+between scanning 100 TB of floats and scanning ~3 TB of codes, and it
+composes with IVF (IVF-PQ: prune cells, then ADC-score codes).
+
+Spark-first design:
+- all M codebooks train SIMULTANEOUSLY in one Lloyd's loop: vectors
+  explode into (vec_id, m, subvector) rows once, assignment is a
+  broadcast join against all M×K centroids keyed by subspace, update is
+  one groupBy — the iteration cost is independent of M;
+- the LUT (M×K partial dots = 128 rows) broadcasts; ADC scoring is a
+  broadcast join + groupBy-sum over code rows: one shuffle of
+  (vec_id, partial) pairs, no Python;
+- deterministic: init picks the K lowest-xxhash64 subvectors per
+  subspace, ties break on ids everywhere — same model every run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.io import load_table
+
+M = 8  # subspaces
+K = 16  # centroids per subspace (1-byte codes would allow 256)
+SUBDIM = 8  # 64 // M
+ITERATIONS = 3
+
+
+def _sq_dist(a, b):
+    d = F.zip_with(a, b, lambda x, y: x - y)
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def subvectors(vectors: DataFrame) -> DataFrame:
+    """(vec_id, m, sub): each embedding split into M contiguous
+    SUBDIM-dim subvectors — one explode, rows = n·M."""
+    return vectors.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(M - 1)),
+                lambda m: F.slice(
+                    F.col("embedding").cast("array<double>"),
+                    m * SUBDIM + 1,
+                    SUBDIM,
+                ),
+            )
+        ).alias("m", "sub"),
+    )
+
+
+def _assign(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Nearest-centroid code per (vec_id, m): broadcast join on the
+    subspace key, argmin by (distance, cid)."""
+    w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
+    return (
+        subs.join(F.broadcast(codebooks), "m")
+        .select(
+            "vec_id",
+            "m",
+            "sub",
+            "cid",
+            _sq_dist("sub", "centroid").alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "dist")
+    )
+
+
+def _recompute(assigned: DataFrame) -> DataFrame:
+    exploded = assigned.select(
+        "m", "cid", F.posexplode("sub").alias("pos", "v")
+    )
+    means = exploded.groupBy("m", "cid", "pos").agg(F.avg("v").alias("c"))
+    return means.groupBy("m", "cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s.getField("c"),
+        ).alias("centroid")
+    )
+
+
+def pq_fit(vectors: DataFrame, iterations: int = ITERATIONS) -> DataFrame:
+    """Train all M codebooks at once → (m, cid, centroid). Init: the K
+    lowest-xxhash64(vec_id) subvectors per subspace (seedless
+    deterministic sample, same device as kmeans_fit in ivf.py)."""
+    subs = subvectors(vectors)
+    w = Window.partitionBy("m").orderBy(F.xxhash64("vec_id"), "vec_id")
+    codebooks = (
+        subs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .select(
+            "m", (F.col("rn") - 1).alias("cid"), F.col("sub").alias("centroid")
+        )
+    )
+    for _ in range(iterations):
+        codebooks = _recompute(_assign(subs, codebooks))
+    return codebooks
+
+
+def pq_encode(vectors: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """(vec_id, codes: array<int> of length M) — the compressed index."""
+    assigned = _assign(subvectors(vectors), codebooks)
+    return assigned.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "cid"))),
+            lambda s: s.getField("cid"),
+        ).alias("codes")
+    )
+
+
+@register(
+    "pq_knn_top10",
+    None,  # k-means training is engine-specific → rows-only; ADC
+    # identities, determinism, and recall pinned in tests/test_pq.py.
+    survey_rows="L3-scale,P,iterative",
+)
+def pq_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-10 for query vector 0: train codebooks, encode the
+    corpus, build the query's M×K lookup table of partial dots, score
+    every vector as the sum of M LUT entries. The scored relation is
+    (vec_id, m, code) joined to a 128-row broadcast LUT — the corpus'
+    float vectors are never read at scoring time. TakeOrderedAndProject
+    keeps the top-k without a global sort."""
+    e = load_table(spark, sf_dir, "embeddings")
+    codebooks = pq_fit(e)
+    codes = _assign(subvectors(e), codebooks).select("vec_id", "m", "cid")
+    q = subvectors(e.filter(F.col("vec_id") == 0)).select(
+        "m", F.col("sub").alias("q_sub")
+    )
+    lut = (
+        codebooks.join(F.broadcast(q), "m")
+        .select(
+            "m",
+            "cid",
+            F.aggregate(
+                F.zip_with("centroid", "q_sub", lambda c, qq: c * qq),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("partial"),
+        )
+    )
+    return (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(lut), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("partial"), 6).alias("pq_sim"))
+        .orderBy(F.desc("pq_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "pq_rerank_top10",
+    None,  # shortlist membership depends on the trained codebooks →
+    # rows-only; score exactness + recall-vs-plain-PQ in tests/test_pq.py.
+    survey_rows="L3-scale,P,iterative",
+)
+def pq_rerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN shape: PQ-ADC shortlists 100 candidates from
+    codes alone, then ONLY those 100 are re-scored with exact float
+    cosine. At 100 TB: the full corpus is touched only as 8-byte codes;
+    float vectors are fetched for 100 rows (a broadcast-semi-join against
+    the shortlist), so exactness of the final ranking costs ~nothing.
+    Quantization error moves recall from the final top-k into the
+    shortlist margin, where extra candidates are cheap."""
+    e = load_table(spark, sf_dir, "embeddings")
+    codebooks = pq_fit(e)
+    codes = _assign(subvectors(e), codebooks).select("vec_id", "m", "cid")
+    qvec = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("q_emb")
+    )
+    q = subvectors(e.filter(F.col("vec_id") == 0)).select(
+        "m", F.col("sub").alias("q_sub")
+    )
+    lut = codebooks.join(F.broadcast(q), "m").select(
+        "m",
+        "cid",
+        F.aggregate(
+            F.zip_with("centroid", "q_sub", lambda c, qq: c * qq),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("partial"),
+    )
+    shortlist = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(lut), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("partial").alias("pq_sim"))
+        .orderBy(F.desc("pq_sim"), F.asc("vec_id"))
+        .limit(100)
+        .select("vec_id")
+    )
+    exact = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("q_emb"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.join(F.broadcast(shortlist), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(qvec))
+        .select("vec_id", "label", F.round(exact, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -1,0 +1,168 @@
+"""Time-series analytics over the events stream: rolling-statistic
+anomaly flags, exponentially-weighted moving averages, and
+multi-resolution rollup reuse (the continuous-aggregate shape).
+
+Scale notes:
+- every window here is per-user (or per-type) ORDER BY ts frames — one
+  shuffle on the partition key, then sequential frame evaluation inside
+  each partition; no self-joins, no driver state;
+- the hour→day rollup derives the coarse resolution from the fine one
+  (24 rows/day instead of re-scanning raw events) — at 100 TB the hourly
+  table is 4-5 orders of magnitude smaller than the raw stream, which is
+  exactly why warehouses materialize the finest rollup and re-aggregate
+  upward.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.io import load_table
+
+# EWMA smoothing factor; the fold below is the textbook recursive form
+# s_i = (1-ALPHA)*s_{i-1} + ALPHA*x_i seeded with the frame's first value.
+EWMA_ALPHA = 0.3
+
+
+@register(
+    "rolling_zscore_anomaly",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             avg(value)         OVER f AS mu,
+             stddev_samp(value) OVER f AS sigma,
+             count(*)           OVER f AS n_window
+      FROM events
+      WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, value, n_window,
+           value > mu + 3 * sigma OR value < mu - 3 * sigma AS is_anomaly
+    FROM w
+    WHERE n_window >= 12 AND sigma > 0
+      AND (value > mu + 3 * sigma OR value < mu - 3 * sigma)
+    """,
+    survey_rows="W3,ST6,stats",
+)
+def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event compared against the
+    mean/stddev of its user's previous 24 events (the trailing frame
+    EXCLUDES the current row — an anomaly must not inflate its own
+    baseline). Rows with under 12 prior observations are unscored (cold
+    start). Emits only the anomalies: bounded output, and the boolean
+    3-sigma cut is robust to the engines' last-ulp stddev differences
+    (values sit far from the threshold on continuous data)."""
+    e = load_table(spark, sf_dir, "events")
+    f = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-24, -1)
+    )
+    mu = F.avg("value").over(f)
+    sigma = F.stddev_samp("value").over(f)
+    n_window = F.count(F.lit(1)).over(f)
+    flag = (F.col("value") > mu + 3 * sigma) | (
+        F.col("value") < mu - 3 * sigma
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "value",
+            n_window.alias("n_window"),
+            mu.alias("_mu"),
+            sigma.alias("_sigma"),
+            flag.alias("is_anomaly"),
+        )
+        .filter(
+            (F.col("n_window") >= 12)
+            & (F.col("_sigma") > 0)
+            & F.col("is_anomaly")
+        )
+        .drop("_mu", "_sigma")
+    )
+
+
+@register(
+    "ewma_user_value",
+    f"""
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vs
+      FROM events
+    )
+    SELECT event_id, user_id, value,
+           list_reduce(vs, (acc, x) -> acc * {1 - EWMA_ALPHA} + x * {EWMA_ALPHA}) AS ewma
+    FROM w WHERE user_id < 20
+    """,
+    survey_rows="W3,ST6,F5",
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA over each user's last 10 values — the recursive smoother
+    s = (1-α)s + αx, which plain window aggregates cannot express
+    (the weight of each row depends on its distance from the current
+    row). Expressed as collect-over-frame + a left fold seeded with the
+    frame's first element: the fold order is the frame order in both
+    engines, so the IEEE result is bit-identical and the oracle hash is
+    exact — no rounding needed.
+
+    Scale: the frame is 10 doubles per row (bounded state); the HOF fold
+    is interpreted but O(frame) per row. For unbounded EWMA (since start
+    of stream) the same recurrence runs in applyInPandasWithState —
+    this bounded-frame form is the batch-replayable twin."""
+    e = load_table(spark, sf_dir, "events")
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    vs = F.collect_list("value").over(frame)
+    ewma = F.aggregate(
+        F.slice(F.col("_vs"), 2, 9),
+        F.element_at(F.col("_vs"), 1),
+        lambda acc, x: acc * F.lit(1 - EWMA_ALPHA) + x * F.lit(EWMA_ALPHA),
+    )
+    return (
+        e.select("event_id", "user_id", "value", vs.alias("_vs"))
+        .filter(F.col("user_id") < 20)
+        .select("event_id", "user_id", "value", ewma.alias("ewma"))
+    )
+
+
+@register(
+    "rollup_hour_to_day",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             count(*) AS n, sum(value) AS sv
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(date_trunc('day', h) AS DATE) AS day, event_type,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           round(sum(sv), 4) AS total_value,
+           count(*) AS n_hours
+    FROM hourly GROUP BY 1, 2
+    """,
+    survey_rows="ST1,A1,F2",
+)
+def rollup_hour_to_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup reuse: daily aggregates derived FROM the
+    hourly rollup, not from raw events — the continuous-aggregate /
+    hypertable pattern. The day re-aggregation reads |hours|×|types| rows
+    (~3.6k here; at 100 TB, ~10^5 instead of 10^12). Count/sum compose
+    exactly across levels; avg would be reconstructed as sum/count — the
+    classic algebraic-vs-holistic aggregate split (medians can't chain)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    return hourly.groupBy(
+        F.date_trunc("day", "h").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.round(F.sum("sv"), 4).alias("total_value"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )

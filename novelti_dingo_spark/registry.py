@@ -147,6 +147,9 @@ def _load_all() -> None:
         typed,
         interval,
         pca,
+        heavy_hitters,
+        timeseries,
+        pq,
     )
 
     _LOADED = True

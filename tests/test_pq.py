@@ -1,0 +1,89 @@
+"""Product quantization: model determinism, the ADC identity (table
+lookup sum == dot against the reconstructed vector), shortlist recall
+far above chance, and exact rerank scores."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from novelti_dingo_spark.operators.pq import (
+    K,
+    M,
+    SUBDIM,
+    _assign,
+    pq_encode,
+    pq_fit,
+    pq_knn_top10,
+    pq_rerank_top10,
+    subvectors,
+)
+from novelti_dingo_spark.sources import load_table
+
+
+def _codebook_map(cb_rows):
+    return {(r.m, r.cid): np.array(r.centroid) for r in cb_rows}
+
+
+def test_pq_fit_is_deterministic(spark, sf_small):
+    e = load_table(spark, sf_small, "embeddings")
+    a = _codebook_map(pq_fit(e).collect())
+    b = _codebook_map(pq_fit(e).collect())
+    assert set(a) == set(b)
+    for k in a:
+        assert np.array_equal(a[k], b[k]), k
+
+
+def test_pq_codes_shape_and_range(spark, sf_small):
+    e = load_table(spark, sf_small, "embeddings")
+    cb = pq_fit(e)
+    codes = pq_encode(e, cb).collect()
+    assert len(codes) == e.count()
+    for r in codes:
+        assert len(r.codes) == M
+        assert all(0 <= c < K for c in r.codes)
+
+
+def test_adc_identity(spark, sf_small):
+    """PQ score must equal the dot product between the query and the
+    RECONSTRUCTED vector (concatenated chosen centroids) — the defining
+    ADC identity, checked in numpy at full float precision."""
+    sf = sf_small
+    e = load_table(spark, sf, "embeddings")
+    cb_map = _codebook_map(pq_fit(e).collect())
+    codes = {r.vec_id: r.codes for r in pq_encode(e, pq_fit(e)).collect()}
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    q = np.array(qrow.embedding, dtype=np.float64)
+    got = pq_knn_top10(spark, sf).collect()
+    assert len(got) == 10
+    for r in got:
+        recon = np.concatenate(
+            [cb_map[(m, codes[r.vec_id][m])] for m in range(M)]
+        )
+        assert recon.shape == (M * SUBDIM,)
+        assert abs(r.pq_sim - round(float(q @ recon), 6)) <= 1e-6
+
+
+def test_pq_shortlist_beats_chance_and_rerank_is_exact(spark, sf_med):
+    """Recall@10 of PQ top-10 must be far above the random baseline
+    (10/n), and every rerank score must be the true cosine."""
+    from novelti_dingo_spark.operators.similarity import knn_bruteforce_top10
+
+    exact = {r.vec_id: r.cos_sim for r in knn_bruteforce_top10(spark, sf_med).collect()}
+    pq = {r.vec_id for r in pq_knn_top10(spark, sf_med).collect()}
+    n = load_table(spark, sf_med, "embeddings").count()
+    chance = 10 / n
+    recall = len(pq & set(exact)) / 10
+    assert recall >= 0.2 > 5 * chance
+
+    rr = pq_rerank_top10(spark, sf_med).collect()
+    assert len(rr) == 10
+    # rerank scores are exact: any reranked vector that IS a true top-10
+    # neighbor must carry exactly the brute-force score
+    overlap = [r for r in rr if r.vec_id in exact]
+    assert overlap, "rerank must recover at least one true neighbor"
+    for r in overlap:
+        assert abs(r.cos_sim - exact[r.vec_id]) <= 1e-6
+    # and rerank recall is at least plain-PQ recall (shortlist ⊇ top-10)
+    rr_recall = len({r.vec_id for r in rr} & set(exact)) / 10
+    assert rr_recall >= recall
