@@ -600,7 +600,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "neardup_clusters_bigstar",
     _NEARDUP_CC_ORACLE,
-    survey_rows="L7,L2,J1,A1",
+    survey_rows="L7b,L2,J1,A1",
 )
 def neardup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L7 at planet scale: identical clustering to `neardup_clusters`,

@@ -49,7 +49,7 @@ _BIGRAMS_SQL = """
     FROM f CROSS JOIN n
     WHERE cnt * 1000000 > {PPM_THRESHOLD} * total
     """,
-    survey_rows="L5,A1,F1",
+    survey_rows="L21,A1,F1",
 )
 def heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters: bigrams whose corpus share exceeds
@@ -100,7 +100,7 @@ def heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM f CROSS JOIN n
     WHERE cnt * 1000000 > {PPM_THRESHOLD} * total
     """,
-    survey_rows="L5,A1,J3,F7",
+    survey_rows="L21,A1,J3,F7",
 )
 def heavy_hitters_sampled_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-then-verify heavy hitters — the shape that scales past

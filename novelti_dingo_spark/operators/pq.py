@@ -125,7 +125,7 @@ def pq_encode(vectors: DataFrame, codebooks: DataFrame) -> DataFrame:
     "pq_knn_top10",
     None,  # k-means training is engine-specific → rows-only; ADC
     # identities, determinism, and recall pinned in tests/test_pq.py.
-    survey_rows="L3-scale,P,iterative",
+    survey_rows="L22,P,iterative",
 )
 def pq_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC top-10 for query vector 0: train codebooks, encode the

@@ -44,7 +44,7 @@ EWMA_ALPHA = 0.3
     WHERE n_window >= 12 AND sigma > 0
       AND (value > mu + 3 * sigma OR value < mu - 3 * sigma)
     """,
-    survey_rows="W3,ST6,stats",
+    survey_rows="ST10,W3,stats",
 )
 def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly detection: each event compared against the
@@ -98,7 +98,7 @@ def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_reduce(vs, (acc, x) -> acc * {1 - EWMA_ALPHA} + x * {EWMA_ALPHA}) AS ewma
     FROM w WHERE user_id < 20
     """,
-    survey_rows="W3,ST6,F5",
+    survey_rows="ST11,W3,F5",
 )
 def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA over each user's last 10 values — the recursive smoother
@@ -146,7 +146,7 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_hours
     FROM hourly GROUP BY 1, 2
     """,
-    survey_rows="ST1,A1,F2",
+    survey_rows="ST12,A1,F2",
 )
 def rollup_hour_to_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-resolution rollup reuse: daily aggregates derived FROM the

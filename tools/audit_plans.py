@@ -177,6 +177,27 @@ EXPECT = {
                              "max_scan_cols": 1},
     "error_safe_funcs": {"pushed_filters": True, "no_python_udf": True,
                          "max_scan_cols": 5},
+    # round-3 additions
+    # exact heavy hitters: explode + two-phase agg; total-count side is a
+    # broadcast (1 row); corpus scan reads only doc_id+text
+    "heavy_hitter_bigrams": {"partial_agg": True, "no_python_udf": True,
+                             "max_scan_cols": 2},
+    # sample-then-verify: candidate set must arrive broadcast (semi join
+    # prunes the recount before its shuffle)
+    "heavy_hitters_sampled_verify": {
+        "partial_agg": True, "broadcast_joins": 1,
+        "no_python_udf": True, "max_scan_cols": 2,
+    },
+    # per-user trailing frames: exactly one data shuffle (user_id), then
+    # sequential frame evaluation — no self-joins
+    "rolling_zscore_anomaly": {"single_shuffle": True, "no_python_udf": True,
+                               "max_scan_cols": 4},
+    "ewma_user_value": {"single_shuffle": True, "no_python_udf": True,
+                        "max_scan_cols": 4},
+    # hour->day reuse: both levels are two-phase hash aggs; the day level
+    # re-aggregates the |hours| rollup, never the raw scan
+    "rollup_hour_to_day": {"partial_agg": True, "no_python_udf": True,
+                           "max_scan_cols": 3},
 }
 
 

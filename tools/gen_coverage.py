@@ -69,6 +69,13 @@ ROWS = {
     "S5": "persistent catalog (external/bucketed/partitioned tables)",
     "S6": "custom connector (Python DataSource API, source + sink)",
     "S7": "Z-order layout clustering (multi-column file skipping)",
+    # round-3 rows
+    "ST10": "rolling z-score anomaly detection",
+    "ST11": "EWMA smoothing (frame fold)",
+    "ST12": "multi-resolution rollup reuse (hour->day)",
+    "L21": "heavy-hitter n-grams (exact + sample-then-verify)",
+    "L22": "product-quantization ANN + exact rerank",
+    "L7b": "CC via large-star/small-star contraction",
 }
 
 # rows exercised by tests/infrastructure rather than registry queries
