@@ -180,6 +180,98 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "jaccard_pairs_prefix_filter",
+    f"""
+    WITH grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(string_split(text, ' '))),
+                    i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')))
+               AS gram
+      FROM documents
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+    """,
+    survey_rows="L23,L2-exact,W1,F5",
+)
+def jaccard_pairs_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-join via prefix filtering (the PPJoin/AllPairs family
+    — Bayardo et al. WWW'07, Xiao et al. WWW'08): same output as
+    `ngram_jaccard_pairs`, same oracle, different candidate generation —
+    the one that scales on a natural vocabulary.
+
+    Prefix-filter theorem: order every doc's gram set by a global rarity
+    order (ascending doc-frequency, gram as tiebreak). If
+    jaccard(x,y) >= τ then x and y must share a gram within each other's
+    first |x| - ceil(τ·|x|) + 1 grams: any pair missing from the prefix
+    join is PROVABLY below threshold — exact pruning, no recall loss.
+    Only prefix grams (half the tokens at τ=0.5, and the RAREST half at
+    that) enter the candidate self-join, so hot boilerplate grams, which
+    land at the END of the rarity order, never generate candidates — the
+    exact counterpart of dropping boilerplate LSH buckets.
+
+    Shape: df groupBy (vocab-sized, two-phase) → rank join → per-doc
+    prefix via row_number ≤ p → equi-join on prefix gram → verify ONLY
+    candidates with array_intersect on the two gram arrays (each pair
+    exactly once). No GEMM, no all-pairs: candidate volume is bounded by
+    prefix-gram collisions, and verification is |candidates|, not n²."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(token_bigrams("text")).alias("grams")
+    )
+    g = d.select("doc_id", F.explode("grams").alias("gram"))
+    dfreq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    ranked = g.join(F.broadcast(dfreq), "gram").select(
+        "doc_id", "gram", "df"
+    )
+    w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    sz = Window.partitionBy("doc_id")
+    prefix = (
+        ranked.select(
+            "doc_id",
+            "gram",
+            F.row_number().over(w).alias("pos"),
+            F.count(F.lit(1)).over(sz).alias("n"),
+        )
+        .filter(
+            F.col("pos")
+            <= F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
+        )
+        .select("doc_id", "gram")
+    )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "gram")
+    cand = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ga = d.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = d.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = (F.size("ga") + F.size("gb")).cast("double") - inter
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("_j"))
+        .filter(F.col("_j") >= JACCARD_THRESHOLD)  # raw ratio, like the oracle
+        .select("doc_a", "doc_b", F.round("_j", 6).alias("jaccard"))
+    )
+
+
 # --- MinHash-LSH -----------------------------------------------------------
 
 # 128 hashes in 32 bands of r=4. Banding math on this corpus (bimodal

@@ -356,3 +356,61 @@ def interp_linear_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_interp"),
         F.col("v").isNotNull().alias("observed"),
     )
+
+
+@register(
+    "session_window_30min",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(epoch_us(ts))    AS session_start_us,
+           max(epoch_us(ts))    AS session_end_us,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    survey_rows="ST3,A1,F2",
+)
+def session_window_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 via the NATIVE `F.session_window` primitive in batch — the
+    same call that runs under readStream with a watermark. The oracle is
+    the manual lag+cumsum sessionization SQL, so the driver hash-match
+    certifies Spark's gap-merge semantics ≡ the classic idiom ≡ DuckDB,
+    closing the loop between the batch idiom (`sessionize_30min`), the
+    streaming primitive, and an independent engine.
+
+    Shape: one shuffle on the session_window grouping; merging
+    overlapping windows is the aggregation itself (no window-function
+    pass at all) — at scale this is the cheaper sessionizer when you
+    need per-session AGGREGATES but not per-event session ids."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("session_start_us"),
+            F.max(F.unix_micros("ts")).alias("session_end_us"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            "session_start_us",
+            "session_end_us",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -5,7 +5,7 @@ testdata encodes (SURVEY.md §2.3 key list).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -649,3 +649,133 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out
+
+
+@register(
+    "scd2_pointintime_join",
+    """
+    WITH snaps AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate,
+             CASE WHEN lag(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), versions AS (
+      SELECT o_custkey, o_orderpriority,
+             epoch_us(o_orderdate) AS valid_from_us,
+             epoch_us(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate)) AS valid_to_us
+      FROM snaps WHERE chg = 1
+    )
+    SELECT e.event_id, e.user_id,
+           coalesce(v.o_orderpriority, 'NONE') AS priority_at_event
+    FROM events e
+    LEFT JOIN versions v
+      ON e.user_id = v.o_custkey
+     AND epoch_us(e.ts) >= v.valid_from_us
+     AND (v.valid_to_us IS NULL OR epoch_us(e.ts) < v.valid_to_us)
+    WHERE e.user_id < 100
+    """,
+    survey_rows="J9,scd2,J2,F2",
+)
+def scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) dimension lookup: each event joined to the
+    SCD2 priority version VALID AT its timestamp — the warehouse pattern
+    for "what did the dimension say when the fact happened" (and the
+    training-data analogue: feature-store time travel, no leakage from
+    future versions).
+
+    Shape: equi-key on the entity id carries the hash join; the validity
+    range rides as a residual filter — never a nested loop, and per-key
+    version counts are small (bounded fan-out). Events before the first
+    version keep the row with 'NONE' (left join): silent drops would bias
+    any downstream aggregate. At 100 TB: identical plan, dimension side
+    is |entities|x|versions| (usually broadcastable); if version churn is
+    extreme, bin by validity month exactly like the interval join."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    chg = ~F.lag("o_orderpriority").over(w).eqNullSafe(F.col("o_orderpriority"))
+    versions = (
+        o.withColumn("_chg", chg | F.lag("o_orderdate").over(w).isNull())
+        .filter(F.col("_chg"))
+        .select(
+            "o_custkey",
+            "o_orderpriority",
+            F.unix_micros("o_orderdate").alias("valid_from_us"),
+            F.unix_micros(F.lead("o_orderdate").over(w2)).alias("valid_to_us"),
+        )
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 100)
+        .select("event_id", "user_id", F.unix_micros("ts").alias("_us"))
+    )
+    cond = (
+        (e.user_id == versions.o_custkey)
+        & (F.col("_us") >= F.col("valid_from_us"))
+        & (F.col("valid_to_us").isNull() | (F.col("_us") < F.col("valid_to_us")))
+    )
+    return e.join(versions, cond, "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce("o_orderpriority", F.lit("NONE")).alias("priority_at_event"),
+    )
+
+
+# Efraimidis–Spirakis key expression, written once and used VERBATIM on
+# both engines (only portable functions: md5, substr, instr, power, ln).
+# u = 8 md5 hex digits mapped into (0,1) + 16^-9 (never exactly 0, so ln
+# is defined); key = -ln(u)/weight — the k smallest keys are a
+# probability-proportional-to-size sample without replacement.
+_PPS_U = (
+    "("
+    + " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), {i}, 1)) - 1)"
+        f" * power(16.0, -{i})"
+        for i in range(1, 9)
+    )
+    + " + power(16.0, -9))"
+)
+_PPS_KEY = f"(-ln({_PPS_U}) / n_chars)"
+
+
+@register(
+    "weighted_sample_pps",
+    f"""
+    SELECT doc_id, lang, n_chars,
+           round({_PPS_KEY}, 9) AS pps_key
+    FROM documents
+    ORDER BY {_PPS_KEY}, doc_id LIMIT 50
+    """.replace("AS STRING", "AS VARCHAR"),
+    survey_rows="L24,O2,F3,F7",
+)
+def weighted_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (PPS): 50 docs drawn with
+    probability proportional to n_chars — the corpus-assembly primitive
+    for 'sample by token budget, prefer substantive documents'
+    (Efraimidis & Spirakis, IPL'06: order by -ln(u)/w and take the k
+    smallest; u derived from md5(doc_id), so the draw is deterministic,
+    engine-portable, partition-layout-independent, and re-run-stable —
+    no RNG seed to version, same property as the hash-mod samplers).
+
+    Scale: a scan-side key expression + TakeOrderedAndProject top-k; no
+    shuffle beyond the k-row merge. The ln last-ulp engine difference
+    cannot flip top-50 membership (key gaps at the boundary are ~1e-4 on
+    continuous weights); the emitted key is rounded to 9dp."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.expr(_PPS_KEY)
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(key, 9).alias("pps_key"),
+            key.alias("_k"),
+        )
+        .orderBy("_k", "doc_id")
+        .limit(50)
+        .drop("_k")
+    )

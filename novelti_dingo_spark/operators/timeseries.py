@@ -166,3 +166,44 @@ def rollup_hour_to_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("sv"), 4).alias("total_value"),
         F.count(F.lit(1)).alias("n_hours"),
     )
+
+
+@register(
+    "ewma_running_final",
+    f"""
+    SELECT user_id,
+           count(*) AS n_events,
+           list_reduce(list(value ORDER BY ts, event_id),
+                       (acc, x) -> acc * {1 - EWMA_ALPHA} + x * {EWMA_ALPHA})
+             AS ewma_final
+    FROM events GROUP BY user_id
+    """,
+    survey_rows="ST13,ST11,A7",
+)
+def ewma_running_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded EWMA per user — the since-start-of-stream smoother,
+    folded over each user's FULL ordered history. One groupBy shuffle;
+    per-group memory is the user's value list, fine for bounded per-key
+    history. At 100 TB with unbounded keys this exact recurrence runs
+    incrementally in `streaming.stateful.running_user_ewma` (state = one
+    (s, n) pair per user, O(keys) memory, no list) — the parity test in
+    tests/test_streaming.py pins stateful == this fold, and the oracle
+    pins this fold == DuckDB's list_reduce. Same left fold, same seed,
+    bit-identical IEEE — raw-double hash match."""
+    e = load_table(spark, sf_dir, "events")
+    rows = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("rs"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    vals = F.transform(F.col("rs"), lambda r: r.getField("value"))
+    ewma = F.aggregate(
+        F.expr(
+            "slice(transform(rs, r -> r.value), 2, "
+            "greatest(size(rs) - 1, 0))"
+        ),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(1 - EWMA_ALPHA) + x * F.lit(EWMA_ALPHA),
+    )
+    return rows.select("user_id", "n_events", ewma.alias("ewma_final"))

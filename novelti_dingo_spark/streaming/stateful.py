@@ -140,3 +140,63 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# --- running EWMA ----------------------------------------------------------
+
+EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("s", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ewma_final", DoubleType()),
+    ]
+)
+
+
+def _ewma_update(key, pdfs, state: GroupState):
+    """Incremental EWMA: state is ONE (s, n) pair per user — the
+    constant-memory streaming twin of the batch fold in
+    operators.timeseries.ewma_running_final (same recurrence, same seed,
+    bit-identical when rows arrive in (ts, event_id) order)."""
+    import pandas as pd
+
+    from ..operators.timeseries import EWMA_ALPHA
+
+    s, n = state.get if state.exists else (0.0, 0)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for x in pdf["value"]:
+            x = float(x)
+            s = x if n == 0 else s * (1 - EWMA_ALPHA) + x * EWMA_ALPHA
+            n += 1
+    state.update((s, n))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "ewma_final": [s]}
+    )
+
+
+def running_user_ewma(events: DataFrame) -> DataFrame:
+    """Per-user running EWMA via arbitrary stateful processing (update
+    semantics: each micro-batch emits the current smoothed value for
+    every touched user). Within a batch rows are folded in (ts, event_id)
+    order; across batches the state carries (s, n) — replaying the same
+    files through any micro-batch partitioning yields the same final
+    answer, which the parity test asserts against the batch fold."""
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ewma_update,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

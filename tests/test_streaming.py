@@ -352,3 +352,25 @@ def test_transform_with_state_matches_batch(spark, sf_small, events_stream):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_ewma_matches_batch_fold(spark, sf_small, events_stream):
+    """running_user_ewma (constant-memory stateful) final rows must equal
+    the batch unbounded fold ewma_running_final — same recurrence, same
+    (ts, event_id) order, bit-identical doubles."""
+    from novelti_dingo_spark.operators.timeseries import ewma_running_final
+    from novelti_dingo_spark.streaming.stateful import running_user_ewma
+
+    out = running_user_ewma(events_stream)
+    name = streaming.run_to_memory(out, "t_ewma", mode="update")
+    rows = spark.sql(
+        f"""SELECT user_id, n_events, ewma_final FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY n_events DESC) rn FROM {name}) WHERE rn = 1"""
+    ).collect()
+    got = {r.user_id: (r.n_events, r.ewma_final) for r in rows}
+    want = {
+        r.user_id: (r.n_events, r.ewma_final)
+        for r in ewma_running_final(spark, sf_small).collect()
+    }
+    assert got == want

@@ -127,3 +127,38 @@ def test_rollup_hour_to_day_consistent_with_raw(spark, sf_med):
         assert got.n_events == r.n
         assert abs(got.total_value - r.sv) < 1e-3
         assert 1 <= got.n_hours <= 24
+
+
+def test_weighted_sample_is_biased_to_heavy_docs_and_deterministic(spark, sf_med):
+    from novelti_dingo_spark.operators.extras import weighted_sample_pps
+
+    a = weighted_sample_pps(spark, sf_med).collect()
+    b = weighted_sample_pps(spark, sf_med).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    assert len(a) == 50
+    d = load_table(spark, sf_med, "documents")
+    corpus_mean = d.agg(F.avg("n_chars")).head()[0]
+    sample_mean = sum(r.n_chars for r in a) / len(a)
+    # PPS by n_chars must overrepresent long documents
+    assert sample_mean > corpus_mean * 1.05
+
+
+def test_prefix_filter_join_equals_gemm_jaccard(spark, sf_med):
+    """Two exact set-similarity implementations (blocked GEMM vs prefix
+    filtering) must produce identical pairs — completeness of the prefix
+    pruning theorem on real data."""
+    from novelti_dingo_spark.operators.dedup import (
+        jaccard_pairs_prefix_filter,
+        ngram_jaccard_pairs,
+    )
+
+    a = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(spark, sf_med).collect()
+    }
+    b = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs_prefix_filter(spark, sf_med).collect()
+    }
+    assert a, "corpus must contain near-dup pairs"
+    assert a == b

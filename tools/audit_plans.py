@@ -198,6 +198,22 @@ EXPECT = {
     # re-aggregates the |hours| rollup, never the raw scan
     "rollup_hour_to_day": {"partial_agg": True, "no_python_udf": True,
                            "max_scan_cols": 3},
+    # prefix-filter set-similarity: candidate generation and verification
+    # are hash joins (never NLJ); df table is two-phase aggregated
+    "jaccard_pairs_prefix_filter": {
+        "hash_join_not_nlj": True, "partial_agg": True,
+        "no_python_udf": True, "max_scan_cols": 2,
+    },
+    # temporal lookup: equi-key hash join with the validity range as
+    # residual — never a nested loop over versions
+    "scd2_pointintime_join": {"hash_join_not_nlj": True,
+                              "no_python_udf": True, "max_scan_cols": 4},
+    # unbounded fold: one groupBy shuffle, no window re-shuffle
+    "ewma_running_final": {"single_shuffle": True, "no_python_udf": True,
+                           "max_scan_cols": 4},
+    # PPS sample: scan-side key + top-k merge, no full sort
+    "weighted_sample_pps": {"take_ordered": True, "no_python_udf": True,
+                            "max_scan_cols": 3},
 }
 
 

@@ -76,6 +76,10 @@ ROWS = {
     "L21": "heavy-hitter n-grams (exact + sample-then-verify)",
     "L22": "product-quantization ANN + exact rerank",
     "L7b": "CC via large-star/small-star contraction",
+    "L23": "exact set-similarity join via prefix filtering",
+    "L24": "weighted PPS sampling (Efraimidis-Spirakis)",
+    "J9": "SCD2 point-in-time join",
+    "ST13": "stateful running EWMA (applyInPandasWithState)",
 }
 
 # rows exercised by tests/infrastructure rather than registry queries
