@@ -234,3 +234,137 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              'o_orderpriority|len', n, op_null, op_distinct, op_min, op_max
            ) AS (col, n, n_null, n_distinct, min_d, max_d)"""
     )
+
+
+@register(
+    "share_of_total_revenue",
+    """
+    WITH rev AS (
+      SELECT r_name AS region, n_name AS nation,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation, revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY region), 6)
+             AS share_in_region,
+           round(revenue / sum(revenue) OVER (), 6) AS share_global
+    FROM rev
+    """,
+    survey_rows="W3,A1,J1,F3",
+)
+def share_of_total_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's revenue as a share of its region
+    and of the world — the percent-of-total window every BI layer needs.
+    Shape: the windows run over the 25-row AGGREGATE, not the fact table
+    (aggregate first, window the rollup) — at 100 TB the window input is
+    |nations|, so the two share columns are free. Shares divide one
+    2dp-rounded total by another (both engines window the same rounded
+    values), so the 6dp quotient is engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    from pyspark.sql import Window
+
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    wr = Window.partitionBy("region")
+    wg = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(wr), 6).alias(
+            "share_in_region"
+        ),
+        F.round(F.col("revenue") / F.sum("revenue").over(wg), 6).alias(
+            "share_global"
+        ),
+    )
+
+
+@register(
+    "cumulative_unique_users",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS first_day
+      FROM events GROUP BY user_id
+    ), per_day AS (
+      SELECT first_day AS day, count(*) AS new_users FROM firsts GROUP BY 1
+    )
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM per_day
+    """,
+    survey_rows="A2,W3,F2,ST6",
+)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth-curve query. The
+    naive form (COUNT(DISTINCT) over an expanding window) rescans every
+    prefix: quadratic. The scalable identity: a user contributes to the
+    cumulative count exactly once, on their FIRST day — so reduce to
+    first-touch rows (one shuffle on user_id), aggregate to |days| rows,
+    and a running sum over that tiny spine finishes the job. Same shape
+    at 100 TB: the expensive part stays a plain two-phase min-agg."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).cast("date").alias("first_day")
+    )
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+@register(
+    "per_group_sample",
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 5
+    """,
+    survey_rows="sampling,W1,F7",
+)
+def per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sample: 5 docs per language, drawn in
+    md5(doc_id) order — the distributed reservoir-sample replacement
+    (row_number over a hash order ≡ a uniform draw, but re-run-stable and
+    engine-portable, no RNG state). One shuffle on the group key; at
+    scale the WindowGroupLimit optimization stops each partition after k
+    rows instead of ranking everything."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )

@@ -219,3 +219,75 @@ def pq_rerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "ivf_pq_knn_top10",
+    None,  # two trained quantizers → rows-only; containment, consistency
+    # with plain PQ, and determinism pinned in tests/test_pq.py.
+    survey_rows="L22,L3-scale,P,iterative",
+)
+def ivf_pq_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production ANN index architecture (FAISS IVFPQ shape):
+    the IVF coarse quantizer prunes WHICH vectors are considered
+    (n_probe/k of the corpus), PQ codes decide HOW the survivors are
+    scored (8 bytes each, LUT sum, no float fetch). At 100 TB the scan
+    touches ~cells/k of the code table only: both reductions compose
+    multiplicatively — 2/8 of the corpus × 1/32 of the bytes here.
+
+    Plumbing: IVF assignment and PQ codes are both derived relations of
+    the same corpus scan; the probed-cell filter is a 2-row broadcast
+    semi-join applied BEFORE the LUT join, so unprobed cells never reach
+    the scorer. (Classic IVF-PQ encodes residuals r = x - centroid for
+    tighter codebooks; raw-vector codes keep the oracle-free test
+    identities simple and the composition identical.)"""
+    from .ivf import N_PROBE, _assign as ivf_assign, _sq_dist, kmeans_fit
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # coarse quantizer: cell per vector
+    cells = kmeans_fit(e)
+    assigned = ivf_assign(e, cells).select("vec_id", "cid")
+    icol = F.col("cid").alias("ivf_cid")
+    assigned = assigned.select("vec_id", icol)
+    # fine quantizer: PQ codes per vector
+    codebooks = pq_fit(e)
+    codes = _assign(subvectors(e), codebooks).select("vec_id", "m", "cid")
+    # query: probe the N_PROBE nearest cells
+    q_emb = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("q_emb")
+    )
+    probe_cells = (
+        cells.crossJoin(F.broadcast(q_emb))
+        .select(
+            F.col("cid").alias("ivf_cid"),
+            _sq_dist("centroid", "q_emb").alias("dist"),
+        )
+        .orderBy("dist", "ivf_cid")
+        .limit(N_PROBE)
+        .select("ivf_cid")
+    )
+    q = subvectors(e.filter(F.col("vec_id") == 0)).select(
+        "m", F.col("sub").alias("q_sub")
+    )
+    lut = codebooks.join(F.broadcast(q), "m").select(
+        "m",
+        "cid",
+        F.aggregate(
+            F.zip_with("centroid", "q_sub", lambda c, qq: c * qq),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("partial"),
+    )
+    survivors = (
+        assigned.join(F.broadcast(probe_cells), "ivf_cid", "left_semi")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    return (
+        codes.join(F.broadcast(survivors), "vec_id", "left_semi")
+        .join(F.broadcast(lut), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("partial"), 6).alias("pq_sim"))
+        .orderBy(F.desc("pq_sim"), F.asc("vec_id"))
+        .limit(10)
+    )

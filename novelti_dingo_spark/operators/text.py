@@ -255,3 +255,42 @@ def token_counts_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "normalized_dedup_key",
+    """
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_raw_distinct,
+           count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+             AS n_norm_distinct,
+           count(DISTINCT md5(text))
+             - count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+             AS n_case_ws_dups
+    FROM documents
+    """,
+    survey_rows="L1,F1,F7",
+)
+def normalized_dedup_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization-aware exact dedup: documents equal after
+    lowercasing + whitespace collapse + trim share a normalized content
+    key — catching the case/whitespace near-dups raw-hash dedup misses
+    without paying for MinHash. Emits the raw-vs-normalized distinct-key
+    delta (0 on this already-normalized corpus — the query is the
+    instrument; on a scraped corpus the delta is the cheap dedup win).
+    Same scale shape as L1: the shuffle carries 16-byte keys,
+    normalization is scan-side JVM regex. (Unicode NFC/confusable folding
+    is the production extension; this corpus is ASCII so the portable
+    regex family is exact.)"""
+    d = load_table(spark, sf_dir, "documents")
+    norm_h = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_raw_distinct"),
+        F.countDistinct(norm_h).alias("n_norm_distinct"),
+        (F.countDistinct(F.md5("text")) - F.countDistinct(norm_h)).alias(
+            "n_case_ws_dups"
+        ),
+    )

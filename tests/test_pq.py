@@ -87,3 +87,45 @@ def test_pq_shortlist_beats_chance_and_rerank_is_exact(spark, sf_med):
     # and rerank recall is at least plain-PQ recall (shortlist ⊇ top-10)
     rr_recall = len({r.vec_id for r in rr} & set(exact)) / 10
     assert rr_recall >= recall
+
+
+def test_ivf_pq_composition(spark, sf_med):
+    """IVF-PQ results must (a) only contain vectors from the probed
+    cells, (b) carry exactly the same ADC score plain PQ assigns, and
+    (c) be deterministic."""
+    from pyspark.sql import functions as F2
+
+    from novelti_dingo_spark.operators.ivf import (
+        N_PROBE,
+        _assign as ivf_assign,
+        _sq_dist,
+        kmeans_fit,
+    )
+    from novelti_dingo_spark.operators.pq import ivf_pq_knn_top10
+
+    e = load_table(spark, sf_med, "embeddings")
+    got = ivf_pq_knn_top10(spark, sf_med).collect()
+    assert len(got) == 10
+    assert got == ivf_pq_knn_top10(spark, sf_med).collect()
+
+    cells = kmeans_fit(e)
+    q = e.filter(F2.col("vec_id") == 0).select(
+        F2.col("embedding").cast("array<double>").alias("q_emb")
+    )
+    probed = {
+        r.cid
+        for r in cells.crossJoin(F2.broadcast(q))
+        .select("cid", _sq_dist("centroid", "q_emb").alias("d"))
+        .orderBy("d", "cid")
+        .limit(N_PROBE)
+        .collect()
+    }
+    cell_of = {r.vec_id: r.cid for r in ivf_assign(e, cells).select("vec_id", "cid").collect()}
+    for r in got:
+        assert cell_of[r.vec_id] in probed
+
+    # same ADC scores as unrestricted PQ (restriction must not rescore)
+    full = {r.vec_id: r.pq_sim for r in pq_knn_top10(spark, sf_med).collect()}
+    for r in got:
+        if r.vec_id in full:
+            assert r.pq_sim == full[r.vec_id]

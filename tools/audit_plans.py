@@ -214,6 +214,21 @@ EXPECT = {
     # PPS sample: scan-side key + top-k merge, no full sort
     "weighted_sample_pps": {"take_ordered": True, "no_python_udf": True,
                             "max_scan_cols": 3},
+    # ratio-to-report: windows run over the |nations| aggregate, dims
+    # broadcast; the fact table shuffles once into the rollup
+    "share_of_total_revenue": {"broadcast_joins": 3, "partial_agg": True,
+                               "no_python_udf": True},
+    # growth curve: first-touch min-agg (two-phase) + |days| running sum
+    "cumulative_unique_users": {"partial_agg": True, "no_python_udf": True,
+                                "max_scan_cols": 2},
+    # per-group hash-order sample: one shuffle on the group key
+    "per_group_sample": {"single_shuffle": True, "no_python_udf": True,
+                         "max_scan_cols": 3},
+    "normalized_dedup_key": {"partial_agg": True, "no_python_udf": True,
+                             "max_scan_cols": 1},
+    # native session_window: gap-merge IS the aggregation, one shuffle
+    "session_window_30min": {"partial_agg": True, "no_python_udf": True,
+                             "max_scan_cols": 3},
 }
 
 
