@@ -374,3 +374,33 @@ def test_stateful_ewma_matches_batch_fold(spark, sf_small, events_stream):
         for r in ewma_running_final(spark, sf_small).collect()
     }
     assert got == want
+
+
+def test_stream_events_reads_ns_encoded_files(spark, tmp_path):
+    """stream_events must sniff TIMESTAMP(NANOS) source files and convert
+    to µs exactly like the batch reader (regression for the testdata
+    encoding flip)."""
+    import pandas as pd
+
+    d = tmp_path / "nsdir"
+    d.mkdir()
+    base = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:07.179575", "2024-01-02 12:00:00.000001"]
+            ).astype("datetime64[ns]"),
+            "user_id": [1, 2],
+            "event_type": ["click", "view"],
+            "value": [1.0, 2.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    base.to_parquet(d / "events.parquet", coerce_timestamps=None)
+    ev = streaming.stream_events(spark, str(d))
+    name = streaming.run_to_memory(ev, "t_nsenc", mode="append")
+    rows = spark.sql(f"SELECT ts FROM {name} ORDER BY ts").collect()
+    assert [r.ts.isoformat() for r in rows] == [
+        "2024-01-01T00:00:07.179575",
+        "2024-01-02T12:00:00.000001",
+    ]
