@@ -80,6 +80,7 @@ ROWS = {
     "L24": "weighted PPS sampling (Efraimidis-Spirakis)",
     "J9": "SCD2 point-in-time join",
     "ST13": "stateful running EWMA (applyInPandasWithState)",
+    "L25": "distributed BPE tokenizer training",
 }
 
 # rows exercised by tests/infrastructure rather than registry queries
