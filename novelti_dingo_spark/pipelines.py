@@ -532,3 +532,38 @@ def vacuum_snapshots(
             lakefs.delete(spark, f"{base}/snap={v}")
             deleted.append(v)
     return deleted
+
+
+def merge_rows(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    deletes: DataFrame | None = None,
+) -> DataFrame:
+    """Row-level MERGE semantics (the MERGE INTO shape, as a pure
+    transformation over immutable inputs):
+
+    - matched keys        → the update row replaces the target row
+    - unmatched updates   → inserted
+    - keys in `deletes`   → removed (whether or not also updated)
+
+    Composition: target ▷anti updates ▷anti deletes ∪ (updates ▷anti
+    deletes). Every leg is a key-equi anti join: with a CDC-sized update
+    batch both anti joins broadcast, so the full target never shuffles —
+    feed the result to `upsert_by_partition` (or dynamic partition
+    overwrite) to make the rewrite proportional to touched partitions
+    rather than the table. Updates must be key-unique (CDC compaction:
+    keep the latest image per key BEFORE merging — one row_number pass).
+
+    Deterministic and format-agnostic: no table-format dependency, works
+    on anything a DataFrame can read; snapshot isolation comes from the
+    staged-write publish in `publish_versioned`/`publish_snapshot`."""
+    from pyspark.sql import functions as F2
+
+    upd = F2.broadcast(updates.select(*key_cols).distinct())
+    kept = target.join(upd, key_cols, "left_anti")
+    merged = kept.unionByName(updates)
+    if deletes is not None:
+        dels = F2.broadcast(deletes.select(*key_cols).distinct())
+        merged = merged.join(dels, key_cols, "left_anti")
+    return merged

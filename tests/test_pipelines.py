@@ -308,3 +308,34 @@ def test_snapshot_publish_atomic_multi_table(spark, sf_small, tmp_path):
     assert not lakefs.exists(spark, f"{base}/snap=1")
     tables, manifest = read_snapshot(spark, base)
     assert manifest["snapshot"] == 2
+
+
+def test_merge_rows_semantics(spark):
+    from novelti_dingo_spark.pipelines import merge_rows
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, name string, v double",
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 21.0), (5, "e", 50.0)], "id long, name string, v double"
+    )
+    deletes = spark.createDataFrame([(3,), (5,)], "id long")
+    got = {
+        r.id: (r.name, r.v)
+        for r in merge_rows(target, updates, ["id"], deletes).collect()
+    }
+    # 1,4 untouched; 2 updated; 3 deleted; 5 inserted-then-deleted
+    assert got == {1: ("a", 10.0), 2: ("B", 21.0), 4: ("d", 40.0)}
+
+    # without deletes: plain upsert
+    got2 = {
+        r.id: (r.name, r.v) for r in merge_rows(target, updates, ["id"]).collect()
+    }
+    assert got2 == {
+        1: ("a", 10.0),
+        2: ("B", 21.0),
+        3: ("c", 30.0),
+        4: ("d", 40.0),
+        5: ("e", 50.0),
+    }

@@ -229,6 +229,9 @@ EXPECT = {
     # native session_window: gap-merge IS the aggregation, one shuffle
     "session_window_30min": {"partial_agg": True, "no_python_udf": True,
                              "max_scan_cols": 3},
+    # Markov transitions: one user_id shuffle for the lag, |types|^2 agg
+    "event_transition_matrix": {"partial_agg": True, "no_python_udf": True,
+                                "max_scan_cols": 4},
 }
 
 
