@@ -1,0 +1,110 @@
+"""CDC apply stream: change-data-capture files → versioned parquet lake.
+
+The end-to-end shape every warehouse ingestion needs: a stream of change
+records (upserts + tombstones, with a per-key sequence) applied to a
+target dataset with MERGE semantics, exactly once, atomically visible.
+
+Composition of existing pieces — nothing bespoke:
+- file-source streaming + checkpoint: each CDC file is read once;
+- per-batch CDC *compaction*: latest image per key by (seq, tie-break)
+  — without it a batch containing insert+update+delete for one key
+  would apply in arbitrary order;
+- `pipelines.merge_rows`: update/insert/delete via key anti joins
+  (CDC-sized batches broadcast; the target never shuffles);
+- `pipelines.publish_versioned`: the merged result becomes version N+1
+  with an atomic LATEST flip — readers see old or new, never torn.
+
+Exactly-once across crashes: the streaming checkpoint dedups INPUT
+files, and each published manifest records the micro-batch epoch; on
+replay (crash between publish and checkpoint commit) the epoch guard
+skips re-publishing an already-applied batch, so the version history
+stays one-version-per-batch instead of acquiring duplicates.
+
+At 100 TB: versions share nothing (full rewrite per batch) — switch the
+publish step to `upsert_by_partition` so each batch rewrites only the
+partitions its keys touch; the merge/compaction/guard logic is
+unchanged. That swap is the known trade between snapshot simplicity and
+write amplification.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..pipelines import merge_rows, publish_versioned, read_version
+from ..sources import lakefs
+
+
+def _last_applied_epoch(spark: SparkSession, base: str) -> int:
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        return -1
+    v = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
+    manifest = json.loads(
+        lakefs.read_text(spark, f"{base}/v={v}/_manifest.json")
+    )
+    return int(manifest.get("batch_id", -1))
+
+
+def compact_cdc_batch(
+    batch: DataFrame, key_cols: list[str], seq_col: str = "seq"
+) -> DataFrame:
+    """Latest change image per key within the batch (highest seq wins;
+    ties break on the tombstone so a delete at the same seq is final)."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(seq_col), F.desc("_deleted")
+    )
+    return (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def cdc_apply_stream(
+    spark: SparkSession,
+    updates_dir: str,
+    target_base: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    schema: StructType,
+    seq_col: str = "seq",
+) -> None:
+    """One incremental CDC run (Trigger.AvailableNow): apply all CDC
+    files not yet in the checkpoint to the versioned target, one
+    published version per micro-batch. Change rows carry `seq` (per-key
+    ordering) and `_deleted` (tombstone)."""
+    base = target_base.rstrip("/")
+    payload_cols = [
+        f.name for f in schema.fields if f.name not in (seq_col, "_deleted")
+    ]
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        # replay guard (crash between publish and checkpoint commit)
+        if epoch_id <= _last_applied_epoch(spark, base):
+            return
+        latest = compact_cdc_batch(batch, key_cols, seq_col)
+        upserts = latest.filter(~F.col("_deleted")).select(*payload_cols)
+        deletes = latest.filter(F.col("_deleted")).select(*key_cols)
+        if lakefs.exists(spark, f"{base}/LATEST"):
+            target, _ = read_version(spark, base)
+        else:
+            target = spark.createDataFrame([], upserts.schema)
+        merged = merge_rows(target, upserts, key_cols, deletes)
+        publish_versioned(merged, base, meta={"batch_id": int(epoch_id)})
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(updates_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -81,6 +81,7 @@ ROWS = {
     "J9": "SCD2 point-in-time join",
     "ST13": "stateful running EWMA (applyInPandasWithState)",
     "L25": "distributed BPE tokenizer training",
+    "ST14": "CDC apply stream -> versioned lake (MERGE exactly-once)",
 }
 
 # rows exercised by tests/infrastructure rather than registry queries
@@ -102,6 +103,8 @@ NON_QUERY_COVERAGE = {
     "sources/ledger_sink.py (manifest-committed writer); "
     "tests/test_synthetic_source.py, tests/test_ledger_sink.py",
     "S7": "layout.py (Morton-key zorder_write); tests/test_layout.py",
+    "ST14": "streaming/cdc.py (foreachBatch + merge_rows + "
+    "publish_versioned, epoch replay guard); tests/test_cdc.py",
 }
 
 
