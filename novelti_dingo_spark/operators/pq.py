@@ -291,3 +291,101 @@ def ivf_pq_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pq_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "ivf_pq_residual_knn_top10",
+    None,  # trained quantizers → rows-only; the residual-ADC identity
+    # and determinism are pinned in tests/test_pq.py.
+    survey_rows="L22,L3-scale,P,iterative",
+)
+def ivf_pq_residual_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF-PQ — the classic refinement (FAISS IVFPQ
+    default): PQ codes quantize r = x − centroid(cell(x)) instead of x.
+    Residuals live in a much smaller ball than raw vectors, so the same
+    16 centroids per subspace spend their resolution where it matters;
+    recall at equal code budget improves on clustered corpora.
+
+    Scoring stays LUT-only by linearity of the dot product:
+        q·x̂ = q·centroid(cell) + Σ_m LUT[m, code_m]
+    The q·centroid term is one broadcast k-row table; the residual LUT is
+    the same 128-row broadcast as before. Nothing about the scan changes:
+    codes + two tiny broadcasts, float vectors never read at query time."""
+    from .ivf import N_PROBE, _assign as ivf_assign, _sq_dist, kmeans_fit
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = kmeans_fit(e)
+    # (vec_id, ivf_cid, residual) — residual = x − cell centroid
+    assigned = ivf_assign(e, cells)
+    with_res = (
+        assigned.join(
+            F.broadcast(cells.select(F.col("cid"), F.col("centroid"))),
+            "cid",
+        )
+        .select(
+            "vec_id",
+            F.col("cid").alias("ivf_cid"),
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                "centroid",
+                lambda x, c: x - c,
+            ).alias("embedding"),
+        )
+    )
+    # PQ on residuals (subvectors() reads the `embedding` column)
+    codebooks = pq_fit(with_res.select("vec_id", "embedding"))
+    codes = _assign(
+        subvectors(with_res.select("vec_id", "embedding")), codebooks
+    ).select("vec_id", "m", "cid")
+    cell_of = with_res.select("vec_id", "ivf_cid")
+
+    q_emb = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("q_emb")
+    )
+    # probe cells + per-cell constant q·centroid
+    cell_scores = (
+        cells.crossJoin(F.broadcast(q_emb))
+        .select(
+            F.col("cid").alias("ivf_cid"),
+            _sq_dist("centroid", "q_emb").alias("dist"),
+            F.aggregate(
+                F.zip_with("centroid", "q_emb", lambda c, qq: c * qq),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("q_dot_centroid"),
+        )
+    )
+    probe = (
+        cell_scores.orderBy("dist", "ivf_cid")
+        .limit(N_PROBE)
+        .select("ivf_cid", "q_dot_centroid")
+    )
+    q = subvectors(e.filter(F.col("vec_id") == 0)).select(
+        "m", F.col("sub").alias("q_sub")
+    )
+    lut = codebooks.join(F.broadcast(q), "m").select(
+        "m",
+        "cid",
+        F.aggregate(
+            F.zip_with("centroid", "q_sub", lambda c, qq: c * qq),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("partial"),
+    )
+    survivors = (
+        cell_of.join(F.broadcast(probe), "ivf_cid")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "q_dot_centroid")
+    )
+    return (
+        codes.join(F.broadcast(survivors), "vec_id")
+        .join(F.broadcast(lut), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.first("q_dot_centroid") + F.sum("partial"), 6
+            ).alias("pq_sim")
+        )
+        .orderBy(F.desc("pq_sim"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -186,3 +186,58 @@ def test_pq_planted_cluster_recall(spark):
     ]
     planted_ids = set(range(200, 205))
     assert planted_ids <= set(top10), f"planted {planted_ids} vs top10 {top10}"
+
+
+def test_ivf_pq_residual_identity_and_determinism(spark, sf_med):
+    """Residual-ADC score must equal q·(cell_centroid + reconstructed
+    residual) recomputed in numpy, and the query must be deterministic."""
+    import numpy as np
+    from pyspark.sql import functions as F2
+
+    from novelti_dingo_spark.operators.ivf import (
+        _assign as ivf_assign,
+        kmeans_fit,
+    )
+    from novelti_dingo_spark.operators.pq import (
+        ivf_pq_residual_knn_top10,
+        pq_encode,
+        pq_fit,
+        subvectors,
+    )
+
+    got = ivf_pq_residual_knn_top10(spark, sf_med).collect()
+    assert len(got) == 10
+    assert got == ivf_pq_residual_knn_top10(spark, sf_med).collect()
+
+    e = load_table(spark, sf_med, "embeddings")
+    cells = kmeans_fit(e)
+    cent = {r.cid: np.array(r.centroid) for r in cells.collect()}
+    assigned = ivf_assign(e, cells)
+    with_res = assigned.join(
+        F2.broadcast(cells.select("cid", "centroid")), "cid"
+    ).select(
+        "vec_id",
+        F2.col("cid").alias("ivf_cid"),
+        F2.zip_with(
+            F2.col("embedding").cast("array<double>"),
+            "centroid",
+            lambda x, c: x - c,
+        ).alias("embedding"),
+    )
+    cell_of = {r.vec_id: r.ivf_cid for r in with_res.select("vec_id", "ivf_cid").collect()}
+    cb = pq_fit(with_res.select("vec_id", "embedding"))
+    cb_map = _codebook_map(cb.collect())
+    codes = {
+        r.vec_id: r.codes
+        for r in pq_encode(with_res.select("vec_id", "embedding"), cb).collect()
+    }
+    q = np.array(
+        e.filter(F2.col("vec_id") == 0).select("embedding").head().embedding,
+        dtype=np.float64,
+    )
+    for r in got:
+        recon_res = np.concatenate(
+            [cb_map[(m, codes[r.vec_id][m])] for m in range(M)]
+        )
+        want = float(q @ (cent[cell_of[r.vec_id]] + recon_res))
+        assert abs(r.pq_sim - round(want, 6)) <= 1e-6
