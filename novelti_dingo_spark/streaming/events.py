@@ -287,3 +287,26 @@ def stream_upsert_hourly_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def events_per_segment_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static join: the event stream enriched with the STATIC
+    customer dimension (broadcast per micro-batch — the dimension is
+    re-resolved each batch, so a slowly-refreshed dim table is picked up
+    without restarting the query), aggregated per market segment in
+    update mode. Batch twin: operators.extras.events_per_segment — the
+    parity test pins stream ≡ batch over a full replay."""
+    from ..sources.io import load_table
+
+    ev = stream_events(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )

@@ -404,3 +404,24 @@ def test_stream_events_reads_ns_encoded_files(spark, tmp_path):
         "2024-01-01T00:00:07.179575",
         "2024-01-02T12:00:00.000001",
     ]
+
+
+def test_stream_static_join_matches_batch(spark, sf_small):
+    """Stream-static dim enrichment == the batch join+agg on full replay
+    (counts exact; avg to 6dp like the oracle canonicalization)."""
+    from novelti_dingo_spark.operators.extras import events_per_segment
+    from novelti_dingo_spark.streaming.events import events_per_segment_stream
+
+    out = events_per_segment_stream(spark, sf_small)
+    name = streaming.run_to_memory(out, "t_ss_dim", mode="complete")
+    got = {
+        r.c_mktsegment: (r.n_events, r.avg_value)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        r.c_mktsegment: (r.n_events, r.avg_value)
+        for r in events_per_segment(spark, sf_small)
+        .select("c_mktsegment", "n_events", "avg_value")
+        .collect()
+    }
+    assert got == want

@@ -232,6 +232,11 @@ EXPECT = {
     # Markov transitions: one user_id shuffle for the lag, |types|^2 agg
     "event_transition_matrix": {"partial_agg": True, "no_python_udf": True,
                                 "max_scan_cols": 4},
+    # sorted-neighborhood ER: neighbor join must be the exploded-offset
+    # EQUI join on rn, never a range nested loop
+    "sorted_neighborhood_pairs": {"hash_join_not_nlj": True,
+                                  "no_python_udf": True,
+                                  "max_scan_cols": 2},
 }
 
 
