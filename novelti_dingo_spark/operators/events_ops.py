@@ -215,6 +215,79 @@ def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def topk_struct_agg(k: int):
+    """Aggregation expression: the top-k rows of a group by (value DESC,
+    event_id ASC), as a sorted array of structs. An ordinary aggregate
+    expression, so the SAME code runs in a batch groupBy and in a
+    streaming withWatermark groupBy — which is what makes the streaming
+    top-k twin (streaming.events.windowed_topk) provably identical to
+    the oracle-checked batch query below.
+
+    The sort key embeds the descending order as a negated leading field
+    (sort_array is ascending over struct fields in order), so ties break
+    on event_id ASC — the same total order as the row_number oracle."""
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                (-F.col("value")).alias("_nv"),
+                F.col("event_id").alias("event_id"),
+                F.col("value").alias("value"),
+            )
+        )
+    )
+    return F.slice(arr, 1, k)
+
+
+@register(
+    "windowed_topk_1h",
+    """
+    SELECT bucket_start, event_type, event_id, value, rn FROM (
+      SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_start,
+             event_type, event_id, value,
+             row_number() OVER (PARTITION BY epoch_us(ts) // 3600000000, event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events)
+    WHERE rn <= 3
+    """,
+    survey_rows="W4,ST1",
+)
+def windowed_topk_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k (the streaming-ready W4): top-3 events by value per
+    (1h tumbling window × event_type). Built from `topk_struct_agg` — an
+    aggregate, NOT a rank window — because streaming cannot run window
+    functions: the same expression under withWatermark is the streaming
+    twin (streaming.events.windowed_topk; parity test asserts equality
+    and watermark finality).
+
+    Scale: one shuffle on the (window, event_type) group key, partial
+    aggregation applies (collect_list partials merge), and state in the
+    streaming form is bounded by the watermark horizon — only OPEN
+    windows hold their rows; closed windows emit their k rows and drop
+    state. The per-open-group buffer is O(rows in window); if a single
+    window×type group is huge, pre-reduce with a per-partition top-k
+    (two-level agg) before the group merge — for pure batch, the
+    WindowGroupLimit row_number idiom (window_topk_per_user) is the
+    equally-correct alternative."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        topk_struct_agg(3).alias("top")
+    )
+    return (
+        g.select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            F.posexplode("top").alias("pos", "t"),
+        )
+        .select(
+            "bucket_start",
+            "event_type",
+            F.col("t.event_id").alias("event_id"),
+            F.col("t.value").alias("value"),
+            (F.col("pos") + 1).cast("long").alias("rn"),
+        )
+    )
+
+
 @register(
     "running_user_totals",
     """

@@ -510,19 +510,19 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_priority_history",
     """
     WITH snaps AS (
-      SELECT o_custkey, o_orderpriority, o_orderdate,
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
              CASE WHEN lag(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
                   THEN 1 ELSE 0 END AS chg
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     ), versions AS (
-      SELECT o_custkey, o_orderpriority, o_orderdate
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
       FROM snaps WHERE chg = 1
     )
     SELECT o_custkey, o_orderpriority,
            epoch_us(o_orderdate) AS valid_from_us,
            epoch_us(lead(o_orderdate) OVER (PARTITION BY o_custkey
-                     ORDER BY o_orderdate)) AS valid_to_us
+                     ORDER BY o_orderdate, o_orderkey)) AS valid_to_us
     FROM versions
     WHERE o_custkey < 100
     """,
@@ -532,9 +532,11 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 built from order history: each customer's order-priority
     timeline collapsed to validity intervals (same lag-compare + lead
     idiom as pipelines.scd2_build, inlined here because the change scan
-    needs a composite (date, orderkey) total order while interval
-    endpoints use the date alone — both sides of the oracle agree on
-    that split)."""
+    needs a composite (date, orderkey) total order; interval endpoints
+    use the same (date, orderkey) order so two priority changes on the
+    same date get DETERMINISTIC version ordering — the earlier one is
+    closed with valid_from == valid_to (an empty interval), never an
+    ambiguous overlap — both sides of the oracle agree on that order)."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderpriority",
@@ -548,7 +550,7 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     versions = o.withColumn("_chg", chg | F.lag("o_orderdate").over(w).isNull()).filter(
         F.col("_chg")
     )
-    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
         versions.filter(F.col("o_custkey") < 100)
         .select(
@@ -655,7 +657,7 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_pointintime_join",
     """
     WITH snaps AS (
-      SELECT o_custkey, o_orderpriority, o_orderdate,
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
              CASE WHEN lag(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
                   THEN 1 ELSE 0 END AS chg
       FROM orders
@@ -664,7 +666,7 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey, o_orderpriority,
              epoch_us(o_orderdate) AS valid_from_us,
              epoch_us(lead(o_orderdate) OVER (PARTITION BY o_custkey
-                       ORDER BY o_orderdate)) AS valid_to_us
+                       ORDER BY o_orderdate, o_orderkey)) AS valid_to_us
       FROM snaps WHERE chg = 1
     )
     SELECT e.event_id, e.user_id,
@@ -693,7 +695,7 @@ def scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     is |entities|x|versions| (usually broadcastable); if version churn is
     extreme, bin by validity month exactly like the interval join."""
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
     )
@@ -805,22 +807,35 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     under an order (typos, OCR noise, serial numbers): candidates are
     n·w instead of n²/blocks.
 
-    Scale shape: ONE global sort (rn via repartitionByRange +
-    row_number) — the same shuffle a Z-order write pays — then the
-    neighbor join is an EQUI join on rn after exploding the 3 offsets
-    (never a range nested-loop); verification cost is |candidates|.
-    Multi-pass production ER re-runs with a second key (e.g. reversed
-    prefix) and unions pairs, catching sorts a single key misses."""
-    d = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
+    Scale shape: the global rank comes from rank.with_global_rank —
+    repartitionByRange + map-side sort + broadcast cumulative offsets,
+    ONE range shuffle (the same shuffle a Z-order write pays) and never
+    a single-partition WindowExec over raw rows (tools/audit_plans.py
+    asserts this). The neighbor join is an EQUI join on rn after
+    exploding the 3 offsets (never a range nested-loop); verification
+    cost is |candidates|. Multi-pass production ER re-runs with a second
+    key — sorted_neighborhood_multipass below — catching matches a
+    single sort order misses."""
+    return _sorted_neighborhood(spark, sf_dir)
 
-    ranked = d.select(
-        "doc_id",
-        F.substring("text", 1, 40).alias("prefix"),
-        F.row_number()
-        .over(Window.orderBy(F.substring("text", 1, 16), "doc_id"))
-        .alias("rn"),
-    )
+
+def _sorted_neighborhood(
+    spark: SparkSession, sf_dir: str, reverse_key: bool = False
+) -> DataFrame:
+    from .rank import with_global_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    key = F.substring("text", 1, 16)
+    if reverse_key:
+        key = F.reverse(key)
+    ranked = with_global_rank(
+        d.select(
+            "doc_id",
+            F.substring("text", 1, 40).alias("prefix"),
+            key.alias("_k"),
+        ),
+        ["_k", "doc_id"],
+    ).drop("_k")
     a = ranked.select(
         F.col("doc_id").alias("doc_a"),
         F.col("prefix").alias("pa"),
@@ -836,3 +851,55 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 5)
         .select("doc_a", "doc_b", dist.cast("long").alias("edit_dist"))
     )
+
+
+@register(
+    "sorted_neighborhood_multipass",
+    """
+    WITH fwd AS (
+      SELECT doc_id, substr(text, 1, 40) AS prefix,
+             row_number() OVER (ORDER BY substr(text, 1, 16), doc_id) AS rn
+      FROM documents
+    ), rev AS (
+      SELECT doc_id, substr(text, 1, 40) AS prefix,
+             row_number() OVER (ORDER BY reverse(substr(text, 1, 16)), doc_id) AS rn
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS raw_a, b.doc_id AS raw_b,
+             CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+      FROM fwd a JOIN fwd b ON b.rn - a.rn BETWEEN 1 AND 3
+      WHERE levenshtein(a.prefix, b.prefix) <= 5
+      UNION ALL
+      SELECT a.doc_id, b.doc_id,
+             CAST(levenshtein(a.prefix, b.prefix) AS BIGINT)
+      FROM rev a JOIN rev b ON b.rn - a.rn BETWEEN 1 AND 3
+      WHERE levenshtein(a.prefix, b.prefix) <= 5
+    )
+    SELECT DISTINCT least(raw_a, raw_b) AS doc_a,
+           greatest(raw_a, raw_b) AS doc_b, edit_dist
+    FROM pairs
+    """,
+    survey_rows="L23,U1,U3,F1",
+)
+def sorted_neighborhood_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood ER (the production form of L23):
+    pass 1 sorts by the text prefix, pass 2 by the REVERSED prefix —
+    records that differ in their first characters (the classic failure
+    mode of single-key SNM) still become neighbors under the reversed
+    order. Pairs are canonicalized (doc_a <= doc_b) and UNION-distinct'd.
+
+    Scale: two independent global ranks (each one range shuffle via
+    rank.with_global_rank), two linear neighbor joins, one distinct on
+    the (small) verified-pair set. Cost is 2× single-pass, recall is
+    what multi-pass buys; candidates stay n·w per pass, never n²."""
+    fwd = _sorted_neighborhood(spark, sf_dir, reverse_key=False)
+    rev = _sorted_neighborhood(spark, sf_dir, reverse_key=True)
+
+    def canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            "edit_dist",
+        )
+
+    return canon(fwd).unionByName(canon(rev)).distinct()

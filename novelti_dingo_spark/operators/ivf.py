@@ -100,16 +100,17 @@ def ivf_cell_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vectors"))
 
 
-@register(
-    "ivf_knn_top10",
-    None,  # approximate by construction → rows-only; containment in the
-    # N_PROBE cells + score exactness asserted in tests/test_ivf.py.
-    survey_rows="L3-scale,P",
-)
-def ivf_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: top-10 cosine neighbors of vector 0, scanning only the
-    N_PROBE cells nearest to the query — at scale this reads k_probe/k of
-    the corpus instead of all of it."""
+def ivf_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF ANN core, nprobe-parameterized: top-k cosine neighbors of
+    vector 0 scanning only the `n_probe` cells nearest to the query. The
+    recall/cost dial: fraction of corpus read ≈ n_probe/K (n_probe = K is
+    an exact scan routed through the index — recall 1.0 by construction).
+    tools/measure_recall.py sweeps this dial; SCALE.md records the curve."""
     e = load_table(spark, sf_dir, "embeddings")
     centroids = kmeans_fit(e)
     assigned = _assign(e, centroids)
@@ -120,7 +121,7 @@ def ivf_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids.crossJoin(F.broadcast(q))
         .select("cid", _sq_dist("centroid", "q_emb").alias("dist"))
         .orderBy("dist", "cid")
-        .limit(N_PROBE)
+        .limit(n_probe)
         .select("cid")
     )
     return (
@@ -133,5 +134,19 @@ def ivf_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dot("embedding", "q_emb"), 6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(10)
+        .limit(k)
     )
+
+
+@register(
+    "ivf_knn_top10",
+    None,  # approximate by construction → rows-only; containment in the
+    # N_PROBE cells + score exactness asserted in tests/test_ivf.py.
+    survey_rows="L3-scale,P",
+)
+def ivf_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: top-10 cosine neighbors of vector 0, scanning only the
+    N_PROBE cells nearest to the query — at scale this reads n_probe/K of
+    the corpus instead of all of it. (Registered point on the ivf_knn
+    nprobe dial; the recall-vs-nprobe curve is measured in SCALE.md.)"""
+    return ivf_knn(spark, sf_dir, k=10, n_probe=N_PROBE)

@@ -221,28 +221,18 @@ def pq_rerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ivf_pq_knn_top10",
-    None,  # two trained quantizers → rows-only; containment, consistency
-    # with plain PQ, and determinism pinned in tests/test_pq.py.
-    survey_rows="L22,L3-scale,P,iterative",
-)
-def ivf_pq_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ — the production ANN index architecture (FAISS IVFPQ shape):
-    the IVF coarse quantizer prunes WHICH vectors are considered
-    (n_probe/k of the corpus), PQ codes decide HOW the survivors are
-    scored (8 bytes each, LUT sum, no float fetch). At 100 TB the scan
-    touches ~cells/k of the code table only: both reductions compose
-    multiplicatively — 2/8 of the corpus × 1/32 of the bytes here.
-
-    Plumbing: IVF assignment and PQ codes are both derived relations of
-    the same corpus scan; the probed-cell filter is a 2-row broadcast
-    semi-join applied BEFORE the LUT join, so unprobed cells never reach
-    the scorer. (Classic IVF-PQ encodes residuals r = x - centroid for
-    tighter codebooks; raw-vector codes keep the oracle-free test
-    identities simple and the composition identical.)"""
+def ivf_pq_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    n_probe: int | None = None,
+) -> DataFrame:
+    """IVF-PQ core, nprobe-parameterized (see registered wrapper below
+    for the design rationale). n_probe defaults to ivf.N_PROBE."""
     from .ivf import N_PROBE, _assign as ivf_assign, _sq_dist, kmeans_fit
 
+    if n_probe is None:
+        n_probe = N_PROBE
     e = load_table(spark, sf_dir, "embeddings")
     # coarse quantizer: cell per vector
     cells = kmeans_fit(e)
@@ -263,7 +253,7 @@ def ivf_pq_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sq_dist("centroid", "q_emb").alias("dist"),
         )
         .orderBy("dist", "ivf_cid")
-        .limit(N_PROBE)
+        .limit(n_probe)
         .select("ivf_cid")
     )
     q = subvectors(e.filter(F.col("vec_id") == 0)).select(
@@ -289,30 +279,50 @@ def ivf_pq_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.round(F.sum("partial"), 6).alias("pq_sim"))
         .orderBy(F.desc("pq_sim"), F.asc("vec_id"))
-        .limit(10)
+        .limit(k)
     )
 
 
 @register(
-    "ivf_pq_residual_knn_top10",
-    None,  # trained quantizers → rows-only; the residual-ADC identity
-    # and determinism are pinned in tests/test_pq.py.
+    "ivf_pq_knn_top10",
+    None,  # two trained quantizers → rows-only; containment, consistency
+    # with plain PQ, and determinism pinned in tests/test_pq.py.
     survey_rows="L22,L3-scale,P,iterative",
 )
-def ivf_pq_residual_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Residual-encoded IVF-PQ — the classic refinement (FAISS IVFPQ
-    default): PQ codes quantize r = x − centroid(cell(x)) instead of x.
-    Residuals live in a much smaller ball than raw vectors, so the same
-    16 centroids per subspace spend their resolution where it matters;
-    recall at equal code budget improves on clustered corpora.
+def ivf_pq_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production ANN index architecture (FAISS IVFPQ shape):
+    the IVF coarse quantizer prunes WHICH vectors are considered
+    (n_probe/k of the corpus), PQ codes decide HOW the survivors are
+    scored (8 bytes each, LUT sum, no float fetch). At 100 TB the scan
+    touches ~cells/k of the code table only: both reductions compose
+    multiplicatively — 2/8 of the corpus × 1/32 of the bytes here.
 
-    Scoring stays LUT-only by linearity of the dot product:
-        q·x̂ = q·centroid(cell) + Σ_m LUT[m, code_m]
-    The q·centroid term is one broadcast k-row table; the residual LUT is
-    the same 128-row broadcast as before. Nothing about the scan changes:
-    codes + two tiny broadcasts, float vectors never read at query time."""
+    Plumbing: IVF assignment and PQ codes are both derived relations of
+    the same corpus scan; the probed-cell filter is a 2-row broadcast
+    semi-join applied BEFORE the LUT join, so unprobed cells never reach
+    the scorer. (Classic IVF-PQ encodes residuals r = x - centroid for
+    tighter codebooks; raw-vector codes keep the oracle-free test
+    identities simple and the composition identical.) nprobe is the
+    recall dial: the ivf_pq_knn core takes it as a parameter and
+    tools/measure_recall.py records the recall-vs-nprobe curve."""
+    return ivf_pq_knn(spark, sf_dir, k=10)
+
+
+def ivf_pq_residual_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    n_probe: int | None = None,
+    rerank: int = 0,
+) -> DataFrame:
+    """Residual IVF-PQ core, nprobe-parameterized. With rerank > 0 the
+    ADC pass only SHORTLISTS `rerank` candidates, which are re-scored
+    with exact float cosine (the pq_rerank_top10 pattern composed with
+    cell pruning) — the production configuration."""
     from .ivf import N_PROBE, _assign as ivf_assign, _sq_dist, kmeans_fit
 
+    if n_probe is None:
+        n_probe = N_PROBE
     e = load_table(spark, sf_dir, "embeddings")
     cells = kmeans_fit(e)
     # (vec_id, ivf_cid, residual) — residual = x − cell centroid
@@ -357,7 +367,7 @@ def ivf_pq_residual_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe = (
         cell_scores.orderBy("dist", "ivf_cid")
-        .limit(N_PROBE)
+        .limit(n_probe)
         .select("ivf_cid", "q_dot_centroid")
     )
     q = subvectors(e.filter(F.col("vec_id") == 0)).select(
@@ -377,7 +387,7 @@ def ivf_pq_residual_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != 0)
         .select("vec_id", "q_dot_centroid")
     )
-    return (
+    adc = (
         codes.join(F.broadcast(survivors), "vec_id")
         .join(F.broadcast(lut), ["m", "cid"])
         .groupBy("vec_id")
@@ -386,6 +396,50 @@ def ivf_pq_residual_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.first("q_dot_centroid") + F.sum("partial"), 6
             ).alias("pq_sim")
         )
-        .orderBy(F.desc("pq_sim"), F.asc("vec_id"))
-        .limit(10)
     )
+    if not rerank:
+        return adc.orderBy(F.desc("pq_sim"), F.asc("vec_id")).limit(k)
+    shortlist = (
+        adc.orderBy(F.desc("pq_sim"), F.asc("vec_id"))
+        .limit(rerank)
+        .select("vec_id")
+    )
+    exact = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("q_emb"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.join(F.broadcast(shortlist), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q_emb))
+        .select("vec_id", F.round(exact, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+@register(
+    "ivf_pq_residual_knn_top10",
+    None,  # trained quantizers → rows-only; the residual-ADC identity
+    # and determinism are pinned in tests/test_pq.py.
+    survey_rows="L22,L3-scale,P,iterative",
+)
+def ivf_pq_residual_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF-PQ — the classic refinement (FAISS IVFPQ
+    default): PQ codes quantize r = x − centroid(cell(x)) instead of x.
+    Residuals live in a much smaller ball than raw vectors, so the same
+    16 centroids per subspace spend their resolution where it matters;
+    recall at equal code budget improves on clustered corpora.
+
+    Scoring stays LUT-only by linearity of the dot product:
+        q·x̂ = q·centroid(cell) + Σ_m LUT[m, code_m]
+    The q·centroid term is one broadcast k-row table; the residual LUT is
+    the same 128-row broadcast as before. Nothing about the scan changes:
+    codes + two tiny broadcasts, float vectors never read at query time.
+    The ivf_pq_residual_knn core parameterizes nprobe and an optional
+    exact-rerank stage; SCALE.md records the measured recall curve."""
+    return ivf_pq_residual_knn(spark, sf_dir, k=10)

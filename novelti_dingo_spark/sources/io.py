@@ -58,7 +58,11 @@ def events_ts_is_nanos(path: str) -> bool:
         if os.path.isdir(f):
             cands = sorted(glob.glob(os.path.join(f, "*.parquet")))
             if not cands:
-                return _TS_IS_NANOS_CACHE.setdefault(path, False)
+                # empty dir (e.g. a stream source before its first file):
+                # do NOT cache — files arriving later must be re-sniffed,
+                # else ns-encoded arrivals get pinned to the µs schema
+                # and every ts reads 1000× off.
+                return False
             f = cands[0]
         import pyarrow.parquet as pq
 

@@ -4,6 +4,7 @@ from .events import (
     sliding_counts,
     session_counts,
     dedup_within_watermark,
+    windowed_topk,
     run_to_memory,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "sliding_counts",
     "session_counts",
     "dedup_within_watermark",
+    "windowed_topk",
     "run_to_memory",
 ]

@@ -39,14 +39,41 @@ from ..pipelines import merge_rows, publish_versioned, read_version
 from ..sources import lakefs
 
 
-def _last_applied_epoch(spark: SparkSession, base: str) -> int:
+def _last_applied_epoch(spark: SparkSession, base: str, run_id: str) -> int:
+    """Highest epoch already published by THIS checkpoint lineage.
+
+    The epoch guard must be scoped to a checkpoint identity: streaming
+    epoch ids restart at 0 whenever the checkpoint dir is deleted or a
+    fresh checkpoint is pointed at an existing target, and an unscoped
+    `epoch <= last` comparison would then silently skip every new batch
+    — data loss with no error. Manifests record (checkpoint_id,
+    batch_id); the guard applies only when the recorded identity matches
+    the running checkpoint's."""
     if not lakefs.exists(spark, f"{base}/LATEST"):
         return -1
     v = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
     manifest = json.loads(
         lakefs.read_text(spark, f"{base}/v={v}/_manifest.json")
     )
+    if manifest.get("checkpoint_id") != run_id:
+        return -1
     return int(manifest.get("batch_id", -1))
+
+
+def _checkpoint_identity(spark: SparkSession, checkpoint_dir: str) -> str:
+    """Stable identity for one checkpoint lineage: a marker file inside
+    the checkpoint dir, created on first use, destroyed with it. Written
+    through the Hadoop FS API so any checkpoint scheme (file/hdfs/s3a)
+    works."""
+    marker = f"{checkpoint_dir.rstrip('/')}/_cdc_identity"
+    if lakefs.exists(spark, marker):
+        return lakefs.read_text(spark, marker).strip()
+    import uuid
+
+    ident = uuid.uuid4().hex
+    lakefs.mkdirs(spark, checkpoint_dir.rstrip("/"))
+    lakefs.write_text(spark, marker, ident)
+    return ident
 
 
 def compact_cdc_batch(
@@ -81,12 +108,15 @@ def cdc_apply_stream(
     payload_cols = [
         f.name for f in schema.fields if f.name not in (seq_col, "_deleted")
     ]
+    run_id = _checkpoint_identity(spark, checkpoint_dir)
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        # replay guard (crash between publish and checkpoint commit)
-        if epoch_id <= _last_applied_epoch(spark, base):
+        # replay guard (crash between publish and checkpoint commit) —
+        # scoped to this checkpoint's identity so a fresh checkpoint
+        # (epoch ids restart at 0) is never mistaken for a replay
+        if epoch_id <= _last_applied_epoch(spark, base, run_id):
             return
         latest = compact_cdc_batch(batch, key_cols, seq_col)
         upserts = latest.filter(~F.col("_deleted")).select(*payload_cols)
@@ -96,7 +126,11 @@ def cdc_apply_stream(
         else:
             target = spark.createDataFrame([], upserts.schema)
         merged = merge_rows(target, upserts, key_cols, deletes)
-        publish_versioned(merged, base, meta={"batch_id": int(epoch_id)})
+        publish_versioned(
+            merged,
+            base,
+            meta={"batch_id": int(epoch_id), "checkpoint_id": run_id},
+        )
 
     q = (
         spark.readStream.schema(schema)

@@ -97,6 +97,40 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def windowed_topk(
+    events: DataFrame, k: int = 3, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming top-k with watermark: top-k events by value per (1h
+    tumbling window × event_type), sharing `topk_struct_agg` VERBATIM
+    with the oracle-checked batch query `windowed_topk_1h` — rank
+    windows can't run on streams, an aggregate expression can. In
+    append mode a window's top-k is emitted exactly once, when the
+    watermark closes the window; a later (late) row can never revise an
+    emitted top-k, and state for closed windows is dropped — memory is
+    bounded by the rows of OPEN windows only."""
+    from ..operators.events_ops import topk_struct_agg
+
+    g = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(topk_struct_agg(k).alias("top"))
+    )
+    return (
+        g.select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            F.posexplode("top").alias("pos", "t"),
+        )
+        .select(
+            "bucket_start",
+            "event_type",
+            F.col("t.event_id").alias("event_id"),
+            F.col("t.value").alias("value"),
+            (F.col("pos") + 1).cast("long").alias("rn"),
+        )
+    )
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """ST5 streaming: state-bounded dedup on (user_id, event_type) — state
     for a key is dropped once the watermark passes it, so memory is bounded

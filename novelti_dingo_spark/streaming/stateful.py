@@ -170,9 +170,17 @@ def _ewma_update(key, pdfs, state: GroupState):
     from ..operators.timeseries import EWMA_ALPHA
 
     s, n = state.get if state.exists else (0.0, 0)
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for x in pdf["value"]:
+    # a group's micro-batch arrives as an ITERATOR of Arrow chunks
+    # (~10k rows each); sorting chunks independently would fold a
+    # multi-chunk group out of (ts, event_id) order and break the
+    # bit-identical parity with the batch fold — concatenate first,
+    # sort the whole group once, then fold.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        allrows = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for x in allrows["value"]:
             x = float(x)
             s = x if n == 0 else s * (1 - EWMA_ALPHA) + x * EWMA_ALPHA
             n += 1

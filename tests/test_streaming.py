@@ -10,6 +10,7 @@ from novelti_dingo_spark import streaming
 from novelti_dingo_spark.operators.events_ops import (
     stream_dedup_first,
     tumbling_1h_agg,
+    windowed_topk_1h,
 )
 
 
@@ -315,6 +316,98 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     # stays (1, 1.0).
     want = {base + 3600 * h: (1, 1.0) for h in range(11)}
     assert got == want
+
+
+def test_stream_topk_equals_batch(spark, sf_small, events_stream):
+    """Streaming top-k (windowed_topk) over a full replay must equal the
+    oracle-checked batch query windowed_topk_1h row-for-row — both sides
+    share topk_struct_agg, so this pins the streaming plumbing (window
+    grouping, explode-after-agg, rank numbering)."""
+    topk = streaming.windowed_topk(events_stream)
+    name = streaming.run_to_memory(topk, "t_topk", mode="complete")
+    got = {
+        (r.bucket_start, r.event_type, r.rn): (r.event_id, r.value)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        (r.bucket_start, r.event_type, r.rn): (r.event_id, r.value)
+        for r in windowed_topk_1h(spark, sf_small).collect()
+    }
+    assert got == want
+
+
+def test_stream_topk_watermark_finality(spark, tmp_path):
+    """Append-mode streaming top-k: once the watermark closes a window its
+    top-k is FINAL — a late row with a larger value (which would rank #1)
+    arriving two batches later must not re-emit or revise the window.
+    Same three-file replay shape as the late-drop test above."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def hour(h, minute=0):
+        return dt.datetime(2024, 1, 1, h, minute)
+
+    # file1: H0..H10, two events in H2 (values 5, 3) → wm after: H9:30
+    f1 = pd.DataFrame(
+        {
+            "ts": [hour(h, 30) for h in range(11)] + [hour(2, 40)],
+            "event_id": list(range(11)) + [100],
+            "event_type": ["click"] * 12,
+            "value": [5.0 if h == 2 else 1.0 for h in range(11)] + [3.0],
+        }
+    )
+    # file2: on-time H11 → wm advances to H10:30, windows <= H10 close
+    f2 = pd.DataFrame(
+        {
+            "ts": [hour(11, 30)],
+            "event_id": [200],
+            "event_type": ["click"],
+            "value": [1.0],
+        }
+    )
+    # file3: LATE H2 row with value 99 (would be rank 1) + on-time H12
+    f3 = pd.DataFrame(
+        {
+            "ts": [hour(2, 45), hour(12, 30)],
+            "event_id": [300, 301],
+            "event_type": ["click", "click"],
+            "value": [99.0, 1.0],
+        }
+    )
+    for i, f in enumerate((f1, f2, f3), 1):
+        path = src / f"f{i}.parquet"
+        f.assign(ts=f["ts"].astype("datetime64[us]")).to_parquet(path)
+        os.utime(path, (1_900_000_000 + i * 1000,) * 2)
+
+    ev = (
+        spark.readStream.schema(
+            "ts timestamp, event_id bigint, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    topk = streaming.windowed_topk(ev, k=3, watermark="1 hour")
+    name = streaming.run_to_memory(topk, "t_topk_late", mode="append")
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    base = int(hour(0).replace(tzinfo=dt.timezone.utc).timestamp())
+    h2 = {
+        (r.rn): (r.event_id, r.value)
+        for r in rows
+        if r.bucket_start == base + 2 * 3600
+    }
+    # H2's final top-3: the on-time values (5.0, 3.0) ranked by value
+    # desc — the late 99.0 row is gone, not rank 1
+    assert h2 == {1: (2, 5.0), 2: (100, 3.0)}
+    # every closed window emitted exactly once, no revision rows
+    emitted = [
+        (r.bucket_start, r.event_type, r.rn) for r in rows
+    ]
+    assert len(emitted) == len(set(emitted))
 
 
 def test_transform_with_state_matches_batch(spark, sf_small, events_stream):

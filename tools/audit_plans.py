@@ -233,11 +233,70 @@ EXPECT = {
     "event_transition_matrix": {"partial_agg": True, "no_python_udf": True,
                                 "max_scan_cols": 4},
     # sorted-neighborhood ER: neighbor join must be the exploded-offset
-    # EQUI join on rn, never a range nested loop
+    # EQUI join on rn, never a range nested loop; the global rank must
+    # come from the range-shuffle recipe (the no_raw_singlepart global
+    # check below rejects the Window.orderBy funnel)
     "sorted_neighborhood_pairs": {"hash_join_not_nlj": True,
                                   "no_python_udf": True,
                                   "max_scan_cols": 2},
+    "sorted_neighborhood_multipass": {"hash_join_not_nlj": True,
+                                      "no_python_udf": True,
+                                      "max_scan_cols": 2},
 }
+
+
+_AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+
+
+def _depth(line: str) -> int:
+    """Tree depth of a formatted-plan line = offset of the node name."""
+    i = 0
+    while i < len(line) and line[i] in " +-:*(":
+        i += 1
+    return i
+
+
+def singlepart_over_raw(plan: str) -> bool:
+    """True if any `Exchange SinglePartition` funnels RAW (pre-aggregation)
+    scan rows into one task — the local-mode-works / cluster-dies trap.
+
+    A SinglePartition exchange is fine when its input is already reduced
+    (global agg finalization, cumulative offsets over per-partition
+    counts, post-aggregation date spines): in those plans an aggregate
+    sits between the exchange and every file scan. Walk the exchange's
+    subtree in pre-order; if a parquet scan appears before any aggregate
+    node, the exchange is moving data-sized input — flag it."""
+    lines = plan.splitlines()
+    # tree section: node lines like "   +- Exchange (2)"; details follow
+    # as "(2) Exchange\n...Arguments: SinglePartition, ..." blocks
+    node_re = re.compile(r"\((\d+)\)\s*$")
+    tree = []
+    for ln in lines:
+        m = node_re.search(ln)
+        if m and not ln.lstrip().startswith("("):
+            tree.append((ln, m.group(1)))
+    details: dict[str, str] = {}
+    cur = None
+    for ln in lines:
+        m = re.match(r"^\((\d+)\)\s+\S", ln)
+        if m:
+            cur = m.group(1)
+            details[cur] = ln
+        elif cur is not None:
+            details[cur] += "\n" + ln
+    for i, (ln, nid) in enumerate(tree):
+        if "Exchange" not in ln or "SinglePartition" not in details.get(nid, ""):
+            continue
+        d = _depth(ln)
+        saw_agg = False
+        for sub, _sid in tree[i + 1:]:
+            if _depth(sub) <= d:
+                break
+            if any(a in sub for a in _AGG_NODES):
+                saw_agg = True
+            if "Scan parquet" in sub and not saw_agg:
+                return True
+    return False
 
 
 def audit(name: str, plan: str) -> list[str]:
@@ -282,6 +341,11 @@ def audit(name: str, plan: str) -> list[str]:
                 )
     if "CartesianProduct" in plan and not exp.get("cartesian_ok"):
         problems.append("unexpected CartesianProduct")
+    if singlepart_over_raw(plan) and not exp.get("singlepart_ok"):
+        problems.append(
+            "Exchange SinglePartition over raw scan rows (unpartitioned "
+            "sort/window funnel — would bottleneck one task at scale)"
+        )
     return problems
 
 
