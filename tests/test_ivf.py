@@ -52,3 +52,40 @@ def test_ivf_results_scores_exact(spark, sf_med):
     assert len(cells) <= N_PROBE
     for r in rows:
         assert abs(float(vecs[r.vec_id] @ q) - r.cos_sim) < 1e-5
+
+
+def test_ivf_recall_monotone_in_nprobe(spark, sf_med):
+    """nprobe is the recall dial when scoring is exact: probing a
+    superset of cells can only improve (or tie) top-10 recall, and
+    nprobe=K routes the FULL corpus through the index — its top-10 must
+    equal brute force exactly."""
+    from novelti_dingo_spark.operators.ivf import ivf_knn
+    from novelti_dingo_spark.operators.similarity import knn_bruteforce_top10
+
+    exact = [r.vec_id for r in knn_bruteforce_top10(spark, sf_med).collect()]
+    recalls = []
+    for n_probe in (1, 2, K):
+        got = {r.vec_id for r in ivf_knn(spark, sf_med, n_probe=n_probe).collect()}
+        recalls.append(len(got & set(exact)) / len(exact))
+    assert recalls == sorted(recalls), recalls
+    full = [r.vec_id for r in ivf_knn(spark, sf_med, n_probe=K).collect()]
+    assert full == exact
+
+
+def test_residual_rerank_scores_exact(spark, sf_med):
+    """With rerank>0 the residual IVF-PQ emits EXACT cosine scores for
+    its final top-k (ADC only shortlists) — each score must match the
+    numpy dot product at float precision."""
+    import numpy as np
+
+    from novelti_dingo_spark.operators.pq import ivf_pq_residual_knn
+
+    e = load_table(spark, sf_med, "embeddings")
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64) for r in e.collect()
+    }
+    q = vecs[0]
+    rows = ivf_pq_residual_knn(spark, sf_med, k=10, n_probe=K, rerank=50).collect()
+    assert rows
+    for r in rows:
+        assert abs(float(vecs[r.vec_id] @ q) - r.cos_sim) < 1e-5
