@@ -234,6 +234,124 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winnowing_fingerprints",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 8
+    ), g AS (
+      SELECT doc_id,
+             unnest(range(1, len(toks) - 3)) AS pos,
+             len(toks) - 4 AS n_grams,
+             toks
+      FROM t
+    ), h AS (
+      SELECT doc_id, pos, n_grams,
+             md5(array_to_string(toks[pos:pos+4], ' '))
+               || ':' || lpad(CAST(pos AS VARCHAR), 6, '0') AS key
+      FROM g
+    ), sel AS (
+      SELECT doc_id, pos, n_grams,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey
+      FROM h
+    )
+    SELECT doc_id, n_grams,
+           CAST(len(list_distinct(list(wkey))) AS BIGINT) AS n_fps,
+           md5(array_to_string(list_sort(list_distinct(list(wkey))), ','))
+             AS fp_digest
+    FROM sel WHERE pos <= n_grams - 3
+    GROUP BY doc_id, n_grams
+    """,
+    survey_rows="L5,F7,F5,W3",
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03 — the MOSS algorithm): hash every 5-token shingle, slide a
+    w=4 window over the hash sequence, keep each window's minimum
+    (ties → leftmost position, encoded in the key suffix). Guarantees:
+    any shared run of ≥ w+k-1 tokens yields a shared fingerprint
+    (no-miss detection), expected density 2/(w+1) — the fingerprint set
+    is ~40% of grams here, tunable to any budget by w.
+
+    Output per doc: gram count, fingerprint count, and an md5 digest of
+    the sorted fingerprint set, so the DuckDB oracle hash-checks the
+    ENTIRE selected set, not a summary.
+
+    Scale shape: posexplode is linear in corpus tokens; the windowed min
+    and the per-doc set aggregation share ONE shuffle key (doc_id) — a
+    single exchange end-to-end, no self-joins; cross-doc fingerprint
+    matching downstream is an equi-join on fingerprint (the same
+    bucketed shape as every dedup family here, never pairwise)."""
+    return winnow_fingerprints_df(load_table(spark, sf_dir, "documents"))
+
+
+def _winnow_sel(d: DataFrame) -> DataFrame:
+    """Selected winnowing keys per doc: (doc_id, n_grams, wkey) where
+    wkey = gram-md5 ':' zero-padded position (position suffix makes the
+    per-window min tie-break deterministic on both engines)."""
+    toks = tokens("text")
+    n_grams = (F.size(toks) - 4).cast("long")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 4),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 5))),
+    )
+    rows = (
+        d.filter(F.size(toks) >= 8)
+        .select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            F.posexplode(grams).alias("p", "h"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            (F.col("p") + 1).alias("pos"),
+            F.concat(
+                F.col("h"),
+                F.lit(":"),
+                F.lpad((F.col("p") + 1).cast("string"), 6, "0"),
+            ).alias("key"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    return (
+        rows.select(
+            "doc_id", "n_grams", "pos", F.min("key").over(w).alias("wkey")
+        )
+        .filter(F.col("pos") <= F.col("n_grams") - 3)
+        .select("doc_id", "n_grams", "wkey")
+    )
+
+
+def winnow_fingerprints_df(d: DataFrame) -> DataFrame:
+    """Winnowing core over any (doc_id, text) DataFrame — see
+    winnowing_fingerprints for the algorithm; split out so the no-miss
+    guarantee is property-testable on hand-built documents."""
+    fps = F.sort_array(F.array_distinct(F.collect_list("wkey")))
+    return (
+        _winnow_sel(d)
+        .groupBy("doc_id", "n_grams")
+        .agg(
+            F.size(fps).cast("long").alias("n_fps"),
+            F.md5(F.concat_ws(",", fps)).alias("fp_digest"),
+        )
+    )
+
+
+def winnow_selected_hashes(d: DataFrame) -> DataFrame:
+    """(doc_id, fp): the distinct selected gram HASHES (position suffix
+    stripped) — the join key for cross-doc match detection: two docs
+    sharing a run of ≥ w+k-1 = 8 tokens are guaranteed ≥1 common fp."""
+    return (
+        _winnow_sel(d)
+        .select("doc_id", F.substring("wkey", 1, 32).alias("fp"))
+        .distinct()
+    )
+
+
+@register(
     "token_counts_regex",
     """
     SELECT token, count(*) AS cnt FROM (

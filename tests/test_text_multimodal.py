@@ -77,3 +77,49 @@ def test_multimodal_frame_sample_shape(spark, sf_small):
         offs = [f.frame_offset_bytes for f in sorted(frames, key=lambda x: x.frame_idx)]
         assert offs == sorted(offs)
         assert offs[0] == 0
+
+
+def test_winnowing_no_miss_guarantee(spark):
+    """Schleimer et al.'s no-miss property: two documents sharing a run
+    of >= w+k-1 = 8 consecutive tokens MUST share at least one selected
+    fingerprint hash, whatever surrounds the run. Disjoint documents
+    share none (md5 grams, no collisions at this size)."""
+    import pandas as pd
+
+    from novelti_dingo_spark.operators.text import winnow_selected_hashes
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                f"one two three four five six {shared} seven eight nine ten",
+                f"{shared} completely different trailing tokens here now ok",
+                "unrelated words entirely nothing in common with others "
+                "padding padding padding padding",
+            ],
+        }
+    )
+    d = spark.createDataFrame(docs)
+    fps = winnow_selected_hashes(d).collect()
+    by_doc = {i: {r.fp for r in fps if r.doc_id == i} for i in (1, 2, 3)}
+    assert by_doc[1] & by_doc[2], "shared 8-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnowing_density(spark, sf_small):
+    """Expected fingerprint density is ~2/(w+1) of grams (w=4 → ~40%);
+    assert the measured corpus sits in a sane band and every doc selects
+    at least one fingerprint per window span."""
+    from novelti_dingo_spark.operators.text import winnow_fingerprints_df
+    from novelti_dingo_spark.sources import load_table
+
+    d = load_table(spark, sf_small, "documents")
+    rows = winnow_fingerprints_df(d).collect()
+    assert rows
+    total_fps = sum(r.n_fps for r in rows)
+    total_grams = sum(r.n_grams for r in rows)
+    assert 0.2 < total_fps / total_grams < 0.6
+    for r in rows:
+        assert 1 <= r.n_fps <= r.n_grams
