@@ -656,6 +656,88 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_join_enrich",
+    """
+    SELECT o.o_orderpriority, count(*) AS n_items,
+           round(sum(l.l_extendedprice), 2) AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    survey_rows="J1,skew",
+)
+def salted_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated JOIN as an oracle-checked query (the join-side
+    sibling of salted_skew_agg): lineitem→orders enrichment routed
+    through skew.salted_join — facts get a deterministic salt from a
+    row-unique column, the dim side replicates n_salt×, the shuffle key
+    becomes (key, salt) so ONE hot order key spreads over n_salt
+    reducers — and the result must equal the plain join exactly. This is
+    the recipe for when AQE's skew splitting can't help (the skewed side
+    feeds a single reducer from a shuffle AQE already coalesced, or the
+    skew is in a broadcast-ineligible dim)."""
+    from .skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, key="l_orderkey", row_id="l_linenumber")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "histogram_equidepth",
+    """
+    WITH r AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER () AS n
+      FROM orders)
+    SELECT (rn - 1) * 8 // n + 1 AS bucket, count(*) AS n_rows,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM r GROUP BY 1
+    """,
+    survey_rows="A9,W1",
+)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram — the A9 sibling where
+    bucket BOUNDARIES adapt to the distribution (what optimizers store
+    as quantile stats). bucket = floor((rank-1)·k/n)+1 from the exact
+    global rank, NOT ntile(), whose unpartitioned window would funnel
+    the corpus through one task: the rank comes from
+    rank.with_global_rank (range shuffle + broadcast offsets — same
+    recipe as sorted-neighborhood ER), the total count from a 1-row
+    broadcast aggregate, and the DuckDB oracle uses the identical
+    closed-form bucket assignment."""
+    from .rank import with_global_rank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = with_global_rank(o, ["o_totalprice", "o_orderkey"])
+    total = o.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            (F.expr("(rn - 1) * 8 div n") + 1).alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
     "scd2_pointintime_join",
     """
     WITH snaps AS (

@@ -330,10 +330,15 @@ def winnow_fingerprints_df(d: DataFrame) -> DataFrame:
     winnowing_fingerprints for the algorithm; split out so the no-miss
     guarantee is property-testable on hand-built documents."""
     fps = F.sort_array(F.array_distinct(F.collect_list("wkey")))
+    # group on doc_id ALONE (n_grams is functionally dependent but
+    # Catalyst can't know that — grouping on both would re-shuffle on
+    # the composite key; doc_id alone reuses the window's partitioning,
+    # so the whole operator is one exchange)
     return (
         _winnow_sel(d)
-        .groupBy("doc_id", "n_grams")
+        .groupBy("doc_id")
         .agg(
+            F.first("n_grams").alias("n_grams"),
             F.size(fps).cast("long").alias("n_fps"),
             F.md5(F.concat_ws(",", fps)).alias("fp_digest"),
         )

@@ -242,6 +242,26 @@ EXPECT = {
     "sorted_neighborhood_multipass": {"hash_join_not_nlj": True,
                                       "no_python_udf": True,
                                       "max_scan_cols": 2},
+    # round-4 additions
+    # streaming-ready top-k: one (window × type) group shuffle, partial
+    # collect_list aggregation, explode is a post-agg projection
+    "windowed_topk_1h": {"partial_agg": True, "no_python_udf": True,
+                         "max_scan_cols": 4},
+    # winnowing: windowed min + per-doc set agg share the doc_id key —
+    # a single data exchange end-to-end (AQE may print it twice)
+    "winnowing_fingerprints": {"single_shuffle": True, "no_python_udf": True,
+                               "max_scan_cols": 2},
+    # ORC leg: same pushdown/pruning properties through the ORC reader
+    "orc_ingest_agg": {"partial_agg": True, "no_python_udf": True},
+    # salted join: the (key, salt) hash join must stay a hash join and
+    # aggregate two-phase; dim replication is n_salt× rows, not a NLJ
+    "salted_join_enrich": {"hash_join_not_nlj": True, "partial_agg": True,
+                           "no_python_udf": True, "max_scan_cols": 3},
+    # equi-depth histogram: global rank via range shuffle (the
+    # singlepart_over_raw global check rejects the ntile funnel), total
+    # count arrives broadcast, final agg two-phase
+    "histogram_equidepth": {"partial_agg": True, "no_python_udf": True,
+                            "max_scan_cols": 2},
 }
 
 
