@@ -152,6 +152,8 @@ def _load_all() -> None:
         pq,
         opq,
         bpe,
+        bloom,
+        sketches,
     )
 
     _LOADED = True

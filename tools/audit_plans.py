@@ -262,6 +262,16 @@ EXPECT = {
     # count arrives broadcast, final agg two-phase
     "histogram_equidepth": {"partial_agg": True, "no_python_udf": True,
                             "max_scan_cols": 2},
+    # bloom semi-join reduction: the k bitset lookups and the exact
+    # residual semi-join must all be broadcast hash joins — the fact
+    # side reaches its first exchange already reduced; agg two-phase
+    "bloom_semijoin_reduction": {"hash_join_not_nlj": True,
+                                 "broadcast_joins": 3, "partial_agg": True,
+                                 "no_python_udf": True, "max_scan_cols": 4},
+    # CMS heavy hitters: fixed-size grid and survivor list both arrive
+    # broadcast; every count agg (grid, candidates, recount) two-phase
+    "cms_heavy_hitters": {"partial_agg": True, "broadcast_joins": 3,
+                          "no_python_udf": True, "max_scan_cols": 2},
 }
 
 
