@@ -1,0 +1,98 @@
+"""PageRank over the near-duplicate document graph.
+
+The iterative-join companion to dedup.connected_components: CC answers
+"which docs form one duplicate cluster"; PageRank answers "which doc is
+the most CENTRAL member" — a principled canonical-survivor choice (the
+doc most redundantly witnessed by its neighbors) and the standard
+centrality primitive for any doc/link graph a pipeline derives.
+
+The 100 TB design point is the same as CC's: each iteration is one
+equi-join of the edge list against the |nodes|-row rank vector plus one
+partial-agg sum — no adjacency matrix, no driver-side graph, state is
+two DataFrames partitioned by node id. `localCheckpoint` cuts the
+iterative lineage every round (reliable checkpoint dir on a cluster).
+Co-partitioning note: the join and the groupBy both key on node id, so
+one `repartition(node)` up front is reused across all iterations by
+Catalyst's exchange reuse. Iteration count is FIXED (power iteration
+converges geometrically at rate = damping; 15 rounds ≈ 0.85^15 < 9e-2
+residual on the rank gap, ample for ranking stability on shallow dedup
+graphs) so the computation is deterministic — no data-dependent early
+exit, every engine computes the identical float sequence.
+
+Undirected dedup graphs are symmetrized before ranking, so every node
+has out-degree >= 1 and the dangling-mass correction drops out; the
+general directed form would add the dangling term to the teleport
+constant each round (documented, not needed here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+
+DAMPING = 0.85
+ITERATIONS = 15
+
+
+def pagerank(
+    pairs: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    damping: float = DAMPING,
+    iterations: int = ITERATIONS,
+) -> DataFrame:
+    """PageRank over an undirected pair list → (node, rank), ranks
+    summing to 1. Symmetrizes the edges, starts uniform, then runs the
+    fixed-length power iteration: rank' = (1-d)/N + d * Σ_in rank/deg."""
+    edges = pairs.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).unionAll(pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # contribution edges carry 1/deg once, not per-iteration
+    cedges = (
+        edges.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    teleport = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib = (
+            cedges.join(ranks, cedges.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") * F.col("w")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # every node has degree >= 1 after symmetrization, so `contrib`
+        # covers all nodes — no outer-join null handling needed
+        ranks = contrib.select(
+            "node", (F.lit(teleport) + F.lit(damping) * F.col("inflow")).alias("rank")
+        ).localCheckpoint()
+    return ranks
+
+
+@register(
+    "pagerank_doc_centrality",
+    None,  # iterative float fixpoint — rows-only; parity vs numpy power
+    # iteration and sum-to-1 are pinned in tests/test_graph.py
+    survey_rows="L7,J1,A1",
+)
+def pagerank_doc_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most central documents of the shared-shingle near-dup
+    graph (damping 0.85, 15 fixed iterations). High rank = the document
+    most corroborated by its near-duplicates — the natural canonical
+    pick inside each dedup cluster."""
+    from .dedup import _neardup_pairs
+
+    ranks = pagerank(_neardup_pairs(spark, sf_dir))
+    return (
+        ranks.select(
+            F.col("node").alias("doc_id"), F.round("rank", 9).alias("rank")
+        )
+        .orderBy(F.desc("rank"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -333,6 +333,7 @@ def publish_versioned(
     base_dir: str,
     meta: dict | None = None,
     partition_by: list[str] | None = None,
+    published_ts: str | None = None,
 ) -> int:
     """Versioned dataset publish: write to `base_dir/v=N/` (N = next
     version), then flip the `base_dir/LATEST` pointer to it, and drop a
@@ -370,10 +371,15 @@ def publish_versioned(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(out)
+    if published_ts is None:
+        from datetime import datetime, timezone
+
+        published_ts = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
     manifest = {
         "version": version,
         "rows": int(obs.get["n"]),
         "schema": df.schema.simpleString(),
+        "published_ts": published_ts,
         **(meta or {}),
     }
     # underscore prefix: Spark data-source listing ignores it (like _SUCCESS)
@@ -429,6 +435,40 @@ def read_version(spark: SparkSession, base_dir: str, version: int | None = None)
     out = f"{base}/v={version}"
     manifest = json.loads(lakefs.read_text(spark, f"{out}/_manifest.json"))
     return spark.read.parquet(out), manifest
+
+
+def read_as_of(spark: SparkSession, base_dir: str, ts: str):
+    """Time travel: read the newest version whose manifest `published_ts`
+    is <= `ts` (ISO-8601 UTC strings compare lexicographically, which is
+    why publish stamps that format). Returns (DataFrame, manifest).
+
+    Resolution is an O(versions) manifest scan — control-plane metadata,
+    a few KB per version, never data files; the same walk an Iceberg
+    snapshot-as-of-timestamp lookup does over its metadata log. Versions
+    deleted by vacuum_versions no longer resolve: time travel reaches
+    only retained history, and callers pinning training runs should pin
+    the version NUMBER (reproducible forever via keep-list) rather than
+    a timestamp. Raises LookupError when `ts` predates all retained
+    versions — never silently serves a newer dataset."""
+    import json
+
+    from .sources import lakefs
+
+    base = base_dir.rstrip("/")
+    best: tuple[str, int] | None = None
+    for name in lakefs.listdir(spark, base):
+        if not (name.startswith("v=") and name.split("=")[1].isdigit()):
+            continue
+        v = int(name.split("=")[1])
+        m = json.loads(lakefs.read_text(spark, f"{base}/v={v}/_manifest.json"))
+        pts = m.get("published_ts")
+        if pts is not None and pts <= ts and (best is None or (pts, v) > best):
+            best = (pts, v)
+    if best is None:
+        raise LookupError(
+            f"no version of {base_dir} published at or before {ts!r}"
+        )
+    return read_version(spark, base_dir, version=best[1])
 
 
 def publish_snapshot(

@@ -154,6 +154,7 @@ def _load_all() -> None:
         bpe,
         bloom,
         sketches,
+        graph,
     )
 
     _LOADED = True

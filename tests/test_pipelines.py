@@ -189,6 +189,44 @@ def test_versioned_publish_and_pinning(spark, sf_small, tmp_path):
     assert "doc_id" in m1["schema"]
 
 
+def test_read_as_of_time_travel(spark, sf_small, tmp_path):
+    """AS-OF-timestamp resolution: newest published_ts <= ts wins;
+    pre-history timestamps raise instead of serving newer data; vacuumed
+    versions stop resolving (time travel reaches retained history only)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from novelti_dingo_spark.pipelines import (
+        publish_versioned,
+        read_as_of,
+        vacuum_versions,
+    )
+
+    base = str(tmp_path / "dataset")
+    d1 = load_table(spark, sf_small, "documents")
+    publish_versioned(d1, base, published_ts="2026-01-01T00:00:00.000000Z")
+    d2 = d1.filter(F.col("lang") != "zh")
+    publish_versioned(d2, base, published_ts="2026-02-01T00:00:00.000000Z")
+    d3 = d2.filter(F.col("lang") != "de")
+    publish_versioned(d3, base, published_ts="2026-03-01T00:00:00.000000Z")
+
+    df, m = read_as_of(spark, base, "2026-02-15T00:00:00.000000Z")
+    assert m["version"] == 2 and df.count() == d2.count()
+    # boundary: exactly-at publish time resolves to that version
+    df, m = read_as_of(spark, base, "2026-02-01T00:00:00.000000Z")
+    assert m["version"] == 2
+    # far future -> newest retained
+    df, m = read_as_of(spark, base, "2027-01-01T00:00:00.000000Z")
+    assert m["version"] == 3
+    with _pytest.raises(LookupError):
+        read_as_of(spark, base, "2025-12-31T23:59:59.000000Z")
+
+    # vacuum to the last 2: v1's timestamp range no longer resolves
+    assert vacuum_versions(spark, base, keep_last=2) == [1]
+    with _pytest.raises(LookupError):
+        read_as_of(spark, base, "2026-01-15T00:00:00.000000Z")
+
+
 def test_upsert_empty_updates_is_noop(spark, sf_small, tmp_path):
     """Empty updates (a replayed/empty micro-batch) must be a clean no-op
     — not an UNABLE_TO_INFER_SCHEMA crash from a schema-less staging dir."""
