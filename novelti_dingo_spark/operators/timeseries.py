@@ -207,3 +207,64 @@ def ewma_running_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc * F.lit(1 - EWMA_ALPHA) + x * F.lit(EWMA_ALPHA),
     )
     return rows.select("user_id", "n_events", ewma.alias("ewma_final"))
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """The maintained aggregate: (hour, event_type) -> (n, sv). Partial
+    counts/sums are ALGEBRAIC — they merge by addition — which is what
+    makes the rollup incrementally maintainable (see
+    apply_rollup_increment). Holistic aggregates (median, distinct
+    count) don't merge this way and would need sketches (HLL, KLL)."""
+    return events.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+
+
+def apply_rollup_increment(rollup: DataFrame, new_events: DataFrame) -> DataFrame:
+    """Incremental view maintenance for the hourly rollup: fold a new
+    micro-batch of raw events into an existing materialized rollup
+    WITHOUT re-reading history — the continuous-aggregate maintenance
+    step (TimescaleDB/Materialize shape) that pairs with
+    rollup_hour_to_day's read path.
+
+    Cost shape at 100 TB: the batch aggregates to its own |batch-hours|
+    partials (two-phase, map-side combined), then merges with the
+    existing rollup by key — a shuffle over |hours|x|types| rows, never
+    the raw history. Exactness: addition of counts/sums is exact for
+    counts and IEEE-associative-order-dependent for float sums, so the
+    parity test pins count equality exactly and sums to 1e-9.
+
+    In production the merge writes back via pipelines.upsert_by_partition
+    (only batch-touched hour-partitions rewrite) or CDC MERGE; here the
+    pure transformation is returned so batch == recompute is provable."""
+    inc = hourly_rollup(new_events)
+    return (
+        rollup.unionByName(inc)
+        .groupBy("h", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    )
+
+
+@register(
+    "rollup_incremental_maintenance",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
+           count(*) AS n, round(sum(value), 4) AS sv
+    FROM events GROUP BY 1, 2
+    """,
+    survey_rows="ST12,ST14,A1",
+)
+def rollup_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVM path proven against the recompute oracle: history (days
+    1-20) is rolled up first, then the remaining days arrive as a batch
+    folded in via apply_rollup_increment. The result must equal the
+    plain one-shot rollup — the oracle IS that recompute, so the hash
+    match certifies that partial-aggregate merging loses nothing. Sums
+    round 4dp (merge order differs from the oracle's scan order)."""
+    e = load_table(spark, sf_dir, "events")
+    hist = e.filter(F.dayofmonth("ts") <= 20)
+    batch = e.filter(F.dayofmonth("ts") > 20)
+    merged = apply_rollup_increment(hourly_rollup(hist), batch)
+    return merged.select(
+        "h", "event_type", "n", F.round("sv", 4).alias("sv")
+    )

@@ -182,3 +182,23 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """S2/L6: raw-file ingest via the built-in `binaryFile` source —
+    (path, modificationTime, length, content) rows, one per file. This
+    is how image/audio/video assets enter the engine BEFORE they are
+    packed into parquet binary columns (multimodal.multimodal_pack is
+    the downstream step): the source lists files in parallel, never
+    reads a file twice, and `pathGlobFilter` prunes at listing time so
+    non-matching files cost zero I/O. At 100 TB of small files the
+    listing itself is the bottleneck — production runs should compact
+    into parquet early (this reader feeding multimodal_pack IS that
+    compaction) and set spark.sql.files.maxPartitionBytes so many small
+    files coalesce into one task."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -174,3 +174,30 @@ def test_events_ts_encoding_sniff(spark, tmp_path):
         assert dict(df.dtypes)["ts"] == "timestamp", unit
         got[unit] = sorted(r.ts for r in df.select("ts").collect())
     assert got["ns"] == got["us"]
+
+
+def test_binary_file_ingest_feeds_multimodal(spark, tmp_path):
+    """Raw asset files -> binaryFile source -> the multimodal decode
+    stub: listing-time glob pruning, full-content fidelity, and the
+    Arrow-batch plumbing over file content."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from novelti_dingo_spark.sources.io import read_binary_files
+
+    d = tmp_path / "assets"
+    os.makedirs(d)
+    payloads = {f"img_{i}.fakejpg": bytes([i]) * (100 + i) for i in range(5)}
+    for name, data in payloads.items():
+        (d / name).write_bytes(data)
+    (d / "notes.txt").write_text("not an image")
+
+    df = read_binary_files(spark, str(d), glob="*.fakejpg")
+    rows = df.select(
+        F.element_at(F.split("path", "/"), -1).alias("name"), "length", "content"
+    ).collect()
+    assert len(rows) == 5  # .txt pruned at listing time
+    for r in rows:
+        assert bytes(r["content"]) == payloads[r["name"]]
+        assert r["length"] == len(payloads[r["name"]])

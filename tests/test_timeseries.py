@@ -162,3 +162,31 @@ def test_prefix_filter_join_equals_gemm_jaccard(spark, sf_med):
     }
     assert a, "corpus must contain near-dup pairs"
     assert a == b
+
+
+def test_apply_rollup_increment_equals_recompute(spark, sf_med):
+    """Continuous-aggregate maintenance: rollup(history) folded with a
+    new batch must equal rollup(history ∪ batch) — counts exactly, float
+    sums to 1e-9 (merge order differs, IEEE addition isn't associative)."""
+    from pyspark.sql import functions as F
+
+    from novelti_dingo_spark.operators.timeseries import (
+        apply_rollup_increment,
+        hourly_rollup,
+    )
+    from novelti_dingo_spark.sources.io import load_table
+
+    e = load_table(spark, sf_med, "events")
+    cut = e.agg(F.expr("percentile(unix_micros(ts), 0.8)").alias("c")).collect()[0]["c"]
+    hist = e.filter(F.unix_micros("ts") <= cut)
+    batch = e.filter(F.unix_micros("ts") > cut)
+    assert batch.count() > 0 and hist.count() > 0
+
+    maintained = apply_rollup_increment(hourly_rollup(hist), batch)
+    full = hourly_rollup(e)
+    j = maintained.alias("m").join(
+        full.alias("f"), ["h", "event_type"], "full_outer"
+    )
+    assert j.filter(F.col("m.n").isNull() | F.col("f.n").isNull()).count() == 0
+    assert j.filter(F.col("m.n") != F.col("f.n")).count() == 0
+    assert j.filter(F.abs(F.col("m.sv") - F.col("f.sv")) > 1e-9).count() == 0
