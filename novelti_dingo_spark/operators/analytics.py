@@ -416,3 +416,70 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions") / F.sum("n_transitions").over(wn), 6
         ).alias("p_next"),
     )
+
+
+@register(
+    "mad_outlier_days",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(o_totalprice) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    ), med AS (
+      SELECT median(revenue) AS med FROM daily
+    ), mad AS (
+      SELECT median(abs(revenue - med)) AS mad FROM daily, med
+    )
+    SELECT strftime(day, '%Y-%m-%d')      AS day,
+           round(revenue, 2)              AS revenue,
+           round(abs(revenue - med) / mad, 4) AS mad_score
+    FROM daily, med, mad
+    WHERE abs(revenue - med) > 3.0 * mad
+    """,
+    survey_rows="A8,A1,P2,stats",
+)
+def mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: flag days
+    whose total order revenue deviates from the median daily revenue by
+    more than 3 MAD. Unlike the z-score family (rolling_zscore_anomaly),
+    both the center (median) and the spread (MAD) have a 50% breakdown
+    point, so a handful of extreme days cannot mask themselves by
+    inflating the threshold — the standard robust-statistics screen for
+    revenue/volume monitoring.
+
+    Shape: one partial-aggregated groupBy to the |days|-bounded daily
+    spine, then TWO scalar aggregates (median, then median of absolute
+    deviations) broadcast back as single-row cross joins. Exact medians
+    are |days|-scale sorts, not data-scale: at 100 TB the daily spine is
+    still a few thousand rows, so driver/exchange cost is metadata-level
+    (same spine-bounded pattern as cumulative_unique_users; do NOT use
+    this exact-median shape on row-scale groups — that is what
+    approx_percentile is for).
+
+    Numerics: daily revenue is a DECIMAL sum (exact, association-free)
+    cast to double once; both engines interpolate the even-count median
+    as lower + 0.5*(upper-lower) on bit-identical inputs, so the 3-MAD
+    comparison is deterministic and the oracle hash exact."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").cast("double").alias("revenue"))
+    )
+    med = daily.agg(
+        F.expr("percentile(revenue, 0.5)").alias("med")
+    )
+    with_med = daily.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.expr("percentile(abs(revenue - med), 0.5)").alias("mad")
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .filter(F.abs(F.col("revenue") - F.col("med")) > 3.0 * F.col("mad"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("revenue", 2).alias("revenue"),
+            F.round(
+                F.abs(F.col("revenue") - F.col("med")) / F.col("mad"), 4
+            ).alias("mad_score"),
+        )
+    )

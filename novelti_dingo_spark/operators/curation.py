@@ -386,3 +386,98 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("sampled_tokens"),
         F.max(budget).cast("long").alias("budget"),
     )
+
+
+@register(
+    "psi_corpus_drift",
+    """
+    WITH b AS (
+      SELECT doc_id % 2 AS half, 'source' AS feature, source AS bin
+      FROM documents
+      UNION ALL
+      SELECT doc_id % 2, 'n_chars_bin',
+             CAST(least(5, n_chars // 100) AS VARCHAR)
+      FROM documents
+    ), c AS (
+      SELECT feature, bin,
+             count(*) FILTER (WHERE half = 0) AS n_ref,
+             count(*) FILTER (WHERE half = 1) AS n_cur
+      FROM b GROUP BY 1, 2
+    ), t AS (
+      SELECT feature, bin, n_ref, n_cur,
+             sum(n_ref) OVER (PARTITION BY feature) AS tot_ref,
+             sum(n_cur) OVER (PARTITION BY feature) AS tot_cur,
+             count(*)   OVER (PARTITION BY feature) AS k
+      FROM c
+    )
+    SELECT feature, bin, n_ref, n_cur,
+           round(((n_ref + 0.5) / (tot_ref + 0.5 * k)
+                  - (n_cur + 0.5) / (tot_cur + 0.5 * k))
+                 * ln(((n_ref + 0.5) / (tot_ref + 0.5 * k))
+                      / ((n_cur + 0.5) / (tot_cur + 0.5 * k))), 6)
+             AS psi_term
+    FROM t
+    """,
+    survey_rows="A9,A1,W3,stats",
+)
+def psi_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two corpus snapshots via Population
+    Stability Index — the monitoring gate a training-data pipeline runs
+    before accepting a new crawl: for each monitored feature, compare
+    the reference snapshot's bin distribution against the candidate's;
+    PSI = sum over bins of (p_ref - p_cur) * ln(p_ref / p_cur). Here the
+    two "snapshots" are the doc_id-parity halves of the corpus (a
+    deterministic A/A split, so expected drift ~ 0 — the null-calibrated
+    baseline a real deployment alarms against). Two features are
+    monitored at once: the categorical `source` distribution and
+    fixed-width `n_chars` buckets; per-bin PSI terms are emitted so the
+    alarm can name WHICH bin moved, with Laplace smoothing (+0.5) so an
+    empty bin on either side stays finite.
+
+    Shape: one scan of the corpus produces both feature binnings via
+    UNION (scan reuse), one partial-aggregated groupBy to |features|x
+    |bins| rows (~11 here, bounded by design), then window totals over
+    that metadata-scale table. At 100 TB: identical plan — the corpus
+    is read once, never shuffled at row scale; only bin counts move.
+
+    Numerics: all ratios are computed from exact integer counts in
+    identical double expressions on both engines, so psi_term is
+    bit-identical before the 6dp round."""
+    d = load_table(spark, sf_dir, "documents")
+    half = (F.col("doc_id") % 2).alias("half")
+    b = d.select(
+        half, F.lit("source").alias("feature"), F.col("source").alias("bin")
+    ).unionAll(
+        d.select(
+            half,
+            F.lit("n_chars_bin").alias("feature"),
+            F.least(F.lit(5), F.expr("n_chars div 100"))
+            .cast("string")
+            .alias("bin"),
+        )
+    )
+    c = b.groupBy("feature", "bin").agg(
+        F.count(F.when(F.col("half") == 0, 1)).alias("n_ref"),
+        F.count(F.when(F.col("half") == 1, 1)).alias("n_cur"),
+    )
+    wf = Window.partitionBy("feature")
+    t = c.select(
+        "feature",
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.sum("n_ref").over(wf).alias("tot_ref"),
+        F.sum("n_cur").over(wf).alias("tot_cur"),
+        F.count(F.lit(1)).over(wf).alias("k"),
+    )
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("tot_ref") + 0.5 * F.col("k"))
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("tot_cur") + 0.5 * F.col("k"))
+    return t.select(
+        "feature",
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round((p_ref - p_cur) * F.log(p_ref / p_cur), 6).alias(
+            "psi_term"
+        ),
+    )

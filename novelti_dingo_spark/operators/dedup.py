@@ -631,10 +631,12 @@ def connected_components_two_phase(
     )
 
 
-# shared by neardup_clusters and neardup_clusters_bigstar: both compute
-# the SAME clustering, by different distributed algorithms — the oracle
-# (declarative recursive-CTE fixpoint) is implementation-agnostic.
-_NEARDUP_CC_ORACLE = f"""
+# shared by neardup_clusters / neardup_clusters_bigstar /
+# neardup_canonical_survivors: all compute the SAME clustering, by
+# different distributed algorithms — the oracle CTE (declarative
+# recursive fixpoint down to per-doc cluster labels) is
+# implementation-agnostic; each query adds its own final SELECT.
+_NEARDUP_CC_CTE = f"""
     WITH RECURSIVE t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), x AS (
@@ -654,11 +656,17 @@ _NEARDUP_CC_ORACLE = f"""
     ), cc AS (
       SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
     )
+    """
+
+_NEARDUP_CC_ORACLE = (
+    _NEARDUP_CC_CTE
+    + """
     SELECT doc_id, cluster_id,
            count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
            doc_id = cluster_id AS is_canonical
     FROM cc
     """
+)
 
 
 @register(
@@ -858,4 +866,70 @@ def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id")
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "neardup_canonical_survivors",
+    _NEARDUP_CC_CTE
+    + """
+    , m AS (
+      SELECT c.cluster_id, d.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id DESC)
+               AS rn,
+             count(*)       OVER (PARTITION BY c.cluster_id) AS n_members,
+             sum(d.n_chars) OVER (PARTITION BY c.cluster_id)
+               AS cluster_chars
+      FROM cc c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT cluster_id, doc_id AS canonical_doc,
+           n_chars AS canonical_chars, n_members, cluster_chars
+    FROM m WHERE rn = 1
+    """,
+    survey_rows="L7,L1,A1,W4",
+)
+def neardup_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION step: after near-dup pairs are clustered
+    (connected components, see neardup_clusters), elect the document
+    that SURVIVES from each cluster — here by content-quality proxy
+    (longest text wins, doc_id as deterministic tiebreak), not by the
+    min-label accident that `is_canonical` in the clustering query
+    reports. This is the policy a production corpus dedup actually
+    applies: keep the best member, drop the rest, and log per-cluster
+    size/volume so the deletion is auditable.
+
+    Shape: cluster labels come from the O(diameter)-round min-label CC
+    (one shuffle per round on bounded candidate pairs — see
+    neardup_clusters for the measured fan-out bound); the election is a
+    single max(struct(quality, id)) groupBy on |clustered docs| rows —
+    an argmax without a window sort, so no per-cluster ordering shuffle
+    beyond the one aggregation. At 100 TB: candidate pairs are already
+    band-bucketed (never all-pairs), the argmax is map-side combined,
+    and the survivor list is |clusters| rows — the small side of the
+    subsequent anti-join that performs the actual deletion.
+
+    Oracle: the shared recursive-CTE clustering plus a per-cluster
+    row_number election with the same (n_chars, doc_id) order — the
+    hash match proves Spark's struct-max argmax equals the declarative
+    rank-1 pick."""
+    cc = connected_components(_neardup_pairs(spark, sf_dir))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labeled = cc.select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    ).join(d, "doc_id")
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.max(F.struct("n_chars", "doc_id")).alias("_best"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("n_chars").alias("cluster_chars"),
+        )
+        .select(
+            "cluster_id",
+            F.col("_best.doc_id").alias("canonical_doc"),
+            F.col("_best.n_chars").alias("canonical_chars"),
+            "n_members",
+            "cluster_chars",
+        )
     )

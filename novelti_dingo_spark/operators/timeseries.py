@@ -268,3 +268,188 @@ def rollup_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     return merged.select(
         "h", "event_type", "n", F.round("sv", 4).alias("sv")
     )
+
+
+@register(
+    "twap_user_value",
+    """
+    WITH w AS (
+      SELECT user_id, value,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt_us
+      FROM events
+    )
+    SELECT user_id,
+           round(sum(value * dt_us) / sum(dt_us), 6) AS twap,
+           round(sum(value) / count(*), 6)           AS plain_avg,
+           count(dt_us)                              AS n_intervals
+    FROM w GROUP BY user_id HAVING sum(dt_us) > 0
+    """,
+    survey_rows="ST11,W2,A1",
+)
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price/value (TWAP) over each user's
+    IRREGULARLY-spaced event stream: each observation is weighted by how
+    long it was "in force" (the gap to the user's next event), so a
+    burst of near-simultaneous readings no longer dominates the mean the
+    way it does in `plain_avg` (emitted alongside for contrast). The
+    last observation per user has no successor and carries zero weight
+    — the standard left-closed convention for observation-carried-
+    forward series (market data, sensor readings, feature snapshots).
+
+    Shape: one shuffle on user_id for the lead() window, then an
+    ordinary partial-aggregated groupBy on the SAME key — Catalyst
+    reuses the exchange, so the whole query is a single hash-partition
+    pass. No self-join (the naive formulation joins each event to its
+    successor). At 100 TB: identical plan; per-user state is one frame
+    row for lead(), and the weighted sums are map-side combined.
+
+    Numerics: dt is integer microseconds (exact); value*dt products are
+    ~1e12-1e14, far inside double's 2^53, and the final ratio is rounded
+    6dp on both engines so partial-sum association order cannot flip the
+    hash."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+    return (
+        e.select("user_id", "value", dt.alias("dt_us"))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6
+            ).alias("twap"),
+            F.round(F.sum("value") / F.count(F.lit(1)), 6).alias(
+                "plain_avg"
+            ),
+            F.count("dt_us").alias("n_intervals"),
+            F.sum("dt_us").alias("_total_dt"),
+        )
+        .filter(F.col("_total_dt") > 0)
+        .drop("_total_dt")
+    )
+
+
+# --- segment-tree range rollup ---------------------------------------------
+# Dyadic decomposition: a block b at level l covers hour interval
+# [b*2^l, (b+1)*2^l). For any query range the maximal contained dyadic
+# blocks (contained, parent NOT contained) form an exact partition of the
+# range with O(log span) members — the classic segment-tree query, here
+# expressed declaratively as a join between the (tiny) range list and the
+# precomputed block aggregates.
+SEGTREE_LEVELS = 10  # 2^10 h = 42 days > the 30-day corpus span
+
+# fixed query ranges in absolute epoch-hours (events span Jan 2024 at
+# every SF; 2024-01-01T00Z = hour 473352)
+_H0 = 473352
+SEGTREE_RANGES: list[tuple[int, int, int]] = [
+    (1, _H0 + 24, _H0 + 96),    # Jan 02 00:00 – Jan 05 00:00
+    (2, _H0 + 55, _H0 + 403),   # Jan 03 07:00 – Jan 17 19:00
+    (3, _H0 + 5, _H0 + 720),    # Jan 01 05:00 – Jan 31 00:00
+    (4, _H0 + 229, _H0 + 230),  # Jan 10 13:00 – Jan 10 14:00 (one hour)
+    (5, _H0 + 503, _H0 + 673),  # Jan 21 23:00 – Jan 29 01:00
+]
+
+_SEGTREE_RANGES_SQL = ", ".join(
+    f"({rid}, {rs}, {re})" for rid, rs, re in SEGTREE_RANGES
+)
+
+
+@register(
+    "segtree_range_rollup",
+    f"""
+    WITH r(range_id, rs, re) AS (VALUES {_SEGTREE_RANGES_SQL})
+    SELECT range_id,
+           count(e.event_id) AS n_events,
+           round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS sum_value
+    FROM r JOIN events e
+      ON epoch_us(e.ts) // 3600000000 >= r.rs
+     AND epoch_us(e.ts) // 3600000000 < r.re
+    GROUP BY range_id
+    """,
+    survey_rows="ST12,A1,J5",
+)
+def segtree_range_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-tree range rollup: answer ad-hoc time-range aggregates
+    from PRECOMPUTED dyadic block sums instead of re-scanning raw events
+    per query. Level 0 is the hourly rollup; level l merges pairs of
+    level-(l-1) blocks. A query range [s,e) is then the disjoint union
+    of its maximal contained dyadic blocks — blocks that fit inside the
+    range while their parent does not — which is O(log span) blocks, so
+    the per-range work is logarithmic in the range length regardless of
+    how many raw events it covers.
+
+    Implementation is fully declarative: the range list (query
+    PARAMETERS, 5 literal rows) joins the unioned block table on the
+    maximality predicate; Catalyst broadcasts the range side, so the
+    probe is one pass over ~|hours| block rows. At 100 TB the hourly
+    rollup is 4-5 orders of magnitude smaller than the raw stream and
+    the level pyramid doubles that once (sum of halving levels) — the
+    precompute is one shuffle of the rollup, amortized over every
+    subsequent range query (the continuous-aggregate + hierarchical
+    reaggregation pattern, cf. segment trees / Fenwick layouts).
+
+    The oracle recomputes each range directly from raw events — the
+    hash match proves the dyadic decomposition partitions every range
+    exactly (no overlap, no gap). Sums are decimal-exact during
+    aggregation (association-order independent), cast to double only at
+    the end."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            F.expr("unix_micros(ts) div 3600000000").alias("b"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("b")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    # level pyramid in ONE pass: each hourly block belongs to exactly one
+    # dyadic block per level, so explode hour -> [(l, b>>l)] and aggregate
+    # once. (A per-level groupBy chain re-scans the hourly lineage once
+    # per level — 11 jobs for the same answer.) Block extents are derived
+    # from (l, lb) with shiftleft, staying codegen'd long arithmetic.
+    lvl_tags = F.array(
+        *[
+            F.struct(
+                F.lit(l).alias("l"),
+                F.expr(f"b div {1 << l}").alias("lb"),
+            )
+            for l in range(SEGTREE_LEVELS + 1)
+        ]
+    )
+    blocks = (
+        hourly.select(F.explode(lvl_tags).alias("t"), "s", "n")
+        .groupBy(F.col("t.l").alias("l"), F.col("t.lb").alias("lb"))
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .select(
+            F.expr("lb * shiftleft(CAST(1 AS BIGINT), l)").alias("bs"),
+            F.expr("(lb + 1) * shiftleft(CAST(1 AS BIGINT), l)").alias(
+                "be"
+            ),
+            F.expr(
+                "(lb div 2) * shiftleft(CAST(2 AS BIGINT), l)"
+            ).alias("pbs"),
+            F.expr(
+                "(lb div 2 + 1) * shiftleft(CAST(2 AS BIGINT), l)"
+            ).alias("pbe"),
+            "s",
+            "n",
+        )
+    )
+    ranges = spark.createDataFrame(
+        SEGTREE_RANGES, "range_id int, rs long, re long"
+    )
+    maximal = (
+        (F.col("bs") >= F.col("rs"))
+        & (F.col("be") <= F.col("re"))
+        & ((F.col("pbs") < F.col("rs")) | (F.col("pbe") > F.col("re")))
+    )
+    return (
+        blocks.join(F.broadcast(ranges), maximal)
+        .groupBy("range_id")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("s").cast("double"), 2).alias("sum_value"),
+        )
+    )
