@@ -328,12 +328,112 @@ def scd2_build(
     )
 
 
+def _json_scalar(v):
+    """JSON-safe projection of a parquet statistics value: numerics and
+    strings pass through; timestamps become UTC-naive
+    'YYYY-MM-DD HH:MM:SS[.ffffff]' text and dates 'YYYY-MM-DD', both
+    lexicographically ordered == chronologically ordered, so pruning
+    comparisons on the serialized form remain correct."""
+    import datetime as _dt
+
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return str(v)
+
+
+def _footer_file_stats(
+    spark: SparkSession, out: str, stats_cols: list[str]
+) -> list[dict] | None:
+    """Per-file min/max for `stats_cols`, read from parquet FOOTERS —
+    row-group statistics the writer already computed, so collecting them
+    is O(files) metadata I/O with no data scan (exactly how Iceberg/Delta
+    populate their manifests). Returns None when the files are not
+    reachable via a local filesystem path (scheme'd object-store URIs in
+    this container) — the caller falls back to a one-pass Spark scan."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    local = out
+    if local.startswith("file:"):
+        local = local[len("file:") :]
+    if "://" in local:
+        return None
+    files = sorted(glob.glob(os.path.join(local, "*.parquet")))
+    if not files:
+        return None
+    stats = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        entry: dict = {
+            "name": os.path.basename(f),
+            "rows": md.num_rows,
+        }
+        mins: dict = {c: None for c in stats_cols}
+        maxs: dict = {c: None for c in stats_cols}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name not in mins or col.statistics is None:
+                    continue
+                st = col.statistics
+                if not st.has_min_max:
+                    continue
+                if mins[name] is None or st.min < mins[name]:
+                    mins[name] = st.min
+                if maxs[name] is None or st.max > maxs[name]:
+                    maxs[name] = st.max
+        entry["min"] = {c: _json_scalar(mins[c]) for c in stats_cols}
+        entry["max"] = {c: _json_scalar(maxs[c]) for c in stats_cols}
+        stats.append(entry)
+    return stats
+
+
+def _scan_file_stats(
+    spark: SparkSession, out: str, stats_cols: list[str]
+) -> list[dict]:
+    """Fallback stats collection via one Spark pass grouped by
+    input_file_name() — used when footers aren't locally readable. The
+    aggregate output is O(files), driver-side by design."""
+    df = spark.read.parquet(out)
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
+    rows = (
+        df.select(F.input_file_name().alias("__file"), *stats_cols)
+        .groupBy("__file")
+        .agg(*aggs)
+        .collect()
+    )
+    stats = []
+    for r in sorted(rows, key=lambda r: r["__file"]):
+        stats.append(
+            {
+                "name": os.path.basename(r["__file"]),
+                "rows": r["__rows"],
+                "min": {c: _json_scalar(r[f"__min_{c}"]) for c in stats_cols},
+                "max": {c: _json_scalar(r[f"__max_{c}"]) for c in stats_cols},
+            }
+        )
+    return stats
+
+
 def publish_versioned(
     df: DataFrame,
     base_dir: str,
     meta: dict | None = None,
     partition_by: list[str] | None = None,
     published_ts: str | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Versioned dataset publish: write to `base_dir/v=N/` (N = next
     version), then flip the `base_dir/LATEST` pointer to it, and drop a
@@ -341,6 +441,16 @@ def publish_versioned(
     metadata). Readers either pin a version (reproducible training runs)
     or follow LATEST; an interrupted publish never corrupts the previous
     version because LATEST flips only after the write completes.
+
+    `stats_cols` opts into DATA SKIPPING: per-file min/max for those
+    columns is read from the parquet footers (no data scan) and recorded
+    in the manifest as `file_stats`; `read_version_pruned` then skips
+    files whose [min, max] cannot intersect a query range — the
+    Iceberg/Delta manifest-pruning pattern on this manifest format. At
+    100 TB the stats are O(files) metadata, and pruning happens on the
+    driver BEFORE any scan task is scheduled. Incompatible with
+    `partition_by` (use partition pruning for partitioned layouts —
+    Catalyst already does it from the directory structure).
 
     All control-file and listing I/O goes through the Hadoop FileSystem
     API (sources/lakefs.py), so the same code is correct on hdfs:// and
@@ -355,6 +465,11 @@ def publish_versioned(
 
     from .sources import lakefs
 
+    if stats_cols and partition_by:
+        raise ValueError(
+            "stats_cols requires partition_by=None — partitioned layouts "
+            "get directory-based partition pruning instead"
+        )
     spark = df.sparkSession
     lakefs.mkdirs(spark, base_dir)
     existing = [
@@ -382,6 +497,11 @@ def publish_versioned(
         "published_ts": published_ts,
         **(meta or {}),
     }
+    if stats_cols:
+        stats = _footer_file_stats(spark, out, stats_cols)
+        if stats is None:
+            stats = _scan_file_stats(spark, out, stats_cols)
+        manifest["file_stats"] = {"columns": stats_cols, "files": stats}
     # underscore prefix: Spark data-source listing ignores it (like _SUCCESS)
     lakefs.write_text(spark, f"{out}/_manifest.json", json.dumps(manifest))
     lakefs.replace_text(spark, f"{base}/LATEST", str(version))
@@ -435,6 +555,67 @@ def read_version(spark: SparkSession, base_dir: str, version: int | None = None)
     out = f"{base}/v={version}"
     manifest = json.loads(lakefs.read_text(spark, f"{out}/_manifest.json"))
     return spark.read.parquet(out), manifest
+
+
+def read_version_pruned(
+    spark: SparkSession,
+    base_dir: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+):
+    """Data-skipping read: like `read_version`, but uses the manifest's
+    per-file min/max (`publish_versioned(stats_cols=...)`) to SKIP files
+    whose [min, max] range cannot intersect [lo, hi] before any task is
+    scheduled. The surviving files still get the row-level filter (file
+    stats only bound, they don't select), so the result is exactly
+    `read_version(...).filter(lo <= col <= hi)`.
+
+    Returns (DataFrame, n_files_total, n_files_read). Pruning compares
+    in the manifest's serialized domain: numerics natively, dates and
+    timestamps as ISO strings (lexicographic == chronological), so pass
+    `lo`/`hi` in that same form. Files with missing stats are kept
+    (never silently dropped — same conservative rule as Iceberg).
+
+    At 100 TB: the manifest is O(files) JSON on the control plane;
+    pruning is a driver-side list comprehension, and the scan that
+    follows reads only surviving files — for a range-clustered layout
+    (repartitionByRange or Z-order before publish) that is the
+    difference between touching 10^5 files and touching the handful
+    that overlap the query window."""
+    import json
+
+    from .sources import lakefs
+
+    base = base_dir.rstrip("/")
+    if version is None:
+        version = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
+    out = f"{base}/v={version}"
+    manifest = json.loads(lakefs.read_text(spark, f"{out}/_manifest.json"))
+    fs = manifest.get("file_stats")
+    if not fs or col not in fs["columns"]:
+        raise ValueError(
+            f"no file_stats for column {col!r} in version {version} — "
+            "publish with stats_cols to enable data skipping"
+        )
+    files = fs["files"]
+    survivors = []
+    for f in files:
+        fmin = f["min"].get(col)
+        fmax = f["max"].get(col)
+        if fmin is None or fmax is None:
+            survivors.append(f)  # unknown range: must read
+        elif fmax >= lo and fmin <= hi:
+            survivors.append(f)
+    pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    if not survivors:
+        df = spark.read.parquet(out).filter(F.lit(False))
+    else:
+        df = spark.read.parquet(
+            *[f"{out}/{f['name']}" for f in survivors]
+        ).filter(pred)
+    return df, len(files), len(survivors)
 
 
 def read_as_of(spark: SparkSession, base_dir: str, ts: str):

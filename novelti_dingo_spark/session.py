@@ -34,5 +34,10 @@ def get_spark(app_name: str = "novelti-dingo-spark") -> SparkSession:
         # (sources/io.py converts to a µs TimestampType column on load).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # write timestamps as TIMESTAMP_MICROS, not legacy INT96: INT96
+        # is deprecated and carries NO min/max footer statistics, which
+        # breaks data skipping (pipelines.read_version_pruned) and
+        # row-group pruning in every modern reader.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     return builder.getOrCreate()

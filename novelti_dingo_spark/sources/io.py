@@ -33,9 +33,16 @@ def ensure_session_confs(spark: SparkSession) -> None:
     - UTC session timezone: date_format/unix_timestamp canonicalizations
       must not shift with the host timezone.
 
-    Both are runtime-settable SQL confs (verified); idempotent."""
+    - TIMESTAMP_MICROS output: legacy INT96 timestamps carry no footer
+      min/max statistics, which silently disables data skipping
+      (pipelines.read_version_pruned) and row-group pruning.
+
+    All are runtime-settable SQL confs (verified); idempotent."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
 
 
 _TS_IS_NANOS_CACHE: dict[str, bool] = {}
