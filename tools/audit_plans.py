@@ -272,6 +272,29 @@ EXPECT = {
     # broadcast; every count agg (grid, candidates, recount) two-phase
     "cms_heavy_hitters": {"partial_agg": True, "broadcast_joins": 3,
                           "no_python_udf": True, "max_scan_cols": 2},
+    # TWAP: lead() window and the weighted-sum groupBy share one user_id
+    # exchange; everything stays JVM-side
+    "twap_user_value": {"single_shuffle": True, "no_python_udf": True,
+                        "max_scan_cols": 4},
+    # segment tree: hourly rollup two-phase, level pyramid from ONE
+    # explode pass; the 5-row range side must arrive broadcast (planned
+    # as BroadcastNestedLoopJoin — no equi keys on a containment
+    # predicate — which is right: blocks never shuffle for the probe)
+    "segtree_range_rollup": {"partial_agg": True, "no_python_udf": True,
+                             "max_scan_cols": 2},
+    # MAD screen: daily spine two-phase; median/MAD are 1-row broadcast
+    # cross joins back onto the |days| spine, orders scan reads 2 cols
+    "mad_outlier_days": {"partial_agg": True, "no_python_udf": True,
+                         "max_scan_cols": 2},
+    # PSI drift: one corpus scan feeds both feature binnings (union),
+    # counts aggregate two-phase to |bins| before the window totals
+    "psi_corpus_drift": {"partial_agg": True, "no_python_udf": True,
+                         "max_scan_cols": 3},
+    # survivor election: argmax via max(struct) two-phase agg; label
+    # join is a hash join, never NLJ
+    "neardup_canonical_survivors": {"partial_agg": True,
+                                    "hash_join_not_nlj": True,
+                                    "no_python_udf": True},
 }
 
 
@@ -343,7 +366,11 @@ def audit(name: str, plan: str) -> list[str]:
     if exp.get("take_ordered") and "TakeOrderedAndProject" not in plan:
         problems.append("LIMIT did not plan TakeOrderedAndProject")
     if exp.get("partial_agg"):
-        if not re.search(r"HashAggregate.*partial", plan, re.I | re.S):
+        # SortAggregate/ObjectHashAggregate are equally two-phase: struct
+        # max / collect aggs can't hash-aggregate but still map-side combine
+        if not re.search(
+            r"(Hash|Sort|ObjectHash)Aggregate.*partial", plan, re.I | re.S
+        ):
             problems.append("no partial (map-side) aggregation")
     if exp.get("hash_join_not_nlj"):
         if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
