@@ -1025,3 +1025,56 @@ def sorted_neighborhood_multipass(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
     return canon(fwd).unionByName(canon(rev)).distinct()
+
+
+@register(
+    "snapshot_diff_orders",
+    """
+    WITH ops AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+                    THEN 'insert'
+                  WHEN o_orderkey % 7 <> 0 AND o_orderkey % 11 = 0
+                    THEN 'delete'
+                  WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+                       AND o_orderkey % 11 <> 0
+                    THEN 'update'
+             END AS op
+      FROM orders
+    )
+    SELECT o_orderkey, op FROM ops WHERE op IS NOT NULL
+    """,
+    survey_rows="ST14,J2,F7",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (table diff) between two versions of the
+    orders table: version A drops every 7th key, version B drops every
+    11th and bumps the price of every 5th — diff_snapshots must classify
+    exactly the injected inserts/deletes/updates and nothing else
+    (unchanged rows never surface). This is the audit a versioned lake
+    runs to validate a CDC backfill or cross-region replica.
+
+    Shape (pipelines.diff_snapshots): each side reduces to (key,
+    xxhash64 of all compared columns) BEFORE the full-outer join, so the
+    shuffle carries 16 bytes/row regardless of table width; the op
+    classification is a null-pattern CASE on the joined digests. At
+    100 TB: one exchange per side on the key, no row payloads move, and
+    schema-evolved versions diff on the column intersection (added
+    columns don't mark every row changed).
+
+    Oracle: the injected change-sets are closed-form in the key, so the
+    expected diff is a direct CASE over the original table — the hash
+    match proves the digest join finds exactly those keys."""
+    from ..pipelines import diff_snapshots
+
+    o = load_table(spark, sf_dir, "orders")
+    v_a = o.filter(F.col("o_orderkey") % 7 != 0)
+    v_b = o.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return diff_snapshots(v_a, v_b, ["o_orderkey"]).select(
+        "o_orderkey", "op"
+    )

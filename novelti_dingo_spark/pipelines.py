@@ -788,3 +788,69 @@ def merge_rows(
         dels = F2.broadcast(deletes.select(*key_cols).distinct())
         merged = merged.join(dels, key_cols, "left_anti")
     return merged
+
+
+def diff_snapshots(
+    old: DataFrame, new: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Snapshot reconciliation: classify every key as `insert` (only in
+    new), `delete` (only in old), or `update` (in both with any changed
+    value) — the table-diff a versioned lake needs for CDC backfill
+    validation, replication checks, and "what changed between v3 and
+    v7" audits. Returns key_cols + `op`; unchanged rows are dropped.
+
+    Shape: both sides reduce to (keys, xxhash64(all compared columns))
+    BEFORE the join, so the full-outer join shuffles 8-byte digests +
+    keys, never row payloads — at 100 TB the exchange carries a few
+    percent of the table width. Columns are compared on the sorted
+    intersection of the two schemas (minus keys), so a schema-evolved
+    new version diffs cleanly against an old one: added/dropped columns
+    don't spuriously mark every row updated; their rollout is visible in
+    the manifests' schema field instead.
+
+    Nulls: xxhash64 folds column VALUES including nulls positionally, so
+    null→value transitions hash as changes (fold starts from a seed, and
+    xxhash64 in Spark skips null args — guard by coalescing each column
+    with a type-tagged sentinel string first)."""
+    common = sorted(
+        (set(old.columns) & set(new.columns)) - set(key_cols)
+    )
+
+    def digest(df: DataFrame) -> DataFrame:
+        cols = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in common
+        ] or [F.lit(0)]  # key-only table: presence itself is the value
+        return df.select(
+            *key_cols, F.xxhash64(*cols).alias("_digest")
+        )
+
+    o = digest(old).withColumnRenamed("_digest", "_old_digest")
+    n = digest(new).withColumnRenamed("_digest", "_new_digest")
+    joined = o.join(n, key_cols, "full_outer")
+    op = (
+        F.when(F.col("_old_digest").isNull(), F.lit("insert"))
+        .when(F.col("_new_digest").isNull(), F.lit("delete"))
+        .when(
+            F.col("_old_digest") != F.col("_new_digest"), F.lit("update")
+        )
+    )
+    return (
+        joined.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(*key_cols, "op")
+    )
+
+
+def diff_versions(
+    spark: SparkSession,
+    base_dir: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """diff_snapshots over two pinned versions of a versioned-lake
+    dataset (see publish_versioned / read_version)."""
+    old, _ = read_version(spark, base_dir, v_old)
+    new, _ = read_version(spark, base_dir, v_new)
+    return diff_snapshots(old, new, key_cols)

@@ -295,6 +295,11 @@ EXPECT = {
     "neardup_canonical_survivors": {"partial_agg": True,
                                     "hash_join_not_nlj": True,
                                     "no_python_udf": True},
+    # snapshot diff: both sides reduce to (key, digest) at the SCAN
+    # (ReadSchema 2 cols), the reconciliation is a key-equi full-outer
+    # SortMergeJoin — never NLJ, no payload columns in the exchange
+    "snapshot_diff_orders": {"hash_join_not_nlj": True,
+                             "no_python_udf": True, "max_scan_cols": 6},
 }
 
 
