@@ -7,7 +7,7 @@ all are oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -482,4 +482,175 @@ def mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("revenue") - F.col("med")) / F.col("mad"), 4
             ).alias("mad_score"),
         )
+    )
+
+
+@register(
+    "basket_part_lift",
+    """
+    WITH lines AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT count(DISTINCT l_orderkey) AS n_orders FROM lines
+    ), freq AS (
+      SELECT l_partkey, count(*) AS c FROM lines GROUP BY 1
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_both
+      FROM lines a JOIN lines b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_both,
+           round(n_both * 1.0 * n_orders / (fa.c * fb.c), 6) AS lift
+    FROM pairs
+    JOIN freq fa ON part_a = fa.l_partkey
+    JOIN freq fb ON part_b = fb.l_partkey
+    CROSS JOIN n
+    WHERE n_both >= 2
+    """,
+    survey_rows="J1,A1,A2,P2",
+)
+def basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift: which part pairs appear in
+    the same order more often than their independent popularity predicts
+    (lift = P(a,b) / (P(a)P(b)))? The co-purchase signal behind
+    recommendations, shelf placement, and bundling — and in a training-
+    data pipeline the same shape surfaces as tag/label co-occurrence.
+
+    Shape: pair generation is a self-equi-join on l_orderkey, so fan-out
+    is C(k,2) WITHIN each order (k = lineitems/order, bounded ~7 by the
+    schema) — never across orders, never all-pairs over parts. The pair
+    counts aggregate two-phase on (part_a, part_b); the per-part
+    frequency table is |parts|-sized and broadcast back onto the pairs,
+    and the order total is a 1-row broadcast. At 100 TB: the only
+    data-scale shuffles are the orderkey self-join (co-partitioned, one
+    exchange per side) and the pair aggregation; a k-cap guard (drop
+    degenerate mega-orders) is the standard skew valve, same as the LSH
+    bucket-width cap.
+
+    The n_both >= 2 support floor keeps the output at signal-bearing
+    pairs (singleton co-occurrence is noise at any scale)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    fa = F.broadcast(freq.select(F.col("l_partkey").alias("part_a"),
+                                 F.col("c").alias("_ca")))
+    fb = F.broadcast(freq.select(F.col("l_partkey").alias("part_b"),
+                                 F.col("c").alias("_cb")))
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                * F.lit(1.0)
+                * F.col("n_orders")
+                / (F.col("_ca") * F.col("_cb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "forecast_backtest_mae",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             count(*) AS n,
+             round(sum(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, day, n, v,
+             lag(n, 7) OVER w AS n_pred,
+             lag(v, 7) OVER w AS v_pred
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type,
+           count(*) AS n_scored_days,
+           round(avg(abs(n - n_pred)), 6)        AS mae_count,
+           round(avg(abs(v - v_pred)), 6)        AS mae_value,
+           round(avg(abs(n - n_pred) * 1.0 / n), 6) AS mape_count
+    FROM lagged WHERE n_pred IS NOT NULL
+    GROUP BY event_type
+    """,
+    survey_rows="W2,A1,ST12,stats",
+)
+def forecast_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each (event_type, day)'s
+    volume and value as the SAME WEEKDAY one week earlier (lag-7 on the
+    daily spine) and score MAE/MAPE per type — the baseline every
+    capacity-planning / anomaly-budget forecast must beat, and the
+    backtest harness shape (walk-forward, no leakage: each prediction
+    uses only strictly-earlier data) that fancier models plug into.
+
+    Shape: raw events collapse to the |types|x|days| spine with one
+    two-phase aggregation; the lag and the error aggregation both live
+    on the spine (bounded by calendar size, not data size). At 100 TB
+    the spine is identical — the only data-scale operation remains the
+    first rollup. The per-type window is |days| rows: no single-
+    partition hazard (the anti-pattern guard flags unpartitioned raw
+    windows; a partitioned post-agg spine is the documented safe case).
+
+    Numerics: daily sums round 4dp before differencing (engine partial-
+    sum order differs), then MAE/MAPE round 6dp — avg over <= |days|
+    exact-rounded inputs is deterministic at that precision."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("v"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "day",
+        "n",
+        "v",
+        F.lag("n", 7).over(w).alias("n_pred"),
+        F.lag("v", 7).over(w).alias("v_pred"),
+    ).filter(F.col("n_pred").isNotNull())
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored_days"),
+        F.round(F.avg(F.abs(F.col("n") - F.col("n_pred"))), 6).alias(
+            "mae_count"
+        ),
+        F.round(F.avg(F.abs(F.col("v") - F.col("v_pred"))), 6).alias(
+            "mae_value"
+        ),
+        F.round(
+            F.avg(
+                F.abs(F.col("n") - F.col("n_pred")) * F.lit(1.0) / F.col("n")
+            ),
+            6,
+        ).alias("mape_count"),
     )

@@ -300,6 +300,18 @@ EXPECT = {
     # SortMergeJoin — never NLJ, no payload columns in the exchange
     "snapshot_diff_orders": {"hash_join_not_nlj": True,
                              "no_python_udf": True, "max_scan_cols": 6},
+    # basket lift: pair-gen is a co-partitioned orderkey self-join and
+    # the two part-frequency sides are broadcast HASH joins; the 1-row
+    # order-total side arrives as a broadcast NLJ (no keys to hash on —
+    # the right plan for a scalar, same as knn_quantized_top10), so
+    # hash_join_not_nlj is deliberately omitted here
+    "basket_part_lift": {"partial_agg": True,
+                         "broadcast_joins": 2, "no_python_udf": True,
+                         "max_scan_cols": 2},
+    # forecast backtest: one data-scale rollup (two-phase), lag + MAE on
+    # the |types|x|days| spine; events scan pruned to 3 cols
+    "forecast_backtest_mae": {"partial_agg": True, "no_python_udf": True,
+                              "max_scan_cols": 3},
 }
 
 
