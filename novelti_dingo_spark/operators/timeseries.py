@@ -453,3 +453,51 @@ def segtree_range_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("s").cast("double"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "rolling_median_value",
+    """
+    SELECT event_id, user_id, value,
+           round(median(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 24 PRECEDING
+                                              AND CURRENT ROW), 6)
+             AS rolling_med
+    FROM events WHERE user_id < 30
+    """,
+    survey_rows="W3,A8,ST10",
+)
+def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over each user's trailing 25 observations — the
+    robust running smoother (spike-immune, unlike the rolling mean the
+    z-score family uses for its baseline): one outlier in the frame
+    moves the mean by x/25 but the median by at most one rank step.
+
+    Shape: identical to every trailing-frame operator here — one shuffle
+    on user_id, then sequential frame evaluation; `percentile` as a
+    WINDOW aggregate keeps the whole computation JVM-side (no UDF, no
+    self-join). Per-row cost is O(frame log frame) for the rank pick —
+    fine for bounded frames; for very wide frames the two-heap running-
+    median shape would go into applyInPandasWithState like the unbounded
+    EWMA (ST13). At 100 TB: the frame state is 25 doubles/row and the
+    single user_id exchange dominates, exactly like rolling_zscore.
+
+    Numerics: an ODD 25-row frame makes the median an exact element pick
+    (no interpolation) once the frame fills; partial frames with an even
+    count interpolate midpoints of exact doubles — identical IEEE on
+    both engines, rounded 6dp as belt-and-braces."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-24, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias(
+            "rolling_med"
+        ),
+    )

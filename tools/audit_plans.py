@@ -312,6 +312,10 @@ EXPECT = {
     # the |types|x|days| spine; events scan pruned to 3 cols
     "forecast_backtest_mae": {"partial_agg": True, "no_python_udf": True,
                               "max_scan_cols": 3},
+    # rolling median: JVM-side percentile window aggregate, one user_id
+    # shuffle, user filter pushed to the scan
+    "rolling_median_value": {"single_shuffle": True, "no_python_udf": True,
+                             "pushed_filters": True, "max_scan_cols": 4},
 }
 
 
