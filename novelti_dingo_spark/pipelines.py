@@ -508,6 +508,158 @@ def publish_versioned(
     return version
 
 
+def publish_append(
+    df: DataFrame,
+    base_dir: str,
+    meta: dict | None = None,
+    published_ts: str | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Incremental APPEND publish: write only `df`'s rows into the new
+    version directory and record `parent` = the previous version in the
+    manifest — the new snapshot is (parent chain) + (this batch), so an
+    append costs O(batch), never O(table). This is the Iceberg/Delta
+    append-commit shape on this manifest format (a full-snapshot
+    `publish_versioned` is the rewrite/compaction commit; the two
+    compose — a compaction publishes a full snapshot with parent=None,
+    truncating the chain).
+
+    Readers: `read_version_chain` resolves the chain; `read_chain_pruned`
+    additionally applies min-max data skipping across EVERY segment's
+    file_stats. The LATEST flip is the same atomic pointer rename, so an
+    interrupted append never corrupts the prior snapshot."""
+    import json
+
+    from .sources import lakefs
+
+    spark = df.sparkSession
+    lakefs.mkdirs(spark, base_dir)
+    base = base_dir.rstrip("/")
+    existing = [
+        int(name.split("=")[1])
+        for name in lakefs.listdir(spark, base)
+        if name.startswith("v=") and name.split("=")[1].isdigit()
+    ]
+    version = max(existing, default=0) + 1
+    parent = max(existing, default=None)
+    out = f"{base}/v={version}"
+    from pyspark.sql import Observation
+
+    obs = Observation(f"append_v{version}")
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "errorifexists"
+    ).parquet(out)
+    if published_ts is None:
+        from datetime import datetime, timezone
+
+        published_ts = datetime.now(timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%S.%fZ"
+        )
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "append": True,
+        "rows": int(obs.get["n"]),
+        "schema": df.schema.simpleString(),
+        "published_ts": published_ts,
+        **(meta or {}),
+    }
+    if stats_cols:
+        stats = _footer_file_stats(spark, out, stats_cols)
+        if stats is None:
+            stats = _scan_file_stats(spark, out, stats_cols)
+        manifest["file_stats"] = {"columns": stats_cols, "files": stats}
+    lakefs.write_text(spark, f"{out}/_manifest.json", json.dumps(manifest))
+    lakefs.replace_text(spark, f"{base}/LATEST", str(version))
+    return version
+
+
+def _resolve_chain(spark: SparkSession, base: str, version: int | None):
+    """Manifest chain for a version (newest first): follow `parent`
+    links until a full snapshot (no `append` flag / no parent). O(chain)
+    control-plane reads."""
+    import json
+
+    from .sources import lakefs
+
+    if version is None:
+        version = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
+    chain = []
+    v: int | None = version
+    while v is not None:
+        m = json.loads(
+            lakefs.read_text(spark, f"{base}/v={v}/_manifest.json")
+        )
+        chain.append(m)
+        v = m.get("parent") if m.get("append") else None
+    return chain
+
+
+def read_version_chain(
+    spark: SparkSession, base_dir: str, version: int | None = None
+):
+    """Read a snapshot that may be the head of an append chain: the
+    union of every segment back to the last full publish. Returns
+    (DataFrame, list of manifests newest-first)."""
+    base = base_dir.rstrip("/")
+    chain = _resolve_chain(spark, base, version)
+    paths = [f"{base}/v={m['version']}" for m in chain]
+    return spark.read.parquet(*paths), chain
+
+
+def read_chain_pruned(
+    spark: SparkSession,
+    base_dir: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+):
+    """Data-skipping read over an append chain: min-max pruning applied
+    to every segment's file_stats (a segment without stats contributes
+    all its files, conservatively). Returns (DataFrame, n_files_total,
+    n_files_read) — the chain-wide generalization of
+    `read_version_pruned`."""
+    base = base_dir.rstrip("/")
+    chain = _resolve_chain(spark, base, version)
+    paths = []
+    total = 0
+    for m in chain:
+        vdir = f"{base}/v={m['version']}"
+        fs = m.get("file_stats")
+        if not fs or col not in fs["columns"]:
+            seg = [
+                f"{vdir}/{name}"
+                for name in lakefs_list_parquet(spark, vdir)
+            ]
+            total += len(seg)
+            paths.extend(seg)
+            continue
+        total += len(fs["files"])
+        for f in fs["files"]:
+            fmin = f["min"].get(col)
+            fmax = f["max"].get(col)
+            if fmin is None or fmax is None or (fmax >= lo and fmin <= hi):
+                paths.append(f"{vdir}/{f['name']}")
+    pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    if not paths:
+        df, _ = read_version_chain(spark, base_dir, version)
+        return df.filter(F.lit(False)), total, 0
+    return spark.read.parquet(*paths).filter(pred), total, len(paths)
+
+
+def lakefs_list_parquet(spark: SparkSession, vdir: str) -> list[str]:
+    """Data files of one version directory (underscore control files
+    excluded), via the Hadoop FS API."""
+    from .sources import lakefs
+
+    return sorted(
+        n
+        for n in lakefs.listdir(spark, vdir)
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    )
+
+
 def vacuum_versions(
     spark: SparkSession, base_dir: str, keep_last: int = 2
 ) -> list[int]:
@@ -534,6 +686,13 @@ def vacuum_versions(
     keep = set(versions[-keep_last:]) if keep_last > 0 else set()
     if pinned is not None:
         keep.add(pinned)
+    # append chains: a kept head needs every ancestor segment back to
+    # its full snapshot — expand the keep set over parent links so
+    # vacuum never orphans a chain (read_version_chain of any keeper
+    # stays resolvable)
+    for v in list(keep):
+        for m in _resolve_chain(spark, base, v):
+            keep.add(m["version"])
     deleted = []
     for v in versions:
         if v not in keep:

@@ -142,3 +142,60 @@ def cdc_apply_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_append_publish(
+    spark: SparkSession,
+    src_dir: str,
+    target_base: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    stats_cols: list[str] | None = None,
+) -> None:
+    """Streaming ingestion into the append-chain lake: one incremental
+    run (Trigger.AvailableNow) turns each micro-batch into ONE
+    `publish_append` version — O(batch) write, atomic LATEST flip, and
+    per-file min/max stats recorded at publish so `read_chain_pruned`
+    data-skips across every ingested segment from the moment it lands.
+
+    Exactly-once: the same (checkpoint-identity, epoch) guard as
+    cdc_apply_stream — a replayed micro-batch (crash between publish
+    and checkpoint commit, or a manual re-run) is recognized by its
+    epoch id and skipped, so the chain never holds a duplicate segment;
+    a FRESH checkpoint pointed at the same target gets a new identity
+    and is NOT silently skipped.
+
+    This is the streaming half of the lake story: batch compaction
+    (`publish_versioned` full snapshot) truncates the chain the stream
+    grows — the Iceberg append-commit / rewrite-commit pair on this
+    manifest format."""
+    from ..pipelines import publish_append
+
+    base = target_base.rstrip("/")
+    run_id = _checkpoint_identity(spark, checkpoint_dir)
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if int(epoch_id) <= _last_applied_epoch(spark, base, run_id):
+            return
+        publish_append(
+            batch,
+            base,
+            meta={"checkpoint_id": run_id, "batch_id": int(epoch_id)},
+            stats_cols=stats_cols,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
