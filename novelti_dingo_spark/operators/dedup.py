@@ -636,7 +636,7 @@ def connected_components_two_phase(
 # different distributed algorithms — the oracle CTE (declarative
 # recursive fixpoint down to per-doc cluster labels) is
 # implementation-agnostic; each query adds its own final SELECT.
-_NEARDUP_CC_CTE = f"""
+_NEARDUP_PAIRS_CTE = f"""
     WITH RECURSIVE t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), x AS (
@@ -646,7 +646,11 @@ _NEARDUP_CC_CTE = f"""
       SELECT a.doc_id AS a_id, b.doc_id AS b_id
       FROM x a JOIN x b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2 HAVING count(*) >= 4
-    ), edges AS (
+    )
+    """
+
+_NEARDUP_CC_CTE = _NEARDUP_PAIRS_CTE + """
+    , edges AS (
       SELECT a_id AS src, b_id AS dst FROM p
       UNION ALL SELECT b_id, a_id FROM p
     ), reach(node, lab) AS (
@@ -932,4 +936,62 @@ def neardup_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
             "cluster_chars",
         )
+    )
+
+
+@register(
+    "triangle_count_neardup",
+    _NEARDUP_PAIRS_CTE
+    + """
+    , tri AS (
+      SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+      FROM p e1
+      JOIN p e2 ON e2.a_id = e1.b_id
+      JOIN p e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id
+    )
+    SELECT count(*) AS n_triangles,
+           count(DISTINCT a) AS n_apex_docs
+    FROM tri
+    """,
+    survey_rows="L7,J1,A5",
+)
+def triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the near-dup candidate graph — the clustering
+    -coefficient ingredient that separates a CLIQUE-like duplicate
+    cluster (template families: every member resembles every other) from
+    a CHAIN (drifting versions: A~B~C but A!~C), which decides whether
+    keep-one-per-cluster is safe or will under/over-delete.
+
+    Implementation is the oriented-wedge join on the canonical a<b edge
+    list: each edge (a,b) with a<b, wedges (a->b, b->c) close iff (a,c)
+    is an edge — every triangle counted exactly once because its
+    vertices join in sorted order. At 100 TB the standard refinement
+    orders by DEGREE instead of id (wedge fan-out bounded by sqrt(m),
+    total work O(m^1.5)); here id-order suffices because near-dup
+    degrees are already bounded by the band-bucket caps upstream. Edges
+    come from the same >=4-shared-shingles relation as neardup_clusters
+    — bucketed generation, never all-pairs.
+
+    Oracle: the shared CTE's pair relation self-joined twice,
+    declaratively — the hash match proves both the edge relation and
+    the orientation logic agree."""
+    pairs = _neardup_pairs(spark, sf_dir)  # canonical a_id < b_id
+    e = pairs.select(
+        F.col("a_id").alias("a"), F.col("b_id").alias("b")
+    ).distinct()
+    wedge = e.alias("e1").join(
+        e.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    ).select(
+        F.col("e1.a").alias("a"),
+        F.col("e1.b").alias("b"),
+        F.col("e2.b").alias("c"),
+    )
+    e3 = e.select(F.col("a").alias("ca"), F.col("b").alias("cb"))
+    tri = wedge.join(
+        e3,
+        (F.col("a") == F.col("ca")) & (F.col("c") == F.col("cb")),
+    )
+    return tri.agg(
+        F.count(F.lit(1)).alias("n_triangles"),
+        F.countDistinct("a").alias("n_apex_docs"),
     )

@@ -1078,3 +1078,63 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_snapshots(v_a, v_b, ["o_orderkey"]).select(
         "o_orderkey", "op"
     )
+
+
+@register(
+    "lake_pruned_range_read",
+    """
+    SELECT count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND o_orderdate <= TIMESTAMP '1996-08-31 23:59:59'
+    """,
+    survey_rows="S5,S7,P2,A5",
+)
+def lake_pruned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping surfaced at the correctness gate: the orders table
+    is published ONCE per (tmpdir, sf) as a range-clustered lake version
+    with per-file min/max footer stats (publish_versioned(stats_cols)),
+    and this query answers a 6-month revenue window through
+    `read_version_pruned` — files whose [min, max] cannot intersect the
+    window are dropped on the DRIVER, before any scan task exists. The
+    oracle aggregates the ORIGINAL parquet with a plain WHERE: the hash
+    match proves pruning changed nothing but the files touched
+    (tests/test_skipping.py additionally asserts the touch count).
+
+    At 100 TB this is the control-plane half of partition pruning: the
+    layout (repartitionByRange here; Z-order in layout.py for
+    multi-column windows) concentrates each query window into few
+    files, and the manifest check is O(files) driver work — the scan
+    cost tracks the ANSWER size, not the table size."""
+    import tempfile
+
+    from ..pipelines import publish_versioned, read_version_pruned
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "orders"
+    )
+    from ..sources import lakefs
+
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        publish_versioned(
+            load_table(spark, sf_dir, "orders").repartitionByRange(
+                8, "o_orderdate"
+            ),
+            base,
+            stats_cols=["o_orderdate"],
+        )
+    df, n_total, n_read = read_version_pruned(
+        spark,
+        base,
+        "o_orderdate",
+        "1996-03-01 00:00:00",
+        "1996-08-31 23:59:59",
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )

@@ -5,7 +5,13 @@ predicate pushdown are preserved by expressing reads declaratively
 (`spark.read.schema(...).parquet(...)`): Catalyst pushes filters into the
 vectorized parquet reader (visible as PushedFilters in `.explain`).
 
-S2 csv/json ingest with FAILFAST so schema drift is a loud error.
+S2 csv/json ingest with FAILFAST so schema drift is a loud error; ORC
+read/write (read_orc/write_orc, oracle-checked end-to-end by
+orc_ingest_agg). Avro is NOT shipped: it needs the external
+org.apache.spark:spark-avro package, which this environment cannot
+install — on a cluster, add `--packages org.apache.spark:spark-avro_2.13:<spark-version>`
+and `spark.read.format("avro")` composes with everything here (same
+DataFrame surface; no engine code depends on the source format).
 S3 partitioned parquet sink.
 S4 table registry mirroring the driver's ten DuckDB views.
 """

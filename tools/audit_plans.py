@@ -316,6 +316,15 @@ EXPECT = {
     # shuffle, user filter pushed to the scan
     "rolling_median_value": {"single_shuffle": True, "no_python_udf": True,
                              "pushed_filters": True, "max_scan_cols": 4},
+    # pruned lake read: file list is already min-max pruned driver-side;
+    # the residual row filter still pushes into the surviving scans and
+    # the revenue agg is two-phase over 3 read columns
+    "lake_pruned_range_read": {"pushed_filters": True, "partial_agg": True,
+                               "no_python_udf": True, "max_scan_cols": 3},
+    # triangle closing: two hash self-joins on the canonical edge list
+    # (wedge + closing edge), global count — never NLJ
+    "triangle_count_neardup": {"hash_join_not_nlj": True, "partial_agg": True,
+                               "no_python_udf": True, "max_scan_cols": 2},
 }
 
 
