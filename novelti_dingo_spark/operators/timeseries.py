@@ -392,9 +392,33 @@ def segtree_range_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle recomputes each range directly from raw events — the
     hash match proves the dyadic decomposition partitions every range
-    exactly (no overlap, no gap). Sums are decimal-exact during
-    aggregation (association-order independent), cast to double only at
-    the end."""
+    exactly (no overlap, no gap); tests/test_timeseries.py additionally
+    drives `segtree_rollup` over 40 seeded-random ranges against direct
+    filters. Sums are decimal-exact during aggregation (association-
+    order independent), cast to double only at the end."""
+    return segtree_rollup(spark, sf_dir, SEGTREE_RANGES)
+
+
+def segtree_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ranges: list[tuple[int, int, int]],
+) -> DataFrame:
+    """The reusable segment-tree engine behind segtree_range_rollup:
+    build the dyadic pyramid once, answer the given (range_id, start_h,
+    end_h) list via the maximal-block decomposition join. See the
+    registered query's docstring for the full design.
+
+    Correctness bound: a range of length >= 2^(LEVELS+1) hours could
+    contain a level-(LEVELS+1) parent, which would wrongly exclude its
+    children from the decomposition — guard loudly rather than gap
+    silently (raise ValueError; raise SEGTREE_LEVELS for longer spans)."""
+    for rid, rs, re_ in query_ranges:
+        if re_ - rs >= 1 << (SEGTREE_LEVELS + 1):
+            raise ValueError(
+                f"range {rid} spans {re_ - rs} h >= 2^{SEGTREE_LEVELS + 1}"
+                " — raise SEGTREE_LEVELS to cover it"
+            )
     e = load_table(spark, sf_dir, "events")
     hourly = (
         e.select(
@@ -438,7 +462,7 @@ def segtree_range_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ranges = spark.createDataFrame(
-        SEGTREE_RANGES, "range_id int, rs long, re long"
+        query_ranges, "range_id int, rs long, re long"
     )
     maximal = (
         (F.col("bs") >= F.col("rs"))

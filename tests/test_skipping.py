@@ -125,3 +125,41 @@ def test_missing_stats_files_are_kept(spark, sf_med, tmp_path):
     # the stats-less file must be read even though the window is empty
     assert read == 1
     assert df.count() == 0
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, sf_med, tmp_path):
+    """Z-order clustering + footer stats => data skipping works for
+    windows on EITHER clustered column (the multi-column generalization
+    of range clustering; layout.py measures span narrowing, this proves
+    the file-skipping payoff end to end)."""
+    from novelti_dingo_spark.layout import morton_key
+
+    orders = load_table(spark, sf_med, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    z = (
+        orders.withColumn("zkey", morton_key(orders, ["o_orderkey", "o_custkey"]))
+        .repartitionByRange(16, "zkey")
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+    )
+    base = str(tmp_path / "lake_z")
+    publish_versioned(z, base, stats_cols=["o_orderkey", "o_custkey"])
+
+    df, total, read = read_version_pruned(
+        spark, base, "o_orderkey", 0, 400
+    )
+    assert total == 16 and 0 < read < total
+    want = orders.filter(
+        (F.col("o_orderkey") >= 0) & (F.col("o_orderkey") <= 400)
+    ).count()
+    assert df.count() == want and want > 0
+
+    df2, total2, read2 = read_version_pruned(
+        spark, base, "o_custkey", 0, 40
+    )
+    assert 0 < read2 < total2
+    want2 = orders.filter(
+        (F.col("o_custkey") >= 0) & (F.col("o_custkey") <= 40)
+    ).count()
+    assert df2.count() == want2 and want2 > 0

@@ -190,3 +190,60 @@ def test_apply_rollup_increment_equals_recompute(spark, sf_med):
     assert j.filter(F.col("m.n").isNull() | F.col("f.n").isNull()).count() == 0
     assert j.filter(F.col("m.n") != F.col("f.n")).count() == 0
     assert j.filter(F.abs(F.col("m.sv") - F.col("f.sv")) > 1e-9).count() == 0
+
+
+def test_segtree_random_ranges_match_direct_filter(spark, sf_small):
+    """Property: the dyadic decomposition partitions ANY hour range —
+    40 seeded-random ranges over the corpus span must reproduce the
+    direct filtered aggregate exactly (decimal sums: bit-exact)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from novelti_dingo_spark.operators.timeseries import segtree_rollup
+    from novelti_dingo_spark.sources.io import load_table
+
+    H0 = 473352  # 2024-01-01T00Z in epoch hours; corpus spans 720 h
+    rng = random.Random(20240814)
+    ranges = []
+    for rid in range(1, 41):
+        a = rng.randrange(0, 720)
+        b = rng.randrange(0, 720)
+        lo, hi = (min(a, b), max(a, b) + 1)
+        ranges.append((rid, H0 + lo, H0 + hi))
+
+    got = {
+        r["range_id"]: (r["n_events"], r["sum_value"])
+        for r in segtree_rollup(spark, sf_small, ranges).collect()
+    }
+
+    e = load_table(spark, sf_small, "events").select(
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    for rid, rs, re_ in ranges:
+        row = (
+            e.filter((F.col("h") >= rs) & (F.col("h") < re_))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("v").cast("double"), 2).alias("s"),
+            )
+            .head()
+        )
+        if row.n == 0:
+            assert rid not in got
+        else:
+            assert got[rid] == (row.n, row.s), rid
+
+
+def test_segtree_overlong_range_raises(spark, sf_small):
+    import pytest
+
+    from novelti_dingo_spark.operators.timeseries import (
+        SEGTREE_LEVELS,
+        segtree_rollup,
+    )
+
+    too_long = 1 << (SEGTREE_LEVELS + 1)
+    with pytest.raises(ValueError):
+        segtree_rollup(spark, sf_small, [(1, 0, too_long)])
