@@ -574,6 +574,105 @@ def publish_append(
     return version
 
 
+def build_file_index(
+    spark: SparkSession,
+    base_dir: str,
+    col: str,
+    version: int | None = None,
+) -> int:
+    """Secondary file index for POINT lookups on a column the layout is
+    NOT clustered by: one pass over the version computes the distinct
+    (value, file) pairs and stores them as parquet under
+    `v=N/_index_<col>/` (underscore prefix: invisible to normal data
+    reads), recording the index in the manifest. Min-max stats answer
+    range windows on the CLUSTERED column; this answers `col = value`
+    on any other column by naming exactly the files that contain the
+    value — the Hive bucket-pruning / Iceberg-Puffin role.
+
+    Cost model at 100 TB: the build is one shuffle of (value, fileId)
+    pairs — O(data) once, amortized over every subsequent lookup; the
+    index size is O(distinct values × files containing them), itself a
+    columnar table that can be range-clustered and pruned. Returns the
+    number of index rows written."""
+    import json
+
+    from .sources import lakefs
+
+    base = base_dir.rstrip("/")
+    if version is None:
+        version = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
+    out = f"{base}/v={version}"
+    idx_dir = f"{out}/_index_{col}"
+    idx = (
+        spark.read.parquet(out)
+        .select(
+            F.col(col).alias("value"),
+            F.element_at(
+                F.split(F.input_file_name(), "/"), -1
+            ).alias("file"),
+        )
+        .distinct()
+    )
+    idx.write.mode("overwrite").parquet(idx_dir)
+    n = spark.read.parquet(idx_dir).count()
+    mpath = f"{out}/_manifest.json"
+    manifest = json.loads(lakefs.read_text(spark, mpath))
+    indexes = set(manifest.get("indexes", []))
+    indexes.add(col)
+    manifest["indexes"] = sorted(indexes)
+    lakefs.replace_text(spark, mpath, json.dumps(manifest))
+    return n
+
+
+def read_point_lookup(
+    spark: SparkSession,
+    base_dir: str,
+    col: str,
+    value,
+    version: int | None = None,
+):
+    """Point lookup through a secondary file index (build_file_index):
+    resolve which files contain `value` (an index probe — driver-side,
+    O(files-per-value) result), read only those, and apply the exact
+    row filter. Returns (DataFrame, n_files_total, n_files_read).
+
+    The index is authoritative for the version it was built on
+    (versions are immutable), so a value absent from the index reads
+    ZERO files — unlike min-max pruning there is no conservative
+    fallback to pay."""
+    import json
+
+    from .sources import lakefs
+
+    base = base_dir.rstrip("/")
+    if version is None:
+        version = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
+    out = f"{base}/v={version}"
+    manifest = json.loads(
+        lakefs.read_text(spark, f"{out}/_manifest.json")
+    )
+    if col not in manifest.get("indexes", []):
+        raise ValueError(
+            f"no file index for column {col!r} in version {version} — "
+            "run build_file_index first"
+        )
+    files = [
+        r.file
+        for r in spark.read.parquet(f"{out}/_index_{col}")
+        .filter(F.col("value") == F.lit(value))
+        .select("file")
+        .collect()
+    ]
+    total = len(lakefs_list_parquet(spark, out))
+    if not files:
+        df = spark.read.parquet(out).filter(F.lit(False))
+        return df, total, 0
+    df = spark.read.parquet(*[f"{out}/{f}" for f in files]).filter(
+        F.col(col) == F.lit(value)
+    )
+    return df, total, len(files)
+
+
 def _resolve_chain(spark: SparkSession, base: str, version: int | None):
     """Manifest chain for a version (newest first): follow `parent`
     links until a full snapshot (no `append` flag / no parent). O(chain)
