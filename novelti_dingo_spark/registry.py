@@ -155,6 +155,7 @@ def _load_all() -> None:
         bloom,
         sketches,
         graph,
+        logreg,
     )
 
     _LOADED = True
