@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -205,6 +206,84 @@ def running_user_ewma(events: DataFrame) -> DataFrame:
             outputStructType=EWMA_OUTPUT_SCHEMA,
             stateStructType=EWMA_STATE_SCHEMA,
             outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# --- rolling median --------------------------------------------------------
+
+MEDIAN_WINDOW = 25  # must match the batch twin's 24 PRECEDING + CURRENT
+
+MEDIAN_STATE_SCHEMA = StructType(
+    [StructField("buf", ArrayType(DoubleType()))]
+)
+
+MEDIAN_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("rolling_med", DoubleType()),
+    ]
+)
+
+
+def _median_interpolate(sorted_vals: list[float]) -> float:
+    """Spark/DuckDB percentile(0.5) semantics: index 0.5*(n-1), linear
+    interpolation lower + (upper - lower) * frac — reproduced exactly so
+    the stateful stream is bit-identical to the window aggregate."""
+    n = len(sorted_vals)
+    pos = 0.5 * (n - 1)
+    lo = int(pos)
+    frac = pos - lo
+    if frac == 0.0:
+        return sorted_vals[lo]
+    return sorted_vals[lo] + (sorted_vals[lo + 1] - sorted_vals[lo]) * frac
+
+
+def _rolling_median_update(key, pdfs, state: GroupState):
+    """Per-row rolling median over the trailing MEDIAN_WINDOW values:
+    state is the bounded value buffer (<= 25 doubles per user — constant
+    memory per key at any stream length), the streaming twin of the
+    percentile window frame in operators.timeseries.rolling_median_value.
+    Same multi-chunk rule as _ewma_update: concatenate, sort ONCE by
+    (ts, event_id), then fold."""
+    import pandas as pd
+
+    buf = list(state.get[0]) if state.exists else []
+    out = {"event_id": [], "user_id": [], "value": [], "rolling_med": []}
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        allrows = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for eid, x in zip(allrows["event_id"], allrows["value"]):
+            buf.append(float(x))
+            if len(buf) > MEDIAN_WINDOW:
+                buf.pop(0)
+            out["event_id"].append(int(eid))
+            out["user_id"].append(int(key[0]))
+            out["value"].append(float(x))
+            out["rolling_med"].append(_median_interpolate(sorted(buf)))
+    state.update((buf,))
+    yield pd.DataFrame(out)
+
+
+def rolling_user_median(events: DataFrame) -> DataFrame:
+    """Streaming rolling median (append semantics: one output row per
+    event, carrying the median of that user's trailing 25 values).
+    Replaying the same files through any micro-batch partitioning gives
+    identical rows — the parity test pins it against the batch window
+    aggregate bit-for-bit."""
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _rolling_median_update,
+            outputStructType=MEDIAN_OUTPUT_SCHEMA,
+            stateStructType=MEDIAN_STATE_SCHEMA,
+            outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

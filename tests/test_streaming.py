@@ -518,3 +518,32 @@ def test_stream_static_join_matches_batch(spark, sf_small):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_rolling_median_matches_batch_window(
+    spark, sf_small, events_stream
+):
+    """rolling_user_median (bounded-buffer stateful stream) must emit,
+    for every event of the filtered users, the SAME rolling median the
+    batch percentile-window query computes — interpolation reproduced
+    exactly, so raw doubles compare equal."""
+    from novelti_dingo_spark.operators.timeseries import (
+        rolling_median_value,
+    )
+    from novelti_dingo_spark.streaming.stateful import rolling_user_median
+
+    from pyspark.sql import functions as F2
+
+    out = rolling_user_median(
+        events_stream.filter(F2.col("user_id") < 30)
+    )
+    name = streaming.run_to_memory(out, "t_rollmed", mode="append")
+    got = {
+        r.event_id: (r.user_id, r.value, round(r.rolling_med, 6))
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        r.event_id: (r.user_id, r.value, r.rolling_med)
+        for r in rolling_median_value(spark, sf_small).collect()
+    }
+    assert got == want and len(want) > 0
