@@ -377,6 +377,7 @@ def _footer_file_stats(
         }
         mins: dict = {c: None for c in stats_cols}
         maxs: dict = {c: None for c in stats_cols}
+        nulls: dict = {c: 0 for c in stats_cols}
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             for ci in range(g.num_columns):
@@ -385,6 +386,8 @@ def _footer_file_stats(
                 if name not in mins or col.statistics is None:
                     continue
                 st = col.statistics
+                if st.null_count is not None:
+                    nulls[name] += st.null_count
                 if not st.has_min_max:
                     continue
                 if mins[name] is None or st.min < mins[name]:
@@ -393,6 +396,7 @@ def _footer_file_stats(
                     maxs[name] = st.max
         entry["min"] = {c: _json_scalar(mins[c]) for c in stats_cols}
         entry["max"] = {c: _json_scalar(maxs[c]) for c in stats_cols}
+        entry["nulls"] = dict(nulls)
         stats.append(entry)
     return stats
 
@@ -671,6 +675,84 @@ def read_point_lookup(
         F.col(col) == F.lit(value)
     )
     return df, total, len(files)
+
+
+def read_point_lookup_chain(
+    spark: SparkSession,
+    base_dir: str,
+    col: str,
+    value,
+    version: int | None = None,
+):
+    """Point lookup across an APPEND CHAIN: probe each segment's file
+    index (build_file_index per segment — run it after each append, or
+    let compact_chain consolidate) and read only the files that contain
+    the value, across every segment. Segments without an index fall back
+    to reading all their files with the filter (conservative, loud in
+    the returned counts). Returns (DataFrame, n_files_total,
+    n_files_read)."""
+    import json
+
+    from .sources import lakefs
+
+    base = base_dir.rstrip("/")
+    chain = _resolve_chain(spark, base, version)
+    total = 0
+    paths = []
+    for m in chain:
+        vdir = f"{base}/v={m['version']}"
+        seg_files = lakefs_list_parquet(spark, vdir)
+        total += len(seg_files)
+        if col in m.get("indexes", []):
+            hits = [
+                r.file
+                for r in spark.read.parquet(f"{vdir}/_index_{col}")
+                .filter(F.col("value") == F.lit(value))
+                .select("file")
+                .collect()
+            ]
+            paths.extend(f"{vdir}/{f}" for f in hits)
+        else:
+            paths.extend(f"{vdir}/{f}" for f in seg_files)
+    pred = F.col(col) == F.lit(value)
+    if not paths:
+        df, _ = read_version_chain(spark, base_dir, version)
+        return df.filter(F.lit(False)), total, 0
+    return spark.read.parquet(*paths).filter(pred), total, len(paths)
+
+
+def compact_chain(
+    spark: SparkSession,
+    base_dir: str,
+    stats_cols: list[str] | None = None,
+    index_cols: list[str] | None = None,
+    cluster_by: str | None = None,
+    n_files: int = 8,
+) -> int:
+    """Chain compaction: read the LATEST append chain, publish it back
+    as ONE full snapshot (optionally range-clustered on `cluster_by`),
+    regenerating file stats and secondary indexes in the same commit.
+    Subsequent appends start a fresh chain from the compacted base;
+    vacuum can then reclaim the old segments once they fall out of the
+    keep window.
+
+    This is the rewrite-commit half of the append/compact pair: the
+    stream grows the chain in O(batch) commits, compaction periodically
+    pays one O(table) rewrite to restore clustering (data skipping
+    degrades as appends interleave ranges) and to consolidate per-
+    segment indexes into one. Returns the new version number."""
+    df, chain = read_version_chain(spark, base_dir)
+    if cluster_by:
+        df = df.repartitionByRange(n_files, cluster_by)
+    v = publish_versioned(
+        df,
+        base_dir,
+        meta={"compacted_from": [m["version"] for m in chain]},
+        stats_cols=stats_cols,
+    )
+    for col in index_cols or []:
+        build_file_index(spark, base_dir, col, version=v)
+    return v
 
 
 def _resolve_chain(spark: SparkSession, base: str, version: int | None):

@@ -139,3 +139,88 @@ def test_stream_append_publish_exactly_once(spark, sf_small, tmp_path):
     )
     df, chain = read_version_chain(spark, base)
     assert df.count() == 2 * n1 and len(chain) == 2
+
+
+def test_chain_point_lookup_with_per_segment_indexes(
+    spark, sf_small, tmp_path
+):
+    from novelti_dingo_spark.pipelines import (
+        build_file_index,
+        read_point_lookup_chain,
+    )
+
+    o, a, b, c = _orders_slices(spark, sf_small)
+    base = str(tmp_path / "lake")
+    v1 = publish_append(a.repartition(3), base)
+    build_file_index(spark, base, "o_orderkey", version=v1)
+    v2 = publish_append(b.repartition(3), base)
+    build_file_index(spark, base, "o_orderkey", version=v2)
+
+    key = a.select("o_orderkey").head().o_orderkey
+    df, total, read = read_point_lookup_chain(
+        spark, base, "o_orderkey", key
+    )
+    assert total == 6
+    assert 1 <= read < total  # only the files holding the key
+    assert df.count() == 1
+
+    # a segment WITHOUT an index is read in full (conservative fallback)
+    v3 = publish_append(c.repartition(2), base)
+    df2, total2, read2 = read_point_lookup_chain(
+        spark, base, "o_orderkey", key
+    )
+    assert total2 == 8 and read2 >= 2 + 1  # v3's 2 files + indexed hits
+    assert df2.count() == 1
+
+
+def test_compact_chain_restores_one_snapshot_with_index(
+    spark, sf_small, tmp_path
+):
+    from novelti_dingo_spark.pipelines import (
+        compact_chain,
+        read_point_lookup,
+        read_version_pruned,
+    )
+
+    o, a, b, c = _orders_slices(spark, sf_small)
+    base = str(tmp_path / "lake")
+    publish_append(a, base)
+    publish_append(b, base)
+    publish_append(c, base)
+    v = compact_chain(
+        spark,
+        base,
+        stats_cols=["o_orderdate"],
+        index_cols=["o_orderkey"],
+        cluster_by="o_orderdate",
+        n_files=6,
+    )
+    df, chain = read_version_chain(spark, base)
+    assert [m["version"] for m in chain] == [v]
+    assert df.count() == o.count()
+    assert chain[0]["compacted_from"] == [3, 2, 1]
+    # compaction restored range clustering => skipping works again
+    dfp, total, read = read_version_pruned(
+        spark, base, "o_orderdate",
+        "1995-01-01 00:00:00", "1995-12-31 23:59:59",
+    )
+    assert total == 6 and 0 < read < total
+    # and the consolidated index answers point lookups
+    key = o.select("o_orderkey").head().o_orderkey
+    dfi, t2, r2 = read_point_lookup(spark, base, "o_orderkey", key)
+    assert r2 >= 1 and dfi.count() == 1
+
+
+def test_footer_stats_record_null_counts(spark, sf_small, tmp_path):
+    import json
+
+    from novelti_dingo_spark.sources import lakefs
+
+    o = load_table(spark, sf_small, "orders").limit(500)
+    base = str(tmp_path / "lake_nulls")
+    v = publish_versioned(o, base, stats_cols=["o_orderkey"])
+    m = json.loads(
+        lakefs.read_text(spark, f"{base}/v={v}/_manifest.json")
+    )
+    for f in m["file_stats"]["files"]:
+        assert f["nulls"]["o_orderkey"] == 0
