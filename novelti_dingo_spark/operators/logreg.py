@@ -47,6 +47,7 @@ def label_and_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     n_toks = F.size(toks)
     return d.select(
+        "doc_id",
         (F.col("lang") == "en").cast("double").alias("y"),
         F.lit(1.0).alias("x0"),
         (F.col("n_chars") / 500.0).alias("x1"),
@@ -128,3 +129,36 @@ def logreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w0 double, w1 double, w2 double, w3 double, "
         "log_loss double, accuracy double, baseline double, n_docs long",
     )
+
+
+def train_logreg_minibatch(
+    feats: DataFrame,
+    iterations: int = ITERATIONS,
+    lr: float = LR,
+    n_batches: int = 5,
+) -> list[float]:
+    """Mini-batch GD: iteration t descends on the deterministic
+    round-robin batch `doc_id % n_batches == t % n_batches` — a
+    scan-side predicate, so each step reads a fixed 1/n_batches slice
+    with NO shuffle and no sampling state. At 100 TB this is the lever
+    when full-batch passes are too slow per step: same one-aggregate
+    shape, 1/n of the data per aggregate, n× more steps for the same
+    data touched. Round-robin (rather than random) batches keep the
+    trajectory exactly reproducible — pinned against numpy in
+    tests/test_logreg.py, same guarantee as the full-batch loop."""
+    w = [0.0] * N_FEATURES
+    xs = [f"x{i}" for i in range(N_FEATURES)]
+    for t in range(iterations):
+        batch = feats.filter(
+            F.col("doc_id") % n_batches == t % n_batches
+        )
+        z = sum(F.col(c) * float(w[i]) for i, c in enumerate(xs))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        row = batch.agg(
+            *[
+                F.avg((p - F.col("y")) * F.col(c)).alias(f"g{i}")
+                for i, c in enumerate(xs)
+            ]
+        ).head()
+        w = [w[i] - lr * row[f"g{i}"] for i in range(N_FEATURES)]
+    return w
