@@ -287,3 +287,113 @@ def rolling_user_median(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- sessionization with event-time TTL eviction ---------------------------
+
+SESSION_GAP_MIN = 30
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("sv", DoubleType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def _session_update(key, pdfs, state: GroupState):
+    """Stateful sessionization with TTL: state holds ONE open session
+    per user; a row further than the gap from the session's last event
+    closes it (emitted) and opens a new one; and the EVENT-TIME TIMEOUT
+    closes a session when the WATERMARK passes last_event + gap with no
+    further data — the timer/TTL mechanism the transformWithState
+    timers provide, exercised here through the GroupState API that runs
+    in this container. Only CLOSED sessions are emitted (append
+    semantics): results are final by construction, exactly like the
+    native session_window + watermark pair."""
+    import pandas as pd
+
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    out = {
+        "user_id": [],
+        "session_start_us": [],
+        "session_end_us": [],
+        "n_events": [],
+        "sum_value": [],
+    }
+
+    def emit(start, last, n, sv):
+        out["user_id"].append(int(key[0]))
+        out["session_start_us"].append(int(start))
+        out["session_end_us"].append(int(last))
+        out["n_events"].append(int(n))
+        out["sum_value"].append(float(sv))
+
+    if state.hasTimedOut:
+        start, last, n, sv = state.get
+        emit(start, last, n, sv)
+        state.remove()
+        yield pd.DataFrame(out)
+        return
+
+    start = last = n = sv = None
+    if state.exists:
+        start, last, n, sv = state.get
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        allrows = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for ts, v in zip(allrows["ts"], allrows["value"]):
+            ts_us = int(pd.Timestamp(ts).value // 1_000)
+            if start is None:
+                start, last, n, sv = ts_us, ts_us, 1, float(v)
+            elif ts_us - last > gap_us:
+                emit(start, last, n, sv)
+                start, last, n, sv = ts_us, ts_us, 1, float(v)
+            else:
+                last, n, sv = ts_us, n + 1, sv + float(v)
+    if start is not None:
+        state.update((start, last, n, sv))
+        # close the open session when the watermark passes last + gap;
+        # clamp above the current watermark (API requires future times)
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+            max((last + gap_us) // 1_000, wm_ms + 1)
+        )
+    yield pd.DataFrame(out)
+
+
+def sessionize_stateful(
+    events: DataFrame, watermark: str = "15 minutes"
+) -> DataFrame:
+    """Streaming sessionization via applyInPandasWithState with
+    EventTimeTimeout — state is one (start, last, n, sum) quad per user
+    (constant memory per key), sessions close either by an in-stream
+    gap or by watermark-driven TTL. The batch twin is sessionize_30min;
+    tests/test_streaming.py drives a multi-batch replay where one
+    session closes by gap and another purely by timeout."""
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

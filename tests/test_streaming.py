@@ -547,3 +547,126 @@ def test_stateful_rolling_median_matches_batch_window(
         for r in rolling_median_value(spark, sf_small).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stateful_sessionize_ttl_eviction(spark, tmp_path):
+    """Sessionization with EVENT-TIME TTL: a session closes either when
+    a later in-stream event exceeds the gap (user A) or when the
+    WATERMARK passes last_event + gap with no further data (user B —
+    pure timeout eviction, the timer/TTL mechanism). Open sessions are
+    never emitted (append finality)."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    from novelti_dingo_spark.streaming.stateful import sessionize_stateful
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    def us(h, m):
+        return int(
+            t(h, m).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+        )
+
+    # f1: A has 2 events 10:00/10:10 (one session); B has 1 at 10:05
+    f1 = pd.DataFrame(
+        {
+            "ts": [t(10, 0), t(10, 10), t(10, 5)],
+            "event_id": [1, 2, 3],
+            "user_id": [1, 1, 2],
+            "value": [1.0, 2.0, 5.0],
+        }
+    )
+    # f2: A again at 12:00 — gap > 30min closes A's first session inline
+    # and advances the watermark past B.last + gap (10:35)
+    f2 = pd.DataFrame(
+        {
+            "ts": [t(12, 0)],
+            "event_id": [4],
+            "user_id": [1],
+            "value": [3.0],
+        }
+    )
+    # f3: unrelated user C — its batch fires B's pending timeout
+    f3 = pd.DataFrame(
+        {
+            "ts": [t(13, 0)],
+            "event_id": [5],
+            "user_id": [3],
+            "value": [7.0],
+        }
+    )
+    for i, f in enumerate((f1, f2, f3), 1):
+        path = src / f"f{i}.parquet"
+        f.assign(ts=f["ts"].astype("datetime64[us]")).to_parquet(str(path))
+        os.utime(path, (1_900_000_000 + i * 1000,) * 2)
+
+    ev = spark.readStream.schema(
+        "ts timestamp, event_id long, user_id long, value double"
+    ).option("maxFilesPerTrigger", "1").parquet(str(src))
+    out = sessionize_stateful(ev, watermark="15 minutes")
+    name = streaming.run_to_memory(out, "t_sess_ttl", mode="append")
+    got = {
+        (r.user_id, r.session_start_us): (
+            r.session_end_us,
+            r.n_events,
+            r.sum_value,
+        )
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        (1, us(10, 0)): (us(10, 10), 2, 3.0),  # closed by in-stream gap
+        (2, us(10, 5)): (us(10, 5), 1, 5.0),   # closed by TTL timeout
+        # A's 12:00 session: f3 advances the watermark to 12:45, past its
+        # 12:30 TTL — Spark's final no-data batch fires the timer
+        (1, us(12, 0)): (us(12, 0), 1, 3.0),
+    }
+    # C's 13:00 session is still open (TTL 13:30 > final wm): NOT emitted
+    assert got == want
+
+
+def test_stateful_sessionize_matches_batch_closed_sessions(
+    spark, sf_small, events_stream
+):
+    """Full-replay parity: every session the TTL-stateful stream emits
+    must equal the batch sessionization's row for it, and the emitted
+    set must be exactly the CLOSABLE sessions — all non-final sessions
+    (closed inline by the next event) plus final sessions whose
+    end + gap fell behind the final watermark (closed by timer)."""
+    from novelti_dingo_spark.operators.events_ops import sessionize_30min
+    from novelti_dingo_spark.streaming.stateful import sessionize_stateful
+
+    out = sessionize_stateful(events_stream, watermark="15 minutes")
+    name = streaming.run_to_memory(out, "t_sess_parity", mode="append")
+    got = {
+        (r.user_id, r.session_start_us): (
+            r.session_end_us,
+            r.n_events,
+            round(r.sum_value, 2),
+        )
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    batch = sessionize_30min(spark, sf_small).collect()
+    gap_us = 30 * 60 * 1_000_000
+    wm_us = max(r.session_end_us for r in batch) - 15 * 60 * 1_000_000
+    last_start = {}
+    for r in batch:
+        last_start[r.user_id] = max(
+            last_start.get(r.user_id, 0), r.session_start_us
+        )
+    want = {}
+    for r in batch:
+        is_final = r.session_start_us == last_start[r.user_id]
+        if not is_final or r.session_end_us + gap_us < wm_us:
+            want[(r.user_id, r.session_start_us)] = (
+                r.session_end_us,
+                r.n_events,
+                r.sum_value,
+            )
+    assert got == want and len(want) > 0
