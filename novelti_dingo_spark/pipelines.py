@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 import pathlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import schemas
@@ -218,6 +218,82 @@ def curate_corpus(
 
     docs.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
     return {name: int(o.get["n"]) for name, o in obs.items()}
+
+
+def release_training_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    base_dir: str,
+    min_quality: float = 0.5,
+    pack_budget: int = 256,
+) -> dict:
+    """The capstone composition — curated corpus → packed training
+    shards → one VERSIONED, stats-bearing, audited release:
+
+      1. `curate_corpus` runs the full funnel (exact dedup → near-dup
+         clusters → quality gate) into a staging dir, funnel counts
+         riding the single write via Observation;
+      2. the curated docs get token counts and a per-source sequence-
+         packing bin id (running-sum window — the pack_sequences shape);
+      3. `publish_versioned` commits the release with per-file doc_id
+         min/max stats (data skipping for downstream readers) and a
+         manifest that embeds the curation funnel, the trained
+         language-quality MODEL CARD (logreg_quality_train), and token
+         totals — everything an auditor needs to reproduce or reject
+         the release, pinned to an immutable version number.
+
+    Returns the release manifest. At 100 TB each stage keeps its own
+    documented scale shape; the composition adds no new shuffles beyond
+    the staging write/read boundary (which also truncates lineage for
+    the second phase — deliberate, same role as localCheckpoint)."""
+    import os as _os
+
+    from .operators.logreg import logreg_quality_train
+
+    base = base_dir.rstrip("/")
+    staging = f"{base}/_staging"
+    funnel = curate_corpus(
+        spark, sf_dir, staging, min_quality=min_quality
+    )
+    docs = spark.read.parquet(staging)
+    d = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        "text",
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / pack_budget
+        ),
+    )
+    card = logreg_quality_train(spark, sf_dir).head().asDict()
+    totals = packed.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("source", "bin_id").alias("n_bins"),
+    ).head()
+    version = publish_versioned(
+        packed,
+        f"{base}/corpus",
+        meta={
+            "funnel": funnel,
+            "model_card": card,
+            "total_tokens": int(totals["total_tokens"]),
+            "n_bins": int(totals["n_bins"]),
+            "pack_budget": pack_budget,
+            "min_quality": min_quality,
+        },
+        stats_cols=["doc_id"],
+    )
+    _, manifest = read_version(spark, f"{base}/corpus", version)
+    return manifest
 
 
 def upsert_by_partition(

@@ -377,3 +377,45 @@ def test_merge_rows_semantics(spark):
         4: ("d", 40.0),
         5: ("e", 50.0),
     }
+
+
+def test_release_training_corpus_end_to_end(spark, sf_small, tmp_path):
+    """Capstone: curate -> pack -> versioned release. The manifest must
+    carry a monotone curation funnel, a model card that beats baseline,
+    token totals, and per-file doc_id stats; the published version must
+    read back with pack assignments consistent with the budget."""
+    from novelti_dingo_spark.pipelines import (
+        read_version,
+        release_training_corpus,
+    )
+
+    base = str(tmp_path / "release")
+    m = release_training_corpus(spark, sf_small, base, pack_budget=256)
+
+    f = m["funnel"]
+    assert (
+        f["raw"]
+        >= f["after_exact_dedup"]
+        >= f["after_neardup"]
+        >= f["after_quality"]
+        >= f["published"]
+        > 0
+    )
+    assert m["model_card"]["accuracy"] >= m["model_card"]["baseline"] - 1e-9
+    assert m["total_tokens"] > 0 and m["n_bins"] > 0
+    assert m["file_stats"]["columns"] == ["doc_id"]
+
+    df, m2 = read_version(spark, base + "/corpus")
+    assert m2["version"] == m["version"]
+    assert df.count() == f["published"]
+    # no bin exceeds budget by more than one max-length document
+    from pyspark.sql import functions as F2
+
+    over = (
+        df.groupBy("source", "bin_id")
+        .agg(F2.sum("n_tokens").alias("t"))
+        .join(df.agg(F2.max("n_tokens").alias("mx")))
+        .filter(F2.col("t") >= 256 + F2.col("mx"))
+        .count()
+    )
+    assert over == 0
