@@ -298,3 +298,58 @@ def test_binned_interval_join_equals_naive_quadratic(spark, seed):
         and pt - W_US <= ct <= pt
     }
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_diff_snapshots_recovers_random_mutations(spark, seed):
+    """Property: for a random base table and random disjoint mutation
+    sets (inserts/deletes/updates/no-ops), diff_snapshots returns
+    EXACTLY the mutated keys with the right op — no phantom updates
+    from unchanged rows, no missed changes, independent of which
+    columns changed."""
+    from novelti_dingo_spark.pipelines import diff_snapshots
+
+    rng = random.Random(seed)
+    n = rng.randint(20, 60)
+    base = {
+        k: (rng.choice(["a", "b", None]), rng.randint(0, 5))
+        for k in range(n)
+    }
+    keys = list(base)
+    rng.shuffle(keys)
+    third = max(1, len(keys) // 4)
+    deletes = set(keys[:third])
+    updates = set(keys[third : 2 * third])
+    inserts = {n + i for i in range(rng.randint(1, 10))}
+
+    new = {}
+    for k, v in base.items():
+        if k in deletes:
+            continue
+        if k in updates:
+            s, x = v
+            # guaranteed change, possibly via the null transition
+            new[k] = ("c" if s != "c" else None, x + 1)
+        else:
+            new[k] = v
+    for k in inserts:
+        new[k] = (rng.choice(["a", None]), rng.randint(0, 5))
+
+    old_df = spark.createDataFrame(
+        [(k, s, x) for k, (s, x) in base.items()],
+        "k long, s string, x long",
+    )
+    new_df = spark.createDataFrame(
+        [(k, s, x) for k, (s, x) in new.items()],
+        "k long, s string, x long",
+    )
+    got = {
+        (r.k, r.op) for r in diff_snapshots(old_df, new_df, ["k"]).collect()
+    }
+    want = (
+        {(k, "delete") for k in deletes}
+        | {(k, "update") for k in updates}
+        | {(k, "insert") for k in inserts}
+    )
+    assert got == want
