@@ -883,8 +883,8 @@ def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY d.n_chars DESC, d.doc_id DESC)
                AS rn,
              count(*)       OVER (PARTITION BY c.cluster_id) AS n_members,
-             sum(d.n_chars) OVER (PARTITION BY c.cluster_id)
-               AS cluster_chars
+             CAST(sum(d.n_chars) OVER (PARTITION BY c.cluster_id)
+                  AS BIGINT) AS cluster_chars
       FROM cc c JOIN documents d ON c.doc_id = d.doc_id
     )
     SELECT cluster_id, doc_id AS canonical_doc,
