@@ -215,3 +215,45 @@ def read_binary_files(
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def read_parquet_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+) -> tuple[DataFrame, list[str]]:
+    """Parquet ingest that survives corrupt files LOUDLY: every file's
+    footer is validated first (pyarrow metadata read — O(KB) per file,
+    control-plane only); unreadable files are returned by name for
+    quarantine/alerting instead of being silently skipped (the failure
+    mode of `spark.sql.files.ignoreCorruptFiles`, which drops data with
+    no record of what it dropped). The returned DataFrame reads only the
+    validated files, with the pinned schema when given.
+
+    At 100 TB footer validation parallelizes trivially (it is the same
+    metadata pass manifest-stats collection does) and the corrupt list
+    feeds the same repair/replay loop as the csv/json quarantine
+    (read_json_quarantine). For object stores, run the probe through a
+    distributed map over file names instead of the local glob."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    local = path[len("file:"):] if path.startswith("file:") else path
+    files = sorted(_glob.glob(os.path.join(local, "*.parquet")))
+    good, bad = [], []
+    for f in files:
+        try:
+            pq.ParquetFile(f).metadata  # footer parse = validity probe
+            good.append(f)
+        except Exception:
+            bad.append(os.path.basename(f))
+    if not good:
+        empty = spark.createDataFrame(
+            [], schema if schema is not None else StructType([])
+        )
+        return empty, bad
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*good), bad

@@ -201,3 +201,41 @@ def test_binary_file_ingest_feeds_multimodal(spark, tmp_path):
     for r in rows:
         assert bytes(r["content"]) == payloads[r["name"]]
         assert r["length"] == len(payloads[r["name"]])
+
+
+def test_parquet_quarantine_detects_corrupt_files(spark, sf_small, tmp_path):
+    """A garbage file in the ingest dir must be reported by NAME and
+    excluded, while every valid row still loads — loud quarantine, not
+    the silent drop of ignoreCorruptFiles."""
+    import shutil
+
+    from novelti_dingo_spark import schemas
+    from novelti_dingo_spark.sources.io import (
+        load_table,
+        read_parquet_quarantine,
+    )
+
+    src = tmp_path / "ingest"
+    src.mkdir()
+    orders = load_table(spark, sf_small, "orders").limit(200)
+    staged = str(tmp_path / "staged")
+    orders.coalesce(2).write.parquet(staged)
+    import glob
+
+    for i, f in enumerate(glob.glob(staged + "/part-*.parquet")):
+        shutil.copy(f, src / f"good{i}.parquet")
+    (src / "evil.parquet").write_bytes(b"not a parquet file at all")
+
+    df, bad = read_parquet_quarantine(
+        spark, str(src), schemas.ORDERS
+    )
+    assert bad == ["evil.parquet"]
+    assert df.count() == 200
+
+    # all-corrupt dir: empty frame with the pinned schema, both named
+    allbad = tmp_path / "allbad"
+    allbad.mkdir()
+    (allbad / "x.parquet").write_bytes(b"junk")
+    df2, bad2 = read_parquet_quarantine(spark, str(allbad), schemas.ORDERS)
+    assert bad2 == ["x.parquet"] and df2.count() == 0
+    assert df2.schema == schemas.ORDERS
