@@ -96,3 +96,84 @@ def pagerank_doc_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+MAX_BFS_DEPTH = 10
+
+
+@register(
+    "bfs_hops_neardup",
+    # reuse the shared near-dup pairs CTE; min-hop via bounded recursive walk
+    __import__(
+        "novelti_dingo_spark.operators.dedup", fromlist=["_NEARDUP_PAIRS_CTE"]
+    )._NEARDUP_PAIRS_CTE
+    + f"""
+    , edges AS (
+      SELECT a_id AS src, b_id AS dst FROM p
+      UNION ALL SELECT b_id, a_id FROM p
+    ), s AS (
+      SELECT min(a_id) AS root FROM p
+    ), walk(node, d) AS (
+      SELECT root, 0 FROM s
+      UNION
+      SELECT e.dst, w.d + 1
+      FROM walk w JOIN edges e ON w.node = e.src
+      WHERE w.d < {MAX_BFS_DEPTH}
+    )
+    SELECT node AS doc_id, CAST(min(d) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+    """,
+    survey_rows="L7,J1,A1,iterative",
+)
+def bfs_hops_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first hop distances from the lowest-id document with any
+    near-dup edge — single-source shortest paths on the unweighted
+    candidate graph, the reachability primitive behind "how far does
+    this contamination/duplication spread" audits (and the distance
+    half of graph diameters, eccentricities, k-hop neighborhoods).
+
+    Distributed shape: classic frontier BFS — each round joins the
+    CURRENT frontier (nodes first reached last round) against the edge
+    list and anti-joins the visited set, so every round is one equi-join
+    + one anti-join on node ids, O(diameter) rounds total (bounded
+    {MAX_BFS_DEPTH}, far above the measured <= 3 dedup-cluster
+    diameter). State = two DataFrames keyed by node; lineage cut per
+    round with localCheckpoint, exactly like connected_components. The
+    root is a plan-time scalar (min over the pair relation — one
+    metadata-scale job, the knn query-vector pattern).
+
+    Oracle: bounded recursive CTE enumerating (node, depth) walks with
+    UNION dedup, min depth per node — same fixpoint, declaratively."""
+    from .dedup import _neardup_pairs
+
+    pairs = _neardup_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    ).localCheckpoint()
+    # root from the CHECKPOINTED edges (min src == min a_id after
+    # symmetrization) — a second pairs computation would re-pay the
+    # shingle join just to read one scalar
+    root_row = edges.agg(F.min("src")).head()
+    if root_row[0] is None:
+        return spark.createDataFrame([], "doc_id long, hops long")
+    root = int(root_row[0])
+    frontier = spark.createDataFrame([(root, 0)], "node long, d long")
+    visited = frontier.localCheckpoint()
+    for _ in range(MAX_BFS_DEPTH):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+            .join(visited.select("node"), "node", "left_anti")
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.select(
+        F.col("node").alias("doc_id"), F.col("d").alias("hops")
+    )
