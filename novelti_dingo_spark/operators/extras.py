@@ -1138,3 +1138,128 @@ def lake_pruned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
+
+
+@register(
+    "dq_referential_integrity",
+    """
+    SELECT 'lineitem_fk_orders' AS check_name,
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+             AS n_violations,
+           (SELECT count(*) FROM lineitem) AS n_checked
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           (SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)),
+           (SELECT count(*) FROM orders)
+    UNION ALL
+    SELECT 'events_fk_customer',
+           (SELECT count(*) FROM events e
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = e.user_id)),
+           (SELECT count(*) FROM events)
+    UNION ALL
+    SELECT 'customer_acctbal_nonneg',
+           (SELECT count(*) FROM customer WHERE c_acctbal < 0),
+           (SELECT count(*) FROM customer)
+    UNION ALL
+    SELECT 'documents_nchars_consistent',
+           (SELECT count(*) FROM documents WHERE n_chars <> length(text)),
+           (SELECT count(*) FROM documents)
+    UNION ALL
+    SELECT 'documents_docid_unique',
+           (SELECT count(*) - count(DISTINCT doc_id) FROM documents),
+           (SELECT count(*) FROM documents)
+    """,
+    survey_rows="J3,A5,P2,dq",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality CONSTRAINT audit (the Deequ/expectations shape): six
+    checks spanning the three constraint classes a warehouse enforces —
+    referential integrity (every lineitem→order, order→customer,
+    event→customer FK resolves), domain constraints (non-negative
+    account balances — the one check with real violations in this
+    corpus, so the audit's output is discriminative, not all-zeros),
+    and intra-row/uniqueness invariants (n_chars equals length(text),
+    doc_id unique). One row per check: name, violations, population.
+
+    Shape: each FK check is a broadcast ANTI join (dimension side small)
+    counted with a partial agg; domain checks are scan-side predicates.
+    All six checks are independent legs of a UNION — at 100 TB they
+    share nothing but can be scheduled concurrently, and each leg's
+    scan prunes to exactly the columns its predicate needs. The audit
+    is the pre-publish gate for `publish_versioned` releases: a
+    non-zero FK row blocks the version flip."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+    d = load_table(spark, sf_dir, "documents")
+
+    def check(name: str, bad_count, total_count) -> DataFrame:
+        return bad_count.crossJoin(total_count).select(
+            F.lit(name).alias("check_name"),
+            F.col("n_violations"),
+            F.col("n_checked"),
+        )
+
+    def orphans(child, child_key, parent, parent_key):
+        return (
+            child.join(
+                F.broadcast(parent.select(parent_key).distinct()),
+                child[child_key] == parent[parent_key],
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("n_violations"))
+        )
+
+    legs = [
+        check(
+            "lineitem_fk_orders",
+            orphans(li, "l_orderkey", o, "o_orderkey"),
+            li.agg(F.count(F.lit(1)).alias("n_checked")),
+        ),
+        check(
+            "orders_fk_customer",
+            orphans(o, "o_custkey", c, "c_custkey"),
+            o.agg(F.count(F.lit(1)).alias("n_checked")),
+        ),
+        check(
+            "events_fk_customer",
+            orphans(e, "user_id", c, "c_custkey"),
+            e.agg(F.count(F.lit(1)).alias("n_checked")),
+        ),
+        check(
+            "customer_acctbal_nonneg",
+            c.agg(
+                F.count(F.when(F.col("c_acctbal") < 0, 1)).alias(
+                    "n_violations"
+                )
+            ),
+            c.agg(F.count(F.lit(1)).alias("n_checked")),
+        ),
+        check(
+            "documents_nchars_consistent",
+            d.agg(
+                F.count(
+                    F.when(F.col("n_chars") != F.length("text"), 1)
+                ).alias("n_violations")
+            ),
+            d.agg(F.count(F.lit(1)).alias("n_checked")),
+        ),
+        check(
+            "documents_docid_unique",
+            d.agg(
+                (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias(
+                    "n_violations"
+                )
+            ),
+            d.agg(F.count(F.lit(1)).alias("n_checked")),
+        ),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
