@@ -325,6 +325,10 @@ EXPECT = {
     # (wedge + closing edge), global count — never NLJ
     "triangle_count_neardup": {"hash_join_not_nlj": True, "partial_agg": True,
                                "no_python_udf": True, "max_scan_cols": 2},
+    # DQ audit: every FK leg is a broadcast ANTI hash join; counts are
+    # two-phase; scan-side domain predicates stay JVM-side
+    "dq_referential_integrity": {"broadcast_joins": 3, "partial_agg": True,
+                                 "no_python_udf": True},
 }
 
 
