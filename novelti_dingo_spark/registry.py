@@ -156,6 +156,7 @@ def _load_all() -> None:
         sketches,
         graph,
         logreg,
+        gbm,
     )
 
     _LOADED = True
