@@ -514,6 +514,7 @@ def publish_versioned(
     partition_by: list[str] | None = None,
     published_ts: str | None = None,
     stats_cols: list[str] | None = None,
+    ndv_cols: list[str] | None = None,
 ) -> int:
     """Versioned dataset publish: write to `base_dir/v=N/` (N = next
     version), then flip the `base_dir/LATEST` pointer to it, and drop a
@@ -561,7 +562,17 @@ def publish_versioned(
     base = base_dir.rstrip("/")
     out = f"{base}/v={version}"
     obs = Observation(f"publish_v{version}")
-    instrumented = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    # NDV/null column stats ride the SAME Observation as the row count,
+    # so they are free with the write (no second scan) — the table-level
+    # cardinality card a join planner or DQ monitor reads from the
+    # manifest (per-file min/max serves pruning; this serves estimation)
+    obs_aggs = [F.count(F.lit(1)).alias("n")]
+    for c in ndv_cols or []:
+        obs_aggs.append(F.approx_count_distinct(c).alias(f"ndv_{c}"))
+        obs_aggs.append(
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls_{c}")
+        )
+    instrumented = df.observe(obs, *obs_aggs)
     writer = instrumented.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -570,13 +581,22 @@ def publish_versioned(
         from datetime import datetime, timezone
 
         published_ts = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+    observed = obs.get
     manifest = {
         "version": version,
-        "rows": int(obs.get["n"]),
+        "rows": int(observed["n"]),
         "schema": df.schema.simpleString(),
         "published_ts": published_ts,
         **(meta or {}),
     }
+    if ndv_cols:
+        manifest["column_stats"] = {
+            c: {
+                "ndv": int(observed[f"ndv_{c}"]),
+                "nulls": int(observed[f"nulls_{c}"]),
+            }
+            for c in ndv_cols
+        }
     if stats_cols:
         stats = _footer_file_stats(spark, out, stats_cols)
         if stats is None:

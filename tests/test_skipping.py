@@ -163,3 +163,23 @@ def test_zorder_layout_prunes_on_both_columns(spark, sf_med, tmp_path):
         (F.col("o_custkey") >= 0) & (F.col("o_custkey") <= 40)
     ).count()
     assert df2.count() == want2 and want2 > 0
+
+
+def test_ndv_column_stats_ride_the_publish(spark, sf_med, tmp_path):
+    """ndv_cols adds approx-NDV + null counts to the manifest via the
+    SAME Observation as the row count — no second scan; values must be
+    sane (NDV within approx error of truth, nulls exact)."""
+    from novelti_dingo_spark.pipelines import read_version
+
+    orders = load_table(spark, sf_med, "orders")
+    base = str(tmp_path / "lake_ndv")
+    publish_versioned(
+        orders, base, ndv_cols=["o_custkey", "o_orderpriority"]
+    )
+    _, m = read_version(spark, base)
+    cs = m["column_stats"]
+    truth_cust = orders.select("o_custkey").distinct().count()
+    truth_prio = orders.select("o_orderpriority").distinct().count()
+    assert abs(cs["o_custkey"]["ndv"] - truth_cust) / truth_cust < 0.1
+    assert abs(cs["o_orderpriority"]["ndv"] - truth_prio) <= 1
+    assert cs["o_custkey"]["nulls"] == 0
