@@ -525,3 +525,98 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_med"
         ),
     )
+
+
+@register(
+    "segtree_distinct_users",
+    f"""
+    WITH r(range_id, rs, re) AS (VALUES {_SEGTREE_RANGES_SQL})
+    SELECT range_id,
+           count(DISTINCT e.user_id) AS n_exact_users,
+           TRUE AS approx_ok
+    FROM r JOIN events e
+      ON epoch_us(e.ts) // 3600000000 >= r.rs
+     AND epoch_us(e.ts) // 3600000000 < r.re
+    GROUP BY range_id
+    """,
+    survey_rows="A3,ST12,A2,J5",
+)
+def segtree_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT DISTINCT over ad-hoc time ranges from PRECOMPUTED
+    mergeable sketches: the dyadic pyramid of segtree_range_rollup, but
+    each block stores an HLL SKETCH of its users instead of a sum —
+    distinct counts are not additive, yet sketches UNION losslessly, so
+    the same O(log span) maximal-block decomposition answers "how many
+    unique users in [s, e)" without touching raw events. This is the
+    sketch-mergeability story that makes approximate distinct work in
+    rollup hierarchies at all (sums compose; distinct only composes
+    through a sketch).
+
+    Exact+tolerance-witness design (same as hll_sketch_rollup /
+    approx_percentile_witness): the hashable output carries the EXACT
+    per-range distinct count (recomputed from raw events — also the
+    DuckDB oracle) plus `approx_ok` asserting the sketch estimate lands
+    within 15% (HLL's error at default lgK is ~2-3%, so the flag has
+    wide margin while still catching a broken union). At 100 TB the
+    estimate path touches only |hours| sketch blocks per query — the
+    exact leg here exists purely as the verification witness."""
+    e = load_table(spark, sf_dir, "events")
+    hour = F.expr("unix_micros(ts) div 3600000000")
+    hourly = (
+        e.select(hour.alias("b"), "user_id")
+        .groupBy("b")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    lvl_tags = F.array(
+        *[
+            F.struct(
+                F.lit(l).alias("l"),
+                F.expr(f"b div {1 << l}").alias("lb"),
+            )
+            for l in range(SEGTREE_LEVELS + 1)
+        ]
+    )
+    blocks = (
+        hourly.select(F.explode(lvl_tags).alias("t"), "sk")
+        .groupBy(F.col("t.l").alias("l"), F.col("t.lb").alias("lb"))
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            F.expr("lb * shiftleft(CAST(1 AS BIGINT), l)").alias("bs"),
+            F.expr("(lb + 1) * shiftleft(CAST(1 AS BIGINT), l)").alias("be"),
+            F.expr("(lb div 2) * shiftleft(CAST(2 AS BIGINT), l)").alias("pbs"),
+            F.expr("(lb div 2 + 1) * shiftleft(CAST(2 AS BIGINT), l)").alias("pbe"),
+            "sk",
+        )
+    )
+    ranges = spark.createDataFrame(
+        SEGTREE_RANGES, "range_id int, rs long, re long"
+    )
+    maximal = (
+        (F.col("bs") >= F.col("rs"))
+        & (F.col("be") <= F.col("re"))
+        & ((F.col("pbs") < F.col("rs")) | (F.col("pbe") > F.col("re")))
+    )
+    approx = (
+        blocks.join(F.broadcast(ranges), maximal)
+        .groupBy("range_id")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_approx")
+        )
+    )
+    exact = (
+        e.select(hour.alias("h"), "user_id")
+        .join(
+            F.broadcast(ranges),
+            (F.col("h") >= F.col("rs")) & (F.col("h") < F.col("re")),
+        )
+        .groupBy("range_id")
+        .agg(F.countDistinct("user_id").alias("n_exact_users"))
+    )
+    return exact.join(approx, "range_id").select(
+        "range_id",
+        "n_exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("n_exact_users"))
+            <= 0.15 * F.col("n_exact_users")
+        ).alias("approx_ok"),
+    )
