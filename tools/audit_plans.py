@@ -329,6 +329,11 @@ EXPECT = {
     # two-phase; scan-side domain predicates stay JVM-side
     "dq_referential_integrity": {"broadcast_joins": 3, "partial_agg": True,
                                  "no_python_udf": True},
+    # sketch segment tree: hourly HLL blocks two-phase (partial sketch
+    # merge map-side), pyramid from one explode pass, range side
+    # broadcast; 2-column scans
+    "segtree_distinct_users": {"partial_agg": True, "no_python_udf": True,
+                               "max_scan_cols": 2},
 }
 
 
