@@ -487,3 +487,78 @@ def session_window_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "sliding_distinct_users_pane",
+    """
+    SELECT (epoch_us(ts) // 900000000) * 900 - k.k * 900 AS window_start,
+           count(DISTINCT user_id) AS n_exact_users,
+           TRUE AS approx_ok
+    FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+    GROUP BY 1
+    """,
+    survey_rows="ST2,A3,A2",
+)
+def sliding_distinct_users_pane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window DISTINCT users (1h window, 15min slide) via pane
+    SKETCHES: sum/count pane-optimize trivially (sliding_1h_15m_agg),
+    but distinct does not — a user active in two panes of the same
+    window must count once. The mergeable-sketch bridge: each 15-min
+    pane keeps an HLL sketch of its users (one map-side-combined pass),
+    each 1-hour window UNIONS its 4 pane sketches — overlap dedups
+    inside the sketch, and the event stream is still scanned exactly
+    once. The naive form replicates every event 4x before a
+    count-distinct shuffle; panes shuffle |panes| sketches (~KB each)
+    regardless of event volume.
+
+    Exact+tolerance-witness output (family: hll_sketch_rollup,
+    segtree_distinct_users): n_exact_users is the hashable exact
+    per-window count — also the DuckDB oracle — and `approx_ok` asserts
+    the pane-union estimate lands within 15% of it, catching a broken
+    union while keeping the gate deterministic. At 100 TB only the
+    exact witness leg (kept here for verification) pays the 4x
+    replication; the production path is the sketch leg alone."""
+    e = load_table(spark, sf_dir, "events")
+    pane = (F.expr("unix_micros(ts) div 900000000") * 900).alias(
+        "pane_start"
+    )
+    panes = e.groupBy(pane).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    windows = (
+        panes.select(
+            F.explode(
+                F.array(*[F.col("pane_start") - 900 * k for k in range(4)])
+            ).alias("window_start"),
+            "sk",
+        )
+        .groupBy("window_start")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_approx")
+        )
+    )
+    exact = (
+        e.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.expr("unix_micros(ts) div 900000000") * 900
+                        - 900 * k
+                        for k in range(4)
+                    ]
+                )
+            ).alias("window_start"),
+            "user_id",
+        )
+        .groupBy("window_start")
+        .agg(F.countDistinct("user_id").alias("n_exact_users"))
+    )
+    return exact.join(windows, "window_start").select(
+        "window_start",
+        "n_exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("n_exact_users"))
+            <= 0.15 * F.col("n_exact_users")
+        ).alias("approx_ok"),
+    )
