@@ -654,3 +654,152 @@ def forecast_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mape_count"),
     )
+
+
+@register(
+    "user_longest_streak",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events
+    ), isl AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+      FROM days
+    ), runs AS (
+      SELECT user_id, count(*) AS run_len, min(day) AS run_start
+      FROM isl GROUP BY user_id, grp
+    ), best AS (
+      SELECT user_id, run_len, run_start,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY run_len DESC, run_start ASC)
+               AS rn
+      FROM runs
+    )
+    SELECT user_id, run_len AS longest_streak_days,
+           run_start AS streak_start_day
+    FROM best WHERE rn = 1 AND run_len >= 3
+    """,
+    survey_rows="W1,A1,U3,F2",
+)
+def user_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    GAPS-AND-ISLANDS idiom: distinct active days, then `day -
+    row_number()` is constant exactly within a run of consecutive days
+    (each gap shifts the difference), so grouping on that constant
+    materializes the islands without any self-join or iterative logic.
+    The engagement metric behind retention features ("7-day streak"),
+    and the same idiom handles sensor uptime runs and inventory
+    stockout spells.
+
+    Shape: one distinct (user, day) aggregation (two-phase, |users| x
+    |days| bounded), one per-user window for the island constant, one
+    island aggregation, one per-user argmax — every step keyed on
+    user_id, so Catalyst reuses a single hash-partitioning end to end;
+    nothing is data-scale after the first dedup. Ties (two equal runs)
+    break on earliest start in both engines. Output floors at 3-day
+    streaks to keep the result signal-bearing."""
+    e = load_table(spark, sf_dir, "events")
+    days = (
+        e.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn("grp", F.col("day") - F.row_number().over(w))
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("day").alias("run_start"),
+    )
+    best = (
+        runs.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("run_len"),
+                    (-F.col("run_start")).alias("neg_start"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            "user_id",
+            F.col("_b.run_len").alias("longest_streak_days"),
+            (-F.col("_b.neg_start")).alias("streak_start_day"),
+        )
+    )
+    return best.filter(F.col("longest_streak_days") >= 3)
+
+
+@register(
+    "audience_overlap_sketch",
+    """
+    WITH a AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'click' AND user_id < 100
+    ), b AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND user_id >= 50
+    )
+    SELECT (SELECT count(*) FROM a) AS n_a,
+           (SELECT count(*) FROM b) AS n_b,
+           (SELECT count(*) FROM (SELECT user_id FROM a
+                                  INTERSECT
+                                  SELECT user_id FROM b)) AS n_overlap,
+           TRUE AS approx_ok
+    """,
+    survey_rows="A3,U2,A2",
+)
+def audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap via sketch set algebra: |A ∩ B| estimated by
+    inclusion-exclusion over HLL sketches — est(A) + est(B) - est(A∪B)
+    — where the union is a lossless sketch merge. The ad-tech/growth
+    primitive ("how many clickers are also purchasers") computed from
+    per-segment sketches that are a few KB each, WITHOUT re-scanning
+    either segment's raw rows: at 100 TB the segments' sketches are
+    maintained incrementally (hll_union_agg is associative and
+    commutative) and any pairwise overlap among hundreds of segments is
+    driver-side arithmetic on cached sketches.
+
+    Inclusion-exclusion error grows when the overlap is small relative
+    to the sets (the difference of two noisy estimates); here the
+    engineered segments overlap ~50%, comfortably inside the witness
+    tolerance. Exact+tolerance-witness output (family:
+    segtree_distinct_users): the exact counts hash-match the oracle's
+    INTERSECT, `approx_ok` asserts the sketch estimate within 20%."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(
+        (F.col("event_type") == "click") & (F.col("user_id") < 100)
+    ).select("user_id")
+    b = e.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") >= 50)
+    ).select("user_id")
+    sk = (
+        a.select(F.lit("a").alias("s"), "user_id")
+        .unionAll(b.select(F.lit("b").alias("s"), "user_id"))
+        .groupBy("s")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.countDistinct("user_id").alias("n_exact"),
+        )
+    )
+    row = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
+        F.sum(F.hll_sketch_estimate("sk")).alias("est_sum"),
+        F.max(F.when(F.col("s") == "a", F.col("n_exact"))).alias("n_a"),
+        F.max(F.when(F.col("s") == "b", F.col("n_exact"))).alias("n_b"),
+    ).head()
+    est_overlap = row["est_sum"] - row["est_union"]
+    n_overlap = (
+        a.distinct().join(b.distinct(), "user_id", "left_semi").count()
+    )
+    ok = bool(
+        abs(est_overlap - n_overlap) <= max(0.2 * n_overlap, 2.0)
+    )
+    return spark.createDataFrame(
+        [(row["n_a"], row["n_b"], n_overlap, ok)],
+        "n_a long, n_b long, n_overlap long, approx_ok boolean",
+    )
