@@ -792,7 +792,9 @@ def audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("s") == "a", F.col("n_exact"))).alias("n_a"),
         F.max(F.when(F.col("s") == "b", F.col("n_exact"))).alias("n_b"),
     ).head()
-    est_overlap = row["est_sum"] - row["est_union"]
+    # an empty segment contributes no group row: its count is 0, not
+    # NULL (and the estimates coalesce the same way)
+    est_overlap = (row["est_sum"] or 0.0) - (row["est_union"] or 0.0)
     n_overlap = (
         a.distinct().join(b.distinct(), "user_id", "left_semi").count()
     )
@@ -800,6 +802,6 @@ def audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         abs(est_overlap - n_overlap) <= max(0.2 * n_overlap, 2.0)
     )
     return spark.createDataFrame(
-        [(row["n_a"], row["n_b"], n_overlap, ok)],
+        [(int(row["n_a"] or 0), int(row["n_b"] or 0), n_overlap, ok)],
         "n_a long, n_b long, n_overlap long, approx_ok boolean",
     )
