@@ -562,3 +562,99 @@ def sliding_distinct_users_pane(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.15 * F.col("n_exact_users")
         ).alias("approx_ok"),
     )
+
+
+@register(
+    "max_concurrent_sessions",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, sum(new_session) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS sid,
+             ts
+      FROM flagged
+    ), bounds AS (
+      SELECT user_id, sid,
+             epoch_us(min(ts)) AS s_us,
+             epoch_us(max(ts)) + 1800000000 AS e_us
+      FROM sess GROUP BY user_id, sid
+    ), deltas AS (
+      SELECT s_us AS t_us, 1 AS d FROM bounds
+      UNION ALL
+      SELECT e_us, -1 FROM bounds
+    ), sweep AS (
+      SELECT t_us, sum(sum(d)) OVER (ORDER BY t_us) AS live
+      FROM deltas GROUP BY t_us
+    ), daily AS (
+      SELECT CAST(t_us // 86400000000 AS BIGINT) AS day,
+             CAST(max(live) AS BIGINT) AS peak_concurrent
+      FROM sweep GROUP BY 1
+    )
+    SELECT day, peak_concurrent FROM daily
+    """,
+    survey_rows="ST3,W3,A1,U1",
+)
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the SWEEP-LINE idiom: each
+    session contributes +1 at its start and -1 at its end (end = last
+    event + gap, matching the sessionizer's closure rule), and the
+    running sum of deltas ordered by time IS the live-session count;
+    its daily max is the capacity-planning number (peak concurrency
+    drives connection pools, autoscaling floors, license sizing).
+
+    Shape: sessions come from the standard lag+cumsum sessionizer (one
+    user_id shuffle); the sweep collapses to |2 x sessions| delta rows,
+    aggregated per timestamp and then run through ONE ordered window.
+    That global ordered sum is over the POST-AGGREGATION delta spine —
+    bounded by distinct session boundaries, ~2 x |sessions| rows, the
+    documented safe home for an unpartitioned window (same class as
+    cumulative_unique_users); at extreme scale the standard refinement
+    range-partitions the sweep and adds broadcast per-partition offsets
+    (rank.py's recipe). Boundary convention: a session ending exactly
+    when another starts at t counts both live at t (delta order sums
+    same-instant +1s before applying the max — both engines aggregate
+    deltas per timestamp first, so the convention is identical)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1800 * 1_000_000
+    new_s = (
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us)
+        | F.lag("ts").over(w).isNull()
+    ).cast("int")
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = e.select(
+        "user_id", "ts", F.sum(new_s).over(wc).alias("sid")
+    )
+    bounds = sess.groupBy("user_id", "sid").agg(
+        F.unix_micros(F.min("ts")).alias("s_us"),
+        (F.unix_micros(F.max("ts")) + gap_us).alias("e_us"),
+    )
+    deltas = bounds.select(
+        F.col("s_us").alias("t_us"), F.lit(1).alias("d")
+    ).unionAll(
+        bounds.select(F.col("e_us").alias("t_us"), F.lit(-1).alias("d"))
+    )
+    per_t = deltas.groupBy("t_us").agg(F.sum("d").alias("dd"))
+    sweep = per_t.select(
+        "t_us",
+        F.sum("dd")
+        .over(
+            Window.orderBy("t_us").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("live"),
+    )
+    return sweep.groupBy(
+        F.expr("t_us div 86400000000").alias("day")
+    ).agg(F.max("live").cast("long").alias("peak_concurrent"))
