@@ -620,3 +620,107 @@ def segtree_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.15 * F.col("n_exact_users")
         ).alias("approx_ok"),
     )
+
+
+@register(
+    "cusum_drift_by_type",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ), base AS (
+      SELECT event_type,
+             avg(x) FILTER (WHERE rn <= 14)         AS mu,
+             stddev_samp(x) FILTER (WHERE rn <= 14) AS sigma
+      FROM (SELECT event_type, x,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS rn
+            FROM daily)
+      GROUP BY event_type
+    ), scored AS (
+      SELECT d.event_type, d.day,
+             sum(d.x - b.mu - 0.5 * b.sigma)
+               OVER (PARTITION BY d.event_type ORDER BY d.day) AS pre
+      FROM daily d JOIN base b USING (event_type)
+    ), peak AS (
+      SELECT event_type, day, pre,
+             min(pre) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS prior_min
+      FROM scored
+    )
+    SELECT p.event_type,
+           round(max(greatest(p.pre - coalesce(p.prior_min, 0), p.pre)), 4)
+             AS peak_cusum,
+           round(max(greatest(p.pre - coalesce(p.prior_min, 0), p.pre))
+                 / any_value(b.sigma), 4) AS peak_in_sigmas
+    FROM peak p JOIN base b USING (event_type)
+    GROUP BY p.event_type
+    """,
+    survey_rows="ST10,W3,A8,stats",
+)
+def cusum_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection per event type: has the daily volume
+    drifted upward from its first-two-weeks baseline? The one-sided
+    CUSUM statistic S_t = max(0, S_{t-1} + x_t - mu - 0.5*sigma)
+    accumulates small persistent shifts that a 3-sigma point alarm
+    never sees — the standard SPC monitor for slow regressions.
+
+    The recursion looks sequential, but its PEAK has a closed window
+    form: max_t S_t = max subarray sum of y_t = x_t - mu - 0.5*sigma
+    (Kadane's identity), and the max subarray sum is
+    max_t (prefix_t - min(prefix_{<t}, 0)) — two ordered windows over
+    the per-type daily spine, no fold, no UDF, identical in both
+    engines. Everything past the one data-scale daily rollup runs on
+    |types| x |days| rows; baselines join back broadcast.
+
+    Numerics: daily sums are decimal-exact then cast once; the prefix
+    arithmetic is identical IEEE on both engines, rounded 4dp."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    wrn = Window.partitionBy("event_type").orderBy("day")
+    ranked = daily.withColumn("rn", F.row_number().over(wrn))
+    base = ranked.groupBy("event_type").agg(
+        F.avg(F.when(F.col("rn") <= 14, F.col("x"))).alias("mu"),
+        F.stddev_samp(F.when(F.col("rn") <= 14, F.col("x"))).alias(
+            "sigma"
+        ),
+    )
+    scored = daily.join(F.broadcast(base), "event_type").select(
+        "event_type",
+        "day",
+        "sigma",
+        F.sum(
+            F.col("x") - F.col("mu") - 0.5 * F.col("sigma")
+        )
+        .over(wrn.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("pre"),
+    )
+    peak = scored.withColumn(
+        "prior_min",
+        F.min("pre").over(
+            wrn.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    cus = F.greatest(
+        F.col("pre") - F.coalesce(F.col("prior_min"), F.lit(0.0)),
+        F.col("pre"),
+    )
+    return peak.groupBy("event_type").agg(
+        F.round(F.max(cus), 4).alias("peak_cusum"),
+        F.round(F.max(cus) / F.first("sigma"), 4).alias(
+            "peak_in_sigmas"
+        ),
+    )
