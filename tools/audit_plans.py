@@ -334,6 +334,25 @@ EXPECT = {
     # broadcast; 2-column scans
     "segtree_distinct_users": {"partial_agg": True, "no_python_udf": True,
                                "max_scan_cols": 2},
+    # pane-sketch sliding distinct: pane HLLs two-phase, window union
+    # reaggregates |panes| sketches; 2-column scan
+    "sliding_distinct_users_pane": {"partial_agg": True,
+                                    "no_python_udf": True,
+                                    "max_scan_cols": 2},
+    # gaps-and-islands: distinct days two-phase, island window + argmax
+    # all share the user_id partitioning; 2-column scan
+    "user_longest_streak": {"partial_agg": True, "no_python_udf": True,
+                            "max_scan_cols": 2},
+    # sweep-line concurrency: sessionizer window on user_id, delta agg
+    # two-phase; the global ordered window runs on the session-bounded
+    # delta spine (post-agg — the singlepart_over_raw check verifies an
+    # aggregate sits between it and every scan)
+    "max_concurrent_sessions": {"partial_agg": True, "no_python_udf": True,
+                                "max_scan_cols": 3},
+    # CUSUM: daily rollup two-phase, everything after runs on the
+    # |types| x |days| spine with broadcast baselines
+    "cusum_drift_by_type": {"partial_agg": True, "broadcast_joins": 1,
+                            "no_python_udf": True, "max_scan_cols": 3},
 }
 
 
