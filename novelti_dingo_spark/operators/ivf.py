@@ -150,3 +150,98 @@ def ivf_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus instead of all of it. (Registered point on the ivf_knn
     nprobe dial; the recall-vs-nprobe curve is measured in SCALE.md.)"""
     return ivf_knn(spark, sf_dir, k=10, n_probe=N_PROBE)
+
+
+# --- index persistence: the ANN index as a versioned lake dataset ----------
+
+
+def publish_ivf_index(
+    spark: SparkSession, sf_dir: str, base_dir: str
+) -> int:
+    """Train the IVF index once and publish it as an ATOMIC multi-table
+    snapshot (centroids + postings under one LATEST pointer): the
+    production shape for ANN serving — train offline, version the
+    index, pin readers to a snapshot for reproducible retrieval, roll
+    forward/back by pointer flip. Centroids and postings can never be
+    observed from different trainings (the cross-table anomaly
+    publish_snapshot exists to prevent — probing cells against the
+    wrong partition of postings silently destroys recall)."""
+    from ..pipelines import publish_snapshot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(e)
+    postings = _assign(e, centroids)
+    return publish_snapshot(
+        {"centroids": centroids, "postings": postings},
+        base_dir,
+        meta={"k": K, "source_sf": sf_dir},
+    )
+
+
+def append_vectors_to_index(
+    spark: SparkSession, base_dir: str, new_vectors: DataFrame
+) -> int:
+    """Incremental index maintenance: assign NEW vectors to the
+    EXISTING centroids (no retrain — assignment is one broadcast scan
+    of the additions) and publish centroids + grown postings as the
+    next snapshot. The index degrades gracefully as the data drifts
+    from the trained centroids; the retrain trigger is cell-skew
+    monitoring (ivf_cell_sizes) — republish with publish_ivf_index
+    when a cell outgrows its siblings."""
+    from ..pipelines import publish_snapshot, read_snapshot
+
+    tables, manifest = read_snapshot(spark, base_dir)
+    centroids = tables["centroids"]
+    postings = tables["postings"]
+    added = _assign(new_vectors, centroids)
+    return publish_snapshot(
+        {"centroids": centroids, "postings": postings.unionByName(added)},
+        base_dir,
+        meta={"k": manifest.get("k", K), "appended": True},
+    )
+
+
+def ivf_knn_from_index(
+    spark: SparkSession,
+    base_dir: str,
+    q_emb: list[float],
+    version: int | None = None,
+    k: int = 10,
+    n_probe: int = N_PROBE,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Serve a kNN query from a PINNED index snapshot: probe the
+    n_probe nearest cells of the loaded centroids, scan only those
+    cells' postings. Identical plan shape to ivf_knn, but the training
+    cost is amortized across every query against the snapshot — and a
+    pinned `version` makes retrieval reproducible under concurrent
+    republishes (the eval-set property a training pipeline needs)."""
+    from ..pipelines import read_snapshot
+
+    tables, _ = read_snapshot(spark, base_dir, version)
+    centroids = tables["centroids"]
+    postings = tables["postings"]
+    q = spark.createDataFrame(
+        [([float(x) for x in q_emb],)], "q_emb array<double>"
+    )
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(q))
+        .select("cid", _sq_dist("centroid", "q_emb").alias("dist"))
+        .orderBy("dist", "cid")
+        .limit(n_probe)
+        .select("cid")
+    )
+    out = postings.join(F.broadcast(probe_cells), "cid").crossJoin(
+        F.broadcast(q)
+    )
+    if exclude_vec_id is not None:
+        out = out.filter(F.col("vec_id") != exclude_vec_id)
+    return (
+        out.select(
+            "vec_id",
+            "cid",
+            F.round(dot("embedding", "q_emb"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
