@@ -481,3 +481,66 @@ def psi_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_term"
         ),
     )
+
+
+@register(
+    "mixture_weights_uniform",
+    """
+    WITH t AS (
+      SELECT lang,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT sum(n_tokens) AS total, count(*) AS n_langs FROM t
+    )
+    SELECT lang, n_tokens,
+           round(n_tokens * 1.0 / total, 6) AS actual_share,
+           round(least(1.0, (total * 1.0 / n_langs) / n_tokens), 6)
+             AS sample_weight,
+           round(n_tokens * least(1.0, (total * 1.0 / n_langs) / n_tokens),
+                 1) AS sampled_tokens
+    FROM t CROSS JOIN tot
+    """,
+    survey_rows="L16,A1,A5",
+)
+def mixture_weights_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weight SOLVING for a uniform language target: given each
+    language's token mass, compute the per-language downsampling weight
+    w = min(1, target_share / actual_share) that equalizes the mixture
+    without upsampling — the planning step whose output feeds
+    `mixture_sample` (which applies weights) and `stratified_sample`.
+    Languages below target keep weight 1 (never duplicate data to hit a
+    quota — upsampling repeats documents, which the dedup stage exists
+    to prevent); the report shows exactly how many tokens each language
+    contributes after weighting, so the budget shortfall from capped
+    languages is visible rather than silently redistributed.
+
+    Shape: one corpus scan to |langs| token sums (two-phase, the token
+    count is a scan-side split+size), a 1-row total broadcast back —
+    at 100 TB nothing but the first rollup touches data scale. The
+    closed-form min(1, t/a) solver is exact for the no-upsampling
+    constraint; iterative water-filling (redistributing capped mass) is
+    the documented extension and runs on the |langs| table."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " ")))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    tot = t.agg(
+        F.sum("n_tokens").alias("total"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    w = F.least(
+        F.lit(1.0),
+        (F.col("total") * 1.0 / F.col("n_langs")) / F.col("n_tokens"),
+    )
+    return t.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        F.round(F.col("n_tokens") * 1.0 / F.col("total"), 6).alias(
+            "actual_share"
+        ),
+        F.round(w, 6).alias("sample_weight"),
+        F.round(F.col("n_tokens") * w, 1).alias("sampled_tokens"),
+    )
