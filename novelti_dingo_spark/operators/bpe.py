@@ -148,3 +148,56 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# --- tokenizer persistence: the merge table as a versioned asset -----------
+
+
+def publish_tokenizer(
+    spark: SparkSession, sf_dir: str, base_dir: str
+) -> int:
+    """Train the BPE merges and publish them as a versioned dataset:
+    the tokenizer IS data (an ordered merge table), and training twice
+    on different corpus snapshots must never silently change every
+    downstream token id — so the tokenizer gets the same immutable
+    version/pin semantics as any other lake table. Columns: merge_rank
+    (application order), left, right, weighted_count."""
+    from ..pipelines import publish_versioned
+
+    merges = bpe_train(spark, sf_dir)
+    df = spark.createDataFrame(
+        [(i, a, b, int(c)) for i, (a, b, c) in enumerate(merges)],
+        "merge_rank int, left string, right string, weighted_count long",
+    )
+    return publish_versioned(
+        df, base_dir, meta={"n_merges": len(merges), "source_sf": sf_dir}
+    )
+
+
+def encode_with_tokenizer(
+    spark: SparkSession,
+    base_dir: str,
+    docs: DataFrame,
+    version: int | None = None,
+) -> DataFrame:
+    """Encode documents with a PINNED tokenizer version: load the merge
+    table (vocabulary-scale — driver-side by design, it IS the model),
+    apply the merges as nested codegen'd folds exactly like the fresh
+    path. Returns (doc_id, token, cnt)."""
+    from ..functions.text_funcs import tokens
+    from ..pipelines import read_version
+
+    mdf, _ = read_version(spark, base_dir, version)
+    merges = [
+        (r.left, r.right)
+        for r in mdf.orderBy("merge_rank").collect()
+    ]
+    words = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    syms = _chars(F.col("w"))
+    for a, b in merges:
+        syms = _apply_merge(syms, a, b)
+    return (
+        words.select("doc_id", F.explode(syms).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

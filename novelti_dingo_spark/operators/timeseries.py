@@ -724,3 +724,58 @@ def cusum_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_in_sigmas"
         ),
     )
+
+
+@register(
+    "daily_trend_slope_by_type",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           count(*) AS n_days,
+           round(regr_slope(n, day), 6)     AS count_slope_per_day,
+           round(regr_slope(v, day), 4)     AS value_slope_per_day,
+           round(regr_r2(v, day), 6)        AS value_r2
+    FROM daily GROUP BY event_type
+    """,
+    survey_rows="stats,A1,ST12",
+)
+def daily_trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear trend per event type: OLS slope of daily volume and daily
+    value against the day index, plus R² — the "is this growing, and is
+    the trend real" readout that complements CUSUM (drift ALARM) with a
+    RATE estimate, and the feature a forecasting stage seeds from.
+    regr_slope/regr_r2 are algebraic aggregates (sums of x, y, xy, x²)
+    — they compose map-side like any sum, so the trend over a 100 TB
+    history is one partial-aggregated pass over the daily spine, and
+    the same sums maintain INCREMENTALLY under the IVM pattern
+    (rollup_incremental_maintenance) as new days arrive.
+
+    Numerics: daily sums decimal-exact then cast once; both engines
+    compute the same closed-form slope from the same moment sums —
+    rounded 6dp/4dp for the final division drift."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("v"),
+    )
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.regr_slope("n", "day"), 6).alias(
+            "count_slope_per_day"
+        ),
+        F.round(F.regr_slope("v", "day"), 4).alias(
+            "value_slope_per_day"
+        ),
+        F.round(F.regr_r2("v", "day"), 6).alias("value_r2"),
+    )

@@ -82,3 +82,34 @@ def test_bpe_encoding_matches_python_reference(spark, sf_small):
         for r in bpe_token_counts(spark, sf_small).collect()
     }
     assert got == dict(want)
+
+
+def test_tokenizer_persistence_reproduces_fresh_encoding(
+    spark, sf_small, tmp_path
+):
+    """Publish the trained merges as a versioned asset; encoding from
+    the pinned version must equal the fresh train+encode path row for
+    row (token ids are downstream-stable only if the tokenizer is)."""
+    from pyspark.sql import functions as F
+
+    from novelti_dingo_spark.operators.bpe import (
+        bpe_token_counts,
+        encode_with_tokenizer,
+        publish_tokenizer,
+    )
+    from novelti_dingo_spark.sources.io import load_table
+
+    base = str(tmp_path / "tok")
+    v = publish_tokenizer(spark, sf_small, base)
+    docs = load_table(spark, sf_small, "documents").filter(
+        F.col("doc_id") < 20
+    )
+    served = {
+        (r.doc_id, r.token): r.cnt
+        for r in encode_with_tokenizer(spark, base, docs, version=v).collect()
+    }
+    fresh = {
+        (r.doc_id, r.token): r.cnt
+        for r in bpe_token_counts(spark, sf_small).collect()
+    }
+    assert served == fresh and len(fresh) > 0

@@ -419,3 +419,25 @@ def test_release_training_corpus_end_to_end(spark, sf_small, tmp_path):
         .count()
     )
     assert over == 0
+
+
+def test_release_pipeline_is_deterministic(spark, sf_small, tmp_path):
+    """Two releases from the same corpus must contain IDENTICAL rows
+    (funnel, packing, token totals) — reproducibility is the point of
+    versioning; only the publish timestamp may differ."""
+    from novelti_dingo_spark.pipelines import (
+        read_version,
+        release_training_corpus,
+    )
+
+    m1 = release_training_corpus(spark, sf_small, str(tmp_path / "r1"))
+    m2 = release_training_corpus(spark, sf_small, str(tmp_path / "r2"))
+    assert m1["funnel"] == m2["funnel"]
+    assert m1["total_tokens"] == m2["total_tokens"]
+    assert m1["n_bins"] == m2["n_bins"]
+    assert m1["model_card"] == m2["model_card"]
+    df1, _ = read_version(spark, str(tmp_path / "r1") + "/corpus")
+    df2, _ = read_version(spark, str(tmp_path / "r2") + "/corpus")
+    rows1 = {tuple(r) for r in df1.select("doc_id", "bin_id", "n_tokens").collect()}
+    rows2 = {tuple(r) for r in df2.select("doc_id", "bin_id", "n_tokens").collect()}
+    assert rows1 == rows2
