@@ -353,6 +353,13 @@ EXPECT = {
     # |types| x |days| spine with broadcast baselines
     "cusum_drift_by_type": {"partial_agg": True, "broadcast_joins": 1,
                             "no_python_udf": True, "max_scan_cols": 3},
+    # trend slopes: regr_* are algebraic — one two-phase rollup, then
+    # spine-sized moment aggregation
+    "daily_trend_slope_by_type": {"partial_agg": True, "no_python_udf": True,
+                                  "max_scan_cols": 3},
+    # mixture solver: |langs| rollup two-phase, 1-row total broadcast
+    "mixture_weights_uniform": {"partial_agg": True, "no_python_udf": True,
+                                "max_scan_cols": 2},
 }
 
 
