@@ -1141,6 +1141,90 @@ def lake_pruned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_schema_evolution_chain",
+    """
+    WITH seg1 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(NULL AS VARCHAR) AS o_band
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), seg2 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CASE WHEN o_totalprice >= 150000 THEN 'high'
+                  ELSE 'low' END AS o_band
+      FROM orders WHERE o_orderkey % 2 = 1
+    ), chain AS (
+      SELECT * FROM seg1 UNION ALL SELECT * FROM seg2
+    )
+    SELECT coalesce(o_band, '(pre-evolution)') AS band,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM chain
+    GROUP BY 1
+    """,
+    survey_rows="S3,S5,A1,P3",
+)
+def lake_schema_evolution_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Additive schema evolution at the correctness gate: a two-schema
+    append chain is published ONCE per (tmpdir, sf) — segment v1 holds
+    even-key orders with the base 3-column schema, segment v2 appends
+    odd-key orders carrying a new `o_band` column
+    (publish_append(evolve="additive")). The chain read derives the
+    union schema from the MANIFESTS (pipelines._chain_merged_schema) —
+    no footer-merge job — and NULL-backfills `o_band` for the
+    pre-evolution segment; the aggregate groups on
+    coalesce(o_band, '(pre-evolution)') so the oracle's UNION ALL twin
+    hash-proves exactly which rows read NULL.
+
+    At 100 TB: adding a column is the first lake mutation a real user
+    makes, and it must cost O(batch) — only the new segment is written;
+    old files are never rewritten, read planning stays O(chain)
+    manifest I/O on the driver, and type changes fail loudly at publish
+    time (tests/test_lake_evolution.py covers diff/compaction/point
+    lookups across the same boundary)."""
+    import tempfile
+
+    from ..pipelines import (
+        publish_append,
+        publish_versioned,
+        read_version_chain,
+    )
+    from ..sources import lakefs
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "orders_evolved"
+    )
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        publish_versioned(
+            o.filter(F.col("o_orderkey") % 2 == 0), base
+        )
+        publish_append(
+            o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+                "o_band",
+                F.when(
+                    F.col("o_totalprice") >= 150000, F.lit("high")
+                ).otherwise(F.lit("low")),
+            ),
+            base,
+            evolve="additive",
+        )
+    df, _ = read_version_chain(spark, base)
+    return df.groupBy(
+        F.coalesce(F.col("o_band"), F.lit("(pre-evolution)")).alias("band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@register(
     "dq_referential_integrity",
     """
     SELECT 'lineitem_fk_orders' AS check_name,

@@ -586,6 +586,7 @@ def publish_versioned(
         "version": version,
         "rows": int(observed["n"]),
         "schema": df.schema.simpleString(),
+        "schema_json": df.schema.json(),
         "published_ts": published_ts,
         **(meta or {}),
     }
@@ -614,6 +615,7 @@ def publish_append(
     meta: dict | None = None,
     published_ts: str | None = None,
     stats_cols: list[str] | None = None,
+    evolve: str = "none",
 ) -> int:
     """Incremental APPEND publish: write only `df`'s rows into the new
     version directory and record `parent` = the previous version in the
@@ -627,7 +629,20 @@ def publish_append(
     Readers: `read_version_chain` resolves the chain; `read_chain_pruned`
     additionally applies min-max data skipping across EVERY segment's
     file_stats. The LATEST flip is the same atomic pointer rename, so an
-    interrupted append never corrupts the prior snapshot."""
+    interrupted append never corrupts the prior snapshot.
+
+    SCHEMA EVOLUTION (`evolve`): the first lake mutation a real user
+    makes is adding a column. `evolve="none"` (default) pins the chain
+    schema — an append whose columns or types differ from the chain
+    head fails loudly before any write. `evolve="additive"` allows the
+    new segment to carry a typed SUPERSET of the head schema: every
+    existing column must keep its exact name and type (a type change is
+    always an error — that is a rewrite, not an append), new columns are
+    recorded in the manifest as `added_columns`. Chain readers then
+    derive the union schema from the manifests alone and NULL-backfill
+    the new columns for pre-evolution segments — the Iceberg
+    schema-from-manifest pattern, with zero footer I/O at read planning
+    time."""
     import json
 
     from .sources import lakefs
@@ -642,6 +657,20 @@ def publish_append(
     ]
     version = max(existing, default=0) + 1
     parent = max(existing, default=None)
+    added_columns: list[str] = []
+    if parent is not None:
+        head_schema = _manifest_schema(
+            json.loads(
+                lakefs.read_text(spark, f"{base}/v={parent}/_manifest.json")
+            )
+        )
+        added_columns = _check_additive_evolution(head_schema, df.schema)
+        if added_columns and evolve != "additive":
+            raise ValueError(
+                f"append adds columns {added_columns} to the chain at "
+                f"{base} but evolve='none' pins the schema — pass "
+                "evolve='additive' to evolve the chain schema"
+            )
     out = f"{base}/v={version}"
     from pyspark.sql import Observation
 
@@ -661,9 +690,12 @@ def publish_append(
         "append": True,
         "rows": int(obs.get["n"]),
         "schema": df.schema.simpleString(),
+        "schema_json": df.schema.json(),
         "published_ts": published_ts,
         **(meta or {}),
     }
+    if added_columns:
+        manifest["added_columns"] = added_columns
     if stats_cols:
         stats = _footer_file_stats(spark, out, stats_cols)
         if stats is None:
@@ -814,7 +846,12 @@ def read_point_lookup_chain(
     if not paths:
         df, _ = read_version_chain(spark, base_dir, version)
         return df.filter(F.lit(False)), total, 0
-    return spark.read.parquet(*paths).filter(pred), total, len(paths)
+    schema = _chain_merged_schema(chain)
+    return (
+        spark.read.schema(schema).parquet(*paths).filter(pred),
+        total,
+        len(paths),
+    )
 
 
 def compact_chain(
@@ -851,6 +888,80 @@ def compact_chain(
     return v
 
 
+def _manifest_schema(m: dict):
+    """StructType recorded in a manifest: `schema_json` (exact, written
+    by this code) preferred; older manifests fall back to parsing the
+    human-readable `schema` simpleString (struct<name:type,...> is valid
+    DDL). Control-plane only — never touches a data file."""
+    import json as _json
+
+    from pyspark.sql.types import DataType, StructType
+
+    if "schema_json" in m:
+        return StructType.fromJson(_json.loads(m["schema_json"]))
+    return DataType.fromDDL(m["schema"])
+
+
+def _check_additive_evolution(parent, child) -> list[str]:
+    """Validate that `child` schema is an ADDITIVE evolution of
+    `parent`: every parent column present in child with the identical
+    type (nullability aside — parquet NULL-backfill makes everything
+    nullable on read anyway). Returns the list of columns child adds.
+    Raises ValueError on a dropped column or a type change — those are
+    rewrites (compaction commits), never appends."""
+    child_types = {f.name: f.dataType for f in child.fields}
+    problems = []
+    for f in parent.fields:
+        if f.name not in child_types:
+            problems.append(f"column {f.name!r} dropped")
+        elif child_types[f.name] != f.dataType:
+            problems.append(
+                f"column {f.name!r} type changed "
+                f"{f.dataType.simpleString()} -> "
+                f"{child_types[f.name].simpleString()}"
+            )
+    if problems:
+        raise ValueError(
+            "non-additive schema evolution on append chain: "
+            + "; ".join(problems)
+        )
+    parent_names = {f.name for f in parent.fields}
+    return [f.name for f in child.fields if f.name not in parent_names]
+
+
+def _chain_merged_schema(chain):
+    """Union schema of an append chain from its MANIFESTS (newest
+    first): validates that each column name carries exactly one type
+    across every segment, then returns a StructType in head-segment
+    column order with any pre-evolution-only columns appended. All
+    fields are forced nullable — pre-evolution segments NULL-backfill
+    evolved columns. O(chain) driver work, zero data/footer I/O: this is
+    why chain reads stay control-plane-cheap at 100 TB (a mergeSchema
+    footer merge would be O(files) tasks instead)."""
+    from pyspark.sql.types import StructField, StructType
+
+    head = _manifest_schema(chain[0])
+    types = {f.name: f.dataType for f in head.fields}
+    order = [f.name for f in head.fields]
+    for m in chain[1:]:
+        for f in _manifest_schema(m).fields:
+            if f.name in types:
+                if types[f.name] != f.dataType:
+                    raise ValueError(
+                        f"append chain segment v={m['version']} has "
+                        f"column {f.name!r} as "
+                        f"{f.dataType.simpleString()} but the chain head "
+                        f"has {types[f.name].simpleString()} — type "
+                        "changes require a compaction rewrite"
+                    )
+            else:
+                types[f.name] = f.dataType
+                order.append(f.name)
+    return StructType(
+        [StructField(n, types[n], True) for n in order]
+    )
+
+
 def _resolve_chain(spark: SparkSession, base: str, version: int | None):
     """Manifest chain for a version (newest first): follow `parent`
     links until a full snapshot (no `append` flag / no parent). O(chain)
@@ -877,11 +988,20 @@ def read_version_chain(
 ):
     """Read a snapshot that may be the head of an append chain: the
     union of every segment back to the last full publish. Returns
-    (DataFrame, list of manifests newest-first)."""
+    (DataFrame, list of manifests newest-first).
+
+    The read schema is PINNED from the manifests (`_chain_merged_schema`)
+    rather than inferred from file footers: on a schema-evolved chain
+    (publish_append evolve="additive") pre-evolution segments come back
+    with NULL for the added columns, type drift across segments fails
+    loudly at plan time, and — unlike option("mergeSchema") — no footer
+    merge job runs: schema resolution is O(chain) manifest reads on the
+    driver."""
     base = base_dir.rstrip("/")
     chain = _resolve_chain(spark, base, version)
     paths = [f"{base}/v={m['version']}" for m in chain]
-    return spark.read.parquet(*paths), chain
+    schema = _chain_merged_schema(chain)
+    return spark.read.schema(schema).parquet(*paths), chain
 
 
 def read_chain_pruned(
@@ -922,7 +1042,12 @@ def read_chain_pruned(
     if not paths:
         df, _ = read_version_chain(spark, base_dir, version)
         return df.filter(F.lit(False)), total, 0
-    return spark.read.parquet(*paths).filter(pred), total, len(paths)
+    schema = _chain_merged_schema(chain)
+    return (
+        spark.read.schema(schema).parquet(*paths).filter(pred),
+        total,
+        len(paths),
+    )
 
 
 def lakefs_list_parquet(spark: SparkSession, vdir: str) -> list[str]:

@@ -1,0 +1,162 @@
+"""Additive schema evolution on the versioned append chain
+(pipelines.publish_append evolve="additive" + manifest-pinned chain
+reads):
+
+- an append that adds a column is rejected under the default pinned
+  schema and accepted under evolve="additive";
+- chain reads NULL-backfill the added column for pre-evolution
+  segments, with the schema derived from MANIFESTS (no footer merge);
+- type changes and dropped columns are always rejected — appends never
+  rewrite;
+- snapshot diff, compaction, data-skipping reads, and indexed point
+  lookups all survive the evolution boundary.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from novelti_dingo_spark.pipelines import (
+    build_file_index,
+    compact_chain,
+    diff_snapshots,
+    publish_append,
+    publish_versioned,
+    read_chain_pruned,
+    read_point_lookup_chain,
+    read_version_chain,
+)
+from novelti_dingo_spark.sources.io import load_table
+
+
+def _evolved_chain(spark, sf_small, tmp_path):
+    """Two-schema chain: v1 = even orderkeys (base columns), v2 appends
+    odd orderkeys carrying an extra `o_band` column."""
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = str(tmp_path / "lake")
+    old = o.filter(F.col("o_orderkey") % 2 == 0)
+    new = o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_band",
+        F.when(F.col("o_totalprice") >= 150000, F.lit("high")).otherwise(
+            F.lit("low")
+        ),
+    )
+    v1 = publish_versioned(
+        old.repartitionByRange(4, "o_orderkey"), base,
+        stats_cols=["o_orderkey"],
+    )
+    v2 = publish_append(
+        new.repartitionByRange(4, "o_orderkey"), base,
+        stats_cols=["o_orderkey"], evolve="additive",
+    )
+    return base, old, new, v1, v2
+
+
+def test_append_schema_pinned_by_default(spark, sf_small, tmp_path):
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = str(tmp_path / "lake")
+    publish_versioned(o, base)
+    widened = o.withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="evolve='additive'"):
+        publish_append(widened, base)
+
+
+def test_type_change_and_drop_always_rejected(spark, sf_small, tmp_path):
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = str(tmp_path / "lake")
+    publish_versioned(o, base)
+    retyped = o.withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("float")
+    )
+    with pytest.raises(ValueError, match="type changed"):
+        publish_append(retyped, base, evolve="additive")
+    with pytest.raises(ValueError, match="dropped"):
+        publish_append(o.drop("o_totalprice"), base, evolve="additive")
+
+
+def test_chain_read_null_backfills_added_column(
+    spark, sf_small, tmp_path
+):
+    base, old, new, v1, v2 = _evolved_chain(spark, sf_small, tmp_path)
+    df, chain = read_version_chain(spark, base)
+    assert df.columns == [
+        "o_orderkey", "o_custkey", "o_totalprice", "o_band",
+    ]
+    assert chain[0].get("added_columns") == ["o_band"]
+    n_old, n_new = old.count(), new.count()
+    assert df.count() == n_old + n_new
+    # every pre-evolution row reads NULL, every new row reads a value
+    assert df.filter(F.col("o_band").isNull()).count() == n_old
+    nulls_even = df.filter(
+        (F.col("o_orderkey") % 2 == 0) & F.col("o_band").isNotNull()
+    ).count()
+    assert nulls_even == 0
+    # pinned v1 read keeps the original 3-column schema
+    df1, _ = read_version_chain(spark, base, v1)
+    assert df1.columns == ["o_orderkey", "o_custkey", "o_totalprice"]
+
+
+def test_diff_across_evolution_boundary(spark, sf_small, tmp_path):
+    base, old, new, v1, v2 = _evolved_chain(spark, sf_small, tmp_path)
+    pre, _ = read_version_chain(spark, base, v1)
+    post, _ = read_version_chain(spark, base, v2)
+    diff = diff_snapshots(pre, post, ["o_orderkey"])
+    ops = {r.op for r in diff.collect()}
+    # only the appended keys surface, all as inserts — the added column
+    # does not mark pre-existing rows updated
+    assert ops == {"insert"}
+    assert diff.count() == new.count()
+
+
+def test_pruned_read_and_compact_across_boundary(
+    spark, sf_small, tmp_path
+):
+    base, old, new, v1, v2 = _evolved_chain(spark, sf_small, tmp_path)
+    lo, hi = 100, 900
+    df, total, read = read_chain_pruned(spark, base, "o_orderkey", lo, hi)
+    assert read < total  # skipping engaged across both segments
+    expect = (
+        old.filter(F.col("o_orderkey").between(lo, hi)).count()
+        + new.filter(F.col("o_orderkey").between(lo, hi)).count()
+    )
+    assert df.count() == expect
+    assert "o_band" in df.columns
+    # compaction republishes ONE full snapshot with the merged schema
+    v3 = compact_chain(
+        spark, base, stats_cols=["o_orderkey"], cluster_by="o_orderkey"
+    )
+    df3, chain3 = read_version_chain(spark, base)
+    assert [m["version"] for m in chain3] == [v3]
+    assert df3.columns == [
+        "o_orderkey", "o_custkey", "o_totalprice", "o_band",
+    ]
+    assert df3.count() == old.count() + new.count()
+    assert df3.filter(F.col("o_band").isNull()).count() == old.count()
+
+
+def test_point_lookup_across_boundary(spark, sf_small, tmp_path):
+    base, old, new, v1, v2 = _evolved_chain(spark, sf_small, tmp_path)
+    build_file_index(spark, base, "o_custkey", version=v1)
+    build_file_index(spark, base, "o_custkey", version=v2)
+    key = old.select("o_custkey").head()[0]
+    df, total, read = read_point_lookup_chain(
+        spark, base, "o_custkey", key
+    )
+    expect = (
+        old.filter(F.col("o_custkey") == key).count()
+        + new.filter(F.col("o_custkey") == key).count()
+    )
+    assert df.count() == expect
+    assert read <= total
+    assert "o_band" in df.columns
+    # lookup ON the evolved column: pre-evolution segments read NULL and
+    # can never match — no index there, conservative scan still correct
+    dfe, _, _ = read_point_lookup_chain(spark, base, "o_band", "high")
+    assert dfe.count() == new.filter(F.col("o_band") == "high").count()
