@@ -1225,6 +1225,87 @@ def lake_schema_evolution_chain(
 
 
 @register(
+    "lake_bucketed_mart_join",
+    """
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS revenue,
+           count(DISTINCT o.o_orderkey) AS n_orders
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+    survey_rows="S5,J1,A1",
+)
+def lake_bucketed_mart_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located published-data join at the correctness gate: orders
+    and lineitem marts are published ONCE per (tmpdir, sf) hash-bucketed
+    on the orderkey (pipelines.publish_bucketed — 8 co-numbered sorted
+    buckets each), and this query joins them back THROUGH the bucketed
+    read path (read_bucketed): the fact-to-fact join plans a
+    SortMergeJoin with ZERO `Exchange hashpartitioning`
+    (tests/test_lake_bucketed.py pins the plan; tools/audit_plans.py
+    audits this query's no-shuffle-join property).
+
+    At 100 TB this is the amortization that matters most: the mart's
+    dominant join key is shuffled exactly once — at publish — and every
+    recurring downstream join/agg on that key (this query runs daily in
+    any revenue pipeline) reads co-located buckets. The oracle joins the
+    ORIGINAL unbucketed parquet: the hash match proves layout changed
+    nothing but the shuffle count."""
+    import tempfile
+
+    from ..pipelines import publish_bucketed, read_bucketed
+    from ..sources import lakefs
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag
+    )
+    ob, lb = f"{root}/mart_orders_b", f"{root}/mart_lineitem_b"
+    if not lakefs.exists(spark, f"{ob}/LATEST"):
+        publish_bucketed(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            ob,
+            f"mart_orders_{tag}",
+            "o_orderkey",
+            8,
+        )
+        publish_bucketed(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            lb,
+            f"mart_lineitem_{tag}",
+            "l_orderkey",
+            8,
+        )
+    od, _ = read_bucketed(spark, ob)
+    ld, _ = read_bucketed(spark, lb)
+    return (
+        ld.hint("merge")
+        .join(
+            od.hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
     "dq_referential_integrity",
     """
     SELECT 'lineitem_fk_orders' AS check_name,

@@ -706,6 +706,121 @@ def publish_append(
     return version
 
 
+def publish_bucketed(
+    df: DataFrame,
+    base_dir: str,
+    table: str,
+    key: str,
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    meta: dict | None = None,
+) -> int:
+    """Versioned publish with a BUCKETED layout: the data lands in
+    `base_dir/v=N/` hash-bucketed (and bucket-sorted) on `key`, and the
+    manifest records the bucket spec alongside the schema. Two datasets
+    published with the same `key` domain and bucket count join
+    co-located: the dominant shuffle of every recurring published-data
+    join (fact-to-fact on the mart key) is paid ONCE at publish time,
+    then every downstream join/agg on that key runs with zero
+    `Exchange hashpartitioning` (SortMergeJoin over pre-sorted buckets —
+    tests/test_lake_bucketed.py pins the plan).
+
+    Spark's bucket metadata lives in a catalog, not in parquet footers,
+    so the publish writes through `saveAsTable` with an explicit
+    external `path`; `read_bucketed` re-declares the table from the
+    manifest (`CREATE TABLE ... CLUSTERED BY ... LOCATION`) when the
+    session catalog doesn't know it yet — the layout is therefore
+    durable in the lake, not hostage to one metastore's lifetime.
+
+    At 100 TB pick `n_buckets` so one bucket of the larger side fits an
+    executor core's working set (thousands of buckets, not 8); both
+    sides of a recurring join MUST agree on the count or Spark falls
+    back to shuffling the mismatched side."""
+    import json
+
+    from .sources import lakefs
+
+    spark = df.sparkSession
+    lakefs.mkdirs(spark, base_dir)
+    base = base_dir.rstrip("/")
+    existing = [
+        int(name.split("=")[1])
+        for name in lakefs.listdir(spark, base)
+        if name.startswith("v=") and name.split("=")[1].isdigit()
+    ]
+    version = max(existing, default=0) + 1
+    out = f"{base}/v={version}"
+    tbl = f"{table}_v{version}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    from pyspark.sql import Observation
+
+    obs = Observation(f"bucketed_v{version}")
+    (
+        df.observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("errorifexists")
+        .bucketBy(n_buckets, key)
+        .sortBy(*(sort_cols or [key]))
+        .option("path", out)
+        .saveAsTable(tbl)
+    )
+    from datetime import datetime, timezone
+
+    manifest = {
+        "version": version,
+        "rows": int(obs.get["n"]),
+        "schema": df.schema.simpleString(),
+        "schema_json": df.schema.json(),
+        "table": tbl,
+        "bucket": {
+            "key": key,
+            "n_buckets": n_buckets,
+            "sort_cols": sort_cols or [key],
+        },
+        "published_ts": datetime.now(timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%S.%fZ"
+        ),
+        **(meta or {}),
+    }
+    lakefs.write_text(spark, f"{out}/_manifest.json", json.dumps(manifest))
+    lakefs.replace_text(spark, f"{base}/LATEST", str(version))
+    return version
+
+
+def read_bucketed(
+    spark: SparkSession, base_dir: str, version: int | None = None
+):
+    """Read a `publish_bucketed` version WITH its bucket layout intact:
+    resolves the manifest, and when the session catalog has no entry for
+    the recorded table (fresh JVM / different metastore), re-declares an
+    external bucketed table over the version directory from the
+    manifest's schema + bucket spec — bucket-aware planning (no Exchange
+    on the bucket key) is restored from lake metadata alone. Returns
+    (DataFrame, manifest)."""
+    import json
+
+    from .sources import lakefs
+
+    base = base_dir.rstrip("/")
+    if version is None:
+        version = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
+    out = f"{base}/v={version}"
+    manifest = json.loads(lakefs.read_text(spark, f"{out}/_manifest.json"))
+    tbl = manifest["table"]
+    if not spark.catalog.tableExists(tbl):
+        schema = _manifest_schema(manifest)
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        b = manifest["bucket"]
+        sort = ", ".join(f"`{c}`" for c in b["sort_cols"])
+        spark.sql(
+            f"CREATE TABLE {tbl} ({cols}) USING parquet "
+            f"CLUSTERED BY (`{b['key']}`) SORTED BY ({sort}) "
+            f"INTO {b['n_buckets']} BUCKETS LOCATION '{out}'"
+        )
+    return spark.table(tbl), manifest
+
+
 def build_file_index(
     spark: SparkSession,
     base_dir: str,

@@ -360,6 +360,26 @@ EXPECT = {
     # mixture solver: |langs| rollup two-phase, 1-row total broadcast
     "mixture_weights_uniform": {"partial_agg": True, "no_python_udf": True,
                                 "max_scan_cols": 2},
+    # round-5 lake queries
+    # evolved chain read: manifest-pinned schema, two-phase grouped agg
+    "lake_schema_evolution_chain": {"partial_agg": True,
+                                    "no_python_udf": True},
+    # bucketed mart join: co-located SMJ, ZERO shuffle on the join key —
+    # the publish paid the Exchange once; recurring joins never do
+    "lake_bucketed_mart_join": {"sort_merge_join": True,
+                                "no_shuffle_join": ["l_orderkey",
+                                                    "o_orderkey"],
+                                "partial_agg": True,
+                                "no_python_udf": True},
+    # incremental rollup maintenance: delta-sized aggs merged into the
+    # published rollup — two-phase, no raw-row singlepart funnel
+    "rollup_incremental_maintenance": {"partial_agg": True,
+                                       "no_python_udf": True},
+    # SCD2 history build: pure window ops — one hash partitioning on
+    # o_custkey reused by the lag-change scan and the lead endpoint
+    "scd2_priority_history": {"single_shuffle": True,
+                              "no_python_udf": True,
+                              "pushed_filters": True},
 }
 
 
@@ -437,6 +457,18 @@ def audit(name: str, plan: str) -> list[str]:
             r"(Hash|Sort|ObjectHash)Aggregate.*partial", plan, re.I | re.S
         ):
             problems.append("no partial (map-side) aggregation")
+    if exp.get("sort_merge_join") and "SortMergeJoin" not in plan:
+        problems.append("expected SortMergeJoin (bucketed co-located join)")
+    for key in exp.get("no_shuffle_join", []):
+        # bucketed co-location: the JOIN key must never be shuffled
+        # (the post-join group-key exchange is expected and tiny)
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            if key in m.group(1):
+                problems.append(
+                    f"Exchange hashpartitioning on bucketed join key "
+                    f"{key!r} — co-location lost"
+                )
+                break
     if exp.get("hash_join_not_nlj"):
         if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
             problems.append("theta join degenerated to nested-loop/cartesian")
