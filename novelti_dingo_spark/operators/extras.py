@@ -1306,6 +1306,81 @@ def lake_bucketed_mart_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_cbo_star_join",
+    """
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0) t
+      ON t.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+    survey_rows="S5,J1,J4,A1",
+)
+def stats_cbo_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published NDV statistics DRIVING the join plan at the correctness
+    gate: fact (orders) and two dims are published ONCE per (tmpdir, sf)
+    with ndv_cols stats (free with the write via Observation), and the
+    star join runs through plans.stats_cbo.plan_star_join — the
+    manifest stats reorder the declared-pessimal dim order so the
+    ~10%-covering dim joins first (containment estimate
+    ndv_dim/max(ndv_fact, ndv_dim)), and both dims broadcast because
+    their rows x row-width estimate fits the budget. The oracle joins
+    the ORIGINAL tables in declared order: the hash match proves the
+    reorder is a pure cost decision.
+
+    This closes the stats-are-write-only gap: at 100 TB the decision
+    uses a few hundred bytes of manifest JSON on the driver (the
+    Iceberg/Trino connector-stats pattern) where ANALYZE TABLE would
+    re-scan the table and raw file sizes mis-estimate broadcastability
+    in both directions (tests/test_stats_cbo.py pins the with/without
+    plan difference under autoBroadcastJoinThreshold=-1)."""
+    import tempfile
+
+    from ..pipelines import publish_versioned, read_version
+    from ..plans import DimSpec, plan_star_join
+    from ..sources import lakefs
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "cbo"
+    )
+    if not lakefs.exists(spark, f"{root}/fact/LATEST"):
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        c = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        publish_versioned(o, f"{root}/fact", ndv_cols=["o_custkey"])
+        publish_versioned(c, f"{root}/dim_all", ndv_cols=["c_custkey"])
+        publish_versioned(
+            c.filter(F.col("c_custkey") % 10 == 0).select(
+                F.col("c_custkey").alias("t_custkey")
+            ),
+            f"{root}/dim_tenth",
+            ndv_cols=["t_custkey"],
+        )
+    fact, fm = read_version(spark, f"{root}/fact")
+    d_all, am = read_version(spark, f"{root}/dim_all")
+    d_tenth, tm = read_version(spark, f"{root}/dim_tenth")
+    joined, _plan = plan_star_join(
+        fact,
+        fm,
+        [  # declared order is pessimal on purpose — stats fix it
+            DimSpec("dim_all", d_all, am, "o_custkey", "c_custkey"),
+            DimSpec("dim_tenth", d_tenth, tm, "o_custkey", "t_custkey"),
+        ],
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
     "dq_referential_integrity",
     """
     SELECT 'lineitem_fk_orders' AS check_name,

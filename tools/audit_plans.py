@@ -380,6 +380,10 @@ EXPECT = {
     "scd2_priority_history": {"single_shuffle": True,
                               "no_python_udf": True,
                               "pushed_filters": True},
+    # manifest-NDV CBO: both dims broadcast by the stats-driven planner
+    # (rows x width fits budget), grouped agg two-phase
+    "stats_cbo_star_join": {"broadcast_joins": 2, "partial_agg": True,
+                            "no_python_udf": True},
 }
 
 
