@@ -1,0 +1,204 @@
+"""Streaming source over the versioned lake with DATA SKIPPING: tails
+an append chain (pipelines.publish_append) version by version and
+prunes each new segment's files by the per-file min/max stats recorded
+in its manifest BEFORE any row is ingested — the stream-side twin of
+`read_chain_pruned` (SURVEY.md §8 round-5 item: the batch path pruned,
+the streaming source did not).
+
+Built on the Python DataSource API's SimpleDataSourceStreamReader: the
+offset is simply the newest PROCESSED version number, so replay is
+deterministic for free — versions are immutable, `readBetweenOffsets`
+re-reads exactly the segments in (start, end], giving exactly-once
+output across crash/restart with no source-side buffering (same
+replayable-cursor shape as sources/synthetic.py). Compaction commits
+(manifests carrying `compacted_from`) are skipped: their rows were
+already emitted as the segments they rewrote, so a compaction never
+re-floods the stream.
+
+At 100 TB the pruning decision is O(files-in-new-segment) driver-side
+manifest JSON per micro-batch — files whose [min, max] cannot
+intersect the configured range are never opened, so a stream consumer
+interested in one key range pays for the answer, not the append
+volume. Row-level residual filtering still applies (a surviving file
+can hold out-of-range rows).
+
+Local note: reads go through pyarrow on the driver (the
+SimpleDataSourceStreamReader contract prefetches there), which bounds
+per-batch volume — right for control-plane-sized tails (the pruned
+range), not full-table replication; for the latter use the batch
+chain readers per micro-batch (streaming/cdc.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.types import StructType
+
+
+def _read_manifest(base: str, version: int) -> dict:
+    with open(os.path.join(base, f"v={version}", "_manifest.json")) as f:
+        return json.load(f)
+
+
+def _latest(base: str) -> int:
+    with open(os.path.join(base, "LATEST")) as f:
+        return int(f.read().strip())
+
+
+def _manifest_schema(m: dict) -> StructType:
+    return StructType.fromJson(json.loads(m["schema_json"]))
+
+
+def _segment_files(base: str, version: int) -> list[str]:
+    vdir = os.path.join(base, f"v={version}")
+    return sorted(
+        n
+        for n in os.listdir(vdir)
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    )
+
+
+class LakeChainStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options, schema: StructType):
+        # the stream's schema is FIXED at query start (the head
+        # segment's manifest schema): pre-evolution segments NULL-pad
+        # missing columns, later-evolved extras are dropped — replay of
+        # any offset interval emits identical tuples
+        self.schema_names = [f.name for f in schema.fields]
+        self.base = options["path"].rstrip("/")
+        self.col = options.get("col")
+        self.lo = options.get("lo")
+        self.hi = options.get("hi")
+        self.prune_log = options.get("prune_log")
+        # stats min/max compare as the column's Python type; options
+        # arrive as strings — coerce numerics when they parse
+        for attr in ("lo", "hi"):
+            v = getattr(self, attr)
+            if v is not None:
+                try:
+                    setattr(self, attr, int(v))
+                except ValueError:
+                    try:
+                        setattr(self, attr, float(v))
+                    except ValueError:
+                        pass
+
+    def initialOffset(self) -> dict:
+        return {"version": 0}
+
+    def read(self, start: dict):
+        head = _latest(self.base)
+        return self._emit(start["version"], head), {"version": head}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._emit(start["version"], end["version"])
+
+    def _emit(self, after: int, upto: int):
+        rows: list[tuple] = []
+        n_total = n_read = 0
+        for v in range(after + 1, upto + 1):
+            m = _read_manifest(self.base, v)
+            if "compacted_from" in m:
+                # rewrite commit: rows already emitted as the segments
+                continue
+            files = _segment_files(self.base, v)
+            n_total += len(files)
+            keep = self._prune(m, files)
+            n_read += len(keep)
+            rows.extend(self._read_files(m, v, keep))
+        if self.prune_log:
+            self._log_prune(n_total, n_read)
+        return rows
+
+    def _prune(self, m: dict, files: list[str]) -> list[str]:
+        if self.col is None:
+            return files
+        fs = m.get("file_stats")
+        if not fs or self.col not in fs.get("columns", []):
+            return files  # no stats: conservative, read everything
+        by_name = {f["name"]: f for f in fs["files"]}
+        keep = []
+        for name in files:
+            st = by_name.get(name)
+            if st is None:
+                keep.append(name)
+                continue
+            fmin = st["min"].get(self.col)
+            fmax = st["max"].get(self.col)
+            if fmin is None or fmax is None:
+                keep.append(name)
+            elif (self.hi is None or fmin <= self.hi) and (
+                self.lo is None or fmax >= self.lo
+            ):
+                keep.append(name)
+        return keep
+
+    def _read_files(self, m: dict, version: int, files: list[str]):
+        import pyarrow.parquet as pq
+
+        seg_names = {f.name for f in _manifest_schema(m).fields}
+        present = [n for n in self.schema_names if n in seg_names]
+        out = []
+        vdir = os.path.join(self.base, f"v={version}")
+        idx = (
+            self.schema_names.index(self.col)
+            if self.col in self.schema_names
+            else None
+        )
+        for name in files:
+            t = pq.read_table(os.path.join(vdir, name), columns=present)
+            by_name = {n: t.column(n).to_pylist() for n in present}
+            n_rows = t.num_rows
+            cols = [
+                by_name.get(n, [None] * n_rows) for n in self.schema_names
+            ]
+            for tup in zip(*cols):
+                if idx is not None:
+                    val = tup[idx]
+                    if val is None:
+                        continue
+                    if self.lo is not None and val < self.lo:
+                        continue
+                    if self.hi is not None and val > self.hi:
+                        continue
+                out.append(tup)
+        return out
+
+    def _log_prune(self, n_total: int, n_read: int) -> None:
+        """Cumulative pruning evidence for tests/monitoring (driver-side
+        control file, same underscore convention as the manifests)."""
+        totals = {"files_total": 0, "files_read": 0}
+        if os.path.exists(self.prune_log):
+            with open(self.prune_log) as f:
+                totals = json.load(f)
+        totals["files_total"] += n_total
+        totals["files_read"] += n_read
+        with open(self.prune_log, "w") as f:
+            json.dump(totals, f)
+
+
+class LakeChainStreamSource(DataSource):
+    """`spark.readStream.format("lake_chain").option("path", base)
+    .option("col", k).option("lo", a).option("hi", b)` — pruned tail of
+    a versioned append chain."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lake_chain"
+
+    def schema(self) -> StructType:
+        base = self.options["path"].rstrip("/")
+        head = _read_manifest(base, _latest(base))
+        # evolution-safe: emit the HEAD segment's schema; older
+        # segments NULL-backfill missing columns at emission
+        return _manifest_schema(head)
+
+    def simpleStreamReader(self, schema: StructType):
+        return LakeChainStreamReader(self.options, schema)
+
+
+def register_lake_stream_source(spark) -> None:
+    """Idempotently register the connector on a session."""
+    spark.dataSource.register(LakeChainStreamSource)

@@ -1,0 +1,155 @@
+"""Stream-side data skipping (sources/lake_stream.py): a streaming
+source that tails the versioned append chain and prunes each new
+segment's files by manifest min/max stats BEFORE ingestion — pruned
+file count < total while stream results ≡ batch results, exactly-once
+across restarts, compactions never re-emitted.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from novelti_dingo_spark.pipelines import (
+    publish_append,
+    publish_versioned,
+    read_chain_pruned,
+)
+from novelti_dingo_spark.sources.io import load_table
+from novelti_dingo_spark.sources.lake_stream import (
+    register_lake_stream_source,
+)
+
+LO, HI = 600, 900
+
+
+def _publish(spark, sf_small, base):
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    a = o.filter(F.col("o_orderkey") % 3 == 0)
+    b = o.filter(F.col("o_orderkey") % 3 == 1)
+    c = o.filter(F.col("o_orderkey") % 3 == 2)
+    publish_versioned(
+        a.repartitionByRange(4, "o_orderkey"), base,
+        stats_cols=["o_orderkey"],
+    )
+    publish_append(
+        b.repartitionByRange(4, "o_orderkey"), base,
+        stats_cols=["o_orderkey"],
+    )
+    return o, a, b, c
+
+
+def _run_stream(spark, base, ckpt, sink_dir, prune_log):
+    """Parquet sink: unlike the memory sink it supports checkpoint
+    recovery, which the restart tests exercise."""
+    q = (
+        spark.readStream.format("lake_chain")
+        .option("path", base)
+        .option("col", "o_orderkey")
+        .option("lo", str(LO))
+        .option("hi", str(HI))
+        .option("prune_log", prune_log)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _sink_rows(spark, sink_dir):
+    return {
+        (r.o_orderkey, r.o_custkey, r.o_totalprice)
+        for r in spark.read.parquet(sink_dir).collect()
+    }
+
+
+def test_stream_prunes_and_matches_batch(spark, sf_small, tmp_path):
+    base = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    log = str(tmp_path / "prune.json")
+    o, a, b, c = _publish(spark, sf_small, base)
+    register_lake_stream_source(spark)
+    _run_stream(spark, base, ckpt, sink, log)
+    got = _sink_rows(spark, sink)
+    batch_df, n_total, n_read = read_chain_pruned(
+        spark, base, "o_orderkey", LO, HI
+    )
+    want = {
+        (r.o_orderkey, r.o_custkey, r.o_totalprice)
+        for r in batch_df.collect()
+    }
+    assert got == want and len(got) > 0  # stream ≡ batch
+    with open(log) as f:
+        counts = json.load(f)
+    assert counts["files_read"] < counts["files_total"]  # skipping real
+    assert counts["files_read"] > 0
+
+
+def test_stream_restart_tails_only_new_segments(
+    spark, sf_small, tmp_path
+):
+    base = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    log = str(tmp_path / "prune.json")
+    o, a, b, c = _publish(spark, sf_small, base)
+    register_lake_stream_source(spark)
+    _run_stream(spark, base, ckpt, sink, log)
+    first = _sink_rows(spark, sink)
+    assert len(first) > 0
+    # new append lands; restart from the same checkpoint
+    publish_append(
+        c.repartitionByRange(4, "o_orderkey"), base,
+        stats_cols=["o_orderkey"],
+    )
+    _run_stream(spark, base, ckpt, sink, log)
+    after = _sink_rows(spark, sink)
+    new = after - first
+    expect_new = {
+        (r.o_orderkey, r.o_custkey, r.o_totalprice)
+        for r in c.filter(
+            F.col("o_orderkey").between(LO, HI)
+        ).collect()
+    }
+    # only the new segment's rows arrive — versions 1-2 are behind the
+    # committed offset, never re-read (exactly-once tail)
+    assert new == expect_new
+    assert first < after and len(after) == len(first) + len(new)
+
+
+def test_compaction_not_reemitted(spark, sf_small, tmp_path):
+    from novelti_dingo_spark.pipelines import compact_chain
+
+    base = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    log = str(tmp_path / "p.json")
+    o, a, b, c = _publish(spark, sf_small, base)
+    register_lake_stream_source(spark)
+    _run_stream(spark, base, ckpt, sink, log)
+    first = _sink_rows(spark, sink)
+    compact_chain(spark, base, stats_cols=["o_orderkey"])
+    _run_stream(spark, base, ckpt, sink, log)
+    # the compaction rewrote rows already emitted: nothing new arrives
+    assert _sink_rows(spark, sink) == first
+    # but a genuinely new append after the compaction flows through
+    publish_append(
+        c.repartitionByRange(2, "o_orderkey"), base,
+        stats_cols=["o_orderkey"],
+    )
+    _run_stream(spark, base, ckpt, sink, log)
+    new = _sink_rows(spark, sink) - first
+    assert new == {
+        (r.o_orderkey, r.o_custkey, r.o_totalprice)
+        for r in c.filter(
+            F.col("o_orderkey").between(LO, HI)
+        ).collect()
+    }
