@@ -145,3 +145,76 @@ def interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_id", "click_id", "user_id", "purchase_ts_us", "click_ts_us"
         )
     )
+
+
+@register(
+    "interval_join_pairs_outer",
+    """
+    SELECT p.event_id                       AS purchase_id,
+           coalesce(c.event_id, -1)         AS click_id,
+           p.user_id,
+           epoch_us(p.ts)                   AS purchase_ts_us,
+           coalesce(epoch_us(c.ts), -1)     AS click_ts_us
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)
+    WHERE p.event_type = 'purchase'
+    """,
+    survey_rows="J8,ST9,J2",
+)
+def interval_join_pairs_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/ST9 left-outer: every purchase, paired with each same-user
+    click in the preceding hour OR null-extended (click_id = -1) when
+    none exists — the batch twin of the watermarked LEFT OUTER
+    stream-stream join (streaming/events.py purchases_with_recent_click
+    how="left_outer"), where the null-extended rows are exactly what the
+    streaming engine emits on watermark expiry.
+
+    Shape: the binned inner join (2-bin explode on the probe side, never
+    a per-user cross product) produces the matched pairs; unmatched
+    purchases are recovered with a LEFT ANTI join on purchase_id against
+    the matched set — both legs share the purchase scan, and the anti
+    join shuffles only purchase ids. A binned LEFT join instead would
+    emit one null row PER PROBE BIN (2x duplicates); inner+anti is the
+    correct and cheaper decomposition at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("click_ts_us"),
+        F.expr(f"unix_micros(ts) div {_WINDOW_US}").alias("bin"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.expr(f"unix_micros(ts) div {_WINDOW_US}").alias("p_bin"),
+    )
+    probes = purchases.withColumn(
+        "bin", F.explode(F.array(F.col("p_bin") - 1, F.col("p_bin")))
+    ).drop("p_bin")
+    matched = (
+        probes.join(clicks, on=["user_id", "bin"], how="inner")
+        .filter(
+            (F.col("click_ts_us") >= F.col("purchase_ts_us") - F.lit(_WINDOW_US))
+            & (F.col("click_ts_us") <= F.col("purchase_ts_us"))
+        )
+        .select(
+            "purchase_id", "click_id", "user_id", "purchase_ts_us", "click_ts_us"
+        )
+    )
+    unmatched = (
+        purchases.join(
+            matched.select("purchase_id"), on="purchase_id", how="left_anti"
+        )
+        .select(
+            "purchase_id",
+            F.lit(-1).cast("long").alias("click_id"),
+            "user_id",
+            "purchase_ts_us",
+            F.lit(-1).cast("long").alias("click_ts_us"),
+        )
+    )
+    return matched.unionByName(unmatched)

@@ -156,13 +156,25 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
 
 
 def purchases_with_recent_click(
-    events: DataFrame, horizon: str = "2 hours"
+    events: DataFrame, horizon: str = "2 hours", how: str = "inner"
 ) -> DataFrame:
-    """Stream-stream inner join: purchases matched to clicks by the same
+    """Stream-stream join: purchases matched to clicks by the same
     user within the preceding `horizon`. Both sides carry watermarks so
     state is bounded — Spark buffers each side only until the watermark
     passes the join window (the canonical bounded-state stream join).
-    """
+
+    `how="left_outer"`: every purchase survives. A purchase with no
+    matching click is held in state until the WATERMARK passes its join
+    window — only then can the engine prove no matching click can still
+    arrive — and is emitted null-extended (click_id = -1, click_ts_us =
+    -1, matching the batch twin `interval_join_pairs_outer`'s
+    coalesce). The time-interval condition is what makes the outer join
+    legal in streaming: it bounds how long either side's state must
+    live, so the null-extension decision is reached in bounded memory
+    at any scale. Consequence to plan for: outer rows lag the data by
+    up to watermark + horizon, and purchases newer than the final
+    watermark stay unemitted until more data advances it
+    (tests/test_streaming.py pushes a sentinel event to flush)."""
     clicks = (
         events.filter(F.col("event_type") == "click")
         .select(
@@ -189,12 +201,15 @@ def purchases_with_recent_click(
                 AND click_ts <= purchase_ts
                 AND click_ts >= purchase_ts - INTERVAL {horizon}"""
         ),
+        how,
     ).select(
         "purchase_id",
         F.col("p_user").alias("user_id"),
         F.unix_micros("purchase_ts").alias("purchase_ts_us"),
-        "click_id",
-        F.unix_micros("click_ts").alias("click_ts_us"),
+        F.coalesce(F.col("click_id"), F.lit(-1)).alias("click_id"),
+        F.coalesce(F.unix_micros("click_ts"), F.lit(-1)).alias(
+            "click_ts_us"
+        ),
     )
 
 

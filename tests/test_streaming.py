@@ -670,3 +670,84 @@ def test_stateful_sessionize_matches_batch_closed_sessions(
                 r.sum_value,
             )
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_left_outer_join_matches_batch(spark, sf_small, tmp_path):
+    """ST9 left-outer: the watermarked LEFT OUTER stream-stream interval
+    join emits matched pairs in append mode AND null-extends every
+    unmatched purchase once the watermark passes its join window —
+    exactly the rows of the DuckDB-oracle-checked batch twin
+    `interval_join_pairs_outer`. The real events replay in two
+    time-ordered files; far-future sentinel batches then push the
+    watermark past every purchase so the outer state fully flushes
+    (without them, purchases near the stream's end would stay pending —
+    the documented emission lag of streaming outer joins).
+
+    Two sentinel subtleties, both measured here: (a) each watermark is
+    computed AFTER the event-type filter, so a sentinel must be a real
+    click AND a real purchase — any other type never reaches either
+    withWatermark and the joint watermark (min of the two sides) stays
+    put; (b) the watermark a batch advances takes effect a batch later,
+    so the flush needs multiple sentinel batches."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from novelti_dingo_spark.operators.interval import interval_join_pairs_outer
+    from novelti_dingo_spark.streaming.events import purchases_with_recent_click
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf = pq.read_table(f"{sf_small}/events.parquet").to_pandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf = pdf.sort_values("ts").reset_index(drop=True)
+    mid = len(pdf) // 2
+    SENTINEL_ID = 1_000_000_000
+
+    def sentinel(days, n):
+        s = pd.concat([pdf.iloc[[-1]]] * 2, ignore_index=True)
+        s["ts"] = s["ts"] + pd.Timedelta(days=days)
+        s["event_type"] = ["click", "purchase"]
+        s["event_id"] = [SENTINEL_ID + 2 * n, SENTINEL_ID + 2 * n + 1]
+        return s
+
+    parts = (
+        pdf.iloc[:mid],
+        pdf.iloc[mid:],
+        sentinel(30, 0),
+        sentinel(31, 1),
+        sentinel(32, 2),
+    )
+    for i, part in enumerate(parts, 1):
+        path = src / f"f{i}.parquet"
+        # the Timedelta addition silently promotes ts to ns — re-pin µs
+        # (the session reads parquet NANOS as long, clashing with the
+        # declared timestamp schema)
+        part.assign(ts=part["ts"].astype("datetime64[us]")).to_parquet(
+            path, index=False
+        )
+        os.utime(path, (1_900_000_000 + i * 1000,) * 2)
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = purchases_with_recent_click(ev, horizon="1 hour", how="left_outer")
+    name = streaming.run_to_memory(out, "t_ssjoin_outer", mode="append")
+    got = {
+        (r.purchase_id, r.click_id, r.user_id, r.purchase_ts_us, r.click_ts_us)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+        if r.purchase_id < SENTINEL_ID  # drop the sentinels' own rows
+    }
+    want = {
+        (r.purchase_id, r.click_id, r.user_id, r.purchase_ts_us, r.click_ts_us)
+        for r in interval_join_pairs_outer(spark, sf_small).collect()
+    }
+    assert got == want
+    outer_rows = {t for t in got if t[1] == -1}
+    assert outer_rows, "expected null-extended purchases in the result"
+    assert len(got) > len(outer_rows), "expected matched pairs too"
