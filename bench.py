@@ -10,7 +10,12 @@ DuckDB oracle SQL for each query on the same parquet — the `duckdb` and
 Prints exactly ONE JSON line.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32), BENCH_RUNS (default 5).
+     SPARK_GRAFT_CPUS (default 32), BENCH_RUNS (default 9).
+
+Round-4 verdict asked for n>=9 passes plus per-query IQR so that
+round-over-round deltas outrank noise on these overhead-dominated
+sub-100 ms measurements; `queries_iqr` / `duckdb_iqr` carry the
+inter-quartile range of the same samples the medians come from.
 """
 
 from __future__ import annotations
@@ -42,7 +47,7 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    runs = int(os.environ.get("BENCH_RUNS", "5"))
+    runs = int(os.environ.get("BENCH_RUNS", "9"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -117,6 +122,17 @@ def main() -> None:
         for n in HEADLINE
         if (n, "duckdb") in samples
     }
+
+    def _iqr(xs: list[float]) -> float:
+        qs = statistics.quantiles(xs, n=4, method="inclusive")
+        return round(qs[2] - qs[0], 4)
+
+    spark_iqr = {n: _iqr(samples[(n, "spark")]) for n in HEADLINE}
+    duck_iqr = {
+        n: _iqr(samples[(n, "duckdb")])
+        for n in HEADLINE
+        if (n, "duckdb") in samples
+    }
     total = round(sum(spark_t.values()), 4)
     duck_total = round(sum(duck_t.values()), 4)
     minus_floor = {
@@ -134,7 +150,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": spark_t,
+                "queries_iqr": spark_iqr,
                 "duckdb": duck_t,
+                "duckdb_iqr": duck_iqr,
                 "duckdb_total": duck_total,
                 "ratio": round(total / duck_total, 2) if duck_total else None,
                 "spark_job_floor": spark_floor,

@@ -509,6 +509,81 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kll_quantile_rollup",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS exact_median,
+           round(quantile_cont(value, 0.9), 6) AS exact_p90,
+           TRUE AS median_rank_ok, TRUE AS p90_rank_ok
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL_MERGED' AS event_type,
+           round(quantile_cont(value, 0.5), 6) AS exact_median,
+           round(quantile_cont(value, 0.9), 6) AS exact_p90,
+           TRUE AS median_rank_ok, TRUE AS p90_rank_ok
+    FROM events
+    """,
+    survey_rows="A3,sketch,ST12",
+)
+def kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-quantile rollup (Apache DataSketches KLL): hourly
+    per-event-type value sketches merged upward hour→type→global — the
+    missing half of the sketch story next to hll_sketch_rollup, and the
+    fix for the documented "medians don't chain across rollup levels"
+    caveat (timeseries.py multi-resolution rollup): a KLL blob per
+    rollup cell makes any coarser quantile a sketch UNION, never a
+    re-scan of raw values. Two merge levels run here (kll_merge_agg over
+    hourly sketches, then again over per-type sketches) to pin exactly
+    the chaining the caveat rules out for exact medians.
+
+    Witness design (same as the HLL row): each output row carries the
+    EXACT interpolated median/p90 (Spark `percentile` == DuckDB
+    `quantile_cont`, hash-checked) plus booleans asserting the sketch
+    estimate's true rank — measured by a second scan counting values ≤
+    the estimate — lands within 5% of the target rank (KLL k=200 bounds
+    rank error at ~1.65% w.h.p.; 5% absorbs compaction randomness).
+    Production keeps only the sketch blobs; the exact columns exist for
+    the oracle."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    # union-with-relabel gives the global row the same code path as the
+    # per-type rows (one grouped agg each for exact stats and ranks)
+    ev2 = ev.select("event_type", "value").unionByName(
+        ev.select(F.lit("ALL_MERGED").alias("event_type"), "value")
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("_hr")
+    ).agg(F.kll_sketch_agg_double("value").alias("sk"))
+    per_type = hourly.groupBy("event_type").agg(
+        F.kll_merge_agg_double("sk").alias("sk")
+    )
+    merged = per_type.agg(F.kll_merge_agg_double("sk").alias("sk")).select(
+        F.lit("ALL_MERGED").alias("event_type"), "sk"
+    )
+    targets = per_type.unionByName(merged).select(
+        "event_type",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("_a50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("_a90"),
+    )
+    stats = (
+        ev2.join(F.broadcast(targets), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", 0.5), 6).alias("exact_median"),
+            F.round(F.percentile("value", 0.9), 6).alias("exact_p90"),
+            F.avg((F.col("value") <= F.col("_a50")).cast("double")).alias("_r50"),
+            F.avg((F.col("value") <= F.col("_a90")).cast("double")).alias("_r90"),
+        )
+    )
+    return stats.select(
+        "event_type",
+        "exact_median",
+        "exact_p90",
+        (F.abs(F.col("_r50") - 0.5) <= 0.05).alias("median_rank_ok"),
+        (F.abs(F.col("_r90") - 0.9) <= 0.05).alias("p90_rank_ok"),
+    )
+
+
+@register(
     "scd2_priority_history",
     """
     WITH snaps AS (
