@@ -388,6 +388,10 @@ EXPECT = {
     # witness scan; hourly→type→global merges are two-phase aggs
     "kll_quantile_rollup": {"broadcast_joins": 1, "partial_agg": True,
                             "no_python_udf": True, "max_scan_cols": 3},
+    # theta set algebra: one user_id shuffle for the flag matrix; the
+    # 5-row sketch table and 3-row estimates broadcast onto the exact rows
+    "theta_setops_rollup": {"broadcast_joins": 3, "partial_agg": True,
+                            "no_python_udf": True, "max_scan_cols": 2},
 }
 
 
