@@ -157,6 +157,7 @@ def _load_all() -> None:
         graph,
         logreg,
         gbm,
+        semdedup,
     )
 
     _LOADED = True

@@ -392,6 +392,13 @@ EXPECT = {
     # 5-row sketch table and 3-row estimates broadcast onto the exact rows
     "theta_setops_rollup": {"broadcast_joins": 3, "partial_agg": True,
                             "no_python_udf": True, "max_scan_cols": 2},
+    # k-means trainer telemetry: per-iteration broadcast-argmin
+    # assignment + grouped-mean shuffle; only centroids cross stages
+    "kmeans_convergence": {"partial_agg": True, "no_python_udf": True,
+                           "max_scan_cols": 2},
+    # SemDeDup: within-cluster self-join shuffles each vector once on
+    # its cell id — no unblocked all-pairs join
+    "semdedup_pairs": {"no_python_udf": True, "partial_agg": True},
 }
 
 
