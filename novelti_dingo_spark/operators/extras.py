@@ -1501,6 +1501,67 @@ def lake_bucketed_mart_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_partition_evolution_read",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE year(o_orderdate) BETWEEN 1994 AND 1996
+    GROUP BY 1
+    """,
+    survey_rows="S3,S5,A1,P2",
+)
+def lake_partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution at the correctness gate (the Iceberg
+    rule: a spec change applies to NEW data only, old files are never
+    rewritten): the chain is published ONCE per (tmpdir, sf) — v1 is a
+    FLAT full snapshot of pre-1996 orders carrying footer min-max stats
+    on o_year, v2 appends 1996+ orders HIVE-PARTITIONED by o_year
+    (publish_append partition_by=["o_year"]). The range read
+    (read_chain_pruned) then exercises BOTH skipping mechanisms in one
+    plan: footer-stat file pruning on the flat segment, o_year=V
+    directory pruning on the partitioned one, each branch planned under
+    its own layout and unioned. The oracle hash-proves the pruned union
+    against a direct scan of `orders`; tests/test_lake_partition_
+    evolution.py pins the file-count accounting, the PartitionFilters
+    in the partitioned branch, and point lookups across the boundary."""
+    import tempfile
+
+    from ..pipelines import (
+        publish_append,
+        publish_versioned,
+        read_chain_pruned,
+    )
+    from ..sources import lakefs
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "orders_pevolved"
+    )
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.year("o_orderdate").alias("o_year"),
+        )
+        publish_versioned(
+            o.filter(F.col("o_year") < 1996), base, stats_cols=["o_year"]
+        )
+        publish_append(
+            o.filter(F.col("o_year") >= 1996),
+            base,
+            partition_by=["o_year"],
+        )
+    df, _total, _read = read_chain_pruned(spark, base, "o_year", 1994, 1996)
+    return df.groupBy("o_year").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
     "stats_cbo_star_join",
     """
     SELECT c.c_mktsegment,

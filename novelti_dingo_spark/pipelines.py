@@ -616,6 +616,7 @@ def publish_append(
     published_ts: str | None = None,
     stats_cols: list[str] | None = None,
     evolve: str = "none",
+    partition_by: list[str] | None = None,
 ) -> int:
     """Incremental APPEND publish: write only `df`'s rows into the new
     version directory and record `parent` = the previous version in the
@@ -642,12 +643,36 @@ def publish_append(
     derive the union schema from the manifests alone and NULL-backfill
     the new columns for pre-evolution segments — the Iceberg
     schema-from-manifest pattern, with zero footer I/O at read planning
-    time."""
+    time.
+
+    PARTITION-SPEC EVOLUTION (`partition_by`): a segment may carry a
+    hive partition layout (`v=N/col=value/part-*.parquet`) while earlier
+    segments are flat — the Iceberg partition-evolution rule that a spec
+    change applies to NEW data only, old files are never rewritten. The
+    manifest records the spec; chain readers plan each segment under its
+    OWN layout (per-segment scans unioned), so partition pruning applies
+    to partitioned segments and file-stat pruning to flat ones in the
+    same read. `stats_cols` is rejected alongside `partition_by`: the
+    partition key IS the skipping index for such a segment (directory
+    pruning), and per-file footer stats inside hive dirs would double-
+    track the same bound."""
     import json
 
     from .sources import lakefs
 
     spark = df.sparkSession
+    if partition_by:
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"partition_by columns {missing} not in dataframe schema"
+            )
+        if stats_cols:
+            raise ValueError(
+                "stats_cols and partition_by are mutually exclusive on an "
+                "append segment — the partition directories are the "
+                "skipping index for a partitioned segment"
+            )
     lakefs.mkdirs(spark, base_dir)
     base = base_dir.rstrip("/")
     existing = [
@@ -675,9 +700,12 @@ def publish_append(
     from pyspark.sql import Observation
 
     obs = Observation(f"append_v{version}")
-    df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+    writer = df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
         "errorifexists"
-    ).parquet(out)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out)
     if published_ts is None:
         from datetime import datetime, timezone
 
@@ -696,6 +724,8 @@ def publish_append(
     }
     if added_columns:
         manifest["added_columns"] = added_columns
+    if partition_by:
+        manifest["partition_by"] = partition_by
     if stats_cols:
         stats = _footer_file_stats(spark, out, stats_cols)
         if stats is None:
@@ -849,6 +879,15 @@ def build_file_index(
     if version is None:
         version = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
     out = f"{base}/v={version}"
+    pre = json.loads(lakefs.read_text(spark, f"{out}/_manifest.json"))
+    if pre.get("partition_by"):
+        raise ValueError(
+            f"v={version} is hive-partitioned on {pre['partition_by']} — "
+            "the flat file index does not span partition directories; "
+            "point lookups on the partition key prune directories "
+            "instead, and compact_chain flattens the layout if a "
+            "secondary index on another column is needed"
+        )
     idx_dir = f"{out}/_index_{col}"
     idx = (
         spark.read.parquet(out)
@@ -940,10 +979,34 @@ def read_point_lookup_chain(
 
     base = base_dir.rstrip("/")
     chain = _resolve_chain(spark, base, version)
+    schema = _chain_merged_schema(chain)
+    pred = F.col(col) == F.lit(value)
     total = 0
+    n_read = 0
     paths = []
+    branches = []
     for m in chain:
         vdir = f"{base}/v={m['version']}"
+        pb = m.get("partition_by") or []
+        if pb:
+            # partition-evolved segment: equality on the partition key
+            # prunes to exactly one directory; other columns read the
+            # whole segment (conservative, counted honestly)
+            dirs = _partition_dirs(spark, vdir, pb[0])
+            total += sum(n for _, _, n in dirs)
+            if col == pb[0]:
+                keep = [(d, n) for d, v, n in dirs if v == value]
+            else:
+                keep = [(d, n) for d, _, n in dirs]
+            n_read += sum(n for _, n in keep)
+            if keep:
+                branches.append(
+                    _segment_read(
+                        spark, base, m, schema,
+                        sub_paths=[f"{vdir}/{d}" for d, _ in keep],
+                    )
+                )
+            continue
         seg_files = lakefs_list_parquet(spark, vdir)
         total += len(seg_files)
         if col in m.get("indexes", []):
@@ -957,16 +1020,13 @@ def read_point_lookup_chain(
             paths.extend(f"{vdir}/{f}" for f in hits)
         else:
             paths.extend(f"{vdir}/{f}" for f in seg_files)
-    pred = F.col(col) == F.lit(value)
-    if not paths:
+    n_read += len(paths)
+    if paths:
+        branches.insert(0, spark.read.schema(schema).parquet(*paths))
+    if not branches:
         df, _ = read_version_chain(spark, base_dir, version)
         return df.filter(F.lit(False)), total, 0
-    schema = _chain_merged_schema(chain)
-    return (
-        spark.read.schema(schema).parquet(*paths).filter(pred),
-        total,
-        len(paths),
-    )
+    return _union_all(branches).filter(pred), total, n_read
 
 
 def compact_chain(
@@ -1077,6 +1137,74 @@ def _chain_merged_schema(chain):
     )
 
 
+def _segment_read(
+    spark: SparkSession,
+    base: str,
+    m: dict,
+    merged,
+    sub_paths: list[str] | None = None,
+):
+    """One chain segment planned under its OWN layout and normalized to
+    the merged chain schema (missing columns NULL-backfilled, column
+    order unified) so segments union cleanly. For a hive-partitioned
+    segment the pinned schema still names the partition columns — Spark
+    derives them from the directory names (basePath keeps that working
+    when `sub_paths` narrows the read to pruned partition dirs)."""
+    from pyspark.sql.types import StructField, StructType
+
+    vdir = f"{base}/v={m['version']}"
+    seg = _manifest_schema(m)
+    pinned = StructType(
+        [StructField(f.name, f.dataType, True) for f in seg.fields]
+    )
+    reader = spark.read.schema(pinned)
+    if m.get("partition_by"):
+        reader = reader.option("basePath", vdir)
+    df = reader.parquet(*(sub_paths if sub_paths is not None else [vdir]))
+    have = set(df.columns)
+    return df.select(
+        *[
+            F.col(f.name)
+            if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in merged.fields
+        ]
+    )
+
+
+def _union_all(dfs: list[DataFrame]) -> DataFrame:
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def _hive_value(raw: str):
+    """Decode a hive `col=value` directory value for pruning compare:
+    numeric strings compare as numbers, everything else as strings."""
+    try:
+        return int(raw)
+    except ValueError:
+        try:
+            return float(raw)
+        except ValueError:
+            return raw
+
+
+def _partition_dirs(spark: SparkSession, vdir: str, key: str):
+    """[(dirname, decoded value, n_files)] for a hive-partitioned
+    segment — driver-side listing, O(partition dirs)."""
+    from .sources import lakefs
+
+    out = []
+    for name in lakefs.listdir(spark, vdir):
+        if not name.startswith(f"{key}="):
+            continue
+        n = len(lakefs_list_parquet(spark, f"{vdir}/{name}"))
+        out.append((name, _hive_value(name.split("=", 1)[1]), n))
+    return out
+
+
 def _resolve_chain(spark: SparkSession, base: str, version: int | None):
     """Manifest chain for a version (newest first): follow `parent`
     links until a full snapshot (no `append` flag / no parent). O(chain)
@@ -1111,11 +1239,25 @@ def read_version_chain(
     with NULL for the added columns, type drift across segments fails
     loudly at plan time, and — unlike option("mergeSchema") — no footer
     merge job runs: schema resolution is O(chain) manifest reads on the
-    driver."""
+    driver.
+
+    On a PARTITION-EVOLVED chain (publish_append partition_by=...), a
+    single multi-path scan cannot plan mixed hive/flat layouts, so each
+    segment gets its own scan under its own layout and the branches
+    union — filters on a segment's partition key become PartitionFilters
+    in that branch, flat branches keep ordinary pushdown. The flat
+    single-scan fast path is preserved for unevolved chains."""
     base = base_dir.rstrip("/")
     chain = _resolve_chain(spark, base, version)
-    paths = [f"{base}/v={m['version']}" for m in chain]
     schema = _chain_merged_schema(chain)
+    if any(m.get("partition_by") for m in chain):
+        return (
+            _union_all(
+                [_segment_read(spark, base, m, schema) for m in chain]
+            ),
+            chain,
+        )
+    paths = [f"{base}/v={m['version']}" for m in chain]
     return spark.read.schema(schema).parquet(*paths), chain
 
 
@@ -1131,13 +1273,40 @@ def read_chain_pruned(
     to every segment's file_stats (a segment without stats contributes
     all its files, conservatively). Returns (DataFrame, n_files_total,
     n_files_read) — the chain-wide generalization of
-    `read_version_pruned`."""
+    `read_version_pruned`.
+
+    Partition-evolved segments skip by DIRECTORY instead: when `col` is
+    the segment's partition key, `col=value` directory names are pruned
+    against [lo, hi] on the driver (the hive analogue of footer min-max;
+    same accounting in the returned file counts), and other columns fall
+    back to reading the whole segment with the filter pushed down."""
     base = base_dir.rstrip("/")
     chain = _resolve_chain(spark, base, version)
+    schema = _chain_merged_schema(chain)
+    pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     paths = []
+    branches = []
     total = 0
+    n_read = 0
     for m in chain:
         vdir = f"{base}/v={m['version']}"
+        pb = m.get("partition_by") or []
+        if pb:
+            dirs = _partition_dirs(spark, vdir, pb[0])
+            total += sum(n for _, _, n in dirs)
+            if col == pb[0]:
+                keep = [(d, n) for d, v, n in dirs if lo <= v <= hi]
+            else:
+                keep = [(d, n) for d, _, n in dirs]
+            n_read += sum(n for _, n in keep)
+            if keep:
+                branches.append(
+                    _segment_read(
+                        spark, base, m, schema,
+                        sub_paths=[f"{vdir}/{d}" for d, _ in keep],
+                    )
+                )
+            continue
         fs = m.get("file_stats")
         if not fs or col not in fs["columns"]:
             seg = [
@@ -1153,16 +1322,14 @@ def read_chain_pruned(
             fmax = f["max"].get(col)
             if fmin is None or fmax is None or (fmax >= lo and fmin <= hi):
                 paths.append(f"{vdir}/{f['name']}")
-    pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
-    if not paths:
+    n_read += len(paths)
+    if paths:
+        flat = spark.read.schema(schema).parquet(*paths)
+        branches.insert(0, flat)
+    if not branches:
         df, _ = read_version_chain(spark, base_dir, version)
         return df.filter(F.lit(False)), total, 0
-    schema = _chain_merged_schema(chain)
-    return (
-        spark.read.schema(schema).parquet(*paths).filter(pred),
-        total,
-        len(paths),
-    )
+    return _union_all(branches).filter(pred), total, n_read
 
 
 def lakefs_list_parquet(spark: SparkSession, vdir: str) -> list[str]:

@@ -1,0 +1,158 @@
+"""Partition-spec evolution on the append chain: a later segment may be
+hive-partitioned while earlier segments are flat (Iceberg rule — a spec
+change applies to new data only). Pins: mixed-layout chain reads are
+lossless, directory pruning + footer-stat pruning compose in one ranged
+read with honest file accounting, PartitionFilters appear in the
+partitioned branch, point lookups prune to one directory, evolution
+composes with additive schema evolution, and compaction flattens the
+layout."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from novelti_dingo_spark.pipelines import (
+    build_file_index,
+    compact_chain,
+    publish_append,
+    publish_versioned,
+    read_chain_pruned,
+    read_point_lookup_chain,
+    read_version_chain,
+)
+from novelti_dingo_spark.plans import explain_formatted
+from novelti_dingo_spark.sources import load_table
+
+
+def _orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.year("o_orderdate").alias("o_year"),
+    )
+
+
+@pytest.fixture()
+def chain(spark, sf_small, tmp_path):
+    base = os.path.join(str(tmp_path), "orders_pevolved")
+    o = _orders(spark, sf_small)
+    publish_versioned(o.filter(F.col("o_year") < 1996), base,
+                      stats_cols=["o_year"])
+    publish_append(o.filter(F.col("o_year") >= 1996), base,
+                   partition_by=["o_year"])
+    return base, o
+
+
+def test_mixed_layout_chain_read_lossless(spark, chain):
+    base, o = chain
+    df, manifests = read_version_chain(spark, base)
+    assert len(manifests) == 2
+    assert manifests[0]["partition_by"] == ["o_year"]
+    got = sorted(tuple(r) for r in df.select(*o.columns).collect())
+    want = sorted(tuple(r) for r in o.collect())
+    assert got == want
+    assert dict(df.dtypes)["o_year"] == "int"
+
+
+def test_ranged_read_prunes_both_layouts(spark, chain):
+    base, o = chain
+    # range strictly inside the partitioned segment: every flat file
+    # whose footer says max o_year < lo is pruned, and only matching
+    # o_year=V dirs of the partitioned segment are listed
+    years = sorted(
+        r.o_year for r in o.select("o_year").distinct().collect()
+    )
+    hi = years[-1]
+    df, total, n_read = read_chain_pruned(spark, base, "o_year", hi, hi)
+    assert n_read < total, (n_read, total)
+    got = sorted(tuple(r) for r in df.select(*o.columns).collect())
+    want = sorted(
+        tuple(r) for r in o.filter(F.col("o_year") == hi).collect()
+    )
+    assert got == want
+
+
+def test_ranged_read_spanning_boundary_exact(spark, chain):
+    base, o = chain
+    df, total, n_read = read_chain_pruned(spark, base, "o_year", 1994, 1996)
+    assert 0 < n_read <= total
+    got = sorted(tuple(r) for r in df.select(*o.columns).collect())
+    want = sorted(
+        tuple(r)
+        for r in o.filter(F.col("o_year").between(1994, 1996)).collect()
+    )
+    assert got == want
+
+
+def test_partition_filters_in_partitioned_branch(spark, chain):
+    base, _ = chain
+    df, _ = read_version_chain(spark, base)
+    plan = explain_formatted(df.filter(F.col("o_year") == 1997))
+    assert "PartitionFilters" in plan
+    assert "o_year" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_point_lookup_prunes_to_one_directory(spark, chain):
+    base, o = chain
+    years = sorted(
+        r.o_year for r in o.select("o_year").distinct().collect()
+    )
+    hi = years[-1]
+    df, total, n_read = read_point_lookup_chain(spark, base, "o_year", hi)
+    assert n_read < total
+    assert df.count() == o.filter(F.col("o_year") == hi).count()
+
+
+def test_composes_with_additive_schema_evolution(spark, sf_small, tmp_path):
+    base = os.path.join(str(tmp_path), "orders_pe_se")
+    o = _orders(spark, sf_small)
+    publish_versioned(o.filter(F.col("o_year") < 1996), base)
+    publish_append(
+        o.filter(F.col("o_year") >= 1996).withColumn(
+            "o_band",
+            F.when(F.col("o_totalprice") >= 150000, "high").otherwise("low"),
+        ),
+        base,
+        evolve="additive",
+        partition_by=["o_year"],
+    )
+    df, _ = read_version_chain(spark, base)
+    # pre-evolution flat rows NULL-backfill the new column; partitioned
+    # rows carry it
+    n_old = o.filter(F.col("o_year") < 1996).count()
+    assert df.filter(F.col("o_band").isNull()).count() == n_old
+    assert df.count() == o.count()
+
+
+def test_file_index_rejected_on_partitioned_segment(spark, chain):
+    base, _ = chain
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        build_file_index(spark, base, "o_custkey")
+
+
+def test_stats_cols_rejected_with_partition_by(spark, sf_small, tmp_path):
+    base = os.path.join(str(tmp_path), "orders_pe_bad")
+    o = _orders(spark, sf_small)
+    publish_versioned(o.filter(F.col("o_year") < 1996), base)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        publish_append(
+            o.filter(F.col("o_year") >= 1996),
+            base,
+            partition_by=["o_year"],
+            stats_cols=["o_year"],
+        )
+
+
+def test_compaction_flattens_partition_evolved_chain(spark, chain):
+    base, o = chain
+    v = compact_chain(spark, base, stats_cols=["o_year"])
+    df, manifests = read_version_chain(spark, base)
+    assert len(manifests) == 1 and manifests[0]["version"] == v
+    assert "partition_by" not in manifests[0]
+    got = sorted(tuple(r) for r in df.select(*o.columns).collect())
+    want = sorted(tuple(r) for r in o.collect())
+    assert got == want

@@ -399,6 +399,10 @@ EXPECT = {
     # SemDeDup: within-cluster self-join shuffles each vector once on
     # its cell id — no unblocked all-pairs join
     "semdedup_pairs": {"no_python_udf": True, "partial_agg": True},
+    # partition-evolved chain: flat branch footer-pruned + hive branch
+    # directory-pruned, unioned, two-phase agg on top
+    "lake_partition_evolution_read": {"partial_agg": True,
+                                      "no_python_udf": True},
 }
 
 
