@@ -1562,6 +1562,78 @@ def lake_partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "mv_rewrite_pricing",
+    """
+    SELECT l_returnflag,
+           sum(l_quantity) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS n_items,
+           round(sum(l_quantity) / count(*), 6) AS avg_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey_rows="S5,A1,mv-rewrite",
+)
+def mv_rewrite_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view AUTO-REWRITE at the correctness gate
+    (plans/mv.py): a pricing rollup MV is published ONCE per
+    (tmpdir, sf) at grain (l_returnflag, l_linestatus); this query asks
+    for the COARSER grain (l_returnflag) and the rewriter answers it
+    from the k-row MV — sum-of-sums, sum-of-counts, derived average —
+    WITHOUT touching lineitem (tests pin that the plan scans only the
+    MV path). The oracle aggregates the raw fact directly, so the hash
+    match proves the summary-table containment algebra end-to-end.
+
+    At 100 TB this is the interactive-dashboard path: the fact scan is
+    paid once at publish; every matching rollup query after that is a
+    k-row read. Non-containment (unknown measure, non-group-key
+    predicate) returns None and the caller falls back to the fact —
+    tested in tests/test_mv_rewrite.py."""
+    import tempfile
+
+    from ..plans.mv import MvSpec, publish_mv, rewrite_agg
+    from ..sources import lakefs
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "lineitem_pricing_mv"
+    )
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        li = load_table(spark, sf_dir, "lineitem")
+        publish_mv(
+            li,
+            base,
+            MvSpec(
+                ("l_returnflag", "l_linestatus"),
+                {
+                    "sum_qty": ("sum", "l_quantity"),
+                    "sum_price": ("sum", "l_extendedprice"),
+                    "n_items": ("count", None),
+                },
+            ),
+        )
+    out = rewrite_agg(
+        spark,
+        base,
+        ["l_returnflag"],
+        {
+            "sum_qty": "sum_qty",
+            "sum_price": "sum_price",
+            "n_items": "n_items",
+            "avg_qty": ("sum_qty", "n_items"),
+        },
+    )
+    assert out is not None, "MV containment must hold for this query"
+    return out.select(
+        "l_returnflag",
+        "sum_qty",
+        F.round("sum_price", 2).alias("sum_price"),
+        "n_items",
+        F.round("avg_qty", 6).alias("avg_qty"),
+    )
+
+
+@register(
     "stats_cbo_star_join",
     """
     SELECT c.c_mktsegment,

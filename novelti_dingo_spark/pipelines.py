@@ -1473,7 +1473,13 @@ def read_as_of(spark: SparkSession, base_dir: str, ts: str):
     only retained history, and callers pinning training runs should pin
     the version NUMBER (reproducible forever via keep-list) rather than
     a timestamp. Raises LookupError when `ts` predates all retained
-    versions — never silently serves a newer dataset."""
+    versions — never silently serves a newer dataset.
+
+    CHAIN-AWARE: when the resolved version is an append segment, the
+    returned DataFrame is the full chain snapshot AT that version
+    (read_version_chain), not the segment's delta alone — so append
+    chains and schema/partition evolution all time-travel correctly.
+    The returned manifest is the resolved head segment's."""
     import json
 
     from .sources import lakefs
@@ -1492,7 +1498,8 @@ def read_as_of(spark: SparkSession, base_dir: str, ts: str):
         raise LookupError(
             f"no version of {base_dir} published at or before {ts!r}"
         )
-    return read_version(spark, base_dir, version=best[1])
+    df, chain = read_version_chain(spark, base_dir, version=best[1])
+    return df, chain[0]
 
 
 def publish_snapshot(

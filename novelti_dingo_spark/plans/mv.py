@@ -1,0 +1,144 @@
+"""Materialized-view publish + automatic aggregate rewrite.
+
+The lakehouse pattern behind Trino/Calcite MV rewrite and BigQuery BI
+Engine: publish an aggregate rollup ONCE as a versioned lake dataset
+whose manifest carries the MV's algebra (group keys + measure
+definitions), then answer matching aggregate queries FROM the rollup —
+a k-row scan — instead of re-scanning the fact table. At 100 TB the MV
+is the difference between an interactive dashboard query and a
+full-table job: the fact scan is paid once at publish (and kept fresh
+incrementally — see operators/timeseries.py rollup_incremental_
+maintenance for the delta-merge half), every matching query after that
+reads only the rollup.
+
+Rewrite rule (the classic summary-table containment test):
+
+- the query's group keys must be a SUBSET of the MV's group keys
+  (coarser grain re-aggregates: sum-of-sums, sum-of-counts,
+  min-of-mins, max-of-maxes — only ALGEBRAIC measures are published;
+  holistic ones like exact medians are exactly what sketches are for,
+  see kll_quantile_rollup);
+- every requested measure must be one of the MV's measures, or an
+  `avg` derivable as sum/count of two published measures;
+- a query predicate may reference group-key columns only (it then
+  prunes MV rows, which is still correct under re-aggregation).
+
+When the test fails the caller falls back to the fact table — the
+rewrite is an optimization, never a semantics change.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# measure kind -> how partial results MERGE under re-aggregation
+_MERGE = {
+    "sum": F.sum,
+    "count": F.sum,  # counts add
+    "min": F.min,
+    "max": F.max,
+}
+
+
+@dataclass(frozen=True)
+class MvSpec:
+    """The MV's algebra as recorded in its manifest: `measures` maps
+    output column -> (kind, source column); kind 'count' counts rows
+    (source ignored)."""
+
+    group_keys: tuple[str, ...]
+    measures: dict[str, tuple[str, str | None]] = field(hash=False)
+
+    def to_meta(self) -> dict:
+        return {
+            "mv": {
+                "group_keys": list(self.group_keys),
+                "measures": {
+                    k: [kind, src] for k, (kind, src) in self.measures.items()
+                },
+            }
+        }
+
+    @staticmethod
+    def from_manifest(manifest: dict) -> "MvSpec | None":
+        mv = manifest.get("mv")
+        if not mv:
+            return None
+        return MvSpec(
+            tuple(mv["group_keys"]),
+            {k: (v[0], v[1]) for k, v in mv["measures"].items()},
+        )
+
+
+def publish_mv(
+    fact: DataFrame, base_dir: str, spec: MvSpec, **publish_kwargs
+) -> int:
+    """Aggregate `fact` to the MV grain and publish it versioned, with
+    the algebra in the manifest so `rewrite_agg` can verify containment
+    without trusting the caller. One fact scan, k-row output."""
+    from ..pipelines import publish_versioned
+
+    aggs = []
+    for out, (kind, src) in spec.measures.items():
+        if kind == "count":
+            aggs.append(F.count(F.lit(1)).alias(out))
+        elif kind in ("sum", "min", "max"):
+            aggs.append(getattr(F, kind)(src).alias(out))
+        else:
+            raise ValueError(
+                f"measure {out!r}: kind {kind!r} is not algebraic — "
+                "publish a sketch instead (HLL/KLL/Theta)"
+            )
+    rollup = fact.groupBy(*spec.group_keys).agg(*aggs)
+    return publish_versioned(rollup, base_dir, meta=spec.to_meta(), **publish_kwargs)
+
+
+def rewrite_agg(
+    spark: SparkSession,
+    mv_base_dir: str,
+    group_keys: list[str],
+    measures: dict[str, str | tuple[str, str]],
+    predicate: Column | None = None,
+    predicate_cols: list[str] | None = None,
+    version: int | None = None,
+) -> DataFrame | None:
+    """Answer a grouped aggregate FROM the MV if containment holds,
+    else return None (caller falls back to the fact table).
+
+    `measures` maps requested output column -> an MV measure name, or
+    ("avg", sum_measure, ...) expressed as a tuple (sum_name, count_name)
+    for derived averages. `predicate` (over `predicate_cols`) is applied
+    to the MV rows before re-aggregation and is only legal on group-key
+    columns."""
+    from ..pipelines import read_version
+
+    df, manifest = read_version(spark, mv_base_dir, version)
+    spec = MvSpec.from_manifest(manifest)
+    if spec is None:
+        return None
+    if not set(group_keys) <= set(spec.group_keys):
+        return None
+    if predicate is not None and not set(predicate_cols or []) <= set(
+        spec.group_keys
+    ):
+        return None
+    aggs = []
+    for out, want in measures.items():
+        if isinstance(want, tuple):  # derived average: sum / count
+            s, c = want
+            if s not in spec.measures or c not in spec.measures:
+                return None
+            if spec.measures[s][0] != "sum" or spec.measures[c][0] != "count":
+                return None
+            aggs.append((F.sum(s) / F.sum(c)).alias(out))
+            continue
+        if want not in spec.measures:
+            return None
+        kind = spec.measures[want][0]
+        aggs.append(_MERGE[kind](want).alias(out))
+    if predicate is not None:
+        df = df.filter(predicate)
+    return df.groupBy(*group_keys).agg(*aggs)

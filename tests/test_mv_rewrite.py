@@ -1,0 +1,154 @@
+"""Materialized-view auto-rewrite (plans/mv.py) and timestamp time
+travel (pipelines.read_as_of): containment algebra answers coarser-grain
+aggregates from the k-row MV without touching the fact; every
+non-containment case falls back (returns None); as-of resolves the
+newest version published at or before the asked timestamp."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from novelti_dingo_spark.pipelines import (
+    publish_append,
+    publish_versioned,
+    read_as_of,
+)
+from novelti_dingo_spark.plans import explain_formatted
+from novelti_dingo_spark.plans.mv import MvSpec, publish_mv, rewrite_agg
+from novelti_dingo_spark.sources import load_table
+
+SPEC = MvSpec(
+    ("l_returnflag", "l_linestatus"),
+    {
+        "sum_qty": ("sum", "l_quantity"),
+        "sum_price": ("sum", "l_extendedprice"),
+        "n_items": ("count", None),
+    },
+)
+
+
+@pytest.fixture()
+def mv(spark, sf_small, tmp_path):
+    base = os.path.join(str(tmp_path), "pricing_mv")
+    li = load_table(spark, sf_small, "lineitem")
+    publish_mv(li, base, SPEC)
+    return base, li
+
+
+def test_rewrite_matches_fact_aggregate(spark, mv):
+    base, li = mv
+    got = rewrite_agg(
+        spark,
+        base,
+        ["l_returnflag"],
+        {"sum_qty": "sum_qty", "n_items": "n_items",
+         "avg_qty": ("sum_qty", "n_items")},
+    )
+    assert got is not None
+    want = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+    )
+    g = {r.l_returnflag: r for r in got.collect()}
+    w = {r.l_returnflag: r for r in want.collect()}
+    assert set(g) == set(w)
+    for k in w:
+        assert abs(g[k].sum_qty - w[k].sum_qty) < 1e-6
+        assert g[k].n_items == w[k].n_items
+        assert abs(g[k].avg_qty - w[k].avg_qty) < 1e-9
+
+
+def test_rewrite_plan_never_scans_the_fact(spark, mv):
+    base, _ = mv
+    got = rewrite_agg(spark, base, ["l_returnflag"], {"sum_qty": "sum_qty"})
+    plan = explain_formatted(got)
+    assert "pricing_mv" in plan
+    assert "lineitem.parquet" not in plan
+
+
+def test_group_key_predicate_prunes_mv_rows(spark, mv):
+    base, li = mv
+    got = rewrite_agg(
+        spark,
+        base,
+        ["l_returnflag"],
+        {"n_items": "n_items"},
+        predicate=F.col("l_linestatus") == "F",
+        predicate_cols=["l_linestatus"],
+    )
+    assert got is not None
+    want = {
+        r.l_returnflag: r.n
+        for r in li.filter(F.col("l_linestatus") == "F")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r.l_returnflag: r.n_items for r in got.collect()} == want
+
+
+def test_non_containment_falls_back(spark, mv):
+    base, _ = mv
+    # finer grain than the MV
+    assert rewrite_agg(
+        spark, base, ["l_returnflag", "l_shipmode"], {"sum_qty": "sum_qty"}
+    ) is None
+    # unknown measure
+    assert rewrite_agg(
+        spark, base, ["l_returnflag"], {"x": "sum_discount"}
+    ) is None
+    # avg not derivable from (sum, count) published measures
+    assert rewrite_agg(
+        spark, base, ["l_returnflag"], {"a": ("sum_qty", "sum_price")}
+    ) is None
+    # predicate on a non-group-key column
+    assert rewrite_agg(
+        spark,
+        base,
+        ["l_returnflag"],
+        {"n_items": "n_items"},
+        predicate=F.col("l_quantity") > 10,
+        predicate_cols=["l_quantity"],
+    ) is None
+    # a dataset that is not an MV at all
+    assert MvSpec.from_manifest({"rows": 3}) is None
+
+
+def test_holistic_measure_rejected_at_publish(spark, mv, tmp_path):
+    _, li = mv
+    with pytest.raises(ValueError, match="not algebraic"):
+        publish_mv(
+            li,
+            os.path.join(str(tmp_path), "bad_mv"),
+            MvSpec(("l_returnflag",), {"med": ("median", "l_quantity")}),
+        )
+
+
+def test_read_as_of_is_chain_aware(spark, sf_small, tmp_path):
+    """Time travel onto an APPEND CHAIN must return the full snapshot at
+    the resolved version — the chain union, never the head segment's
+    delta alone."""
+    base = os.path.join(str(tmp_path), "orders_tt")
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    publish_versioned(
+        o.limit(10), base, published_ts="2026-01-01T00:00:00.000000Z"
+    )
+    publish_append(
+        o.filter(F.col("o_orderkey") >= 10).limit(5),
+        base,
+        published_ts="2026-02-01T00:00:00.000000Z",
+    )
+    df1, m1 = read_as_of(spark, base, "2026-01-15T00:00:00.000000Z")
+    assert m1["version"] == 1
+    assert df1.count() == 10
+    df2, m2 = read_as_of(spark, base, "2026-03-01T00:00:00.000000Z")
+    assert m2["version"] == 2
+    assert df2.count() == 15  # chain snapshot, not the 5-row delta
+    with pytest.raises(LookupError, match="no version"):
+        read_as_of(spark, base, "2025-12-31T00:00:00.000000Z")

@@ -403,6 +403,11 @@ EXPECT = {
     # directory-pruned, unioned, two-phase agg on top
     "lake_partition_evolution_read": {"partial_agg": True,
                                       "no_python_udf": True},
+    # MV auto-rewrite: the whole point is that the FACT TABLE never
+    # appears in the plan — only the k-row rollup is scanned
+    "mv_rewrite_pricing": {"partial_agg": True, "no_python_udf": True,
+                           "plan_must_contain": ["lineitem_pricing_mv"],
+                           "plan_must_not_contain": ["lineitem.parquet"]},
 }
 
 
@@ -561,6 +566,12 @@ def audit(name: str, plan: str) -> list[str]:
                     f"scan reads {ncols} cols, expected <= {exp['max_scan_cols']} "
                     "(column pruning failed)"
                 )
+    for s in exp.get("plan_must_contain", []):
+        if s not in plan:
+            problems.append(f"plan missing expected marker {s!r}")
+    for s in exp.get("plan_must_not_contain", []):
+        if s in plan:
+            problems.append(f"plan contains forbidden marker {s!r}")
     if "CartesianProduct" in plan and not exp.get("cartesian_ok"):
         problems.append("unexpected CartesianProduct")
     if singlepart_over_raw(plan) and not exp.get("singlepart_ok"):
