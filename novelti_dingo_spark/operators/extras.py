@@ -1634,6 +1634,63 @@ def mv_rewrite_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "constraint_quarantine_publish",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE value <= 100 AND ts IS NOT NULL
+    GROUP BY event_type
+    """,
+    survey_rows="S5,A1,dq-publish",
+)
+def constraint_quarantine_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish-time constraint enforcement at the correctness gate
+    (pipelines.publish_checked — the Delta CHECK/NOT NULL contract with
+    quarantine): events are published ONCE per (tmpdir, sf) under
+    constraints value<=100 (check), ts NOT NULL, event_id unique; rows
+    breaking any constraint divert to a quarantine dataset carrying a
+    `_violations` audit column, clean rows publish versioned with the
+    per-constraint violation counts in the manifest. This query reads
+    the PUBLISHED version back and aggregates it; the oracle applies the
+    same predicate to raw `events`, so the hash match proves the
+    split was exact — nothing leaked into the clean set, nothing
+    legitimate was quarantined.
+
+    At 100 TB: check/not_null fuse into the ingest scan (pure row
+    exprs), unique pays its one unavoidable key shuffle, and the
+    violation audit is a single aggregate — enforcement costs one pass,
+    not one pass per constraint."""
+    import tempfile
+
+    from ..pipelines import publish_checked, read_version
+    from ..sources import lakefs
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "events_checked"
+    )
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        ev = load_table(spark, sf_dir, "events")
+        publish_checked(
+            ev,
+            base,
+            [
+                ("value_capped", "check", F.col("value") <= 100),
+                ("ts_present", "not_null", ["ts"]),
+                ("event_id_unique", "unique", ["event_id"]),
+            ],
+            on_violation="quarantine",
+        )
+    df, _ = read_version(spark, base)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
     "stats_cbo_star_join",
     """
     SELECT c.c_mktsegment,

@@ -507,6 +507,94 @@ def _scan_file_stats(
     return stats
 
 
+def publish_checked(
+    df: DataFrame,
+    base_dir: str,
+    constraints: list[tuple[str, str, object]],
+    on_violation: str = "fail",
+    quarantine_dir: str | None = None,
+    **publish_kwargs,
+) -> tuple[int, dict]:
+    """Constraint-enforced publish (the Delta `CHECK` / `NOT NULL`
+    contract, plus unique keys): rows are validated against every
+    declared constraint in ONE scan and either the publish aborts
+    (`on_violation="fail"`) or violating rows divert to a quarantine
+    dataset with a `_violations` column naming every constraint each row
+    broke (`on_violation="quarantine"`) — the clean rows publish
+    normally and the manifest records the audit (checked constraints +
+    per-constraint violation counts), so a reader can SEE the contract
+    a version was admitted under.
+
+    `constraints` entries are (name, kind, spec):
+      ("positive_value", "check",    F.col("value") >= 0)   # row predicate
+      ("ts_present",     "not_null", ["ts", "user_id"])     # columns
+      ("pk",             "unique",   ["event_id"])          # key columns
+
+    Plan shape: check/not_null are pure row expressions fused into the
+    scan; `unique` adds one window count over the key (the unavoidable
+    shuffle — dedup needs global visibility of the key). Violation
+    counts come from ONE aggregate over the flagged frame; quarantine
+    writes the flagged split before the clean publish so a crash
+    between the two leaves LATEST untouched (publish's pointer-flip
+    atomicity is preserved). Returns (version, audit dict)."""
+    flags = []
+    for name, kind, spec in constraints:
+        if kind == "check":
+            flags.append(F.when(~spec, F.lit(name)))
+        elif kind == "not_null":
+            cond = None
+            for c in spec:
+                n = F.col(c).isNull()
+                cond = n if cond is None else (cond | n)
+            flags.append(F.when(cond, F.lit(name)))
+        elif kind == "unique":
+            w = Window.partitionBy(*spec)
+            flags.append(F.when(F.count(F.lit(1)).over(w) > 1, F.lit(name)))
+        else:
+            raise ValueError(f"constraint {name!r}: unknown kind {kind!r}")
+    flagged = df.withColumn(
+        "_violations", F.array_compact(F.array(*flags))
+    )
+    counts_row = flagged.agg(
+        *[
+            F.sum(
+                F.array_contains("_violations", name).cast("long")
+            ).alias(name)
+            for name, _, _ in constraints
+        ],
+        F.sum((F.size("_violations") > 0).cast("long")).alias("_rows"),
+    ).head()
+    audit = {
+        "checked": [name for name, _, _ in constraints],
+        "violations": {
+            name: int(counts_row[name] or 0) for name, _, _ in constraints
+        },
+        "rows_quarantined": int(counts_row["_rows"] or 0),
+    }
+    bad_rows = audit["rows_quarantined"]
+    if on_violation == "fail":
+        if bad_rows:
+            raise ValueError(
+                f"publish to {base_dir} rejected: {bad_rows} rows violate "
+                f"constraints {audit['violations']}"
+            )
+        clean = df
+    elif on_violation == "quarantine":
+        if quarantine_dir is None:
+            quarantine_dir = f"{base_dir.rstrip('/')}_quarantine"
+        if bad_rows:
+            flagged.filter(F.size("_violations") > 0).write.mode(
+                "append"
+            ).parquet(quarantine_dir)
+        clean = flagged.filter(F.size("_violations") == 0).drop("_violations")
+    else:
+        raise ValueError(f"on_violation must be fail|quarantine: {on_violation!r}")
+    meta = dict(publish_kwargs.pop("meta", None) or {})
+    meta["constraints"] = audit
+    v = publish_versioned(clean, base_dir, meta=meta, **publish_kwargs)
+    return v, audit
+
+
 def publish_versioned(
     df: DataFrame,
     base_dir: str,

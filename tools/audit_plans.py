@@ -408,6 +408,13 @@ EXPECT = {
     "mv_rewrite_pricing": {"partial_agg": True, "no_python_udf": True,
                            "plan_must_contain": ["lineitem_pricing_mv"],
                            "plan_must_not_contain": ["lineitem.parquet"]},
+    # constraint-enforced publish: the query reads the CLEAN published
+    # version (a plain pruned scan + two-phase agg); enforcement cost
+    # was paid once at publish
+    "constraint_quarantine_publish": {"partial_agg": True,
+                                      "no_python_udf": True,
+                                      "plan_must_contain": ["events_checked"],
+                                      "plan_must_not_contain": ["events.parquet"]},
 }
 
 
