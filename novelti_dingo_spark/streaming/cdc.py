@@ -151,6 +151,7 @@ def stream_append_publish(
     checkpoint_dir: str,
     schema: StructType,
     stats_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> None:
     """Streaming ingestion into the append-chain lake: one incremental
     run (Trigger.AvailableNow) turns each micro-batch into ONE
@@ -168,7 +169,13 @@ def stream_append_publish(
     This is the streaming half of the lake story: batch compaction
     (`publish_versioned` full snapshot) truncates the chain the stream
     grows — the Iceberg append-commit / rewrite-commit pair on this
-    manifest format."""
+    manifest format.
+
+    `partition_by` streams each micro-batch in as a HIVE-partitioned
+    segment (publish_append partition-spec rules apply: mutually
+    exclusive with stats_cols — directory names are the skipping index);
+    chain readers compose these segments with flat ones, so a stream can
+    adopt partitioning mid-chain without touching history."""
     from ..pipelines import publish_append
 
     base = target_base.rstrip("/")
@@ -184,6 +191,7 @@ def stream_append_publish(
             base,
             meta={"checkpoint_id": run_id, "batch_id": int(epoch_id)},
             stats_cols=stats_cols,
+            partition_by=partition_by,
         )
 
     stream = (

@@ -224,6 +224,72 @@ def enrich_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
     return events.join(F.broadcast(c), "user_id", "left")
 
 
+def run_enrich_with_lake_dim(
+    spark: SparkSession,
+    src_dir: str,
+    dim_base: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema,
+    join_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_cols: list[str] | None = None,
+    pin_version: int | None = None,
+    after_batch=None,
+) -> None:
+    """Stream-static join against the VERSIONED lake dimension with
+    per-micro-batch refresh: each batch re-resolves the dim's LATEST
+    pointer (pipelines.read_version) and broadcast-joins it, so a dim
+    publish landing BETWEEN micro-batches is picked up by the very next
+    batch without restarting the query — the piece a plain static-
+    DataFrame join cannot do (its file listing is frozen at plan time,
+    and a versioned publish lands in a NEW v=N directory the frozen
+    listing has never seen). Every output row carries `_dim_version`, so
+    downstream consumers can SEE which dim snapshot enriched it — the
+    auditability half of slowly-changing-dimension streaming.
+
+    `pin_version` freezes the dim instead (reproducible runs: the
+    training-data posture); `after_batch(epoch_id)` is a hook invoked
+    after each batch commit (tests use it to publish a new dim version
+    mid-query and prove the refresh).
+
+    Output is written per-epoch to `out_dir/epoch=N` with overwrite —
+    a replayed micro-batch (at-least-once foreachBatch) rewrites its own
+    epoch directory, never duplicates. At 100 TB the dim side is a k-row
+    broadcast per batch; the stream side never shuffles."""
+    from ..pipelines import read_version
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            if after_batch is not None:
+                after_batch(int(epoch_id))
+            return
+        dim, manifest = read_version(spark, dim_base, version=pin_version)
+        d = dim.withColumnRenamed(dim_key, join_key)
+        if dim_cols:
+            d = d.select(join_key, *dim_cols)
+        out = batch.join(F.broadcast(d), join_key, "left").withColumn(
+            "_dim_version", F.lit(int(manifest["version"]))
+        )
+        out.write.mode("overwrite").parquet(
+            f"{out_dir.rstrip('/')}/epoch={int(epoch_id)}"
+        )
+        if after_batch is not None:
+            after_batch(int(epoch_id))
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def merge_hourly_batch(
     batch_df: DataFrame, batch_id: int, target_dir: str
 ) -> None:

@@ -1,0 +1,150 @@
+"""Streaming joins against the versioned lake dimension
+(streaming.events.run_enrich_with_lake_dim) and partitioned streaming
+ingestion (stream_append_publish partition_by): a dim publish landing
+between micro-batches is picked up by the next batch WITHOUT restarting
+the query; a pinned version never moves; streamed hive-partitioned
+segments compose with the chain readers."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+
+from pyspark.sql import functions as F
+
+from novelti_dingo_spark import schemas
+from novelti_dingo_spark.pipelines import (
+    publish_versioned,
+    read_chain_pruned,
+    read_version_chain,
+)
+from novelti_dingo_spark.sources.io import load_table
+from novelti_dingo_spark.streaming.events import run_enrich_with_lake_dim
+
+
+def _stage_event_files(spark, sf_small, tmp_path, n_files=2):
+    """Split the events table into n single-file parquets the file
+    source will deliver as separate micro-batches."""
+    ev = load_table(spark, sf_small, "events")
+    src = tmp_path / "src"
+    src.mkdir()
+    files = []
+    for i in range(n_files):
+        staged = str(tmp_path / f"staged{i}")
+        ev.filter(F.col("event_id") % n_files == i).coalesce(1).write.parquet(
+            staged
+        )
+        part = glob.glob(staged + "/part-*.parquet")[0]
+        dst = src / f"batch{i}.parquet"
+        shutil.copy(part, dst)
+        files.append(dst)
+    return str(src), ev
+
+
+def _dim_v1_v2(spark, sf_small):
+    c = load_table(spark, sf_small, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    v2 = c.withColumn("c_mktsegment", F.concat("c_mktsegment", F.lit("_V2")))
+    return c, v2
+
+
+def test_dim_refresh_between_micro_batches(spark, sf_small, tmp_path):
+    src, ev = _stage_event_files(spark, sf_small, tmp_path, n_files=2)
+    c1, c2 = _dim_v1_v2(spark, sf_small)
+    dim_base = str(tmp_path / "dim")
+    publish_versioned(c1, dim_base)
+
+    published = {"done": False}
+
+    def after_batch(epoch_id):
+        # simulate an upstream dim publish landing mid-query
+        if not published["done"]:
+            publish_versioned(c2, dim_base)
+            published["done"] = True
+
+    out = str(tmp_path / "out")
+    run_enrich_with_lake_dim(
+        spark,
+        src,
+        dim_base,
+        out,
+        str(tmp_path / "ckpt"),
+        schemas.EVENTS_TS_NS,
+        dim_cols=["c_mktsegment"],
+        after_batch=after_batch,
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()
+    versions = {
+        r._dim_version for r in got.select("_dim_version").distinct().collect()
+    }
+    assert versions == {1, 2}, versions
+    # rows enriched by v2 carry the suffixed segment, v1 rows the raw one
+    v2rows = got.filter(F.col("_dim_version") == 2).filter(
+        F.col("c_mktsegment").isNotNull()
+    )
+    assert v2rows.count() > 0
+    assert v2rows.filter(~F.col("c_mktsegment").endswith("_V2")).count() == 0
+    v1rows = got.filter(F.col("_dim_version") == 1).filter(
+        F.col("c_mktsegment").isNotNull()
+    )
+    assert v1rows.count() > 0
+    assert v1rows.filter(F.col("c_mktsegment").endswith("_V2")).count() == 0
+
+
+def test_pinned_version_never_moves(spark, sf_small, tmp_path):
+    src, ev = _stage_event_files(spark, sf_small, tmp_path, n_files=2)
+    c1, c2 = _dim_v1_v2(spark, sf_small)
+    dim_base = str(tmp_path / "dim")
+    publish_versioned(c1, dim_base)
+    publish_versioned(c2, dim_base)  # LATEST is v2
+
+    out = str(tmp_path / "out")
+    run_enrich_with_lake_dim(
+        spark,
+        src,
+        dim_base,
+        out,
+        str(tmp_path / "ckpt"),
+        schemas.EVENTS_TS_NS,
+        dim_cols=["c_mktsegment"],
+        pin_version=1,
+    )
+    got = spark.read.parquet(out)
+    assert {r._dim_version for r in got.select("_dim_version").distinct().collect()} == {1}
+
+
+def test_stream_partitioned_segments_compose_with_chain(
+    spark, sf_small, tmp_path
+):
+    from novelti_dingo_spark.streaming.cdc import stream_append_publish
+
+    ev = load_table(spark, sf_small, "events").withColumn(
+        "day", F.dayofmonth("ts")
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    staged = str(tmp_path / "staged")
+    ev.coalesce(1).write.parquet(staged)
+    shutil.copy(glob.glob(staged + "/part-*.parquet")[0], src / "b1.parquet")
+
+    base = str(tmp_path / "lake")
+    schema = spark.read.parquet(staged).schema
+    stream_append_publish(
+        spark,
+        str(src),
+        base,
+        str(tmp_path / "ckpt"),
+        schema,
+        partition_by=["day"],
+    )
+    df, chain = read_version_chain(spark, base)
+    assert chain[0]["partition_by"] == ["day"]
+    assert df.count() == ev.count()
+    # directory pruning through the chain read
+    days = sorted(r.day for r in ev.select("day").distinct().collect())
+    lo = hi = days[0]
+    pruned, total, n_read = read_chain_pruned(spark, base, "day", lo, hi)
+    assert n_read < total
+    assert pruned.count() == ev.filter(F.col("day") == lo).count()
