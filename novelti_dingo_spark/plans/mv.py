@@ -96,6 +96,48 @@ def publish_mv(
     return publish_versioned(rollup, base_dir, meta=spec.to_meta(), **publish_kwargs)
 
 
+def refresh_mv(
+    spark: SparkSession, base_dir: str, delta_fact: DataFrame, **publish_kwargs
+) -> int:
+    """INCREMENTAL MV refresh: aggregate only the delta rows to the MV
+    grain and MERGE them into the current MV (sum+sum, count+count,
+    min-of-min, max-of-max) — publishing the result as a new version so
+    readers flip atomically and old versions stay pinnable. Cost is
+    O(delta) + O(|MV|), never a fact re-scan: the algebraic-measures
+    restriction publish_mv enforces is exactly what makes this merge
+    legal. New group keys appearing only in the delta materialize as new
+    MV rows (the union handles them with no special case)."""
+    from ..pipelines import read_version
+
+    mv, manifest = read_version(spark, base_dir)
+    spec = MvSpec.from_manifest(manifest)
+    if spec is None:
+        raise ValueError(f"{base_dir} is not a materialized view")
+    aggs = []
+    for out, (kind, src) in spec.measures.items():
+        if kind == "count":
+            aggs.append(F.count(F.lit(1)).alias(out))
+        else:
+            aggs.append(getattr(F, kind)(src).alias(out))
+    delta = delta_fact.groupBy(*spec.group_keys).agg(*aggs)
+    merged = (
+        mv.select(*delta.columns)
+        .unionByName(delta)
+        .groupBy(*spec.group_keys)
+        .agg(
+            *[
+                _MERGE[spec.measures[out][0]](out).alias(out)
+                for out in spec.measures
+            ]
+        )
+    )
+    from ..pipelines import publish_versioned
+
+    return publish_versioned(
+        merged, base_dir, meta=spec.to_meta(), **publish_kwargs
+    )
+
+
 def rewrite_agg(
     spark: SparkSession,
     mv_base_dir: str,

@@ -158,6 +158,7 @@ def _load_all() -> None:
         logreg,
         gbm,
         semdedup,
+        invindex,
     )
 
     _LOADED = True

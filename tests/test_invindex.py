@@ -1,0 +1,74 @@
+"""Inverted-index invariants beyond the oracle query: empty and
+missing-term searches, single-term equivalence with a direct scan,
+pushed-down token filter in the index scan plan, and index refresh via
+republish."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from novelti_dingo_spark.operators.invindex import (
+    build_inverted_index,
+    search_all_terms,
+)
+from novelti_dingo_spark.plans import explain_formatted
+from novelti_dingo_spark.sources import load_table
+
+
+def _contains(docs, term):
+    return docs.filter(
+        F.array_contains(F.split("text", " "), term)
+    ).select("doc_id")
+
+
+def test_single_term_matches_direct_scan(spark, sf_small, tmp_path):
+    docs = load_table(spark, sf_small, "documents")
+    base = os.path.join(str(tmp_path), "idx")
+    build_inverted_index(docs, base)
+    got = {r.doc_id for r in search_all_terms(spark, base, ["spark"]).collect()}
+    want = {r.doc_id for r in _contains(docs, "spark").collect()}
+    assert got == want and got
+
+
+def test_missing_term_yields_empty(spark, sf_small, tmp_path):
+    docs = load_table(spark, sf_small, "documents")
+    base = os.path.join(str(tmp_path), "idx")
+    build_inverted_index(docs, base)
+    assert search_all_terms(spark, base, ["spark", "zzz_not_a_token"]).count() == 0
+
+
+def test_conjunction_is_intersection(spark, sf_small, tmp_path):
+    docs = load_table(spark, sf_small, "documents")
+    base = os.path.join(str(tmp_path), "idx")
+    build_inverted_index(docs, base)
+    got = {
+        r.doc_id
+        for r in search_all_terms(spark, base, ["hash", "sort"]).collect()
+    }
+    a = {r.doc_id for r in _contains(docs, "hash").collect()}
+    b = {r.doc_id for r in _contains(docs, "sort").collect()}
+    assert got == (a & b)
+
+
+def test_token_filter_pushed_into_index_scan(spark, sf_small, tmp_path):
+    docs = load_table(spark, sf_small, "documents")
+    base = os.path.join(str(tmp_path), "idx")
+    build_inverted_index(docs, base)
+    plan = explain_formatted(search_all_terms(spark, base, ["hash", "sort"]))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:200]
+    assert "token" in pushed and "In" in pushed
+
+
+def test_refresh_republish_flips_atomically(spark, sf_small, tmp_path):
+    docs = load_table(spark, sf_small, "documents")
+    base = os.path.join(str(tmp_path), "idx")
+    v1 = build_inverted_index(docs.filter(F.col("doc_id") < 100), base)
+    n1 = search_all_terms(spark, base, ["spark"]).count()
+    v2 = build_inverted_index(docs, base)
+    assert (v1, v2) == (1, 2)
+    n2 = search_all_terms(spark, base, ["spark"]).count()
+    assert n2 >= n1
+    assert n2 == _contains(docs, "spark").count()

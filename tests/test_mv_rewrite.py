@@ -128,6 +128,46 @@ def test_holistic_measure_rejected_at_publish(spark, mv, tmp_path):
         )
 
 
+def test_incremental_refresh_equals_full_recompute(spark, sf_small, tmp_path):
+    from novelti_dingo_spark.plans.mv import refresh_mv
+
+    li = load_table(spark, sf_small, "lineitem")
+    old = li.filter(F.col("l_orderkey") % 3 != 0)
+    delta = li.filter(F.col("l_orderkey") % 3 == 0)
+    base = os.path.join(str(tmp_path), "mv_incr")
+    publish_mv(old, base, SPEC)
+    v = refresh_mv(spark, base, delta)
+    assert v == 2
+    # refreshed MV must answer queries identically to an MV built from
+    # the FULL fact — per-key measures equal at float precision
+    full_base = os.path.join(str(tmp_path), "mv_full")
+    publish_mv(li, full_base, SPEC)
+    got = rewrite_agg(
+        spark, base, ["l_returnflag"],
+        {"sum_qty": "sum_qty", "n_items": "n_items"},
+    )
+    want = rewrite_agg(
+        spark, full_base, ["l_returnflag"],
+        {"sum_qty": "sum_qty", "n_items": "n_items"},
+    )
+    g = {r.l_returnflag: r for r in got.collect()}
+    w = {r.l_returnflag: r for r in want.collect()}
+    assert set(g) == set(w)
+    for k in w:
+        assert g[k].n_items == w[k].n_items
+        assert abs(g[k].sum_qty - w[k].sum_qty) < 1e-6
+
+
+def test_refresh_rejects_non_mv(spark, sf_small, tmp_path):
+    from novelti_dingo_spark.plans.mv import refresh_mv
+
+    li = load_table(spark, sf_small, "lineitem")
+    base = os.path.join(str(tmp_path), "not_mv")
+    publish_versioned(li.limit(5), base)
+    with pytest.raises(ValueError, match="not a materialized view"):
+        refresh_mv(spark, base, li.limit(5))
+
+
 def test_read_as_of_is_chain_aware(spark, sf_small, tmp_path):
     """Time travel onto an APPEND CHAIN must return the full snapshot at
     the resolved version — the chain union, never the head segment's

@@ -415,6 +415,12 @@ EXPECT = {
                                       "no_python_udf": True,
                                       "plan_must_contain": ["events_checked"],
                                       "plan_must_not_contain": ["events.parquet"]},
+    # inverted-index search: term resolution reads the postings index
+    # (pushed In-filter), the hit set broadcasts onto documents; the
+    # document TEXT column is never scanned
+    "inverted_index_search": {"partial_agg": True, "no_python_udf": True,
+                              "broadcast_joins": 1,
+                              "plan_must_contain": ["documents_invindex"]},
 }
 
 
