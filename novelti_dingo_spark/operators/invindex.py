@@ -33,23 +33,41 @@ _TERMS = ("data", "join", "vector")
 
 
 def build_inverted_index(docs: DataFrame, base_dir: str, n_files: int = 4) -> int:
-    """One corpus scan -> exploded (token, doc_id) postings, range-
-    clustered by token so each parquet file covers a token range (the
-    clustering is what makes the In-filter scan skip row groups)."""
+    """One corpus scan -> exploded (token, doc_id, tf, dl) postings,
+    range-clustered by token so each parquet file covers a token range
+    (the clustering is what makes the In-filter scan skip row groups).
+    `tf` (in-doc term frequency) and `dl` (doc token length) ride each
+    posting so RANKED retrieval (BM25) needs no second corpus scan; the
+    corpus-level BM25 constants (n_docs, avgdl — exact integer sums, so
+    bit-identical whenever recomputed) land in the manifest."""
     from ..pipelines import publish_versioned
 
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
     index = (
-        docs.select(
-            "doc_id",
-            F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
-        )
+        toks.groupBy("token", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
         .repartitionByRange(n_files, "token")
         .sortWithinPartitions("token", "doc_id")
     )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(F.split("text", " "))).alias("sum_dl"),
+    ).head()
+    # store the INTEGER corpus stats, not the derived average: both
+    # engines then derive avgdl = sum_dl/n from identical integers,
+    # which is bit-identical — a stored float average could differ from
+    # an engine's own avg() accumulation order
     return publish_versioned(
         index,
         base_dir,
-        meta={"inverted_index": {"source": "documents", "kind": "exploded"}},
+        meta={
+            "inverted_index": {"source": "documents", "kind": "exploded"},
+            "bm25": {"n_docs": int(stats["n"]), "sum_dl": int(stats["sum_dl"])},
+        },
     )
 
 
@@ -70,6 +88,119 @@ def search_all_terms(
         .filter(F.col("_k") == len(terms))
         .select("doc_id")
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def search_bm25(
+    spark: SparkSession, base_dir: str, terms: list[str], k: int = 10
+) -> DataFrame:
+    """BM25-ranked disjunctive retrieval from the postings index
+    (Robertson/Sparck-Jones BM25, the Lucene +1 idf variant): one
+    pushed-down In-filter scan of the index, a per-doc pivot to fixed
+    per-term tf columns, document-frequency scalars from ONE 1-row
+    aggregate broadcast back, then a pure-expression score and
+    TakeOrderedAndProject top-k — no corpus scan, no UDF, one shuffle.
+
+    Determinism across engines is engineered, not hoped for: the score
+    is a FIXED left-to-right sum of per-term contributions (never an
+    agg over a nondeterministic row order), avgdl derives from integer
+    manifest stats, and ordering uses the 6dp-ROUNDED score (so a last-
+    ulp libm `ln` difference between engines cannot flip the top-k
+    boundary) with doc_id tiebreak."""
+    from ..pipelines import read_version
+
+    idx, manifest = read_version(spark, base_dir)
+    bm = manifest["bm25"]
+    n_docs = float(bm["n_docs"])
+    avgdl = float(bm["sum_dl"]) / float(bm["n_docs"])
+    matched = idx.filter(F.col("token").isin(list(terms)))
+    dfs = matched.agg(
+        *[
+            F.sum((F.col("token") == t).cast("long")).alias(f"_df{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    wide = matched.groupBy("doc_id", "dl").agg(
+        *[
+            F.max(F.when(F.col("token") == t, F.col("tf"))).alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    j = wide.crossJoin(F.broadcast(dfs))
+    norm = F.lit(0.25) + F.lit(0.75) * F.col("dl").cast("double") / F.lit(avgdl)
+    score = None
+    for i in range(len(terms)):
+        tf = F.coalesce(F.col(f"_tf{i}"), F.lit(0)).cast("double")
+        df = F.col(f"_df{i}").cast("double")
+        idf = F.log(
+            (F.lit(n_docs) - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0)
+        )
+        w = idf * tf * F.lit(2.2) / (tf + F.lit(1.2) * norm)
+        score = w if score is None else score + w
+    return (
+        j.select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+@register(
+    "bm25_ranked_search",
+    f"""
+    WITH wide AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS dl,
+             len(list_filter(string_split(text, ' '), x -> x = '{_TERMS[0]}')) AS tf0,
+             len(list_filter(string_split(text, ' '), x -> x = '{_TERMS[1]}')) AS tf1,
+             len(list_filter(string_split(text, ' '), x -> x = '{_TERMS[2]}')) AS tf2
+      FROM documents
+    ), stats AS (
+      SELECT count(*)::DOUBLE AS n,
+             sum(len(string_split(text, ' ')))::DOUBLE
+               / count(*)::DOUBLE AS avgdl
+      FROM documents
+    ), dfs AS (
+      SELECT sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+      FROM wide
+    )
+    SELECT doc_id, round(
+        ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+          * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+          * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+          * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      , 6) AS bm25
+    FROM wide CROSS JOIN dfs CROSS JOIN stats
+    WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+    survey_rows="S5,L5,O2,index-search",
+)
+def bm25_ranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for OR({_TERMS}) answered FROM the postings index at
+    the correctness gate, hash-matched against a DuckDB brute-force
+    rescore of the raw corpus with the bit-identical formula (see
+    search_bm25 for the determinism engineering). The index side scans
+    postings rows for 3 tokens; the oracle re-tokenizes every document —
+    at 100 TB that asymmetry IS the feature."""
+    import tempfile
+
+    from ..sources import lakefs
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "documents_invindex"
+    )
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        build_inverted_index(load_table(spark, sf_dir, "documents"), base)
+    return search_bm25(spark, base, list(_TERMS), k=10)
 
 
 @register(

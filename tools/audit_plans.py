@@ -421,6 +421,12 @@ EXPECT = {
     "inverted_index_search": {"partial_agg": True, "no_python_udf": True,
                               "broadcast_joins": 1,
                               "plan_must_contain": ["documents_invindex"]},
+    # BM25: index-only retrieval — documents.parquet never scanned; the
+    # 1-row df aggregate broadcasts; top-k is TakeOrderedAndProject
+    "bm25_ranked_search": {"partial_agg": True, "no_python_udf": True,
+                           "take_ordered": True,
+                           "plan_must_contain": ["documents_invindex"],
+                           "plan_must_not_contain": ["documents.parquet"]},
 }
 
 
