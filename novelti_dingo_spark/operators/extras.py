@@ -1691,6 +1691,84 @@ def constraint_quarantine_publish(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "mv_rewrite_star_segment",
+    """
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price,
+           round(sum(o.o_totalprice) / count(*), 6) AS avg_price
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    survey_rows="S5,J1,A1,mv-rewrite",
+)
+def mv_rewrite_star_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MV auto-rewrite THROUGH A JOIN, with cost-based MV choice: the
+    published MV materializes the orders⋈customer star join pre-
+    aggregated at grain (c_mktsegment, o_orderpriority); this query
+    asks for segment-level totals and `choose_mv` picks that MV over a
+    deliberately-finer decoy MV (grain + o_orderstatus, more rows) —
+    the smallest containing rollup wins, by manifest row counts alone
+    (O(candidates) driver JSON, no data I/O). The rewrite then answers
+    from the k-row MV: neither orders nor customer is scanned (plan-
+    audited), while the oracle recomputes the join + aggregate from raw
+    tables — the hash match proves join-MV containment end-to-end."""
+    import tempfile
+
+    from ..plans.mv import MvSpec, choose_mv, publish_mv, rewrite_agg
+    from ..sources import lakefs
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(tempfile.gettempdir(), "novelti_dingo_lake", tag)
+    base = os.path.join(root, "star_segment_mv")
+    decoy = os.path.join(root, "star_segment_mv_fine")
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        o = load_table(spark, sf_dir, "orders")
+        c = load_table(spark, sf_dir, "customer")
+        joined = o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        publish_mv(
+            joined,
+            base,
+            MvSpec(
+                ("c_mktsegment", "o_orderpriority"),
+                {
+                    "total_price": ("sum", "o_totalprice"),
+                    "n_orders": ("count", None),
+                },
+            ),
+        )
+        publish_mv(
+            joined,
+            decoy,
+            MvSpec(
+                ("c_mktsegment", "o_orderpriority", "o_orderstatus"),
+                {
+                    "total_price": ("sum", "o_totalprice"),
+                    "n_orders": ("count", None),
+                },
+            ),
+        )
+    measures = {
+        "n_orders": "n_orders",
+        "total_price": "total_price",
+        "avg_price": ("total_price", "n_orders"),
+    }
+    chosen = choose_mv(spark, [decoy, base], ["c_mktsegment"], measures)
+    assert chosen == base, f"cost-based choice picked {chosen}"
+    out = rewrite_agg(spark, chosen, ["c_mktsegment"], measures)
+    assert out is not None
+    return out.select(
+        "c_mktsegment",
+        "n_orders",
+        F.round("total_price", 2).alias("total_price"),
+        F.round("avg_price", 6).alias("avg_price"),
+    )
+
+
+@register(
     "stats_cbo_star_join",
     """
     SELECT c.c_mktsegment,

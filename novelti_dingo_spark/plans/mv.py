@@ -96,6 +96,59 @@ def publish_mv(
     return publish_versioned(rollup, base_dir, meta=spec.to_meta(), **publish_kwargs)
 
 
+def choose_mv(
+    spark: SparkSession,
+    candidates: list[str],
+    group_keys: list[str],
+    measures: dict[str, str | tuple[str, str]],
+    predicate_cols: list[str] | None = None,
+) -> str | None:
+    """Cost-based MV selection: among candidate MV base dirs, return the
+    one that CONTAINS the query (same test rewrite_agg applies) with the
+    fewest manifest rows — the finest-grain MV costs the most to read
+    and re-aggregate, so when several match, the smallest rollup wins.
+    O(candidates) driver-side manifest reads, no data I/O; returns None
+    when nothing contains the query (caller scans the fact)."""
+    import json
+
+    from ..sources import lakefs
+
+    best: tuple[int, str] | None = None
+    for base in candidates:
+        b = base.rstrip("/")
+        try:
+            v = int(lakefs.read_text(spark, f"{b}/LATEST").strip())
+            manifest = json.loads(
+                lakefs.read_text(spark, f"{b}/v={v}/_manifest.json")
+            )
+        except Exception:
+            continue
+        spec = MvSpec.from_manifest(manifest)
+        if spec is None:
+            continue
+        if not set(group_keys) <= set(spec.group_keys):
+            continue
+        if not set(predicate_cols or []) <= set(spec.group_keys):
+            continue
+        ok = True
+        for want in measures.values():
+            if isinstance(want, tuple):
+                s, c = want
+                if (
+                    spec.measures.get(s, ("", None))[0] != "sum"
+                    or spec.measures.get(c, ("", None))[0] != "count"
+                ):
+                    ok = False
+            elif want not in spec.measures:
+                ok = False
+        if not ok:
+            continue
+        rows = int(manifest.get("rows", 1 << 62))
+        if best is None or (rows, b) < best:
+            best = (rows, b)
+    return best[1] if best else None
+
+
 def refresh_mv(
     spark: SparkSession, base_dir: str, delta_fact: DataFrame, **publish_kwargs
 ) -> int:

@@ -168,6 +168,44 @@ def test_refresh_rejects_non_mv(spark, sf_small, tmp_path):
         refresh_mv(spark, base, li.limit(5))
 
 
+def test_choose_mv_picks_smallest_containing(spark, sf_small, tmp_path):
+    from novelti_dingo_spark.plans.mv import choose_mv
+
+    li = load_table(spark, sf_small, "lineitem")
+    coarse = os.path.join(str(tmp_path), "mv_coarse")
+    fine = os.path.join(str(tmp_path), "mv_fine")
+    publish_mv(li, coarse, SPEC)
+    publish_mv(
+        li,
+        fine,
+        MvSpec(
+            ("l_returnflag", "l_linestatus", "l_shipdate"),
+            dict(SPEC.measures),
+        ),
+    )
+    m = {"sum_qty": "sum_qty"}
+    # both contain the returnflag grain -> the smaller (coarse) MV wins
+    assert choose_mv(spark, [fine, coarse], ["l_returnflag"], m) == coarse
+    # only the fine MV contains a shipdate grouping
+    assert (
+        choose_mv(spark, [fine, coarse], ["l_returnflag", "l_shipdate"], m)
+        == fine
+    )
+    # nothing contains an unknown key or measure
+    assert choose_mv(spark, [fine, coarse], ["l_partkey"], m) is None
+    assert choose_mv(spark, [fine, coarse], ["l_returnflag"], {"x": "nope"}) is None
+    # non-MV and missing candidates are skipped, not fatal
+    assert (
+        choose_mv(
+            spark,
+            [os.path.join(str(tmp_path), "missing"), coarse],
+            ["l_returnflag"],
+            m,
+        )
+        == coarse
+    )
+
+
 def test_read_as_of_is_chain_aware(spark, sf_small, tmp_path):
     """Time travel onto an APPEND CHAIN must return the full snapshot at
     the resolved version — the chain union, never the head segment's

@@ -427,6 +427,12 @@ EXPECT = {
                            "take_ordered": True,
                            "plan_must_contain": ["documents_invindex"],
                            "plan_must_not_contain": ["documents.parquet"]},
+    # join-MV rewrite: the star join was materialized at publish — the
+    # query plan scans ONLY the chosen MV, never orders/customer
+    "mv_rewrite_star_segment": {"partial_agg": True, "no_python_udf": True,
+                                "plan_must_contain": ["star_segment_mv"],
+                                "plan_must_not_contain": ["orders.parquet",
+                                                          "customer.parquet"]},
 }
 
 
