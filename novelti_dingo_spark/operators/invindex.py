@@ -33,23 +33,31 @@ _TERMS = ("data", "join", "vector")
 
 
 def build_inverted_index(docs: DataFrame, base_dir: str, n_files: int = 4) -> int:
-    """One corpus scan -> exploded (token, doc_id, tf, dl) postings,
-    range-clustered by token so each parquet file covers a token range
-    (the clustering is what makes the In-filter scan skip row groups).
-    `tf` (in-doc term frequency) and `dl` (doc token length) ride each
-    posting so RANKED retrieval (BM25) needs no second corpus scan; the
-    corpus-level BM25 constants (n_docs, avgdl — exact integer sums, so
-    bit-identical whenever recomputed) land in the manifest."""
+    """One corpus scan -> exploded (token, doc_id, positions, tf, dl)
+    POSITIONAL postings, range-clustered by token so each parquet file
+    covers a token range (the clustering is what makes the In-filter
+    scan skip row groups). `positions` (sorted in-doc offsets, the
+    Lucene positional-postings shape) enables phrase queries without
+    any corpus rescans; `tf` = len(positions) and `dl` (doc token
+    length) ride each posting so RANKED retrieval (BM25) needs no
+    second scan either; the corpus-level BM25 constants (n_docs, avgdl
+    — exact integer sums, so bit-identical whenever recomputed) land in
+    the manifest. Position arrays are per-(token, doc) — bounded by a
+    doc's own tf, never by corpus size, so they stay row-friendly at
+    100 TB where per-token array blobs would not."""
     from ..pipelines import publish_versioned
 
     toks = docs.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("dl"),
-        F.explode(F.split("text", " ")).alias("token"),
+        F.posexplode(F.split("text", " ")).alias("pos", "token"),
     )
     index = (
         toks.groupBy("token", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+        .withColumn("tf", F.size("positions"))
         .repartitionByRange(n_files, "token")
         .sortWithinPartitions("token", "doc_id")
     )
@@ -88,6 +96,77 @@ def search_all_terms(
         .filter(F.col("_k") == len(terms))
         .select("doc_id")
     )
+
+
+def search_phrase(
+    spark: SparkSession, base_dir: str, terms: list[str]
+) -> DataFrame:
+    """PHRASE search from positional postings: term i must appear at
+    (start + i) for a common start — computed by intersecting each
+    term's positions shifted left by its phrase offset. One pushed-down
+    In scan, then |phrase|-1 joins on doc_id (each side already reduced
+    to matching docs' posting rows); returns (doc_id, n_occurrences)
+    where n_occurrences counts phrase starts, overlapping occurrences
+    included — the positional semantics substring heuristics get wrong."""
+    from ..pipelines import read_version
+
+    idx, _ = read_version(spark, base_dir)
+    m = idx.filter(F.col("token").isin(list(terms)))
+    starts = None
+    for i, t in enumerate(terms):
+        cand = m.filter(F.col("token") == t).select(
+            "doc_id",
+            F.transform("positions", lambda x: x - i).alias("_cand"),
+        )
+        if starts is None:
+            starts = cand.withColumnRenamed("_cand", "_starts")
+        else:
+            starts = (
+                starts.join(cand, "doc_id")
+                .withColumn(
+                    "_starts", F.array_intersect("_starts", "_cand")
+                )
+                .drop("_cand")
+                .filter(F.size("_starts") > 0)
+            )
+    return starts.filter(F.size("_starts") > 0).select(
+        "doc_id", F.size("_starts").alias("n_occurrences")
+    )
+
+
+_PHRASE = ("hash", "join")
+
+
+@register(
+    "phrase_search_index",
+    f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE ' ' || text || ' ' LIKE '% {" ".join(_PHRASE)} %'
+    """,
+    survey_rows="S5,L5,index-search",
+)
+def phrase_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase query "{' '.join(_PHRASE)}" answered from POSITIONAL
+    postings at the correctness gate: consecutive-position intersection
+    over the index vs the oracle's padded-LIKE substring scan of the raw
+    text (exact here because the corpus is single-space tokenized —
+    which is also why the index side is the real implementation: LIKE
+    breaks on any richer tokenization, positions don't). The plan
+    touches two tokens' postings and never the documents text."""
+    import tempfile
+
+    from ..sources import lakefs
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "documents_invindex"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        build_inverted_index(docs, base)
+    hits = search_phrase(spark, base, list(_PHRASE)).select("doc_id")
+    return docs.join(F.broadcast(hits), "doc_id").select("doc_id", "source")
 
 
 BM25_K1 = 1.2

@@ -526,19 +526,28 @@ def publish_checked(
     a version was admitted under.
 
     `constraints` entries are (name, kind, spec):
-      ("positive_value", "check",    F.col("value") >= 0)   # row predicate
-      ("ts_present",     "not_null", ["ts", "user_id"])     # columns
-      ("pk",             "unique",   ["event_id"])          # key columns
+      ("positive_value", "check",    F.col("value") >= 0)        # row predicate
+      ("ts_present",     "not_null", ["ts", "user_id"])          # columns
+      ("pk",             "unique",   ["event_id"])               # key columns
+      ("valid_user",     "fk",       ("user_id", cust, "c_custkey"))
+                                     # (fk col, parent df, parent key)
 
     Plan shape: check/not_null are pure row expressions fused into the
     scan; `unique` adds one window count over the key (the unavoidable
-    shuffle — dedup needs global visibility of the key). Violation
-    counts come from ONE aggregate over the flagged frame; quarantine
-    writes the flagged split before the clean publish so a crash
-    between the two leaves LATEST untouched (publish's pointer-flip
-    atomicity is preserved). Returns (version, audit dict)."""
+    shuffle — dedup needs global visibility of the key); `fk` is a
+    broadcast left join against the parent's DISTINCT keys (standard
+    SQL semantics: a NULL fk is not a violation — declare not_null too
+    if it should be). At 100 TB dims are broadcastable by design; an
+    unbroadcastable parent means the fk check is a shuffle semi-join —
+    swap the hint, the flag logic is unchanged. Violation counts come
+    from ONE aggregate over the flagged frame; quarantine writes the
+    flagged split before the clean publish so a crash between the two
+    leaves LATEST untouched (publish's pointer-flip atomicity is
+    preserved). Returns (version, audit dict)."""
     flags = []
-    for name, kind, spec in constraints:
+    markers = []
+    src = df
+    for i, (name, kind, spec) in enumerate(constraints):
         if kind == "check":
             flags.append(F.when(~spec, F.lit(name)))
         elif kind == "not_null":
@@ -550,11 +559,27 @@ def publish_checked(
         elif kind == "unique":
             w = Window.partitionBy(*spec)
             flags.append(F.when(F.count(F.lit(1)).over(w) > 1, F.lit(name)))
+        elif kind == "fk":
+            fk_col, parent, pk = spec
+            marker = f"_fk_{i}"
+            keys = parent.select(
+                F.col(pk).alias(marker)
+            ).distinct()
+            src = src.join(
+                F.broadcast(keys), F.col(fk_col) == F.col(marker), "left"
+            )
+            markers.append(marker)
+            flags.append(
+                F.when(
+                    F.col(marker).isNull() & F.col(fk_col).isNotNull(),
+                    F.lit(name),
+                )
+            )
         else:
             raise ValueError(f"constraint {name!r}: unknown kind {kind!r}")
-    flagged = df.withColumn(
+    flagged = src.withColumn(
         "_violations", F.array_compact(F.array(*flags))
-    )
+    ).drop(*markers)
     counts_row = flagged.agg(
         *[
             F.sum(

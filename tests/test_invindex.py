@@ -62,6 +62,47 @@ def test_token_filter_pushed_into_index_scan(spark, sf_small, tmp_path):
     assert "token" in pushed and "In" in pushed
 
 
+def test_phrase_search_matches_substring_scan(spark, sf_small, tmp_path):
+    from novelti_dingo_spark.operators.invindex import search_phrase
+
+    docs = load_table(spark, sf_small, "documents")
+    base = os.path.join(str(tmp_path), "idx")
+    build_inverted_index(docs, base)
+    got = {
+        r.doc_id for r in search_phrase(spark, base, ["big", "data"]).collect()
+    }
+    want = {
+        r.doc_id
+        for r in docs.filter(
+            F.concat(F.lit(" "), F.col("text"), F.lit(" ")).contains(
+                " big data "
+            )
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_phrase_counts_overlapping_occurrences(spark, tmp_path):
+    from novelti_dingo_spark.operators.invindex import search_phrase
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, "a b"), (2, "b a")],
+        "doc_id long, text string",
+    )
+    base = os.path.join(str(tmp_path), "idx")
+    build_inverted_index(docs, base)
+    occ = {
+        r.doc_id: r.n_occurrences
+        for r in search_phrase(spark, base, ["a", "a"]).collect()
+    }
+    assert occ == {0: 2}  # starts at 0 and 1 — overlapping counted
+    occ2 = {
+        r.doc_id: r.n_occurrences
+        for r in search_phrase(spark, base, ["a", "b"]).collect()
+    }
+    assert occ2 == {0: 1, 1: 1}
+
+
 def test_refresh_republish_flips_atomically(spark, sf_small, tmp_path):
     docs = load_table(spark, sf_small, "documents")
     base = os.path.join(str(tmp_path), "idx")

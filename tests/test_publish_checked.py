@@ -99,6 +99,55 @@ def test_unique_flags_all_copies_and_multi_violations(spark, sf_small, tmp_path)
     assert clean.groupBy("event_id").count().filter("count > 1").count() == 0
 
 
+def test_fk_constraint_flags_orphans(spark, sf_small, tmp_path):
+    base = os.path.join(str(tmp_path), "events_fk")
+    ev = load_table(spark, sf_small, "events").limit(100)
+    cust = load_table(spark, sf_small, "customer")
+    # manufacture orphans: shift some user_ids beyond the customer range
+    maxk = cust.agg(F.max("c_custkey")).head()[0]
+    dirty = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 == 0, F.col("user_id") + maxk + 1000)
+        .otherwise(F.col("user_id")),
+    )
+    n_orphan = dirty.filter(F.col("event_id") % 10 == 0).count()
+    v, audit = publish_checked(
+        dirty,
+        base,
+        [("valid_user", "fk", ("user_id", cust, "c_custkey"))],
+        on_violation="quarantine",
+    )
+    assert audit["violations"]["valid_user"] == n_orphan
+    clean, _ = read_version(spark, base)
+    assert clean.count() == 100 - n_orphan
+    # every surviving row joins a real customer
+    orphans_left = clean.join(
+        cust.select(F.col("c_custkey").alias("user_id")), "user_id", "left_anti"
+    ).count()
+    assert orphans_left == 0
+
+
+def test_fk_null_is_not_a_violation(spark, sf_small, tmp_path):
+    base = os.path.join(str(tmp_path), "events_fknull")
+    ev = load_table(spark, sf_small, "events").limit(20)
+    cust = load_table(spark, sf_small, "customer")
+    with_null = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(None)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    v, audit = publish_checked(
+        with_null,
+        base,
+        [("valid_user", "fk", ("user_id", cust, "c_custkey"))],
+        on_violation="quarantine",
+    )
+    assert audit["violations"]["valid_user"] == 0
+    clean, _ = read_version(spark, base)
+    assert clean.count() == 20
+
+
 def test_unknown_kind_rejected(spark, sf_small, tmp_path):
     ev = load_table(spark, sf_small, "events")
     with pytest.raises(ValueError, match="unknown kind"):

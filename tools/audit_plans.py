@@ -433,6 +433,10 @@ EXPECT = {
                                 "plan_must_contain": ["star_segment_mv"],
                                 "plan_must_not_contain": ["orders.parquet",
                                                           "customer.parquet"]},
+    # phrase search: positional-postings intersection; the doc text is
+    # only touched to project (doc_id, source) for the final hits
+    "phrase_search_index": {"no_python_udf": True, "broadcast_joins": 1,
+                            "plan_must_contain": ["documents_invindex"]},
 }
 
 
