@@ -1769,6 +1769,57 @@ def mv_rewrite_star_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_delete_rows_read",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderkey NOT IN (1, 2, 3)
+    GROUP BY o_orderpriority
+    """,
+    survey_rows="S5,A1,gdpr-delete",
+)
+def lake_delete_rows_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write surgical delete at the correctness gate
+    (pipelines.delete_rows_cow — the GDPR path): orders is published
+    ONCE per (tmpdir, sf) range-clustered and file-indexed on
+    o_orderkey, then keys {1,2,3} are deleted — the index targets the
+    few files containing them for rewrite, every other file is
+    byte-copied (no decode) into the new version, LATEST flips
+    atomically. This query aggregates the POST-DELETE version; the
+    oracle applies NOT IN to raw orders, so the hash match proves the
+    deletion removed exactly the doomed keys and nothing else survived
+    or leaked from either the rewritten or the copied files."""
+    import tempfile
+
+    from ..pipelines import (
+        build_file_index,
+        delete_rows_cow,
+        publish_versioned,
+        read_version,
+    )
+    from ..sources import lakefs
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "orders_gdpr"
+    )
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        o = load_table(spark, sf_dir, "orders").repartitionByRange(
+            4, "o_orderkey"
+        )
+        publish_versioned(o, base)
+        build_file_index(spark, base, "o_orderkey")
+        delete_rows_cow(spark, base, "o_orderkey", [1, 2, 3])
+    df, _ = read_version(spark, base)
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
     "stats_cbo_star_join",
     """
     SELECT c.c_mktsegment,

@@ -703,6 +703,10 @@ def publish_versioned(
         "published_ts": published_ts,
         **(meta or {}),
     }
+    if partition_by:
+        # recorded so chain readers plan this snapshot under its hive
+        # layout (same key publish_append uses for spec evolution)
+        manifest["partition_by"] = partition_by
     if ndv_cols:
         manifest["column_stats"] = {
             c: {
@@ -1613,6 +1617,139 @@ def read_as_of(spark: SparkSession, base_dir: str, ts: str):
         )
     df, chain = read_version_chain(spark, base_dir, version=best[1])
     return df, chain[0]
+
+
+def delete_rows_cow(
+    spark: SparkSession,
+    base_dir: str,
+    col: str,
+    values: list,
+) -> tuple[int, int, int]:
+    """Surgical row deletion (the GDPR / right-to-be-forgotten path) via
+    COPY-ON-WRITE: only the files that can CONTAIN the doomed keys are
+    decoded, filtered, and rewritten; every other file is byte-copied
+    into the new version untouched (Hadoop FileUtil copy — no
+    decode/re-encode, no shuffle). File targeting prefers the exact
+    secondary file index (`build_file_index`) when `col` is indexed,
+    else falls back to manifest min-max file stats, else conservatively
+    rewrites everything. The result is a NEW version with a manifest
+    `deleted` record and an atomic LATEST flip — prior versions keep the
+    rows (time travel is the retention ledger until vacuum reclaims
+    them; run vacuum_versions to make the erasure physical).
+
+    At 100 TB this is the difference between rewriting a table and
+    rewriting the handful of files a user's rows live in: O(matched
+    files) decode + O(files) cheap copies. Operates on FULL snapshots
+    only — an append chain has no single file set to target; compact
+    first (the returned error says so).
+
+    Returns (new_version, n_files_rewritten, n_files_copied)."""
+    import json
+
+    from .sources import lakefs
+
+    base = base_dir.rstrip("/")
+    version = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
+    src = f"{base}/v={version}"
+    manifest = json.loads(lakefs.read_text(spark, f"{src}/_manifest.json"))
+    if manifest.get("append"):
+        raise ValueError(
+            f"v={version} at {base} is an append-chain head — compact_chain "
+            "first so the delete has one file set to target"
+        )
+    if manifest.get("partition_by"):
+        raise ValueError(
+            "delete_rows_cow targets flat snapshots; compact the "
+            "partitioned version first"
+        )
+    files = lakefs_list_parquet(spark, src)
+    vals = set(values)
+    targets: set[str] = set()
+    if col in manifest.get("indexes", []):
+        rows = (
+            spark.read.parquet(f"{src}/_index_{col}")
+            .filter(F.col("value").isin(list(vals)))
+            .select("file")
+            .collect()
+        )
+        targets = {r.file for r in rows}
+    elif (
+        manifest.get("file_stats")
+        and col in manifest["file_stats"]["columns"]
+    ):
+        for f in manifest["file_stats"]["files"]:
+            fmin = f["min"].get(col)
+            fmax = f["max"].get(col)
+            if fmin is None or fmax is None or any(
+                fmin <= v <= fmax for v in vals
+            ):
+                targets.add(f["name"])
+    else:
+        targets = set(files)
+    new_version = version + 1
+    out = f"{base}/v={new_version}"
+    schema = _manifest_schema(manifest)
+    rewritten_rows = 0
+    if targets:
+        kept = (
+            spark.read.schema(schema)
+            .parquet(*[f"{src}/{f}" for f in sorted(targets)])
+            .filter(~F.col(col).isin(list(vals)))
+        )
+        from pyspark.sql import Observation
+
+        obs = Observation(f"delete_v{new_version}")
+        kept.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "errorifexists"
+        ).parquet(out)
+        rewritten_rows = int(obs.get["n"])
+    else:
+        lakefs.mkdirs(spark, out)
+    copied = [f for f in files if f not in targets]
+    for f in copied:
+        lakefs.copy(spark, f"{src}/{f}", f"{out}/{f}")
+    new_manifest = dict(manifest)
+    new_manifest.pop("indexes", None)  # indexes describe the OLD files
+    new_manifest.pop("file_stats", None)
+    new_manifest.update(
+        {
+            "version": new_version,
+            "parent": None,
+            "deleted": {
+                "col": col,
+                "n_values": len(vals),
+                "from_version": version,
+                "files_rewritten": len(targets),
+                "files_copied": len(copied),
+            },
+        }
+    )
+    stats_cols = (manifest.get("file_stats") or {}).get("columns")
+    if stats_cols:
+        stats = _footer_file_stats(spark, out, stats_cols)
+        if stats is None:
+            stats = _scan_file_stats(spark, out, stats_cols)
+        new_manifest["file_stats"] = {"columns": stats_cols, "files": stats}
+    if "rows" in manifest:
+        # rows in untouched files are unchanged; re-derive the total
+        new_manifest["rows"] = rewritten_rows + _count_rows_quick(
+            spark, out, schema, copied
+        )
+    lakefs.write_text(spark, f"{out}/_manifest.json", json.dumps(new_manifest))
+    lakefs.replace_text(spark, f"{base}/LATEST", str(new_version))
+    return new_version, len(targets), len(copied)
+
+
+def _count_rows_quick(spark, out, schema, copied_files):
+    """Row count of the copied (untouched) files from parquet footers —
+    metadata-only, no data scan."""
+    if not copied_files:
+        return 0
+    return (
+        spark.read.schema(schema)
+        .parquet(*[f"{out}/{f}" for f in copied_files])
+        .count()
+    )
 
 
 def publish_snapshot(

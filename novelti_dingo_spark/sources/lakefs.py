@@ -52,6 +52,18 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
     return bool(fs.rename(s, d))
 
 
+def copy(spark: SparkSession, src: str, dst: str) -> None:
+    """Byte copy of one file via Hadoop FileUtil (no driver read):
+    the copy-on-write primitive — untouched files move between versions
+    without decode/re-encode, so a surgical rewrite costs only the
+    affected files' I/O plus cheap filesystem copies of the rest."""
+    fs, s, jvm = _fs(spark, src)
+    d = jvm.org.apache.hadoop.fs.Path(dst)
+    jvm.org.apache.hadoop.fs.FileUtil.copy(
+        fs, s, fs, d, False, spark._jsc.hadoopConfiguration()
+    )
+
+
 def listdir(spark: SparkSession, path: str) -> list[str]:
     """Child basenames of a directory ([] if it doesn't exist)."""
     fs, p, _ = _fs(spark, path)

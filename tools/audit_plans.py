@@ -437,6 +437,11 @@ EXPECT = {
     # only touched to project (doc_id, source) for the final hits
     "phrase_search_index": {"no_python_udf": True, "broadcast_joins": 1,
                             "plan_must_contain": ["documents_invindex"]},
+    # post-delete read: plain pruned scan + two-phase agg over the COW
+    # version; the delete cost was paid once at rewrite time
+    "lake_delete_rows_read": {"partial_agg": True, "no_python_udf": True,
+                              "plan_must_contain": ["orders_gdpr"],
+                              "plan_must_not_contain": ["orders.parquet"]},
 }
 
 
