@@ -513,6 +513,8 @@ def publish_checked(
     constraints: list[tuple[str, str, object]],
     on_violation: str = "fail",
     quarantine_dir: str | None = None,
+    expectations: list[tuple[str, str, object]] | None = None,
+    expectations_action: str = "fail",
     **publish_kwargs,
 ) -> tuple[int, dict]:
     """Constraint-enforced publish (the Delta `CHECK` / `NOT NULL`
@@ -543,7 +545,21 @@ def publish_checked(
     from ONE aggregate over the flagged frame; quarantine writes the
     flagged split before the clean publish so a crash between the two
     leaves LATEST untouched (publish's pointer-flip atomicity is
-    preserved). Returns (version, audit dict)."""
+    preserved). Returns (version, audit dict).
+
+    `expectations` are DATASET-level assertions (the Great-Expectations
+    shape) — rates and cardinalities, not row flags, so nothing is
+    quarantined for them; they GATE the publish instead:
+      ("ts_mostly_set", "rate_max", (F.col("ts").isNull(), 0.01))
+                        # fraction of rows matching expr must be <= 1%
+      ("users_present", "ndv_min",  ("user_id", 50))
+                        # exact distinct count must be >= 50
+    They ride the SAME single aggregate as the violation counts (zero
+    extra passes). A failed expectation aborts the publish
+    (`expectations_action="fail"`) or publishes anyway with the measured
+    values recorded (`"record"`); either way the manifest carries
+    {value, threshold, pass} per expectation, so downstream readers see
+    the measured quality of what they consume."""
     flags = []
     markers = []
     src = df
@@ -580,6 +596,16 @@ def publish_checked(
     flagged = src.withColumn(
         "_violations", F.array_compact(F.array(*flags))
     ).drop(*markers)
+    exp_aggs = []
+    for name, kind, spec in expectations or []:
+        if kind == "rate_max":
+            cond, _thr = spec
+            exp_aggs.append(F.avg(cond.cast("double")).alias(f"_exp_{name}"))
+        elif kind == "ndv_min":
+            col, _thr = spec
+            exp_aggs.append(F.count_distinct(F.col(col)).alias(f"_exp_{name}"))
+        else:
+            raise ValueError(f"expectation {name!r}: unknown kind {kind!r}")
     counts_row = flagged.agg(
         *[
             F.sum(
@@ -588,6 +614,7 @@ def publish_checked(
             for name, _, _ in constraints
         ],
         F.sum((F.size("_violations") > 0).cast("long")).alias("_rows"),
+        *exp_aggs,
     ).head()
     audit = {
         "checked": [name for name, _, _ in constraints],
@@ -596,6 +623,30 @@ def publish_checked(
         },
         "rows_quarantined": int(counts_row["_rows"] or 0),
     }
+    if expectations:
+        exp_audit = {}
+        failed = []
+        for name, kind, spec in expectations:
+            thr = spec[1]
+            val = counts_row[f"_exp_{name}"]
+            val = 0 if val is None else (
+                float(val) if kind == "rate_max" else int(val)
+            )
+            ok = val <= thr if kind == "rate_max" else val >= thr
+            exp_audit[name] = {"value": val, "threshold": thr, "pass": ok}
+            if not ok:
+                failed.append(name)
+        audit["expectations"] = exp_audit
+        if failed and expectations_action == "fail":
+            raise ValueError(
+                f"publish to {base_dir} rejected: expectations failed "
+                f"{ {n: exp_audit[n] for n in failed} }"
+            )
+        if expectations_action not in ("fail", "record"):
+            raise ValueError(
+                f"expectations_action must be fail|record: "
+                f"{expectations_action!r}"
+            )
     bad_rows = audit["rows_quarantined"]
     if on_violation == "fail":
         if bad_rows:

@@ -199,6 +199,7 @@ def rewrite_agg(
     predicate: Column | None = None,
     predicate_cols: list[str] | None = None,
     version: int | None = None,
+    min_published_ts: str | None = None,
 ) -> DataFrame | None:
     """Answer a grouped aggregate FROM the MV if containment holds,
     else return None (caller falls back to the fact table).
@@ -207,12 +208,22 @@ def rewrite_agg(
     ("avg", sum_measure, ...) expressed as a tuple (sum_name, count_name)
     for derived averages. `predicate` (over `predicate_cols`) is applied
     to the MV rows before re-aggregation and is only legal on group-key
-    columns."""
+    columns.
+
+    `min_published_ts` is the STALENESS contract: an MV published before
+    that ISO timestamp is treated as non-containing (None — fall back to
+    the fact) rather than silently serving stale rollups; pair it with
+    refresh_mv on whatever cadence the dashboard tolerates."""
     from ..pipelines import read_version
 
     df, manifest = read_version(spark, mv_base_dir, version)
     spec = MvSpec.from_manifest(manifest)
     if spec is None:
+        return None
+    if (
+        min_published_ts is not None
+        and (manifest.get("published_ts") or "") < min_published_ts
+    ):
         return None
     if not set(group_keys) <= set(spec.group_keys):
         return None

@@ -154,3 +154,75 @@ def test_unknown_kind_rejected(spark, sf_small, tmp_path):
         publish_checked(
             ev, os.path.join(str(tmp_path), "x"), [("c", "regex", "x")]
         )
+
+
+def test_expectations_gate_the_publish(spark, sf_small, tmp_path):
+    ev = load_table(spark, sf_small, "events")
+    base = os.path.join(str(tmp_path), "ev_exp")
+    # value > 100 happens on well over 0.1% of rows -> rate_max fails
+    with pytest.raises(ValueError, match="expectations failed"):
+        publish_checked(
+            ev,
+            base,
+            [],
+            expectations=[
+                ("value_outliers", "rate_max", (F.col("value") > 100, 0.001)),
+            ],
+        )
+    assert not lakefs.exists(spark, f"{base}/LATEST")
+    # record mode publishes anyway and the manifest carries the measure
+    v, audit = publish_checked(
+        ev,
+        base,
+        [],
+        expectations=[
+            ("value_outliers", "rate_max", (F.col("value") > 100, 0.001)),
+            ("users_present", "ndv_min", ("user_id", 5)),
+        ],
+        expectations_action="record",
+    )
+    assert audit["expectations"]["value_outliers"]["pass"] is False
+    assert audit["expectations"]["value_outliers"]["value"] > 0.001
+    assert audit["expectations"]["users_present"]["pass"] is True
+    _, manifest = read_version(spark, base)
+    assert manifest["constraints"]["expectations"]["users_present"]["pass"]
+
+
+def test_expectations_pass_with_row_constraints_one_pass(
+    spark, sf_small, tmp_path
+):
+    ev = load_table(spark, sf_small, "events")
+    base = os.path.join(str(tmp_path), "ev_both")
+    v, audit = publish_checked(
+        ev,
+        base,
+        [("value_capped", "check", F.col("value") <= 100)],
+        on_violation="quarantine",
+        expectations=[
+            ("ts_set", "rate_max", (F.col("ts").isNull(), 0.0)),
+        ],
+    )
+    assert audit["expectations"]["ts_set"]["pass"] is True
+    assert audit["rows_quarantined"] > 0  # both kinds coexisted
+
+
+def test_mv_staleness_contract(spark, sf_small, tmp_path):
+    from novelti_dingo_spark.plans.mv import MvSpec, publish_mv, rewrite_agg
+
+    li = load_table(spark, sf_small, "lineitem")
+    base = os.path.join(str(tmp_path), "mv_stale")
+    publish_mv(
+        li,
+        base,
+        MvSpec(("l_returnflag",), {"n_items": ("count", None)}),
+        published_ts="2026-01-01T00:00:00.000000Z",
+    )
+    m = {"n_items": "n_items"}
+    assert rewrite_agg(
+        spark, base, ["l_returnflag"], m,
+        min_published_ts="2026-02-01T00:00:00.000000Z",
+    ) is None  # stale -> fall back to the fact
+    assert rewrite_agg(
+        spark, base, ["l_returnflag"], m,
+        min_published_ts="2025-12-01T00:00:00.000000Z",
+    ) is not None
