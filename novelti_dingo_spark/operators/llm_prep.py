@@ -262,3 +262,82 @@ def pack_sequences_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source string, bin_id long, n_docs long, total_tokens long, "
         "first_doc long, last_doc long",
     )
+
+
+@register(
+    "target_encode_oof",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderkey % 5 AS fold,
+             o.o_totalprice AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), g AS (
+      SELECT sum(y) / count(*) AS gm FROM j
+    ), sf AS (
+      SELECT seg, fold, sum(y) AS s, count(*) AS c FROM j GROUP BY 1, 2
+    ), tot AS (
+      SELECT seg, sum(s) AS ts, sum(c) AS tc FROM sf GROUP BY 1
+    )
+    SELECT sf.seg AS c_mktsegment, CAST(sf.fold AS BIGINT) AS fold,
+           sf.c AS n_rows,
+           round(((tot.ts - sf.s) + 10.0 * g.gm) / (tot.tc - sf.c + 10.0), 2)
+             AS encoded
+    FROM sf JOIN tot ON tot.seg = sf.seg CROSS JOIN g
+    """,
+    survey_rows="A1,W3,ml-prep",
+)
+def target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe TARGET ENCODING with out-of-fold means (the
+    feature-engineering idiom behind CatBoost-style ordered target
+    statistics): category c_mktsegment is encoded, per deterministic
+    fold (o_orderkey % 5), as the smoothed mean of o_totalprice over
+    every OTHER fold — ((seg_sum − fold_sum) + m·global_mean) /
+    ((seg_cnt − fold_cnt) + m), m=10 — so a row's own fold never leaks
+    its target into the feature it trains on.
+
+    Plan shape at 100 TB: one broadcast dim join, ONE grouped agg at
+    (category, fold) grain — k×5 rows — then window sums per category
+    over that tiny frame and a broadcast 1-row global mean; the fact is
+    scanned once, and the leave-fold-out arithmetic happens on the k×5
+    rollup, never re-scanning per fold (the naive per-fold-join
+    implementation would scan the fact 5 times). Both engines derive
+    the global mean as sum/count over identical doubles; output rounds
+    to cents, far above cross-engine float-summation-order noise."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = o.join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        F.col("c_mktsegment"),
+        (F.col("o_orderkey") % 5).alias("fold"),
+        F.col("o_totalprice").alias("y"),
+    )
+    sf = j.groupBy("c_mktsegment", "fold").agg(
+        F.sum("y").alias("_s"), F.count(F.lit(1)).alias("_c")
+    )
+    g = j.agg(
+        (F.sum("y") / F.count(F.lit(1))).alias("_gm")
+    )
+    w = Window.partitionBy("c_mktsegment")
+    enc = (
+        sf.withColumn("_ts", F.sum("_s").over(w))
+        .withColumn("_tc", F.sum("_c").over(w))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "c_mktsegment",
+            F.col("fold").cast("long").alias("fold"),
+            F.col("_c").alias("n_rows"),
+            F.round(
+                ((F.col("_ts") - F.col("_s")) + F.lit(10.0) * F.col("_gm"))
+                / (F.col("_tc") - F.col("_c") + F.lit(10.0)),
+                2,
+            ).alias("encoded"),
+        )
+    )
+    return enc

@@ -442,6 +442,10 @@ EXPECT = {
     "lake_delete_rows_read": {"partial_agg": True, "no_python_udf": True,
                               "plan_must_contain": ["orders_gdpr"],
                               "plan_must_not_contain": ["orders.parquet"]},
+    # OOF target encoding: one fact scan (broadcast dim join), one
+    # (category,fold) rollup; leave-fold-out math on the k x 5 frame
+    "target_encode_oof": {"broadcast_joins": 2, "partial_agg": True,
+                          "no_python_udf": True, "max_scan_cols": 3},
 }
 
 
