@@ -1692,6 +1692,27 @@ def read_as_of(spark: SparkSession, base_dir: str, ts: str):
     return df, chain[0]
 
 
+def update_rows_cow(
+    spark: SparkSession,
+    base_dir: str,
+    col: str,
+    values: list,
+    assignments: dict,
+) -> tuple[int, int, int]:
+    """Surgical row UPDATE via copy-on-write — the anonymize-in-place
+    half of the GDPR pair (delete_rows_cow is the erasure half, same
+    targeting machinery): rows whose `col` is in `values` get each
+    assignment column replaced by its expression; only files that can
+    contain matches are rewritten, the rest byte-copy. Assignment
+    expressions may reference the row's own columns (e.g.
+    {"user_id": F.lit(-1), "value": F.round("value", 0)}).
+
+    Returns (new_version, n_files_rewritten, n_files_copied)."""
+    return _rewrite_rows_cow(
+        spark, base_dir, col, values, assignments=assignments
+    )
+
+
 def delete_rows_cow(
     spark: SparkSession,
     base_dir: str,
@@ -1717,6 +1738,16 @@ def delete_rows_cow(
     first (the returned error says so).
 
     Returns (new_version, n_files_rewritten, n_files_copied)."""
+    return _rewrite_rows_cow(spark, base_dir, col, values, assignments=None)
+
+
+def _rewrite_rows_cow(
+    spark: SparkSession,
+    base_dir: str,
+    col: str,
+    values: list,
+    assignments: dict | None,
+) -> tuple[int, int, int]:
     import json
 
     from .sources import lakefs
@@ -1764,14 +1795,27 @@ def delete_rows_cow(
     schema = _manifest_schema(manifest)
     rewritten_rows = 0
     if targets:
-        kept = (
-            spark.read.schema(schema)
-            .parquet(*[f"{src}/{f}" for f in sorted(targets)])
-            .filter(~F.col(col).isin(list(vals)))
+        src_df = spark.read.schema(schema).parquet(
+            *[f"{src}/{f}" for f in sorted(targets)]
         )
+        if assignments is None:
+            kept = src_df.filter(~F.col(col).isin(list(vals)))
+        else:
+            hit = F.col(col).isin(list(vals))
+            kept = src_df.select(
+                *[
+                    F.when(hit, assignments[f.name])
+                    .otherwise(F.col(f.name))
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    if f.name in assignments
+                    else F.col(f.name)
+                    for f in schema.fields
+                ]
+            )
         from pyspark.sql import Observation
 
-        obs = Observation(f"delete_v{new_version}")
+        obs = Observation(f"rewrite_v{new_version}")
         kept.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
             "errorifexists"
         ).parquet(out)
@@ -1784,19 +1828,21 @@ def delete_rows_cow(
     new_manifest = dict(manifest)
     new_manifest.pop("indexes", None)  # indexes describe the OLD files
     new_manifest.pop("file_stats", None)
-    new_manifest.update(
-        {
-            "version": new_version,
-            "parent": None,
-            "deleted": {
-                "col": col,
-                "n_values": len(vals),
-                "from_version": version,
-                "files_rewritten": len(targets),
-                "files_copied": len(copied),
-            },
+    record = {
+        "col": col,
+        "n_values": len(vals),
+        "from_version": version,
+        "files_rewritten": len(targets),
+        "files_copied": len(copied),
+    }
+    new_manifest.update({"version": new_version, "parent": None})
+    if assignments is None:
+        new_manifest["deleted"] = record
+    else:
+        new_manifest["updated"] = {
+            **record,
+            "columns": sorted(assignments),
         }
-    )
     stats_cols = (manifest.get("file_stats") or {}).get("columns")
     if stats_cols:
         stats = _footer_file_stats(spark, out, stats_cols)

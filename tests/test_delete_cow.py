@@ -91,6 +91,38 @@ def test_chain_and_partitioned_rejected(spark, sf_small, tmp_path):
         delete_rows_cow(spark, part_base, "o_orderkey", [1])
 
 
+def test_update_cow_anonymizes_in_place(spark, sf_small, tmp_path):
+    from novelti_dingo_spark.pipelines import update_rows_cow
+
+    base = str(tmp_path / "lake")
+    o = _publish_orders(spark, sf_small, base)
+    build_file_index(spark, base, "o_orderkey")
+    keys = [r.o_orderkey for r in o.limit(3).collect()]
+    v, n_rw, n_cp = update_rows_cow(
+        spark,
+        base,
+        "o_orderkey",
+        keys,
+        {"o_custkey": F.lit(-1), "o_totalprice": F.lit(0.0)},
+    )
+    assert v == 2 and 1 <= n_rw < 4
+    df, manifest = read_version(spark, base)
+    assert df.count() == o.count()  # update never drops rows
+    hit = df.filter(F.col("o_orderkey").isin(keys))
+    assert hit.count() == len(keys)
+    assert hit.filter(
+        (F.col("o_custkey") != -1) | (F.col("o_totalprice") != 0.0)
+    ).count() == 0
+    # untouched rows identical
+    rest = df.filter(~F.col("o_orderkey").isin(keys))
+    want = o.filter(~F.col("o_orderkey").isin(keys))
+    assert sorted(map(tuple, rest.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert manifest["updated"]["columns"] == ["o_custkey", "o_totalprice"]
+    assert df.schema == o.schema  # types preserved through the rewrite
+
+
 def test_unindexed_unstatted_version_rewrites_everything(
     spark, sf_small, tmp_path
 ):
