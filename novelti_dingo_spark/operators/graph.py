@@ -177,3 +177,58 @@ def bfs_hops_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visited.select(
         F.col("node").alias("doc_id"), F.col("d").alias("hops")
     )
+
+
+def kcore(
+    pairs: DataFrame, k: int, src: str = "a_id", dst: str = "b_id"
+) -> DataFrame:
+    """Maximal k-core of an undirected pair list → (node, core_degree):
+    iteratively peel nodes of degree < k until the fixpoint. The core is
+    UNIQUE (peeling order cannot change it), so the data-dependent round
+    count affects work, never the answer.
+
+    100 TB shape: each round is one degree aggregate plus two left-semi
+    joins keyed on node id (drop edges touching a peeled endpoint) —
+    no adjacency matrix, no driver-side graph; the driver sees one
+    COUNT per round (the loop guard). localCheckpoint cuts the
+    iterative lineage exactly like pagerank/CC. Rounds are bounded by
+    the longest peeling chain (degeneracy ordering depth), which is
+    O(log n) on the shallow near-dup graphs this runs on and small for
+    any graph whose cores are much denser than their fringes."""
+    edges = (
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .unionAll(
+            pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    while True:
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("core_degree"))
+        doomed = deg.filter(F.col("core_degree") < k)
+        if doomed.isEmpty():
+            return deg.select(F.col("src").alias("node"), "core_degree")
+        keep = deg.filter(F.col("core_degree") >= k).select("src")
+        edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint()
+        )
+
+
+@register(
+    "kcore_neardup",
+    None,  # iterative peeling has no recursive-CTE twin (deletion is
+    # non-monotonic); pinned against a pure-python peeling reference in
+    # tests/test_graph.py
+    survey_rows="L7-family,iterative",
+)
+def kcore_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-duplicate graph: documents that remain after
+    peeling degree-<2 nodes — the members of dup CHAINS' dense interiors
+    vs their fringes. CC says which docs form one cluster; coreness
+    separates a cluster's redundancy backbone (safe to drop all but one)
+    from leaf attachments that match only a single neighbor (review
+    before dropping). Output: (node, core_degree) within the 2-core."""
+    from .dedup import _neardup_pairs
+
+    return kcore(_neardup_pairs(spark, sf_dir), k=2).orderBy("node")

@@ -61,3 +61,54 @@ def test_pagerank_doc_centrality_runs(spark, sf_small):
     # descending by rank, doc_id tiebreak
     vals = [(r["rank"], r["doc_id"]) for r in rows]
     assert vals == sorted(vals, key=lambda t: (-t[0], t[1]))
+
+
+def _py_kcore(edges, k):
+    """Reference peeling: repeatedly drop nodes with degree < k."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return {n: len(ns) for n, ns in adj.items() if ns}
+
+
+def test_kcore_matches_python_peeling(spark):
+    from novelti_dingo_spark.operators.graph import kcore
+
+    # a 4-clique (core 3) + a tail chain (peels at k=2) + an isolated edge
+    edges = (
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+        + [(3, 4), (4, 5), (5, 6)]
+        + [(10, 11)]
+    )
+    df = spark.createDataFrame(edges, ["a_id", "b_id"])
+    for k in (2, 3, 4):
+        got = {r.node: r.core_degree for r in kcore(df, k).collect()}
+        assert got == _py_kcore(edges, k), (k, got)
+    # k=2 keeps only the clique; the chain and lone edge peel away
+    assert set(kcore(df, 2).toPandas().node) == {0, 1, 2, 3}
+    # k=4 empties the graph entirely — the loop must terminate
+    assert kcore(df, 4).count() == 0
+
+
+def test_kcore_neardup_consistent_with_reference(spark, sf_med):
+    from novelti_dingo_spark.operators.dedup import _neardup_pairs
+    from novelti_dingo_spark.operators.graph import kcore_neardup
+
+    pairs = [
+        (r.a_id, r.b_id) for r in _neardup_pairs(spark, sf_med).collect()
+    ]
+    want = _py_kcore(pairs, 2)
+    got = {r.node: r.core_degree for r in kcore_neardup(spark, sf_med).collect()}
+    assert got == want

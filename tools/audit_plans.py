@@ -446,6 +446,9 @@ EXPECT = {
     # (category,fold) rollup; leave-fold-out math on the k x 5 frame
     "target_encode_oof": {"broadcast_joins": 2, "partial_agg": True,
                           "no_python_udf": True, "max_scan_cols": 3},
+    # k-core: per-round degree agg + two semi joins keyed on node id;
+    # result plan is the last round's aggregate
+    "kcore_neardup": {"partial_agg": True, "no_python_udf": True},
 }
 
 
