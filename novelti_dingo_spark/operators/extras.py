@@ -1820,6 +1820,72 @@ def lake_delete_rows_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_consistent_mart_join",
+    """
+    SELECT n.n_name,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+    survey_rows="S5,J1,A1,snapshot",
+)
+def snapshot_consistent_mart_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table CONSISTENT-snapshot join at the correctness gate
+    (pipelines.publish_snapshot / read_snapshot): orders, customer, and
+    nation are published in ONE atomic multi-table snapshot (a single
+    LATEST flip covers all three), and this query joins them back from
+    that snapshot — the guarantee being exercised is that a reader can
+    never see fact@N joined with dim@N-1, the cross-table anomaly that
+    per-table versioning cannot prevent. The oracle joins the raw
+    tables, so the hash match proves the snapshot round-trip lossless
+    across all three members."""
+    import tempfile
+
+    from ..pipelines import publish_snapshot, read_snapshot
+    from ..sources import lakefs
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "mart_snapshot"
+    )
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        publish_snapshot(
+            {
+                "orders": load_table(spark, sf_dir, "orders").select(
+                    "o_orderkey", "o_custkey", "o_totalprice"
+                ),
+                "customer": load_table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_nationkey"
+                ),
+                "nation": load_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name"
+                ),
+            },
+            base,
+        )
+    t, _ = read_snapshot(spark, base)
+    return (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
     "stats_cbo_star_join",
     """
     SELECT c.c_mktsegment,

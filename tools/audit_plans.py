@@ -449,6 +449,14 @@ EXPECT = {
     # k-core: per-round degree agg + two semi joins keyed on node id;
     # result plan is the last round's aggregate
     "kcore_neardup": {"partial_agg": True, "no_python_udf": True},
+    # snapshot join: both dims broadcast, fact scanned once from the
+    # snapshot dir — never the raw source tables
+    "snapshot_consistent_mart_join": {"broadcast_joins": 2,
+                                      "partial_agg": True,
+                                      "no_python_udf": True,
+                                      "plan_must_contain": ["mart_snapshot"],
+                                      "plan_must_not_contain": [
+                                          "orders.parquet"]},
 }
 
 
