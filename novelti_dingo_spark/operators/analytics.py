@@ -805,3 +805,119 @@ def audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(row["n_a"] or 0), int(row["n_b"] or 0), n_overlap, ok)],
         "n_a long, n_b long, n_overlap long, approx_ok boolean",
     )
+
+
+@register(
+    "skyline_price_date",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS d, max(o_totalprice) AS p
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(a.d, '%Y-%m-%d') AS day, round(a.p, 2) AS best_price
+    FROM daily a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM daily b WHERE b.d < a.d AND b.p >= a.p
+    )
+    """,
+    survey_rows="W3,A1,skyline",
+)
+def skyline_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier) of daily peak order price vs date:
+    the days not dominated by any earlier day with an equal-or-higher
+    peak — "record-breaking days". The oracle states dominance
+    declaratively (NOT EXISTS, O(days²)); the Spark side uses the 2-D
+    skyline identity instead: sort one dimension, a point is on the
+    frontier iff it beats the RUNNING MAX of the other — one window
+    scan, O(days log days).
+
+    Scale note: the window is single-partition BY DESIGN but runs over
+    the |days|-row pre-aggregate (the grouped agg reduces the fact
+    first), never raw rows — the same shape as the date-spine queries.
+    For a skyline over millions of frontier candidates, partition by a
+    coarse bucket of the sort dimension, take per-bucket frontiers, and
+    merge — the identity composes; not needed at |days| ≈ 2.4k."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.max("o_totalprice").alias("p")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        daily.withColumn("_runmax", F.max("p").over(w))
+        .filter(F.col("_runmax").isNull() | (F.col("_runmax") < F.col("p")))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round("p", 2).alias("best_price"),
+        )
+    )
+
+
+@register(
+    "chisq_segment_priority",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), cells AS (
+      SELECT seg, pri, count(*)::DOUBLE AS obs FROM j GROUP BY 1, 2
+    ), tot AS (
+      SELECT sum(obs) AS n FROM cells
+    ), rt AS (
+      SELECT seg, sum(obs) AS r FROM cells GROUP BY 1
+    ), ct AS (
+      SELECT pri, sum(obs) AS c FROM cells GROUP BY 1
+    )
+    SELECT round(sum(
+             (obs - rt.r * ct.c / tot.n) * (obs - rt.r * ct.c / tot.n)
+               / (rt.r * ct.c / tot.n)
+           ), 6) AS chi2,
+           (count(DISTINCT cells.seg) - 1) * (count(DISTINCT cells.pri) - 1)
+             AS dof
+    FROM cells
+    JOIN rt ON rt.seg = cells.seg
+    JOIN ct ON ct.pri = cells.pri
+    CROSS JOIN tot
+    """,
+    survey_rows="A1,A5,stats-test",
+)
+def chisq_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between customer market segment
+    and order priority — the categorical-association primitive a data-
+    quality or drift monitor runs over every pair of low-cardinality
+    columns. One fact scan to the k×m contingency cells; row/column
+    margins and the statistic are computed ON the 25-cell frame
+    (window sums + one aggregate), so the test costs one grouped agg at
+    any corpus size. Expected counts derive from identical integer
+    margins in both engines; the 25-term sum rounds at 6dp, far above
+    float-order noise."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cells = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("obs"))
+    )
+    wr = Window.partitionBy("seg")
+    wc = Window.partitionBy("pri")
+    wall = Window.partitionBy()
+    with_m = (
+        cells.withColumn("_r", F.sum("obs").over(wr))
+        .withColumn("_c", F.sum("obs").over(wc))
+        .withColumn("_n", F.sum("obs").over(wall))
+    )
+    exp = F.col("_r") * F.col("_c") / F.col("_n")
+    return with_m.agg(
+        F.round(
+            F.sum((F.col("obs") - exp) * (F.col("obs") - exp) / exp), 6
+        ).alias("chi2"),
+        (
+            (F.count_distinct("seg") - 1) * (F.count_distinct("pri") - 1)
+        ).alias("dof"),
+    )

@@ -457,6 +457,15 @@ EXPECT = {
                                       "plan_must_contain": ["mart_snapshot"],
                                       "plan_must_not_contain": [
                                           "orders.parquet"]},
+    # 2-D skyline: grouped agg reduces the fact BEFORE the (by-design)
+    # single-partition running-max window over |days| rows
+    "skyline_price_date": {"partial_agg": True, "no_python_udf": True,
+                           "max_scan_cols": 2, "singlepart_ok": True},
+    # chi-square: one fact scan to 25 cells; margins via window sums on
+    # the tiny cell frame
+    "chisq_segment_priority": {"broadcast_joins": 1, "partial_agg": True,
+                               "no_python_udf": True, "max_scan_cols": 2,
+                               "singlepart_ok": True},
 }
 
 
