@@ -921,3 +921,59 @@ def chisq_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count_distinct("seg") - 1) * (F.count_distinct("pri") - 1)
         ).alias("dof"),
     )
+
+
+@register(
+    "signup_to_purchase_latency",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id,
+             min(epoch_us(e.ts) - epoch_us(s.signup_ts)) AS lat_us
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id
+    )
+    SELECT count(*) AS n_converted,
+           round(quantile_cont(lat_us / 1e6, 0.5), 6) AS p50_sec,
+           round(quantile_cont(lat_us / 1e6, 0.9), 6) AS p90_sec
+    FROM p
+    """,
+    survey_rows="A1,A8,W2,funnel",
+)
+def signup_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: per user, time from FIRST signup
+    to the first purchase at or after it, summarized as exact
+    interpolated p50/p90 — the funnel-health metric product analytics
+    asks right after the conversion-rate funnel (which
+    funnel_signup_click_purchase covers). Two grouped aggs + one join,
+    all keyed on user_id so the shuffle partitioning is reused;
+    latencies cross engines as exact integer microsecond differences
+    divided by 1e6 (identical doubles), and `percentile` ==
+    `quantile_cont` interpolation."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    lat = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_micros("ts") - F.unix_micros("signup_ts")
+            ).alias("lat_us")
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile(F.col("lat_us") / 1e6, 0.5), 6).alias("p50_sec"),
+        F.round(F.percentile(F.col("lat_us") / 1e6, 0.9), 6).alias("p90_sec"),
+    )

@@ -466,6 +466,11 @@ EXPECT = {
     "chisq_segment_priority": {"broadcast_joins": 1, "partial_agg": True,
                                "no_python_udf": True, "max_scan_cols": 2,
                                "singlepart_ok": True},
+    # conversion latency: both aggs + the join key on user_id (reused
+    # partitioning); final 1-row percentile summary
+    "signup_to_purchase_latency": {"partial_agg": True,
+                                   "no_python_udf": True,
+                                   "max_scan_cols": 3},
 }
 
 
