@@ -1381,6 +1381,17 @@ def _hive_value(raw: str):
             return raw
 
 
+def _pv_in_range(v, lo, hi) -> bool:
+    """Conservative range test for a decoded hive partition value: an
+    incomparable value (null sentinel __HIVE_DEFAULT_PARTITION__, or a
+    type mismatch with the probe bounds) is INCLUDED — pruning may only
+    skip what provably cannot match."""
+    try:
+        return lo <= v <= hi
+    except TypeError:
+        return True
+
+
 def _partition_dirs(spark: SparkSession, vdir: str, key: str):
     """[(dirname, decoded value, n_files)] for a hive-partitioned
     segment — driver-side listing, O(partition dirs)."""
@@ -1485,7 +1496,11 @@ def read_chain_pruned(
             dirs = _partition_dirs(spark, vdir, pb[0])
             total += sum(n for _, _, n in dirs)
             if col == pb[0]:
-                keep = [(d, n) for d, v, n in dirs if lo <= v <= hi]
+                keep = [
+                    (d, n)
+                    for d, v, n in dirs
+                    if _pv_in_range(v, lo, hi)
+                ]
             else:
                 keep = [(d, n) for d, _, n in dirs]
             n_read += sum(n for _, n in keep)

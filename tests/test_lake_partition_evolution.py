@@ -147,6 +147,33 @@ def test_stats_cols_rejected_with_partition_by(spark, sf_small, tmp_path):
         )
 
 
+def test_null_partition_values_read_conservatively(spark, tmp_path):
+    """A NULL partition value lands in __HIVE_DEFAULT_PARTITION__; a
+    ranged read must INCLUDE that directory (its rows' o_year is null —
+    the row filter drops them — but pruning may only skip what provably
+    cannot match, and a null sentinel proves nothing)."""
+    base = os.path.join(str(tmp_path), "nullpart")
+    df = spark.createDataFrame(
+        [(1, 1995, 10.0), (2, None, 20.0), (3, 1997, 30.0)],
+        "k long, o_year int, v double",
+    )
+    publish_versioned(df, base)
+    publish_append(
+        spark.createDataFrame(
+            [(4, 1996, 40.0), (5, None, 50.0)],
+            "k long, o_year int, v double",
+        ),
+        base,
+        partition_by=["o_year"],
+    )
+    got, total, n_read = read_chain_pruned(spark, base, "o_year", 1996, 1997)
+    assert n_read <= total
+    rows = sorted((r.k, r.o_year) for r in got.collect())
+    assert rows == [(3, 1997), (4, 1996)]
+    full, _ = read_version_chain(spark, base)
+    assert full.count() == 5  # nothing lost, nulls included in full read
+
+
 def test_compaction_flattens_partition_evolved_chain(spark, chain):
     base, o = chain
     v = compact_chain(spark, base, stats_cols=["o_year"])
