@@ -134,6 +134,8 @@ def main() -> None:
     }
 
     def _iqr(xs: list[float]) -> float:
+        if len(xs) < 2:  # BENCH_RUNS=1 smoke runs have no spread
+            return 0.0
         qs = statistics.quantiles(xs, n=4, method="inclusive")
         return round(qs[2] - qs[0], 4)
 

@@ -31,6 +31,11 @@ from ..sources.io import load_table
 
 _TERMS = ("data", "join", "vector")
 
+# bumped whenever the postings layout changes (columns, semantics);
+# readers rebuild an index whose manifest carries an older format, so a
+# cached lake dir can never serve a schema the current code didn't write
+INDEX_FORMAT = 3  # 1: (token,doc) pairs; 2: +tf/dl; 3: +positions
+
 
 def build_inverted_index(docs: DataFrame, base_dir: str, n_files: int = 4) -> int:
     """One corpus scan -> exploded (token, doc_id, positions, tf, dl)
@@ -60,23 +65,52 @@ def build_inverted_index(docs: DataFrame, base_dir: str, n_files: int = 4) -> in
         .withColumn("tf", F.size("positions"))
         .repartitionByRange(n_files, "token")
         .sortWithinPartitions("token", "doc_id")
+        .persist()  # feeds the stats aggregate AND the publish write:
+        # one corpus tokenization, not two
     )
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.size(F.split("text", " "))).alias("sum_dl"),
-    ).head()
-    # store the INTEGER corpus stats, not the derived average: both
-    # engines then derive avgdl = sum_dl/n from identical integers,
-    # which is bit-identical — a stored float average could differ from
-    # an engine's own avg() accumulation order
-    return publish_versioned(
-        index,
-        base_dir,
-        meta={
-            "inverted_index": {"source": "documents", "kind": "exploded"},
-            "bm25": {"n_docs": int(stats["n"]), "sum_dl": int(stats["sum_dl"])},
-        },
-    )
+    try:
+        # corpus constants FROM THE INDEX: n_docs = distinct docs,
+        # sum_dl = Σ tf over all postings ≡ Σ doc lengths. Stored as
+        # INTEGERS, not a derived average: both engines then derive
+        # avgdl = sum_dl/n from identical integers, bit-identically —
+        # a stored float average could differ from an engine's own
+        # avg() accumulation order.
+        stats = index.agg(
+            F.count_distinct("doc_id").alias("n"),
+            F.sum("tf").alias("sum_dl"),
+        ).head()
+        return publish_versioned(
+            index,
+            base_dir,
+            meta={
+                "inverted_index": {
+                    "source": "documents",
+                    "kind": "exploded",
+                    "format": INDEX_FORMAT,
+                },
+                "bm25": {
+                    "n_docs": int(stats["n"]),
+                    "sum_dl": int(stats["sum_dl"]),
+                },
+            },
+        )
+    finally:
+        index.unpersist()
+
+
+def _index_is_current(spark: SparkSession, base_dir: str) -> bool:
+    """True iff a published index exists AND carries the format this
+    code writes — a stale cached dir (older layout) must be rebuilt,
+    not trusted."""
+    import json
+
+    from ..sources import lakefs
+
+    if not lakefs.exists(spark, f"{base_dir}/LATEST"):
+        return False
+    v = int(lakefs.read_text(spark, f"{base_dir}/LATEST").strip())
+    m = json.loads(lakefs.read_text(spark, f"{base_dir}/v={v}/_manifest.json"))
+    return m.get("inverted_index", {}).get("format") == INDEX_FORMAT
 
 
 def search_all_terms(
@@ -88,6 +122,12 @@ def search_all_terms(
     driver-side existence check needed."""
     from ..pipelines import read_version
 
+    if not terms:
+        raise ValueError(
+            "conjunctive search needs at least one term (over no terms "
+            "'all documents' would be the convention — ask the corpus, "
+            "not the index)"
+        )
     idx, _ = read_version(spark, base_dir)
     return (
         idx.filter(F.col("token").isin(list(terms)))
@@ -110,6 +150,8 @@ def search_phrase(
     included — the positional semantics substring heuristics get wrong."""
     from ..pipelines import read_version
 
+    if not terms:
+        raise ValueError("phrase search needs at least one term")
     idx, _ = read_version(spark, base_dir)
     m = idx.filter(F.col("token").isin(list(terms)))
     starts = None
@@ -156,14 +198,12 @@ def phrase_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches two tokens' postings and never the documents text."""
     import tempfile
 
-    from ..sources import lakefs
-
     tag = os.path.basename(sf_dir.rstrip("/"))
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "documents_invindex"
     )
     docs = load_table(spark, sf_dir, "documents")
-    if not lakefs.exists(spark, f"{base}/LATEST"):
+    if not _index_is_current(spark, base):
         build_inverted_index(docs, base)
     hits = search_phrase(spark, base, list(_PHRASE)).select("doc_id")
     return docs.join(F.broadcast(hits), "doc_id").select("doc_id", "source")
@@ -271,13 +311,11 @@ def bm25_ranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB that asymmetry IS the feature."""
     import tempfile
 
-    from ..sources import lakefs
-
     tag = os.path.basename(sf_dir.rstrip("/"))
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "documents_invindex"
     )
-    if not lakefs.exists(spark, f"{base}/LATEST"):
+    if not _index_is_current(spark, base):
         build_inverted_index(load_table(spark, sf_dir, "documents"), base)
     return search_bm25(spark, base, list(_TERMS), k=10)
 
@@ -306,14 +344,12 @@ def inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clustering)."""
     import tempfile
 
-    from ..sources import lakefs
-
     tag = os.path.basename(sf_dir.rstrip("/"))
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "documents_invindex"
     )
     docs = load_table(spark, sf_dir, "documents")
-    if not lakefs.exists(spark, f"{base}/LATEST"):
+    if not _index_is_current(spark, base):
         build_inverted_index(docs, base)
     hits = search_all_terms(spark, base, list(_TERMS))
     return docs.join(F.broadcast(hits), "doc_id").select(

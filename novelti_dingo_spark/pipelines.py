@@ -593,9 +593,31 @@ def publish_checked(
             )
         else:
             raise ValueError(f"constraint {name!r}: unknown kind {kind!r}")
-    flagged = src.withColumn(
-        "_violations", F.array_compact(F.array(*flags))
-    ).drop(*markers)
+    # persist: the flagged frame feeds up to three actions (audit
+    # counts, quarantine write, clean publish) — without it each action
+    # recomputes the source, so a non-replay-deterministic input could
+    # be counted as a violation yet land in the clean publish. Persist
+    # pins one evaluation; it also keeps enforcement at ~one scan as
+    # documented instead of three.
+    flagged = (
+        src.withColumn("_violations", F.array_compact(F.array(*flags)))
+        .drop(*markers)
+        .persist()
+    )
+    try:
+        return _finish_publish_checked(
+            df, flagged, base_dir, constraints, on_violation,
+            quarantine_dir, expectations, expectations_action,
+            publish_kwargs,
+        )
+    finally:
+        flagged.unpersist()
+
+
+def _finish_publish_checked(
+    df, flagged, base_dir, constraints, on_violation, quarantine_dir,
+    expectations, expectations_action, publish_kwargs,
+):
     exp_aggs = []
     for name, kind, spec in expectations or []:
         if kind == "rate_max":
@@ -834,6 +856,13 @@ def publish_append(
         if missing:
             raise ValueError(
                 f"partition_by columns {missing} not in dataframe schema"
+            )
+        if len(partition_by) > 1:
+            raise ValueError(
+                "append segments support a single partition column — the "
+                "chain readers' directory pruning and file accounting are "
+                "single-level; nest the second key into the value (e.g. "
+                "y_m) or keep it a stats_cols range on a flat segment"
             )
         if stats_cols:
             raise ValueError(
@@ -1156,6 +1185,12 @@ def read_point_lookup_chain(
     for m in chain:
         vdir = f"{base}/v={m['version']}"
         pb = m.get("partition_by") or []
+        if len(pb) > 1:
+            n = _count_parquet_recursive(spark, vdir)
+            total += n
+            n_read += n
+            branches.append(_segment_read(spark, base, m, schema))
+            continue
         if pb:
             # partition-evolved segment: equality on the partition key
             # prunes to exactly one directory; other columns read the
@@ -1163,7 +1198,9 @@ def read_point_lookup_chain(
             dirs = _partition_dirs(spark, vdir, pb[0])
             total += sum(n for _, _, n in dirs)
             if col == pb[0]:
-                keep = [(d, n) for d, v, n in dirs if v == value]
+                keep = [
+                    (d, n) for d, v, n in dirs if _pv_eq(d, v, value)
+                ]
             else:
                 keep = [(d, n) for d, _, n in dirs]
             n_read += sum(n for _, n in keep)
@@ -1381,6 +1418,16 @@ def _hive_value(raw: str):
             return raw
 
 
+def _pv_eq(dirname: str, decoded, value) -> bool:
+    """Conservative equality test for a hive partition directory against
+    a point-lookup value: true when the numerically-decoded value OR the
+    raw directory string matches — a string column holding '007' decodes
+    to int 7 and would otherwise never equal the probe string '007',
+    silently pruning rows that exist."""
+    raw = dirname.split("=", 1)[1]
+    return decoded == value or raw == str(value)
+
+
 def _pv_in_range(v, lo, hi) -> bool:
     """Conservative range test for a decoded hive partition value: an
     incomparable value (null sentinel __HIVE_DEFAULT_PARTITION__, or a
@@ -1390,6 +1437,25 @@ def _pv_in_range(v, lo, hi) -> bool:
         return lo <= v <= hi
     except TypeError:
         return True
+
+
+def _count_parquet_recursive(spark: SparkSession, vdir: str) -> int:
+    """Data-file count under a version dir, any partition depth —
+    driver-side listing for honest pruning accounting."""
+    from .sources import lakefs
+
+    n = 0
+    stack = [vdir]
+    while stack:
+        d = stack.pop()
+        for name in lakefs.listdir(spark, d):
+            if name.startswith(("_", ".")):
+                continue
+            if name.endswith(".parquet"):
+                n += 1
+            else:
+                stack.append(f"{d}/{name}")
+    return n
 
 
 def _partition_dirs(spark: SparkSession, vdir: str, key: str):
@@ -1492,6 +1558,15 @@ def read_chain_pruned(
     for m in chain:
         vdir = f"{base}/v={m['version']}"
         pb = m.get("partition_by") or []
+        if len(pb) > 1:
+            # multi-level hive spec (publish_versioned allows it): the
+            # single-level dir accounting below would under-count —
+            # read the whole segment conservatively
+            n = _count_parquet_recursive(spark, vdir)
+            total += n
+            n_read += n
+            branches.append(_segment_read(spark, base, m, schema))
+            continue
         if pb:
             dirs = _partition_dirs(spark, vdir, pb[0])
             total += sum(n for _, _, n in dirs)
@@ -1840,9 +1915,14 @@ def _rewrite_rows_cow(
     copied = [f for f in files if f not in targets]
     for f in copied:
         lakefs.copy(spark, f"{src}/{f}", f"{out}/{f}")
-    new_manifest = dict(manifest)
-    new_manifest.pop("indexes", None)  # indexes describe the OLD files
-    new_manifest.pop("file_stats", None)
+    # FRESH manifest, not a copy of the old one: inheriting published_ts
+    # would make read_as_of resolve timestamps BEFORE the rewrite to the
+    # post-rewrite version (ties break to the higher version), and stale
+    # compacted_from / column_stats would describe data this version no
+    # longer is. Only the schema carries over — it is unchanged by a
+    # delete and type-preserved by an update.
+    from datetime import datetime, timezone
+
     record = {
         "col": col,
         "n_values": len(vals),
@@ -1850,7 +1930,16 @@ def _rewrite_rows_cow(
         "files_rewritten": len(targets),
         "files_copied": len(copied),
     }
-    new_manifest.update({"version": new_version, "parent": None})
+    new_manifest = {
+        "version": new_version,
+        "parent": None,
+        "schema": manifest["schema"],
+        "published_ts": datetime.now(timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%S.%fZ"
+        ),
+    }
+    if "schema_json" in manifest:
+        new_manifest["schema_json"] = manifest["schema_json"]
     if assignments is None:
         new_manifest["deleted"] = record
     else:

@@ -38,8 +38,32 @@ from pyspark.sql.types import StructType
 
 
 def _read_manifest(base: str, version: int) -> dict:
-    with open(os.path.join(base, f"v={version}", "_manifest.json")) as f:
-        return json.load(f)
+    path = os.path.join(base, f"v={version}", "_manifest.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise RuntimeError(
+            f"lake stream offset points at v={version} of {base}, which no "
+            "longer exists (vacuumed) — the retention window has passed "
+            "this checkpoint; restart with a fresh checkpoint to "
+            "resubscribe from the current snapshot"
+        ) from None
+
+
+def _chain_base(base: str, head: int) -> int:
+    """Oldest member of the chain ending at `head` (follow parent links
+    while segments are appends) — the full-snapshot boundary a FRESH
+    stream must start from: starting at v=0 would walk vacuumed history
+    and, on a compacted chain, skip the compaction commit that now
+    CARRIES the base data a first-time consumer has never seen."""
+    v = head
+    while True:
+        m = _read_manifest(base, v)
+        parent = m.get("parent") if m.get("append") else None
+        if parent is None:
+            return v
+        v = parent
 
 
 def _latest(base: str) -> int:
@@ -86,22 +110,41 @@ class LakeChainStreamReader(SimpleDataSourceStreamReader):
                         pass
 
     def initialOffset(self) -> dict:
-        return {"version": 0}
+        # subscribe at the current chain's base: the base snapshot
+        # (original publish OR compaction rewrite) is emitted as the
+        # first batch, appends follow; vacuumed pre-base history is
+        # never walked. `emit_base` marks this a FRESH subscription —
+        # the offset number alone cannot distinguish "subscribed after
+        # the compaction" (must emit the rewrite commit, it carries base
+        # data this consumer never saw) from "processed the segments the
+        # compaction rewrote" (must skip it); the flag rides the offset
+        # so crash-replay of the first batch stays deterministic.
+        return {
+            "version": _chain_base(self.base, _latest(self.base)) - 1,
+            "emit_base": True,
+        }
 
     def read(self, start: dict):
         head = _latest(self.base)
-        return self._emit(start["version"], head), {"version": head}
+        return (
+            self._emit(start["version"], head, start.get("emit_base", False)),
+            {"version": head},
+        )
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return self._emit(start["version"], end["version"])
+        return self._emit(
+            start["version"], end["version"], start.get("emit_base", False)
+        )
 
-    def _emit(self, after: int, upto: int):
+    def _emit(self, after: int, upto: int, emit_base: bool = False):
         rows: list[tuple] = []
         n_total = n_read = 0
         for v in range(after + 1, upto + 1):
             m = _read_manifest(self.base, v)
-            if "compacted_from" in m:
-                # rewrite commit: rows already emitted as the segments
+            if "compacted_from" in m and not (emit_base and v == after + 1):
+                # rewrite commit: rows already emitted as the segments —
+                # EXCEPT when this is a fresh subscription whose start
+                # IS the compacted base (see initialOffset)
                 continue
             files = _segment_files(self.base, v)
             n_total += len(files)

@@ -74,6 +74,31 @@ def test_old_version_keeps_rows_until_vacuum(spark, sf_small, tmp_path):
     assert old.filter(F.col("o_orderkey") == key).count() == 1
 
 
+def test_cow_version_gets_fresh_published_ts(spark, sf_small, tmp_path):
+    """The rewrite must NOT inherit the source version's published_ts:
+    a timestamp BEFORE the delete has to time-travel to the pre-delete
+    snapshot, never the post-delete one (ties break to higher versions,
+    so an inherited timestamp would shadow v1 forever)."""
+    from novelti_dingo_spark.pipelines import read_as_of
+
+    base = str(tmp_path / "lake")
+    o = _publish_orders(spark, sf_small, base)
+    import json
+
+    from novelti_dingo_spark.sources import lakefs
+
+    m1 = json.loads(lakefs.read_text(spark, f"{base}/v=1/_manifest.json"))
+    key = o.limit(1).head().o_orderkey
+    delete_rows_cow(spark, base, "o_orderkey", [key])
+    m2 = json.loads(lakefs.read_text(spark, f"{base}/v=2/_manifest.json"))
+    assert m2["published_ts"] > m1["published_ts"]
+    assert "compacted_from" not in m2 and "column_stats" not in m2
+    # as-of the ORIGINAL publish time resolves the pre-delete snapshot
+    df, m = read_as_of(spark, base, m1["published_ts"])
+    assert m["version"] == 1
+    assert df.filter(F.col("o_orderkey") == key).count() == 1
+
+
 def test_chain_and_partitioned_rejected(spark, sf_small, tmp_path):
     o = load_table(spark, sf_small, "orders")
     chain_base = str(tmp_path / "chain")

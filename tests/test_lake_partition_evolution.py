@@ -174,6 +174,34 @@ def test_null_partition_values_read_conservatively(spark, tmp_path):
     assert full.count() == 5  # nothing lost, nulls included in full read
 
 
+def test_multi_column_partition_by_rejected_on_append(
+    spark, sf_small, tmp_path
+):
+    base = os.path.join(str(tmp_path), "orders_pe_multi")
+    o = _orders(spark, sf_small).withColumn("half", F.col("o_orderkey") % 2)
+    publish_versioned(o.limit(10), base)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="single partition column"):
+        publish_append(o.limit(5), base, partition_by=["o_year", "half"])
+
+
+def test_numeric_looking_string_partition_point_lookup(spark, tmp_path):
+    """A string partition value like '007' decodes numerically from its
+    directory name; equality pruning must still find it for the string
+    probe '007' (conservative dual compare, never silent row loss)."""
+    base = os.path.join(str(tmp_path), "codes")
+    df = spark.createDataFrame(
+        [(1, "007", 1.0), (2, "007", 2.0), (3, "abc", 3.0)],
+        "k long, code string, v double",
+    )
+    publish_versioned(df.limit(0), base)  # empty flat base
+    publish_append(df, base, partition_by=["code"])
+    got, total, n_read = read_point_lookup_chain(spark, base, "code", "007")
+    assert sorted(r.k for r in got.collect()) == [1, 2]
+    assert 0 < n_read < total + 1
+
+
 def test_compaction_flattens_partition_evolved_chain(spark, chain):
     base, o = chain
     v = compact_chain(spark, base, stats_cols=["o_year"])

@@ -153,3 +153,60 @@ def test_compaction_not_reemitted(spark, sf_small, tmp_path):
             F.col("o_orderkey").between(LO, HI)
         ).collect()
     }
+
+
+def test_fresh_stream_on_compacted_chain_gets_base_data(
+    spark, sf_small, tmp_path
+):
+    """A consumer subscribing AFTER a compaction has never seen the
+    rewritten segments — the compaction commit carries the base data and
+    must be emitted to it (while remaining skipped for consumers that
+    already processed the pre-compaction chain)."""
+    from novelti_dingo_spark.pipelines import compact_chain
+
+    base = str(tmp_path / "lake")
+    o, a, b, c = _publish(spark, sf_small, base)
+    compact_chain(spark, base, stats_cols=["o_orderkey"])
+    register_lake_stream_source(spark)
+    sink = str(tmp_path / "sink2")
+    _run_stream(
+        spark, base, str(tmp_path / "ckpt2"), sink, str(tmp_path / "p2.json")
+    )
+    got = _sink_rows(spark, sink)
+    want = {
+        (r.o_orderkey, r.o_custkey, r.o_totalprice)
+        for r in a.unionByName(b)
+        .filter(F.col("o_orderkey").between(LO, HI))
+        .collect()
+    }
+    assert got == want and got  # full base data, exactly once
+
+
+def test_fresh_stream_after_vacuum_starts_at_chain_base(
+    spark, sf_small, tmp_path
+):
+    """Fresh subscriptions never walk vacuumed history: the initial
+    offset is the current chain base, so reclaimed pre-compaction
+    versions are irrelevant to a new consumer."""
+    from novelti_dingo_spark.pipelines import compact_chain, vacuum_versions
+
+    base = str(tmp_path / "lake")
+    o, a, b, c = _publish(spark, sf_small, base)
+    compact_chain(spark, base, stats_cols=["o_orderkey"])
+    publish_append(
+        c.repartitionByRange(2, "o_orderkey"), base,
+        stats_cols=["o_orderkey"],
+    )
+    removed = vacuum_versions(spark, base, keep_last=2)
+    assert removed  # pre-compaction segments reclaimed
+    register_lake_stream_source(spark)
+    sink = str(tmp_path / "sink3")
+    _run_stream(
+        spark, base, str(tmp_path / "ckpt3"), sink, str(tmp_path / "p3.json")
+    )
+    got = _sink_rows(spark, sink)
+    want = {
+        (r.o_orderkey, r.o_custkey, r.o_totalprice)
+        for r in o.filter(F.col("o_orderkey").between(LO, HI)).collect()
+    }
+    assert got == want and got

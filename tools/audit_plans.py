@@ -471,6 +471,11 @@ EXPECT = {
     "signup_to_purchase_latency": {"partial_agg": True,
                                    "no_python_udf": True,
                                    "max_scan_cols": 3},
+    # left-outer interval join (ST9 batch twin): binned equi-join for
+    # the matches + anti join for the null-extended side — hash joins
+    # throughout, never a nested-loop range probe
+    "interval_join_pairs_outer": {"no_python_udf": True,
+                                  "hash_join_not_nlj": True},
 }
 
 
@@ -490,7 +495,7 @@ AUDIT_EXEMPT = frozenset({
     "doc_quality_score", "dq_summary", "embedding_neardup_cosine",
     "embedding_pca_project", "exact_dedup_docs", "filter_predicates",
     "gbm_quality_train", "grouped_agg_geomean", "grouped_normalize",
-    "hash_funcs", "hll_sketch_rollup", "interval_join_pairs_outer",
+    "hash_funcs", "hll_sketch_rollup",
     "ivf_cell_sizes", "ivf_knn_top10", "ivf_pq_knn_top10",
     "ivf_pq_residual_knn_top10", "join_anti", "join_cross",
     "join_full_outer", "join_left_outer", "join_null_safe",
