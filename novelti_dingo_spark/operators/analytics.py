@@ -977,3 +977,52 @@ def signup_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(F.col("lat_us") / 1e6, 0.5), 6).alias("p50_sec"),
         F.round(F.percentile(F.col("lat_us") / 1e6, 0.9), 6).alias("p90_sec"),
     )
+
+
+@register(
+    "benford_first_digit",
+    """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ), obs AS (
+      SELECT d, count(*)::DOUBLE AS n FROM digits GROUP BY d
+    ), tot AS (
+      SELECT sum(n) AS t FROM obs
+    )
+    SELECT d AS digit,
+           CAST(n AS BIGINT) AS n_orders,
+           round(n / t, 6) AS observed_freq,
+           round(ln(1.0 + 1.0 / d) / ln(10.0), 6) AS benford_freq
+    FROM obs CROSS JOIN tot
+    """,
+    survey_rows="A1,F1,dq-stats",
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order totals — the forensic
+    data-quality screen for fabricated or truncated numeric columns
+    (natural multi-scale amounts follow P(d) = log10(1 + 1/d); uniform
+    synthetic data — like this corpus — visibly does not, which is
+    exactly what the side-by-side expected column shows). One grouped
+    agg to 9 cells, frequencies against the 1-row total; first digits
+    extracted identically in both engines via explicit floor before the
+    integer-string truncation (DuckDB's double→BIGINT cast ROUNDS while
+    Spark's truncates — a measured off-by-one on boundary amounts like
+    89999.9997; float formatting would diverge even more)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.col("o_totalprice").cast("bigint").cast("string"), 1, 1
+        ).cast("bigint").alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("digit"),
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(F.col("n") / F.col("t"), 6).alias("observed_freq"),
+        F.round(
+            F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0)), 6
+        ).alias("benford_freq"),
+    )

@@ -1234,6 +1234,39 @@ def read_point_lookup_chain(
     return _union_all(branches).filter(pred), total, n_read
 
 
+def maybe_compact(
+    spark: SparkSession,
+    base_dir: str,
+    max_segments: int = 8,
+    min_avg_file_mb: float = 8.0,
+    **compact_kwargs,
+) -> int | None:
+    """Policy-driven OPTIMIZE: compact the chain only when the metadata
+    says it is due — chain longer than `max_segments` (read planning and
+    pruning degrade with segment count) or mean data-file size below
+    `min_avg_file_mb` (the small-files tax: per-file open/footer cost
+    dominates sub-MB files). The decision is O(chain) driver-side
+    listing — no data I/O when nothing is due, which is the common case
+    a scheduler hits every cycle. Returns the new version when a
+    compaction ran, else None. Thresholds at 100 TB: segments in the
+    tens, target file size 128 MB-1 GB; the defaults here suit the test
+    corpus."""
+    from .sources import lakefs
+
+    base = base_dir.rstrip("/")
+    chain = _resolve_chain(spark, base, None)
+    n_files = 0
+    n_bytes = 0
+    for m in chain:
+        vdir = f"{base}/v={m['version']}"
+        n_files += _count_parquet_recursive(spark, vdir)
+        n_bytes += lakefs.du_bytes(spark, vdir)
+    avg_mb = (n_bytes / n_files / 1e6) if n_files else 0.0
+    if len(chain) <= max_segments and avg_mb >= min_avg_file_mb:
+        return None
+    return compact_chain(spark, base_dir, **compact_kwargs)
+
+
 def compact_chain(
     spark: SparkSession,
     base_dir: str,

@@ -224,3 +224,35 @@ def test_footer_stats_record_null_counts(spark, sf_small, tmp_path):
     )
     for f in m["file_stats"]["files"]:
         assert f["nulls"]["o_orderkey"] == 0
+
+
+def test_maybe_compact_policy(spark, sf_small, tmp_path):
+    """Auto-OPTIMIZE: no-op while the chain is short and files are
+    healthy (given generous thresholds), compacts when the segment
+    budget is exceeded, and the decision itself costs no data I/O."""
+    from novelti_dingo_spark.pipelines import maybe_compact
+
+    o, a, b, c = _orders_slices(spark, sf_small)
+    base = str(tmp_path / "lake")
+    publish_append(a, base)
+    publish_append(b, base)
+    # healthy: 2 segments <= budget, tiny-file rule disabled
+    assert (
+        maybe_compact(spark, base, max_segments=4, min_avg_file_mb=0.0)
+        is None
+    )
+    df, chain = read_version_chain(spark, base)
+    assert len(chain) == 2
+    # over the segment budget -> compaction runs and truncates the chain
+    publish_append(c, base)
+    v = maybe_compact(spark, base, max_segments=2, min_avg_file_mb=0.0)
+    assert v is not None
+    df, chain = read_version_chain(spark, base)
+    assert len(chain) == 1 and chain[0]["version"] == v
+    assert df.count() == o.count()
+    # small-files rule alone also triggers (threshold above any real file)
+    publish_append(a.limit(1), base)
+    v2 = maybe_compact(
+        spark, base, max_segments=100, min_avg_file_mb=10_000.0
+    )
+    assert v2 == v + 2

@@ -476,6 +476,10 @@ EXPECT = {
     # throughout, never a nested-loop range probe
     "interval_join_pairs_outer": {"no_python_udf": True,
                                   "hash_join_not_nlj": True},
+    # Benford: 9-cell agg + 1-row total broadcast; digit extraction is
+    # codegen'd string/arith expressions
+    "benford_first_digit": {"partial_agg": True, "no_python_udf": True,
+                            "max_scan_cols": 1},
 }
 
 
