@@ -355,3 +355,102 @@ def inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(hits), "doc_id").select(
         "doc_id", "source", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap postings: the dense-term complement to the exploded layout
+
+
+_BITMAP_TERMS = ("scan", "filter", "merge")
+
+
+def bitmap_postings(idx: DataFrame) -> DataFrame:
+    """Compress exploded postings into per-(token, block) BITMAPS:
+    doc ids are packed 64 per int64 word (block = doc_id >> 6, bit =
+    doc_id & 63, mask = bit_or of the set bits). For DENSE terms — the
+    ones whose exploded posting lists are longest — this is the classic
+    bitmap-index win: a term present in every doc costs |docs|/64 rows
+    instead of |docs|, and boolean set algebra becomes word-wise AND/OR.
+    doc_ids here are naturally dense (0..N-1); a general corpus would
+    first rank ids through a dictionary, exactly like Roaring containers
+    sit behind an id dictionary in Druid/Pinot/Lucene."""
+    return idx.groupBy(
+        "token", (F.col("doc_id") / 64).cast("bigint").alias("block")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(cast(1 as bigint), "
+            "cast(doc_id % 64 as int)))"
+        ).alias("mask")
+    )
+
+
+def bitmap_search_all(bm: DataFrame, terms: list[str]) -> DataFrame:
+    """Conjunctive search over bitmap postings WITHOUT materializing any
+    per-doc rows until the final expansion: filter to the query terms,
+    AND the masks per block (`bit_and` aggregate — a block must carry a
+    row for EVERY term, enforced by the count guard, else it is dropped:
+    a missing row means that term has no doc in the block, so the AND is
+    vacuously zero), then expand surviving words back to doc ids. The
+    shuffle moves |terms| x |blocks| int64 words — for 3 dense terms
+    over 100M docs that is ~4.7M rows of 16 bytes, versus ~300M exploded
+    posting rows for the same query."""
+    if not terms:
+        raise ValueError("conjunctive bitmap search needs at least one term")
+    anded = (
+        bm.filter(F.col("token").isin(list(terms)))
+        .groupBy("block")
+        .agg(
+            F.expr("bit_and(mask)").alias("m"),
+            F.count(F.lit(1)).alias("_k"),
+        )
+        .filter((F.col("_k") == len(terms)) & (F.col("m") != 0))
+    )
+    return anded.select(
+        F.explode(
+            F.expr(
+                "filter(sequence(0, 63), b -> "
+                "(shiftright(m, cast(b as int)) & 1) = 1)"
+            )
+        ).alias("bit"),
+        "block",
+    ).select((F.col("block") * 64 + F.col("bit")).alias("doc_id"))
+
+
+@register(
+    "bitmap_index_search",
+    f"""
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    WHERE {" AND ".join(
+        f"list_contains(string_split(d.text, ' '), '{t}')"
+        for t in _BITMAP_TERMS
+    )}
+    """,
+    survey_rows="S5,L5,F7,index-search",
+)
+def bitmap_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive search for three DENSE terms resolved through BITMAP
+    postings derived from the versioned inverted index: pack postings
+    into 64-doc words, word-wise AND across terms, expand survivors,
+    broadcast the hit set onto `documents`. The oracle brute-force
+    scans the corpus, so the hash match proves pack -> AND -> expand is
+    exactly conjunctive containment (dense doc-id packing loses nothing;
+    the count guard stops a 2-of-3 block from surviving). Dense terms
+    are the bitmap sweet spot — each appears in ~80% of docs, where the
+    exploded count-distinct plan shuffles one row per (term, doc)."""
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "documents_invindex"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    if not _index_is_current(spark, base):
+        build_inverted_index(docs, base)
+    from ..pipelines import read_version
+
+    idx, _ = read_version(spark, base)
+    hits = bitmap_search_all(bitmap_postings(idx), list(_BITMAP_TERMS))
+    return docs.join(F.broadcast(hits), "doc_id").select(
+        "doc_id", "source", "n_chars"
+    )

@@ -779,3 +779,196 @@ def daily_trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.regr_r2("v", "day"), 6).alias("value_r2"),
     )
+
+
+# Holt's linear-trend (double exponential) smoothing constants. ALPHA
+# smooths the level, BETA the trend; both literal on the Spark and the
+# DuckDB side so the folds are the same IEEE expression tree.
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+
+
+@register(
+    "holt_linear_daily_forecast",
+    f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    ordered AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+      FROM daily
+    ),
+    counts AS (
+      SELECT event_type, count(*) AS n_days FROM ordered GROUP BY 1
+    ),
+    holt AS (
+      SELECT event_type, i, v AS s, CAST(0.0 AS DOUBLE) AS b
+      FROM ordered WHERE i = 1
+      UNION ALL
+      SELECT o.event_type, o.i,
+             {HOLT_ALPHA}*o.v + {1 - HOLT_ALPHA}*(h.s + h.b) AS s,
+             {HOLT_BETA}*(({HOLT_ALPHA}*o.v
+                 + {1 - HOLT_ALPHA}*(h.s + h.b)) - h.s)
+               + {1 - HOLT_BETA}*h.b AS b
+      FROM holt h
+      JOIN ordered o ON o.event_type = h.event_type AND o.i = h.i + 1
+    )
+    SELECT h.event_type, c.n_days,
+           round(h.s, 6)          AS level,
+           round(h.b, 6)          AS trend,
+           round(h.s + 1*h.b, 6)  AS forecast_1d,
+           round(h.s + 7*h.b, 6)  AS forecast_7d
+    FROM holt h JOIN counts c ON h.event_type = c.event_type
+    WHERE h.i = c.n_days
+    """,
+    survey_rows="ST11,ST12,F5,forecast",
+)
+def holt_linear_daily_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing over each
+    event type's DAILY value series, plus 1-day and 7-day linear
+    forecasts — the trend-aware upgrade of `ewma_running_final` that
+    closes EWMA's lag on trending series. The coupled recurrence
+      s_t = a*x_t + (1-a)*(s_{t-1} + b_{t-1})
+      b_t = B*(s_t - s_{t-1}) + (1-B)*b_{t-1}
+    needs TWO state variables, which a plain fold over doubles cannot
+    carry — Spark folds over a STRUCT accumulator (`aggregate` with a
+    named_struct zero; seed s_1 = x_1, b_1 = 0). The oracle deliberately
+    does NOT use DuckDB's list_reduce with a struct accumulator: DuckDB
+    (1.x, measured here) evaluates the lambda's struct fields
+    SEQUENTIALLY against the accumulator, so the 'b' field sees the
+    already-overwritten 's' — a coupled recurrence silently computes the
+    wrong fixpoint. The oracle is a recursive CTE instead: one row per
+    (event_type, step), standard SQL, same fold order and the same IEEE
+    expression tree as the Spark fold.
+
+    Determinism: daily sums go through DECIMAL(18,6) (exact, order-free)
+    before the cast to double, so both engines fold the IDENTICAL value
+    sequence with the IDENTICAL expression tree — the 6dp rounding only
+    guards the last-ulp of the engines' float formatting.
+
+    Scale: the raw stream collapses to |types| x |days| rows in one
+    partial-aggregated pass; the per-type fold then touches ~30 doubles.
+    At 100 TB the series per key stays tiny (one point per day) — the
+    collect_list is bounded by the calendar, not the data. The unbounded
+    STREAMING twin of this recurrence is the same (s, b) pair carried in
+    applyInPandasWithState, exactly like running_user_ewma."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("v"),
+    )
+    series = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, v))), r -> r.v)"
+        ).alias("xs"),
+    )
+    a, b = HOLT_ALPHA, HOLT_BETA
+    st = F.expr(
+        f"""aggregate(
+              slice(xs, 2, greatest(size(xs) - 1, 0)),
+              named_struct('s', element_at(xs, 1),
+                           'b', cast(0.0 as double)),
+              (acc, x) -> named_struct(
+                's', {a}*x + {1 - a}*(acc.s + acc.b),
+                'b', {b}*(({a}*x + {1 - a}*(acc.s + acc.b)) - acc.s)
+                     + {1 - b}*acc.b))"""
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        F.round(st.getField("s"), 6).alias("level"),
+        F.round(st.getField("b"), 6).alias("trend"),
+        F.round(st.getField("s") + 1 * st.getField("b"), 6).alias(
+            "forecast_1d"
+        ),
+        F.round(st.getField("s") + 7 * st.getField("b"), 6).alias(
+            "forecast_7d"
+        ),
+    )
+
+
+@register(
+    "seasonal_hourly_anomaly",
+    """
+    WITH hourly AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2, 3
+    ),
+    base AS (
+      SELECT event_type, hod,
+             avg(v) AS mu, stddev_samp(v) AS sigma, count(*) AS n_days
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT h.event_type, h.day, h.hod,
+           round(h.v, 4)     AS bucket_value,
+           round(b.mu, 4)    AS seasonal_mean,
+           round((h.v - b.mu) / b.sigma, 3) AS zscore
+    FROM hourly h
+    JOIN base b ON h.event_type = b.event_type AND h.hod = b.hod
+    WHERE b.n_days >= 10 AND b.sigma > 0
+      AND abs(h.v - b.mu) > 3 * b.sigma
+    """,
+    survey_rows="ST10,A1,F2,stats",
+)
+def seasonal_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each (type, day, hour)
+    bucket is scored against that type's HOUR-OF-DAY baseline across
+    the whole history — the diurnal-profile residual that
+    `rolling_zscore_anomaly` (trailing frame, per user) cannot see.
+    Buckets with under 10 observed days or zero variance are unscored.
+
+    Two passes, both over the ~|types|x|days|x24 hourly rollup (not the
+    raw stream): pass 1 builds the 24-slot seasonal profile per type,
+    pass 2 joins it back (a broadcast — |types|x24 rows) and filters to
+    the 3-sigma tail. Decimal-exact hourly sums make the scored series
+    identical in both engines, so the sigma threshold decides the same
+    rows; the z-score itself is rounded 3dp for last-ulp division drift.
+
+    Scale: the raw scan partial-aggregates to the hourly table once; the
+    profile side is calendar-bounded, so the join never shuffles the big
+    side — the same maintained-rollup shape as rollup_hour_to_day means
+    at 100 TB this reads an IVM-maintained hourly table instead."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("v")
+    )
+    base = hourly.groupBy("event_type", "hod").agg(
+        F.avg("v").alias("mu"),
+        F.stddev_samp("v").alias("sigma"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return (
+        hourly.join(F.broadcast(base), ["event_type", "hod"])
+        .filter(
+            (F.col("n_days") >= 10)
+            & (F.col("sigma") > 0)
+            & (F.abs(F.col("v") - F.col("mu")) > 3 * F.col("sigma"))
+        )
+        .select(
+            "event_type",
+            "day",
+            "hod",
+            F.round("v", 4).alias("bucket_value"),
+            F.round("mu", 4).alias("seasonal_mean"),
+            F.round((F.col("v") - F.col("mu")) / F.col("sigma"), 3).alias(
+                "zscore"
+            ),
+        )
+    )

@@ -159,6 +159,8 @@ def _load_all() -> None:
         gbm,
         semdedup,
         invindex,
+        itemsets,
+        journeys,
     )
 
     _LOADED = True

@@ -113,3 +113,55 @@ def test_refresh_republish_flips_atomically(spark, sf_small, tmp_path):
     n2 = search_all_terms(spark, base, ["spark"]).count()
     assert n2 >= n1
     assert n2 == _contains(docs, "spark").count()
+
+
+def test_bitmap_search_equals_exploded_search(spark, sf_small, tmp_path):
+    """Bitmap AND must equal the exploded count-distinct plan for the
+    same terms — including a single-term search (bitmap expansion is
+    exactly the posting list) and a term set with an absent term."""
+    from novelti_dingo_spark.operators.invindex import (
+        bitmap_postings,
+        bitmap_search_all,
+    )
+    from novelti_dingo_spark.pipelines import read_version
+
+    docs = load_table(spark, sf_small, "documents")
+    base = os.path.join(str(tmp_path), "idx")
+    build_inverted_index(docs, base)
+    idx, _ = read_version(spark, base)
+    bm = bitmap_postings(idx).persist()
+    try:
+        for terms in (["spark"], ["scan", "filter"], ["scan", "zzz_nope"]):
+            got = {r.doc_id for r in bitmap_search_all(bm, terms).collect()}
+            want = {
+                r.doc_id
+                for r in search_all_terms(spark, base, terms).collect()
+            }
+            assert got == want, terms
+    finally:
+        bm.unpersist()
+
+
+def test_bitmap_postings_word_packing(spark, sf_small, tmp_path):
+    """Every set bit round-trips: popcount over a term's masks equals
+    its exploded posting count, and block ids span doc_id/64."""
+    from novelti_dingo_spark.operators.invindex import bitmap_postings
+    from novelti_dingo_spark.pipelines import read_version
+
+    docs = load_table(spark, sf_small, "documents")
+    base = os.path.join(str(tmp_path), "idx")
+    build_inverted_index(docs, base)
+    idx, _ = read_version(spark, base)
+    bm = bitmap_postings(idx)
+    row = (
+        bm.filter(F.col("token") == "spark")
+        .agg(
+            F.sum(F.expr("bit_count(mask)")).alias("bits"),
+            F.max("block").alias("maxb"),
+        )
+        .head()
+    )
+    n_postings = idx.filter(F.col("token") == "spark").count()
+    max_doc = idx.agg(F.max("doc_id")).head()[0]
+    assert row["bits"] == n_postings > 0
+    assert row["maxb"] <= max_doc // 64

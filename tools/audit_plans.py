@@ -480,6 +480,29 @@ EXPECT = {
     # codegen'd string/arith expressions
     "benford_first_digit": {"partial_agg": True, "no_python_udf": True,
                             "max_scan_cols": 1},
+    # Holt linear trend: daily pre-agg (partial), then a |types|-row
+    # struct fold — the collect_list is bounded by the calendar
+    "holt_linear_daily_forecast": {"partial_agg": True,
+                                   "no_python_udf": True,
+                                   "max_scan_cols": 3},
+    # Apriori/SON itemsets: broadcast part dim + broadcast 1-row total;
+    # local per-basket candidate generation (no basket self-join),
+    # two-phase count agg, TakeOrdered for the top-20
+    "frequent_brand_triples": {"partial_agg": True, "no_python_udf": True,
+                               "broadcast_joins": 1, "take_ordered": True},
+    # multi-touch attribution: user-key hash join with residual time
+    # range (never NLJ), then one window shuffle on the conversion id
+    "attribution_position_credit": {"hash_join_not_nlj": True,
+                                    "no_python_udf": True,
+                                    "max_scan_cols": 4,
+                                    "partial_agg": True},
+    # seasonal profile: two-level rollup, profile side broadcast back
+    "seasonal_hourly_anomaly": {"partial_agg": True, "broadcast_joins": 1,
+                                "no_python_udf": True, "max_scan_cols": 3},
+    # bitmap postings: pushed token In-filter on the index scan, word
+    # aggs two-phase, tiny hit set broadcast back onto documents
+    "bitmap_index_search": {"partial_agg": True, "broadcast_joins": 1,
+                            "no_python_udf": True},
 }
 
 
