@@ -2083,3 +2083,68 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+@register(
+    "wap_promoted_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    survey_rows="S3,lake-wap,A1",
+)
+def wap_promoted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish surfaced at the correctness gate: lineitem is
+    STAGED as a lake candidate (invisible to LATEST), AUDITED against
+    the written files (positive prices, non-null key columns, discount
+    in [0, 1], a minimum order-cardinality expectation),
+    then PROMOTED — a pointer flip, no rewrite — and the query
+    aggregates revenue per (returnflag, linestatus) from the promoted
+    LATEST. The
+    oracle aggregates the raw parquet directly, so the hash match
+    proves the staged bytes that passed the audit are exactly what
+    serves after promotion (no row lost or duplicated anywhere in
+    stage -> audit -> promote).
+
+    At 100 TB this is the pattern for gated ingestion: the write
+    happens once (non-replayable upstreams included), audits run
+    against the immutable candidate out-of-band, and promotion cost is
+    independent of data size."""
+    import tempfile
+
+    from ..pipelines import (
+        audit_staged,
+        promote_staged,
+        publish_staged,
+        read_version,
+    )
+    from ..sources import lakefs
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "lineitem_wap"
+    )
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        li = load_table(spark, sf_dir, "lineitem")
+        publish_staged(li, base)
+        audit = audit_staged(
+            spark,
+            base,
+            constraints=[
+                ("price_pos", "check", F.col("l_extendedprice") > 0),
+                ("keys_set", "not_null", ["l_orderkey", "l_linenumber"]),
+                ("disc_range", "check", F.col("l_discount").between(0, 1)),
+            ],
+            expectations=[("orders_min", "ndv_min", ("l_orderkey", 100))],
+        )
+        assert audit["pass"], audit
+        promote_staged(spark, base)
+    df, _ = read_version(spark, base)
+    return df.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

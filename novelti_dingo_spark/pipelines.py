@@ -701,6 +701,7 @@ def publish_versioned(
     published_ts: str | None = None,
     stats_cols: list[str] | None = None,
     ndv_cols: list[str] | None = None,
+    staged: bool = False,
 ) -> int:
     """Versioned dataset publish: write to `base_dir/v=N/` (N = next
     version), then flip the `base_dir/LATEST` pointer to it, and drop a
@@ -793,10 +794,185 @@ def publish_versioned(
         if stats is None:
             stats = _scan_file_stats(spark, out, stats_cols)
         manifest["file_stats"] = {"columns": stats_cols, "files": stats}
+    if staged:
+        # write-audit-publish: the version directory and manifest exist,
+        # but LATEST does not move — followers cannot see the data until
+        # promote_staged flips the pointer. STAGED marks the candidate.
+        manifest["staged"] = True
     # underscore prefix: Spark data-source listing ignores it (like _SUCCESS)
     lakefs.write_text(spark, f"{out}/_manifest.json", json.dumps(manifest))
-    lakefs.replace_text(spark, f"{base}/LATEST", str(version))
+    lakefs.replace_text(
+        spark, f"{base}/{'STAGED' if staged else 'LATEST'}", str(version)
+    )
     return version
+
+
+def publish_staged(df: DataFrame, base_dir: str, **publish_kwargs) -> int:
+    """WRITE step of write-audit-publish (the Iceberg/Nessie staging-
+    branch pattern): materialize a candidate version WITHOUT moving
+    LATEST. Readers following LATEST cannot see it; `read_staged` /
+    `audit_staged` inspect the exact bytes that would serve; then
+    `promote_staged` flips LATEST atomically (no rewrite — promotion is
+    a pointer move) or `abort_staged` discards the candidate.
+
+    This complements `publish_checked`, which validates the SOURCE
+    frame in the same job as the write: WAP audits the WRITTEN FILES —
+    the right gate when audits are expensive, run out-of-band by a
+    different system, need human sign-off, or when the source is
+    non-replayable so the write must happen exactly once regardless of
+    the audit outcome. Re-staging before promotion simply moves STAGED;
+    the superseded candidate becomes an unreferenced version that
+    `vacuum_versions` reclaims."""
+    return publish_versioned(df, base_dir, staged=True, **publish_kwargs)
+
+
+def read_staged(spark: SparkSession, base_dir: str):
+    """(DataFrame, manifest) of the current staged candidate."""
+    from .sources import lakefs
+
+    base = base_dir.rstrip("/")
+    if not lakefs.exists(spark, f"{base}/STAGED"):
+        raise FileNotFoundError(f"no staged version under {base_dir}")
+    v = int(lakefs.read_text(spark, f"{base}/STAGED").strip())
+    return read_version(spark, base_dir, v)
+
+
+def audit_staged(
+    spark: SparkSession,
+    base_dir: str,
+    constraints: list[tuple[str, str, object]] | None = None,
+    expectations: list[tuple[str, str, object]] | None = None,
+) -> dict:
+    """AUDIT step of write-audit-publish: evaluate row constraints and
+    dataset expectations against the STAGED FILES (one aggregate job
+    over the candidate — what you audit is byte-identical to what will
+    serve), and record the result in the staged manifest so promotion
+    can be gated on it.
+
+    `constraints` rows use publish_checked's vocabulary restricted to
+    post-write checks: ("name", "check", Column_predicate),
+    ("name", "not_null", [cols]), ("name", "unique", [key_cols]) —
+    unique is counted as rows-minus-distinct-keys via one aggregate,
+    no window shuffle. `expectations` are publish_checked's rate_max /
+    ndv_min, unchanged. Returns the audit dict (also persisted):
+    {"constraints": {name: violation_count}, "expectations": {...},
+    "pass": bool}."""
+    import json
+
+    from .sources import lakefs
+
+    base = base_dir.rstrip("/")
+    df, manifest = read_staged(spark, base_dir)
+    aggs = []
+    for name, kind, spec in constraints or []:
+        if kind == "check":
+            aggs.append(F.sum((~spec).cast("long")).alias(f"_c_{name}"))
+        elif kind == "not_null":
+            cond = None
+            for c in spec:
+                n = F.col(c).isNull()
+                cond = n if cond is None else (cond | n)
+            aggs.append(F.sum(cond.cast("long")).alias(f"_c_{name}"))
+        elif kind == "unique":
+            aggs.append(
+                (
+                    F.count(F.lit(1))
+                    - F.count_distinct(F.struct(*[F.col(c) for c in spec]))
+                ).alias(f"_c_{name}")
+            )
+        else:
+            raise ValueError(f"constraint {name!r}: unknown kind {kind!r}")
+    for name, kind, spec in expectations or []:
+        if kind == "rate_max":
+            cond, _thr = spec
+            aggs.append(F.avg(cond.cast("double")).alias(f"_e_{name}"))
+        elif kind == "ndv_min":
+            col, _thr = spec
+            aggs.append(F.count_distinct(F.col(col)).alias(f"_e_{name}"))
+        else:
+            raise ValueError(f"expectation {name!r}: unknown kind {kind!r}")
+    row = df.agg(*aggs).head() if aggs else {}
+    audit: dict = {"constraints": {}, "expectations": {}, "pass": True}
+    for name, kind, spec in constraints or []:
+        n = int(row[f"_c_{name}"] or 0)
+        audit["constraints"][name] = n
+        if n:
+            audit["pass"] = False
+    for name, kind, spec in expectations or []:
+        thr = spec[1]
+        val = row[f"_e_{name}"]
+        val = 0 if val is None else (
+            float(val) if kind == "rate_max" else int(val)
+        )
+        ok = val <= thr if kind == "rate_max" else val >= thr
+        audit["expectations"][name] = {
+            "value": val, "threshold": thr, "pass": ok,
+        }
+        if not ok:
+            audit["pass"] = False
+    manifest["wap_audit"] = audit
+    lakefs.replace_text(
+        spark,
+        f"{base}/v={manifest['version']}/_manifest.json",
+        json.dumps(manifest),
+    )
+    return audit
+
+
+def promote_staged(
+    spark: SparkSession, base_dir: str, require_audit_pass: bool = True
+) -> int:
+    """PUBLISH step of write-audit-publish: flip LATEST to the staged
+    version — a pointer move, no data rewrite — and retire the STAGED
+    marker. With `require_audit_pass` (default) promotion refuses a
+    candidate whose manifest carries no passing `audit_staged` record:
+    un-audited data cannot reach followers by accident. The audit
+    record stays in the manifest after promotion (the admission
+    evidence readers can inspect), only the `staged` flag is cleared."""
+    import json
+
+    from .sources import lakefs
+
+    base = base_dir.rstrip("/")
+    df, manifest = read_staged(spark, base_dir)
+    v = int(manifest["version"])
+    if require_audit_pass:
+        audit = manifest.get("wap_audit")
+        if not audit or not audit.get("pass"):
+            raise ValueError(
+                f"refusing to promote v={v} of {base_dir}: "
+                + (
+                    "audit failed "
+                    + json.dumps(audit["constraints"] | {
+                        k: a for k, a in audit["expectations"].items()
+                        if not a["pass"]
+                    })
+                    if audit
+                    else "no audit_staged record (run audit_staged first, "
+                    "or pass require_audit_pass=False)"
+                )
+            )
+    manifest.pop("staged", None)
+    lakefs.replace_text(
+        spark, f"{base}/v={v}/_manifest.json", json.dumps(manifest)
+    )
+    lakefs.replace_text(spark, f"{base}/LATEST", str(v))
+    lakefs.delete(spark, f"{base}/STAGED")
+    return v
+
+
+def abort_staged(spark: SparkSession, base_dir: str) -> int:
+    """Discard the staged candidate: delete its version directory and
+    the STAGED marker. LATEST (and every published version) is
+    untouched — aborting WAP is free and total."""
+    from .sources import lakefs
+
+    base = base_dir.rstrip("/")
+    _, manifest = read_staged(spark, base_dir)
+    v = int(manifest["version"])
+    lakefs.delete(spark, f"{base}/v={v}")
+    lakefs.delete(spark, f"{base}/STAGED")
+    return v
 
 
 def publish_append(
@@ -1683,6 +1859,10 @@ def vacuum_versions(
     keep = set(versions[-keep_last:]) if keep_last > 0 else set()
     if pinned is not None:
         keep.add(pinned)
+    # an un-promoted WAP candidate is live state, not garbage — only
+    # abort_staged (or re-staging, which orphans it) may release it
+    if lakefs.exists(spark, f"{base}/STAGED"):
+        keep.add(int(lakefs.read_text(spark, f"{base}/STAGED").strip()))
     # append chains: a kept head needs every ancestor segment back to
     # its full snapshot — expand the keep set over parent links so
     # vacuum never orphans a chain (read_version_chain of any keeper

@@ -503,6 +503,8 @@ EXPECT = {
     # aggs two-phase, tiny hit set broadcast back onto documents
     "bitmap_index_search": {"partial_agg": True, "broadcast_joins": 1,
                             "no_python_udf": True},
+    # WAP read path: plain two-phase agg over the promoted lake version
+    "wap_promoted_revenue": {"partial_agg": True, "no_python_udf": True},
 }
 
 
