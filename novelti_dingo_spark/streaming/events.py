@@ -425,3 +425,125 @@ def events_per_segment_stream(
             F.round(F.avg("value"), 6).alias("avg_value"),
         )
     )
+
+
+def run_enrich_inner_with_retry(
+    spark: SparkSession,
+    src_dir: str,
+    dim_base: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema,
+    join_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_cols: list[str] | None = None,
+    max_wait_batches: int = 3,
+    after_batch=None,
+) -> None:
+    """INNER-join stream enrichment with LATE-ARRIVAL retry: an event
+    whose dim key does not resolve yet is NOT emitted with nulls (the
+    left-join answer) and NOT dropped — it parks in a pending queue and
+    retries against the refreshed dim on every subsequent micro-batch,
+    emitting the moment its key arrives. This is the correct semantics
+    when the dim is itself fed by a pipeline that can lag the stream
+    (the new-customer-signup race every CDC-fed dimension has).
+
+    Mechanics per micro-batch:
+      1. combined = new batch rows (+`_waited`=0) ∪ current pending;
+      2. dim LATEST re-resolved (same versioned-lake refresh as
+         run_enrich_with_lake_dim); matched rows emit to
+         `out_dir/epoch=N` with `_dim_version` (which snapshot resolved
+         them — the dim-version watermark) and `_waited` (how many
+         batches they waited: join-latency observability for free);
+      3. unmatched rows that have already waited `max_wait_batches`
+         divert to `out_dir/_deadletter/epoch=N` (bounded state: a key
+         that never arrives cannot grow the queue forever — the
+         standard watermark-expiry tradeoff, made explicit);
+      4. the rest republish as the next pending version — the queue is
+         itself a versioned lake dataset, so state survives restarts
+         via the LAKE, not the checkpoint (a checkpoint wipe loses only
+         source progress, never parked rows), and `vacuum_versions`
+         keeps it at 2 versions.
+
+    Exactly-once: outputs write BEFORE the pending publish, and the
+    pending manifest records the epoch; a replayed batch (at-least-once
+    foreachBatch) whose epoch is already recorded is skipped wholesale,
+    so neither outputs nor state double-apply. Each event therefore
+    emits in EXACTLY one epoch: the first whose dim snapshot contains
+    its key (eventual parity with the batch inner join — pinned by
+    tests/test_stream_dim_refresh.py).
+
+    At 100 TB: the dim and the pending queue are the small sides
+    (broadcast + O(pending) republish); the stream side never shuffles.
+    A pathological dim lag bounds pending at max_wait_batches x batch
+    size — sized, not unbounded, state."""
+    from ..pipelines import (
+        publish_versioned,
+        read_version,
+        vacuum_versions,
+    )
+    from ..sources import lakefs
+
+    pending_base = f"{checkpoint_dir.rstrip('/')}_pending"
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        e = int(epoch_id)
+        have_pending = lakefs.exists(spark, f"{pending_base}/LATEST")
+        if have_pending:
+            pend, pmani = read_version(spark, pending_base)
+            if int(pmani.get("retry_epoch", -1)) >= e:
+                # replay of an already-applied epoch: outputs and state
+                # are on disk (outputs write first) — skip wholesale
+                if after_batch is not None:
+                    after_batch(e)
+                return
+        else:
+            pend = None
+        combined = batch.withColumn("_waited", F.lit(0))
+        if pend is not None:
+            combined = combined.unionByName(pend)
+        dim, manifest = read_version(spark, dim_base)
+        d = dim.withColumnRenamed(dim_key, join_key)
+        if dim_cols:
+            d = d.select(join_key, *dim_cols)
+        combined = combined.persist()
+        try:
+            matched = combined.join(F.broadcast(d), join_key).withColumn(
+                "_dim_version", F.lit(int(manifest["version"]))
+            )
+            matched.write.mode("overwrite").parquet(
+                f"{out_dir.rstrip('/')}/epoch={e}"
+            )
+            unmatched = combined.join(
+                F.broadcast(d.select(join_key)), join_key, "left_anti"
+            )
+            expired = unmatched.filter(
+                F.col("_waited") >= max_wait_batches
+            )
+            if not expired.isEmpty():
+                expired.write.mode("overwrite").parquet(
+                    f"{out_dir.rstrip('/')}/_deadletter/epoch={e}"
+                )
+            still_waiting = unmatched.filter(
+                F.col("_waited") < max_wait_batches
+            ).withColumn("_waited", F.col("_waited") + 1)
+            publish_versioned(
+                still_waiting, pending_base, meta={"retry_epoch": e}
+            )
+            vacuum_versions(spark, pending_base, keep_last=2)
+        finally:
+            combined.unpersist()
+        if after_batch is not None:
+            after_batch(e)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

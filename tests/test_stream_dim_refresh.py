@@ -148,3 +148,100 @@ def test_stream_partitioned_segments_compose_with_chain(
     pruned, total, n_read = read_chain_pruned(spark, base, "day", lo, hi)
     assert n_read < total
     assert pruned.count() == ev.filter(F.col("day") == lo).count()
+
+
+def test_late_arrival_inner_retry_eventual_parity(spark, sf_small, tmp_path):
+    """Events whose dim key is missing park in the pending queue and
+    emit the moment a refreshed dim carries the key; once the dim is
+    complete, the union of all epochs equals the batch inner join,
+    each event exactly once."""
+    from novelti_dingo_spark.streaming.events import (
+        run_enrich_inner_with_retry,
+    )
+
+    src, ev = _stage_event_files(spark, sf_small, tmp_path, n_files=3)
+    c = load_table(spark, sf_small, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    dim_base = str(tmp_path / "dim")
+    publish_versioned(c.filter(F.col("c_custkey") < 8), dim_base)
+
+    published = {"done": False}
+
+    def after_batch(epoch_id):
+        if not published["done"]:
+            publish_versioned(c, dim_base)  # the late keys arrive
+            published["done"] = True
+
+    out = str(tmp_path / "out")
+    run_enrich_inner_with_retry(
+        spark,
+        src,
+        dim_base,
+        out,
+        str(tmp_path / "ckpt"),
+        schemas.EVENTS_TS_NS,
+        dim_cols=["c_mktsegment"],
+        after_batch=after_batch,
+    )
+    got = spark.read.parquet(out + "/epoch=*")
+    # exactly-once: every event appears exactly once
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+    # late rows resolved against the refreshed dim version, with wait
+    late = got.filter(F.col("_waited") > 0)
+    assert late.count() > 0
+    assert {r._dim_version for r in late.select("_dim_version").distinct().collect()} == {2}
+    # batch-parity of the enrichment itself
+    want = ev.join(
+        c.withColumnRenamed("c_custkey", "user_id"), "user_id"
+    ).count()
+    assert got.count() == want
+    # pending queue drained
+    from novelti_dingo_spark.pipelines import read_version
+
+    pend, _ = read_version(spark, str(tmp_path / "ckpt") + "_pending")
+    assert pend.count() == 0
+
+
+def test_never_arriving_keys_expire_to_deadletter(spark, sf_small, tmp_path):
+    """A key the dim never learns cannot grow the queue forever: after
+    max_wait_batches retries the row diverts to the dead-letter dir and
+    is never emitted as matched."""
+    from novelti_dingo_spark.streaming.events import (
+        run_enrich_inner_with_retry,
+    )
+
+    src, ev = _stage_event_files(spark, sf_small, tmp_path, n_files=3)
+    c = load_table(spark, sf_small, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    dim_base = str(tmp_path / "dim")
+    publish_versioned(c.filter(F.col("c_custkey") < 8), dim_base)
+    out = str(tmp_path / "out")
+    run_enrich_inner_with_retry(
+        spark,
+        src,
+        dim_base,
+        out,
+        str(tmp_path / "ckpt"),
+        schemas.EVENTS_TS_NS,
+        dim_cols=["c_mktsegment"],
+        max_wait_batches=1,
+    )
+    matched = spark.read.parquet(out + "/epoch=*")
+    n_match_want = ev.filter(F.col("user_id") < 8).count()
+    assert matched.count() == n_match_want
+    assert matched.filter(F.col("user_id") >= 8).count() == 0
+    dead = spark.read.parquet(out + "/_deadletter/epoch=*")
+    # batch-0 and batch-1 unmatched rows expired (waited 1 batch each);
+    # batch-2 unmatched are still pending when the stream drains
+    assert dead.filter(F.col("user_id") < 8).count() == 0
+    assert dead.count() > 0
+    from novelti_dingo_spark.pipelines import read_version
+
+    pend, _ = read_version(spark, str(tmp_path / "ckpt") + "_pending")
+    assert (
+        dead.count() + pend.count()
+        == ev.filter(F.col("user_id") >= 8).count()
+    )
