@@ -1026,3 +1026,157 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0)), 6
         ).alias("benford_freq"),
     )
+
+
+@register(
+    "rfm_segmentation",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate),
+                       (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary,
+             ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers,
+           round(sum(monetary), 2) AS segment_revenue,
+           round(avg(recency_days), 4) AS avg_recency_days
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    survey_rows="A1,W1,F2,rfm",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer compute Recency (days
+    since last order, against the corpus max date), Frequency (order
+    count) and Monetary (revenue), quartile-score each dimension with
+    ntile(4) (score 1 = best: most recent / most frequent / highest
+    spend), and roll up to the 4x4x4 segment grid with counts and
+    revenue — the lifecycle-marketing table (champions = 111, at-risk =
+    4xx...) every CRM computes.
+
+    Determinism: ntile needs a TOTAL order or engines may split ties
+    differently — every ORDER BY carries o_custkey as tiebreak, and
+    monetary is rounded BEFORE scoring so both engines rank identical
+    doubles. Scale: per-customer aggs are one partial-agg shuffle; the
+    three ntile windows are global but operate on the |customers|
+    aggregate (already reduced — the audit's SinglePartition rule), and
+    a 100 TB deployment would swap them for rank.with_global_rank's
+    repartitionByRange + broadcast-offsets rank, same as
+    sorted-neighborhood did."""
+    o = load_table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("_maxd"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .join(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("_maxd"), F.col("_last")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "o_custkey"))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("monetary"), 2).alias("segment_revenue"),
+        F.round(F.avg("recency_days"), 4).alias("avg_recency_days"),
+    )
+
+
+@register(
+    "revenue_concentration_gini",
+    """
+    WITH cust AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev,
+             row_number() OVER (ORDER BY rev, o_custkey) AS rn,
+             count(*) OVER () AS n,
+             sum(rev) OVER () AS tot
+      FROM cust
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           round(max(tot), 2) AS total_revenue,
+           round(2.0 * sum(rn * rev) / (max(n) * max(tot))
+                 - (max(n) + 1.0) / max(n), 6) AS gini,
+           round(sum(CASE WHEN rn > 0.9 * n THEN rev ELSE 0 END)
+                 / max(tot), 6) AS top10pct_share
+    FROM ranked
+    """,
+    survey_rows="A5,W1,F3,stats",
+)
+def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue CONCENTRATION: the Gini coefficient of per-customer
+    revenue via the closed rank form G = 2*Σ(i*x_i)/(n*Σx) - (n+1)/n
+    over ascending-sorted revenues, plus the top-decile revenue share —
+    the inequality readout (how whale-dependent is this business / how
+    skewed is this key distribution) that also predicts join-skew risk
+    on the same key.
+
+    Rank needs a total order: ties broken by o_custkey; revenues are
+    rounded 2dp before ranking so both engines rank identical values.
+    The window runs over the |customers| AGGREGATE (one partial-agg
+    shuffle reduces orders first); the rank-weighted sums then fold in
+    a single global aggregate. At 100 TB swap the single global window
+    for rank.with_global_rank (range-partitioned rank), the formula is
+    unchanged."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    w = Window.orderBy("rev", "o_custkey")
+    ranked = cust.select(
+        "rev",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("rev").over(Window.partitionBy()).alias("tot"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.round(F.max("tot"), 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.sum(F.col("rn") * F.col("rev"))
+            / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.sum(
+                F.when(F.col("rn") > 0.9 * F.col("n"), F.col("rev")).otherwise(
+                    0.0
+                )
+            )
+            / F.max("tot"),
+            6,
+        ).alias("top10pct_share"),
+    )

@@ -658,3 +658,92 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sweep.groupBy(
         F.expr("t_us div 86400000000").alias("day")
     ).agg(F.max("live").cast("long").alias("peak_concurrent"))
+
+
+@register(
+    "top_session_paths",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM flagged
+    ), paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+    survey_rows="ST3,W2,A7,paths",
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 full SESSION PATHS (the ordered event-type sequence of a
+    session, e.g. 'view>click>purchase') by frequency — the clickstream
+    path-analysis readout that the pairwise `event_transition_matrix`
+    cannot give (a Markov matrix forgets everything before the previous
+    step; paths keep whole trajectories).
+
+    Same lag+cumsum sessionization as `sessionize_30min`, then one
+    collect-sort-join per session (bounded by session length, which the
+    30-min gap bounds by construction) and a count over path strings.
+    The session windows, the path agg, and the count reuse the user_id
+    exchange where possible; the final top-10 is TakeOrderedAndProject.
+    Path cardinality is the skew watch-point at 100 TB: hot paths
+    ('view', 'view>view') concentrate, but the count agg is two-phase
+    so hot keys combine map-side before the shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_us = 30 * 60 * 1_000_000
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_session").over(wc).alias("session_id"),
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda r: r.getField("event_type"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )

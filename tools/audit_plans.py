@@ -505,6 +505,20 @@ EXPECT = {
                             "no_python_udf": True},
     # WAP read path: plain two-phase agg over the promoted lake version
     "wap_promoted_revenue": {"partial_agg": True, "no_python_udf": True},
+    # session paths: one user_id exchange feeds lag + cumsum + path agg;
+    # top-10 via TakeOrdered
+    "top_session_paths": {"partial_agg": True, "no_python_udf": True,
+                          "take_ordered": True, "max_scan_cols": 4},
+    # RFM: per-customer partial agg; ntile windows run on the reduced
+    # |customers| frame (SinglePartition over aggregates is the
+    # documented exception); 1-row max-date broadcast
+    "rfm_segmentation": {"partial_agg": True, "no_python_udf": True,
+                         "max_scan_cols": 3},
+    # Gini: rank window over the reduced per-customer frame, one global
+    # closing aggregate
+    "revenue_concentration_gini": {"partial_agg": True,
+                                   "no_python_udf": True,
+                                   "max_scan_cols": 2},
 }
 
 
