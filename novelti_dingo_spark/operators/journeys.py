@@ -126,3 +126,184 @@ def attribution_position_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("conv_id").alias("n_conversions"),
         )
     )
+
+
+@register(
+    "growth_accounting_daily",
+    """
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    seq AS (
+      SELECT user_id, day,
+             min(day)  OVER (PARTITION BY user_id) AS first_day,
+             lag(day)  OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+             lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+      FROM active
+    ),
+    maxd AS (SELECT max(day) AS md FROM active),
+    statuses AS (
+      SELECT day,
+             CASE WHEN day = first_day THEN 1 ELSE 0 END AS is_new,
+             CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END AS is_retained,
+             CASE WHEN day > first_day
+                   AND (prev_day IS NULL OR prev_day < day - 1)
+                  THEN 1 ELSE 0 END AS is_resurrected
+      FROM seq
+    ),
+    churn AS (
+      SELECT day + 1 AS day, count(*) AS n_churned
+      FROM seq, maxd
+      WHERE (next_day IS NULL OR next_day > day + 1) AND day < md
+      GROUP BY day + 1
+    ),
+    daily AS (
+      SELECT day, count(*) AS n_active,
+             CAST(sum(is_new) AS BIGINT) AS n_new,
+             CAST(sum(is_retained) AS BIGINT) AS n_retained,
+             CAST(sum(is_resurrected) AS BIGINT) AS n_resurrected
+      FROM statuses GROUP BY day
+    )
+    SELECT d.day, d.n_active, d.n_new, d.n_retained, d.n_resurrected,
+           COALESCE(c.n_churned, 0) AS n_churned
+    FROM daily d LEFT JOIN churn c ON d.day = c.day
+    """,
+    survey_rows="W2,A2,F2,growth",
+)
+def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWTH ACCOUNTING (the new / retained / resurrected / churned
+    decomposition of daily actives): for every day, how many active
+    users are brand new, continuing from yesterday, returning after a
+    gap — and how many of yesterday's actives disappeared (churn is
+    attributed to the first inactive day). The identity
+    active(d) = new + retained + resurrected and
+    active(d) - active(d-1) = new + resurrected - churned(d)
+    is what product dashboards call the growth accounting equation;
+    `cohort_retention` shows decay per signup cohort, this shows the
+    daily flux balance.
+
+    One distinct (user, day) reduction, then ONE user-partitioned
+    window pass computes first/prev/next simultaneously; churn is a
+    one-day shift re-aggregation and the global max day rides a 1-row
+    broadcast. Scale: everything after the distinct operates on
+    |users| x |active days| rows, orders of magnitude below the raw
+    stream; the user_id shuffle is the only data-sized exchange."""
+    e = load_table(spark, sf_dir, "events")
+    active = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    seq = active.select(
+        "user_id",
+        "day",
+        F.min("day").over(Window.partitionBy("user_id")).alias("first_day"),
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
+    )
+    maxd = active.agg(F.max("day").alias("md"))
+    daily = seq.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        # when/otherwise, not bool-cast: prev_day is NULL on each
+        # user's first row, and sum over an all-NULL comparison column
+        # is NULL where the oracle's CASE yields 0
+        F.sum(
+            F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+        ).alias("n_new"),
+        F.sum(
+            F.when(F.col("prev_day") == F.date_sub("day", 1), 1).otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            F.when(
+                (F.col("day") > F.col("first_day"))
+                & (
+                    F.col("prev_day").isNull()
+                    | (F.col("prev_day") < F.date_sub("day", 1))
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("n_resurrected"),
+    )
+    churn = (
+        seq.join(F.broadcast(maxd))
+        .filter(
+            (
+                F.col("next_day").isNull()
+                | (F.col("next_day") > F.date_add("day", 1))
+            )
+            & (F.col("day") < F.col("md"))
+        )
+        .groupBy(F.date_add("day", 1).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return daily.join(churn, "day", "left").select(
+        "day",
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+    )
+
+
+@register(
+    "pattern_vshape_dips",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value,
+             lag(value)  OVER w AS prev_v,
+             lead(value) OVER w AS next_v
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    dips AS (
+      SELECT user_id, event_id, value,
+             round(prev_v - value, 6) AS drop_depth,
+             round(next_v - value, 6) AS recovery
+      FROM seq
+      WHERE prev_v > value AND next_v > value
+        AND prev_v - value >= 0.2 * prev_v
+    )
+    SELECT user_id,
+           count(*) AS n_dips,
+           round(max(drop_depth), 4) AS deepest_drop,
+           round(avg(recovery), 4) AS avg_recovery
+    FROM dips GROUP BY user_id
+    """,
+    survey_rows="W2,A1,pattern",
+)
+def pattern_vshape_dips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern detection (the MATCH_RECOGNIZE shape, expressed with
+    windows): find V-SHAPED DIPS in each user's value series — a point
+    strictly below both neighbors where the drop is at least 20% of the
+    preceding value — and summarize dip count, deepest drop, and average
+    recovery per user. The lag/lead contiguity encoding is how bounded
+    row patterns (PREV/NEXT guards) compile to window functions when the
+    engine lacks MATCH_RECOGNIZE; unbounded patterns (A B+ C) would use
+    the sessionize-style flag+cumsum trick instead.
+
+    One user_id shuffle; pattern guards are codegen'd comparisons. The
+    20%-relative threshold keeps the boolean robust to last-ulp
+    differences (continuous values never sit exactly on the cut)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_v"),
+        F.lead("value").over(w).alias("next_v"),
+    )
+    dips = seq.filter(
+        (F.col("prev_v") > F.col("value"))
+        & (F.col("next_v") > F.col("value"))
+        & (F.col("prev_v") - F.col("value") >= 0.2 * F.col("prev_v"))
+    ).select(
+        "user_id",
+        F.round(F.col("prev_v") - F.col("value"), 6).alias("drop_depth"),
+        F.round(F.col("next_v") - F.col("value"), 6).alias("recovery"),
+    )
+    return dips.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_dips"),
+        F.round(F.max("drop_depth"), 4).alias("deepest_drop"),
+        F.round(F.avg("recovery"), 4).alias("avg_recovery"),
+    )

@@ -159,7 +159,17 @@ def refresh_mv(
     O(delta) + O(|MV|), never a fact re-scan: the algebraic-measures
     restriction publish_mv enforces is exactly what makes this merge
     legal. New group keys appearing only in the delta materialize as new
-    MV rows (the union handles them with no special case)."""
+    MV rows (the union handles them with no special case).
+
+    JOIN MVs (the fact was pre-joined to dims before publish_mv, as in
+    mv_rewrite_star_segment) refresh the same way: pass the DELTA
+    pre-joined to the SAME dims. That is O(delta ⋈ dim) — legal iff the
+    fact is append-only AND the dim attributes in the MV grain are
+    stable between refreshes; a dim UPDATE invalidates already-merged
+    rows, which no delta can repair — republish from scratch (or model
+    the dim as SCD2 and group by the version key instead). Pinned by
+    tests/test_mv_rewrite.py::test_join_mv_delta_refresh_equals_full_
+    recompute."""
     from ..pipelines import read_version
 
     mv, manifest = read_version(spark, base_dir)

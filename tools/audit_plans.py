@@ -519,6 +519,13 @@ EXPECT = {
     "revenue_concentration_gini": {"partial_agg": True,
                                    "no_python_udf": True,
                                    "max_scan_cols": 2},
+    # growth accounting: distinct reduction, one user window pass, 1-row
+    # max-day broadcast; churn shift joins back on the date spine
+    "growth_accounting_daily": {"partial_agg": True, "no_python_udf": True,
+                                "max_scan_cols": 2},
+    # V-shape row patterns: single user_id window shuffle, codegen guards
+    "pattern_vshape_dips": {"partial_agg": True, "no_python_udf": True,
+                            "single_shuffle": True, "max_scan_cols": 4},
 }
 
 
