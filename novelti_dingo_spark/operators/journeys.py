@@ -257,8 +257,8 @@ def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dips AS (
       SELECT user_id, event_id, value,
-             round(prev_v - value, 6) AS drop_depth,
-             round(next_v - value, 6) AS recovery
+             prev_v - value AS drop_depth,
+             next_v - value AS recovery
       FROM seq
       WHERE prev_v > value AND next_v > value
         AND prev_v - value >= 0.2 * prev_v
@@ -266,7 +266,8 @@ def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            count(*) AS n_dips,
            round(max(drop_depth), 4) AS deepest_drop,
-           round(avg(recovery), 4) AS avg_recovery
+           round(CAST(sum(CAST(recovery AS DECIMAL(28,12))) AS DOUBLE)
+                 / count(*), 6) AS avg_recovery
     FROM dips GROUP BY user_id
     """,
     survey_rows="W2,A1,pattern",
@@ -299,11 +300,26 @@ def pattern_vshape_dips(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("prev_v") - F.col("value") >= 0.2 * F.col("prev_v"))
     ).select(
         "user_id",
-        F.round(F.col("prev_v") - F.col("value"), 6).alias("drop_depth"),
-        F.round(F.col("next_v") - F.col("value"), 6).alias("recovery"),
+        (F.col("prev_v") - F.col("value")).alias("drop_depth"),
+        (F.col("next_v") - F.col("value")).alias("recovery"),
     )
+    # Rounding-hazard note (measured at sf0.1): events.value is
+    # 2dp-QUANTIZED, so dip sums are exact 2dp decimals and avg =
+    # sum/16 landed exactly on a 4dp half boundary (23.92375), where
+    # Spark (decimal-string HALF_UP) and DuckDB (binary-correct) round
+    # apart. Two defenses: the decimal cast inside the sum makes the
+    # accumulation exact and order-free (both engines divide the
+    # identical double), and the output rounds at 6dp — FINER than the
+    # quantization can reach for power-of-two/five counts, so the
+    # decimal expansion terminates before the rounding digit instead of
+    # tying on it. Rounding coarser than your data's quantum is how
+    # discrete data manufactures ties.
     return dips.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_dips"),
         F.round(F.max("drop_depth"), 4).alias("deepest_drop"),
-        F.round(F.avg("recovery"), 4).alias("avg_recovery"),
+        F.round(
+            F.sum(F.col("recovery").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_recovery"),
     )
