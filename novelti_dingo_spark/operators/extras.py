@@ -2148,3 +2148,66 @@ def wap_promoted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+@register(
+    "keyset_pagination_page3",
+    """
+    WITH boundary AS (
+      SELECT o_totalprice AS bp, o_orderkey AS bk
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 1 OFFSET 39
+    )
+    SELECT o.o_orderkey, round(o.o_totalprice, 2) AS price,
+           o.o_orderpriority
+    FROM orders o, boundary b
+    WHERE o.o_totalprice < b.bp
+       OR (o.o_totalprice = b.bp AND o.o_orderkey > b.bk)
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    survey_rows="O1,O2,P2,pagination",
+)
+def keyset_pagination_page3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYSET (seek-method) pagination: page 3 of the orders listing
+    sorted by (price DESC, key ASC) fetched by SEEKING past page 2's
+    last row — the tuple predicate (price, key) < boundary — instead of
+    OFFSET 40. OFFSET is the anti-pattern this replaces: a deep OFFSET
+    N scan must produce and DISCARD N rows on every page (at 100 TB,
+    page 10000 re-pays the whole prefix), while the seek predicate
+    makes every page the SAME top-k job, and with a client-supplied
+    literal boundary it pushes into the parquet scan as a plain range
+    filter (row-group min/max skipping applies — deep pages get
+    CHEAPER, not costlier). Here the boundary is computed in-query (a
+    40-row TakeOrdered reduced to 1 row, broadcast), so the gate also
+    proves the boundary row itself is excluded and price TIES across
+    the page edge split correctly (the key tiebreak leg)."""
+    o = load_table(spark, sf_dir, "orders")
+    boundary = (
+        o.select("o_totalprice", "o_orderkey")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(40)
+        .orderBy(F.col("o_totalprice"), F.col("o_orderkey").desc())
+        .limit(1)
+        .select(
+            F.col("o_totalprice").alias("bp"), F.col("o_orderkey").alias("bk")
+        )
+    )
+    return (
+        o.join(F.broadcast(boundary))
+        .filter(
+            (F.col("o_totalprice") < F.col("bp"))
+            | (
+                (F.col("o_totalprice") == F.col("bp"))
+                & (F.col("o_orderkey") > F.col("bk"))
+            )
+        )
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("price").desc(), "o_orderkey")
+        .limit(20)
+    )

@@ -454,3 +454,109 @@ def bitmap_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(hits), "doc_id").select(
         "doc_id", "source", "n_chars"
     )
+
+
+def bitmap_search_expr(
+    bm: DataFrame,
+    universe: DataFrame,
+    any_of: list[str],
+    none_of: list[str],
+) -> DataFrame:
+    """Boolean bitmap retrieval beyond pure conjunction:
+    (OR over `any_of`) AND NOT (OR over `none_of`) — evaluated entirely
+    word-wise. Both sides collapse with `bit_or` per block (OR needs no
+    per-term presence guard — a missing row is just zero bits); the
+    negation joins the exclusion mask LEFT onto the inclusion mask and
+    applies AND-NOT with a NULL-as-zero coalesce, so blocks no excluded
+    term touches pass through untouched. `universe` (doc_id frame) is
+    only needed if `any_of` is empty — NOT alone means 'everything
+    except', which must come from the corpus, not the index."""
+    if not any_of:
+        inc = universe.select(
+            (F.col("doc_id") / 64).cast("bigint").alias("block")
+        ).groupBy("block").agg(
+            F.expr(
+                "bit_or(shiftleft(cast(1 as bigint), "
+                "cast(doc_id % 64 as int)))"
+            ).alias("m")
+        )
+    else:
+        inc = (
+            bm.filter(F.col("token").isin(list(any_of)))
+            .groupBy("block")
+            .agg(F.expr("bit_or(mask)").alias("m"))
+        )
+    exc = (
+        bm.filter(F.col("token").isin(list(none_of)))
+        .groupBy("block")
+        .agg(F.expr("bit_or(mask)").alias("xm"))
+    )
+    anded = (
+        inc.join(exc, "block", "left")
+        .select(
+            "block",
+            # SQL-expr form: PySpark's `~` on Column is boolean NOT;
+            # the SQL parser's `~` is the bitwise complement we need
+            F.expr("m & ~coalesce(xm, cast(0 as bigint))").alias("m"),
+        )
+        .filter(F.col("m") != 0)
+    )
+    return anded.select(
+        F.explode(
+            F.expr(
+                "filter(sequence(0, 63), b -> "
+                "(shiftright(m, cast(b as int)) & 1) = 1)"
+            )
+        ).alias("bit"),
+        "block",
+    ).select((F.col("block") * 64 + F.col("bit")).alias("doc_id"))
+
+
+_BITMAP_ANY = ("vector", "embedding")
+_BITMAP_NOT = ("error", "slow")
+
+
+@register(
+    "bitmap_boolean_search",
+    f"""
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    WHERE ({" OR ".join(
+        f"list_contains(string_split(d.text, ' '), '{t}')"
+        for t in _BITMAP_ANY
+    )})
+      AND NOT ({" OR ".join(
+        f"list_contains(string_split(d.text, ' '), '{t}')"
+        for t in _BITMAP_NOT
+    )})
+    """,
+    survey_rows="S5,L5,F7,index-search",
+)
+def bitmap_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean full-text retrieval — (vector OR embedding) AND NOT
+    (error OR slow) — resolved word-wise through the bitmap postings:
+    bit_or collapses each side's terms per 64-doc block, AND-NOT
+    combines them with missing exclusion blocks coalesced to zero, and
+    only surviving words expand to doc ids. The oracle brute-force
+    scans the corpus with the same boolean expression, so the hash
+    match proves OR/NOT bitmap algebra exact — including blocks where
+    no excluded term appears (left-join null path) and docs containing
+    both an included and an excluded term (must NOT surface)."""
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "documents_invindex"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    if not _index_is_current(spark, base):
+        build_inverted_index(docs, base)
+    from ..pipelines import read_version
+
+    idx, _ = read_version(spark, base)
+    hits = bitmap_search_expr(
+        bitmap_postings(idx), docs, list(_BITMAP_ANY), list(_BITMAP_NOT)
+    )
+    return docs.join(F.broadcast(hits), "doc_id").select(
+        "doc_id", "lang", "n_chars"
+    )

@@ -526,6 +526,14 @@ EXPECT = {
     # V-shape row patterns: single user_id window shuffle, codegen guards
     "pattern_vshape_dips": {"partial_agg": True, "no_python_udf": True,
                             "single_shuffle": True, "max_scan_cols": 4},
+    # boolean bitmap retrieval: pushed In-filters on the index scan,
+    # word-wise OR/AND-NOT aggs, hit set broadcast onto documents
+    "bitmap_boolean_search": {"partial_agg": True, "broadcast_joins": 1,
+                              "no_python_udf": True},
+    # keyset pagination: both the boundary and the page are TakeOrdered
+    # top-k jobs; boundary rides a 1-row broadcast
+    "keyset_pagination_page3": {"take_ordered": True, "no_python_udf": True,
+                                "max_scan_cols": 3},
 }
 
 
