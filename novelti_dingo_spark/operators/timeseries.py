@@ -972,3 +972,78 @@ def seasonal_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "holt_running_final",
+    f"""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i
+      FROM events
+    ),
+    counts AS (
+      SELECT user_id, count(*) AS n_events FROM ordered GROUP BY 1
+    ),
+    holt AS (
+      SELECT user_id, i, value AS s, CAST(0.0 AS DOUBLE) AS b
+      FROM ordered WHERE i = 1
+      UNION ALL
+      SELECT o.user_id, o.i,
+             {HOLT_ALPHA}*o.value + {1 - HOLT_ALPHA}*(h.s + h.b) AS s,
+             {HOLT_BETA}*(({HOLT_ALPHA}*o.value
+                 + {1 - HOLT_ALPHA}*(h.s + h.b)) - h.s)
+               + {1 - HOLT_BETA}*h.b AS b
+      FROM holt h
+      JOIN ordered o ON o.user_id = h.user_id AND o.i = h.i + 1
+    )
+    SELECT h.user_id, c.n_events, h.s AS level, h.b AS trend
+    FROM holt h JOIN counts c ON h.user_id = c.user_id
+    WHERE h.i = c.n_events
+    """,
+    survey_rows="ST13,ST11,A7,forecast",
+)
+def holt_running_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded per-user Holt linear-trend state — the two-variable
+    sibling of `ewma_running_final`: each user's FULL ordered history
+    folded through s_t = a*x + (1-a)*(s+b), b_t = B*(s_t-s) + (1-B)*b
+    (seed s=x_1, b=0), emitting the final (level, trend) pair RAW —
+    both engines execute the identical IEEE expression tree in the
+    identical order, so the hash matches at full double precision, no
+    rounding. Oracle is a recursive CTE (one row per step), NOT
+    list_reduce — see holt_linear_daily_forecast for the measured
+    DuckDB struct-accumulator hazard.
+
+    This is the batch-replayable twin of
+    `streaming.stateful.running_user_holt`, whose state is one
+    (s, b, n) triple per key (O(keys) memory, no history); the parity
+    test pins stateful == this fold bit-identically. One groupBy
+    shuffle; per-group memory is the user's value list — at 100 TB the
+    recurrence runs ONLY in the stateful-streaming form, this fold is
+    the verification surface."""
+    e = load_table(spark, sf_dir, "events")
+    rows = e.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list("
+            "struct(ts, event_id, value))), r -> r.value)"
+        ).alias("xs"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    a, b = HOLT_ALPHA, HOLT_BETA
+    st = F.expr(
+        f"""aggregate(
+              slice(xs, 2, greatest(size(xs) - 1, 0)),
+              named_struct('s', element_at(xs, 1),
+                           'b', cast(0.0 as double)),
+              (acc, x) -> named_struct(
+                's', {a}*x + {1 - a}*(acc.s + acc.b),
+                'b', {b}*(({a}*x + {1 - a}*(acc.s + acc.b)) - acc.s)
+                     + {1 - b}*acc.b))"""
+    )
+    return rows.select(
+        "user_id",
+        "n_events",
+        st.getField("s").alias("level"),
+        st.getField("b").alias("trend"),
+    )

@@ -397,3 +397,82 @@ def sessionize_stateful(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --- running Holt linear trend ---------------------------------------------
+
+HOLT_STATE_SCHEMA = StructType(
+    [
+        StructField("s", DoubleType()),
+        StructField("b", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+HOLT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+    ]
+)
+
+
+def _holt_update(key, pdfs, state: GroupState):
+    """Incremental Holt linear trend: state is ONE (s, b, n) triple per
+    user — the constant-memory streaming twin of the batch fold in
+    operators.timeseries.holt_running_final. Same recurrence, same
+    seed (s=x_1, b=0), same (ts, event_id) fold order, bit-identical
+    doubles. Two state variables instead of EWMA's one is exactly what
+    separates trend-following from lagging smoothers — and the state
+    stays O(1) per key either way."""
+    import pandas as pd
+
+    from ..operators.timeseries import HOLT_ALPHA, HOLT_BETA
+
+    s, b, n = state.get if state.exists else (0.0, 0.0, 0)
+    # concat-then-sort across ALL Arrow chunks (see _ewma_update: a
+    # multi-chunk group sorted per-chunk would fold out of order)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        allrows = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for x in allrows["value"]:
+            x = float(x)
+            if n == 0:
+                s, b = x, 0.0
+            else:
+                s_new = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (s + b)
+                b = HOLT_BETA * (s_new - s) + (1 - HOLT_BETA) * b
+                s = s_new
+            n += 1
+    state.update((s, b, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "level": [s],
+            "trend": [b],
+        }
+    )
+
+
+def running_user_holt(events: DataFrame) -> DataFrame:
+    """Per-user running Holt (level, trend) via arbitrary stateful
+    processing — update semantics: each micro-batch emits the current
+    smoothed state for every touched user. Replay-stable across any
+    micro-batch partitioning of the same files; the parity test pins
+    the final rows against the batch fold bit-identically."""
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _holt_update,
+            outputStructType=HOLT_OUTPUT_SCHEMA,
+            stateStructType=HOLT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

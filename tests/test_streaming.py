@@ -751,3 +751,25 @@ def test_stream_stream_left_outer_join_matches_batch(spark, sf_small, tmp_path):
     outer_rows = {t for t in got if t[1] == -1}
     assert outer_rows, "expected null-extended purchases in the result"
     assert len(got) > len(outer_rows), "expected matched pairs too"
+
+
+def test_stateful_holt_matches_batch_fold(spark, sf_small, events_stream):
+    """running_user_holt (constant-memory two-variable state) final rows
+    must equal the batch fold holt_running_final — same recurrence,
+    same (ts, event_id) order, bit-identical doubles."""
+    from novelti_dingo_spark.operators.timeseries import holt_running_final
+    from novelti_dingo_spark.streaming.stateful import running_user_holt
+
+    out = running_user_holt(events_stream)
+    name = streaming.run_to_memory(out, "t_holt", mode="update")
+    rows = spark.sql(
+        f"""SELECT user_id, n_events, level, trend FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY n_events DESC) rn FROM {name}) WHERE rn = 1"""
+    ).collect()
+    got = {r.user_id: (r.n_events, r.level, r.trend) for r in rows}
+    want = {
+        r.user_id: (r.n_events, r.level, r.trend)
+        for r in holt_running_final(spark, sf_small).collect()
+    }
+    assert got == want

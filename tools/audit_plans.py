@@ -534,6 +534,9 @@ EXPECT = {
     # top-k jobs; boundary rides a 1-row broadcast
     "keyset_pagination_page3": {"take_ordered": True, "no_python_udf": True,
                                 "max_scan_cols": 3},
+    # per-user Holt fold: one groupBy shuffle, JVM-side struct fold
+    "holt_running_final": {"partial_agg": True, "no_python_udf": True,
+                           "max_scan_cols": 4},
 }
 
 
