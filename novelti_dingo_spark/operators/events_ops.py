@@ -747,3 +747,88 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(10)
     )
+
+
+@register(
+    "session_window_dynamic_gap",
+    """
+    WITH ext AS (
+      SELECT user_id, ts, event_id, value,
+             epoch_us(ts) + CASE WHEN event_type = 'purchase'
+                                 THEN 3600000000 ELSE 1800000000 END
+               AS reach_us
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts, value,
+             max(reach_us) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_reach
+      FROM ext
+    ),
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_reach IS NULL
+                    OR epoch_us(ts) >= prev_reach
+                  THEN 1 ELSE 0 END AS new_session
+      FROM m
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(epoch_us(ts))    AS session_start_us,
+           max(epoch_us(ts))    AS session_last_us,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    survey_rows="ST3,W3,F4",
+)
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 with a DYNAMIC inactivity gap: purchases hold the session
+    open 60 minutes, everything else 30 — `F.session_window` with a
+    per-row gap EXPRESSION, the Spark primitive for intent-dependent
+    session semantics (checkout flows idle longer than browsing).
+
+    The oracle derives the same sessions from first principles: each
+    event 'reaches' to ts + its own gap, a session breaks exactly when
+    an event's ts is at or past the RUNNING MAX of all prior reaches
+    (the running max over the whole prefix is correct, not just over
+    the current session: any earlier event reaching past this
+    session's start would have prevented the break that started it —
+    an inductive invariant the hash match certifies against Spark's
+    internal interval-merge). Also pins the half-open boundary: an
+    event landing exactly at session end starts a NEW session in both
+    engines.
+
+    One shuffle on the session grouping, same as the fixed-gap twin;
+    the gap CASE is a codegen'd scan-side expression."""
+    e = load_table(spark, sf_dir, "events")
+    # make_interval, not an INTERVAL literal: session_window's gap
+    # expression must be CalendarIntervalType, and Spark 4 interval
+    # literals are ANSI DayTimeIntervalType
+    gap = F.when(
+        F.col("event_type") == "purchase",
+        F.make_interval(mins=F.lit(60)),
+    ).otherwise(F.make_interval(mins=F.lit(30)))
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("session_start_us"),
+            F.max(F.unix_micros("ts")).alias("session_last_us"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            "session_start_us",
+            "session_last_us",
+            "n_events",
+            "sum_value",
+        )
+    )

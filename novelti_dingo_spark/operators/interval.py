@@ -218,3 +218,89 @@ def interval_join_pairs_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return matched.unionByName(unmatched)
+
+
+@register(
+    "interval_join_pairs_full_outer",
+    """
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS cid, user_id, ts FROM events
+      WHERE event_type = 'click'
+    )
+    SELECT coalesce(p.pid, -1)                 AS purchase_id,
+           coalesce(c.cid, -1)                 AS click_id,
+           coalesce(p.user_id, c.user_id)      AS user_id,
+           coalesce(epoch_us(p.ts), -1)        AS purchase_ts_us,
+           coalesce(epoch_us(c.ts), -1)        AS click_ts_us
+    FROM p FULL JOIN c
+      ON c.user_id = p.user_id
+     AND epoch_us(c.ts)
+         BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)
+    """,
+    survey_rows="J8,ST9,J2",
+)
+def interval_join_pairs_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/ST9 FULL outer: matched (purchase, click-in-preceding-hour)
+    pairs, PLUS null-extended unmatched purchases (click_id = -1), PLUS
+    null-extended unmatched clicks — clicks that never preceded a
+    purchase within the hour (purchase_id = -1). The symmetric
+    completion of `interval_join_pairs_outer`, and the batch twin of
+    the watermarked full-outer stream-stream join
+    (streaming/events.py purchases_clicks_full_outer), where BOTH
+    sides' unmatched rows emit on watermark expiry.
+
+    Shape: the binned inner join produces matched pairs once; each
+    side's unmatched remainder is recovered with its own LEFT ANTI join
+    against the matched ids (anti joins shuffle only ids). A binned
+    FULL join directly would both duplicate nulls per probe bin and
+    null-extend bin-phantom rows — inner + two antis is the correct
+    decomposition, and each leg stays a hash join."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("click_ts_us"),
+        F.expr(f"unix_micros(ts) div {_WINDOW_US}").alias("bin"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.expr(f"unix_micros(ts) div {_WINDOW_US}").alias("p_bin"),
+    )
+    probes = purchases.withColumn(
+        "bin", F.explode(F.array(F.col("p_bin") - 1, F.col("p_bin")))
+    ).drop("p_bin")
+    matched = (
+        probes.join(clicks, on=["user_id", "bin"], how="inner")
+        .filter(
+            (F.col("click_ts_us") >= F.col("purchase_ts_us") - F.lit(_WINDOW_US))
+            & (F.col("click_ts_us") <= F.col("purchase_ts_us"))
+        )
+        .select(
+            "purchase_id", "click_id", "user_id", "purchase_ts_us", "click_ts_us"
+        )
+    )
+    unmatched_p = purchases.join(
+        matched.select("purchase_id"), on="purchase_id", how="left_anti"
+    ).select(
+        "purchase_id",
+        F.lit(-1).cast("long").alias("click_id"),
+        "user_id",
+        "purchase_ts_us",
+        F.lit(-1).cast("long").alias("click_ts_us"),
+    )
+    unmatched_c = clicks.join(
+        matched.select("click_id"), on="click_id", how="left_anti"
+    ).select(
+        F.lit(-1).cast("long").alias("purchase_id"),
+        "click_id",
+        "user_id",
+        F.lit(-1).cast("long").alias("purchase_ts_us"),
+        "click_ts_us",
+    )
+    return matched.unionByName(unmatched_p).unionByName(unmatched_c)

@@ -547,3 +547,60 @@ def run_enrich_inner_with_retry(
         .start()
     )
     q.awaitTermination()
+
+
+def purchases_clicks_full_outer(
+    events: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """FULL OUTER watermarked stream-stream interval join: matched
+    (purchase, click) pairs in append mode, plus BOTH sides'
+    null-extended remainders once the watermark proves no partner can
+    still arrive — unmatched purchases (click_id = -1) AND unmatched
+    clicks (purchase_id = -1), the symmetric completion of
+    `purchases_with_recent_click(how="left_outer")`. The projection
+    must coalesce EVERY column (either side can be the null one),
+    including user_id, which exists on both. Batch twin:
+    operators/interval.py interval_join_pairs_full_outer; the parity
+    test replays the same files through both.
+
+    Same bounded-state argument as the left-outer form, applied twice:
+    the interval condition bounds each side's state lifetime, so both
+    null-extension decisions land in bounded memory; both emission legs
+    lag the data by up to watermark + horizon."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""p_user = c_user
+                AND click_ts <= purchase_ts
+                AND click_ts >= purchase_ts - INTERVAL {horizon}"""
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("purchase_id"), F.lit(-1)).alias("purchase_id"),
+        F.coalesce(F.col("click_id"), F.lit(-1)).alias("click_id"),
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+        F.coalesce(F.unix_micros("purchase_ts"), F.lit(-1)).alias(
+            "purchase_ts_us"
+        ),
+        F.coalesce(F.unix_micros("click_ts"), F.lit(-1)).alias(
+            "click_ts_us"
+        ),
+    )

@@ -773,3 +773,77 @@ def test_stateful_holt_matches_batch_fold(spark, sf_small, events_stream):
         for r in holt_running_final(spark, sf_small).collect()
     }
     assert got == want
+
+
+def test_stream_stream_full_outer_join_matches_batch(
+    spark, sf_small, tmp_path
+):
+    """ST9 full outer: BOTH sides null-extend on watermark expiry —
+    unmatched purchases AND unmatched clicks — matching the batch twin
+    interval_join_pairs_full_outer row for row. Same two-file replay +
+    sentinel flush protocol as the left-outer test (sentinels must be
+    click+purchase pairs so both per-side watermarks advance)."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from novelti_dingo_spark.operators.interval import (
+        interval_join_pairs_full_outer,
+    )
+    from novelti_dingo_spark.streaming.events import (
+        purchases_clicks_full_outer,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf = pq.read_table(f"{sf_small}/events.parquet").to_pandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf = pdf.sort_values("ts").reset_index(drop=True)
+    mid = len(pdf) // 2
+    SENTINEL_ID = 1_000_000_000
+
+    def sentinel(days, n):
+        s = pd.concat([pdf.iloc[[-1]]] * 2, ignore_index=True)
+        s["ts"] = s["ts"] + pd.Timedelta(days=days)
+        s["event_type"] = ["click", "purchase"]
+        s["event_id"] = [SENTINEL_ID + 2 * n, SENTINEL_ID + 2 * n + 1]
+        return s
+
+    parts = (
+        pdf.iloc[:mid],
+        pdf.iloc[mid:],
+        sentinel(30, 0),
+        sentinel(31, 1),
+        sentinel(32, 2),
+    )
+    for i, part in enumerate(parts, 1):
+        path = src / f"f{i}.parquet"
+        part.assign(ts=part["ts"].astype("datetime64[us]")).to_parquet(
+            path, index=False
+        )
+        os.utime(path, (1_900_000_000 + i * 1000,) * 2)
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = purchases_clicks_full_outer(ev, horizon="1 hour")
+    name = streaming.run_to_memory(out, "t_ssjoin_full", mode="append")
+    got = {
+        (r.purchase_id, r.click_id, r.user_id, r.purchase_ts_us, r.click_ts_us)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+        if r.purchase_id < SENTINEL_ID and r.click_id < SENTINEL_ID
+    }
+    want = {
+        (r.purchase_id, r.click_id, r.user_id, r.purchase_ts_us, r.click_ts_us)
+        for r in interval_join_pairs_full_outer(spark, sf_small).collect()
+    }
+    assert got == want
+    null_p = {t for t in got if t[1] == -1}
+    null_c = {t for t in got if t[0] == -1}
+    assert null_p and null_c, "expected null extension on BOTH sides"
+    assert len(got) > len(null_p) + len(null_c), "expected matches too"

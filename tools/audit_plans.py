@@ -537,6 +537,14 @@ EXPECT = {
     # per-user Holt fold: one groupBy shuffle, JVM-side struct fold
     "holt_running_final": {"partial_agg": True, "no_python_udf": True,
                            "max_scan_cols": 4},
+    # native dynamic-gap session windows: one session-grouping shuffle,
+    # gap CASE codegen'd scan-side
+    "session_window_dynamic_gap": {"no_python_udf": True,
+                                   "max_scan_cols": 4},
+    # full-outer interval join: binned hash join + two id-only anti
+    # joins — never a nested-loop range probe
+    "interval_join_pairs_full_outer": {"no_python_udf": True,
+                                       "hash_join_not_nlj": True},
 }
 
 
