@@ -2211,3 +2211,62 @@ def keyset_pagination_page3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("price").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+@register(
+    "lake_rename_widen_chain_read",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price_usd,
+           round(min(o_totalprice), 2) AS min_price_usd,
+           round(max(o_totalprice), 2) AS max_price_usd
+    FROM orders GROUP BY o_orderpriority
+    """,
+    survey_rows="S5,lake-evolution,A1",
+)
+def lake_rename_widen_chain_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME evolution surfaced at the correctness gate: the orders
+    table is published as a two-segment append chain whose second
+    segment RENAMES o_totalprice -> price_usd (declared via
+    publish_append(renames=...) — undeclared renames are
+    indistinguishable from drop+add and rejected); the chain read
+    resolves names newest-wins, so v1's rows come back under
+    `price_usd` WITH their values. The query aggregates price stats per
+    priority from the unified chain, and the oracle aggregates the raw
+    parquet — the hash match proves no row lost a value across the
+    rename boundary (a drop+add would NULL half the sums and the min
+    over the old segment).
+
+    At 100 TB a rename costs O(1): one manifest entry, zero rewrites —
+    readers translate per segment at plan time (the Iceberg field-id
+    idea, carried as an explicit mapping on this manifest format)."""
+    import tempfile
+
+    from ..pipelines import publish_append, publish_versioned, read_version_chain
+    from ..sources import lakefs
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "orders_renamed"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        publish_versioned(o.filter(F.col("o_orderkey") % 2 == 0), base)
+        publish_append(
+            o.filter(F.col("o_orderkey") % 2 == 1).withColumnRenamed(
+                "o_totalprice", "price_usd"
+            ),
+            base,
+            evolve="additive",
+            renames={"price_usd": "o_totalprice"},
+        )
+    df, _ = read_version_chain(spark, base)
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("price_usd"), 2).alias("total_price_usd"),
+        F.round(F.min("price_usd"), 2).alias("min_price_usd"),
+        F.round(F.max("price_usd"), 2).alias("max_price_usd"),
+    )

@@ -983,6 +983,7 @@ def publish_append(
     stats_cols: list[str] | None = None,
     evolve: str = "none",
     partition_by: list[str] | None = None,
+    renames: dict[str, str] | None = None,
 ) -> int:
     """Incremental APPEND publish: write only `df`'s rows into the new
     version directory and record `parent` = the previous version in the
@@ -1010,6 +1011,20 @@ def publish_append(
     the new columns for pre-evolution segments — the Iceberg
     schema-from-manifest pattern, with zero footer I/O at read planning
     time.
+
+    RENAME and TYPE-WIDENING evolution (the next lake mutations a real
+    user makes): `renames` maps each NEW column name in `df` to the OLD
+    chain-head name it replaces — renames must be DECLARED because a
+    rename is indistinguishable from drop+add at the schema level
+    (Iceberg solves this with field ids; this manifest format records
+    the mapping instead). A column may also WIDEN to an exact-value
+    supertype (int->bigint, float->double — _WIDEN_OK) in the same
+    append. Both require `evolve="additive"`. Chain readers resolve
+    names newest-wins (old segments' columns alias to the head name,
+    composing across chained renames) and cast old segments up to the
+    widened type; `read_chain_pruned` translates pruning columns to
+    each segment's local name, so file stats recorded under the OLD
+    name keep skipping after the rename.
 
     PARTITION-SPEC EVOLUTION (`partition_by`): a segment may carry a
     hive partition layout (`v=N/col=value/part-*.parquet`) while earlier
@@ -1056,18 +1071,26 @@ def publish_append(
     version = max(existing, default=0) + 1
     parent = max(existing, default=None)
     added_columns: list[str] = []
+    widened_columns: dict[str, list[str]] = {}
+    if renames and parent is None:
+        raise ValueError("renames need an existing chain to rename from")
     if parent is not None:
         head_schema = _manifest_schema(
             json.loads(
                 lakefs.read_text(spark, f"{base}/v={parent}/_manifest.json")
             )
         )
-        added_columns = _check_additive_evolution(head_schema, df.schema)
-        if added_columns and evolve != "additive":
+        added_columns, widened_columns = _check_additive_evolution(
+            head_schema, df.schema, renames
+        )
+        if (
+            added_columns or widened_columns or renames
+        ) and evolve != "additive":
             raise ValueError(
-                f"append adds columns {added_columns} to the chain at "
-                f"{base} but evolve='none' pins the schema — pass "
-                "evolve='additive' to evolve the chain schema"
+                f"append evolves the chain at {base} (adds "
+                f"{added_columns}, widens {list(widened_columns)}, "
+                f"renames {dict(renames or {})}) but evolve='none' pins "
+                "the schema — pass evolve='additive'"
             )
     out = f"{base}/v={version}"
     from pyspark.sql import Observation
@@ -1097,6 +1120,10 @@ def publish_append(
     }
     if added_columns:
         manifest["added_columns"] = added_columns
+    if widened_columns:
+        manifest["widened_columns"] = widened_columns
+    if renames:
+        manifest["renamed_columns"] = dict(renames)
     if partition_by:
         manifest["partition_by"] = partition_by
     if stats_cols:
@@ -1353,6 +1380,8 @@ def read_point_lookup_chain(
     base = base_dir.rstrip("/")
     chain = _resolve_chain(spark, base, version)
     schema = _chain_merged_schema(chain)
+    aliases = _chain_aliases(chain)
+    evolved = _chain_evolved(chain)
     pred = F.col(col) == F.lit(value)
     total = 0
     n_read = 0
@@ -1360,12 +1389,19 @@ def read_point_lookup_chain(
     branches = []
     for m in chain:
         vdir = f"{base}/v={m['version']}"
+        # indexes and partition dirs carry the SEGMENT-LOCAL column name
+        seg_col = aliases[m["version"]].get(col, col)
         pb = m.get("partition_by") or []
         if len(pb) > 1:
             n = _count_parquet_recursive(spark, vdir)
             total += n
             n_read += n
-            branches.append(_segment_read(spark, base, m, schema))
+            branches.append(
+                _segment_read(
+                    spark, base, m, schema,
+                    aliases=aliases[m["version"]],
+                )
+            )
             continue
         if pb:
             # partition-evolved segment: equality on the partition key
@@ -1373,7 +1409,7 @@ def read_point_lookup_chain(
             # whole segment (conservative, counted honestly)
             dirs = _partition_dirs(spark, vdir, pb[0])
             total += sum(n for _, _, n in dirs)
-            if col == pb[0]:
+            if seg_col == pb[0]:
                 keep = [
                     (d, n) for d, v, n in dirs if _pv_eq(d, v, value)
                 ]
@@ -1385,22 +1421,34 @@ def read_point_lookup_chain(
                     _segment_read(
                         spark, base, m, schema,
                         sub_paths=[f"{vdir}/{d}" for d, _ in keep],
+                        aliases=aliases[m["version"]],
                     )
                 )
             continue
         seg_files = lakefs_list_parquet(spark, vdir)
         total += len(seg_files)
-        if col in m.get("indexes", []):
+        if seg_col in m.get("indexes", []):
             hits = [
                 r.file
-                for r in spark.read.parquet(f"{vdir}/_index_{col}")
+                for r in spark.read.parquet(f"{vdir}/_index_{seg_col}")
                 .filter(F.col("value") == F.lit(value))
                 .select("file")
                 .collect()
             ]
-            paths.extend(f"{vdir}/{f}" for f in hits)
+            kept = [f"{vdir}/{f}" for f in hits]
         else:
-            paths.extend(f"{vdir}/{f}" for f in seg_files)
+            kept = [f"{vdir}/{f}" for f in seg_files]
+        if evolved:
+            n_read += len(kept)
+            if kept:
+                branches.append(
+                    _segment_read(
+                        spark, base, m, schema, sub_paths=kept,
+                        aliases=aliases[m["version"]],
+                    )
+                )
+        else:
+            paths.extend(kept)
     n_read += len(paths)
     if paths:
         branches.insert(0, spark.read.schema(schema).parquet(*paths))
@@ -1513,61 +1561,145 @@ def _manifest_schema(m: dict):
     return DataType.fromDDL(m["schema"])
 
 
-def _check_additive_evolution(parent, child) -> list[str]:
-    """Validate that `child` schema is an ADDITIVE evolution of
-    `parent`: every parent column present in child with the identical
-    type (nullability aside — parquet NULL-backfill makes everything
-    nullable on read anyway). Returns the list of columns child adds.
-    Raises ValueError on a dropped column or a type change — those are
-    rewrites (compaction commits), never appends."""
+# exact-value type widenings an append may introduce (Delta/Iceberg
+# type-widening rule): every int fits a bigint, every float32 is exactly
+# representable as float64. int->double is NOT here (loses 2^53+ ints),
+# nor any narrowing — those are rewrites.
+_WIDEN_OK = {("int", "bigint"), ("smallint", "int"), ("smallint", "bigint"),
+             ("float", "double")}
+
+
+def _is_widening(old_type, new_type) -> bool:
+    return (old_type.simpleString(), new_type.simpleString()) in _WIDEN_OK
+
+
+def _check_additive_evolution(
+    parent, child, renames: dict[str, str] | None = None
+) -> tuple[list[str], dict[str, list[str]]]:
+    """Validate that `child` schema is a legal APPEND evolution of
+    `parent`: every parent column present in child — under the same
+    name or a DECLARED rename (`renames` maps new -> old; undeclared
+    renames are indistinguishable from drop+add and rejected) — with
+    the identical type or an exact-value WIDENING (_WIDEN_OK).
+    Nullability aside: parquet NULL-backfill makes everything nullable
+    on read anyway. Returns (added_columns, widened {new_name: [from,
+    to]}). Raises ValueError on a dropped column, a non-widening type
+    change, or an ill-formed rename — those are rewrites (compaction
+    commits), never appends."""
+    renames = renames or {}
     child_types = {f.name: f.dataType for f in child.fields}
+    parent_types = {f.name: f.dataType for f in parent.fields}
     problems = []
-    for f in parent.fields:
-        if f.name not in child_types:
-            problems.append(f"column {f.name!r} dropped")
-        elif child_types[f.name] != f.dataType:
+    for new, old in renames.items():
+        if old not in parent_types:
+            problems.append(f"rename source {old!r} not in chain head")
+        if new not in child_types:
+            problems.append(f"rename target {new!r} not in append schema")
+        if old in child_types:
             problems.append(
-                f"column {f.name!r} type changed "
-                f"{f.dataType.simpleString()} -> "
-                f"{child_types[f.name].simpleString()}"
+                f"rename source {old!r} still present in append schema"
             )
+    old_to_new = {old: new for new, old in renames.items()}
+    widened: dict[str, list[str]] = {}
+    for f in parent.fields:
+        name = old_to_new.get(f.name, f.name)
+        if name not in child_types:
+            if f.name not in old_to_new:
+                # declared-rename misfires are already reported above
+                problems.append(f"column {f.name!r} dropped")
+            continue
+        ct = child_types[name]
+        if ct != f.dataType:
+            if _is_widening(f.dataType, ct):
+                widened[name] = [
+                    f.dataType.simpleString(), ct.simpleString()
+                ]
+            else:
+                problems.append(
+                    f"column {f.name!r} type changed "
+                    f"{f.dataType.simpleString()} -> "
+                    f"{ct.simpleString()} (not an exact-value widening)"
+                )
     if problems:
         raise ValueError(
             "non-additive schema evolution on append chain: "
             + "; ".join(problems)
         )
-    parent_names = {f.name for f in parent.fields}
-    return [f.name for f in child.fields if f.name not in parent_names]
+    covered = {old_to_new.get(f.name, f.name) for f in parent.fields}
+    added = [f.name for f in child.fields if f.name not in covered]
+    return added, widened
+
+
+def _chain_aliases(chain) -> dict[int, dict[str, str]]:
+    """Per-segment column-name translation for a (possibly renamed)
+    chain: {version: {current_name: name_in_that_segment}} — only
+    non-identity entries are recorded. Renames recorded on a segment
+    apply to every OLDER segment and COMPOSE across chained renames
+    (a→b at v3, b→c at v5 resolves v2's `a` to `c`): walking
+    newest-first, each rename folds through any newer mapping of its
+    target. O(chain) driver work, like the schema merge."""
+    alias: dict[str, str] = {}  # historical name -> current (head) name
+    out: dict[int, dict[str, str]] = {}
+    for m in chain:  # newest first
+        seg: dict[str, str] = {}
+        for f in _manifest_schema(m).fields:
+            cur = alias.get(f.name, f.name)
+            if cur != f.name:
+                seg[cur] = f.name
+        out[m["version"]] = seg
+        # renames INTRODUCED by this segment affect only older ones —
+        # folded in after mapping this segment's own (new-named) columns
+        for new, old in (m.get("renamed_columns") or {}).items():
+            alias[old] = alias.get(new, new)
+    return out
+
+
+def _chain_evolved(chain) -> bool:
+    """True when any segment introduced a rename or widening — the flat
+    single-scan fast path is then invalid (schema-on-read by NAME would
+    null-fill renamed columns and type-clash widened ones); readers
+    plan per-segment branches instead."""
+    return any(
+        m.get("renamed_columns") or m.get("widened_columns") for m in chain
+    )
 
 
 def _chain_merged_schema(chain):
     """Union schema of an append chain from its MANIFESTS (newest
-    first): validates that each column name carries exactly one type
-    across every segment, then returns a StructType in head-segment
-    column order with any pre-evolution-only columns appended. All
-    fields are forced nullable — pre-evolution segments NULL-backfill
-    evolved columns. O(chain) driver work, zero data/footer I/O: this is
-    why chain reads stay control-plane-cheap at 100 TB (a mergeSchema
-    footer merge would be O(files) tasks instead)."""
+    first): resolves RENAMES to the head's (newest) names via
+    _chain_aliases, accepts exact-value WIDENINGS (merged type = the
+    newer, wider one; anything else raises — a rewrite, not an append),
+    then returns a StructType in head-segment column order with any
+    pre-evolution-only columns appended. All fields are forced
+    nullable — pre-evolution segments NULL-backfill evolved columns.
+    O(chain) driver work, zero data/footer I/O: this is why chain reads
+    stay control-plane-cheap at 100 TB (a mergeSchema footer merge
+    would be O(files) tasks instead)."""
     from pyspark.sql.types import StructField, StructType
 
-    head = _manifest_schema(chain[0])
-    types = {f.name: f.dataType for f in head.fields}
-    order = [f.name for f in head.fields]
-    for m in chain[1:]:
+    aliases = _chain_aliases(chain)
+    types: dict[str, object] = {}
+    order: list[str] = []
+    for m in chain:  # newest first: head wins names, types, order
+        seg_alias = aliases[m["version"]]
+        local_to_cur = {v: k for k, v in seg_alias.items()}
         for f in _manifest_schema(m).fields:
-            if f.name in types:
-                if types[f.name] != f.dataType:
+            cur = local_to_cur.get(f.name, f.name)
+            if cur in types:
+                if types[cur] != f.dataType and not _is_widening(
+                    f.dataType, types[cur]
+                ):
                     raise ValueError(
                         f"append chain segment v={m['version']} has "
-                        f"column {f.name!r} as "
-                        f"{f.dataType.simpleString()} but the chain head "
-                        f"has {types[f.name].simpleString()} — type "
-                        "changes require a compaction rewrite"
+                        f"column {cur!r} as "
+                        f"{f.dataType.simpleString()} but the chain "
+                        f"resolves it as "
+                        f"{types[cur].simpleString()} — non-widening "
+                        "type changes require a compaction rewrite"
                     )
             else:
-                types[f.name] = f.dataType
-                order.append(f.name)
+                types[cur] = f.dataType
+                order.append(cur)
     return StructType(
         [StructField(n, types[n], True) for n in order]
     )
@@ -1579,13 +1711,17 @@ def _segment_read(
     m: dict,
     merged,
     sub_paths: list[str] | None = None,
+    aliases: dict[str, str] | None = None,
 ):
     """One chain segment planned under its OWN layout and normalized to
-    the merged chain schema (missing columns NULL-backfilled, column
-    order unified) so segments union cleanly. For a hive-partitioned
-    segment the pinned schema still names the partition columns — Spark
-    derives them from the directory names (basePath keeps that working
-    when `sub_paths` narrows the read to pruned partition dirs)."""
+    the merged chain schema: missing columns NULL-backfilled, RENAMED
+    columns read under their segment-local name and aliased to the head
+    name (`aliases` = this segment's {current: local} from
+    _chain_aliases), narrower pre-widening types CAST up, column order
+    unified — so segments union cleanly. For a hive-partitioned segment
+    the pinned schema still names the partition columns — Spark derives
+    them from the directory names (basePath keeps that working when
+    `sub_paths` narrows the read to pruned partition dirs)."""
     from pyspark.sql.types import StructField, StructType
 
     vdir = f"{base}/v={m['version']}"
@@ -1597,15 +1733,19 @@ def _segment_read(
     if m.get("partition_by"):
         reader = reader.option("basePath", vdir)
     df = reader.parquet(*(sub_paths if sub_paths is not None else [vdir]))
-    have = set(df.columns)
-    return df.select(
-        *[
-            F.col(f.name)
-            if f.name in have
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in merged.fields
-        ]
-    )
+    seg_types = {f.name: f.dataType for f in seg.fields}
+    aliases = aliases or {}
+    cols = []
+    for f in merged.fields:
+        local = aliases.get(f.name, f.name)
+        if local in seg_types:
+            c = F.col(local)
+            if seg_types[local] != f.dataType:
+                c = c.cast(f.dataType)
+            cols.append(c.alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
 
 
 def _union_all(dfs: list[DataFrame]) -> DataFrame:
@@ -1726,10 +1866,17 @@ def read_version_chain(
     base = base_dir.rstrip("/")
     chain = _resolve_chain(spark, base, version)
     schema = _chain_merged_schema(chain)
-    if any(m.get("partition_by") for m in chain):
+    if any(m.get("partition_by") for m in chain) or _chain_evolved(chain):
+        aliases = _chain_aliases(chain)
         return (
             _union_all(
-                [_segment_read(spark, base, m, schema) for m in chain]
+                [
+                    _segment_read(
+                        spark, base, m, schema,
+                        aliases=aliases[m["version"]],
+                    )
+                    for m in chain
+                ]
             ),
             chain,
         )
@@ -1759,6 +1906,8 @@ def read_chain_pruned(
     base = base_dir.rstrip("/")
     chain = _resolve_chain(spark, base, version)
     schema = _chain_merged_schema(chain)
+    aliases = _chain_aliases(chain)
+    evolved = _chain_evolved(chain)
     pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     paths = []
     branches = []
@@ -1766,6 +1915,10 @@ def read_chain_pruned(
     n_read = 0
     for m in chain:
         vdir = f"{base}/v={m['version']}"
+        # pruning metadata (file stats, partition dirs, indexes) was
+        # written under the column's SEGMENT-LOCAL name — translate
+        # through the rename map so old stats keep skipping
+        seg_col = aliases[m["version"]].get(col, col)
         pb = m.get("partition_by") or []
         if len(pb) > 1:
             # multi-level hive spec (publish_versioned allows it): the
@@ -1774,12 +1927,17 @@ def read_chain_pruned(
             n = _count_parquet_recursive(spark, vdir)
             total += n
             n_read += n
-            branches.append(_segment_read(spark, base, m, schema))
+            branches.append(
+                _segment_read(
+                    spark, base, m, schema,
+                    aliases=aliases[m["version"]],
+                )
+            )
             continue
         if pb:
             dirs = _partition_dirs(spark, vdir, pb[0])
             total += sum(n for _, _, n in dirs)
-            if col == pb[0]:
+            if seg_col == pb[0]:
                 keep = [
                     (d, n)
                     for d, v, n in dirs
@@ -1793,24 +1951,43 @@ def read_chain_pruned(
                     _segment_read(
                         spark, base, m, schema,
                         sub_paths=[f"{vdir}/{d}" for d, _ in keep],
+                        aliases=aliases[m["version"]],
                     )
                 )
             continue
         fs = m.get("file_stats")
-        if not fs or col not in fs["columns"]:
-            seg = [
+        if not fs or seg_col not in fs["columns"]:
+            seg_files = [
                 f"{vdir}/{name}"
                 for name in lakefs_list_parquet(spark, vdir)
             ]
-            total += len(seg)
-            paths.extend(seg)
-            continue
-        total += len(fs["files"])
-        for f in fs["files"]:
-            fmin = f["min"].get(col)
-            fmax = f["max"].get(col)
-            if fmin is None or fmax is None or (fmax >= lo and fmin <= hi):
-                paths.append(f"{vdir}/{f['name']}")
+            total += len(seg_files)
+            kept = seg_files
+        else:
+            total += len(fs["files"])
+            kept = []
+            for f in fs["files"]:
+                fmin = f["min"].get(seg_col)
+                fmax = f["max"].get(seg_col)
+                if (
+                    fmin is None
+                    or fmax is None
+                    or (fmax >= lo and fmin <= hi)
+                ):
+                    kept.append(f"{vdir}/{f['name']}")
+        if evolved:
+            # renamed/widened chains cannot share one flat scan — the
+            # merged schema's names/types would misread old files
+            n_read += len(kept)
+            if kept:
+                branches.append(
+                    _segment_read(
+                        spark, base, m, schema, sub_paths=kept,
+                        aliases=aliases[m["version"]],
+                    )
+                )
+        else:
+            paths.extend(kept)
     n_read += len(paths)
     if paths:
         flat = spark.read.schema(schema).parquet(*paths)

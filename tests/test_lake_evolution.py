@@ -160,3 +160,188 @@ def test_point_lookup_across_boundary(spark, sf_small, tmp_path):
     # can never match — no index there, conservative scan still correct
     dfe, _, _ = read_point_lookup_chain(spark, base, "o_band", "high")
     assert dfe.count() == new.filter(F.col("o_band") == "high").count()
+
+
+# --- rename + type-widening evolution --------------------------------------
+
+
+def _renamed_chain(spark, sf_small, tmp_path, stats=False):
+    """v1 = even orderkeys under the old name `o_totalprice`; v2 appends
+    odd orderkeys with the column RENAMED to `price_usd`."""
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = str(tmp_path / "rlake")
+    old = o.filter(F.col("o_orderkey") % 2 == 0)
+    new = o.filter(F.col("o_orderkey") % 2 == 1).withColumnRenamed(
+        "o_totalprice", "price_usd"
+    )
+    kw = {"stats_cols": ["o_orderkey"]} if stats else {}
+    publish_versioned(old, base, **kw)
+    publish_append(
+        new,
+        base,
+        evolve="additive",
+        renames={"price_usd": "o_totalprice"},
+        **kw,
+    )
+    return base, o
+
+
+def test_undeclared_rename_rejected(spark, sf_small, tmp_path):
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = str(tmp_path / "lake")
+    publish_versioned(o.limit(10), base)
+    with pytest.raises(ValueError, match="dropped"):
+        publish_append(
+            o.limit(5).withColumnRenamed("o_totalprice", "price_usd"),
+            base,
+            evolve="additive",
+        )
+    # declared but without evolve="additive": still rejected
+    with pytest.raises(ValueError, match="evolve='additive'"):
+        publish_append(
+            o.limit(5).withColumnRenamed("o_totalprice", "price_usd"),
+            base,
+            renames={"price_usd": "o_totalprice"},
+        )
+
+
+def test_renamed_chain_reads_old_values_under_new_name(
+    spark, sf_small, tmp_path
+):
+    base, o = _renamed_chain(spark, sf_small, tmp_path)
+    got, chain = read_version_chain(spark, base)
+    assert set(got.columns) == {"o_orderkey", "o_custkey", "price_usd"}
+    # old rows carry their VALUES (a rename is not a drop+add)
+    assert got.filter(F.col("price_usd").isNull()).count() == 0
+    want = {
+        (r.o_orderkey, r.o_totalprice) for r in o.collect()
+    }
+    assert {
+        (r.o_orderkey, r.price_usd) for r in got.collect()
+    } == want
+
+
+def test_chained_renames_compose(spark, sf_small, tmp_path):
+    """a -> b at v2, b -> c at v3: v1's column resolves to c."""
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = str(tmp_path / "lake")
+    thirds = [o.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    publish_versioned(thirds[0], base)
+    publish_append(
+        thirds[1].withColumnRenamed("o_totalprice", "price_b"),
+        base,
+        evolve="additive",
+        renames={"price_b": "o_totalprice"},
+    )
+    publish_append(
+        thirds[2].withColumnRenamed("o_totalprice", "price_c"),
+        base,
+        evolve="additive",
+        renames={"price_c": "price_b"},
+    )
+    got, _ = read_version_chain(spark, base)
+    assert set(got.columns) == {"o_orderkey", "price_c"}
+    assert got.filter(F.col("price_c").isNull()).count() == 0
+    assert got.count() == o.count()
+    want = {(r.o_orderkey, r.o_totalprice) for r in o.collect()}
+    assert {(r.o_orderkey, r.price_c) for r in got.collect()} == want
+
+
+def test_widening_accepted_and_cast_up(spark, tmp_path):
+    base = str(tmp_path / "lake")
+    a = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("int").alias("n"),
+        F.col("id").cast("float").alias("x"),
+    )
+    b = spark.range(100, 200).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("bigint").alias("n"),
+        F.col("id").cast("double").alias("x"),
+    )
+    publish_versioned(a, base)
+    publish_append(b, base, evolve="additive")
+    got, chain = read_version_chain(spark, base)
+    assert chain[0].get("widened_columns") == {
+        "n": ["int", "bigint"], "x": ["float", "double"],
+    }
+    assert dict(got.dtypes)["n"] == "bigint"
+    assert dict(got.dtypes)["x"] == "double"
+    assert got.count() == 200
+    assert got.agg(F.sum("n")).head()[0] == sum(range(200))
+    # narrowing stays rejected
+    with pytest.raises(ValueError, match="widening"):
+        publish_append(
+            spark.range(200, 210).select(
+                F.col("id").alias("k"),
+                F.col("id").cast("int").alias("n"),
+                F.col("id").cast("double").alias("x"),
+            ),
+            base,
+            evolve="additive",
+        )
+
+
+def test_pruned_read_uses_old_name_stats_across_rename(
+    spark, sf_small, tmp_path
+):
+    """Data skipping survives the rename: v1's file stats were written
+    under o_totalprice's companion key, and the chain read translates
+    the pruning column per segment."""
+    base, o = _renamed_chain(spark, sf_small, tmp_path, stats=True)
+    lo, hi = 10, 200
+    got, total, n_read = read_chain_pruned(spark, base, "o_orderkey", lo, hi)
+    want = o.filter(F.col("o_orderkey").between(lo, hi))
+    assert got.count() == want.count() > 0
+    assert set(got.columns) == {"o_orderkey", "o_custkey", "price_usd"}
+    assert got.filter(F.col("price_usd").isNull()).count() == 0
+
+
+def test_renamed_pruning_column_translates(spark, sf_small, tmp_path):
+    """Prune ON the renamed column itself: stats for v1 exist under the
+    OLD name — the seg-local translation must find them (and the v2
+    stats under the new name)."""
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = str(tmp_path / "lake")
+    old = o.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(
+        4, "o_totalprice"
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .withColumnRenamed("o_totalprice", "price_usd")
+        .repartitionByRange(4, "price_usd")
+    )
+    publish_versioned(old, base, stats_cols=["o_totalprice"])
+    publish_append(
+        new,
+        base,
+        evolve="additive",
+        renames={"price_usd": "o_totalprice"},
+        stats_cols=["price_usd"],
+    )
+    got, total, n_read = read_chain_pruned(
+        spark, base, "price_usd", 1000.0, 50000.0
+    )
+    want = o.filter(F.col("o_totalprice").between(1000.0, 50000.0))
+    assert got.count() == want.count() > 0
+    assert n_read < total, "expected old-name stats to keep pruning"
+
+
+def test_compact_across_rename_carries_head_names(
+    spark, sf_small, tmp_path
+):
+    base, o = _renamed_chain(spark, sf_small, tmp_path)
+    v3 = compact_chain(spark, base)
+    got, chain = read_version_chain(spark, base)
+    assert [m["version"] for m in chain] == [v3]
+    assert set(got.columns) == {"o_orderkey", "o_custkey", "price_usd"}
+    assert got.count() == o.count()
+    assert got.filter(F.col("price_usd").isNull()).count() == 0

@@ -545,6 +545,10 @@ EXPECT = {
     # joins — never a nested-loop range probe
     "interval_join_pairs_full_outer": {"no_python_udf": True,
                                        "hash_join_not_nlj": True},
+    # renamed chain read: per-segment scans aliased/unioned, then one
+    # two-phase agg
+    "lake_rename_widen_chain_read": {"partial_agg": True,
+                                     "no_python_udf": True},
 }
 
 
