@@ -984,6 +984,7 @@ def publish_append(
     evolve: str = "none",
     partition_by: list[str] | None = None,
     renames: dict[str, str] | None = None,
+    drops: list[str] | None = None,
 ) -> int:
     """Incremental APPEND publish: write only `df`'s rows into the new
     version directory and record `parent` = the previous version in the
@@ -1025,6 +1026,14 @@ def publish_append(
     widened type; `read_chain_pruned` translates pruning columns to
     each segment's local name, so file stats recorded under the OLD
     name keep skipping after the rename.
+
+    DROP evolution: `drops` lists chain-head columns this append
+    retires — a LOGICAL drop: the manifest records it, every chain
+    reader projects the column away (old segments included), and no
+    file is rewritten; compaction later makes it physical. A name that
+    was ever dropped or renamed-away cannot be RE-ADDED on the same
+    chain (old segments still carry data under it, which would
+    resurface) — compact first, which truncates the history.
 
     PARTITION-SPEC EVOLUTION (`partition_by`): a segment may carry a
     hive partition layout (`v=N/col=value/part-*.parquet`) while earlier
@@ -1072,8 +1081,10 @@ def publish_append(
     parent = max(existing, default=None)
     added_columns: list[str] = []
     widened_columns: dict[str, list[str]] = {}
-    if renames and parent is None:
-        raise ValueError("renames need an existing chain to rename from")
+    if (renames or drops) and parent is None:
+        raise ValueError(
+            "renames/drops need an existing chain to evolve from"
+        )
     if parent is not None:
         head_schema = _manifest_schema(
             json.loads(
@@ -1081,17 +1092,34 @@ def publish_append(
             )
         )
         added_columns, widened_columns = _check_additive_evolution(
-            head_schema, df.schema, renames
+            head_schema, df.schema, renames, drops
         )
         if (
-            added_columns or widened_columns or renames
+            added_columns or widened_columns or renames or drops
         ) and evolve != "additive":
             raise ValueError(
                 f"append evolves the chain at {base} (adds "
                 f"{added_columns}, widens {list(widened_columns)}, "
-                f"renames {dict(renames or {})}) but evolve='none' pins "
+                f"renames {dict(renames or {})}, drops "
+                f"{list(drops or [])}) but evolve='none' pins "
                 "the schema — pass evolve='additive'"
             )
+        if added_columns:
+            # a historically dropped / renamed-away name must not come
+            # back: older segments still carry data under it, and the
+            # chain readers would resurface those values as the new
+            # column's. Compaction truncates history and frees the name.
+            retired: set[str] = set()
+            for m in _resolve_chain(spark, base, parent):
+                retired |= set(m.get("dropped_columns") or [])
+                retired |= set((m.get("renamed_columns") or {}).values())
+            clashes = sorted(set(added_columns) & retired)
+            if clashes:
+                raise ValueError(
+                    f"cannot re-add retired column(s) {clashes} on the "
+                    f"chain at {base} — older segments still carry data "
+                    "under that name; compact_chain first"
+                )
     out = f"{base}/v={version}"
     from pyspark.sql import Observation
 
@@ -1124,6 +1152,8 @@ def publish_append(
         manifest["widened_columns"] = widened_columns
     if renames:
         manifest["renamed_columns"] = dict(renames)
+    if drops:
+        manifest["dropped_columns"] = list(drops)
     if partition_by:
         manifest["partition_by"] = partition_by
     if stats_cols:
@@ -1574,7 +1604,10 @@ def _is_widening(old_type, new_type) -> bool:
 
 
 def _check_additive_evolution(
-    parent, child, renames: dict[str, str] | None = None
+    parent,
+    child,
+    renames: dict[str, str] | None = None,
+    drops: list[str] | None = None,
 ) -> tuple[list[str], dict[str, list[str]]]:
     """Validate that `child` schema is a legal APPEND evolution of
     `parent`: every parent column present in child — under the same
@@ -1582,14 +1615,27 @@ def _check_additive_evolution(
     renames are indistinguishable from drop+add and rejected) — with
     the identical type or an exact-value WIDENING (_WIDEN_OK).
     Nullability aside: parquet NULL-backfill makes everything nullable
-    on read anyway. Returns (added_columns, widened {new_name: [from,
-    to]}). Raises ValueError on a dropped column, a non-widening type
-    change, or an ill-formed rename — those are rewrites (compaction
-    commits), never appends."""
+    on read anyway. A column may also be DROPPED when declared in
+    `drops` (a logical drop: the manifest records it, readers project
+    it away everywhere, no file is rewritten). Returns (added_columns,
+    widened {new_name: [from, to]}). Raises ValueError on an undeclared
+    missing column, a non-widening type change, or an ill-formed
+    rename/drop — those are rewrites (compaction commits), never
+    appends."""
     renames = renames or {}
+    drops = drops or []
     child_types = {f.name: f.dataType for f in child.fields}
     parent_types = {f.name: f.dataType for f in parent.fields}
     problems = []
+    for d in drops:
+        if d not in parent_types:
+            problems.append(f"drop target {d!r} not in chain head")
+        if d in child_types:
+            problems.append(
+                f"drop target {d!r} still present in append schema"
+            )
+        if d in renames.values() or d in renames:
+            problems.append(f"column {d!r} both renamed and dropped")
     for new, old in renames.items():
         if old not in parent_types:
             problems.append(f"rename source {old!r} not in chain head")
@@ -1602,11 +1648,16 @@ def _check_additive_evolution(
     old_to_new = {old: new for new, old in renames.items()}
     widened: dict[str, list[str]] = {}
     for f in parent.fields:
+        if f.name in drops:
+            continue
         name = old_to_new.get(f.name, f.name)
         if name not in child_types:
             if f.name not in old_to_new:
                 # declared-rename misfires are already reported above
-                problems.append(f"column {f.name!r} dropped")
+                problems.append(
+                    f"column {f.name!r} dropped (declare it in drops=[...] "
+                    "to drop logically)"
+                )
             continue
         ct = child_types[name]
         if ct != f.dataType:
@@ -1678,6 +1729,12 @@ def _chain_merged_schema(chain):
     from pyspark.sql.types import StructField, StructType
 
     aliases = _chain_aliases(chain)
+    # logically dropped names (recorded at drop time in that point's
+    # current name space, which later renames can never touch — a
+    # dropped column has no newer occurrences to rename)
+    dropped: set[str] = set()
+    for m in chain:
+        dropped |= set(m.get("dropped_columns") or [])
     types: dict[str, object] = {}
     order: list[str] = []
     for m in chain:  # newest first: head wins names, types, order
@@ -1685,6 +1742,8 @@ def _chain_merged_schema(chain):
         local_to_cur = {v: k for k, v in seg_alias.items()}
         for f in _manifest_schema(m).fields:
             cur = local_to_cur.get(f.name, f.name)
+            if cur in dropped:
+                continue
             if cur in types:
                 if types[cur] != f.dataType and not _is_widening(
                     f.dataType, types[cur]

@@ -345,3 +345,63 @@ def test_compact_across_rename_carries_head_names(
     assert set(got.columns) == {"o_orderkey", "o_custkey", "price_usd"}
     assert got.count() == o.count()
     assert got.filter(F.col("price_usd").isNull()).count() == 0
+
+
+def test_drop_column_evolution(spark, sf_small, tmp_path):
+    """Logical drop: declared, manifest-recorded, projected away from
+    EVERY segment on read; undeclared stays rejected; re-adding a
+    retired name is refused until compaction truncates history."""
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = str(tmp_path / "lake")
+    publish_versioned(o.filter(F.col("o_orderkey") % 2 == 0), base)
+    slim = o.filter(F.col("o_orderkey") % 2 == 1).drop("o_custkey")
+    with pytest.raises(ValueError, match="drops"):
+        publish_append(slim, base, evolve="additive")
+    publish_append(slim, base, evolve="additive", drops=["o_custkey"])
+    got, chain = read_version_chain(spark, base)
+    assert set(got.columns) == {"o_orderkey", "o_totalprice"}
+    assert got.count() == o.count()
+    assert chain[0]["dropped_columns"] == ["o_custkey"]
+    # re-adding the retired name is refused (old data would resurface)
+    with pytest.raises(ValueError, match="re-add retired"):
+        publish_append(
+            o.filter(F.col("o_orderkey") % 7 == 0),
+            base,
+            evolve="additive",
+        )
+    # compaction makes the drop physical and frees the name
+    compact_chain(spark, base)
+    publish_append(
+        o.filter(F.col("o_orderkey") % 7 == 3), base, evolve="additive"
+    )
+    got2, _ = read_version_chain(spark, base)
+    assert set(got2.columns) == {"o_orderkey", "o_totalprice", "o_custkey"}
+    # pre-re-add rows NULL-backfill the fresh column
+    assert got2.filter(F.col("o_custkey").isNull()).count() > 0
+
+
+def test_drop_after_rename_resolves(spark, sf_small, tmp_path):
+    """Rename a->b at v2, drop b at v3: v1's `a` is projected away."""
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = str(tmp_path / "lake")
+    thirds = [o.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    publish_versioned(thirds[0], base)
+    publish_append(
+        thirds[1].withColumnRenamed("o_totalprice", "price_b"),
+        base,
+        evolve="additive",
+        renames={"price_b": "o_totalprice"},
+    )
+    publish_append(
+        thirds[2].drop("o_totalprice"),
+        base,
+        evolve="additive",
+        drops=["price_b"],
+    )
+    got, _ = read_version_chain(spark, base)
+    assert set(got.columns) == {"o_orderkey"}
+    assert got.count() == o.count()
