@@ -2270,3 +2270,50 @@ def lake_rename_widen_chain_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("price_usd"), 2).alias("min_price_usd"),
         F.round(F.max("price_usd"), 2).alias("max_price_usd"),
     )
+
+
+@register(
+    "lake_mor_delete_read",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderkey NOT IN (10, 11, 12, 13)
+    GROUP BY o_orderpriority
+    """,
+    survey_rows="S5,A1,mor-delete",
+)
+def lake_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ delete at the correctness gate
+    (pipelines.delete_rows_mor — the deletion-vector path): orders is
+    published once per (tmpdir, sf), then keys {10..13} are deleted by
+    writing ONLY the key set — no data file is rewritten; the version
+    directory holds nothing but the vector. This query aggregates the
+    post-delete LATEST, whose read plan is the parent's scan minus a
+    broadcast anti join; the oracle applies NOT IN to raw orders, so
+    the hash match proves the vector subtracts exactly the doomed keys.
+    The COW twin (`lake_delete_rows_read`) pays the rewrite at delete
+    time and reads clean; this pays an anti join per read and deletes
+    in O(keys) — the standard write- vs read-optimized trade, both
+    sides of which this lake format now offers."""
+    import tempfile
+
+    from ..pipelines import delete_rows_mor, publish_versioned, read_version
+    from ..sources import lakefs
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "orders_mor"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        publish_versioned(o, base)
+        delete_rows_mor(spark, base, "o_orderkey", [10, 11, 12, 13])
+    df, _ = read_version(spark, base)
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

@@ -2102,10 +2102,23 @@ def vacuum_versions(
     # append chains: a kept head needs every ancestor segment back to
     # its full snapshot — expand the keep set over parent links so
     # vacuum never orphans a chain (read_version_chain of any keeper
-    # stays resolvable)
+    # stays resolvable). MOR delete layers likewise keep the ancestor
+    # that physically wrote their data files (and every intermediate
+    # layer, whose delete vectors the resolution still reads).
+    import json as _json
+
     for v in list(keep):
         for m in _resolve_chain(spark, base, v):
             keep.add(m["version"])
+            mm = m
+            while mm.get("mor_delete"):
+                pv = int(mm["mor_delete"]["parent"])
+                keep.add(pv)
+                mm = _json.loads(
+                    lakefs.read_text(
+                        spark, f"{base}/v={pv}/_manifest.json"
+                    )
+                )
     deleted = []
     for v in versions:
         if v not in keep:
@@ -2116,7 +2129,10 @@ def vacuum_versions(
 
 def read_version(spark: SparkSession, base_dir: str, version: int | None = None):
     """Read a pinned dataset version, or LATEST when version is None.
-    Returns (DataFrame, manifest dict)."""
+    Returns (DataFrame, manifest dict). A merge-on-read version
+    (delete_rows_mor) resolves transparently: the scan targets the
+    ancestor that physically wrote the data files, minus every MOR
+    layer's keys (broadcast anti joins)."""
     import json
 
     from .sources import lakefs
@@ -2126,6 +2142,10 @@ def read_version(spark: SparkSession, base_dir: str, version: int | None = None)
         version = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
     out = f"{base}/v={version}"
     manifest = json.loads(lakefs.read_text(spark, f"{out}/_manifest.json"))
+    if manifest.get("mor_delete"):
+        data_v, _ = _mor_layers(spark, base, manifest)
+        df = spark.read.parquet(f"{base}/v={data_v}")
+        return _apply_mor(spark, df, base, manifest), manifest
     return spark.read.parquet(out), manifest
 
 
@@ -2171,6 +2191,13 @@ def read_version_pruned(
             f"no file_stats for column {col!r} in version {version} — "
             "publish with stats_cols to enable data skipping"
         )
+    # MOR layer: data files live in the writing ancestor; the carried
+    # file_stats stay valid (deletes only narrow the true ranges) and
+    # the delete vectors apply after the pruned scan
+    data_dir = out
+    if manifest.get("mor_delete"):
+        data_v, _ = _mor_layers(spark, base, manifest)
+        data_dir = f"{base}/v={data_v}"
     files = fs["files"]
     survivors = []
     for f in files:
@@ -2182,11 +2209,13 @@ def read_version_pruned(
             survivors.append(f)
     pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     if not survivors:
-        df = spark.read.parquet(out).filter(F.lit(False))
+        df = spark.read.parquet(data_dir).filter(F.lit(False))
     else:
         df = spark.read.parquet(
-            *[f"{out}/{f['name']}" for f in survivors]
+            *[f"{data_dir}/{f['name']}" for f in survivors]
         ).filter(pred)
+    if manifest.get("mor_delete"):
+        df = _apply_mor(spark, df, base, manifest)
     return df, len(files), len(survivors)
 
 
@@ -2626,3 +2655,144 @@ def diff_versions(
     old, _ = read_version(spark, base_dir, v_old)
     new, _ = read_version(spark, base_dir, v_new)
     return diff_snapshots(old, new, key_cols)
+
+
+# --- merge-on-read deletes (deletion vectors) -------------------------------
+
+
+def delete_rows_mor(
+    spark: SparkSession, base_dir: str, col: str, values: list
+) -> tuple[int, int]:
+    """Row deletion via MERGE-ON-READ deletion vectors — the
+    write-optimized complement of `delete_rows_cow`: the commit writes
+    ONLY the doomed key set (`_deletes.parquet` in the new version
+    directory) and a manifest pointing at the parent's untouched data
+    files; readers subtract the keys with an anti join at plan time.
+    Deleting k rows from a 100 TB snapshot costs O(k) — no data file is
+    decoded, copied, or rewritten — at the price of one broadcast anti
+    join per MOR layer on every read (the Delta deletion-vector /
+    Iceberg equality-delete trade). Layers STACK (a MOR delete on top
+    of a MOR delete); `materialize_mor` folds the stack back into a
+    physical full snapshot when read cost outweighs write savings.
+
+    Carried metadata: `file_stats` stay valid (a delete only narrows
+    the true min/max, so pruning bounds remain conservative) and
+    `read_version_pruned` keeps skipping; per-file secondary INDEXES
+    are NOT carried — a point lookup through an index could resurface
+    deleted rows (read through read_version / read_version_pruned,
+    which apply the vectors; or materialize).
+
+    Targets full snapshots or MOR layers only (like the COW path:
+    append chains have no single parent snapshot — compact first).
+    Returns (new_version, n_rows_deleted) where the count is measured
+    against the RESOLVED parent (already-deleted keys count zero)."""
+    import json
+
+    from .sources import lakefs
+
+    base = base_dir.rstrip("/")
+    parent_v = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
+    pm = json.loads(
+        lakefs.read_text(spark, f"{base}/v={parent_v}/_manifest.json")
+    )
+    if pm.get("append"):
+        raise ValueError(
+            f"v={parent_v} at {base} is an append-chain head — "
+            "compact_chain first so the delete has one snapshot to target"
+        )
+    if pm.get("partition_by"):
+        raise ValueError(
+            "delete_rows_mor targets flat snapshots; compact the "
+            "partitioned version first"
+        )
+    parent_df, _ = read_version(spark, base, parent_v)
+    n_deleted = parent_df.filter(F.col(col).isin(list(values))).count()
+    version = parent_v + 1
+    out = f"{base}/v={version}"
+    keys = spark.createDataFrame(
+        [(v,) for v in values],
+        schema=parent_df.select(F.col(col).alias("value")).schema,
+    )
+    keys.coalesce(1).write.mode("errorifexists").parquet(f"{out}/_deletes")
+    manifest = {
+        "version": version,
+        "rows": int(pm["rows"]) - n_deleted,
+        "schema": pm["schema"],
+        "schema_json": pm["schema_json"],
+        "published_ts": pm.get("published_ts"),
+        "mor_delete": {
+            "col": col,
+            "parent": parent_v,
+            "n_keys": len(values),
+            "n_rows_deleted": n_deleted,
+        },
+        # data files live in the ancestor that actually wrote them
+        "data_version": pm.get("data_version", parent_v),
+    }
+    if pm.get("file_stats"):
+        manifest["file_stats"] = pm["file_stats"]
+    lakefs.write_text(spark, f"{out}/_manifest.json", json.dumps(manifest))
+    lakefs.replace_text(spark, f"{base}/LATEST", str(version))
+    return version, n_deleted
+
+
+def _mor_layers(spark, base: str, manifest: dict):
+    """(data_version, [(col, deletes_dir), ...]) for a possibly-MOR
+    manifest — the delete layers newest-first back to the physical
+    snapshot. O(stack) manifest reads."""
+    import json
+
+    from .sources import lakefs
+
+    layers = []
+    m = manifest
+    while m.get("mor_delete"):
+        layers.append(
+            (
+                m["mor_delete"]["col"],
+                f"{base}/v={m['version']}/_deletes",
+            )
+        )
+        m = json.loads(
+            lakefs.read_text(
+                spark, f"{base}/v={m['mor_delete']['parent']}/_manifest.json"
+            )
+        )
+    return m["version"], layers
+
+
+def _apply_mor(spark, df: DataFrame, base: str, manifest: dict) -> DataFrame:
+    """Subtract every MOR layer's keys from `df` (broadcast anti joins
+    — the key sets are the small side by construction)."""
+    _, layers = _mor_layers(spark, base, manifest)
+    for col, deletes_dir in layers:
+        keys = spark.read.parquet(deletes_dir).select(
+            F.col("value").alias(f"_mor_{col}")
+        )
+        df = df.join(
+            F.broadcast(keys),
+            df[col] == F.col(f"_mor_{col}"),
+            "left_anti",
+        )
+    return df
+
+
+def materialize_mor(spark: SparkSession, base_dir: str) -> int:
+    """Fold a MOR delete stack into a physical full snapshot: one
+    rewrite of the surviving rows, published as a normal version (the
+    compaction half of merge-on-read — run it when the stack depth
+    makes the per-read anti joins noticeable, or before vacuum must
+    reclaim the shared ancestor data files)."""
+    df, manifest = read_version(spark, base_dir)
+    if not manifest.get("mor_delete"):
+        raise ValueError(f"{base_dir} LATEST carries no MOR delete stack")
+    meta = {
+        k: v
+        for k, v in manifest.items()
+        if k
+        not in (
+            "version", "rows", "schema", "schema_json", "published_ts",
+            "mor_delete", "data_version", "file_stats",
+        )
+    }
+    return publish_versioned(df, base_dir, meta=meta or None)

@@ -158,3 +158,107 @@ def test_unindexed_unstatted_version_rewrites_everything(
     assert n_rw == 4 and n_cp == 0  # conservative: no targeting metadata
     df, _ = read_version(spark, base)
     assert df.count() == o.count() - 1
+
+
+# --- merge-on-read deletes --------------------------------------------------
+
+
+def test_mor_delete_resolves_without_rewriting(spark, sf_small, tmp_path):
+    from novelti_dingo_spark.pipelines import (
+        delete_rows_mor,
+        lakefs_list_parquet,
+        read_version,
+    )
+
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = str(tmp_path / "ds")
+    publish_versioned(o, base)
+    doomed = [r.o_orderkey for r in o.limit(7).collect()]
+    v2, n_del = delete_rows_mor(spark, base, "o_orderkey", doomed)
+    assert v2 == 2 and n_del == 7
+    # the MOR version directory holds ONLY the delete vector
+    assert lakefs_list_parquet(spark, f"{base}/v=2") == []
+    got, manifest = read_version(spark, base)
+    assert manifest["mor_delete"]["n_rows_deleted"] == 7
+    assert got.count() == o.count() - 7
+    assert got.filter(F.col("o_orderkey").isin(doomed)).count() == 0
+    # time travel: the parent still has the rows
+    prev, _ = read_version(spark, base, 1)
+    assert prev.count() == o.count()
+
+
+def test_mor_layers_stack_and_materialize(spark, sf_small, tmp_path):
+    from novelti_dingo_spark.pipelines import (
+        delete_rows_mor,
+        materialize_mor,
+        read_version,
+    )
+
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    base = str(tmp_path / "ds")
+    publish_versioned(o, base)
+    keys = sorted(r.o_orderkey for r in o.limit(20).collect())
+    delete_rows_mor(spark, base, "o_orderkey", keys[:10])
+    v3, n2 = delete_rows_mor(spark, base, "o_orderkey", keys[5:20])
+    assert n2 == 10  # 5 keys were already deleted by the first layer
+    got, _ = read_version(spark, base)
+    assert got.count() == o.count() - 20
+    v4 = materialize_mor(spark, base)
+    got2, m4 = read_version(spark, base)
+    assert "mor_delete" not in m4 and m4["version"] == v4
+    assert got2.count() == o.count() - 20
+    assert (
+        got2.filter(F.col("o_orderkey").isin(keys)).count() == 0
+    )
+
+
+def test_mor_pruned_read_applies_vectors(spark, sf_small, tmp_path):
+    from novelti_dingo_spark.pipelines import (
+        delete_rows_mor,
+        read_version_pruned,
+    )
+
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = str(tmp_path / "ds")
+    publish_versioned(
+        o.repartitionByRange(6, "o_orderkey"), base,
+        stats_cols=["o_orderkey"],
+    )
+    doomed = [r.o_orderkey for r in o.filter(
+        F.col("o_orderkey").between(100, 200)
+    ).limit(5).collect()]
+    delete_rows_mor(spark, base, "o_orderkey", doomed)
+    got, total, n_read = read_version_pruned(
+        spark, base, "o_orderkey", 100, 200
+    )
+    want = o.filter(
+        F.col("o_orderkey").between(100, 200)
+        & ~F.col("o_orderkey").isin(doomed)
+    )
+    assert got.count() == want.count()
+    assert n_read < total, "file skipping must survive the MOR layer"
+
+
+def test_vacuum_protects_mor_data_ancestor(spark, sf_small, tmp_path):
+    from novelti_dingo_spark.pipelines import (
+        delete_rows_mor,
+        read_version,
+        vacuum_versions,
+    )
+
+    o = load_table(spark, sf_small, "orders").select("o_orderkey")
+    base = str(tmp_path / "ds")
+    publish_versioned(o, base)  # v1 = the data files
+    delete_rows_mor(spark, base, "o_orderkey", [1])  # v2
+    delete_rows_mor(spark, base, "o_orderkey", [2])  # v3 (LATEST)
+    deleted = vacuum_versions(spark, base, keep_last=1)
+    # v1 (data) and v2 (intermediate vector) must survive for v3
+    assert deleted == []
+    got, _ = read_version(spark, base)
+    assert got.filter(F.col("o_orderkey").isin([1, 2])).count() == 0

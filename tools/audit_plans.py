@@ -549,6 +549,9 @@ EXPECT = {
     # two-phase agg
     "lake_rename_widen_chain_read": {"partial_agg": True,
                                      "no_python_udf": True},
+    # MOR delete read: parent scan minus broadcast anti join, two-phase agg
+    "lake_mor_delete_read": {"partial_agg": True, "broadcast_joins": 1,
+                             "no_python_udf": True},
 }
 
 
