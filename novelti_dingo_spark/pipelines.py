@@ -1086,11 +1086,16 @@ def publish_append(
             "renames/drops need an existing chain to evolve from"
         )
     if parent is not None:
-        head_schema = _manifest_schema(
-            json.loads(
-                lakefs.read_text(spark, f"{base}/v={parent}/_manifest.json")
-            )
+        parent_manifest = json.loads(
+            lakefs.read_text(spark, f"{base}/v={parent}/_manifest.json")
         )
+        if parent_manifest.get("mor_delete"):
+            raise ValueError(
+                f"v={parent} at {base} is a merge-on-read delete layer — "
+                "an append segment's chain walk would bypass its vector "
+                "and resurface deleted rows; materialize_mor first"
+            )
+        head_schema = _manifest_schema(parent_manifest)
         added_columns, widened_columns = _check_additive_evolution(
             head_schema, df.schema, renames, drops
         )
@@ -1924,6 +1929,12 @@ def read_version_chain(
     single-scan fast path is preserved for unevolved chains."""
     base = base_dir.rstrip("/")
     chain = _resolve_chain(spark, base, version)
+    if chain[0].get("mor_delete"):
+        # MOR head over a chain (or snapshot): resolve the physical
+        # ancestor's chain, then subtract the vectors
+        data_v, _ = _mor_layers(spark, base, chain[0])
+        df, inner = read_version_chain(spark, base_dir, data_v)
+        return _apply_mor(spark, df, base, chain[0]), [chain[0], *inner]
     schema = _chain_merged_schema(chain)
     if any(m.get("partition_by") for m in chain) or _chain_evolved(chain):
         aliases = _chain_aliases(chain)
@@ -1964,6 +1975,15 @@ def read_chain_pruned(
     back to reading the whole segment with the filter pushed down."""
     base = base_dir.rstrip("/")
     chain = _resolve_chain(spark, base, version)
+    if chain[0].get("mor_delete"):
+        # pruned read through a MOR head: prune the physical chain,
+        # then subtract the vectors (deletes only narrow true ranges,
+        # so every skip decision stays conservative)
+        data_v, _ = _mor_layers(spark, base, chain[0])
+        df, total, n_read = read_chain_pruned(
+            spark, base_dir, col, lo, hi, version=data_v
+        )
+        return _apply_mor(spark, df, base, chain[0]), total, n_read
     schema = _chain_merged_schema(chain)
     aliases = _chain_aliases(chain)
     evolved = _chain_evolved(chain)
@@ -2104,21 +2124,25 @@ def vacuum_versions(
     # vacuum never orphans a chain (read_version_chain of any keeper
     # stays resolvable). MOR delete layers likewise keep the ancestor
     # that physically wrote their data files (and every intermediate
-    # layer, whose delete vectors the resolution still reads).
+    # layer, whose delete vectors the resolution still reads). A MOR
+    # parent can itself be an append head (vector over a chain), so the
+    # expansion is a WORKLIST over both link kinds, not one pass.
     import json as _json
 
-    for v in list(keep):
+    todo = list(keep)
+    seen: set[int] = set()
+    while todo:
+        v = todo.pop()
+        if v in seen:
+            continue
+        seen.add(v)
         for m in _resolve_chain(spark, base, v):
             keep.add(m["version"])
-            mm = m
-            while mm.get("mor_delete"):
-                pv = int(mm["mor_delete"]["parent"])
+            if m.get("mor_delete"):
+                pv = int(m["mor_delete"]["parent"])
                 keep.add(pv)
-                mm = _json.loads(
-                    lakefs.read_text(
-                        spark, f"{base}/v={pv}/_manifest.json"
-                    )
-                )
+                if pv not in seen:
+                    todo.append(pv)
     deleted = []
     for v in versions:
         if v not in keep:
@@ -2144,7 +2168,15 @@ def read_version(spark: SparkSession, base_dir: str, version: int | None = None)
     manifest = json.loads(lakefs.read_text(spark, f"{out}/_manifest.json"))
     if manifest.get("mor_delete"):
         data_v, _ = _mor_layers(spark, base, manifest)
-        df = spark.read.parquet(f"{base}/v={data_v}")
+        dm = json.loads(
+            lakefs.read_text(spark, f"{base}/v={data_v}/_manifest.json")
+        )
+        if dm.get("append"):
+            # vector over an append chain: resolve the chain, then
+            # subtract — read_version_chain handles evolution branches
+            df, _ = read_version_chain(spark, base, data_v)
+        else:
+            df = spark.read.parquet(f"{base}/v={data_v}")
         return _apply_mor(spark, df, base, manifest), manifest
     return spark.read.parquet(out), manifest
 
@@ -2695,18 +2727,23 @@ def delete_rows_mor(
     pm = json.loads(
         lakefs.read_text(spark, f"{base}/v={parent_v}/_manifest.json")
     )
-    if pm.get("append"):
-        raise ValueError(
-            f"v={parent_v} at {base} is an append-chain head — "
-            "compact_chain first so the delete has one snapshot to target"
-        )
     if pm.get("partition_by"):
         raise ValueError(
             "delete_rows_mor targets flat snapshots; compact the "
             "partitioned version first"
         )
-    parent_df, _ = read_version(spark, base, parent_v)
-    n_deleted = parent_df.filter(F.col(col).isin(list(values))).count()
+    # an append-chain head is a legal target: the vector then applies
+    # to the RESOLVED chain (readers subtract it after the chain union)
+    # — deleting from a growing chain without forcing a compaction
+    if pm.get("append"):
+        parent_df, _ = read_version_chain(spark, base, parent_v)
+    else:
+        parent_df, _ = read_version(spark, base, parent_v)
+    counts = parent_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(col).isin(list(values)).cast("long")).alias("d"),
+    ).head()
+    parent_rows, n_deleted = int(counts["n"]), int(counts["d"] or 0)
     version = parent_v + 1
     out = f"{base}/v={version}"
     keys = spark.createDataFrame(
@@ -2716,7 +2753,7 @@ def delete_rows_mor(
     keys.coalesce(1).write.mode("errorifexists").parquet(f"{out}/_deletes")
     manifest = {
         "version": version,
-        "rows": int(pm["rows"]) - n_deleted,
+        "rows": parent_rows - n_deleted,
         "schema": pm["schema"],
         "schema_json": pm["schema_json"],
         "published_ts": pm.get("published_ts"),
@@ -2729,7 +2766,7 @@ def delete_rows_mor(
         # data files live in the ancestor that actually wrote them
         "data_version": pm.get("data_version", parent_v),
     }
-    if pm.get("file_stats"):
+    if pm.get("file_stats") and not pm.get("append"):
         manifest["file_stats"] = pm["file_stats"]
     lakefs.write_text(spark, f"{out}/_manifest.json", json.dumps(manifest))
     lakefs.replace_text(spark, f"{base}/LATEST", str(version))

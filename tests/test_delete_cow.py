@@ -262,3 +262,50 @@ def test_vacuum_protects_mor_data_ancestor(spark, sf_small, tmp_path):
     assert deleted == []
     got, _ = read_version(spark, base)
     assert got.filter(F.col("o_orderkey").isin([1, 2])).count() == 0
+
+
+def test_mor_delete_over_append_chain(spark, sf_small, tmp_path):
+    """The vector applies to the RESOLVED chain: delete from a growing
+    chain without compacting; pruned chain reads subtract it too;
+    appending onto the vector is refused (the chain walk would bypass
+    it); vacuum keeps the whole chain behind the vector."""
+    import pytest
+
+    from novelti_dingo_spark.pipelines import (
+        delete_rows_mor,
+        materialize_mor,
+        publish_append,
+        read_chain_pruned,
+        read_version_chain,
+        vacuum_versions,
+    )
+
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = str(tmp_path / "ds")
+    publish_versioned(o.filter(F.col("o_orderkey") % 2 == 0), base)  # v1
+    publish_append(o.filter(F.col("o_orderkey") % 2 == 1), base)  # v2
+    doomed = [r.o_orderkey for r in o.limit(9).collect()]
+    v3, n_del = delete_rows_mor(spark, base, "o_orderkey", doomed)
+    assert (v3, n_del) == (3, 9)
+    got, manifests = read_version_chain(spark, base)
+    assert got.count() == o.count() - 9
+    assert got.filter(F.col("o_orderkey").isin(doomed)).count() == 0
+    assert manifests[0]["mor_delete"]["parent"] == 2
+    # pruned chain read through the vector
+    pruned, total, n_read = read_chain_pruned(
+        spark, base, "o_orderkey", 0, 10_000_000
+    )
+    assert pruned.count() == o.count() - 9
+    # appending onto the vector is refused
+    with pytest.raises(ValueError, match="materialize_mor"):
+        publish_append(o.limit(3), base)
+    # vacuum protects v1+v2 (chain) and v3 (vector)
+    assert vacuum_versions(spark, base, keep_last=1) == []
+    # materialize folds chain + vector into one physical snapshot and
+    # re-enables appends
+    materialize_mor(spark, base)
+    publish_append(o.filter(F.col("o_orderkey").isin(doomed)), base)
+    got2, _ = read_version_chain(spark, base)
+    assert got2.count() == o.count()
