@@ -438,6 +438,8 @@ def run_enrich_inner_with_retry(
     dim_key: str = "c_custkey",
     dim_cols: list[str] | None = None,
     max_wait_batches: int = 3,
+    max_wait_event_time: str | None = None,
+    raw_ts_unit: str = "us",
     after_batch=None,
 ) -> None:
     """INNER-join stream enrichment with LATE-ARRIVAL retry: an event
@@ -455,10 +457,18 @@ def run_enrich_inner_with_retry(
          `out_dir/epoch=N` with `_dim_version` (which snapshot resolved
          them — the dim-version watermark) and `_waited` (how many
          batches they waited: join-latency observability for free);
-      3. unmatched rows that have already waited `max_wait_batches`
-         divert to `out_dir/_deadletter/epoch=N` (bounded state: a key
-         that never arrives cannot grow the queue forever — the
-         standard watermark-expiry tradeoff, made explicit);
+      3. unmatched rows expire to `out_dir/_deadletter/epoch=N`
+         (bounded state: a key that never arrives cannot grow the
+         queue forever — the standard watermark-expiry tradeoff, made
+         explicit). Two expiry clocks: `max_wait_batches` (processing
+         time — simple, but a quiet stream ages rows slowly) or, when
+         `max_wait_event_time` is set (e.g. "2 hours"), EVENT time —
+         a row expires when the stream's observed event-time frontier
+         (max ts across this batch's combined input, the same quantity
+         a watermark tracks) has moved that far past the row's own ts.
+         Event-time TTL is the production choice: replaying history
+         fast ages rows exactly as the original stream did, so
+         dead-letter decisions are REPLAY-STABLE;
       4. the rest republish as the next pending version — the queue is
          itself a versioned lake dataset, so state survives restarts
          via the LAKE, not the checkpoint (a checkpoint wipe loses only
@@ -517,16 +527,40 @@ def run_enrich_inner_with_retry(
             unmatched = combined.join(
                 F.broadcast(d.select(join_key)), join_key, "left_anti"
             )
-            expired = unmatched.filter(
-                F.col("_waited") >= max_wait_batches
-            )
+            if max_wait_event_time is not None:
+                frontier = combined.agg(
+                    F.max("ts").alias("_frontier")
+                )
+                unmatched = unmatched.join(F.broadcast(frontier))
+                if dict(combined.dtypes)["ts"].startswith("timestamp"):
+                    ttl = F.expr(f"INTERVAL {max_wait_event_time}")
+                else:
+                    # integer-typed ts carries the source's raw epoch
+                    # encoding, whose unit only the CALLER knows
+                    # (`raw_ts_unit`: "us" or "ns" — parquet stores
+                    # either, and the sniffing the batch loader does is
+                    # per-file, not available to a generic stream). The
+                    # interval resolves to micros by anchoring at the
+                    # epoch, then scales to the declared unit.
+                    ttl_us = spark.sql(
+                        "SELECT unix_micros(timestamp'1970-01-01 "
+                        f"00:00:00+00:00' + INTERVAL {max_wait_event_time})"
+                    ).head()[0]
+                    scale = {"us": 1, "ns": 1000}[raw_ts_unit]
+                    ttl = F.lit(int(ttl_us) * scale)
+                expire_cond = F.col("ts") < F.col("_frontier") - ttl
+            else:
+                expire_cond = F.col("_waited") >= max_wait_batches
+            expired = unmatched.filter(expire_cond)
             if not expired.isEmpty():
-                expired.write.mode("overwrite").parquet(
+                expired.drop("_frontier").write.mode("overwrite").parquet(
                     f"{out_dir.rstrip('/')}/_deadletter/epoch={e}"
                 )
-            still_waiting = unmatched.filter(
-                F.col("_waited") < max_wait_batches
-            ).withColumn("_waited", F.col("_waited") + 1)
+            still_waiting = (
+                unmatched.filter(~expire_cond)
+                .withColumn("_waited", F.col("_waited") + 1)
+                .drop("_frontier")
+            )
             publish_versioned(
                 still_waiting, pending_base, meta={"retry_epoch": e}
             )

@@ -245,3 +245,45 @@ def test_never_arriving_keys_expire_to_deadletter(spark, sf_small, tmp_path):
         dead.count() + pend.count()
         == ev.filter(F.col("user_id") >= 8).count()
     )
+
+
+def test_event_time_ttl_expiry_is_replay_stable(spark, sf_small, tmp_path):
+    """With max_wait_event_time, expiry follows the stream's event-time
+    frontier: after the final batch, every unmatched row older than
+    (frontier - TTL) is dead-lettered and exactly the younger ones are
+    still pending — a split determined by the DATA, not by batch
+    pacing."""
+    from novelti_dingo_spark.pipelines import read_version
+    from novelti_dingo_spark.streaming.events import (
+        run_enrich_inner_with_retry,
+    )
+
+    src, ev = _stage_event_files(spark, sf_small, tmp_path, n_files=3)
+    c = load_table(spark, sf_small, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    dim_base = str(tmp_path / "dim")
+    publish_versioned(c.filter(F.col("c_custkey") < 8), dim_base)
+    out = str(tmp_path / "out")
+    run_enrich_inner_with_retry(
+        spark,
+        src,
+        dim_base,
+        out,
+        str(tmp_path / "ckpt"),
+        schemas.EVENTS_TS_NS,
+        dim_cols=["c_mktsegment"],
+        max_wait_event_time="2 hours",
+    )
+    unmatched = ev.filter(F.col("user_id") >= 8)
+    frontier = ev.agg(F.max("ts")).head()[0]
+    cutoff = frontier - __import__("datetime").timedelta(hours=2)
+    dead = spark.read.parquet(out + "/_deadletter/epoch=*")
+    pend, _ = read_version(spark, str(tmp_path / "ckpt") + "_pending")
+    want_dead = unmatched.filter(F.col("ts") < F.lit(cutoff)).count()
+    want_pend = unmatched.filter(F.col("ts") >= F.lit(cutoff)).count()
+    assert dead.count() == want_dead > 0
+    assert pend.count() == want_pend > 0
+    # matched side unaffected by the TTL
+    got = spark.read.parquet(out + "/epoch=*")
+    assert got.count() == ev.filter(F.col("user_id") < 8).count()
