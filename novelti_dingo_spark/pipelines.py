@@ -2819,10 +2819,30 @@ def materialize_mor(spark: SparkSession, base_dir: str) -> int:
     rewrite of the surviving rows, published as a normal version (the
     compaction half of merge-on-read — run it when the stack depth
     makes the per-read anti joins noticeable, or before vacuum must
-    reclaim the shared ancestor data files)."""
+    reclaim the shared ancestor data files).
+
+    The manifest carries `compacted_from` (the folded stack + its data
+    ancestor) like any compaction rewrite: the lake STREAMING source
+    must not re-flood an existing subscriber with rows it already
+    emitted — deletions cannot be retracted from an append-only stream
+    anyway, so for stream consumers a materialization is a no-op
+    commit, exactly like chain compaction."""
+    import json as _json
+
+    from .sources import lakefs
+
     df, manifest = read_version(spark, base_dir)
     if not manifest.get("mor_delete"):
         raise ValueError(f"{base_dir} LATEST carries no MOR delete stack")
+    base = base_dir.rstrip("/")
+    folded = [int(manifest["version"])]
+    mm = manifest
+    while mm.get("mor_delete"):
+        pv = int(mm["mor_delete"]["parent"])
+        folded.append(pv)
+        mm = _json.loads(
+            lakefs.read_text(spark, f"{base}/v={pv}/_manifest.json")
+        )
     meta = {
         k: v
         for k, v in manifest.items()
@@ -2832,4 +2852,5 @@ def materialize_mor(spark: SparkSession, base_dir: str) -> int:
             "mor_delete", "data_version", "file_stats",
         )
     }
-    return publish_versioned(df, base_dir, meta=meta or None)
+    meta["compacted_from"] = sorted(folded)
+    return publish_versioned(df, base_dir, meta=meta)

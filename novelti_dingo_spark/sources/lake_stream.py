@@ -37,6 +37,7 @@ from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 from pyspark.sql.types import StructType
 
 
+
 def _read_manifest(base: str, version: int) -> dict:
     path = os.path.join(base, f"v={version}", "_manifest.json")
     try:
@@ -60,6 +61,19 @@ def _chain_base(base: str, head: int) -> int:
     v = head
     while True:
         m = _read_manifest(base, v)
+        if m.get("mor_delete"):
+            # a merge-on-read head means the CURRENT table state needs a
+            # subtraction an append-only stream cannot express — a fresh
+            # subscriber would either miss the base data (the vector
+            # commit holds no files) or receive deleted rows. Refuse
+            # loudly; materialization produces a clean snapshot commit.
+            raise RuntimeError(
+                f"lake stream cannot subscribe at v={v} of {base}: it is "
+                "a merge-on-read delete layer — run materialize_mor "
+                "first (existing subscribers are unaffected: vector "
+                "commits emit no rows, and the materialization commit "
+                "is marked compacted_from so it never re-floods)"
+            )
         parent = m.get("parent") if m.get("append") else None
         if parent is None:
             return v
@@ -126,14 +140,24 @@ class LakeChainStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         head = _latest(self.base)
+        # iter(): the runner's prefetch cache (datasource_internal.
+        # add_result_to_cache) consumes the rows with next(); a bare
+        # list satisfies the simple path but not the cached one
         return (
-            self._emit(start["version"], head, start.get("emit_base", False)),
+            iter(
+                self._emit(
+                    start["version"], head, start.get("emit_base", False)
+                )
+            ),
             {"version": head},
         )
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return self._emit(
-            start["version"], end["version"], start.get("emit_base", False)
+        return iter(
+            self._emit(
+                start["version"], end["version"],
+                start.get("emit_base", False),
+            )
         )
 
     def _emit(self, after: int, upto: int, emit_base: bool = False):
@@ -141,6 +165,11 @@ class LakeChainStreamReader(SimpleDataSourceStreamReader):
         n_total = n_read = 0
         for v in range(after + 1, upto + 1):
             m = _read_manifest(self.base, v)
+            if m.get("mor_delete"):
+                # merge-on-read vector commit: holds no data files, and
+                # an append-only stream cannot retract the rows it
+                # deletes — a no-op for existing subscribers
+                continue
             if "compacted_from" in m and not (emit_base and v == after + 1):
                 # rewrite commit: rows already emitted as the segments —
                 # EXCEPT when this is a fresh subscription whose start
