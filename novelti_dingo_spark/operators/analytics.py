@@ -1180,3 +1180,84 @@ def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top10pct_share"),
     )
+
+
+@register(
+    "winsorized_value_stats",
+    """
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_disc(value, 0.05) AS p5,
+             quantile_disc(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS raw_mean,
+           round(CAST(sum(CAST(
+                   CASE WHEN e.value < b.p5 THEN b.p5
+                        WHEN e.value > b.p95 THEN b.p95
+                        ELSE e.value END AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS winsorized_mean,
+           round(CAST(sum(CAST(CASE WHEN e.value BETWEEN b.p5 AND b.p95
+                                    THEN e.value END AS DECIMAL(18,6)))
+                      AS DOUBLE)
+                 / count(CASE WHEN e.value BETWEEN b.p5 AND b.p95
+                              THEN 1 END), 6) AS trimmed_mean,
+           CAST(count(CASE WHEN e.value < b.p5 OR e.value > b.p95
+                           THEN 1 END) AS BIGINT) AS n_clamped
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    GROUP BY e.event_type
+    """,
+    survey_rows="A8,A1,stats,robust",
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED and TRIMMED means per event type — the robust-mean
+    pair that complements MAD (`mad_outlier_days`): winsorizing CLAMPS
+    the tails to the [P5, P95] boundary values (keeps n, bounds
+    influence), trimming DROPS them (changes n, removes influence);
+    reporting both beside the raw mean shows exactly how much the tails
+    were moving the estimate.
+
+    Determinism: boundaries are DISCRETE quantiles (actual data values,
+    no interpolation drift) computed per type; all three means
+    accumulate through exact DECIMAL sums so both engines divide
+    identical doubles (the pattern_vshape_dips lesson), and the
+    division denominators are exact counts.
+
+    Scale: one percentile aggregate over |types| groups, then one
+    partial-agg pass with the |types|-row boundary table broadcast back
+    — the same two-pass profile as seasonal_hourly_anomaly."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.expr(
+            "percentile_disc(0.05) WITHIN GROUP (ORDER BY value)"
+        ).alias("p5"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY value)"
+        ).alias("p95"),
+    )
+    j = e.join(F.broadcast(bounds), "event_type")
+    clamped = (
+        F.when(F.col("value") < F.col("p5"), F.col("p5"))
+        .when(F.col("value") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("value"))
+    )
+    inside = F.col("value").between(F.col("p5"), F.col("p95"))
+    dec = lambda c: F.sum(c.cast("decimal(18,6)")).cast("double")  # noqa: E731
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(dec(F.col("value")) / F.count(F.lit(1)), 6).alias(
+            "raw_mean"
+        ),
+        F.round(dec(clamped) / F.count(F.lit(1)), 6).alias(
+            "winsorized_mean"
+        ),
+        F.round(
+            dec(F.when(inside, F.col("value")))
+            / F.count(F.when(inside, F.lit(1))),
+            6,
+        ).alias("trimmed_mean"),
+        F.count(F.when(~inside, F.lit(1))).alias("n_clamped"),
+    )

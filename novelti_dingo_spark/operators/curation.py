@@ -544,3 +544,70 @@ def mixture_weights_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(w, 6).alias("sample_weight"),
         F.round(F.col("n_tokens") * w, 1).alias("sampled_tokens"),
     )
+
+
+@register(
+    "temporal_split_events",
+    """
+    WITH bounds AS (
+      SELECT quantile_disc(epoch_us(ts), 0.8) AS q80,
+             quantile_disc(epoch_us(ts), 0.9) AS q90
+      FROM events
+    ),
+    assigned AS (
+      SELECT e.event_type,
+             CASE WHEN epoch_us(e.ts) <= b.q80 THEN 'train'
+                  WHEN epoch_us(e.ts) <= b.q90 THEN 'val'
+                  ELSE 'test' END AS split,
+             e.value
+      FROM events e, bounds b
+    )
+    SELECT event_type, split,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM assigned GROUP BY 1, 2
+    """,
+    survey_rows="L15,A8,P2,F2",
+)
+def temporal_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL train/val/test split (80/10/10 by event-time quantile
+    boundaries) — the leakage-safe complement of the hash split
+    (`train_val_test_split`): for forecasting tasks a random split
+    leaks the future into training, so the split key must be TIME,
+    with val and test strictly after train. DISCRETE quantiles of the
+    timestamp give deterministic boundaries on both engines
+    (percentile_disc / quantile_disc pick an ACTUAL data value — no
+    interpolation float to drift); the 1-row boundary pair broadcasts
+    and the assignment is a scan-side CASE.
+
+    Scale: one percentile aggregate + one partial-agg pass, no global
+    window. At 100 TB the exact percentile becomes the KLL sketch
+    boundary (kll_quantile_rollup) — split semantics unchanged, only
+    the boundary estimator swaps."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    bounds = e.agg(
+        F.expr(
+            "percentile_disc(0.8) WITHIN GROUP (ORDER BY unix_micros(ts))"
+        ).alias("q80"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY unix_micros(ts))"
+        ).alias("q90"),
+    )
+    return (
+        e.select("event_type", "value", us.alias("_us"))
+        .join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            "value",
+            F.when(F.col("_us") <= F.col("q80"), F.lit("train"))
+            .when(F.col("_us") <= F.col("q90"), F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .groupBy("event_type", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

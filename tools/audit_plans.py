@@ -552,6 +552,14 @@ EXPECT = {
     # MOR delete read: parent scan minus broadcast anti join, two-phase agg
     "lake_mor_delete_read": {"partial_agg": True, "broadcast_joins": 1,
                              "no_python_udf": True},
+    # temporal split: one percentile agg, 1-row boundary broadcast,
+    # scan-side CASE, partial-agg rollup — no global window
+    "temporal_split_events": {"partial_agg": True, "no_python_udf": True,
+                              "max_scan_cols": 3},
+    # winsorized/trimmed means: per-type percentile agg broadcast back,
+    # decimal-exact sums in one partial-agg pass
+    "winsorized_value_stats": {"partial_agg": True, "broadcast_joins": 1,
+                               "no_python_udf": True, "max_scan_cols": 2},
 }
 
 
