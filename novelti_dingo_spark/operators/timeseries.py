@@ -1047,3 +1047,103 @@ def holt_running_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.getField("s").alias("level"),
         st.getField("b").alias("trend"),
     )
+
+
+@register(
+    "daily_value_acf",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    centered AS (
+      SELECT event_type, day,
+             v - avg(v) OVER (PARTITION BY event_type) AS c
+      FROM daily
+    ),
+    lagged AS (
+      SELECT event_type, c,
+             lag(c, 1) OVER w AS c1,
+             lag(c, 2) OVER w AS c2,
+             lag(c, 7) OVER w AS c7
+      FROM centered
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type,
+           count(*) AS n_days,
+           round(CAST(sum(CAST(c * c1 AS DECIMAL(28,8))) AS DOUBLE)
+                 / CAST(sum(CAST(c * c AS DECIMAL(28,8))) AS DOUBLE), 6)
+             AS acf_1,
+           round(CAST(sum(CAST(c * c2 AS DECIMAL(28,8))) AS DOUBLE)
+                 / CAST(sum(CAST(c * c AS DECIMAL(28,8))) AS DOUBLE), 6)
+             AS acf_2,
+           round(CAST(sum(CAST(c * c7 AS DECIMAL(28,8))) AS DOUBLE)
+                 / CAST(sum(CAST(c * c AS DECIMAL(28,8))) AS DOUBLE), 6)
+             AS acf_7
+    FROM lagged GROUP BY event_type
+    """,
+    survey_rows="ST12,W2,stats,forecast",
+)
+def daily_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION of each type's daily value series at lags 1, 2
+    and 7 — the diagnostic that tells a forecaster WHICH structure the
+    series carries (high acf_1 → momentum, Holt's trend term earns its
+    keep; high acf_7 → weekly seasonality, the seasonal_hourly profile
+    is the right baseline; all ≈ 0 → white noise, smoothing is as good
+    as it gets). ACF(k) = Σ c_t·c_{t−k} / Σ c_t² over the mean-centered
+    series.
+
+    Determinism: daily sums are decimal-exact, so the centered values
+    are identical doubles in both engines; each PRODUCT of identical
+    doubles is identical, and the product sums accumulate through
+    DECIMAL(28,8) casts — order-free, so the final ratio divides the
+    same doubles on both sides (the compounding-drift lesson from
+    pattern_vshape_dips applied to second-order statistics).
+
+    Scale: everything after the first partial-agg pass runs on the
+    |types| x |days| daily table; the lag windows and the closing agg
+    share one event_type partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("v")
+    )
+    centered = daily.select(
+        "event_type",
+        "day",
+        (
+            F.col("v")
+            - F.avg("v").over(Window.partitionBy("event_type"))
+        ).alias("c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = centered.select(
+        "event_type",
+        "c",
+        F.lag("c", 1).over(w).alias("c1"),
+        F.lag("c", 2).over(w).alias("c2"),
+        F.lag("c", 7).over(w).alias("c7"),
+    )
+
+    def dec_sum(prod):
+        return F.sum(prod.cast("decimal(28,8)")).cast("double")
+
+    denom = dec_sum(F.col("c") * F.col("c"))
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(dec_sum(F.col("c") * F.col("c1")) / denom, 6).alias(
+            "acf_1"
+        ),
+        F.round(dec_sum(F.col("c") * F.col("c2")) / denom, 6).alias(
+            "acf_2"
+        ),
+        F.round(dec_sum(F.col("c") * F.col("c7")) / denom, 6).alias(
+            "acf_7"
+        ),
+    )

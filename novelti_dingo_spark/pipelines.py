@@ -2854,3 +2854,96 @@ def materialize_mor(spark: SparkSession, base_dir: str) -> int:
     }
     meta["compacted_from"] = sorted(folded)
     return publish_versioned(df, base_dir, meta=meta)
+
+
+def table_history(spark: SparkSession, base_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY for a versioned dataset: one row per retained
+    version with its commit KIND (full / append / compaction /
+    merge-on-read delete / staged candidate), row count, parent link,
+    published timestamp, and evolution metadata — assembled from the
+    manifests alone (O(versions) driver JSON, no data I/O) and returned
+    as a DataFrame so it composes with SQL like any audit table.
+
+    Versions reclaimed by vacuum no longer appear: history is the
+    retention window, not an immutable ledger — pin versions (or
+    archive manifests) where a longer audit trail is required."""
+    import json
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .sources import lakefs
+
+    base = base_dir.rstrip("/")
+    latest = staged = None
+    if lakefs.exists(spark, f"{base}/LATEST"):
+        latest = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
+    if lakefs.exists(spark, f"{base}/STAGED"):
+        staged = int(lakefs.read_text(spark, f"{base}/STAGED").strip())
+    rows = []
+    for name in sorted(lakefs.listdir(spark, base)):
+        if not (name.startswith("v=") and name.split("=")[1].isdigit()):
+            continue
+        v = int(name.split("=")[1])
+        m = json.loads(
+            lakefs.read_text(spark, f"{base}/v={v}/_manifest.json")
+        )
+        if m.get("mor_delete"):
+            kind = "mor_delete"
+            parent = int(m["mor_delete"]["parent"])
+        elif m.get("append"):
+            kind = "append"
+            parent = m.get("parent")
+        elif m.get("compacted_from"):
+            kind = "compaction"
+            parent = None
+        elif m.get("staged"):
+            kind = "staged"
+            parent = None
+        else:
+            kind = "full"
+            parent = None
+        evo = []
+        for key, tag in (
+            ("added_columns", "add"),
+            ("renamed_columns", "rename"),
+            ("widened_columns", "widen"),
+            ("dropped_columns", "drop"),
+            ("partition_by", "partition"),
+        ):
+            if m.get(key):
+                evo.append(f"{tag}:{m[key]}")
+        rows.append(
+            (
+                v,
+                kind,
+                int(m.get("rows", -1)),
+                parent,
+                m.get("published_ts"),
+                "; ".join(evo) if evo else None,
+                v == latest,
+                v == staged,
+            )
+        )
+    schema = StructType(
+        [
+            StructField("version", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("rows", LongType(), False),
+            StructField("parent", LongType(), True),
+            StructField("published_ts", StringType(), True),
+            StructField("evolution", StringType(), True),
+            StructField("is_latest", StringType(), True),
+            StructField("is_staged", StringType(), True),
+        ]
+    )
+    # booleans as strings keep the frame trivially CSV/JSON-portable
+    rows = [
+        (a, b, c, d, e, f, str(g).lower(), str(h).lower())
+        for a, b, c, d, e, f, g, h in rows
+    ]
+    return spark.createDataFrame(rows, schema)

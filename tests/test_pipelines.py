@@ -441,3 +441,41 @@ def test_release_pipeline_is_deterministic(spark, sf_small, tmp_path):
     rows1 = {tuple(r) for r in df1.select("doc_id", "bin_id", "n_tokens").collect()}
     rows2 = {tuple(r) for r in df2.select("doc_id", "bin_id", "n_tokens").collect()}
     assert rows1 == rows2
+
+
+def test_table_history_kinds_and_pointers(spark, sf_small, tmp_path):
+    """table_history classifies every commit kind from manifests alone
+    and flags the LATEST / STAGED pointers."""
+    from pyspark.sql import functions as F
+
+    from novelti_dingo_spark.pipelines import (
+        delete_rows_mor,
+        publish_append,
+        publish_staged,
+        publish_versioned,
+        table_history,
+    )
+    from novelti_dingo_spark.sources.io import load_table
+
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = str(tmp_path / "ds")
+    publish_versioned(o.filter(F.col("o_orderkey") % 2 == 0), base)  # v1
+    publish_append(  # v2, adds a column
+        o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+            "band", F.lit("x")
+        ),
+        base,
+        evolve="additive",
+    )
+    delete_rows_mor(spark, base, "o_orderkey", [2, 4])  # v3
+    publish_staged(o.limit(5), base)  # v4 candidate
+    h = {r.version: r for r in table_history(spark, base).collect()}
+    assert [h[v].kind for v in (1, 2, 3, 4)] == [
+        "full", "append", "mor_delete", "staged",
+    ]
+    assert h[2].parent == 1 and h[3].parent == 2
+    assert "add:['band']" in h[2].evolution
+    assert h[3].is_latest == "true" and h[4].is_staged == "true"
+    assert h[3].rows == h[1].rows + h[2].rows - 2

@@ -560,6 +560,10 @@ EXPECT = {
     # decimal-exact sums in one partial-agg pass
     "winsorized_value_stats": {"partial_agg": True, "broadcast_joins": 1,
                                "no_python_udf": True, "max_scan_cols": 2},
+    # ACF: daily partial agg, then windows + closing agg share one
+    # event_type partitioning
+    "daily_value_acf": {"partial_agg": True, "no_python_udf": True,
+                        "max_scan_cols": 3},
 }
 
 
