@@ -473,7 +473,8 @@ def bitmap_search_expr(
     except', which must come from the corpus, not the index."""
     if not any_of:
         inc = universe.select(
-            (F.col("doc_id") / 64).cast("bigint").alias("block")
+            "doc_id",
+            (F.col("doc_id") / 64).cast("bigint").alias("block"),
         ).groupBy("block").agg(
             F.expr(
                 "bit_or(shiftleft(cast(1 as bigint), "

@@ -2727,6 +2727,11 @@ def delete_rows_mor(
     pm = json.loads(
         lakefs.read_text(spark, f"{base}/v={parent_v}/_manifest.json")
     )
+    if not values:
+        raise ValueError(
+            "delete_rows_mor needs at least one key — an empty vector "
+            "commit would be a no-op version"
+        )
     if pm.get("partition_by"):
         raise ValueError(
             "delete_rows_mor targets flat snapshots; compact the "
@@ -2751,12 +2756,19 @@ def delete_rows_mor(
         schema=parent_df.select(F.col(col).alias("value")).schema,
     )
     keys.coalesce(1).write.mode("errorifexists").parquet(f"{out}/_deletes")
+    from datetime import datetime, timezone
+
     manifest = {
         "version": version,
         "rows": parent_rows - n_deleted,
         "schema": pm["schema"],
         "schema_json": pm["schema_json"],
-        "published_ts": pm.get("published_ts"),
+        # stamped NOW, not inherited: read_as_of must resolve a
+        # pre-delete timestamp to the PARENT (rows still present), and
+        # a post-delete one to this vector
+        "published_ts": datetime.now(timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%S.%fZ"
+        ),
         "mor_delete": {
             "col": col,
             "parent": parent_v,

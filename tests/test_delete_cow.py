@@ -309,3 +309,31 @@ def test_mor_delete_over_append_chain(spark, sf_small, tmp_path):
     publish_append(o.filter(F.col("o_orderkey").isin(doomed)), base)
     got2, _ = read_version_chain(spark, base)
     assert got2.count() == o.count()
+
+
+def test_mor_time_travel_by_timestamp(spark, sf_small, tmp_path):
+    """A MOR commit carries its OWN published_ts: as-of a pre-delete
+    instant resolves the parent (rows present), as-of now resolves the
+    vector (rows gone)."""
+    import time
+
+    from novelti_dingo_spark.pipelines import (
+        delete_rows_mor,
+        publish_versioned,
+        read_as_of,
+    )
+
+    o = load_table(spark, sf_small, "orders").select("o_orderkey")
+    base = str(tmp_path / "ds")
+    publish_versioned(o, base)
+    time.sleep(0.05)
+    from datetime import datetime, timezone
+
+    before = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+    time.sleep(0.05)
+    delete_rows_mor(spark, base, "o_orderkey", [1, 3])
+    after = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+    df_before, m1 = read_as_of(spark, base, before)
+    assert m1["version"] == 1 and df_before.count() == o.count()
+    df_after, m2 = read_as_of(spark, base, after)
+    assert m2["version"] == 2 and df_after.count() == o.count() - 2

@@ -165,3 +165,31 @@ def test_bitmap_postings_word_packing(spark, sf_small, tmp_path):
     max_doc = idx.agg(F.max("doc_id")).head()[0]
     assert row["bits"] == n_postings > 0
     assert row["maxb"] <= max_doc // 64
+
+
+def test_bitmap_not_only_search_uses_universe(spark, sf_small, tmp_path):
+    """NOT-only retrieval ('everything except docs containing X') must
+    come from the corpus universe, not the index — a term absent from
+    half the docs has no posting rows for them."""
+    from novelti_dingo_spark.operators.invindex import (
+        bitmap_postings,
+        bitmap_search_expr,
+    )
+    from novelti_dingo_spark.pipelines import read_version
+
+    docs = load_table(spark, sf_small, "documents")
+    base = os.path.join(str(tmp_path), "idx")
+    build_inverted_index(docs, base)
+    idx, _ = read_version(spark, base)
+    bm = bitmap_postings(idx)
+    got = {
+        r.doc_id
+        for r in bitmap_search_expr(bm, docs, [], ["spark"]).collect()
+    }
+    want = {
+        r.doc_id
+        for r in docs.filter(
+            ~F.array_contains(F.split("text", " "), "spark")
+        ).collect()
+    }
+    assert got == want and got
