@@ -985,6 +985,7 @@ def publish_append(
     partition_by: list[str] | None = None,
     renames: dict[str, str] | None = None,
     drops: list[str] | None = None,
+    branch: str | None = None,
 ) -> int:
     """Incremental APPEND publish: write only `df`'s rows into the new
     version directory and record `parent` = the previous version in the
@@ -1078,7 +1079,13 @@ def publish_append(
         if name.startswith("v=") and name.split("=")[1].isdigit()
     ]
     version = max(existing, default=0) + 1
-    parent = max(existing, default=None)
+    if branch is not None:
+        # BRANCH append: the chain parent is the branch head, and the
+        # branch pointer (not LATEST) advances — main's readers never
+        # see branch segments. Version numbers stay globally unique.
+        parent = branch_head(spark, base, branch)
+    else:
+        parent = max(existing, default=None)
     added_columns: list[str] = []
     widened_columns: dict[str, list[str]] = {}
     if (renames or drops) and parent is None:
@@ -1167,7 +1174,12 @@ def publish_append(
             stats = _scan_file_stats(spark, out, stats_cols)
         manifest["file_stats"] = {"columns": stats_cols, "files": stats}
     lakefs.write_text(spark, f"{out}/_manifest.json", json.dumps(manifest))
-    lakefs.replace_text(spark, f"{base}/LATEST", str(version))
+    lakefs.replace_text(
+        spark,
+        _branch_file(base, branch) if branch is not None
+        else f"{base}/LATEST",
+        str(version),
+    )
     return version
 
 
@@ -2119,6 +2131,11 @@ def vacuum_versions(
     # abort_staged (or re-staging, which orphans it) may release it
     if lakefs.exists(spark, f"{base}/STAGED"):
         keep.add(int(lakefs.read_text(spark, f"{base}/STAGED").strip()))
+    # named branch heads are live state too (their ancestors follow via
+    # the worklist expansion below); delete_branch releases them
+    for name in lakefs.listdir(spark, base):
+        if name.startswith("BRANCH_"):
+            keep.add(int(lakefs.read_text(spark, f"{base}/{name}").strip()))
     # append chains: a kept head needs every ancestor segment back to
     # its full snapshot — expand the keep set over parent links so
     # vacuum never orphans a chain (read_version_chain of any keeper
@@ -2959,3 +2976,117 @@ def table_history(spark: SparkSession, base_dir: str) -> DataFrame:
         for a, b, c, d, e, f, g, h in rows
     ]
     return spark.createDataFrame(rows, schema)
+
+
+# --- named branches (Nessie-style data branching) ---------------------------
+
+
+def _branch_file(base: str, name: str) -> str:
+    if not name or not name.replace("_", "").replace("-", "").isalnum():
+        raise ValueError(f"branch name must be alphanumeric/_/-: {name!r}")
+    if name.upper() in ("LATEST", "STAGED"):
+        raise ValueError(f"{name!r} is a reserved pointer name")
+    return f"{base}/BRANCH_{name}"
+
+
+def create_branch(
+    spark: SparkSession, base_dir: str, name: str,
+    from_version: int | None = None,
+) -> int:
+    """Create a named BRANCH pointing at `from_version` (default: the
+    current LATEST) — the Nessie/Git idea applied to the lake: a branch
+    is just another pointer file, so creating one is O(1) and shares
+    all data with main. The canonical use in a training-data pipeline:
+    branch the corpus, run an experimental filter/dedup recipe on the
+    branch, compare eval metrics, then merge_branch (fast-forward) or
+    delete_branch — main's readers never see the experiment."""
+    from .sources import lakefs
+
+    base = base_dir.rstrip("/")
+    bf = _branch_file(base, name)
+    if lakefs.exists(spark, bf):
+        raise ValueError(f"branch {name!r} already exists at {base_dir}")
+    if from_version is None:
+        from_version = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
+    if not lakefs.exists(spark, f"{base}/v={from_version}/_manifest.json"):
+        raise ValueError(f"version {from_version} does not exist")
+    lakefs.replace_text(spark, bf, str(from_version))
+    return from_version
+
+
+def read_branch(spark: SparkSession, base_dir: str, name: str):
+    """(DataFrame, manifests) at the branch head — chain/evolution/MOR
+    resolution identical to a LATEST read, just through the branch
+    pointer."""
+    from .sources import lakefs
+
+    base = base_dir.rstrip("/")
+    v = int(lakefs.read_text(spark, _branch_file(base, name)).strip())
+    return read_version_chain(spark, base_dir, v)
+
+
+def branch_head(spark: SparkSession, base_dir: str, name: str) -> int:
+    from .sources import lakefs
+
+    return int(
+        lakefs.read_text(
+            spark, _branch_file(base_dir.rstrip("/"), name)
+        ).strip()
+    )
+
+
+def delete_branch(spark: SparkSession, base_dir: str, name: str) -> None:
+    """Drop the pointer; versions reachable only from it become vacuum
+    garbage (exactly like an orphaned WAP candidate)."""
+    from .sources import lakefs
+
+    lakefs.delete(spark, _branch_file(base_dir.rstrip("/"), name))
+
+
+def _ancestors(spark, base: str, v: int) -> set[int]:
+    """Every version reachable from v over append-parent and MOR-parent
+    links (v included)."""
+    import json
+
+    from .sources import lakefs
+
+    out: set[int] = set()
+    todo = [v]
+    while todo:
+        x = todo.pop()
+        if x in out:
+            continue
+        out.add(x)
+        m = json.loads(
+            lakefs.read_text(spark, f"{base}/v={x}/_manifest.json")
+        )
+        if m.get("append") and m.get("parent") is not None:
+            todo.append(int(m["parent"]))
+        if m.get("mor_delete"):
+            todo.append(int(m["mor_delete"]["parent"]))
+    return out
+
+
+def merge_branch(spark: SparkSession, base_dir: str, name: str) -> int:
+    """FAST-FORWARD merge: flip LATEST to the branch head, legal only
+    when the current LATEST is an ancestor of the branch head (over
+    append/MOR links) — main has not moved since the branch was cut, so
+    the merge is a pointer move with no conflict surface. A diverged
+    main raises: three-way merge of arbitrary table states has no
+    general semantics; rebase the branch (re-run its recipe on the new
+    main) or reconcile explicitly with merge_rows/diff_snapshots. The
+    branch pointer is retired after the merge."""
+    from .sources import lakefs
+
+    base = base_dir.rstrip("/")
+    head = branch_head(spark, base_dir, name)
+    latest = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
+    if latest != head and latest not in _ancestors(spark, base, head):
+        raise ValueError(
+            f"cannot fast-forward: LATEST v={latest} is not an ancestor "
+            f"of branch {name!r} head v={head} — main diverged; rebase "
+            "the branch or reconcile with merge_rows/diff_snapshots"
+        )
+    lakefs.replace_text(spark, f"{base}/LATEST", str(head))
+    lakefs.delete(spark, _branch_file(base, name))
+    return head

@@ -1,0 +1,95 @@
+"""Named branches over the versioned lake: O(1) branch creation,
+branch-isolated appends, fast-forward merge with divergence refusal,
+vacuum protection of branch heads, pointer hygiene."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from novelti_dingo_spark.pipelines import (
+    branch_head,
+    create_branch,
+    delete_branch,
+    merge_branch,
+    publish_append,
+    publish_versioned,
+    read_branch,
+    read_version_chain,
+    vacuum_versions,
+)
+from novelti_dingo_spark.sources import lakefs
+from novelti_dingo_spark.sources.io import load_table
+
+
+def _orders(spark, sf):
+    return load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+def test_branch_isolated_appends_and_fast_forward(spark, sf_small, tmp_path):
+    o = _orders(spark, sf_small)
+    base = str(tmp_path / "ds")
+    publish_versioned(o.filter(F.col("o_orderkey") % 2 == 0), base)  # v1
+    n_main = o.filter(F.col("o_orderkey") % 2 == 0).count()
+    create_branch(spark, base, "exp1")
+    publish_append(
+        o.filter(F.col("o_orderkey") % 2 == 1), base, branch="exp1"
+    )  # v2 on the branch
+    # main unchanged, branch sees both segments
+    main, mm = read_version_chain(spark, base)
+    assert mm[0]["version"] == 1 and main.count() == n_main
+    br, bm = read_branch(spark, base, "exp1")
+    assert bm[0]["version"] == 2 and br.count() == o.count()
+    # fast-forward: main was the branch's ancestor
+    assert merge_branch(spark, base, "exp1") == 2
+    main2, _ = read_version_chain(spark, base)
+    assert main2.count() == o.count()
+    assert not lakefs.exists(spark, f"{base}/BRANCH_exp1")
+
+
+def test_diverged_main_refuses_fast_forward(spark, sf_small, tmp_path):
+    o = _orders(spark, sf_small)
+    base = str(tmp_path / "ds")
+    publish_versioned(o.limit(100), base)  # v1
+    create_branch(spark, base, "exp")
+    publish_append(o.limit(10), base, branch="exp")  # v2 (branch)
+    publish_append(o.limit(20), base)  # v3 (main moved!)
+    with pytest.raises(ValueError, match="diverged"):
+        merge_branch(spark, base, "exp")
+    # branch still intact and readable after the refusal
+    assert branch_head(spark, base, "exp") == 2
+    br, _ = read_branch(spark, base, "exp")
+    assert br.count() == 110
+
+
+def test_vacuum_protects_branch_chain(spark, sf_small, tmp_path):
+    o = _orders(spark, sf_small)
+    base = str(tmp_path / "ds")
+    publish_versioned(o.limit(50), base)  # v1
+    create_branch(spark, base, "keepme")
+    publish_append(o.limit(10), base, branch="keepme")  # v2
+    publish_versioned(o.limit(70), base)  # v3 (main full publish)
+    publish_versioned(o.limit(80), base)  # v4
+    deleted = vacuum_versions(spark, base, keep_last=1)
+    # v4 (LATEST) kept; branch head v2 and its ancestor v1 kept; v3 gone
+    assert deleted == [3]
+    br, _ = read_branch(spark, base, "keepme")
+    assert br.count() == 60
+    # releasing the branch frees its chain on the next vacuum
+    delete_branch(spark, base, "keepme")
+    deleted2 = vacuum_versions(spark, base, keep_last=1)
+    assert set(deleted2) == {1, 2}
+
+
+def test_branch_name_hygiene(spark, sf_small, tmp_path):
+    o = _orders(spark, sf_small)
+    base = str(tmp_path / "ds")
+    publish_versioned(o.limit(5), base)
+    for bad in ("", "has space", "LATEST", "staged"):
+        with pytest.raises(ValueError):
+            create_branch(spark, base, bad)
+    create_branch(spark, base, "ok-name_1")
+    with pytest.raises(ValueError, match="already exists"):
+        create_branch(spark, base, "ok-name_1")
