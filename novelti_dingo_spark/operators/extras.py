@@ -2317,3 +2317,58 @@ def lake_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "lake_branch_merge_read",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    survey_rows="S5,lake-branch,A1",
+)
+def lake_branch_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-branch workflow at the correctness gate
+    (pipelines.create_branch / publish_append(branch=...) /
+    merge_branch): main is published with half of orders, a branch is
+    cut, the other half lands as a BRANCH append (main's readers
+    cannot see it — pinned by tests/test_branches.py), and the branch
+    fast-forwards into main. This query aggregates the post-merge
+    LATEST; the oracle aggregates all of raw orders — the hash match
+    proves the branch append + pointer-move merge lost and duplicated
+    nothing. At 100 TB the whole workflow costs one O(batch) append:
+    branch creation and merge are pointer writes."""
+    import tempfile
+
+    from ..pipelines import (
+        create_branch,
+        merge_branch,
+        publish_append,
+        publish_versioned,
+        read_version_chain,
+    )
+    from ..sources import lakefs
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "orders_branched"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        publish_versioned(o.filter(F.col("o_orderkey") % 2 == 0), base)
+        create_branch(spark, base, "experiment")
+        publish_append(
+            o.filter(F.col("o_orderkey") % 2 == 1),
+            base,
+            branch="experiment",
+        )
+        merge_branch(spark, base, "experiment")
+    df, _ = read_version_chain(spark, base)
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

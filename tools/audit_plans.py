@@ -564,6 +564,8 @@ EXPECT = {
     # event_type partitioning
     "daily_value_acf": {"partial_agg": True, "no_python_udf": True,
                         "max_scan_cols": 3},
+    # branch merge read: post-merge chain scan + two-phase agg
+    "lake_branch_merge_read": {"partial_agg": True, "no_python_udf": True},
 }
 
 
