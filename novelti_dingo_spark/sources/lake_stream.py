@@ -80,13 +80,40 @@ def _chain_base(base: str, head: int) -> int:
         v = parent
 
 
-def _latest(base: str) -> int:
-    with open(os.path.join(base, "LATEST")) as f:
+def _latest(base: str, branch: str | None = None) -> int:
+    """Head version of LATEST or of a named branch (pipelines.
+    create_branch) — tailing a branch lets a consumer follow an
+    experimental recipe's commits without seeing main, and vice versa."""
+    pointer = "LATEST" if branch is None else f"BRANCH_{branch}"
+    with open(os.path.join(base, pointer)) as f:
         return int(f.read().strip())
 
 
 def _manifest_schema(m: dict) -> StructType:
     return StructType.fromJson(json.loads(m["schema_json"]))
+
+
+def _ancestor_set(base: str, head: int) -> set[int]:
+    """Versions on the history of `head` (append-parent and MOR-parent
+    links, head included). The offset cursor walks version NUMBERS,
+    which are globally unique but INTERLEAVED once named branches (or
+    orphaned WAP candidates) exist — emission must restrict to the
+    subscribed line's own ancestry or a main subscriber would ingest
+    branch commits that happen to carry higher numbers. O(chain)
+    driver-side manifest JSON per batch."""
+    out: set[int] = set()
+    todo = [head]
+    while todo:
+        v = todo.pop()
+        if v in out:
+            continue
+        out.add(v)
+        m = _read_manifest(base, v)
+        if m.get("append") and m.get("parent") is not None:
+            todo.append(int(m["parent"]))
+        if m.get("mor_delete"):
+            todo.append(int(m["mor_delete"]["parent"]))
+    return out
 
 
 def _segment_files(base: str, version: int) -> list[str]:
@@ -106,6 +133,7 @@ class LakeChainStreamReader(SimpleDataSourceStreamReader):
         # any offset interval emits identical tuples
         self.schema_names = [f.name for f in schema.fields]
         self.base = options["path"].rstrip("/")
+        self.branch = options.get("branch")
         self.col = options.get("col")
         self.lo = options.get("lo")
         self.hi = options.get("hi")
@@ -134,12 +162,14 @@ class LakeChainStreamReader(SimpleDataSourceStreamReader):
         # compaction rewrote" (must skip it); the flag rides the offset
         # so crash-replay of the first batch stays deterministic.
         return {
-            "version": _chain_base(self.base, _latest(self.base)) - 1,
+            "version": _chain_base(
+                self.base, _latest(self.base, self.branch)
+            ) - 1,
             "emit_base": True,
         }
 
     def read(self, start: dict):
-        head = _latest(self.base)
+        head = _latest(self.base, self.branch)
         # iter(): the runner's prefetch cache (datasource_internal.
         # add_result_to_cache) consumes the rows with next(); a bare
         # list satisfies the simple path but not the cached one
@@ -163,7 +193,12 @@ class LakeChainStreamReader(SimpleDataSourceStreamReader):
     def _emit(self, after: int, upto: int, emit_base: bool = False):
         rows: list[tuple] = []
         n_total = n_read = 0
+        allowed = _ancestor_set(self.base, upto) if upto > after else set()
         for v in range(after + 1, upto + 1):
+            if v not in allowed:
+                # a version number from another line of history (named
+                # branch, orphaned candidate) — not ours to emit
+                continue
             m = _read_manifest(self.base, v)
             if m.get("mor_delete"):
                 # merge-on-read vector commit: holds no data files, and

@@ -93,3 +93,57 @@ def test_branch_name_hygiene(spark, sf_small, tmp_path):
     create_branch(spark, base, "ok-name_1")
     with pytest.raises(ValueError, match="already exists"):
         create_branch(spark, base, "ok-name_1")
+
+
+def test_stream_tails_a_named_branch(spark, sf_small, tmp_path):
+    """A subscriber with option('branch', name) follows the branch's
+    commits and never sees main's — the streaming face of branch
+    isolation."""
+    import time
+
+    from novelti_dingo_spark.sources.lake_stream import (
+        register_lake_stream_source,
+    )
+
+    register_lake_stream_source(spark)
+    o = _orders(spark, sf_small)
+    base = str(tmp_path / "lake")
+    publish_versioned(o.limit(100), base)  # v1 (shared base)
+    create_branch(spark, base, "exp")
+    sink = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("lake_chain")
+        .option("path", base)
+        .option("branch", "exp")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def poll(expect, budget=60):
+        n = -1
+        for _ in range(budget):
+            time.sleep(0.5)
+            try:
+                n = spark.read.parquet(sink).count()
+            except Exception:
+                n = 0
+            if n >= expect:
+                break
+        return n
+
+    try:
+        assert poll(100) == 100  # the shared base
+        publish_append(o.limit(150), base)  # main moves: not ours
+        publish_append(
+            o.filter(F.col("o_orderkey") > 10_000_000), base, branch="exp"
+        )  # empty branch append — a commit, zero rows
+        publish_append(o.limit(130), base, branch="exp")
+        # only the BRANCH commits arrive (130 rows; main's 150 never do)
+        assert poll(100 + 130) == 230
+    finally:
+        q.stop()
