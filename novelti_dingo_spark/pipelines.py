@@ -1335,6 +1335,12 @@ def build_file_index(
             "instead, and compact_chain flattens the layout if a "
             "secondary index on another column is needed"
         )
+    if pre.get("mor_delete"):
+        raise ValueError(
+            f"v={version} is a merge-on-read delete layer (no data "
+            "files of its own, and an index over the parent's files "
+            "would resurface deleted rows) — materialize_mor first"
+        )
     idx_dir = f"{out}/_index_{col}"
     idx = (
         spark.read.parquet(out)
@@ -2377,6 +2383,14 @@ def _rewrite_rows_cow(
         raise ValueError(
             f"v={version} at {base} is an append-chain head — compact_chain "
             "first so the delete has one file set to target"
+        )
+    if manifest.get("mor_delete"):
+        # the version dir holds only a delete vector; a COW rewrite of
+        # its (zero) files would publish an EMPTY table as LATEST
+        raise ValueError(
+            f"v={version} at {base} is a merge-on-read delete layer — "
+            "materialize_mor first so the rewrite has physical files "
+            "to target"
         )
     if manifest.get("partition_by"):
         raise ValueError(

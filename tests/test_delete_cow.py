@@ -337,3 +337,35 @@ def test_mor_time_travel_by_timestamp(spark, sf_small, tmp_path):
     assert m1["version"] == 1 and df_before.count() == o.count()
     df_after, m2 = read_as_of(spark, base, after)
     assert m2["version"] == 2 and df_after.count() == o.count() - 2
+
+
+def test_cow_and_index_refuse_mor_head(spark, sf_small, tmp_path):
+    """COW rewrites and file-index builds on a MOR head are refused:
+    the version dir holds only the vector — a COW rewrite of its zero
+    files would publish an EMPTY table, and an index over the parent's
+    files would resurface deleted rows."""
+    import pytest
+
+    from novelti_dingo_spark.pipelines import (
+        build_file_index,
+        delete_rows_cow,
+        delete_rows_mor,
+        publish_versioned,
+        update_rows_cow,
+    )
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = str(tmp_path / "ds")
+    publish_versioned(o, base)
+    delete_rows_mor(spark, base, "o_orderkey", [1])
+    with pytest.raises(ValueError, match="materialize_mor"):
+        delete_rows_cow(spark, base, "o_orderkey", [2])
+    with pytest.raises(ValueError, match="materialize_mor"):
+        update_rows_cow(
+            spark, base, "o_orderkey", [2], {"o_totalprice": F.lit(0.0)}
+        )
+    with pytest.raises(ValueError, match="materialize_mor"):
+        build_file_index(spark, base, "o_orderkey")
