@@ -797,8 +797,14 @@ def publish_versioned(
     if staged:
         # write-audit-publish: the version directory and manifest exist,
         # but LATEST does not move — followers cannot see the data until
-        # promote_staged flips the pointer. STAGED marks the candidate.
+        # promote_staged flips the pointer. STAGED marks the candidate,
+        # and the LATEST observed NOW is recorded so promotion can
+        # detect a moved main (the lost-update check)
         manifest["staged"] = True
+        if lakefs.exists(spark, f"{base}/LATEST"):
+            manifest["staged_base"] = int(
+                lakefs.read_text(spark, f"{base}/LATEST").strip()
+            )
     # underscore prefix: Spark data-source listing ignores it (like _SUCCESS)
     lakefs.write_text(spark, f"{out}/_manifest.json", json.dumps(manifest))
     lakefs.replace_text(
@@ -920,13 +926,20 @@ def audit_staged(
 
 
 def promote_staged(
-    spark: SparkSession, base_dir: str, require_audit_pass: bool = True
+    spark: SparkSession,
+    base_dir: str,
+    require_audit_pass: bool = True,
+    allow_moved_base: bool = False,
 ) -> int:
     """PUBLISH step of write-audit-publish: flip LATEST to the staged
     version — a pointer move, no data rewrite — and retire the STAGED
     marker. With `require_audit_pass` (default) promotion refuses a
     candidate whose manifest carries no passing `audit_staged` record:
-    un-audited data cannot reach followers by accident. The audit
+    un-audited data cannot reach followers by accident. Promotion also
+    refuses when LATEST has MOVED since the candidate was staged (the
+    candidate is a full snapshot: flipping to it would silently discard
+    whatever landed in between — the lost-update anomaly); pass
+    `allow_moved_base=True` to overwrite deliberately. The audit
     record stays in the manifest after promotion (the admission
     evidence readers can inspect), only the `staged` flag is cleared."""
     import json
@@ -936,6 +949,16 @@ def promote_staged(
     base = base_dir.rstrip("/")
     df, manifest = read_staged(spark, base_dir)
     v = int(manifest["version"])
+    if not allow_moved_base and "staged_base" in manifest:
+        current = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
+        if current != int(manifest["staged_base"]):
+            raise ValueError(
+                f"refusing to promote v={v} of {base_dir}: LATEST moved "
+                f"v={manifest['staged_base']} -> v={current} since the "
+                "candidate was staged — promoting would discard that "
+                "commit; re-stage from the current LATEST or pass "
+                "allow_moved_base=True to overwrite deliberately"
+            )
     if require_audit_pass:
         audit = manifest.get("wap_audit")
         if not audit or not audit.get("pass"):
@@ -1084,6 +1107,12 @@ def publish_append(
         # branch pointer (not LATEST) advances — main's readers never
         # see branch segments. Version numbers stay globally unique.
         parent = branch_head(spark, base, branch)
+    elif lakefs.exists(spark, f"{base}/LATEST"):
+        # parent from the POINTER, not max(existing): with branches or
+        # a WAP candidate in flight, the highest version number may be
+        # another line of history — chaining off it would leak
+        # unpromoted/branch data into main
+        parent = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
     else:
         parent = max(existing, default=None)
     added_columns: list[str] = []

@@ -126,3 +126,48 @@ def test_unique_constraint_counts_duplicate_keys(spark, sf_small, tmp_path):
         spark, base, constraints=[("pk", "unique", ["o_orderkey"])]
     )
     assert audit["constraints"]["pk"] == 7 and not audit["pass"]
+
+
+def test_append_parents_from_latest_not_staged_candidate(
+    spark, sf_small, tmp_path
+):
+    """An append while a WAP candidate is staged must chain off LATEST:
+    chaining off max(existing) would pull the unpromoted candidate's
+    rows into main."""
+    base = os.path.join(str(tmp_path), "ds")
+    df = _orders(spark, sf_small)
+    publish_versioned(df.limit(10), base)  # v1 = LATEST
+    publish_staged(df.limit(500), base)  # v2 = candidate
+    from novelti_dingo_spark.pipelines import (
+        publish_append,
+        read_version_chain,
+    )
+
+    v3 = publish_append(df.limit(20), base)  # must parent v1
+    got, manifests = read_version_chain(spark, base)
+    assert [m["version"] for m in manifests] == [v3, 1]
+    assert got.count() == 30  # candidate's 500 rows stayed invisible
+    # the candidate is still intact and promotable afterwards
+    from novelti_dingo_spark.pipelines import read_staged
+
+    staged, smani = read_staged(spark, base)
+    assert smani["version"] == 2 and staged.count() == 500
+
+
+def test_promotion_refuses_moved_base(spark, sf_small, tmp_path):
+    """If main moved after staging, promotion would discard the new
+    commit — refused unless explicitly overridden."""
+    from novelti_dingo_spark.pipelines import publish_append
+
+    base = os.path.join(str(tmp_path), "ds")
+    df = _orders(spark, sf_small)
+    publish_versioned(df.limit(10), base)  # v1
+    publish_staged(df.limit(50), base)  # v2 staged off v1
+    publish_append(df.limit(20), base)  # v3: main moved
+    with pytest.raises(ValueError, match="LATEST moved"):
+        promote_staged(spark, base, require_audit_pass=False)
+    assert read_version(spark, base)[1]["version"] == 3
+    v = promote_staged(
+        spark, base, require_audit_pass=False, allow_moved_base=True
+    )
+    assert v == 2 and read_version(spark, base)[0].count() == 50
