@@ -1461,6 +1461,15 @@ def read_point_lookup_chain(
 
     base = base_dir.rstrip("/")
     chain = _resolve_chain(spark, base, version)
+    if chain[0].get("mor_delete"):
+        # point lookup through a MOR head: probe the physical chain,
+        # then subtract the vectors (a deleted key must come back as
+        # zero rows, not as its parent-version ghost)
+        data_v, _ = _mor_layers(spark, base, chain[0])
+        df, total, n_read = read_point_lookup_chain(
+            spark, base_dir, col, value, version=data_v
+        )
+        return _apply_mor(spark, df, base, chain[0]), total, n_read
     schema = _chain_merged_schema(chain)
     aliases = _chain_aliases(chain)
     evolved = _chain_evolved(chain)

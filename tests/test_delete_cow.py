@@ -369,3 +369,35 @@ def test_cow_and_index_refuse_mor_head(spark, sf_small, tmp_path):
         )
     with pytest.raises(ValueError, match="materialize_mor"):
         build_file_index(spark, base, "o_orderkey")
+
+
+def test_point_lookup_through_mor_vector(spark, sf_small, tmp_path):
+    """Chain point lookups resolve MOR heads: a deleted key returns
+    zero rows (not its parent-version ghost), a surviving key still
+    resolves through the per-segment indexes."""
+    from novelti_dingo_spark.pipelines import (
+        build_file_index,
+        delete_rows_mor,
+        publish_append,
+        publish_versioned,
+        read_point_lookup_chain,
+    )
+
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = str(tmp_path / "ds")
+    v1 = publish_versioned(o.filter(F.col("o_orderkey") % 2 == 0), base)
+    v2 = publish_append(o.filter(F.col("o_orderkey") % 2 == 1), base)
+    build_file_index(spark, base, "o_orderkey", version=v1)
+    build_file_index(spark, base, "o_orderkey", version=v2)
+    alive, dead = 8, 12
+    delete_rows_mor(spark, base, "o_orderkey", [dead])
+    got_alive, _, _ = read_point_lookup_chain(
+        spark, base, "o_orderkey", alive
+    )
+    assert got_alive.count() == 1
+    got_dead, _, _ = read_point_lookup_chain(
+        spark, base, "o_orderkey", dead
+    )
+    assert got_dead.count() == 0
