@@ -2320,6 +2320,61 @@ def lake_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_pos_delete_read",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_totalprice <= 200000
+    GROUP BY o_orderpriority
+    """,
+    survey_rows="S5,A1,pos-delete",
+)
+def lake_pos_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL deletion vectors at the correctness gate
+    (pipelines.dedup_rows_pos + delete_rows_pos — the Iceberg
+    position-delete shape beside the equality vectors): orders is
+    published WITH seven deliberately duplicated rows, then (1) a
+    keep-first positional dedup deletes exactly one copy of each
+    duplicate — addressable only by physical (file, row-ordinal),
+    since every equality predicate matches both copies — and (2) a
+    predicate vector deletes `o_totalprice > 200000`. The oracle
+    aggregates RAW orders under the same predicate: a hash match
+    proves the dedup restored exactly the original multiset and the
+    predicate vector subtracted exactly the matching rows, through
+    two stacked vector layers and two broadcast anti joins, with no
+    data file rewritten."""
+    import tempfile
+
+    from ..pipelines import (
+        dedup_rows_pos,
+        delete_rows_pos,
+        publish_versioned,
+        read_version,
+    )
+    from ..sources import lakefs
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "orders_pos"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        dup = o.orderBy("o_orderkey").limit(7)
+        publish_versioned(o.union(dup).repartition(4), base)
+        dedup_rows_pos(spark, base, ["o_orderkey"])
+        delete_rows_pos(spark, base, "o_totalprice > 200000")
+    df, _ = read_version(spark, base)
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
     "lake_branch_merge_read",
     """
     SELECT o_orderpriority,

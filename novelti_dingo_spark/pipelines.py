@@ -1125,7 +1125,7 @@ def publish_append(
         parent_manifest = json.loads(
             lakefs.read_text(spark, f"{base}/v={parent}/_manifest.json")
         )
-        if parent_manifest.get("mor_delete"):
+        if _mor_record(parent_manifest):
             raise ValueError(
                 f"v={parent} at {base} is a merge-on-read delete layer — "
                 "an append segment's chain walk would bypass its vector "
@@ -1364,7 +1364,7 @@ def build_file_index(
             "instead, and compact_chain flattens the layout if a "
             "secondary index on another column is needed"
         )
-    if pre.get("mor_delete"):
+    if _mor_record(pre):
         raise ValueError(
             f"v={version} is a merge-on-read delete layer (no data "
             "files of its own, and an index over the parent's files "
@@ -1461,7 +1461,7 @@ def read_point_lookup_chain(
 
     base = base_dir.rstrip("/")
     chain = _resolve_chain(spark, base, version)
-    if chain[0].get("mor_delete"):
+    if _mor_record(chain[0]):
         # point lookup through a MOR head: probe the physical chain,
         # then subtract the vectors (a deleted key must come back as
         # zero rows, not as its parent-version ghost)
@@ -1985,7 +1985,7 @@ def read_version_chain(
     single-scan fast path is preserved for unevolved chains."""
     base = base_dir.rstrip("/")
     chain = _resolve_chain(spark, base, version)
-    if chain[0].get("mor_delete"):
+    if _mor_record(chain[0]):
         # MOR head over a chain (or snapshot): resolve the physical
         # ancestor's chain, then subtract the vectors
         data_v, _ = _mor_layers(spark, base, chain[0])
@@ -2031,7 +2031,7 @@ def read_chain_pruned(
     back to reading the whole segment with the filter pushed down."""
     base = base_dir.rstrip("/")
     chain = _resolve_chain(spark, base, version)
-    if chain[0].get("mor_delete"):
+    if _mor_record(chain[0]):
         # pruned read through a MOR head: prune the physical chain,
         # then subtract the vectors (deletes only narrow true ranges,
         # so every skip decision stays conservative)
@@ -2199,8 +2199,8 @@ def vacuum_versions(
         seen.add(v)
         for m in _resolve_chain(spark, base, v):
             keep.add(m["version"])
-            if m.get("mor_delete"):
-                pv = int(m["mor_delete"]["parent"])
+            if _mor_record(m):
+                pv = int(_mor_record(m)["parent"])
                 keep.add(pv)
                 if pv not in seen:
                     todo.append(pv)
@@ -2227,7 +2227,7 @@ def read_version(spark: SparkSession, base_dir: str, version: int | None = None)
         version = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
     out = f"{base}/v={version}"
     manifest = json.loads(lakefs.read_text(spark, f"{out}/_manifest.json"))
-    if manifest.get("mor_delete"):
+    if _mor_record(manifest):
         data_v, _ = _mor_layers(spark, base, manifest)
         dm = json.loads(
             lakefs.read_text(spark, f"{base}/v={data_v}/_manifest.json")
@@ -2288,7 +2288,7 @@ def read_version_pruned(
     # file_stats stay valid (deletes only narrow the true ranges) and
     # the delete vectors apply after the pruned scan
     data_dir = out
-    if manifest.get("mor_delete"):
+    if _mor_record(manifest):
         data_v, _ = _mor_layers(spark, base, manifest)
         data_dir = f"{base}/v={data_v}"
     files = fs["files"]
@@ -2307,7 +2307,7 @@ def read_version_pruned(
         df = spark.read.parquet(
             *[f"{data_dir}/{f['name']}" for f in survivors]
         ).filter(pred)
-    if manifest.get("mor_delete"):
+    if _mor_record(manifest):
         df = _apply_mor(spark, df, base, manifest)
     return df, len(files), len(survivors)
 
@@ -2396,7 +2396,11 @@ def delete_rows_cow(
     rewriting the handful of files a user's rows live in: O(matched
     files) decode + O(files) cheap copies. Operates on FULL snapshots
     only — an append chain has no single file set to target; compact
-    first (the returned error says so).
+    first (the returned error says so). A MERGE-ON-READ head (equality
+    or positional vector stack) is legal: the stack is folded and the
+    delete applied in ONE fused rewrite commit (compaction-marked, so
+    stream subscribers are not re-flooded) — one table rewrite instead
+    of materialize_mor followed by a second COW pass.
 
     Returns (new_version, n_files_rewritten, n_files_copied)."""
     return _rewrite_rows_cow(spark, base_dir, col, values, assignments=None)
@@ -2422,14 +2426,59 @@ def _rewrite_rows_cow(
             f"v={version} at {base} is an append-chain head — compact_chain "
             "first so the delete has one file set to target"
         )
-    if manifest.get("mor_delete"):
-        # the version dir holds only a delete vector; a COW rewrite of
-        # its (zero) files would publish an EMPTY table as LATEST
-        raise ValueError(
-            f"v={version} at {base} is a merge-on-read delete layer — "
-            "materialize_mor first so the rewrite has physical files "
-            "to target"
+    if _mor_record(manifest):
+        # COW over a MOR head: the vector commit holds no files of its
+        # own, so a surgical per-file rewrite has nothing to target —
+        # instead FOLD the whole stack and apply the mutation in one
+        # rewrite commit (materialize_mor + the delete/update fused, so
+        # the caller pays one table rewrite, not two). The commit is
+        # compaction-marked: its rows were already emitted to stream
+        # subscribers as the segments the stack resolved to, so the
+        # lake streaming source must not re-flood on it.
+        resolved, _ = read_version(spark, base_dir)
+        vals = set(values)
+        if assignments is None:
+            out_df = resolved.filter(~F.col(col).isin(list(vals)))
+        else:
+            hit = F.col(col).isin(list(vals))
+            out_df = resolved.select(
+                *[
+                    F.when(hit, assignments[f.name])
+                    .otherwise(F.col(f.name))
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    if f.name in assignments
+                    else F.col(f.name)
+                    for f in resolved.schema.fields
+                ]
+            )
+        folded = [version]
+        mm = manifest
+        while _mor_record(mm):
+            pv = int(_mor_record(mm)["parent"])
+            folded.append(pv)
+            mm = json.loads(
+                lakefs.read_text(spark, f"{base}/v={pv}/_manifest.json")
+            )
+        record = {
+            "col": col,
+            "n_values": len(vals),
+            "from_version": version,
+            "folded_mor": True,
+        }
+        meta = {"compacted_from": sorted(folded)}
+        if assignments is None:
+            meta["deleted"] = record
+        else:
+            meta["updated"] = {**record, "columns": sorted(assignments)}
+        stats_cols = (manifest.get("file_stats") or {}).get("columns")
+        new_v = publish_versioned(
+            out_df, base_dir, meta=meta, stats_cols=stats_cols
         )
+        n_files = len(
+            lakefs_list_parquet(spark, f"{base}/v={new_v}")
+        )
+        return new_v, n_files, 0
     if manifest.get("partition_by"):
         raise ValueError(
             "delete_rows_cow targets flat snapshots; compact the "
@@ -2854,44 +2903,276 @@ def delete_rows_mor(
     return version, n_deleted
 
 
+def _pos_parent_scan(spark, base: str):
+    """(parent_version, parent_manifest, addressed_df) for a positional
+    delete: the resolved LATEST with `_mor_file`/`_mor_pos` attached —
+    existing layers (equality or positional) already subtracted, so a
+    new vector can only target rows that are still alive. Restricted to
+    flat-full-snapshot data ancestors: an append chain or hive layout
+    has no single stable (file, pos) address space a positional vector
+    can bind to (compact first — same rule as the COW path)."""
+    import json
+
+    from .sources import lakefs
+
+    parent_v = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
+    pm = json.loads(
+        lakefs.read_text(spark, f"{base}/v={parent_v}/_manifest.json")
+    )
+    if pm.get("append") or pm.get("partition_by"):
+        raise ValueError(
+            "positional deletes target flat full snapshots — an append "
+            "chain / partitioned layout has no single (file, pos) "
+            "address space; compact first"
+        )
+    data_v, layers = _mor_layers(spark, base, pm)
+    dm = json.loads(
+        lakefs.read_text(spark, f"{base}/v={data_v}/_manifest.json")
+    )
+    if dm.get("append") or dm.get("partition_by"):
+        raise ValueError(
+            "positional deletes need a flat-snapshot data ancestor "
+            f"(v={data_v} is an append/partitioned segment) — "
+            "materialize_mor or compact first"
+        )
+    df = _with_row_address(spark.read.parquet(f"{base}/v={data_v}"))
+    for layer in layers:
+        if layer[0] == "eq":
+            _, col, deletes_dir = layer
+            keys = spark.read.parquet(deletes_dir).select(
+                F.col("value").alias(f"_mor_{col}")
+            )
+            df = df.join(
+                F.broadcast(keys),
+                df[col] == F.col(f"_mor_{col}"),
+                "left_anti",
+            )
+        else:
+            _, deletes_dir = layer
+            addrs = spark.read.parquet(deletes_dir).select(
+                F.col("file").alias("_del_file"),
+                F.col("pos").alias("_del_pos"),
+            )
+            df = df.join(
+                F.broadcast(addrs),
+                (df["_mor_file"] == F.col("_del_file"))
+                & (df["_mor_pos"] == F.col("_del_pos")),
+                "left_anti",
+            )
+    return parent_v, pm, df
+
+
+def _commit_pos_delete(
+    spark, base: str, parent_v: int, pm: dict, doomed: DataFrame,
+    record: dict,
+) -> tuple[int, int]:
+    """Write a positional delete vector (`_pos_deletes` holding
+    (file, pos) addresses) plus its manifest, flip LATEST. Shared tail
+    of delete_rows_pos / dedup_rows_pos."""
+    import json
+    from datetime import datetime, timezone
+
+    from .sources import lakefs
+
+    version = parent_v + 1
+    out = f"{base}/v={version}"
+    addrs = doomed.select(
+        F.col("_mor_file").alias("file"), F.col("_mor_pos").alias("pos")
+    )
+    addrs.coalesce(1).write.mode("errorifexists").parquet(
+        f"{out}/_pos_deletes"
+    )
+    n_deleted = spark.read.parquet(f"{out}/_pos_deletes").count()
+    if n_deleted == 0:
+        lakefs.delete(spark, out)
+        raise ValueError(
+            "positional delete matched zero rows — an empty vector "
+            "commit would be a no-op version"
+        )
+    manifest = {
+        "version": version,
+        "rows": int(pm["rows"]) - n_deleted if "rows" in pm else None,
+        "schema": pm["schema"],
+        "schema_json": pm["schema_json"],
+        "published_ts": datetime.now(timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%S.%fZ"
+        ),
+        "pos_delete": {
+            "parent": parent_v,
+            "n_rows_deleted": n_deleted,
+            **record,
+        },
+        "data_version": pm.get("data_version", parent_v),
+    }
+    if manifest["rows"] is None:
+        del manifest["rows"]
+    if pm.get("file_stats"):
+        # deletes only narrow true ranges: carried bounds stay
+        # conservative, so data skipping keeps working through the stack
+        manifest["file_stats"] = pm["file_stats"]
+    lakefs.write_text(spark, f"{out}/_manifest.json", json.dumps(manifest))
+    lakefs.replace_text(spark, f"{base}/LATEST", str(version))
+    return version, n_deleted
+
+
+def delete_rows_pos(
+    spark: SparkSession, base_dir: str, predicate: str
+) -> tuple[int, int]:
+    """Row deletion via POSITIONAL deletion vectors — the Iceberg
+    position-delete shape beside the equality vectors of
+    `delete_rows_mor`: the commit records the physical (file,
+    row-ordinal) address of every row matching `predicate` (a SQL
+    boolean expression over the resolved LATEST), touching no data
+    file. Reads subtract the addresses with one broadcast anti join
+    per layer, exactly like the equality path; the two kinds STACK in
+    any order and `materialize_mor` folds both.
+
+    Why a second vector kind: an equality vector needs the doomed set
+    expressible as `col IN (keys)` — a predicate across columns
+    (`quantity < 2 AND price > x`) would first have to be resolved to
+    keys, and a table whose "key" has duplicates cannot address one
+    specific physical row at all. Positional vectors address rows by
+    where they physically sit, so any predicate — or a
+    keep-one-per-duplicate-group policy (`dedup_rows_pos`) — commits
+    in O(matched rows). The cost profile is identical to equality MOR:
+    O(k) write, one broadcast anti join per layer per read.
+
+    Returns (new_version, n_rows_deleted) measured against the
+    RESOLVED parent (rows already dead in an earlier layer count
+    zero)."""
+    base = base_dir.rstrip("/")
+    parent_v, pm, df = _pos_parent_scan(spark, base)
+    doomed = df.filter(F.expr(predicate))
+    return _commit_pos_delete(
+        spark, base, parent_v, pm, doomed, {"predicate": predicate}
+    )
+
+
+def dedup_rows_pos(
+    spark: SparkSession, base_dir: str, keys: list[str]
+) -> tuple[int, int]:
+    """KEEP-FIRST positional dedup: for every group of rows sharing
+    `keys`, keep the one at the lowest (file, pos) address and commit a
+    positional vector deleting the rest — the capability equality
+    vectors fundamentally lack (all duplicates share the key, so a key
+    vector would delete the survivor too). This is the lake-mutation
+    form of exact dedup: a 100 TB corpus with 0.1% duplicate rows pays
+    an O(dup-rows) vector write, not an O(table) rewrite, and the next
+    `materialize_mor`/compaction makes it physical.
+
+    The group shuffle partitions by `keys` (two-phase: the window runs
+    per group after one hash exchange); only the doomed addresses —
+    file path + ordinal, ~tens of bytes per duplicate — are written.
+
+    Returns (new_version, n_rows_deleted)."""
+    from pyspark.sql import Window
+
+    base = base_dir.rstrip("/")
+    parent_v, pm, df = _pos_parent_scan(spark, base)
+    w = Window.partitionBy(*keys).orderBy("_mor_file", "_mor_pos")
+    doomed = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .drop("_rn")
+    )
+    return _commit_pos_delete(
+        spark, base, parent_v, pm, doomed, {"keys": list(keys)}
+    )
+
+
+def _mor_record(m: dict) -> dict | None:
+    """The delete-layer record of a merge-on-read manifest — equality
+    (`mor_delete`, keyed on column values) or positional (`pos_delete`,
+    keyed on (file, row-ordinal) addresses) — else None. Every chain
+    walk treats the two kinds identically: a vector commit holds no
+    data files of its own and links to its parent snapshot."""
+    return m.get("mor_delete") or m.get("pos_delete")
+
+
 def _mor_layers(spark, base: str, manifest: dict):
-    """(data_version, [(col, deletes_dir), ...]) for a possibly-MOR
-    manifest — the delete layers newest-first back to the physical
-    snapshot. O(stack) manifest reads."""
+    """(data_version, layers) for a possibly-MOR manifest — the delete
+    layers newest-first back to the physical snapshot, each either
+    ("eq", col, deletes_dir) or ("pos", deletes_dir). O(stack)
+    manifest reads."""
     import json
 
     from .sources import lakefs
 
     layers = []
     m = manifest
-    while m.get("mor_delete"):
-        layers.append(
-            (
-                m["mor_delete"]["col"],
-                f"{base}/v={m['version']}/_deletes",
+    while _mor_record(m):
+        if m.get("mor_delete"):
+            layers.append(
+                (
+                    "eq",
+                    m["mor_delete"]["col"],
+                    f"{base}/v={m['version']}/_deletes",
+                )
             )
-        )
+        else:
+            layers.append(("pos", f"{base}/v={m['version']}/_pos_deletes"))
         m = json.loads(
             lakefs.read_text(
-                spark, f"{base}/v={m['mor_delete']['parent']}/_manifest.json"
+                spark,
+                f"{base}/v={_mor_record(m)['parent']}/_manifest.json",
             )
         )
     return m["version"], layers
 
 
+def _with_row_address(df: DataFrame) -> DataFrame:
+    """Attach each row's physical address — `_mor_file` (the
+    version-relative file path, so the address survives a base-dir
+    move) and `_mor_pos` (the row ordinal within that file, Spark's
+    `_metadata.row_index`). Resolvable only on a DataFrame still
+    backed by a direct parquet scan (filters are fine, unions and
+    projections lose the hidden `_metadata` column) — which the
+    write-time restriction guarantees: positional vectors only ever
+    target flat full snapshots."""
+    return df.select(
+        "*",
+        F.regexp_extract(
+            F.col("_metadata.file_path"), r"(v=\d+/.*)$", 1
+        ).alias("_mor_file"),
+        F.col("_metadata.row_index").alias("_mor_pos"),
+    )
+
+
 def _apply_mor(spark, df: DataFrame, base: str, manifest: dict) -> DataFrame:
-    """Subtract every MOR layer's keys from `df` (broadcast anti joins
-    — the key sets are the small side by construction)."""
+    """Subtract every MOR layer from `df` (broadcast anti joins — the
+    delete sets are the small side by construction). Equality layers
+    join on the key column; positional layers join on the (file, pos)
+    address, which `_with_row_address` attaches here and drops before
+    returning — callers never see the address columns."""
     _, layers = _mor_layers(spark, base, manifest)
-    for col, deletes_dir in layers:
-        keys = spark.read.parquet(deletes_dir).select(
-            F.col("value").alias(f"_mor_{col}")
-        )
-        df = df.join(
-            F.broadcast(keys),
-            df[col] == F.col(f"_mor_{col}"),
-            "left_anti",
-        )
+    has_pos = any(layer[0] == "pos" for layer in layers)
+    if has_pos:
+        df = _with_row_address(df)
+    for layer in layers:
+        if layer[0] == "eq":
+            _, col, deletes_dir = layer
+            keys = spark.read.parquet(deletes_dir).select(
+                F.col("value").alias(f"_mor_{col}")
+            )
+            df = df.join(
+                F.broadcast(keys),
+                df[col] == F.col(f"_mor_{col}"),
+                "left_anti",
+            )
+        else:
+            _, deletes_dir = layer
+            addrs = spark.read.parquet(deletes_dir).select(
+                F.col("file").alias("_del_file"),
+                F.col("pos").alias("_del_pos"),
+            )
+            df = df.join(
+                F.broadcast(addrs),
+                (df["_mor_file"] == F.col("_del_file"))
+                & (df["_mor_pos"] == F.col("_del_pos")),
+                "left_anti",
+            )
+    if has_pos:
+        df = df.drop("_mor_file", "_mor_pos")
     return df
 
 
@@ -2913,13 +3194,13 @@ def materialize_mor(spark: SparkSession, base_dir: str) -> int:
     from .sources import lakefs
 
     df, manifest = read_version(spark, base_dir)
-    if not manifest.get("mor_delete"):
+    if not _mor_record(manifest):
         raise ValueError(f"{base_dir} LATEST carries no MOR delete stack")
     base = base_dir.rstrip("/")
     folded = [int(manifest["version"])]
     mm = manifest
-    while mm.get("mor_delete"):
-        pv = int(mm["mor_delete"]["parent"])
+    while _mor_record(mm):
+        pv = int(_mor_record(mm)["parent"])
         folded.append(pv)
         mm = _json.loads(
             lakefs.read_text(spark, f"{base}/v={pv}/_manifest.json")
@@ -2930,7 +3211,7 @@ def materialize_mor(spark: SparkSession, base_dir: str) -> int:
         if k
         not in (
             "version", "rows", "schema", "schema_json", "published_ts",
-            "mor_delete", "data_version", "file_stats",
+            "mor_delete", "pos_delete", "data_version", "file_stats",
         )
     }
     meta["compacted_from"] = sorted(folded)
@@ -2976,6 +3257,9 @@ def table_history(spark: SparkSession, base_dir: str) -> DataFrame:
         if m.get("mor_delete"):
             kind = "mor_delete"
             parent = int(m["mor_delete"]["parent"])
+        elif m.get("pos_delete"):
+            kind = "pos_delete"
+            parent = int(m["pos_delete"]["parent"])
         elif m.get("append"):
             kind = "append"
             parent = m.get("parent")
@@ -3114,8 +3398,8 @@ def _ancestors(spark, base: str, v: int) -> set[int]:
         )
         if m.get("append") and m.get("parent") is not None:
             todo.append(int(m["parent"]))
-        if m.get("mor_delete"):
-            todo.append(int(m["mor_delete"]["parent"]))
+        if _mor_record(m):
+            todo.append(int(_mor_record(m)["parent"]))
     return out
 
 
@@ -3142,3 +3426,92 @@ def merge_branch(spark: SparkSession, base_dir: str, name: str) -> int:
     lakefs.replace_text(spark, f"{base}/LATEST", str(head))
     lakefs.delete(spark, _branch_file(base, name))
     return head
+
+
+def rebase_branch(spark: SparkSession, base_dir: str, name: str) -> int:
+    """REBASE a diverged branch onto the current LATEST: replay each
+    branch-only append segment's delta rows, oldest-first, as fresh
+    appends on top of main's head — after which `merge_branch` is a
+    legal fast-forward again. The git analogy is exact, including the
+    cost model: a replayed segment re-WRITES its delta (O(branch
+    deltas), never O(table)), the rebased branch gets new version
+    numbers, and the original branch segments become unreachable
+    garbage for `vacuum_versions`.
+
+    Scope: the branch-only suffix must be PLAIN append segments — no
+    schema/partition evolution, no delete vectors. Those commits bake
+    in assumptions about the base they were cut from (a rename chain,
+    a (file, pos) address space) that a textual replay onto a moved
+    main cannot honor; re-run the branch's recipe instead (the same
+    rule git imposes when a rebase hits a semantic conflict). All
+    checks run BEFORE the first write, so a refused rebase mutates
+    nothing.
+
+    Returns the new branch head. No-op (returns the head unchanged)
+    when main has not diverged — merge_branch already fast-forwards."""
+    import json
+
+    from .sources import lakefs
+
+    base = base_dir.rstrip("/")
+    head = branch_head(spark, base_dir, name)
+    latest = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
+    if latest == head or latest in _ancestors(spark, base, head):
+        return head  # fast-forwardable as-is
+    main_anc = _ancestors(spark, base, latest)
+    segs: list[dict] = []
+    v: int | None = head
+    while v is not None and v not in main_anc:
+        m = json.loads(
+            lakefs.read_text(spark, f"{base}/v={v}/_manifest.json")
+        )
+        if _mor_record(m) or not m.get("append"):
+            raise ValueError(
+                f"cannot rebase {name!r}: v={v} is not a plain append "
+                "segment (delete vectors / full rewrites don't replay "
+                "onto a moved base) — re-run the branch's recipe on the "
+                "new main instead"
+            )
+        if any(
+            m.get(k)
+            for k in (
+                "added_columns", "renamed_columns", "widened_columns",
+                "dropped_columns", "partition_by",
+            )
+        ):
+            raise ValueError(
+                f"cannot rebase {name!r}: v={v} carries schema/partition "
+                "evolution, which binds to the base it was cut from — "
+                "re-run the branch's recipe on the new main instead"
+            )
+        segs.append(m)
+        v = m.get("parent")
+    if v is None:
+        raise ValueError(
+            f"branch {name!r} shares no history with LATEST v={latest} — "
+            "nothing to rebase onto"
+        )
+    # pre-validate every delta against main's head schema so a refused
+    # rebase mutates nothing (publish_append would also catch this, but
+    # only after earlier segments had already replayed)
+    head_m = json.loads(
+        lakefs.read_text(spark, f"{base}/v={latest}/_manifest.json")
+    )
+    for m in segs:
+        if m["schema_json"] != head_m["schema_json"]:
+            raise ValueError(
+                f"cannot rebase {name!r}: segment v={m['version']} "
+                "schema differs from main's head — main evolved since "
+                "the fork; re-run the branch's recipe on the new main"
+            )
+    lakefs.replace_text(spark, _branch_file(base, name), str(latest))
+    for m in reversed(segs):
+        delta = spark.read.schema(_manifest_schema(m)).parquet(
+            f"{base}/v={m['version']}"
+        )
+        stats = m.get("file_stats")
+        publish_append(
+            delta, base_dir, branch=name,
+            stats_cols=stats["columns"] if stats else None,
+        )
+    return branch_head(spark, base_dir, name)

@@ -61,7 +61,7 @@ def _chain_base(base: str, head: int) -> int:
     v = head
     while True:
         m = _read_manifest(base, v)
-        if m.get("mor_delete"):
+        if m.get("mor_delete") or m.get("pos_delete"):
             # a merge-on-read head means the CURRENT table state needs a
             # subtraction an append-only stream cannot express — a fresh
             # subscriber would either miss the base data (the vector
@@ -111,8 +111,9 @@ def _ancestor_set(base: str, head: int) -> set[int]:
         m = _read_manifest(base, v)
         if m.get("append") and m.get("parent") is not None:
             todo.append(int(m["parent"]))
-        if m.get("mor_delete"):
-            todo.append(int(m["mor_delete"]["parent"]))
+        rec = m.get("mor_delete") or m.get("pos_delete")
+        if rec:
+            todo.append(int(rec["parent"]))
     return out
 
 
@@ -200,7 +201,7 @@ class LakeChainStreamReader(SimpleDataSourceStreamReader):
                 # branch, orphaned candidate) — not ours to emit
                 continue
             m = _read_manifest(self.base, v)
-            if m.get("mor_delete"):
+            if m.get("mor_delete") or m.get("pos_delete"):
                 # merge-on-read vector commit: holds no data files, and
                 # an append-only stream cannot retract the rows it
                 # deletes — a no-op for existing subscribers

@@ -147,3 +147,78 @@ def test_stream_tails_a_named_branch(spark, sf_small, tmp_path):
         assert poll(100 + 130) == 230
     finally:
         q.stop()
+
+
+def test_rebase_diverged_branch_then_fast_forward(spark, sf_small, tmp_path):
+    """rebase_branch replays the branch-only appends onto the moved
+    main, after which merge_branch fast-forwards; no row is lost or
+    duplicated and the abandoned segments become vacuum garbage."""
+    from novelti_dingo_spark.pipelines import rebase_branch
+
+    o = _orders(spark, sf_small)
+    base = str(tmp_path / "ds")
+    m0 = o.filter(F.col("o_orderkey") % 4 == 0)
+    m1 = o.filter(F.col("o_orderkey") % 4 == 1)
+    b2 = o.filter(F.col("o_orderkey") % 4 == 2)
+    b3 = o.filter(F.col("o_orderkey") % 4 == 3)
+    publish_versioned(m0, base)  # v1
+    create_branch(spark, base, "exp")
+    publish_append(b2, base, branch="exp")  # v2 (branch)
+    publish_append(b3, base, branch="exp")  # v3 (branch)
+    publish_append(m1, base)  # v4 (main moved → diverged)
+    with pytest.raises(ValueError, match="cannot fast-forward"):
+        merge_branch(spark, base, "exp")
+    old_branch_versions = {2, 3}
+    new_head = rebase_branch(spark, base, "exp")
+    assert new_head == branch_head(spark, base, "exp") == 6
+    br, bm = read_branch(spark, base, "exp")
+    assert br.count() == o.count()
+    # replayed segments chain onto main's head, not the old fork
+    assert {m["version"] for m in bm} == {1, 4, 5, 6}
+    merged = merge_branch(spark, base, "exp")
+    assert merged == new_head
+    main, _ = read_version_chain(spark, base)
+    assert main.count() == o.count()
+    assert main.select("o_orderkey").distinct().count() == o.count()
+    # the pre-rebase branch segments are unreachable → vacuumable
+    deleted = vacuum_versions(spark, base, keep_last=1)
+    # chain expansion keeps {6,5,4,1}; only the orphaned segments go
+    assert set(deleted) == old_branch_versions
+
+
+def test_rebase_noop_and_refusals(spark, sf_small, tmp_path):
+    from novelti_dingo_spark.pipelines import (
+        delete_rows_mor,
+        rebase_branch,
+    )
+
+    o = _orders(spark, sf_small)
+    base = str(tmp_path / "ds")
+    publish_versioned(o.filter(F.col("o_orderkey") % 2 == 0), base)  # v1
+    create_branch(spark, base, "exp")
+    publish_append(
+        o.filter(F.col("o_orderkey") % 2 == 1), base, branch="exp"
+    )  # v2
+    # main has not moved: rebase is a no-op, head unchanged
+    assert rebase_branch(spark, base, "exp") == 2
+    # a branch segment carrying schema evolution refuses to replay
+    base2 = str(tmp_path / "ds2")
+    publish_versioned(o, base2)  # v1
+    create_branch(spark, base2, "exp")
+    publish_append(
+        o.withColumn("flag", F.lit(1)), base2, branch="exp",
+        evolve="additive",
+    )  # v2 (branch, adds a column)
+    publish_append(o.limit(5), base2)  # v3: main moves
+    with pytest.raises(ValueError, match="schema/partition evolution"):
+        rebase_branch(spark, base2, "exp")
+    # main evolving since the fork also refuses (schema mismatch)
+    base3 = str(tmp_path / "ds3")
+    publish_versioned(o, base3)  # v1
+    create_branch(spark, base3, "exp")
+    publish_append(o.limit(3), base3, branch="exp")  # v2 (plain)
+    publish_append(
+        o.withColumn("flag", F.lit(1)), base3, evolve="additive"
+    )  # v3: main evolved
+    with pytest.raises(ValueError, match="schema differs"):
+        rebase_branch(spark, base3, "exp")

@@ -552,6 +552,11 @@ EXPECT = {
     # MOR delete read: parent scan minus broadcast anti join, two-phase agg
     "lake_mor_delete_read": {"partial_agg": True, "broadcast_joins": 1,
                              "no_python_udf": True},
+    # positional-vector read: parent scan minus TWO broadcast anti joins
+    # (dedup layer + predicate layer, each on (file, pos) addresses),
+    # two-phase agg — no data file was rewritten by either delete
+    "lake_pos_delete_read": {"partial_agg": True, "broadcast_joins": 2,
+                             "no_python_udf": True},
     # temporal split: one percentile agg, 1-row boundary broadcast,
     # scan-side CASE, partial-agg rollup — no global window
     "temporal_split_events": {"partial_agg": True, "no_python_udf": True,
