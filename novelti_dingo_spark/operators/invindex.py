@@ -561,3 +561,118 @@ def bitmap_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(hits), "doc_id").select(
         "doc_id", "lang", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Run containers: the run-length complement to the word-packed bitmaps
+
+
+def runlen_postings(idx: DataFrame) -> DataFrame:
+    """Compress each token's posting list into RUNS [run_start,
+    run_end] of consecutive doc ids — the run container of a Roaring
+    bitmap, derived with the gaps-and-islands trick: per token, sort
+    the (distinct) doc ids and group by `doc_id - row_number()`, which
+    is constant exactly along a consecutive stretch. A term present in
+    ~every doc collapses to ~1 row regardless of corpus size — the
+    layout Roaring switches to when a container's density crosses the
+    run-encoding break-even, and the best case of all three posting
+    layouts (exploded: |docs| rows; bitmap: |docs|/64 words; runs:
+    |gaps|+1 spans).
+
+    The window shuffles once per token partition (the same exchange
+    the groupBy would need); output is O(runs), which for dense terms
+    is the control-plane-sized table the intersection step broadcasts."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("token").orderBy("doc_id")
+    return (
+        idx.select("token", "doc_id")
+        .withColumn("_isl", F.col("doc_id") - F.row_number().over(w))
+        .groupBy("token", "_isl")
+        .agg(
+            F.min("doc_id").alias("run_start"),
+            F.max("doc_id").alias("run_end"),
+        )
+        .drop("_isl")
+    )
+
+
+def runlen_search_all(runs: DataFrame, terms: list[str]) -> DataFrame:
+    """Conjunctive search over run containers WITHOUT expanding any
+    posting: intersect the terms' run sets pairwise — two runs overlap
+    iff a.start <= b.end AND b.start <= a.end, and their intersection
+    is [max(starts), min(ends)] — folding one term at a time, then
+    explode only the FINAL surviving spans into doc ids. Each
+    intersection is a broadcast of an O(runs) table with an interval
+    predicate (a nested-loop pass over runs × runs — the honest cost
+    of run algebra, paid on run counts, not doc counts: for dense
+    terms that is a handful of spans where the exploded plan shuffles
+    |docs| rows). Spans stay disjoint under intersection, so no
+    dedup step is needed at any fold."""
+    if not terms:
+        raise ValueError("conjunctive run search needs at least one term")
+    acc = runs.filter(F.col("token") == terms[0]).select(
+        "run_start", "run_end"
+    )
+    for t in terms[1:]:
+        nxt = runs.filter(F.col("token") == t).select(
+            F.col("run_start").alias("_s2"), F.col("run_end").alias("_e2")
+        )
+        acc = (
+            acc.join(
+                F.broadcast(nxt),
+                (F.col("run_start") <= F.col("_e2"))
+                & (F.col("_s2") <= F.col("run_end")),
+            )
+            .select(
+                F.greatest("run_start", "_s2").alias("run_start"),
+                F.least("run_end", "_e2").alias("run_end"),
+            )
+        )
+    return acc.select(
+        F.explode(
+            F.sequence(F.col("run_start"), F.col("run_end"))
+        ).alias("doc_id")
+    )
+
+
+_RUN_TERMS = ("scan", "merge")
+
+
+@register(
+    "runlen_postings_search",
+    f"""
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    WHERE {" AND ".join(
+        f"list_contains(string_split(d.text, ' '), '{t}')"
+        for t in _RUN_TERMS
+    )}
+    """,
+    survey_rows="S5,L5,F7,index-search",
+)
+def runlen_postings_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive search for two dense terms resolved through
+    RUN-LENGTH postings (runlen_postings over the versioned inverted
+    index): gaps-and-islands run encoding, interval-intersection fold
+    across terms, and a single expansion of the surviving spans,
+    broadcast onto `documents`. The oracle brute-force scans the raw
+    corpus, so the hash match proves encode -> intersect -> expand is
+    exactly conjunctive containment — including runs that merely
+    touch at an endpoint and docs sitting in a width-1 span."""
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "documents_invindex"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    if not _index_is_current(spark, base):
+        build_inverted_index(docs, base)
+    from ..pipelines import read_version
+
+    idx, _ = read_version(spark, base)
+    hits = runlen_search_all(runlen_postings(idx), list(_RUN_TERMS))
+    return docs.join(F.broadcast(hits), "doc_id").select(
+        "doc_id", "source", "n_chars"
+    )

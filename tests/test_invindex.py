@@ -193,3 +193,62 @@ def test_bitmap_not_only_search_uses_universe(spark, sf_small, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_runlen_search_equals_exploded_search(spark, sf_small, tmp_path):
+    """Run-container intersection must equal the exploded plan —
+    including single-term (spans expand to exactly the posting list),
+    an absent term (empty result), and dense-dense pairs whose spans
+    merely touch."""
+    from novelti_dingo_spark.operators.invindex import (
+        runlen_postings,
+        runlen_search_all,
+    )
+    from novelti_dingo_spark.pipelines import read_version
+
+    docs = load_table(spark, sf_small, "documents")
+    base = os.path.join(str(tmp_path), "idx")
+    build_inverted_index(docs, base)
+    idx, _ = read_version(spark, base)
+    runs = runlen_postings(idx).persist()
+    try:
+        for terms in (
+            ["spark"], ["scan", "merge"], ["scan", "filter", "merge"],
+            ["scan", "zzz_nope"],
+        ):
+            got = [
+                r.doc_id for r in runlen_search_all(runs, terms).collect()
+            ]
+            want = {
+                r.doc_id
+                for r in search_all_terms(spark, base, terms).collect()
+            }
+            assert set(got) == want, terms
+            assert len(got) == len(want), f"duplicate doc_ids for {terms}"
+    finally:
+        runs.unpersist()
+
+
+def test_runlen_compresses_dense_terms(spark, sf_small, tmp_path):
+    """The run layout's reason to exist: a dense term's posting list
+    collapses to far fewer spans than postings (best case 1), and the
+    spans reconstruct the list exactly."""
+    from novelti_dingo_spark.operators.invindex import runlen_postings
+    from novelti_dingo_spark.pipelines import read_version
+
+    docs = load_table(spark, sf_small, "documents")
+    base = os.path.join(str(tmp_path), "idx")
+    build_inverted_index(docs, base)
+    idx, _ = read_version(spark, base)
+    dense = idx.groupBy("token").count().orderBy(F.desc("count")).first()
+    runs = runlen_postings(idx).filter(F.col("token") == dense.token)
+    n_runs = runs.count()
+    assert n_runs * 4 < dense["count"], (n_runs, dense["count"])
+    covered = runs.select(
+        F.explode(
+            F.sequence(F.col("run_start"), F.col("run_end"))
+        ).alias("doc_id")
+    )
+    original = idx.filter(F.col("token") == dense.token).select("doc_id")
+    assert covered.count() == original.count()
+    assert covered.exceptAll(original).count() == 0

@@ -503,6 +503,11 @@ EXPECT = {
     # aggs two-phase, tiny hit set broadcast back onto documents
     "bitmap_index_search": {"partial_agg": True, "broadcast_joins": 1,
                             "no_python_udf": True},
+    # run-container postings: gaps-and-islands encode (one token
+    # exchange), interval-intersection fold over O(runs) broadcasts,
+    # final span expansion broadcast onto documents
+    "runlen_postings_search": {"partial_agg": True, "broadcast_joins": 1,
+                               "no_python_udf": True},
     # WAP read path: plain two-phase agg over the promoted lake version
     "wap_promoted_revenue": {"partial_agg": True, "no_python_udf": True},
     # session paths: one user_id exchange feeds lag + cumsum + path agg;
