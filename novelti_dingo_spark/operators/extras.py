@@ -2320,6 +2320,51 @@ def lake_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_fast_count",
+    """
+    SELECT count(*) AS n_rows
+    FROM orders
+    WHERE o_orderkey NOT IN (1, 2, 3)
+    """,
+    survey_rows="S5,A5,meta-only-agg",
+)
+def lake_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only `count(*)` (pipelines.fast_count — the
+    Delta/Iceberg unfiltered-count shortcut): orders is published as a
+    two-segment append chain, then three keys are deleted with an
+    equality vector; the count is answered from the MANIFESTS ALONE —
+    no scan task runs, the chain sums its segment deltas and the
+    vector head carries the resolved total. The oracle counts raw
+    orders under the same NOT IN, so the hash match proves every
+    commit kind's recorded row count is exact through append + MOR
+    resolution. The single-row result is driver-built by design: the
+    capability under test is that NO distributed read happens."""
+    import tempfile
+
+    from ..pipelines import (
+        delete_rows_mor,
+        fast_count,
+        publish_append,
+        publish_versioned,
+    )
+    from ..sources import lakefs
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "orders_fastcount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        publish_versioned(o.filter(F.col("o_orderkey") % 2 == 0), base)
+        publish_append(o.filter(F.col("o_orderkey") % 2 == 1), base)
+        delete_rows_mor(spark, base, "o_orderkey", [1, 2, 3])
+    n = fast_count(spark, base)
+    return spark.createDataFrame([(n,)], "n_rows bigint")
+
+
+@register(
     "lake_pos_delete_read",
     """
     SELECT o_orderpriority,

@@ -3218,6 +3218,40 @@ def materialize_mor(spark: SparkSession, base_dir: str) -> int:
     return publish_versioned(df, base_dir, meta=meta)
 
 
+def fast_count(
+    spark: SparkSession, base_dir: str, version: int | None = None
+) -> int:
+    """`SELECT count(*)` answered from MANIFESTS ALONE — zero data
+    I/O, zero tasks, O(chain) driver-side JSON — the metadata-only
+    aggregate shortcut Delta/Iceberg serve for unfiltered counts.
+    Every commit kind records the number it contributes: a full
+    publish / compaction / COW rewrite stores its total, an append
+    segment stores its delta (the chain total is the sum), and a
+    delete-vector commit (equality or positional) stores the resolved
+    total directly — so the head of a MOR stack answers without
+    walking it. At 100 TB the difference is a metadata lookup versus
+    scanning every footer (or worse, every row) to count a table.
+
+    Always equals `read_version_chain(...)[0].count()` — pinned by
+    tests across chains, evolution, vector stacks, and rewrites."""
+    import json as _json
+
+    from .sources import lakefs
+
+    base = base_dir.rstrip("/")
+    chain = _resolve_chain(spark, base, version)
+    head = chain[0]
+    if "rows" not in head:
+        raise ValueError(
+            f"v={head['version']} manifest records no row count — "
+            "fast_count needs manifests written by this format's "
+            "publish paths"
+        )
+    if _mor_record(head):
+        return int(head["rows"])
+    return sum(int(m["rows"]) for m in chain)
+
+
 def table_history(spark: SparkSession, base_dir: str) -> DataFrame:
     """DESCRIBE HISTORY for a versioned dataset: one row per retained
     version with its commit KIND (full / append / compaction /

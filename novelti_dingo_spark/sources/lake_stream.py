@@ -118,12 +118,25 @@ def _ancestor_set(base: str, head: int) -> set[int]:
 
 
 def _segment_files(base: str, version: int) -> list[str]:
+    """Version-relative data-file paths, recursing into hive partition
+    directories (`col=value/part-*.parquet`) — a partition-evolved
+    segment's rows live one level down, and a flat listing would
+    silently emit nothing for it."""
     vdir = os.path.join(base, f"v={version}")
-    return sorted(
-        n
-        for n in os.listdir(vdir)
-        if n.endswith(".parquet") and not n.startswith(("_", "."))
-    )
+    out: list[str] = []
+    stack = [""]
+    while stack:
+        rel = stack.pop()
+        cur = os.path.join(vdir, rel) if rel else vdir
+        for n in os.listdir(cur):
+            if n.startswith(("_", ".")):
+                continue
+            sub = os.path.join(rel, n) if rel else n
+            if n.endswith(".parquet"):
+                out.append(sub)
+            elif os.path.isdir(os.path.join(cur, n)):
+                stack.append(sub)
+    return sorted(out)
 
 
 class LakeChainStreamReader(SimpleDataSourceStreamReader):
@@ -246,8 +259,7 @@ class LakeChainStreamReader(SimpleDataSourceStreamReader):
     def _read_files(self, m: dict, version: int, files: list[str]):
         import pyarrow.parquet as pq
 
-        seg_names = {f.name for f in _manifest_schema(m).fields}
-        present = [n for n in self.schema_names if n in seg_names]
+        seg_fields = {f.name: f for f in _manifest_schema(m).fields}
         out = []
         vdir = os.path.join(self.base, f"v={version}")
         idx = (
@@ -256,9 +268,38 @@ class LakeChainStreamReader(SimpleDataSourceStreamReader):
             else None
         )
         for name in files:
+            # hive components of the path carry the partition column's
+            # value (it is NOT in the data file) — decode and inject it;
+            # components whose name is outside the segment schema (e.g.
+            # a synthetic transform column) are layout-only and skipped
+            hive_vals: dict[str, object] = {}
+            for comp in name.split(os.sep)[:-1]:
+                if "=" not in comp:
+                    continue
+                c, raw = comp.split("=", 1)
+                if c not in seg_fields:
+                    continue
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    hive_vals[c] = None
+                    continue
+                kind = seg_fields[c].dataType.simpleString()
+                if kind in ("tinyint", "smallint", "int", "bigint"):
+                    hive_vals[c] = int(raw)
+                elif kind in ("float", "double"):
+                    hive_vals[c] = float(raw)
+                else:
+                    hive_vals[c] = raw
+            present = [
+                n
+                for n in self.schema_names
+                if n in seg_fields and n not in hive_vals
+            ]
             t = pq.read_table(os.path.join(vdir, name), columns=present)
-            by_name = {n: t.column(n).to_pylist() for n in present}
             n_rows = t.num_rows
+            by_name = {n: t.column(n).to_pylist() for n in present}
+            for c, v in hive_vals.items():
+                if c in self.schema_names:
+                    by_name[c] = [v] * n_rows
             cols = [
                 by_name.get(n, [None] * n_rows) for n in self.schema_names
             ]

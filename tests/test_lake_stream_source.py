@@ -297,3 +297,45 @@ def test_mor_vector_commits_are_stream_noops(spark, sf_small, tmp_path):
     )
     with pytest.raises(RuntimeError, match="materialize_mor"):
         rdr.initialOffset()
+
+
+def test_stream_emits_hive_partitioned_segments(spark, sf_small, tmp_path):
+    """A partition-evolved append segment's rows live one directory
+    level down and the partition column's value lives in the DIRECTORY
+    NAME, not the files — the stream must recurse and re-inject it
+    (regression: the flat listing silently emitted nothing for such
+    segments)."""
+    base = str(tmp_path / "lake")
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    a = o.filter(F.col("o_orderkey") % 2 == 0)
+    b = o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "bucket", (F.col("o_custkey") % 3).cast("bigint")
+    )
+    publish_versioned(a.withColumn("bucket", F.lit(0).cast("bigint")), base)
+    publish_append(b, base, partition_by=["bucket"])
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("lake_chain")
+        .option("path", base)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.o_orderkey, r.o_custkey, r.o_totalprice, r.bucket)
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r.o_orderkey, r.o_custkey, r.o_totalprice, r.bucket)
+        for r in a.withColumn("bucket", F.lit(0).cast("bigint"))
+        .unionByName(b)
+        .collect()
+    }
+    assert got == want

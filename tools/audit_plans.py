@@ -557,6 +557,11 @@ EXPECT = {
     # MOR delete read: parent scan minus broadcast anti join, two-phase agg
     "lake_mor_delete_read": {"partial_agg": True, "broadcast_joins": 1,
                              "no_python_udf": True},
+    # metadata-only count: the WHOLE point is that no scan runs — the
+    # plan must be a driver-local 1-row relation, zero parquet scans
+    "lake_fast_count": {"no_python_udf": True,
+                        "plan_must_contain": ["Scan ExistingRDD"],
+                        "plan_must_not_contain": ["Scan parquet"]},
     # positional-vector read: parent scan minus TWO broadcast anti joins
     # (dedup layer + predicate layer, each on (file, pos) addresses),
     # two-phase agg — no data file was rewritten by either delete
