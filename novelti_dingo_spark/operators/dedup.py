@@ -995,3 +995,109 @@ def triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_triangles"),
         F.countDistinct("a").alias("n_apex_docs"),
     )
+
+
+# --- edit-distance similarity join (Ed-Join) -------------------------------
+
+# Edit-distance threshold and q-gram size for the Ed-Join query. Prefix
+# length is q*k + 1 grams: each edit destroys at most q positional
+# q-grams, so two strings within k edits mismatch at most q*k grams —
+# a pair sharing NO gram among each other's q*k+1 globally-rarest
+# grams (position-tolerant within k) is provably beyond the threshold.
+EDJOIN_K = 3
+EDJOIN_Q = 2
+
+
+@register(
+    "edit_distance_join",
+    f"""
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, 32) AS s
+      FROM documents WHERE doc_id < 1500
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS edit_dist
+    FROM d a JOIN d b ON b.doc_id > a.doc_id
+    WHERE levenshtein(a.s, b.s) <= {EDJOIN_K}
+    """,
+    survey_rows="L23,L2-exact,F1,W1",
+)
+def edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT edit-distance similarity self-join via positional q-gram
+    prefix filtering (Ed-Join — Xiao, Wang, Lin, VLDB'08): all document
+    pairs whose 32-char prefixes are within EDJOIN_K=3 edits — the
+    typo/OCR-noise member of the dedup family, complementing the
+    set-similarity (`jaccard_pairs_prefix_filter`) and sort-order
+    (`sorted_neighborhood_pairs`) blockers.
+
+    Candidate generation, never all-pairs: each string's positional
+    2-grams are ordered by global rarity (ascending document frequency,
+    gram then position as tiebreaks) and only the first q*k+1 = 7 grams
+    — the rarest 7 of 31 — enter the candidate equi-join on gram, with
+    the residual |pos_a - pos_b| <= k (an edit shifts surviving grams by
+    at most k positions). The count-filter lemma guarantees zero recall
+    loss: ed <= k destroys at most q*k positional grams, so some prefix
+    gram must survive position-tolerantly in the other string's prefix.
+    Hot grams land at the END of the rarity order and never generate
+    candidates. Only the candidate pairs (a vanishing fraction of n^2)
+    pay the O(len^2) Wagner-Fischer verification, JVM-side via
+    F.levenshtein.
+
+    Scale shape: gram df is a two-phase vocab-sized agg broadcast back;
+    the prefix cut is a per-doc window (doc_id partitions, no global
+    sort); the candidate join shuffles 7 grams/doc, not documents; the
+    verify join carries only candidate ids back to the 32-char strings.
+    The oracle is the naive quadratic join — the hash match proves the
+    pruning is lossless. tests/test_dedup.py pins the same equivalence
+    against a naive Spark join at sf0.001."""
+    from pyspark.sql import Window
+
+    k, q = EDJOIN_K, EDJOIN_Q
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 1500)
+        .select("doc_id", F.substring("text", 1, 32).alias("s"))
+    )
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(s) - {q - 1}),"
+                f" i -> substring(s, i, {q}))"
+            )
+        ).alias("gpos", "gram"),
+    )
+    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "gram", "gpos")
+    prefix = (
+        grams.join(F.broadcast(dfreq), "gram")
+        .select(
+            "doc_id", "gram", "gpos", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= q * k + 1)
+        .select("doc_id", "gram", "gpos")
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "gram", F.col("gpos").alias("pa")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "gram", F.col("gpos").alias("pb")
+    )
+    cand = (
+        a.join(b, "gram")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("pa") - F.col("pb")) <= k)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    dist = F.levenshtein("sa", "sb")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(dist <= k)
+        .select("doc_a", "doc_b", dist.cast("long").alias("edit_dist"))
+    )

@@ -210,3 +210,39 @@ def test_two_phase_cc_self_pairs_and_empty(spark):
     assert _labels(connected_components_two_phase(pairs)) == {7: 7, 3: 3, 9: 3}
     empty = spark.createDataFrame([], "a_id long, b_id long")
     assert _labels(connected_components_two_phase(empty)) == {}
+
+
+def test_edit_distance_join_matches_naive(spark, sf_small):
+    """Ed-Join's q-gram prefix pruning is lossless: the blocked join's
+    output equals the naive quadratic levenshtein join on the same
+    corpus — every pair within k edits survives the prefix filter."""
+    from pyspark.sql import functions as F
+
+    from novelti_dingo_spark.operators.dedup import (
+        EDJOIN_K,
+        edit_distance_join,
+    )
+    from novelti_dingo_spark.sources import load_table
+
+    got = {
+        (r.doc_a, r.doc_b, r.edit_dist)
+        for r in edit_distance_join(spark, sf_small).collect()
+    }
+    d = (
+        load_table(spark, sf_small, "documents")
+        .filter(F.col("doc_id") < 1500)
+        .select("doc_id", F.substring("text", 1, 32).alias("s"))
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    naive = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", F.levenshtein("sa", "sb").alias("edit_dist")
+        )
+        .filter(F.col("edit_dist") <= EDJOIN_K)
+    )
+    want = {(r.doc_a, r.doc_b, r.edit_dist) for r in naive.collect()}
+    assert got == want
+    assert len(want) > 0  # the corpus actually exercises the path

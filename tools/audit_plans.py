@@ -242,6 +242,11 @@ EXPECT = {
     "sorted_neighborhood_multipass": {"hash_join_not_nlj": True,
                                       "no_python_udf": True,
                                       "max_scan_cols": 2},
+    # Ed-Join: candidate generation is the prefix-gram equi-join with the
+    # position band as residual (never NLJ); gram df is a two-phase agg
+    # broadcast back; verification joins carry ids, not documents
+    "edit_distance_join": {"hash_join_not_nlj": True, "partial_agg": True,
+                           "no_python_udf": True, "max_scan_cols": 2},
     # round-4 additions
     # streaming-ready top-k: one (window × type) group shuffle, partial
     # collect_list aggregation, explode is a post-agg projection
