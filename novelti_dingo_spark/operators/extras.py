@@ -2365,6 +2365,116 @@ def lake_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_hidden_partition_read",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-20 23:59:59'
+    GROUP BY event_type
+    """,
+    survey_rows="S5,S3,P2,A1,hidden-partitioning",
+)
+def lake_hidden_partition_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN PARTITIONING at the correctness gate (the Iceberg
+    partition-transform pattern): events are published as a two-segment
+    append chain laid out by day(ts) — a DERIVED partition value the
+    table schema never shows — and this 11-day revenue window runs
+    through `read_chain_pruned` on the RAW ts column: the manifest's
+    transform spec maps the range to day-directory bounds on the driver
+    and 19 of 30 day directories are never touched (pytest pins the
+    exact file accounting). The oracle aggregates the original parquet
+    with a plain WHERE — the hash match proves the derived layout and
+    the pruning are invisible to query semantics.
+
+    At 100 TB this is what keeps time-windowed queries O(window): users
+    write `WHERE ts BETWEEN ...` with no layout knowledge (the classic
+    hive mistake — forgetting the `AND day = ...` predicate twin — is
+    structurally impossible), and the scan schedules tasks only for
+    in-window partitions."""
+    import tempfile
+
+    from ..pipelines import (
+        publish_append,
+        publish_versioned,
+        read_chain_pruned,
+    )
+    from ..sources import lakefs
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "events_hidden"
+    )
+    spec = {"source": "ts", "kind": "day"}
+    e = load_table(spark, sf_dir, "events")
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        publish_versioned(
+            e.filter(F.col("ts") < "2024-01-16"), base,
+            partition_transform=spec,
+        )
+        publish_append(
+            e.filter(F.col("ts") >= "2024-01-16"), base,
+            partition_transform=spec,
+        )
+    df, _, _ = read_chain_pruned(
+        spark, base, "ts",
+        "2024-01-10 00:00:00", "2024-01-20 23:59:59",
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "lake_bucket_lookup",
+    """
+    SELECT count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           count(DISTINCT event_type) AS n_types
+    FROM events
+    WHERE user_id = 7
+    """,
+    survey_rows="S5,P2,A5,hidden-partitioning",
+)
+def lake_bucket_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden BUCKET partitioning point lookup: events are published
+    bucketed on hash(user_id) % 8 (a derived layout the schema never
+    shows) and the per-user lookup recomputes the bucket for the probe
+    value on the driver, reading ONE of 8 directories — the layout IS
+    the point index, no secondary index build needed (contrast
+    `read_point_lookup`, which pays an index job per version). The
+    oracle scans the raw parquet with a plain WHERE; the hash match
+    proves bucket routing loses no rows. tests/test_hidden_partition.py
+    pins the 1-of-8 file accounting and the xxhash64 type-cast rule
+    that keeps routing stable across widening evolution."""
+    import tempfile
+
+    from ..pipelines import publish_versioned, read_bucket_lookup
+    from ..sources import lakefs
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "events_bucket"
+    )
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        publish_versioned(
+            load_table(spark, sf_dir, "events"), base,
+            partition_transform={
+                "source": "user_id", "kind": "bucket", "n": 8,
+            },
+        )
+    df, _, _ = read_bucket_lookup(spark, base, "user_id", 7)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@register(
     "lake_pos_delete_read",
     """
     SELECT o_orderpriority,

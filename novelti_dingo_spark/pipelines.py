@@ -693,6 +693,69 @@ def _finish_publish_checked(
     return v, audit
 
 
+# Hidden-partitioning transforms (Iceberg-style): partition data by a
+# DERIVED value of a source column without the column ever entering the
+# table schema — readers keep filtering on the raw column and the format
+# maps raw-range predicates to partition-directory bounds. Range-prunable
+# kinds are order-preserving; `bucket` serves point lookups only.
+_TRANSFORM_RANGE_KINDS = {"day", "month", "hour", "truncate"}
+
+
+def _transform_expr(schema, spec: dict):
+    """(derived column name, Column expr) for a partition-transform
+    spec {"source", "kind", and "n" (bucket) / "width" (truncate)}.
+    The derived name embeds kind+source so a chain can evolve between
+    transforms without directory-name collisions."""
+    from pyspark.sql.types import NumericType, StringType
+
+    src, kind = spec["source"], spec["kind"]
+    name = f"_hp_{kind}_{src}"
+    col = F.col(src)
+    if kind == "day":
+        return name, F.date_format(col, "yyyy-MM-dd")
+    if kind == "month":
+        return name, F.date_format(col, "yyyy-MM")
+    if kind == "hour":
+        return name, F.date_format(col, "yyyy-MM-dd-HH")
+    if kind == "bucket":
+        return name, F.pmod(F.xxhash64(col), F.lit(int(spec["n"]))).cast(
+            "int"
+        )
+    if kind == "truncate":
+        w = int(spec["width"])
+        dt = schema[src].dataType
+        if isinstance(dt, StringType):
+            return name, F.substring(col, 1, w)
+        if isinstance(dt, NumericType):
+            return name, (F.floor(col / w) * w).cast("long")
+        raise ValueError(
+            f"truncate transform needs a string or numeric source, got "
+            f"{dt.simpleString()} for {src!r}"
+        )
+    raise ValueError(f"unknown partition transform kind {kind!r}")
+
+
+def _transform_bounds(spec: dict, lo, hi):
+    """Map a raw-column range [lo, hi] (serialized domain: ISO strings
+    for timestamps, numerics natively) to the transform's partition-value
+    bounds — the driver-side mirror of _transform_expr, conservative by
+    construction because every range-prunable transform is monotone."""
+    kind = spec["kind"]
+    if kind == "day":
+        return str(lo)[:10], str(hi)[:10]
+    if kind == "month":
+        return str(lo)[:7], str(hi)[:7]
+    if kind == "hour":
+        norm = lambda s: str(s).replace("T", "-").replace(" ", "-")[:13]  # noqa: E731
+        return norm(lo), norm(hi)
+    if kind == "truncate":
+        w = int(spec["width"])
+        if isinstance(lo, str):
+            return lo[:w], hi[:w]
+        return (int(lo) // w) * w, (int(hi) // w) * w
+    raise ValueError(f"transform kind {kind!r} is not range-prunable")
+
+
 def publish_versioned(
     df: DataFrame,
     base_dir: str,
@@ -702,6 +765,7 @@ def publish_versioned(
     stats_cols: list[str] | None = None,
     ndv_cols: list[str] | None = None,
     staged: bool = False,
+    partition_transform: dict | None = None,
 ) -> int:
     """Versioned dataset publish: write to `base_dir/v=N/` (N = next
     version), then flip the `base_dir/LATEST` pointer to it, and drop a
@@ -738,6 +802,27 @@ def publish_versioned(
             "stats_cols requires partition_by=None — partitioned layouts "
             "get directory-based partition pruning instead"
         )
+    write_df = df
+    if partition_transform:
+        # HIDDEN PARTITIONING (Iceberg partition transforms): the layout
+        # is hive-partitioned on a DERIVED column, but the table schema
+        # (and every reader's view) stays the raw columns — the manifest
+        # records the spec so range reads on the SOURCE column prune
+        # directories through the transform
+        if partition_by:
+            raise ValueError(
+                "partition_transform and partition_by are mutually "
+                "exclusive — a transform IS the partition spec"
+            )
+        if stats_cols:
+            raise ValueError(
+                "stats_cols and partition_transform are mutually "
+                "exclusive — the transform directories are the skipping "
+                "index"
+            )
+        hp_name, hp_expr = _transform_expr(df.schema, partition_transform)
+        write_df = df.withColumn(hp_name, hp_expr)
+        partition_by = [hp_name]
     spark = df.sparkSession
     lakefs.mkdirs(spark, base_dir)
     existing = [
@@ -759,7 +844,7 @@ def publish_versioned(
         obs_aggs.append(
             F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls_{c}")
         )
-    instrumented = df.observe(obs, *obs_aggs)
+    instrumented = write_df.observe(obs, *obs_aggs)
     writer = instrumented.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -781,6 +866,10 @@ def publish_versioned(
         # recorded so chain readers plan this snapshot under its hive
         # layout (same key publish_append uses for spec evolution)
         manifest["partition_by"] = partition_by
+    if partition_transform:
+        manifest["partition_transform"] = {
+            **partition_transform, "col": partition_by[0],
+        }
     if ndv_cols:
         manifest["column_stats"] = {
             c: {
@@ -1009,6 +1098,7 @@ def publish_append(
     renames: dict[str, str] | None = None,
     drops: list[str] | None = None,
     branch: str | None = None,
+    partition_transform: dict | None = None,
 ) -> int:
     """Incremental APPEND publish: write only `df`'s rows into the new
     version directory and record `parent` = the previous version in the
@@ -1075,7 +1165,27 @@ def publish_append(
     from .sources import lakefs
 
     spark = df.sparkSession
-    if partition_by:
+    write_df = df
+    if partition_transform:
+        # hidden partitioning on an append segment — partition-spec
+        # evolution composes: earlier segments may be flat, raw-hive,
+        # or a different transform; chain readers plan each under its
+        # own spec and range reads prune through each spec's mapping
+        if partition_by:
+            raise ValueError(
+                "partition_transform and partition_by are mutually "
+                "exclusive — a transform IS the partition spec"
+            )
+        if stats_cols:
+            raise ValueError(
+                "stats_cols and partition_transform are mutually "
+                "exclusive — the transform directories are the skipping "
+                "index"
+            )
+        hp_name, hp_expr = _transform_expr(df.schema, partition_transform)
+        write_df = df.withColumn(hp_name, hp_expr)
+        partition_by = [hp_name]
+    elif partition_by:
         missing = [c for c in partition_by if c not in df.columns]
         if missing:
             raise ValueError(
@@ -1165,7 +1275,7 @@ def publish_append(
     from pyspark.sql import Observation
 
     obs = Observation(f"append_v{version}")
-    writer = df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+    writer = write_df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
         "errorifexists"
     )
     if partition_by:
@@ -1197,6 +1307,10 @@ def publish_append(
         manifest["dropped_columns"] = list(drops)
     if partition_by:
         manifest["partition_by"] = partition_by
+    if partition_transform:
+        manifest["partition_transform"] = {
+            **partition_transform, "col": partition_by[0],
+        }
     if stats_cols:
         stats = _footer_file_stats(spark, out, stats_cols)
         if stats is None:
@@ -2072,7 +2186,22 @@ def read_chain_pruned(
         if pb:
             dirs = _partition_dirs(spark, vdir, pb[0])
             total += sum(n for _, _, n in dirs)
-            if seg_col == pb[0]:
+            pt = m.get("partition_transform")
+            if (
+                pt
+                and pt["source"] == seg_col
+                and pt["kind"] in _TRANSFORM_RANGE_KINDS
+            ):
+                # hidden partitioning: translate the RAW-column range
+                # through the (monotone) transform into partition-value
+                # bounds — the reader never names the derived column
+                plo, phi = _transform_bounds(pt, lo, hi)
+                keep = [
+                    (d, n)
+                    for d, v, n in dirs
+                    if _pv_in_range(v, plo, phi)
+                ]
+            elif seg_col == pb[0]:
                 keep = [
                     (d, n)
                     for d, v, n in dirs
@@ -2127,6 +2256,86 @@ def read_chain_pruned(
     if paths:
         flat = spark.read.schema(schema).parquet(*paths)
         branches.insert(0, flat)
+    if not branches:
+        df, _ = read_version_chain(spark, base_dir, version)
+        return df.filter(F.lit(False)), total, 0
+    return _union_all(branches).filter(pred), total, n_read
+
+
+def read_bucket_lookup(
+    spark: SparkSession,
+    base_dir: str,
+    col: str,
+    value,
+    version: int | None = None,
+):
+    """Point lookup through HIDDEN bucket partitioning: a segment
+    published with partition_transform {"kind": "bucket", "n": N} on
+    `col` stores each row under `_hp_bucket_col=hash(col) % N` — the
+    lookup recomputes the bucket for `value` (same JVM xxhash64, cast to
+    the segment's column type, so widening evolution can't skew it) and
+    reads exactly ONE of N directories. Chain-aware: transform segments
+    prune to their bucket, other segments read whole with the filter
+    pushed down (conservative). Returns (DataFrame, n_files_total,
+    n_files_read) — the same accounting contract as read_point_lookup,
+    but needing no secondary index build: the layout IS the index.
+
+    At 100 TB with N=1024 the lookup touches 0.1% of the data before
+    any row filter runs, for free at publish time — the hash-layout
+    counterpart of footer-stats pruning (ranges) and file indexes
+    (arbitrary point columns)."""
+    base = base_dir.rstrip("/")
+    chain = _resolve_chain(spark, base, version)
+    if _mor_record(chain[0]):
+        data_v, _ = _mor_layers(spark, base, chain[0])
+        df, total, n_read = read_bucket_lookup(
+            spark, base_dir, col, value, version=data_v
+        )
+        return _apply_mor(spark, df, base, chain[0]), total, n_read
+    schema = _chain_merged_schema(chain)
+    aliases = _chain_aliases(chain)
+    branches = []
+    total = 0
+    n_read = 0
+    for m in chain:
+        vdir = f"{base}/v={m['version']}"
+        seg_col = aliases[m["version"]].get(col, col)
+        pt = m.get("partition_transform")
+        pb = m.get("partition_by") or []
+        if pt and pt["kind"] == "bucket" and pt["source"] == seg_col:
+            dirs = _partition_dirs(spark, vdir, pb[0])
+            total += sum(n for _, _, n in dirs)
+            dtype = _manifest_schema(m)[seg_col].dataType
+            bucket = (
+                spark.range(1)
+                .select(
+                    F.pmod(
+                        F.xxhash64(F.lit(value).cast(dtype)),
+                        F.lit(int(pt["n"])),
+                    ).cast("int").alias("b")
+                )
+                .collect()[0]["b"]
+            )
+            keep = [(d, n) for d, v, n in dirs if _pv_eq(d, v, bucket)]
+            n_read += sum(n for _, n in keep)
+            if keep:
+                branches.append(
+                    _segment_read(
+                        spark, base, m, schema,
+                        sub_paths=[f"{vdir}/{d}" for d, _ in keep],
+                        aliases=aliases[m["version"]],
+                    )
+                )
+            continue
+        n = _count_parquet_recursive(spark, vdir)
+        total += n
+        n_read += n
+        branches.append(
+            _segment_read(
+                spark, base, m, schema, aliases=aliases[m["version"]],
+            )
+        )
+    pred = F.col(col) == F.lit(value)
     if not branches:
         df, _ = read_version_chain(spark, base_dir, version)
         return df.filter(F.lit(False)), total, 0
@@ -2238,8 +2447,15 @@ def read_version(spark: SparkSession, base_dir: str, version: int | None = None)
             df, _ = read_version_chain(spark, base, data_v)
         else:
             df = spark.read.parquet(f"{base}/v={data_v}")
+            if dm.get("partition_transform"):
+                df = df.drop(dm["partition_transform"]["col"])
         return _apply_mor(spark, df, base, manifest), manifest
-    return spark.read.parquet(out), manifest
+    df = spark.read.parquet(out)
+    if manifest.get("partition_transform"):
+        # hidden partitioning: the derived layout column is format
+        # metadata, never part of the table the reader sees
+        df = df.drop(manifest["partition_transform"]["col"])
+    return df, manifest
 
 
 def read_version_pruned(
@@ -2850,11 +3066,15 @@ def delete_rows_mor(
             "delete_rows_mor needs at least one key — an empty vector "
             "commit would be a no-op version"
         )
-    if pm.get("partition_by"):
+    if pm.get("partition_by") and not pm.get("partition_transform"):
         raise ValueError(
             "delete_rows_mor targets flat snapshots; compact the "
             "partitioned version first"
         )
+    # a hidden-partitioned (transform) head IS a legal target: its
+    # layout column is format metadata, resolution reads through
+    # read_version/read_version_chain which plan the hive dirs and
+    # drop the derived column before the vector subtraction
     # an append-chain head is a legal target: the vector then applies
     # to the RESOLVED chain (readers subtract it after the chain union)
     # — deleting from a growing chain without forcing a compaction

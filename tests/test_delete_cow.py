@@ -339,11 +339,13 @@ def test_mor_time_travel_by_timestamp(spark, sf_small, tmp_path):
     assert m2["version"] == 2 and df_after.count() == o.count() - 2
 
 
-def test_cow_and_index_refuse_mor_head(spark, sf_small, tmp_path):
-    """COW rewrites and file-index builds on a MOR head are refused:
-    the version dir holds only the vector — a COW rewrite of its zero
-    files would publish an EMPTY table, and an index over the parent's
-    files would resurface deleted rows."""
+def test_index_refuses_mor_head_but_cow_folds(spark, sf_small, tmp_path):
+    """File-index builds on a MOR head are refused (an index over the
+    parent's files would resurface deleted rows). COW mutations on a
+    MOR head are NOT refused anymore — they fold the vector stack into
+    one fused rewrite commit (behavior pinned in
+    tests/test_pos_delete.py::test_cow_over_mor_folds_stack); here we
+    just pin that the fold result is correct on the equality kind."""
     import pytest
 
     from novelti_dingo_spark.pipelines import (
@@ -351,7 +353,7 @@ def test_cow_and_index_refuse_mor_head(spark, sf_small, tmp_path):
         delete_rows_cow,
         delete_rows_mor,
         publish_versioned,
-        update_rows_cow,
+        read_version,
     )
     from pyspark.sql import functions as F
 
@@ -362,13 +364,13 @@ def test_cow_and_index_refuse_mor_head(spark, sf_small, tmp_path):
     publish_versioned(o, base)
     delete_rows_mor(spark, base, "o_orderkey", [1])
     with pytest.raises(ValueError, match="materialize_mor"):
-        delete_rows_cow(spark, base, "o_orderkey", [2])
-    with pytest.raises(ValueError, match="materialize_mor"):
-        update_rows_cow(
-            spark, base, "o_orderkey", [2], {"o_totalprice": F.lit(0.0)}
-        )
-    with pytest.raises(ValueError, match="materialize_mor"):
         build_file_index(spark, base, "o_orderkey")
+    delete_rows_cow(spark, base, "o_orderkey", [2])
+    df, m = read_version(spark, base)
+    assert df.filter(F.col("o_orderkey").isin([1, 2])).count() == 0
+    assert df.count() == o.count() - 2
+    # the fused commit is a physical snapshot again: indexing works now
+    build_file_index(spark, base, "o_orderkey")
 
 
 def test_point_lookup_through_mor_vector(spark, sf_small, tmp_path):

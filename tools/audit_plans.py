@@ -567,6 +567,12 @@ EXPECT = {
     "lake_fast_count": {"no_python_udf": True,
                         "plan_must_contain": ["Scan ExistingRDD"],
                         "plan_must_not_contain": ["Scan parquet"]},
+    # hidden partitioning: two pruned segment scans unioned, residual
+    # raw-column filter, two-phase agg — never a Python surface
+    "lake_hidden_partition_read": {"partial_agg": True,
+                                   "no_python_udf": True},
+    # bucket point lookup: one directory's scan + residual filter + agg
+    "lake_bucket_lookup": {"partial_agg": True, "no_python_udf": True},
     # positional-vector read: parent scan minus TWO broadcast anti joins
     # (dedup layer + predicate layer, each on (file, pos) addresses),
     # two-phase agg — no data file was rewritten by either delete
