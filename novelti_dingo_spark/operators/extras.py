@@ -2365,6 +2365,68 @@ def lake_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_change_feed",
+    """
+    WITH changes AS (
+      SELECT 'insert' AS change_type, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 1
+      UNION ALL
+      SELECT 'delete', o_totalprice
+      FROM orders WHERE o_orderkey IN (1, 2, 3)
+    )
+    SELECT change_type, count(*) AS n_rows,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM changes GROUP BY change_type
+    """,
+    survey_rows="S5,ST14,A1,change-data-feed",
+)
+def lake_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CHANGE DATA FEED at the correctness gate (the Delta
+    table_changes / Iceberg incremental-read contract): orders becomes a
+    full publish + an append + an equality-vector delete, and
+    `pipelines.table_changes(v1, v3)` replays exactly what changed —
+    the append's rows as 'insert' (read from the segment alone,
+    O(batch)) and the vector's victims as 'delete' (parent semi-joined
+    to the O(keys) vector). The oracle reconstructs the same multiset
+    from the raw table declaratively; the hash match proves the feed
+    neither loses, duplicates, nor mis-tags a row. Compactions emit
+    nothing (pinned in tests/test_change_feed.py) — the same
+    no-re-flood rule the lake streaming source enforces.
+
+    At 100 TB the feed is the incremental-consumer contract: each sync
+    reads O(changes), never O(table), and commit-kind metadata keeps
+    the common paths (append, equality delete) row-addressed."""
+    import tempfile
+
+    from ..pipelines import (
+        delete_rows_mor,
+        publish_append,
+        publish_versioned,
+        table_changes,
+    )
+    from ..sources import lakefs
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "orders_cdf"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        publish_versioned(o.filter("o_orderkey % 2 = 0"), base)
+        publish_append(o.filter("o_orderkey % 2 = 1"), base)
+        delete_rows_mor(spark, base, "o_orderkey", [1, 2, 3])
+    feed = table_changes(spark, base, 1, 3)
+    return feed.groupBy(
+        F.col("_change_type").alias("change_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
     "lake_hidden_partition_read",
     """
     SELECT event_type,

@@ -573,6 +573,10 @@ EXPECT = {
                                    "no_python_udf": True},
     # bucket point lookup: one directory's scan + residual filter + agg
     "lake_bucket_lookup": {"partial_agg": True, "no_python_udf": True},
+    # change feed: append segment scan unioned with the parent semi-
+    # joined to the broadcast delete vector, then a two-phase agg
+    "lake_change_feed": {"partial_agg": True, "no_python_udf": True,
+                         "broadcast_joins": 1},
     # positional-vector read: parent scan minus TWO broadcast anti joins
     # (dedup layer + predicate layer, each on (file, pos) addresses),
     # two-phase agg — no data file was rewritten by either delete
