@@ -1224,7 +1224,22 @@ def publish_append(
         # unpromoted/branch data into main
         parent = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
     else:
-        parent = max(existing, default=None)
+        # no LATEST: no published line exists yet, so any version on
+        # disk is an unpromoted WAP candidate (publish_staged on a
+        # fresh base) or an aborted/superseded one awaiting vacuum.
+        # Chaining off max(existing) would hang main onto un-audited
+        # staged bytes the moment this append flips LATEST — the exact
+        # leak WAP exists to prevent. Refuse while a candidate is
+        # pending; otherwise start a fresh line.
+        if lakefs.exists(spark, f"{base}/STAGED"):
+            raise ValueError(
+                f"{base} has a STAGED candidate but no published "
+                "LATEST — appending would make un-audited staged data "
+                "readable from main; promote_staged/abort_staged the "
+                "candidate first, or publish a base snapshot with "
+                "publish_versioned"
+            )
+        parent = None
     added_columns: list[str] = []
     widened_columns: dict[str, list[str]] = {}
     if (renames or drops) and parent is None:
@@ -3048,10 +3063,16 @@ def delete_rows_mor(
     deleted rows (read through read_version / read_version_pruned,
     which apply the vectors; or materialize).
 
-    Targets full snapshots or MOR layers only (like the COW path:
-    append chains have no single parent snapshot — compact first).
-    Returns (new_version, n_rows_deleted) where the count is measured
-    against the RESOLVED parent (already-deleted keys count zero)."""
+    Legal targets: full snapshots, MOR layers, hidden-partitioned
+    (transform) heads, AND append-chain heads — for a chain the vector
+    applies to the RESOLVED chain (readers subtract the keys after the
+    chain union), so keys can be deleted from a growing chain without
+    forcing a compaction first. Only a RAW-hive-partitioned head is
+    refused (compact it first); the flat-snapshot restriction belongs
+    to POSITIONAL deletes, which need a stable (file, pos) address
+    space (see `delete_rows_pos`). Returns (new_version,
+    n_rows_deleted) where the count is measured against the RESOLVED
+    parent (already-deleted keys count zero)."""
     import json
 
     from .sources import lakefs

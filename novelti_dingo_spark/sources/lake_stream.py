@@ -94,13 +94,21 @@ def _manifest_schema(m: dict) -> StructType:
 
 
 def _ancestor_set(base: str, head: int) -> set[int]:
-    """Versions on the history of `head` (append-parent and MOR-parent
-    links, head included). The offset cursor walks version NUMBERS,
-    which are globally unique but INTERLEAVED once named branches (or
-    orphaned WAP candidates) exist — emission must restrict to the
-    subscribed line's own ancestry or a main subscriber would ingest
-    branch commits that happen to carry higher numbers. O(chain)
-    driver-side manifest JSON per batch."""
+    """Versions on the history of `head` (append-parent, MOR-parent,
+    and `compacted_from` links, head included). The offset cursor walks
+    version NUMBERS, which are globally unique but INTERLEAVED once
+    named branches (or orphaned WAP candidates) exist — emission must
+    restrict to the subscribed line's own ancestry or a main subscriber
+    would ingest branch commits that happen to carry higher numbers.
+
+    `compacted_from` MUST be traversed: a compaction commit carries no
+    parent link, so without it the segments it folded (and their
+    ancestry) would fall out of this set — a subscriber whose cursor
+    lags the compaction would then skip the un-emitted appends AND the
+    compaction commit itself, advance its offset past both, and lose
+    those rows permanently. Superseded-but-same-line versions stay
+    emittable to lagging subscribers; branch/WAP-orphan versions stay
+    excluded. O(chain) driver-side manifest JSON per batch."""
     out: set[int] = set()
     todo = [head]
     while todo:
@@ -108,12 +116,22 @@ def _ancestor_set(base: str, head: int) -> set[int]:
         if v in out:
             continue
         out.add(v)
-        m = _read_manifest(base, v)
+        try:
+            m = _read_manifest(base, v)
+        except RuntimeError:
+            # a folded segment already reclaimed by vacuum: keep the
+            # version IN the set so a lagging subscriber that still
+            # needs it hits _read_manifest's explicit vacuumed-offset
+            # error in _emit (loud retention-window failure) instead of
+            # silently treating it as another branch's commit
+            continue
         if m.get("append") and m.get("parent") is not None:
             todo.append(int(m["parent"]))
         rec = m.get("mor_delete") or m.get("pos_delete")
         if rec:
             todo.append(int(rec["parent"]))
+        for fv in m.get("compacted_from") or []:
+            todo.append(int(fv))
     return out
 
 
@@ -287,8 +305,25 @@ class LakeChainStreamReader(SimpleDataSourceStreamReader):
                     hive_vals[c] = int(raw)
                 elif kind in ("float", "double"):
                     hive_vals[c] = float(raw)
-                else:
+                elif kind == "string":
                     hive_vals[c] = raw
+                elif kind == "date":
+                    import datetime
+
+                    hive_vals[c] = datetime.date.fromisoformat(raw)
+                elif kind == "boolean":
+                    hive_vals[c] = raw.lower() == "true"
+                elif kind.startswith("decimal"):
+                    import decimal
+
+                    hive_vals[c] = decimal.Decimal(raw)
+                else:
+                    # unhandled partition type (timestamp, binary, …):
+                    # injecting the raw directory string into a typed
+                    # field would corrupt the fixed stream schema —
+                    # emit NULL for this column instead (conservative:
+                    # the value is layout metadata we cannot decode)
+                    hive_vals[c] = None
             present = [
                 n
                 for n in self.schema_names

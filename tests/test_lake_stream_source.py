@@ -155,6 +155,87 @@ def test_compaction_not_reemitted(spark, sf_small, tmp_path):
     }
 
 
+def test_lagging_subscriber_gets_appends_folded_by_compaction(
+    spark, sf_small, tmp_path
+):
+    """A subscriber whose cursor lags a compaction must still receive
+    the append segments the compaction folded (regression: the ancestry
+    filter did not traverse `compacted_from`, so the lagging consumer
+    skipped the un-emitted appends AND the compaction commit, advanced
+    its offset past both, and lost those rows permanently)."""
+    from novelti_dingo_spark.pipelines import compact_chain
+
+    base = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    log = str(tmp_path / "p.json")
+    o, a, b, c = _publish(spark, sf_small, base)  # v1 + v2
+    register_lake_stream_source(spark)
+    _run_stream(spark, base, ckpt, sink, log)  # consumed through v2
+    first = _sink_rows(spark, sink)
+    # while the subscriber is away: one more append, then a compaction
+    publish_append(
+        c.repartitionByRange(2, "o_orderkey"), base,
+        stats_cols=["o_orderkey"],
+    )
+    compact_chain(spark, base, stats_cols=["o_orderkey"])
+    _run_stream(spark, base, ckpt, sink, log)
+    new = _sink_rows(spark, sink) - first
+    expect_new = {
+        (r.o_orderkey, r.o_custkey, r.o_totalprice)
+        for r in c.filter(F.col("o_orderkey").between(LO, HI)).collect()
+    }
+    # the folded append arrives exactly once; the compaction commit
+    # itself (whose rows this consumer now has in full) is not re-emitted
+    assert new == expect_new and new
+    assert len(_sink_rows(spark, sink)) == len(first) + len(new)
+
+
+def test_stream_decodes_date_and_boolean_hive_partitions(
+    spark, sf_small, tmp_path
+):
+    """Hive directory values of date/boolean partition columns must be
+    decoded to their typed Python values (regression: the raw directory
+    string was injected into the typed stream schema, corrupting
+    emitted tuples for non-int/float/string partition types)."""
+    base = str(tmp_path / "lake")
+    o = (
+        load_table(spark, sf_small, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .limit(200)
+    )
+    a = o.withColumn("d", F.to_date("o_orderdate")).drop("o_orderdate")
+    lo, hi = a.filter("o_orderkey % 2 = 0"), a.filter("o_orderkey % 2 = 1")
+    publish_versioned(lo, base)
+    publish_append(hi, base, partition_by=["d"])
+    b2 = str(tmp_path / "lake_bool")
+    ab = a.withColumn("flag", F.col("o_orderkey") % 4 < 2).drop("d")
+    blo, bhi = (
+        ab.filter("o_orderkey % 2 = 0"),
+        ab.filter("o_orderkey % 2 = 1"),
+    )
+    publish_versioned(blo, b2)
+    publish_append(bhi, b2, partition_by=["flag"])
+    register_lake_stream_source(spark)
+    for i, (lake, src) in enumerate(((base, a), (b2, ab))):
+        sink = str(tmp_path / f"sink_{i}")
+        q = (
+            spark.readStream.format("lake_chain")
+            .option("path", lake)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", sink + "_ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+        want = {tuple(r) for r in src.collect()}
+        assert got == want and got
+
+
 def test_fresh_stream_on_compacted_chain_gets_base_data(
     spark, sf_small, tmp_path
 ):

@@ -154,6 +154,32 @@ def test_append_parents_from_latest_not_staged_candidate(
     assert smani["version"] == 2 and staged.count() == 500
 
 
+def test_append_on_staged_only_base_refused(spark, sf_small, tmp_path):
+    """A dataset whose FIRST commit is an unpromoted WAP candidate has
+    no published line at all — an append must not chain off the staged
+    version and flip LATEST over it (regression: the max(existing)
+    fallback made un-audited staged bytes readable from main)."""
+    from novelti_dingo_spark.pipelines import publish_append
+
+    base = os.path.join(str(tmp_path), "ds")
+    df = _orders(spark, sf_small)
+    publish_staged(df.limit(5), base)  # fresh base: no LATEST yet
+    with pytest.raises(ValueError, match="STAGED"):
+        publish_append(df.limit(3), base)
+    # candidate untouched and still promotable; main still unreadable
+    staged, smani = read_staged(spark, base)
+    assert staged.count() == 5 and smani["staged"] is True
+    assert not lakefs.exists(spark, f"{base}/LATEST")
+    v = promote_staged(spark, base, require_audit_pass=False)
+    got, mani = read_version(spark, base)
+    assert mani["version"] == v and got.count() == 5
+    # and appends work normally once a published line exists
+    publish_append(df.limit(3), base)
+    from novelti_dingo_spark.pipelines import read_version_chain
+
+    assert read_version_chain(spark, base)[0].count() == 8
+
+
 def test_promotion_refuses_moved_base(spark, sf_small, tmp_path):
     """If main moved after staging, promotion would discard the new
     commit — refused unless explicitly overridden."""
