@@ -1,0 +1,361 @@
+"""Statistical-test operators: distribution drift (two-sample
+Kolmogorov-Smirnov), mean comparison (Welch's t), and time-to-event
+survival (Kaplan-Meier). These are the inference queries an analytics
+user runs AFTER the descriptive ones (PSI, chi-square, winsorized means
+— all already registered): "did the distribution move", "is the
+difference real", "how long until conversion, given censoring".
+
+All three reduce to §2 primitives — grouped aggregation, a window
+cumsum over a GROUPED (bounded-domain) key, and scalar math — so the
+corpus is never shuffled more than once and nothing is iterative.
+Exactness discipline: integer counts divide as doubles (identical IEEE
+both engines), decimal-cast sums where sums feed the statistic, libm
+outputs rounded to 6dp (the F3 guard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.io import load_table
+
+
+@register(
+    "ks_drift_totalprice",
+    """
+    WITH pts AS (
+      SELECT CAST(floor(o_totalprice) AS BIGINT) AS v,
+             CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END AS a,
+             CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END AS b
+      FROM orders
+      WHERE year(o_orderdate) IN (1995, 1996)
+    ), g AS (
+      SELECT v, sum(a) AS ca, sum(b) AS cb FROM pts GROUP BY v
+    ), cdf AS (
+      SELECT sum(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+             sum(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+             sum(ca) OVER () AS n_a,
+             sum(cb) OVER () AS n_b
+      FROM g
+    )
+    SELECT CAST(max(n_a) AS BIGINT) AS n_1995,
+           CAST(max(n_b) AS BIGINT) AS n_1996,
+           round(max(abs(CAST(cum_a AS DOUBLE) / n_a
+                         - CAST(cum_b AS DOUBLE) / n_b)), 6) AS ks_stat
+    FROM cdf
+    """,
+    survey_rows="A1,W3,stats-tests",
+)
+def ks_drift_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the 1995
+    and 1996 order-value distributions: D = max_x |F95(x) - F96(x)|,
+    computed on a whole-dollar grid (KS of the quantized distributions
+    is exact for the grid — and a fixed grid is what makes the operator
+    scale: the CDF cumsum runs over DISTINCT grid values, a bounded
+    domain, not over rows).
+
+    Plan shape: one partial-agg groupBy collapses the corpus to the
+    grid (≤ price-range rows), a single ordered cumsum window produces
+    both CDFs in one pass, and a global max reduces to one row. At
+    100 TB the grouped domain is ~10^5-10^6 cells regardless of row
+    count; if a finer grid ever mattered, the cumsum distributes via
+    rank.with_global_rank (repartitionByRange + broadcast offsets).
+    Exactness: cum/n is exact-int-to-double division — bit-identical
+    across engines; 6dp rounding is belt-and-braces."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.year("o_orderdate").alias("y"),
+            F.floor("o_totalprice").cast("bigint").alias("v"),
+        )
+        .filter(F.col("y").isin(1995, 1996))
+    )
+    g = o.groupBy("v").agg(
+        F.sum((F.col("y") == 1995).cast("long")).alias("ca"),
+        F.sum((F.col("y") == 1996).cast("long")).alias("cb"),
+    )
+    cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = g.select(
+        F.sum("ca").over(cum).alias("cum_a"),
+        F.sum("cb").over(cum).alias("cum_b"),
+    )
+    totals = g.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    return cdf.crossJoin(F.broadcast(totals)).agg(
+        F.max("n_a").cast("bigint").alias("n_1995"),
+        F.max("n_b").cast("bigint").alias("n_1996"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cum_a").cast("double") / F.col("n_a")
+                    - F.col("cum_b").cast("double") / F.col("n_b")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+@register(
+    "welch_ttest_priority",
+    """
+    WITH agg AS (
+      SELECT
+        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS n1,
+        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS s1,
+        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2)) END) AS ss1,
+        sum(CASE WHEN o_orderpriority = '5-LOW'
+                 THEN 1 ELSE 0 END) AS n2,
+        sum(CASE WHEN o_orderpriority = '5-LOW'
+                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS s2,
+        sum(CASE WHEN o_orderpriority = '5-LOW'
+                 THEN CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2)) END) AS ss2
+      FROM orders
+    ), st AS (
+      SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             CAST(s1 AS DOUBLE) / n1 AS m1,
+             CAST(s2 AS DOUBLE) / n2 AS m2,
+             (CAST(ss1 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+             / (n1 - 1) / n1 AS q1,
+             (CAST(ss2 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+             / (n2 - 1) / n2 AS q2
+      FROM agg
+    )
+    SELECT n1 AS n_high, n2 AS n_low,
+           round(m1, 2) AS mean_high, round(m2, 2) AS mean_low,
+           round((m1 - m2) / sqrt(q1 + q2), 6) AS t_stat,
+           round((q1 + q2) * (q1 + q2)
+                 / (q1 * q1 / (n1 - 1) + q2 * q2 / (n2 - 1)), 4)
+             AS dof_welch
+    FROM st
+    """,
+    survey_rows="A5,A6,T1,stats-tests",
+)
+def welch_ttest_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test: is mean order value different
+    between high-priority ('1-URGENT'/'2-HIGH') and '5-LOW' orders?
+    One conditional-aggregation pass (the A6 filtered-agg shape)
+    produces exact DECIMAL sums and sums-of-squares for both groups —
+    the whole test then evaluates on the driver-free 1-row frame:
+    t = (m1-m2)/sqrt(s1²/n1 + s2²/n2), dof by Welch-Satterthwaite.
+
+    Exactness: the sums are DECIMAL (no float summation-order hazard
+    at any scale); every double expression after that is written in
+    the same operation order on both engines, and sqrt is
+    IEEE-correctly-rounded, so t is bit-identical before the 6dp
+    rounding. One corpus scan, one partial agg, no shuffle beyond the
+    1-row reduce — the same cost as a count(*) at 100 TB."""
+    d = F.col("o_totalprice").cast("decimal(18,2)")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lo = F.col("o_orderpriority") == "5-LOW"
+    agg = load_table(spark, sf_dir, "orders").agg(
+        F.sum(F.when(hi, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(hi, d)).alias("s1"),
+        F.sum(F.when(hi, d * d)).alias("ss1"),
+        F.sum(F.when(lo, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(lo, d)).alias("s2"),
+        F.sum(F.when(lo, d * d)).alias("ss2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    st = agg.select(
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        (F.col("s1").cast("double") / n1).alias("m1"),
+        (F.col("s2").cast("double") / n2).alias("m2"),
+        (
+            (
+                F.col("ss1").cast("double")
+                - F.col("s1").cast("double")
+                * F.col("s1").cast("double")
+                / n1
+            )
+            / (n1 - 1)
+            / n1
+        ).alias("q1"),
+        (
+            (
+                F.col("ss2").cast("double")
+                - F.col("s2").cast("double")
+                * F.col("s2").cast("double")
+                / n2
+            )
+            / (n2 - 1)
+            / n2
+        ).alias("q2"),
+    )
+    q1, q2 = F.col("q1"), F.col("q2")
+    return st.select(
+        F.col("n1").alias("n_high"),
+        F.col("n2").alias("n_low"),
+        F.round("m1", 2).alias("mean_high"),
+        F.round("m2", 2).alias("mean_low"),
+        F.round(
+            (F.col("m1") - F.col("m2")) / F.sqrt(q1 + q2), 6
+        ).alias("t_stat"),
+        F.round(
+            (q1 + q2)
+            * (q1 + q2)
+            / (
+                q1 * q1 / (F.col("n1") - 1)
+                + q2 * q2 / (F.col("n2") - 1)
+            ),
+            4,
+        ).alias("dof_welch"),
+    )
+
+
+@register(
+    "survival_km_signup_purchase",
+    """
+    WITH horizon AS (SELECT max(ts) AS h FROM events),
+    s AS (
+      SELECT user_id, min(ts) AS st FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT s.user_id, min(e.ts) AS pt
+      FROM s JOIN events e
+        ON e.user_id = s.user_id
+       AND e.event_type = 'purchase' AND e.ts >= s.st
+      GROUP BY s.user_id
+    ),
+    u AS (
+      SELECT s.user_id,
+             CASE WHEN pt IS NOT NULL THEN 1 ELSE 0 END AS ev,
+             CAST(floor(date_diff('second', st, coalesce(pt, h))
+                        / 3600.0) AS BIGINT) AS dur_h
+      FROM s LEFT JOIN p ON s.user_id = p.user_id CROSS JOIN horizon
+    ),
+    g AS (
+      SELECT dur_h, sum(ev) AS d, count(*) - sum(ev) AS c
+      FROM u GROUP BY dur_h
+    ),
+    k AS (
+      SELECT dur_h, d, c,
+             (SELECT count(*) FROM u)
+             - coalesce(sum(d + c) OVER (ORDER BY dur_h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM g
+    ),
+    surv AS (
+      SELECT dur_h, d, c, n_risk,
+             sum(CASE WHEN d < n_risk
+                      THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                 END) OVER (ORDER BY dur_h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_ln
+      FROM k
+    )
+    SELECT dur_h, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
+           CASE WHEN d >= n_risk THEN 0.0
+                ELSE round(exp(cum_ln), 6) END AS survival
+    FROM surv
+    WHERE d > 0
+    ORDER BY dur_h
+    LIMIT 30
+    """,
+    survey_rows="A1,J5,W3,O2,stats-tests",
+)
+def survival_km_signup_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan-Meier survival for signup→first-purchase conversion with
+    RIGHT CENSORING: users who never purchase are censored at the
+    corpus horizon (they were at risk the whole observed window — a
+    naive conversion-latency average silently drops them and biases
+    fast). S(t) = Π_{t_i ≤ t} (1 - d_i / n_i) over event times, folded
+    as exp(Σ ln(1 - d/n)) so the cumulative product is one window
+    cumsum (libm outputs rounded 6dp, the F3 guard; a d = n_risk final
+    step short-circuits to exactly 0 on both engines, sidestepping
+    Spark's ln(0) → NULL vs DuckDB's -inf).
+
+    Plan shape: two per-user min-aggregations (signup, first qualifying
+    purchase — equi hash join on user_id with the ts residual), one
+    groupBy on the HOUR-quantized duration, then the at-risk/survival
+    windows run over that bounded domain (hours since signup ≤ corpus
+    span — thousands of rows at any corpus size). Purchases join
+    against the user table, not the reverse, so the event corpus
+    shuffles once on user_id. At 100 TB everything before the windows
+    is partial-agg + one shuffle; the window input is control-plane
+    sized."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    horizon = e.agg(F.max("ts").alias("h"))
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    p = (
+        s.join(
+            e.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+            ),
+            (F.col("p_user") == s.user_id) & (F.col("pts") >= F.col("st")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("pt"))
+    )
+    sec = F.unix_timestamp(F.coalesce("pt", "h")) - F.unix_timestamp("st")
+    u = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.col("pt").isNotNull().cast("long").alias("ev"),
+            F.floor(sec / 3600.0).cast("bigint").alias("dur_h"),
+        )
+    )
+    g = u.groupBy("dur_h").agg(
+        F.sum("ev").alias("d"),
+        (F.count(F.lit(1)) - F.sum("ev")).alias("c"),
+    )
+    total = u.agg(F.count(F.lit(1)).alias("n_total"))
+    prior = Window.orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    k = g.crossJoin(F.broadcast(total)).withColumn(
+        "n_risk",
+        F.col("n_total")
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(prior), F.lit(0)),
+    )
+    cum = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, 0)
+    surv = k.withColumn(
+        "cum_ln",
+        F.sum(
+            F.when(
+                F.col("d") < F.col("n_risk"),
+                F.log(
+                    F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")
+                ),
+            )
+        ).over(cum),
+    )
+    return (
+        surv.filter(F.col("d") > 0)
+        .select(
+            "dur_h",
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d").cast("bigint").alias("n_events"),
+            F.col("c").cast("bigint").alias("n_censored"),
+            F.when(F.col("d") >= F.col("n_risk"), F.lit(0.0))
+            .otherwise(F.round(F.exp("cum_ln"), 6))
+            .alias("survival"),
+        )
+        .orderBy("dur_h")
+        .limit(30)
+    )

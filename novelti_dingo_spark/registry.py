@@ -161,6 +161,8 @@ def _load_all() -> None:
         invindex,
         itemsets,
         journeys,
+        scalepat,
+        stats_tests,
     )
 
     _LOADED = True

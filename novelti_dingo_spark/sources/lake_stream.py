@@ -170,6 +170,17 @@ class LakeChainStreamReader(SimpleDataSourceStreamReader):
         self.lo = options.get("lo")
         self.hi = options.get("hi")
         self.prune_log = options.get("prune_log")
+        # admission control (the maxFilesPerTrigger analogue): cap how
+        # many chain versions one micro-batch may span, so a subscriber
+        # catching up after downtime ingests the backlog in bounded
+        # batches (bounded executor memory / sink transaction size)
+        # instead of one giant batch. Replay stays exactly-once: the
+        # cap only moves the END offset; readBetweenOffsets re-reads
+        # recorded intervals verbatim.
+        mv = options.get("max_versions_per_trigger")
+        self.max_versions = None if mv is None else int(mv)
+        if self.max_versions is not None and self.max_versions < 1:
+            raise ValueError("max_versions_per_trigger must be >= 1")
         # stats min/max compare as the column's Python type; options
         # arrive as strings — coerce numerics when they parse
         for attr in ("lo", "hi"):
@@ -202,6 +213,11 @@ class LakeChainStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         head = _latest(self.base, self.branch)
+        if self.max_versions is not None:
+            # cap counts version NUMBERS (cheap, monotone) — versions
+            # belonging to other lines inside the span are filtered by
+            # ancestry as usual and just make that batch smaller
+            head = min(head, start["version"] + self.max_versions)
         # iter(): the runner's prefetch cache (datasource_internal.
         # add_result_to_cache) consumes the rows with next(); a bare
         # list satisfies the simple path but not the cached one

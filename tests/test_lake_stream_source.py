@@ -293,6 +293,55 @@ def test_fresh_stream_after_vacuum_starts_at_chain_base(
     assert got == want and got
 
 
+def test_max_versions_per_trigger_bounds_each_batch(
+    spark, sf_small, tmp_path
+):
+    """Admission control: a subscriber catching up after downtime must
+    be able to ingest the backlog in bounded micro-batches (the
+    maxFilesPerTrigger analogue) — each read() spans at most N chain
+    versions, offsets advance monotonically, and the union of batches
+    is exactly the chain content (no loss, no duplication)."""
+    from novelti_dingo_spark.pipelines import read_version_chain
+    from novelti_dingo_spark.sources.lake_stream import (
+        LakeChainStreamReader,
+        _latest,
+        _manifest_schema,
+        _read_manifest,
+    )
+
+    base = str(tmp_path / "lake")
+    o, a, b, c = _publish(spark, sf_small, base)  # v1 + v2
+    publish_append(c.repartitionByRange(2, "o_orderkey"), base)  # v3
+    rdr = LakeChainStreamReader(
+        {"path": base, "max_versions_per_trigger": "1"},
+        _manifest_schema(_read_manifest(base, _latest(base))),
+    )
+    offset = rdr.initialOffset()
+    seen: list[tuple] = []
+    spans = []
+    for _ in range(10):
+        rows, end = rdr.read(offset)
+        spans.append(end["version"] - offset["version"])
+        seen.extend(rows)
+        if end["version"] == offset["version"]:
+            break
+        offset = end
+    assert max(spans) <= 1  # never more than one version per batch
+    assert end["version"] == 3  # drained to the head
+    want = [
+        tuple(r)
+        for r in read_version_chain(spark, base)[0].collect()
+    ]
+    assert sorted(seen) == sorted(want)
+    # uncapped reader drains the same backlog in one batch
+    rdr2 = LakeChainStreamReader(
+        {"path": base},
+        _manifest_schema(_read_manifest(base, _latest(base))),
+    )
+    rows2, end2 = rdr2.read(rdr2.initialOffset())
+    assert end2["version"] == 3 and sorted(list(rows2)) == sorted(want)
+
+
 def test_mor_vector_commits_are_stream_noops(spark, sf_small, tmp_path):
     """A live subscriber sees a MOR delete commit as a no-op (no
     re-flood, no retraction) and the materialization commit as a no-op

@@ -596,6 +596,29 @@ EXPECT = {
                         "max_scan_cols": 3},
     # branch merge read: post-merge chain scan + two-phase agg
     "lake_branch_merge_read": {"partial_agg": True, "no_python_udf": True},
+    # dynamic partition pruning: the fact scan must carry the runtime
+    # pruning subquery (broadcast-reuse), plus the star-join basics
+    "dpp_partitioned_join": {
+        "plan_must_contain": ["dynamicpruningexpression"],
+        "broadcast_joins": 1,
+        "partial_agg": True,
+        "no_python_udf": True,
+    },
+    # KS: corpus collapses to the grid via partial agg; CDF windows run
+    # over the grouped domain, never raw rows
+    "ks_drift_totalprice": {
+        "partial_agg": True, "no_python_udf": True, "max_scan_cols": 2,
+    },
+    # Welch t: one conditional-agg pass, 1-row frame after it
+    "welch_ttest_priority": {
+        "partial_agg": True, "no_python_udf": True, "max_scan_cols": 2,
+        "max_exchanges": 2,
+    },
+    # KM survival: per-user mins + one user_id shuffle; at-risk and
+    # survival windows run over the hour-quantized grouped domain
+    "survival_km_signup_purchase": {
+        "partial_agg": True, "no_python_udf": True, "max_scan_cols": 3,
+    },
 }
 
 
