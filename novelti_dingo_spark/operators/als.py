@@ -1,0 +1,254 @@
+"""Distributed ALS matrix factorization — the recommendation-family
+trainer (alongside logreg/GBM/k-means/PCA): factor the customer×part
+interaction matrix R ≈ XᵀY by alternating ridge solves.
+
+Spark-first shape (the MLlib ALS skeleton, minus its in/out-block
+micro-optimization): each half-step joins the ratings with the OTHER
+side's current factors on that side's key (one hash-partition
+shuffle), then groups by the side being solved and solves the f×f
+ridge normal equations per key inside an Arrow-batched applyInPandas
+(X2 surface — a dense per-key linear solve is exactly what grouped-map
+pandas exists for; f=8, so each group's solve is a 8×8 `np.linalg.
+solve`). Both factor tables STAY distributed DataFrames; per iteration
+only the loss telemetry (one double) crosses to the driver, so the
+loop shape is unchanged at 100 TB — per-iteration cost is two shuffles
+of the ratings table, the k-means/logreg/GBM driver contract.
+
+Determinism: item factors initialize from xxhash64(item, dim) — no
+RNG, so the whole trajectory is reproducible and the numpy replica in
+tests/test_als.py can pin it (allclose, summation-order tolerance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.io import load_table
+
+RANK = 8
+ITERATIONS = 4
+LAMBDA = 0.1
+
+
+def ratings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user, item, rating): customer×part interaction strength =
+    total quantity ordered — the implicit-feedback matrix a retailer
+    actually has. One join + one grouped agg (both partial-agg'd)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("user"),
+            F.col("l_partkey").alias("item"),
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("rating"))
+    )
+
+
+def init_factors(df: DataFrame, key: str) -> DataFrame:
+    """Deterministic pseudo-random factors in [-0.1, 0.1]: dim j of key
+    k is xxhash64(k, j) folded into the interval — no RNG state, so
+    replicas (numpy tests, re-runs, stragglers) see identical values."""
+    dims = [
+        (
+            (F.pmod(F.xxhash64(F.col(key), F.lit(j)), F.lit(2001)) - 1000)
+            / 10000.0
+        ).cast("double")
+        for j in range(RANK)
+    ]
+    return df.select(F.col(key).alias("id"), F.array(*dims).alias("factor"))
+
+
+def _solve_side(
+    ratings: DataFrame,
+    other_factors: DataFrame,
+    solve_key: str,
+    other_key: str,
+    lam: float,
+) -> DataFrame:
+    """One ALS half-step: for every `solve_key` entity, ridge-solve
+    x = (YᵀY + λI)⁻¹ Yᵀr over its observed ratings, where Y stacks the
+    other side's factors. The join shuffles ratings on `other_key`,
+    the grouped solve shuffles on `solve_key` — two shuffles, no
+    driver materialization, no broadcast of an unbounded side."""
+    import pandas as pd
+
+    joined = ratings.join(
+        other_factors.withColumnRenamed("id", other_key), other_key
+    ).select(F.col(solve_key).alias("id"), "rating", "factor")
+
+    def solve(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        Y = np.array(pdf["factor"].tolist(), dtype=np.float64)
+        r = pdf["rating"].to_numpy(dtype=np.float64)
+        A = Y.T @ Y + lam * np.eye(Y.shape[1])
+        x = np.linalg.solve(A, Y.T @ r)
+        return pd.DataFrame({"id": [pdf["id"].iloc[0]], "factor": [x.tolist()]})
+
+    return joined.groupBy("id").applyInPandas(
+        solve, schema="id bigint, factor array<double>"
+    )
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sq_norm_sum(factors: DataFrame):
+    return factors.agg(
+        F.sum(
+            F.aggregate(
+                F.transform("factor", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("s")
+    )
+
+
+def train_als(
+    ratings: DataFrame,
+    iterations: int = ITERATIONS,
+    lam: float = LAMBDA,
+) -> tuple[DataFrame, DataFrame, list[dict]]:
+    """(user_factors, item_factors, per-iteration telemetry). Telemetry
+    rows carry rmse over observed ratings and the regularized objective
+    (sse + λ·(Σ‖x‖² + Σ‖y‖²)) — alternating ridge solves provably
+    never increase the objective, which the tests pin."""
+    item_f = init_factors(
+        ratings.select("item").distinct(), "item"
+    ).localCheckpoint()
+    # the user side needs no init: the first half-step solves it from
+    # the item init (standard ALS ordering)
+    user_f = None
+    history: list[dict] = []
+    for it in range(iterations):
+        user_f = _solve_side(
+            ratings, item_f, "user", "item", lam
+        ).localCheckpoint()
+        item_f = _solve_side(
+            ratings, user_f, "item", "user", lam
+        ).localCheckpoint()
+        scored = (
+            ratings.join(
+                user_f.select(
+                    F.col("id").alias("user"), F.col("factor").alias("xu")
+                ),
+                "user",
+            )
+            .join(
+                item_f.select(
+                    F.col("id").alias("item"), F.col("factor").alias("yi")
+                ),
+                "item",
+            )
+            .select("rating", _dot("xu", "yi").alias("pred"))
+        )
+        err = scored.agg(
+            F.sum(
+                (F.col("rating") - F.col("pred"))
+                * (F.col("rating") - F.col("pred"))
+            ).alias("sse"),
+            F.count(F.lit(1)).alias("n"),
+        ).head()
+        reg = (
+            float(_sq_norm_sum(user_f).head()["s"])
+            + float(_sq_norm_sum(item_f).head()["s"])
+        )
+        import math
+
+        history.append(
+            {
+                "iteration": it,
+                "rmse": math.sqrt(float(err["sse"]) / int(err["n"])),
+                "objective": float(err["sse"]) + lam * reg,
+                "n_ratings": int(err["n"]),
+            }
+        )
+    return user_f, item_f, history
+
+
+@register(
+    "als_convergence",
+    None,  # iterative, engine-specific solve order → rows-only; the
+    # trajectory is pinned against a numpy ALS replica and the
+    # objective's monotone non-increase in tests/test_als.py
+    survey_rows="iterative,X2,recsys",
+)
+def als_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS training telemetry: per-iteration RMSE over observed ratings
+    and the regularized objective — the curve a recommendation-training
+    job actually monitors. See the module docstring for the distributed
+    shape; only these floats ever reach the driver."""
+    r = ratings_table(spark, sf_dir)
+    _, _, history = train_als(r)
+    return spark.createDataFrame(
+        [
+            (
+                h["iteration"],
+                round(h["rmse"], 6),
+                round(h["objective"], 4),
+                h["n_ratings"],
+            )
+            for h in history
+        ],
+        schema="iteration int, rmse double, objective double, n_ratings bigint",
+    )
+
+
+@register(
+    "als_top_recs",
+    None,  # factor values are engine-specific → rows-only; determinism
+    # and already-purchased exclusion pinned in tests/test_als.py
+    survey_rows="X2,O2,recsys",
+)
+def als_top_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve recommendations from the trained factors: for the 5
+    heaviest customers, the top-3 UNPURCHASED parts by predicted
+    rating. The candidate scoring broadcasts only the 5 query users'
+    factors against the item-factor table (item-side stays
+    distributed); purchased pairs are removed with a left-anti join —
+    the standard retrieve-then-filter serving shape, identical at any
+    item-corpus size (at 100 TB swap the exact top-k for the IVF/PQ
+    ANN index over item factors, already in operators/ivf.py)."""
+    from pyspark.sql import Window
+
+    r = ratings_table(spark, sf_dir)
+    user_f, item_f, _ = train_als(r)
+    heavy = (
+        r.groupBy("user")
+        .agg(F.sum("rating").alias("w"))
+        .orderBy(F.desc("w"), "user")
+        .limit(5)
+        .select("user")
+    )
+    qf = user_f.join(
+        heavy, user_f.id == heavy.user
+    ).select(F.col("user"), F.col("factor").alias("xu"))
+    scored = item_f.select(
+        F.col("id").alias("item"), F.col("factor").alias("yi")
+    ).crossJoin(F.broadcast(qf)).select(
+        "user", "item", F.round(_dot("xu", "yi"), 6).alias("pred")
+    )
+    fresh = scored.join(
+        r.select("user", "item"), ["user", "item"], "left_anti"
+    )
+    w = Window.partitionBy("user").orderBy(F.desc("pred"), "item")
+    return (
+        fresh.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user", "item", "pred", "rk")
+        .orderBy("user", "rk")
+    )

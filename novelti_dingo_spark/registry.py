@@ -163,6 +163,7 @@ def _load_all() -> None:
         journeys,
         scalepat,
         stats_tests,
+        als,
     )
 
     _LOADED = True

@@ -619,6 +619,16 @@ EXPECT = {
     "survival_km_signup_purchase": {
         "partial_agg": True, "no_python_udf": True, "max_scan_cols": 3,
     },
+    # ALS: grouped-map pandas solves are the declared X2 surface (the
+    # per-key ridge solve is Python BY DESIGN); ratings build is
+    # partial-agg'd. Telemetry-only result — audit the ratings groupBy.
+    # NB: the returned frame is driver-built telemetry (LocalTableScan)
+    # — training ran eagerly during construction, so there is nothing
+    # to assert on the result plan itself
+    "als_convergence": {},
+    # serving: broadcast of the 5 query users' factors over the
+    # distributed item side; purchased pairs removed with left-anti
+    "als_top_recs": {"partial_agg": True},
 }
 
 
