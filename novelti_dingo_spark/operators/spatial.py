@@ -1,0 +1,182 @@
+"""Spatial operators: grid-blocked radius join and cell-density
+aggregation — the geo family (point-radius retrieval, density
+heat-maps) over deterministic synthetic coordinates.
+
+The TPC-H-ish testdata carries no coordinates, so each entity's
+(lat, lon) derives from md5 hex digits of its key — the same
+portable-expression trick as the PPS sampler (extras._PPS_U): the
+IDENTICAL SQL text evaluates on both engines, digits map to exact
+powers of two, so the doubles are bit-identical and the geometry is
+part of the oracle-checked contract rather than a fixture file.
+
+Scale shape: the radius join NEVER goes all-pairs — points bucket
+into a grid of cell size 2r, the smaller side replicates to its 3×3
+cell neighborhood (a bounded ×9 explode), candidates meet in an equi
+hash join on the cell key, and the exact distance predicate filters
+residually. Cell size 2r guarantees completeness with float margin
+(any true pair differs by at most one cell index per axis). The
+DuckDB oracle recomputes the same pairs NAIVELY (cross join +
+distance), so the hash match is a machine-checked proof the blocking
+lost nothing. Distances are planar (degrees): the pattern is the
+point — swap in haversine + latitude-corrected cell widths for
+production geodesics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.io import load_table
+
+RADIUS = 0.15  # degrees
+CELL = 0.3  # = 2 * RADIUS: one-cell neighborhoods are complete
+
+
+def _uniform(key_expr: str, start: int) -> str:
+    """8 md5 hex digits of `key_expr` (starting at `start`) folded into
+    [0, 1): every term is digit × exact-power-of-two, so both engines
+    produce bit-identical doubles."""
+    return (
+        "("
+        + " + ".join(
+            f"(instr('0123456789abcdef', "
+            f"substr(md5(CAST({key_expr} AS STRING)), {i}, 1)) - 1)"
+            f" * power(16.0, -{j})"
+            for j, i in enumerate(range(start, start + 8), 1)
+        )
+        + ")"
+    )
+
+
+def lat_expr(key: str) -> str:
+    return f"({_uniform(key, 1)} * 10.0 + 40.0)"
+
+
+def lon_expr(key: str) -> str:
+    return f"({_uniform(key, 9)} * 10.0 - 5.0)"
+
+
+def _points(spark, sf_dir: str, table: str, key: str) -> DataFrame:
+    df = load_table(spark, sf_dir, table)
+    return df.select(
+        F.col(key),
+        F.expr(lat_expr(key)).alias("lat"),
+        F.expr(lon_expr(key)).alias("lon"),
+    )
+
+
+def radius_join(
+    left: DataFrame, right: DataFrame, radius: float = RADIUS
+) -> DataFrame:
+    """All (left, right) pairs within `radius` (planar degrees), via
+    grid blocking: RIGHT (pass the smaller side) replicates to its 3×3
+    cell neighborhood; LEFT buckets once. Returns left's and right's
+    columns plus `dist_deg`."""
+    cell = 2.0 * radius
+    lcell = left.withColumn(
+        "_cx", F.floor(F.col("lat") / cell)
+    ).withColumn("_cy", F.floor(F.col("lon") / cell))
+    neighbors = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (F.floor(F.col("lat") / cell) + dx).alias("_cx"),
+                    (F.floor(F.col("lon") / cell) + dy).alias("_cy"),
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    )
+    keep = [c for c in right.columns if c not in ("lat", "lon")]
+    rrep = right.select(
+        *keep,
+        F.col("lat").alias("_rlat"),
+        F.col("lon").alias("_rlon"),
+        neighbors.alias("_cell"),
+    ).select(
+        *keep,
+        "_rlat",
+        "_rlon",
+        F.col("_cell._cx").alias("_cx"),
+        F.col("_cell._cy").alias("_cy"),
+    )
+    dlat = F.col("lat") - F.col("_rlat")
+    dlon = F.col("lon") - F.col("_rlon")
+    d2 = dlat * dlat + dlon * dlon
+    return (
+        lcell.join(rrep, ["_cx", "_cy"])
+        .filter(d2 <= F.lit(radius * radius))
+        .withColumn("dist_deg", F.round(F.sqrt(d2), 6))
+        .drop("_cx", "_cy", "_rlat", "_rlon")
+    )
+
+
+@register(
+    "spatial_radius_join",
+    f"""
+    WITH c AS (
+      SELECT c_custkey, {lat_expr('c_custkey')} AS lat,
+             {lon_expr('c_custkey')} AS lon
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey, {lat_expr('s_suppkey')} AS lat,
+             {lon_expr('s_suppkey')} AS lon
+      FROM supplier
+    )
+    SELECT c_custkey, s_suppkey,
+           round(sqrt((c.lat - s.lat) * (c.lat - s.lat)
+                      + (c.lon - s.lon) * (c.lon - s.lon)), 6) AS dist_deg
+    FROM c, s
+    WHERE (c.lat - s.lat) * (c.lat - s.lat)
+          + (c.lon - s.lon) * (c.lon - s.lon)
+          <= {RADIUS} * {RADIUS}
+    """,
+    survey_rows="J5,F3,spatial",
+)
+def spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers within RADIUS (0.15°) of a supplier, grid-blocked (module
+    docstring). The oracle's NAIVE cross join is the completeness
+    proof: if the 3×3 blocking dropped a true pair, the hashes split.
+    At 100 TB the blocked join touches O(candidates) = O(n·density)
+    rows, never n×m; the 9× replication rides the SMALLER side."""
+    c = _points(spark, sf_dir, "customer", "c_custkey")
+    s = _points(spark, sf_dir, "supplier", "s_suppkey")
+    return radius_join(c, s).select("c_custkey", "s_suppkey", "dist_deg")
+
+
+@register(
+    "spatial_cell_density",
+    f"""
+    WITH c AS (
+      SELECT {lat_expr('c_custkey')} AS lat,
+             {lon_expr('c_custkey')} AS lon
+      FROM customer
+    )
+    SELECT CAST(floor(lat / {CELL}) AS BIGINT) AS cell_x,
+           CAST(floor(lon / {CELL}) AS BIGINT) AS cell_y,
+           count(*) AS n_customers
+    FROM c
+    GROUP BY 1, 2
+    ORDER BY n_customers DESC, cell_x, cell_y
+    LIMIT 15
+    """,
+    survey_rows="A1,O2,spatial",
+)
+def spatial_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest grid cells by customer count — the heat-map / hotspot
+    aggregation over the same derived geometry. One partial-agg'd
+    groupBy on the cell key + TakeOrderedAndProject; at 100 TB the
+    grouped domain is the grid, not the point count."""
+    c = _points(spark, sf_dir, "customer", "c_custkey")
+    return (
+        c.groupBy(
+            F.floor(F.col("lat") / CELL).cast("bigint").alias("cell_x"),
+            F.floor(F.col("lon") / CELL).cast("bigint").alias("cell_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), "cell_x", "cell_y")
+        .limit(15)
+    )

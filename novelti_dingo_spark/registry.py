@@ -164,6 +164,7 @@ def _load_all() -> None:
         scalepat,
         stats_tests,
         als,
+        spatial,
     )
 
     _LOADED = True

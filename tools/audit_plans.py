@@ -629,6 +629,15 @@ EXPECT = {
     # serving: broadcast of the 5 query users' factors over the
     # distributed item side; purchased pairs removed with left-anti
     "als_top_recs": {"partial_agg": True},
+    # grid-blocked radius join: candidates meet in an equi hash join
+    # on the cell key — a degeneration to NLJ/cartesian would be the
+    # all-pairs scan the blocking exists to prevent
+    "spatial_radius_join": {
+        "hash_join_not_nlj": True, "no_python_udf": True,
+    },
+    "spatial_cell_density": {
+        "partial_agg": True, "take_ordered": True, "no_python_udf": True,
+    },
 }
 
 
