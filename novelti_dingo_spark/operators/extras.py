@@ -2644,3 +2644,83 @@ def lake_branch_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "lake_merge_into_read",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), s AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), merged AS (
+      SELECT t.o_orderkey, t.o_custkey, t.o_orderpriority,
+             CASE WHEN s.o_orderkey IS NOT NULL
+                       AND NOT t.o_orderpriority = '5-LOW'
+                       AND t.o_totalprice < 150000.0
+                  THEN s.o_totalprice + 1000.0
+                  ELSE t.o_totalprice END AS o_totalprice
+      FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
+      WHERE NOT (s.o_orderkey IS NOT NULL
+                 AND t.o_orderpriority = '5-LOW')
+      UNION ALL
+      SELECT s.o_orderkey, s.o_custkey, s.o_orderpriority, s.o_totalprice
+      FROM s LEFT JOIN t ON t.o_orderkey = s.o_orderkey
+      WHERE t.o_orderkey IS NULL AND s.o_totalprice >= 50000.0
+    )
+    SELECT o_orderpriority AS priority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM merged GROUP BY 1
+    """,
+    survey_rows="S5,J2,A1,merge-into",
+)
+def lake_merge_into_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional MERGE INTO at the correctness gate: the target lake
+    table (non-multiple-of-3 order keys) absorbs a source batch (even
+    keys) through all three clause kinds at once — matched '5-LOW'
+    rows DELETE, other matched rows UPDATE (price + 1000, gated on
+    t.o_totalprice < 150000), unmatched source rows INSERT only when
+    s.o_totalprice >= 50000. The oracle replays the exact clause
+    algebra as LEFT JOIN + CASE + UNION ALL over the raw parquet, so
+    the hash match certifies the merge semantics row-for-row
+    (pipelines.merge_into; clause matrix + ambiguity refusal in
+    tests/test_merge_into.py).
+
+    Cost class: merge_into resolves the current state and publishes a
+    full-snapshot rewrite — the O(table) verb (SCALE.md); the O(keys)
+    mutations stay with delete_rows_mor/update_rows_cow/CDC apply."""
+    import tempfile
+
+    from ..pipelines import merge_into, publish_versioned, read_version
+    from ..sources import lakefs
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "orders_merged"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        publish_versioned(o.filter(F.col("o_orderkey") % 3 != 0), base)
+        merge_into(
+            spark,
+            base,
+            o.filter(F.col("o_orderkey") % 2 == 0),
+            ["o_orderkey"],
+            when_matched_update={
+                "o_totalprice": "s.o_totalprice + 1000.0"
+            },
+            when_matched_update_cond="t.o_totalprice < 150000.0",
+            when_matched_delete_cond="t.o_orderpriority = '5-LOW'",
+            when_not_matched_cond="s.o_totalprice >= 50000.0",
+        )
+    df, _ = read_version(spark, base)
+    return df.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

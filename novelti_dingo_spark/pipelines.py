@@ -2972,6 +2972,159 @@ def merge_rows(
     return merged
 
 
+def merge_into(
+    spark: SparkSession,
+    base_dir: str,
+    source: DataFrame,
+    key_cols: list[str],
+    *,
+    when_matched_update: dict[str, str] | None = None,
+    when_matched_update_cond: str | None = None,
+    when_matched_delete_cond: str | None = None,
+    when_not_matched_insert: bool = True,
+    when_not_matched_cond: str | None = None,
+    **publish_kwargs,
+) -> tuple[int, dict]:
+    """Conditional MERGE INTO against the versioned lake — the full
+    Delta/Iceberg clause vocabulary as one verb:
+
+    - WHEN MATCHED AND <when_matched_delete_cond> THEN DELETE
+    - WHEN MATCHED AND <when_matched_update_cond> THEN UPDATE SET
+      <when_matched_update> (dict of target column -> SQL expression;
+      expressions reference `t.<col>` and `s.<col>`)
+    - WHEN NOT MATCHED AND <when_not_matched_cond> THEN INSERT *
+      (gated by `when_not_matched_insert`)
+
+    Clause order is the SQL standard's: the delete condition is
+    evaluated before the update condition; a matched row satisfying
+    neither stays unchanged; an unmatched source row failing the
+    insert condition is discarded. Conditions are SQL strings over the
+    aliases `t` (target) and `s` (source), so e.g.
+    ``when_matched_update_cond="s.o_totalprice > t.o_totalprice"``.
+
+    Ambiguity guard: a target row matching MULTIPLE source rows makes
+    the result order-dependent, so (like Delta) the merge refuses if
+    the source carries duplicate keys — one aggregate, checked before
+    any write.
+
+    Cost class: this verb RESOLVES the current table state (full
+    snapshot, MOR stack, or append chain) and publishes the merged
+    result as a new full-snapshot version — O(table) write, the
+    snapshot-rewrite cost class (SCALE.md). Its value is the exact
+    clause semantics; when the mutation is small, prefer the O(keys) /
+    O(partition) verbs that already exist: delete_rows_mor /
+    update_rows_cow / upsert_by_partition / the CDC apply stream.
+    Stream subscribers should follow rewrites through the change feed
+    (`lake_change_feed`), not the append stream — an append-only
+    stream cannot express updates (same contract as the COW paths).
+
+    Returns (new_version, counts) with counts =
+    {"updated": n, "deleted": n, "inserted": n, "kept": n}."""
+    import json as _json
+
+    from functools import reduce as _reduce
+
+    from .sources import lakefs
+
+    base = base_dir.rstrip("/")
+    head_v = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
+    head_m = _json.loads(
+        lakefs.read_text(spark, f"{base}/v={head_v}/_manifest.json")
+    )
+    if head_m.get("append"):
+        target, _ = read_version_chain(spark, base, head_v)
+    else:
+        target, _ = read_version(spark, base, head_v)
+    if sorted(source.columns) != sorted(target.columns):
+        raise ValueError(
+            "merge_into requires the source schema to match the target "
+            f"({sorted(target.columns)}); got {sorted(source.columns)} — "
+            "project/rename first (INSERT * semantics)"
+        )
+    dup = (
+        source.groupBy(*key_cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "merge_into source has duplicate keys on "
+            f"{key_cols} — the matched-clause result would be "
+            "order-dependent; compact the source to one row per key "
+            "first (latest-image row_number, as in the CDC apply path)"
+        )
+    t = target.withColumn("__t", F.lit(1)).alias("t")
+    s = source.withColumn("__s", F.lit(1)).alias("s")
+    on = _reduce(
+        lambda a, b: a & b,
+        [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols],
+    )
+    j = t.join(s, on, "full_outer")
+    is_m = F.col("__t").isNotNull() & F.col("__s").isNotNull()
+    del_c = (
+        F.expr(when_matched_delete_cond)
+        if when_matched_delete_cond
+        else F.lit(False)
+    )
+    upd_c = (
+        F.expr(when_matched_update_cond)
+        if when_matched_update_cond
+        else F.lit(True)
+    ) & F.lit(when_matched_update is not None)
+    ins_c = (
+        F.expr(when_not_matched_cond)
+        if when_not_matched_cond
+        else F.lit(True)
+    ) & F.lit(when_not_matched_insert)
+    action = (
+        F.when(is_m & del_c, F.lit("D"))
+        .when(is_m & upd_c, F.lit("U"))
+        .when(is_m, F.lit("K"))
+        .when(F.col("__s").isNotNull() & ins_c, F.lit("I"))
+        .when(F.col("__s").isNotNull(), F.lit("X"))
+        .otherwise(F.lit("K"))
+    )
+    assignments = when_matched_update or {}
+    out_cols = []
+    for f in target.schema.fields:
+        c = f.name
+        if c == "__t":
+            continue
+        upd_expr = (
+            F.expr(assignments[c]) if c in assignments else F.col(f"t.{c}")
+        )
+        out_cols.append(
+            F.when(F.col("__action") == "U", upd_expr)
+            .when(F.col("__action") == "I", F.col(f"s.{c}"))
+            .otherwise(F.col(f"t.{c}"))
+            .cast(f.dataType)
+            .alias(c)
+        )
+    acted = j.withColumn("__action", action)
+    counts_row = acted.groupBy("__action").count().collect()
+    by_action = {r["__action"]: int(r["count"]) for r in counts_row}
+    merged = acted.filter(~F.col("__action").isin("D", "X")).select(
+        *out_cols
+    )
+    meta = dict(publish_kwargs.pop("meta", None) or {})
+    meta["merge"] = {
+        "from_version": head_v,
+        "keys": list(key_cols),
+        "updated": by_action.get("U", 0),
+        "deleted": by_action.get("D", 0),
+        "inserted": by_action.get("I", 0),
+    }
+    new_v = publish_versioned(merged, base_dir, meta=meta, **publish_kwargs)
+    return new_v, {
+        "updated": by_action.get("U", 0),
+        "deleted": by_action.get("D", 0),
+        "inserted": by_action.get("I", 0),
+        "kept": by_action.get("K", 0),
+    }
+
+
 def diff_snapshots(
     old: DataFrame, new: DataFrame, key_cols: list[str]
 ) -> DataFrame:

@@ -638,6 +638,9 @@ EXPECT = {
     "spatial_cell_density": {
         "partial_agg": True, "take_ordered": True, "no_python_udf": True,
     },
+    # post-merge snapshot read + two-phase agg (the merge itself ran
+    # at publish time; this audits the serving read)
+    "lake_merge_into_read": {"partial_agg": True, "no_python_udf": True},
 }
 
 
