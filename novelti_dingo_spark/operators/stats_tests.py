@@ -216,6 +216,120 @@ def welch_ttest_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+B_REPLICATES = 100
+
+# Poisson(1) inverse CDF as a portable CASE chain: u (8 md5 hex digits
+# of "orderkey_replicate" folded into [0,1) — every term digit × exact
+# power of two, bit-identical on both engines) maps to the resample
+# weight. Constants are the cumulative Poisson(1) probabilities.
+_BOOT_U = (
+    "("
+    + " + ".join(
+        "(instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS STRING)"
+        f" || '_' || CAST(b AS STRING)), {i}, 1)) - 1) * power(16.0, -{i})"
+        for i in range(1, 9)
+    )
+    + ")"
+)
+_POISSON_CUM = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+]
+_BOOT_W = (
+    "(CASE "
+    + " ".join(
+        f"WHEN {_BOOT_U} < {c!r} THEN {k}"
+        for k, c in enumerate(_POISSON_CUM)
+    )
+    + " ELSE 8 END)"
+)
+
+
+@register(
+    "bootstrap_ci_mean",
+    f"""
+    WITH pts AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS x
+      FROM orders WHERE year(o_orderdate) = 1996
+    ), rep AS (
+      SELECT b, {_BOOT_W} AS w, x
+      FROM pts CROSS JOIN (SELECT unnest(range({B_REPLICATES})) AS b)
+    ), means AS (
+      SELECT b, CAST(sum(w * x) AS DOUBLE) / sum(w) AS m
+      FROM rep GROUP BY b
+    ), est AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(x) AS DOUBLE) / count(*) AS mean_full
+      FROM pts
+    )
+    SELECT n_rows, {B_REPLICATES} AS n_replicates,
+           round(mean_full, 6) AS est_mean,
+           round(quantile_cont(m, 0.025), 6) AS ci_lo95,
+           round(quantile_cont(m, 0.975), 6) AS ci_hi95
+    FROM est, means
+    GROUP BY n_rows, mean_full
+    """,
+    survey_rows="A5,F7,W3,stats-tests",
+)
+def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for mean order value (1996): the
+    DISTRIBUTED bootstrap — classical resampling needs n draws per
+    replicate from a global index (a shuffle per replicate), while the
+    Poisson bootstrap gives each (row, replicate) an independent
+    Poisson(1) weight, so all B resamples ride ONE scan: explode ×B,
+    weight from a hash (no RNG state — deterministic, replayable,
+    identical on both engines), one partial-agg'd groupBy(replicate).
+    The shuffle carries B×partitions partial rows, never B×n.
+
+    Exactness: weights are integers from bit-identical hash uniforms;
+    x sums as DECIMAL (no float order hazard); each replicate mean is
+    one exact-int/decimal double division; the CI is the exact
+    interpolated percentile over the B means (A8 parity)."""
+    B = B_REPLICATES
+    pts = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1996)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+        )
+    )
+    rep = pts.select(
+        "o_orderkey",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b"),
+    ).select(F.expr(_BOOT_W).alias("w"), "x", "b")
+    means = rep.groupBy("b").agg(
+        (
+            F.sum(F.col("w") * F.col("x")).cast("double") / F.sum("w")
+        ).alias("m")
+    )
+    est = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias(
+            "mean_full"
+        ),
+    )
+    return means.crossJoin(F.broadcast(est)).groupBy(
+        "n_rows", "mean_full"
+    ).agg(
+        F.round(F.percentile("m", 0.025), 6).alias("ci_lo95"),
+        F.round(F.percentile("m", 0.975), 6).alias("ci_hi95"),
+    ).select(
+        "n_rows",
+        F.lit(B).alias("n_replicates"),
+        F.round("mean_full", 6).alias("est_mean"),
+        "ci_lo95",
+        "ci_hi95",
+    )
+
+
 @register(
     "survival_km_signup_purchase",
     """

@@ -641,6 +641,12 @@ EXPECT = {
     # post-merge snapshot read + two-phase agg (the merge itself ran
     # at publish time; this audits the serving read)
     "lake_merge_into_read": {"partial_agg": True, "no_python_udf": True},
+    # Poisson bootstrap: all B resamples ride one scan; the replicate
+    # groupBy must partial-agg so the shuffle carries B×partitions
+    # rows, never B×n
+    "bootstrap_ci_mean": {
+        "partial_agg": True, "no_python_udf": True, "max_scan_cols": 3,
+    },
 }
 
 
