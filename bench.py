@@ -52,6 +52,10 @@ EXTRAS = [
     "lake_bucketed_mart_join",
     "mv_rewrite_pricing",
     "bm25_ranked_search",
+    # round 6: runtime partition pruning vs DuckDB's raw-table scan,
+    # and the grid-blocked radius join vs DuckDB's naive cross join
+    "dpp_partitioned_join",
+    "spatial_radius_join",
 ]
 
 

@@ -216,6 +216,166 @@ def welch_ttest_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "logrank_conversion_groups",
+    """
+    WITH horizon AS (SELECT max(ts) AS h FROM events),
+    s AS (
+      SELECT user_id, user_id % 2 AS grp, min(ts) AS st FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT s.user_id, min(e.ts) AS pt
+      FROM s JOIN events e
+        ON e.user_id = s.user_id
+       AND e.event_type = 'purchase' AND e.ts >= s.st
+      GROUP BY s.user_id
+    ),
+    u AS (
+      SELECT s.grp,
+             CASE WHEN pt IS NOT NULL THEN 1 ELSE 0 END AS ev,
+             CAST(floor(date_diff('second', st, coalesce(pt, h))
+                        / 3600.0) AS BIGINT) AS dur_h
+      FROM s LEFT JOIN p ON s.user_id = p.user_id CROSS JOIN horizon
+    ),
+    g AS (
+      SELECT dur_h,
+             sum(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS d1,
+             sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS t1,
+             sum(ev) AS d, count(*) AS t
+      FROM u GROUP BY dur_h
+    ),
+    k AS (
+      SELECT dur_h, d1, d,
+             (SELECT sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) FROM u)
+             - coalesce(sum(t1) OVER (ORDER BY dur_h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n1,
+             (SELECT count(*) FROM u)
+             - coalesce(sum(t) OVER (ORDER BY dur_h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n
+      FROM g
+    ),
+    terms AS (
+      SELECT d1,
+             CAST(d * (CAST(n1 AS DOUBLE) / n) AS DECIMAL(20,8)) AS e1,
+             CAST(CASE WHEN n > 1
+                  THEN d * (CAST(n1 AS DOUBLE) / n)
+                       * (1.0 - CAST(n1 AS DOUBLE) / n)
+                       * (n - d) / (n - 1)
+                  ELSE 0.0 END AS DECIMAL(20,8)) AS v
+      FROM k WHERE d > 0
+    )
+    SELECT CAST(sum(d1) AS BIGINT) AS observed_g1,
+           round(CAST(sum(e1) AS DOUBLE), 6) AS expected_g1,
+           round((sum(d1) - CAST(sum(e1) AS DOUBLE))
+                 * (sum(d1) - CAST(sum(e1) AS DOUBLE))
+                 / CAST(sum(v) AS DOUBLE), 6)
+             AS chisq_logrank
+    FROM terms
+    """,
+    survey_rows="A1,W3,A6,stats-tests",
+)
+def logrank_conversion_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test: do odd- and even-keyed users convert
+    (signup→purchase) at the same rate, censoring included? At every
+    event time the observed group-1 events are compared with the
+    hypergeometric expectation d·n1/n given the at-risk sets; the
+    statistic (O−E)²/V is χ²₁ under the null. Same bounded-domain
+    window shape as the Kaplan-Meier query — per-user mins, one
+    groupBy on the hour grid, cumulative at-risk windows over the
+    grid, a 1-row reduce. All inputs to the doubles are exact integer
+    counts, so both engines evaluate identical IEEE expressions (6dp
+    rounding is belt-and-braces)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    horizon = e.agg(F.max("ts").alias("h"))
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+        .withColumn("grp", F.col("user_id") % 2)
+    )
+    p = (
+        s.join(
+            e.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+            ),
+            (F.col("p_user") == s.user_id) & (F.col("pts") >= F.col("st")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("pt"))
+    )
+    sec = F.unix_timestamp(F.coalesce("pt", "h")) - F.unix_timestamp("st")
+    u = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "grp",
+            F.col("pt").isNotNull().cast("long").alias("ev"),
+            F.floor(sec / 3600.0).cast("bigint").alias("dur_h"),
+        )
+    )
+    g = u.groupBy("dur_h").agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("ev")).otherwise(0)).alias(
+            "d1"
+        ),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("t1"),
+        F.sum("ev").alias("d"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    totals = u.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1_tot"),
+        F.count(F.lit(1)).alias("n_tot"),
+    )
+    prior = Window.orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    k = (
+        g.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "n1",
+            F.col("n1_tot")
+            - F.coalesce(F.sum("t1").over(prior), F.lit(0)),
+        )
+        .withColumn(
+            "n",
+            F.col("n_tot") - F.coalesce(F.sum("t").over(prior), F.lit(0)),
+        )
+        .filter(F.col("d") > 0)
+    )
+    frac = F.col("n1").cast("double") / F.col("n")
+    e1 = F.col("d") * frac
+    v = F.when(
+        F.col("n") > 1,
+        F.col("d")
+        * frac
+        * (F.lit(1.0) - frac)
+        * (F.col("n") - F.col("d"))
+        / (F.col("n") - 1),
+    ).otherwise(F.lit(0.0))
+    # per-time terms quantize to exact DECIMAL before summing so the
+    # reduce is order-independent (the winsorized-means idiom); the
+    # rationals d·n1/n cannot land on a half-1e-8 boundary (power-of-2
+    # denominators terminate earlier, others are off the decimal grid)
+    return k.select(
+        F.col("d1"),
+        e1.cast("decimal(20,8)").alias("e1"),
+        v.cast("decimal(20,8)").alias("v"),
+    ).agg(
+        F.sum("d1").cast("bigint").alias("observed_g1"),
+        F.round(F.sum("e1").cast("double"), 6).alias("expected_g1"),
+        F.round(
+            (F.sum("d1") - F.sum("e1").cast("double"))
+            * (F.sum("d1") - F.sum("e1").cast("double"))
+            / F.sum("v").cast("double"),
+            6,
+        ).alias("chisq_logrank"),
+    )
+
+
 B_REPLICATES = 100
 
 # Poisson(1) inverse CDF as a portable CASE chain: u (8 md5 hex digits

@@ -647,6 +647,10 @@ EXPECT = {
     "bootstrap_ci_mean": {
         "partial_agg": True, "no_python_udf": True, "max_scan_cols": 3,
     },
+    # log-rank: same bounded-domain window shape as KM survival
+    "logrank_conversion_groups": {
+        "partial_agg": True, "no_python_udf": True, "max_scan_cols": 3,
+    },
 }
 
 
