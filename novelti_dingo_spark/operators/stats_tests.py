@@ -376,6 +376,112 @@ def logrank_conversion_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mannwhitney_value_groups",
+    """
+    WITH pts AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+      FROM events WHERE event_type IN ('click', 'view')
+    ), g AS (
+      SELECT v, sum(a) AS c1, sum(b) AS c2, count(*) AS c
+      FROM pts GROUP BY v
+    ), ranked AS (
+      SELECT c1, c2, c,
+             coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      FROM g
+    ), agg AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2,
+             CAST(sum(c1 * (2 * s + c + 1)) AS BIGINT) AS r1x2,
+             CAST(sum(c * c * c - c) AS BIGINT) AS ties
+      FROM ranked
+    )
+    SELECT n1, n2,
+           round(CAST(r1x2 AS DOUBLE) / 2.0
+                 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0, 1) AS u1,
+           round((CAST(r1x2 AS DOUBLE) / 2.0
+                  - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0
+                  - CAST(n1 AS DOUBLE) * n2 / 2.0)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                        * ((n1 + n2 + 1.0)
+                           - CAST(ties AS DOUBLE)
+                             / ((n1 + n2) * (n1 + n2 - 1.0)))), 6)
+             AS z_stat
+    FROM agg
+    """,
+    survey_rows="A1,W3,stats-tests",
+)
+def mannwhitney_value_groups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Whitney U (tie-corrected): are click and view event values
+    drawn from the same distribution? Rank-based, so it needs no
+    normality assumption — and it distributes exactly like the KS
+    query: collapse to distinct values (partial agg), one cumulative
+    window over the grouped domain for the rank prefix, then a 1-row
+    reduce. EXACTNESS BY CONSTRUCTION: 2·R1 = Σ c1·(2·prefix + c + 1)
+    is an INTEGER (average ranks are half-integers), so the rank sum
+    aggregates as a bigint — no float summation order anywhere; the
+    z statistic is a fixed double expression over five exact integers
+    (at 100 TB-scale counts, swap the bigint for DECIMAL(38,0) before
+    2·R1 overflows ~9.2e18)."""
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.col("value").alias("v"),
+            (F.col("event_type") == "click").cast("long").alias("a"),
+            (F.col("event_type") == "view").cast("long").alias("b"),
+        )
+    )
+    g = pts.groupBy("v").agg(
+        F.sum("a").alias("c1"),
+        F.sum("b").alias("c2"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    prior = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = g.select(
+        "c1",
+        "c2",
+        "c",
+        F.coalesce(F.sum("c").over(prior), F.lit(0)).alias("s"),
+    )
+    agg = ranked.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(
+            F.col("c1") * (2 * F.col("s") + F.col("c") + 1)
+        ).cast("bigint").alias("r1x2"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).cast("bigint").alias("ties"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    r1 = F.col("r1x2").cast("double") / 2.0
+    u1 = r1 - n1d * (F.col("n1") + 1) / 2.0
+    sigma = F.sqrt(
+        n1d * F.col("n2") / 12.0
+        * (
+            (F.col("n1") + F.col("n2") + F.lit(1.0))
+            - F.col("ties").cast("double")
+            / ((F.col("n1") + F.col("n2"))
+               * (F.col("n1") + F.col("n2") - F.lit(1.0)))
+        )
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(u1, 1).alias("u1"),
+        F.round((u1 - n1d * n2d / 2.0) / sigma, 6).alias("z_stat"),
+    )
+
+
 B_REPLICATES = 100
 
 # Poisson(1) inverse CDF as a portable CASE chain: u (8 md5 hex digits

@@ -74,13 +74,26 @@ class MvSpec:
 
 
 def publish_mv(
-    fact: DataFrame, base_dir: str, spec: MvSpec, **publish_kwargs
+    fact: DataFrame,
+    base_dir: str,
+    spec: MvSpec,
+    fact_version: int | None = None,
+    **publish_kwargs,
 ) -> int:
     """Aggregate `fact` to the MV grain and publish it versioned, with
     the algebra in the manifest so `rewrite_agg` can verify containment
-    without trusting the caller. One fact scan, k-row output."""
+    without trusting the caller. One fact scan, k-row output.
+
+    `fact_version` (optional) records WHICH fact version this rollup
+    covers — the freshness token `plans.serve.serve_agg` compares
+    against the fact's LATEST to decide whether the MV may answer or
+    the query must fall back to the fact."""
     from ..pipelines import publish_versioned
 
+    meta = spec.to_meta()
+    if fact_version is not None:
+        meta["fact_version"] = int(fact_version)
+    publish_kwargs["meta"] = meta
     aggs = []
     for out, (kind, src) in spec.measures.items():
         if kind == "count":
@@ -93,7 +106,7 @@ def publish_mv(
                 "publish a sketch instead (HLL/KLL/Theta)"
             )
     rollup = fact.groupBy(*spec.group_keys).agg(*aggs)
-    return publish_versioned(rollup, base_dir, meta=spec.to_meta(), **publish_kwargs)
+    return publish_versioned(rollup, base_dir, **publish_kwargs)
 
 
 def choose_mv(
@@ -150,7 +163,11 @@ def choose_mv(
 
 
 def refresh_mv(
-    spark: SparkSession, base_dir: str, delta_fact: DataFrame, **publish_kwargs
+    spark: SparkSession,
+    base_dir: str,
+    delta_fact: DataFrame,
+    fact_version: int | None = None,
+    **publish_kwargs,
 ) -> int:
     """INCREMENTAL MV refresh: aggregate only the delta rows to the MV
     grain and MERGE them into the current MV (sum+sum, count+count,
@@ -196,9 +213,11 @@ def refresh_mv(
     )
     from ..pipelines import publish_versioned
 
-    return publish_versioned(
-        merged, base_dir, meta=spec.to_meta(), **publish_kwargs
-    )
+    meta = spec.to_meta()
+    if fact_version is not None:
+        # advance the freshness token alongside the merged delta
+        meta["fact_version"] = int(fact_version)
+    return publish_versioned(merged, base_dir, meta=meta, **publish_kwargs)
 
 
 def rewrite_agg(

@@ -651,6 +651,11 @@ EXPECT = {
     "logrank_conversion_groups": {
         "partial_agg": True, "no_python_udf": True, "max_scan_cols": 3,
     },
+    # Mann-Whitney: corpus collapses to distinct values via partial
+    # agg; rank prefix window runs over the grouped domain
+    "mannwhitney_value_groups": {
+        "partial_agg": True, "no_python_udf": True, "max_scan_cols": 2,
+    },
 }
 
 
