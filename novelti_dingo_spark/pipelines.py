@@ -2370,17 +2370,30 @@ def lakefs_list_parquet(spark: SparkSession, vdir: str) -> list[str]:
 
 
 def vacuum_versions(
-    spark: SparkSession, base_dir: str, keep_last: int = 2
+    spark: SparkSession,
+    base_dir: str,
+    keep_last: int = 2,
+    keep_since: str | None = None,
 ) -> list[int]:
     """Retention for the versioned lake: delete all but the newest
     `keep_last` versions, never the one LATEST points to (a pinned-older
     LATEST — e.g. after a rollback — is protected even if it falls
     outside the keep window). Returns the deleted version numbers.
 
+    `keep_since` adds TIME-BASED retention (the production policy —
+    "keep 7 days of time travel"): every version whose manifest
+    `published_ts` is >= the given ISO-8601 UTC timestamp is also kept,
+    as is any version without a readable timestamp (conservative). The
+    two policies compose as a union; the CALLER computes the cutoff
+    from its own clock, so retention decisions are reproducible and
+    testable.
+
     Deletion order is oldest-first and the LATEST pointer is never
     touched, so a crash mid-vacuum leaves a smaller but fully consistent
     store — every surviving version is complete, LATEST still resolves.
     All I/O via the Hadoop FileSystem API (object-store safe)."""
+    import json as _ts_json
+
     from .sources import lakefs
 
     base = base_dir.rstrip("/")
@@ -2395,6 +2408,17 @@ def vacuum_versions(
     keep = set(versions[-keep_last:]) if keep_last > 0 else set()
     if pinned is not None:
         keep.add(pinned)
+    if keep_since is not None:
+        for v in versions:
+            try:
+                m = _ts_json.loads(
+                    lakefs.read_text(spark, f"{base}/v={v}/_manifest.json")
+                )
+                ts = m.get("published_ts")
+            except Exception:
+                ts = None
+            if ts is None or ts >= keep_since:
+                keep.add(v)
     # an un-promoted WAP candidate is live state, not garbage — only
     # abort_staged (or re-staging, which orphans it) may release it
     if lakefs.exists(spark, f"{base}/STAGED"):

@@ -181,6 +181,16 @@ class LakeChainStreamReader(SimpleDataSourceStreamReader):
         self.max_versions = None if mv is None else int(mv)
         if self.max_versions is not None and self.max_versions < 1:
             raise ValueError("max_versions_per_trigger must be >= 1")
+        # row-based admission control: cap each micro-batch's cumulative
+        # manifest `rows` over the versions it would emit — the finer
+        # dial when segment sizes vary (a version cap admits whatever a
+        # giant backfill segment holds; a row cap does not). A single
+        # over-cap segment still admits alone (progress guarantee) —
+        # versions are the atomic replay unit, so they never split.
+        mr = options.get("max_rows_per_trigger")
+        self.max_rows = None if mr is None else int(mr)
+        if self.max_rows is not None and self.max_rows < 1:
+            raise ValueError("max_rows_per_trigger must be >= 1")
         # stats min/max compare as the column's Python type; options
         # arrive as strings — coerce numerics when they parse
         for attr in ("lo", "hi"):
@@ -218,6 +228,10 @@ class LakeChainStreamReader(SimpleDataSourceStreamReader):
             # belonging to other lines inside the span are filtered by
             # ancestry as usual and just make that batch smaller
             head = min(head, start["version"] + self.max_versions)
+        if self.max_rows is not None and head > start["version"]:
+            head = self._cap_rows(
+                start["version"], head, start.get("emit_base", False)
+            )
         # iter(): the runner's prefetch cache (datasource_internal.
         # add_result_to_cache) consumes the rows with next(); a bare
         # list satisfies the simple path but not the cached one
@@ -237,6 +251,35 @@ class LakeChainStreamReader(SimpleDataSourceStreamReader):
                 start.get("emit_base", False),
             )
         )
+
+    def _cap_rows(self, after: int, upto: int, emit_base: bool) -> int:
+        """Largest end version in (after, upto] whose would-be-emitted
+        segments stay within max_rows (manifest row counts — O(span)
+        driver-side JSON, no data I/O). Mirrors _emit's skip rules so
+        non-emitting versions (other lines, vector commits, already-
+        emitted compactions) cost nothing against the budget."""
+        allowed = _ancestor_set(self.base, upto)
+        cum = 0
+        end = after
+        for v in range(after + 1, upto + 1):
+            rows = 0
+            if v in allowed:
+                try:
+                    m = _read_manifest(self.base, v)
+                except RuntimeError:
+                    m = None  # vacuumed: _emit will raise loudly
+                if m is not None and not (
+                    m.get("mor_delete") or m.get("pos_delete")
+                ):
+                    if "compacted_from" not in m or (
+                        emit_base and v == after + 1
+                    ):
+                        rows = int(m.get("rows") or 0)
+            if cum > 0 and rows > 0 and cum + rows > self.max_rows:
+                break
+            cum += rows
+            end = v
+        return end
 
     def _emit(self, after: int, upto: int, emit_base: bool = False):
         rows: list[tuple] = []

@@ -256,3 +256,29 @@ def test_maybe_compact_policy(spark, sf_small, tmp_path):
         spark, base, max_segments=100, min_avg_file_mb=10_000.0
     )
     assert v2 == v + 2
+
+
+def test_vacuum_time_based_retention(spark, sf_small, tmp_path):
+    """keep_since composes with keep_last as a union: versions published
+    at or after the cutoff survive even outside the keep_last window;
+    older non-ancestral versions are reclaimed."""
+    from novelti_dingo_spark.pipelines import (
+        publish_versioned,
+        vacuum_versions,
+    )
+    from novelti_dingo_spark.sources.io import load_table as _lt
+
+    base = str(tmp_path / "lake")
+    o = _lt(spark, sf_small, "orders").select("o_orderkey", "o_totalprice")
+    publish_versioned(o.limit(5), base, published_ts="2025-01-01T00:00:00.000000Z")
+    publish_versioned(o.limit(6), base, published_ts="2025-06-01T00:00:00.000000Z")
+    publish_versioned(o.limit(7), base, published_ts="2025-07-01T00:00:00.000000Z")
+    # keep_last=1 alone would reclaim v1 AND v2; the cutoff saves v2
+    removed = vacuum_versions(
+        spark, base, keep_last=1, keep_since="2025-03-01T00:00:00.000000Z"
+    )
+    assert removed == [1]
+    from novelti_dingo_spark.pipelines import read_version
+
+    assert read_version(spark, base, 2)[0].count() == 6  # still readable
+    assert read_version(spark, base)[0].count() == 7

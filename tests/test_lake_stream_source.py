@@ -469,3 +469,50 @@ def test_stream_emits_hive_partitioned_segments(spark, sf_small, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_max_rows_per_trigger_bounds_batches(spark, sf_small, tmp_path):
+    """Row-based admission control: each micro-batch's emitted segments
+    stay within the row budget (a single over-budget segment still
+    admits alone - versions are the atomic replay unit); the union of
+    batches is exactly the chain content."""
+    from novelti_dingo_spark.pipelines import read_version_chain
+    from novelti_dingo_spark.sources.lake_stream import (
+        LakeChainStreamReader,
+        _latest,
+        _manifest_schema,
+        _read_manifest,
+    )
+
+    base = str(tmp_path / "lake")
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    publish_versioned(o.filter("o_orderkey % 4 = 0"), base)
+    for m in (1, 2, 3):
+        publish_append(o.filter(f"o_orderkey % 4 = {m}"), base)
+    sizes = [
+        o.filter(f"o_orderkey % 4 = {m}").count() for m in (0, 1, 2, 3)
+    ]
+    cap = max(sizes)  # each batch fits exactly one segment
+    rdr = LakeChainStreamReader(
+        {"path": base, "max_rows_per_trigger": str(cap)},
+        _manifest_schema(_read_manifest(base, _latest(base))),
+    )
+    offset = rdr.initialOffset()
+    seen: list[tuple] = []
+    batch_rows = []
+    for _ in range(12):
+        rows, end = rdr.read(offset)
+        rows = list(rows)
+        if rows:
+            batch_rows.append(len(rows))
+        seen.extend(rows)
+        if end["version"] == offset["version"]:
+            break
+        offset = end
+    assert end["version"] == 4  # drained
+    assert max(batch_rows) <= cap
+    assert len(batch_rows) >= 3  # genuinely split, not one giant batch
+    want = [tuple(r) for r in read_version_chain(spark, base)[0].collect()]
+    assert sorted(seen) == sorted(want)
