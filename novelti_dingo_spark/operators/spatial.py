@@ -68,12 +68,24 @@ def _points(spark, sf_dir: str, table: str, key: str) -> DataFrame:
 
 
 def radius_join(
-    left: DataFrame, right: DataFrame, radius: float = RADIUS
+    left: DataFrame,
+    right: DataFrame,
+    radius: float = RADIUS,
+    broadcast_right: bool = False,
 ) -> DataFrame:
     """All (left, right) pairs within `radius` (planar degrees), via
     grid blocking: RIGHT (pass the smaller side) replicates to its 3×3
     cell neighborhood; LEFT buckets once. Returns left's and right's
-    columns plus `dist_deg`."""
+    columns plus `dist_deg`.
+
+    Join strategy, measured at sf0.1 (same session, warm, median of
+    7): shuffled equi hash join on the cell key 0.295 s vs explicit
+    broadcast of the ×9 replicated side 0.425 s — the broadcast
+    relation is rebuilt per job while the 8-partition exchange is
+    cheap at this size, so shuffle is the DEFAULT. Flip
+    `broadcast_right=True` when the right side is truly dim-sized and
+    the LEFT is big enough that its exchange dominates (the
+    store-catalog vs customer-corpus case at cluster scale)."""
     cell = 2.0 * radius
     lcell = left.withColumn(
         "_cx", F.floor(F.col("lat") / cell)
@@ -103,6 +115,8 @@ def radius_join(
         F.col("_cell._cx").alias("_cx"),
         F.col("_cell._cy").alias("_cy"),
     )
+    if broadcast_right:
+        rrep = F.broadcast(rrep)
     dlat = F.col("lat") - F.col("_rlat")
     dlon = F.col("lon") - F.col("_rlon")
     d2 = dlat * dlat + dlon * dlon
