@@ -162,6 +162,110 @@ def spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "spatial_nearest_supplier",
+    f"""
+    WITH c AS (
+      SELECT c_custkey, {lat_expr('c_custkey')} AS lat,
+             {lon_expr('c_custkey')} AS lon
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey, {lat_expr('s_suppkey')} AS lat,
+             {lon_expr('s_suppkey')} AS lon
+      FROM supplier
+    ), pairs AS (
+      SELECT c_custkey, s_suppkey,
+             (c.lat - s.lat) * (c.lat - s.lat)
+             + (c.lon - s.lon) * (c.lon - s.lon) AS d2
+      FROM c, s
+      WHERE (c.lat - s.lat) * (c.lat - s.lat)
+            + (c.lon - s.lon) * (c.lon - s.lon)
+            <= {RADIUS} * {RADIUS}
+    ), ranked AS (
+      SELECT c_custkey, s_suppkey, d2,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY d2, s_suppkey) AS rk
+      FROM pairs
+    )
+    SELECT c_custkey, s_suppkey, round(sqrt(d2), 6) AS dist_deg
+    FROM ranked WHERE rk = 1
+    """,
+    survey_rows="J5,W4,spatial",
+)
+def spatial_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest supplier per customer WITHIN the radius — the spatial
+    top-1 retrieval (store assignment, nearest-facility routing):
+    candidates come from the same grid-blocked join, then one
+    row_number window per customer picks the closest (d², then key —
+    a total order, so the winner is deterministic). Ranking on the
+    POLYNOMIAL d² rather than the sqrt'd distance keeps the comparison
+    exact; sqrt only decorates the output. Customers with no supplier
+    in range simply don't appear (the monitoring query for them is the
+    radius join's left-anti complement). Same completeness proof as
+    spatial_radius_join: the oracle ranks naive cross-join pairs."""
+    from pyspark.sql import Window
+
+    c = _points(spark, sf_dir, "customer", "c_custkey")
+    s = _points(spark, sf_dir, "supplier", "s_suppkey")
+    w = Window.partitionBy("c_custkey").orderBy("d2", "s_suppkey")
+    return (
+        _radius_pairs_d2(c, s)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.round(F.sqrt("d2"), 6).alias("dist_deg"),
+        )
+    )
+
+
+def _radius_pairs_d2(
+    left: DataFrame, right: DataFrame, radius: float = RADIUS
+) -> DataFrame:
+    """Grid-blocked candidate pairs with the EXACT d² kept (radius_join
+    rounds the distance for output; ranking needs the unrounded
+    value)."""
+    cell = 2.0 * radius
+    lcell = left.withColumn(
+        "_cx", F.floor(F.col("lat") / cell)
+    ).withColumn("_cy", F.floor(F.col("lon") / cell))
+    neighbors = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (F.floor(F.col("lat") / cell) + dx).alias("_cx"),
+                    (F.floor(F.col("lon") / cell) + dy).alias("_cy"),
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    )
+    keep = [c for c in right.columns if c not in ("lat", "lon")]
+    rrep = right.select(
+        *keep,
+        F.col("lat").alias("_rlat"),
+        F.col("lon").alias("_rlon"),
+        neighbors.alias("_cell"),
+    ).select(
+        *keep,
+        "_rlat",
+        "_rlon",
+        F.col("_cell._cx").alias("_cx"),
+        F.col("_cell._cy").alias("_cy"),
+    )
+    dlat = F.col("lat") - F.col("_rlat")
+    dlon = F.col("lon") - F.col("_rlon")
+    d2 = dlat * dlat + dlon * dlon
+    return (
+        lcell.join(rrep, ["_cx", "_cy"])
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= F.lit(radius * radius))
+        .drop("_cx", "_cy", "_rlat", "_rlon", "lat", "lon")
+    )
+
+
+@register(
     "spatial_cell_density",
     f"""
     WITH c AS (

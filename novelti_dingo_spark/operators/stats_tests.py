@@ -377,6 +377,104 @@ def logrank_conversion_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ks_drift_by_event_type",
+    """
+    WITH bounds AS (
+      SELECT min(ts) AS lo, max(ts) AS hi FROM events
+    ), pts AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0) AS BIGINT) AS v,
+             CASE WHEN date_diff('second', lo, ts)
+                       * 2 < date_diff('second', lo, hi)
+                  THEN 1 ELSE 0 END AS a
+      FROM events CROSS JOIN bounds
+      WHERE value IS NOT NULL
+    ), g AS (
+      SELECT event_type, v,
+             sum(a) AS ca, count(*) - sum(a) AS cb
+      FROM pts GROUP BY event_type, v
+    ), cdf AS (
+      SELECT event_type,
+             sum(ca) OVER (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+             sum(cb) OVER (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+             sum(ca) OVER (PARTITION BY event_type) AS n_a,
+             sum(cb) OVER (PARTITION BY event_type) AS n_b
+      FROM g
+    )
+    SELECT event_type,
+           CAST(max(n_a) AS BIGINT) AS n_early,
+           CAST(max(n_b) AS BIGINT) AS n_late,
+           round(max(abs(CAST(cum_a AS DOUBLE) / n_a
+                         - CAST(cum_b AS DOUBLE) / n_b)), 6) AS ks_stat
+    FROM cdf
+    GROUP BY event_type
+    """,
+    survey_rows="A1,W3,stats-tests",
+)
+def ks_drift_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment drift monitor — the production shape of the KS
+    query: ONE pass computes, for every event type, the exact KS
+    statistic between the early-half and late-half value
+    distributions (did any segment's distribution move within the
+    window?). Values quantize to a 0.01 grid; the corpus collapses to
+    (type, grid-cell) via partial agg; the CDF windows PARTITION BY
+    type, so unlike the global-window single-sample KS this
+    parallelizes across segments — the scalable shape when the
+    monitored dimension has thousands of values. The midpoint split
+    uses integer second arithmetic (date_diff twin) — no float time
+    math."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    bounds = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    # NULL values are excluded on both sides: a NULL grid cell would
+    # sort NULLS FIRST in Spark but NULLS LAST in DuckDB, desyncing
+    # the cumulative CDFs
+    pts = e.filter(F.col("value").isNotNull()).crossJoin(
+        F.broadcast(bounds)
+    ).select(
+        "event_type",
+        F.floor(F.col("value") * 100.0).cast("bigint").alias("v"),
+        (
+            (
+                (F.unix_timestamp("ts") - F.unix_timestamp("lo")) * 2
+                < F.unix_timestamp("hi") - F.unix_timestamp("lo")
+            ).cast("long")
+        ).alias("a"),
+    )
+    g = pts.groupBy("event_type", "v").agg(
+        F.sum("a").alias("ca"),
+        (F.count(F.lit(1)) - F.sum("a")).alias("cb"),
+    )
+    cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    whole = Window.partitionBy("event_type")
+    cdf = g.select(
+        "event_type",
+        F.sum("ca").over(cum).alias("cum_a"),
+        F.sum("cb").over(cum).alias("cum_b"),
+        F.sum("ca").over(whole).alias("n_a"),
+        F.sum("cb").over(whole).alias("n_b"),
+    )
+    return cdf.groupBy("event_type").agg(
+        F.max("n_a").cast("bigint").alias("n_early"),
+        F.max("n_b").cast("bigint").alias("n_late"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cum_a").cast("double") / F.col("n_a")
+                    - F.col("cum_b").cast("double") / F.col("n_b")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+@register(
     "mannwhitney_value_groups",
     """
     WITH pts AS (

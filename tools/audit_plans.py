@@ -656,6 +656,16 @@ EXPECT = {
     "mannwhitney_value_groups": {
         "partial_agg": True, "no_python_udf": True, "max_scan_cols": 2,
     },
+    # per-segment KS: CDF windows PARTITION BY event_type — parallel
+    # across segments, grouped grid domain per segment
+    "ks_drift_by_event_type": {
+        "partial_agg": True, "no_python_udf": True, "max_scan_cols": 3,
+    },
+    # spatial top-1: blocked candidates, hash join on cell key, per-
+    # customer window (partitioned — parallel across customers)
+    "spatial_nearest_supplier": {
+        "hash_join_not_nlj": True, "no_python_udf": True,
+    },
 }
 
 
