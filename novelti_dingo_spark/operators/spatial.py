@@ -86,45 +86,11 @@ def radius_join(
     `broadcast_right=True` when the right side is truly dim-sized and
     the LEFT is big enough that its exchange dominates (the
     store-catalog vs customer-corpus case at cluster scale)."""
-    cell = 2.0 * radius
-    lcell = left.withColumn(
-        "_cx", F.floor(F.col("lat") / cell)
-    ).withColumn("_cy", F.floor(F.col("lon") / cell))
-    neighbors = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    (F.floor(F.col("lat") / cell) + dx).alias("_cx"),
-                    (F.floor(F.col("lon") / cell) + dy).alias("_cy"),
-                )
-                for dx in (-1, 0, 1)
-                for dy in (-1, 0, 1)
-            ]
-        )
-    )
-    keep = [c for c in right.columns if c not in ("lat", "lon")]
-    rrep = right.select(
-        *keep,
-        F.col("lat").alias("_rlat"),
-        F.col("lon").alias("_rlon"),
-        neighbors.alias("_cell"),
-    ).select(
-        *keep,
-        "_rlat",
-        "_rlon",
-        F.col("_cell._cx").alias("_cx"),
-        F.col("_cell._cy").alias("_cy"),
-    )
-    if broadcast_right:
-        rrep = F.broadcast(rrep)
-    dlat = F.col("lat") - F.col("_rlat")
-    dlon = F.col("lon") - F.col("_rlon")
-    d2 = dlat * dlat + dlon * dlon
     return (
-        lcell.join(rrep, ["_cx", "_cy"])
-        .filter(d2 <= F.lit(radius * radius))
-        .withColumn("dist_deg", F.round(F.sqrt(d2), 6))
-        .drop("_cx", "_cy", "_rlat", "_rlon")
+        _radius_pairs_d2(left, right, radius, broadcast_right,
+                         drop_left_coords=False)
+        .withColumn("dist_deg", F.round(F.sqrt("d2"), 6))
+        .drop("d2")
     )
 
 
@@ -220,11 +186,15 @@ def spatial_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _radius_pairs_d2(
-    left: DataFrame, right: DataFrame, radius: float = RADIUS
+    left: DataFrame,
+    right: DataFrame,
+    radius: float = RADIUS,
+    broadcast_right: bool = False,
+    drop_left_coords: bool = True,
 ) -> DataFrame:
-    """Grid-blocked candidate pairs with the EXACT d² kept (radius_join
-    rounds the distance for output; ranking needs the unrounded
-    value)."""
+    """Grid-blocked candidate pairs with the EXACT d² kept — the shared
+    core of radius_join (which rounds sqrt(d²) for output) and the
+    top-1 ranking (which must compare the unrounded value)."""
     cell = 2.0 * radius
     lcell = left.withColumn(
         "_cx", F.floor(F.col("lat") / cell)
@@ -254,15 +224,18 @@ def _radius_pairs_d2(
         F.col("_cell._cx").alias("_cx"),
         F.col("_cell._cy").alias("_cy"),
     )
+    if broadcast_right:
+        rrep = F.broadcast(rrep)
     dlat = F.col("lat") - F.col("_rlat")
     dlon = F.col("lon") - F.col("_rlon")
     d2 = dlat * dlat + dlon * dlon
-    return (
+    out = (
         lcell.join(rrep, ["_cx", "_cy"])
         .withColumn("d2", d2)
         .filter(F.col("d2") <= F.lit(radius * radius))
-        .drop("_cx", "_cy", "_rlat", "_rlon", "lat", "lon")
+        .drop("_cx", "_cy", "_rlat", "_rlon")
     )
+    return out.drop("lat", "lon") if drop_left_coords else out
 
 
 @register(
