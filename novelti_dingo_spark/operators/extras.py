@@ -2724,3 +2724,58 @@ def lake_merge_into_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "lake_fast_minmax",
+    """
+    SELECT min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           count(*) AS n_rows
+    FROM orders
+    """,
+    survey_rows="S5,A5,meta-only-agg",
+)
+def lake_fast_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only `min/max/count` (pipelines.fast_minmax +
+    fast_count): orders is published as a two-segment append chain
+    with o_totalprice footer stats, and all three aggregates are
+    answered from the MANIFESTS ALONE — no scan task runs. Parquet
+    footer min/max are the exact file extremes and a chain's extremes
+    are the extremes of its files' extremes, so the oracle's full-scan
+    aggregates hash-match exactly. MOR heads are refused by
+    fast_minmax (deletion may remove the extreme row; carried stats
+    become bounds), which is why this lake has no vectors. The
+    single-row result is driver-built by design: the capability under
+    test is that NO distributed read happens."""
+    import tempfile
+
+    from ..pipelines import (
+        fast_count,
+        fast_minmax,
+        publish_append,
+        publish_versioned,
+    )
+    from ..sources import lakefs
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "orders_fastmm"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        publish_versioned(
+            o.filter(F.col("o_orderkey") % 2 == 0), base,
+            stats_cols=["o_totalprice"],
+        )
+        publish_append(
+            o.filter(F.col("o_orderkey") % 2 == 1), base,
+            stats_cols=["o_totalprice"],
+        )
+    lo, hi = fast_minmax(spark, base, "o_totalprice")
+    n = fast_count(spark, base)
+    return spark.createDataFrame(
+        [(lo, hi, n)], "min_price double, max_price double, n_rows bigint"
+    )

@@ -3670,6 +3670,53 @@ def fast_count(
     return sum(int(m["rows"]) for m in chain)
 
 
+def fast_minmax(
+    spark: SparkSession,
+    base_dir: str,
+    col: str,
+    version: int | None = None,
+) -> tuple:
+    """`SELECT min(col), max(col)` answered from the manifests' per-file
+    footer stats ALONE — zero data I/O, zero tasks, the metadata-only
+    companion of `fast_count`. Exact (not a bound) because parquet
+    footer min/max ARE the exact column extremes of each file and an
+    append chain's extremes are the extremes of its files' extremes.
+
+    Refused where exactness would break: a MOR head (a deletion vector
+    may have removed the extreme row — the carried stats are
+    conservative bounds, not answers) and any chain segment without
+    file_stats covering `col` (nothing to answer from). NULL-only
+    files contribute nothing; a table with no non-NULL values returns
+    (None, None). At 100 TB this is O(files) driver JSON versus a full
+    column scan."""
+    import json as _json  # noqa: F401  (parity with fast_count)
+
+    chain = _resolve_chain(spark, base_dir.rstrip("/"), version)
+    if _mor_record(chain[0]):
+        raise ValueError(
+            f"v={chain[0]['version']} is a merge-on-read head — its "
+            "carried stats are conservative bounds, not exact extremes "
+            "(the vector may have deleted the min/max row); "
+            "materialize_mor first or scan"
+        )
+    lo = hi = None
+    for m in chain:
+        fs = m.get("file_stats")
+        if not fs or col not in fs.get("columns", []):
+            raise ValueError(
+                f"v={m['version']} of {base_dir} records no file stats "
+                f"for {col!r} — fast_minmax needs stats_cols at publish "
+                "time (or scan)"
+            )
+        for f in fs["files"]:
+            fmin, fmax = f["min"].get(col), f["max"].get(col)
+            if fmin is not None and (lo is None or fmin < lo):
+                lo = fmin
+            if fmax is not None and (hi is None or fmax > hi):
+                hi = fmax
+    return lo, hi
+
+
 def table_history(spark: SparkSession, base_dir: str) -> DataFrame:
     """DESCRIBE HISTORY for a versioned dataset: one row per retained
     version with its commit KIND (full / append / compaction /

@@ -60,3 +60,39 @@ def test_fast_count_across_commit_kinds(spark, sf_small, tmp_path):
     # pinned older version still answers from its own manifest line
     df_v1, _ = read_version(spark, base, 1)
     assert fast_count(spark, base, version=1) == df_v1.count()
+
+
+def test_fast_minmax_exact_and_refusals(spark, sf_small, tmp_path):
+    """fast_minmax equals the scan answer on chains with stats, refuses
+    MOR heads (carried stats are bounds after deletion) and chains
+    missing stats for the column."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from novelti_dingo_spark.pipelines import (
+        delete_rows_mor,
+        fast_minmax,
+        publish_append,
+        publish_versioned,
+        read_version_chain,
+    )
+    from novelti_dingo_spark.sources.io import load_table as _lt
+
+    base = str(tmp_path / "lake")
+    o = _lt(spark, sf_small, "orders").select("o_orderkey", "o_totalprice")
+    publish_versioned(
+        o.filter("o_orderkey % 2 = 0"), base, stats_cols=["o_totalprice"]
+    )
+    publish_append(
+        o.filter("o_orderkey % 2 = 1"), base, stats_cols=["o_totalprice"]
+    )
+    lo, hi = fast_minmax(spark, base, "o_totalprice")
+    row = read_version_chain(spark, base)[0].agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    ).head()
+    assert (lo, hi) == (row.lo, row.hi)
+    with pytest.raises(ValueError, match="no file stats"):
+        fast_minmax(spark, base, "o_orderkey")
+    delete_rows_mor(spark, base, "o_orderkey", [2, 4])
+    with pytest.raises(ValueError, match="merge-on-read"):
+        fast_minmax(spark, base, "o_totalprice")

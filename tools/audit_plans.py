@@ -666,6 +666,9 @@ EXPECT = {
     "spatial_nearest_supplier": {
         "hash_join_not_nlj": True, "no_python_udf": True,
     },
+    # metadata-only min/max/count: the result is driver-built BY
+    # DESIGN (no scan task may run — that is the capability)
+    "lake_fast_minmax": {},
 }
 
 
