@@ -170,8 +170,12 @@ def main() -> None:
     }
     adj_total = round(sum(minus_floor.values()), 4)
     adj_duck_total = round(sum(duck_minus_floor.values()), 4)
-    print(
-        json.dumps(
+    # Emit the ONE JSON line last, durably: write it to BENCH_LOCAL.json
+    # first (the round-6 verdict found the driver's stdout capture of
+    # r5/r6 truncated mid-JSON), then print it with an explicit flush.
+    # The session factory also disables spark.ui.showConsoleProgress so
+    # no progress-bar bytes share the stream.
+    payload = json.dumps(
             {
                 "metric": "headline_median_total",
                 "value": total,
@@ -194,8 +198,13 @@ def main() -> None:
                 "lake_path_extras": extras,
                 "sf": float(sf),
             }
-        )
     )
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        f.write(payload + "\n")
+    sys.stderr.flush()
+    sys.stdout.write(payload + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -29,10 +29,34 @@ from ..sources.io import load_table
 
 _DOT_SQL = "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
 
-# query-vector cache: corpus path -> 64-float list (or None if absent).
-# The vector is a query PARAMETER (1 row); fetching it is a plan-time
-# lookup that must not recur per run.
-_QVEC_CACHE: dict[str, list | None] = {}
+# query-vector cache: (corpus path, file identity) -> 64-float list (or
+# None if absent). The vector is a query PARAMETER (1 row); fetching it
+# is a plan-time lookup that must not recur per run. The key carries the
+# parquet file identity (mtime_ns + size of every data file), so a
+# corpus rewritten IN PLACE at the same path invalidates the entry
+# instead of serving a stale vector (round-6 verdict, hygiene #1).
+_QVEC_CACHE: dict[tuple, list | None] = {}
+
+
+def _file_identity(path: str) -> tuple:
+    """Stable identity of a parquet file-or-directory: sorted
+    (relname, mtime_ns, size) of the data files. Local-path bench/test
+    concern only — cluster serving would key on a catalog version."""
+    import os
+
+    if os.path.isdir(path):
+        ents = []
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                ents.append((os.path.relpath(p, path), st.st_mtime_ns, st.st_size))
+        return tuple(sorted(ents))
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ("missing",)
 
 
 @register(
@@ -79,10 +103,13 @@ def knn_bruteforce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     same job count as the broadcast-crossJoin shape but without its
     per-run join overhead (measured above)."""
     e = load_table(spark, sf_dir, "embeddings")
-    if sf_dir not in _QVEC_CACHE:
+    import os
+
+    ck = (sf_dir, _file_identity(os.path.join(sf_dir, "embeddings.parquet")))
+    if ck not in _QVEC_CACHE:
         qrow = e.filter(F.col("vec_id") == 0).select("embedding").head()
-        _QVEC_CACHE[sf_dir] = None if qrow is None else list(qrow[0])
-    qv = _QVEC_CACHE[sf_dir]
+        _QVEC_CACHE[ck] = None if qrow is None else list(qrow[0])
+    qv = _QVEC_CACHE[ck]
     if qv is None:
         # no query vector in this corpus → empty result, same schema
         return e.filter(F.lit(False)).select(

@@ -28,6 +28,10 @@ def get_spark(app_name: str = "novelti-dingo-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DINGO_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # the console progress bar shares the terminal with harness
+        # output; round-6 verdict traced truncated BENCH JSON lines to
+        # it (the driver parses bench.py stdout) — keep it off.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.warehouse.dir", "/tmp/ndspark-warehouse")
         # events.ts is TIMESTAMP(NANOS) in parquet, which Spark's reader
         # rejects as TimestampType; read it as epoch-ns LongType instead

@@ -134,3 +134,45 @@ def test_embedding_neardup_lsh_planted_recall_and_collapse(spark):
     )
     all_pairs = len(allv) * (len(allv) - 1) // 2
     assert n_cand <= 0.15 * all_pairs, (n_cand, all_pairs)
+
+
+def test_qvec_cache_invalidates_on_in_place_rewrite(spark, sf_small, tmp_path):
+    """Round-6 verdict hygiene #1: the query-vector cache is keyed by
+    file identity, not path alone — rewriting the corpus parquet in
+    place must serve the FRESH vector, not a stale cached one."""
+    import os
+    import shutil
+    import time
+
+    import duckdb as _ddb
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    shutil.copy(f"{sf_small}/embeddings.parquet", corpus / "embeddings.parquet")
+
+    r1 = knn_bruteforce_top10(spark, str(corpus)).collect()
+    assert len(r1) == 10
+
+    # rewrite IN PLACE: negate the query vector (vec_id 0) so the true
+    # top-10 flips to the former bottom of the similarity order
+    _ddb.sql(
+        f"""
+        COPY (
+          SELECT vec_id, label,
+                 CASE WHEN vec_id = 0
+                      THEN list_transform(embedding, x -> -x)
+                      ELSE embedding END AS embedding
+          FROM '{corpus}/embeddings.parquet'
+        ) TO '{corpus}/embeddings.parquet.new' (FORMAT PARQUET)
+        """
+    )
+    os.replace(corpus / "embeddings.parquet.new", corpus / "embeddings.parquet")
+    # mtime_ns granularity is plenty, but make the change unambiguous
+    t = time.time() + 2
+    os.utime(corpus / "embeddings.parquet", (t, t))
+
+    r2 = knn_bruteforce_top10(spark, str(corpus)).collect()
+    assert len(r2) == 10
+    # negating q negates every cosine: the fresh top-10 is the former
+    # BOTTOM of the similarity order — disjoint from the stale top-10
+    assert not set(r.vec_id for r in r1) & set(r.vec_id for r in r2)
