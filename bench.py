@@ -149,17 +149,26 @@ def main() -> None:
         for n in HEADLINE
         if (n, "duckdb") in samples
     }
-    extras = {
-        n: {
-            "spark": round(statistics.median(samples[(n, "spark")]), 4),
-            "duckdb": (
-                round(statistics.median(samples[(n, "duckdb")]), 4)
-                if (n, "duckdb") in samples
-                else None
+    # extras carry floor-adjusted values too: the dpp/spatial lines are
+    # 20-40 ms absolutes where the ~20-30 ms local-mode job floor IS the
+    # raw gap (measured breakdown in scalepat.dpp_partitioned_join).
+    def _extra(n: str) -> dict:
+        sp = round(statistics.median(samples[(n, "spark")]), 4)
+        dk = (
+            round(statistics.median(samples[(n, "duckdb")]), 4)
+            if (n, "duckdb") in samples
+            else None
+        )
+        return {
+            "spark": sp,
+            "duckdb": dk,
+            "spark_minus_floor": round(max(sp - spark_floor, 0.0), 4),
+            "duckdb_minus_floor": (
+                round(max(dk - duck_floor, 0.0), 4) if dk is not None else None
             ),
         }
-        for n in EXTRAS
-    }
+
+    extras = {n: _extra(n) for n in EXTRAS}
     total = round(sum(spark_t.values()), 4)
     duck_total = round(sum(duck_t.values()), 4)
     minus_floor = {
