@@ -2779,3 +2779,72 @@ def lake_fast_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(lo, hi, n)], "min_price double, max_price double, n_rows bigint"
     )
+
+
+@register(
+    "lake_clone_read",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderkey % 3 < 2
+    GROUP BY o_orderpriority
+    """,
+    survey_rows="S5,A1,snapshot-clone",
+)
+def lake_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot EXPORT/import at the correctness gate
+    (pipelines.clone_snapshot — the Iceberg register_table / Delta
+    CLONE shape): the source becomes a full publish (keys % 3 == 0), an
+    append (% 3 == 1), and an equality-vector delete; the clone pins
+    version 2 — a TIME-TRAVEL clone of the pre-delete state — and then
+    the source compacts and vacuums v1/v2 away. This query reads the
+    CLONE, so the hash match against the raw-table oracle proves both
+    halves of the clone contract at once: the exported manifest chain
+    resolves identically at the new base (append parents, pinned
+    schema, basename-relative file stats), and the clone's bytes are
+    vacuum-independent of the source that no longer holds them
+    (tests/test_clone.py covers MOR layers, pos-delete vectors,
+    refusals, and clone-side lineage continuation).
+
+    At 100 TB a clone is how a training corpus snapshot leaves its
+    producing pipeline: O(chain) manifest reads plus the snapshot's
+    bytes via filesystem copies (fan out DistCp-style on a cluster —
+    the function enumerates the exact file set), after which retention
+    on the hot source can run freely without invalidating any frozen
+    experiment."""
+    import tempfile
+
+    from ..pipelines import (
+        clone_snapshot,
+        compact_chain,
+        delete_rows_mor,
+        publish_append,
+        publish_versioned,
+        read_version_chain,
+        vacuum_versions,
+    )
+    from ..sources import lakefs
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(tempfile.gettempdir(), "novelti_dingo_lake", tag)
+    src = os.path.join(root, "orders_clone_src")
+    dest = os.path.join(root, "orders_clone_dest")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    if not lakefs.exists(spark, f"{dest}/LATEST"):
+        publish_versioned(o.filter(F.col("o_orderkey") % 3 == 0), src)
+        publish_append(o.filter(F.col("o_orderkey") % 3 == 1), src)
+        delete_rows_mor(spark, src, "o_orderkey", [3, 4, 6])
+        clone_snapshot(spark, src, dest, version=2)
+        # the source moves on: compaction folds the chain, vacuum
+        # reclaims every version the clone was cut from
+        compact_chain(spark, src)
+        vacuum_versions(spark, src, keep_last=1)
+    df, _ = read_version_chain(spark, dest)
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

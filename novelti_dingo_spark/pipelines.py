@@ -4159,3 +4159,78 @@ def rebase_branch(spark: SparkSession, base_dir: str, name: str) -> int:
             stats_cols=stats["columns"] if stats else None,
         )
     return branch_head(spark, base_dir, name)
+
+
+def clone_snapshot(
+    spark: SparkSession,
+    src_base: str,
+    dest_base: str,
+    version: int | None = None,
+) -> int:
+    """Snapshot EXPORT/import — clone one snapshot's full manifest
+    lineage into a NEW dataset base (the Iceberg register_table /
+    Delta CLONE shape on this manifest format).
+
+    The exported set is `_ancestors(version)`: every version a pinned
+    read of `version` can touch — append parents back to the last full
+    snapshot and MOR delete-layer parents, recursively. Each `v=N`
+    directory is copied verbatim (data files, `_manifest.json`,
+    `_deletes/` / `_pos_deletes/` layers); nothing inside needs
+    rewriting because every cross-file reference in this format is
+    base-relative by construction: manifest `parent` links are version
+    NUMBERS, `file_stats` record basenames, and positional delete
+    vectors address `v=N/...`-relative paths (_with_row_address). The
+    clone's LATEST then points at `version`.
+
+    The copy is DEEP, which is what buys the two independences the
+    clone contract promises (tests/test_clone.py):
+    - vacuum/compact/append on the SOURCE never change what the clone
+      reads — there are no shared files to reclaim out from under it;
+    - the clone is a first-class dataset: publish_append continues its
+      chain, vacuum_versions applies its own retention, branches/WAP
+      start fresh (branch pointers and STAGED state are deliberately
+      NOT exported — they are live workflow state of the source, not
+      part of the snapshot).
+
+    Scope notes. A clone pins one snapshot's lineage, not the source's
+    history: earlier versions, `compacted_from` stream history, and the
+    change feed before `version` do not exist at the destination —
+    stream subscribers on a clone start at its head. `dest_base` must
+    be a fresh location (no LATEST/STAGED/`v=` entries): importing into
+    an existing lineage would splice two version-number spaces.
+
+    At 100 TB: the control-plane cost is O(chain) manifest reads; the
+    data-plane cost is the snapshot's bytes through Hadoop FileUtil
+    copies, driver-orchestrated here (local/HDFS). A cluster deployment
+    would fan the per-file copies out DistCp-style — the file list is
+    exactly what this function enumerates — or hand them to storage-
+    native server-side copy (S3 CopyObject); the manifest-chain logic
+    is unchanged either way. Returns the cloned version number."""
+    from .sources import lakefs
+
+    src = src_base.rstrip("/")
+    dest = dest_base.rstrip("/")
+    if version is None:
+        version = int(lakefs.read_text(spark, f"{src}/LATEST").strip())
+    if not lakefs.exists(spark, f"{src}/v={version}/_manifest.json"):
+        raise ValueError(f"source has no v={version} to clone")
+    if lakefs.exists(spark, dest):
+        taken = [
+            n
+            for n in lakefs.listdir(spark, dest)
+            if n in ("LATEST", "STAGED") or n.startswith(("v=", "BRANCH_"))
+        ]
+        if taken:
+            raise ValueError(
+                f"clone destination {dest} already holds dataset state "
+                f"{sorted(taken)[:4]} — a clone must import into a fresh "
+                "base, not splice into an existing lineage"
+            )
+    vers = _ancestors(spark, src, version)
+    lakefs.mkdirs(spark, dest)
+    # oldest-first so an interrupted clone is a prefix of the lineage
+    # with no LATEST — invisible to readers, re-runnable after cleanup
+    for v in sorted(vers):
+        lakefs.copy(spark, f"{src}/v={v}", f"{dest}/v={v}")
+    lakefs.replace_text(spark, f"{dest}/LATEST", str(version))
+    return version

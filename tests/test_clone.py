@@ -1,0 +1,176 @@
+"""Snapshot EXPORT/import (clone_snapshot): a clone must read
+identically at the pinned version, survive the SOURCE's compaction and
+vacuum (vacuum-independence both directions), behave as a first-class
+independent dataset afterwards, and refuse to splice into an existing
+lineage. Round-6 verdict missing-item #3."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from novelti_dingo_spark.pipelines import (
+    clone_snapshot,
+    compact_chain,
+    create_branch,
+    delete_rows_mor,
+    delete_rows_pos,
+    publish_append,
+    publish_staged,
+    publish_versioned,
+    read_version_chain,
+    vacuum_versions,
+)
+from novelti_dingo_spark.sources import lakefs
+from novelti_dingo_spark.sources.io import load_table
+
+
+def _orders(spark, sf_small):
+    return load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+
+def _rows(spark, base, version=None):
+    df, _ = read_version_chain(spark, base, version)
+    return sorted((r.o_orderkey, r.o_totalprice) for r in df.collect())
+
+
+@pytest.fixture()
+def chain_base(spark, sf_small, tmp_path):
+    """v1 full (2/3 of orders), v2 append (the rest mod 3 == 1),
+    v3 equality-MOR delete of three keys."""
+    base = str(tmp_path / "src")
+    o = _orders(spark, sf_small)
+    publish_versioned(o.filter("o_orderkey % 3 = 0"), base)
+    publish_append(o.filter("o_orderkey % 3 = 1"), base)
+    keys = [r.o_orderkey for r in o.filter("o_orderkey % 3 = 1").limit(3).collect()]
+    delete_rows_mor(spark, base, "o_orderkey", keys)
+    return base
+
+
+def test_clone_reads_identical_at_head(spark, chain_base, tmp_path):
+    dest = str(tmp_path / "dest")
+    v = clone_snapshot(spark, chain_base, dest)
+    assert v == 3
+    assert _rows(spark, dest) == _rows(spark, chain_base)
+    # the clone pins its own LATEST
+    assert lakefs.read_text(spark, f"{dest}/LATEST").strip() == "3"
+
+
+def test_clone_pinned_old_version_time_travels(spark, chain_base, tmp_path):
+    dest = str(tmp_path / "dest_v2")
+    v = clone_snapshot(spark, chain_base, dest, version=2)
+    assert v == 2
+    # pre-delete state: the clone's head equals the source's v2
+    assert _rows(spark, dest) == _rows(spark, chain_base, version=2)
+    # and the MOR layer (v3) was not exported — v2's ancestors only
+    assert not lakefs.exists(spark, f"{dest}/v=3")
+
+
+def test_clone_survives_source_compact_and_vacuum(spark, chain_base, tmp_path):
+    dest = str(tmp_path / "dest")
+    clone_snapshot(spark, chain_base, dest)
+    want = _rows(spark, chain_base)
+    # source moves on: compact folds the chain, vacuum reclaims v1-v3
+    compact_chain(spark, chain_base)
+    deleted = vacuum_versions(spark, chain_base, keep_last=1)
+    assert set(deleted) == {1, 2, 3}
+    assert not lakefs.exists(spark, f"{chain_base}/v=1")
+    # the clone still reads the original snapshot byte-for-byte
+    assert _rows(spark, dest) == want
+
+
+def test_source_unaffected_and_clone_is_independent(
+    spark, sf_small, chain_base, tmp_path
+):
+    from novelti_dingo_spark.pipelines import materialize_mor
+
+    dest = str(tmp_path / "dest")
+    clone_snapshot(spark, chain_base, dest)
+    src_before = _rows(spark, chain_base)
+    # clone continues its own lineage: the cloned head is a MOR layer,
+    # so materialize (v4) then append (v5) — all on the CLONE
+    assert materialize_mor(spark, dest) == 4
+    extra = _orders(spark, sf_small).filter("o_orderkey % 3 = 2").limit(5)
+    assert publish_append(extra, dest) == 5
+    assert len(_rows(spark, dest)) == len(src_before) + 5
+    # ...and the source never sees it
+    assert _rows(spark, chain_base) == src_before
+    assert lakefs.read_text(spark, f"{chain_base}/LATEST").strip() == "3"
+    # clone-side vacuum applies the clone's own retention
+    compact_chain(spark, dest)
+    deleted = vacuum_versions(spark, dest, keep_last=1)
+    assert set(deleted) == {1, 2, 3, 4, 5}
+    assert len(_rows(spark, dest)) == len(src_before) + 5
+
+
+def test_clone_excludes_branch_and_staged_state(
+    spark, sf_small, chain_base, tmp_path
+):
+    create_branch(spark, chain_base, "exp")
+    publish_staged(
+        _orders(spark, sf_small).filter("o_orderkey % 3 = 2"), chain_base
+    )
+    dest = str(tmp_path / "dest")
+    clone_snapshot(spark, chain_base, dest)
+    names = lakefs.listdir(spark, dest)
+    assert not any(n.startswith("BRANCH_") for n in names)
+    assert "STAGED" not in names
+    # the staged candidate version itself is not in the pinned lineage
+    assert not lakefs.exists(spark, f"{dest}/v=4")
+
+
+def test_clone_refuses_nonempty_dest(spark, chain_base, tmp_path):
+    dest = str(tmp_path / "dest")
+    clone_snapshot(spark, chain_base, dest)
+    with pytest.raises(ValueError, match="fresh base"):
+        clone_snapshot(spark, chain_base, dest)
+
+
+def test_clone_refuses_missing_version(spark, chain_base, tmp_path):
+    with pytest.raises(ValueError, match="no v=9"):
+        clone_snapshot(spark, chain_base, str(tmp_path / "x"), version=9)
+
+
+def test_clone_carries_pos_delete_layers(spark, sf_small, tmp_path):
+    """Positional vectors address rows by version-RELATIVE (file, pos)
+    — the clone must resolve them identically at the new base."""
+    base = str(tmp_path / "possrc")
+    o = _orders(spark, sf_small)
+    publish_versioned(o, base)
+    _, n_del = delete_rows_pos(spark, base, "o_totalprice < 50000")
+    assert n_del > 0
+    dest = str(tmp_path / "posdest")
+    clone_snapshot(spark, base, dest)
+    assert _rows(spark, dest) == _rows(spark, base)
+    # survives source vacuum after a materializing compact
+    compact_chain(spark, base)
+    vacuum_versions(spark, base, keep_last=1)
+    df, _ = read_version_chain(spark, dest)
+    assert df.filter("o_totalprice < 50000").count() == 0
+
+
+def test_clone_preserves_file_stats_pruning(spark, sf_small, tmp_path):
+    """file_stats record basenames, so manifest-level data skipping
+    keeps working at the cloned base."""
+    from novelti_dingo_spark.pipelines import read_version_pruned
+
+    base = str(tmp_path / "statsrc")
+    o = _orders(spark, sf_small)
+    publish_versioned(
+        o.repartitionByRange(4, "o_orderkey"), base, stats_cols=["o_orderkey"]
+    )
+    dest = str(tmp_path / "statdest")
+    clone_snapshot(spark, base, dest)
+    got, total, scanned = read_version_pruned(
+        spark, dest, "o_orderkey", 1, 10
+    )
+    assert scanned < total
+    want = sorted(
+        r.o_orderkey
+        for r in o.filter("o_orderkey BETWEEN 1 AND 10").collect()
+    )
+    assert sorted(r.o_orderkey for r in got.collect()) == want

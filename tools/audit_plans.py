@@ -669,6 +669,10 @@ EXPECT = {
     # metadata-only min/max/count: the result is driver-built BY
     # DESIGN (no scan task may run — that is the capability)
     "lake_fast_minmax": {},
+    # cloned-snapshot read: a plain two-segment chain scan at the NEW
+    # base + two-phase agg — the clone must plan exactly like the
+    # original chain (no Python, no extra exchanges)
+    "lake_clone_read": {"partial_agg": True, "no_python_udf": True},
 }
 
 
