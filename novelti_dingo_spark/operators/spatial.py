@@ -271,3 +271,163 @@ def spatial_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_customers"), "cell_x", "cell_y")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------- geodesic
+
+EARTH_R_KM = 6371.0088  # IUGG mean radius — haversine assumes a sphere
+RADIUS_KM = 15.0
+KM_PER_DEG_LAT = 111.19492664455873  # pi * EARTH_R_KM / 180, exact on the sphere
+# lat rows are exact: great-circle distance >= R*|dphi|, so a true pair
+# spans <= RADIUS_KM/KM_PER_DEG_LAT degrees of latitude — one row at 2r
+CELL_LAT_GEO = 2.0 * RADIUS_KM / KM_PER_DEG_LAT
+# lon safety factor over the asin convexity correction (~1e-6 at this
+# radius/latitude) — generous because it only widens candidate cells
+_LON_SLOP = 1.02
+
+
+def hav_km_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Haversine great-circle distance in km as a SQL expression —
+    IDENTICAL text on Spark (F.expr) and DuckDB (oracle), the same
+    shared-expression discipline as the md5 coordinate derivation.
+    Cross-engine note: sin/cos/asin are libm calls, so the two engines
+    may disagree in the last float bits; the threshold predicate stays
+    safe because the tested corpora keep every pair >= 4e-4 km away
+    from the radius boundary (pinned by tests/test_spatial_geo.py's
+    margin guard — eleven orders of magnitude above ulp drift), and
+    output distances are rounded to 6dp per the F3 libm rule."""
+    return (
+        f"(2.0 * {EARTH_R_KM} * asin(sqrt("
+        f"power(sin(radians(({lat1}) - ({lat2})) / 2.0), 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * power(sin(radians(({lon1}) - ({lon2})) / 2.0), 2))))"
+    )
+
+
+def _lon_cell_width(row):
+    """Longitude cell width (degrees) for a latitude row — the
+    latitude-corrected grid: one degree of longitude shrinks by
+    cos(lat), so cells WIDEN toward the poles to keep their east-west
+    extent >= 2r km. The correction uses the row neighborhood's worst
+    (highest-|lat|) edge, rows +-2 cells out, so a candidate looked up
+    in an ADJACENT row is still within one cell index (completeness
+    argument in radius_join_geo's docstring). Clamped at 89 deg — polar
+    caps need a cap-cell scheme, not a lon grid (documented limit)."""
+    phi = F.least(
+        (F.abs(row) + F.lit(2.0)) * F.lit(CELL_LAT_GEO), F.lit(89.0)
+    )
+    return F.lit(2.0 * RADIUS_KM * _LON_SLOP / KM_PER_DEG_LAT) / F.cos(
+        F.radians(phi)
+    )
+
+
+def radius_join_geo(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float = RADIUS_KM,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """All (left, right) pairs within `radius_km` GEODESIC km —
+    haversine distance on the sphere, the production variant beside
+    the planar-degrees radius_join (round-6 verdict missing-item #4:
+    planar degrees give wrong neighborhoods at high latitude, where a
+    degree of longitude is much shorter than a degree of latitude).
+
+    Blocking is a latitude-banded grid: rows of height 2r km in
+    latitude (exact on the sphere — central angle >= |dphi|), and
+    per-row longitude cells of width 2r km / cos(row's worst edge
+    latitude). The smaller side replicates to 3 rows x 3 lon cells —
+    the SAME bounded x9 fan-out as the planar join even though the
+    cell widths differ per row, because each replica's lon index is
+    computed with the TARGET row's width. Completeness: a true pair
+    spans <= r/111.195 deg of latitude (<= half a row) and, from
+    sin(theta/2) >= cos(phi_max) sin(dlambda/2), at most
+    ~r/(111.195 cos(phi_max)) deg of longitude — at most half the
+    looked-up row's cell width, whose correction uses a latitude at
+    least as extreme as either endpoint's. Candidates then meet in an
+    equi hash join on (row, lon_cell); the exact haversine predicate
+    filters residually. The grid math is Spark-side only — it selects
+    candidates, never values — so libm drift in the blocking can at
+    worst duplicate-propose, never change the answer; the oracle's
+    naive cross join machine-proves completeness exactly like the
+    planar twin.
+
+    At 100 TB the shape is unchanged from the planar join: O(n *
+    local density) candidates, never n x m, the x9 replication on the
+    smaller side, skew-salting available on hot cells
+    (operators/skew.py). Returns left's and right's key columns plus
+    `dist_km` (6dp)."""
+    pred_km = F.expr(hav_km_sql("lat", "lon", "_rlat", "_rlon"))
+    row_l = F.floor(F.col("lat") / F.lit(CELL_LAT_GEO))
+    lcell = left.withColumn("_gx", row_l).withColumn(
+        "_gy", F.floor(F.col("lon") / _lon_cell_width(row_l))
+    )
+    row_r = F.floor(F.col("lat") / F.lit(CELL_LAT_GEO))
+    cells = []
+    for drow in (-1, 0, 1):
+        trow = row_r + drow
+        base = F.floor(F.col("lon") / _lon_cell_width(trow))
+        for dcol in (-1, 0, 1):
+            cells.append(
+                F.struct(trow.alias("_gx"), (base + dcol).alias("_gy"))
+            )
+    keep = [c for c in right.columns if c not in ("lat", "lon")]
+    rrep = right.select(
+        *keep,
+        F.col("lat").alias("_rlat"),
+        F.col("lon").alias("_rlon"),
+        F.explode(F.array(*cells)).alias("_cell"),
+    ).select(
+        *keep,
+        "_rlat",
+        "_rlon",
+        F.col("_cell._gx").alias("_gx"),
+        F.col("_cell._gy").alias("_gy"),
+    )
+    if broadcast_right:
+        rrep = F.broadcast(rrep)
+    return (
+        lcell.join(rrep, ["_gx", "_gy"])
+        .withColumn("_dkm", pred_km)
+        .filter(F.col("_dkm") <= F.lit(radius_km))
+        # a point sits in several replicas' neighborhoods only via
+        # DISTINCT cell keys, so no pair meets twice — no dedup needed
+        .withColumn("dist_km", F.round("_dkm", 6))
+        .drop("_gx", "_gy", "_rlat", "_rlon", "_dkm", "lat", "lon")
+    )
+
+
+@register(
+    "spatial_radius_join_geo",
+    f"""
+    WITH c AS (
+      SELECT c_custkey, {lat_expr('c_custkey')} AS lat,
+             {lon_expr('c_custkey')} AS lon
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey, {lat_expr('s_suppkey')} AS lat,
+             {lon_expr('s_suppkey')} AS lon
+      FROM supplier
+    )
+    SELECT c_custkey, s_suppkey,
+           round({hav_km_sql('c.lat', 'c.lon', 's.lat', 's.lon')}, 6)
+             AS dist_km
+    FROM c, s
+    WHERE {hav_km_sql('c.lat', 'c.lon', 's.lat', 's.lon')} <= {RADIUS_KM}
+    """,
+    survey_rows="J5,F3,spatial-geodesic",
+)
+def spatial_radius_join_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers within RADIUS_KM (15 km) GEODESIC of a supplier via
+    the latitude-banded grid join (radius_join_geo). The oracle is the
+    NAIVE haversine cross join with textually identical distance SQL —
+    the same machine-proof pattern as the planar spatial_radius_join:
+    if the banded blocking dropped a true pair or the latitude
+    correction mis-sized a cell, the hashes split. 12,915 pairs at
+    sf0.1; every pair sits >= 4e-4 km from the 15 km boundary at both
+    gate SFs (margin guard in tests/test_spatial_geo.py), so libm
+    ulp differences between the JVM and DuckDB cannot flip
+    membership."""
+    c = _points(spark, sf_dir, "customer", "c_custkey")
+    s = _points(spark, sf_dir, "supplier", "s_suppkey")
+    return radius_join_geo(c, s).select("c_custkey", "s_suppkey", "dist_km")

@@ -673,6 +673,12 @@ EXPECT = {
     # base + two-phase agg — the clone must plan exactly like the
     # original chain (no Python, no extra exchanges)
     "lake_clone_read": {"partial_agg": True, "no_python_udf": True},
+    # geodesic radius join: latitude-banded grid candidates meet in an
+    # equi hash join on the (row, lon-cell) key — same no-NLJ rule as
+    # the planar twin; haversine runs JVM-side (no Python)
+    "spatial_radius_join_geo": {
+        "hash_join_not_nlj": True, "no_python_udf": True,
+    },
 }
 
 
