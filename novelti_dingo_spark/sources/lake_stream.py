@@ -223,11 +223,30 @@ class LakeChainStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         head = _latest(self.base, self.branch)
-        if self.max_versions is not None:
-            # cap counts version NUMBERS (cheap, monotone) — versions
-            # belonging to other lines inside the span are filtered by
-            # ancestry as usual and just make that batch smaller
-            head = min(head, start["version"] + self.max_versions)
+        if self.max_versions is not None and head > start["version"]:
+            # Admission cap composed with line subscription: the cap
+            # counts versions ON THE SUBSCRIBED LINE and the capped
+            # head must itself BE an in-line version. Capping by raw
+            # number arithmetic (start + N) would be wrong twice once
+            # histories interleave (named branches, WAP orphans): the
+            # capped number can belong to ANOTHER line, and both
+            # _emit and readBetweenOffsets derive the ancestry filter
+            # from the END version — a main subscriber would ingest a
+            # branch's commit and permanently skip its own, and a
+            # checkpoint replay would reproduce a different batch than
+            # the original (exactly-once broken). Committing only
+            # in-line end versions keeps every offset's ancestry
+            # self-describing, so replay-from-offsets is stable.
+            allowed = _ancestor_set(self.base, head)
+            n = 0
+            capped = start["version"]
+            for v in range(start["version"] + 1, head + 1):
+                capped = v
+                if v in allowed:
+                    n += 1
+                    if n >= self.max_versions:
+                        break
+            head = capped
         if self.max_rows is not None and head > start["version"]:
             head = self._cap_rows(
                 start["version"], head, start.get("emit_base", False)
@@ -278,7 +297,13 @@ class LakeChainStreamReader(SimpleDataSourceStreamReader):
             if cum > 0 and rows > 0 and cum + rows > self.max_rows:
                 break
             cum += rows
-            end = v
+            if v in allowed:
+                # only IN-LINE versions may become the committed end:
+                # readBetweenOffsets re-derives the ancestry filter
+                # from the end version at replay time, so an off-line
+                # end would replay a different batch than it emitted
+                # (same invariant as the max_versions cap in read())
+                end = v
         return end
 
     def _emit(self, after: int, upto: int, emit_base: bool = False):

@@ -516,3 +516,178 @@ def test_max_rows_per_trigger_bounds_batches(spark, sf_small, tmp_path):
     assert len(batch_rows) >= 3  # genuinely split, not one giant batch
     want = [tuple(r) for r in read_version_chain(spark, base)[0].collect()]
     assert sorted(seen) == sorted(want)
+
+
+def _drain(rdr, max_batches=20):
+    """Drive a reader to the head: returns (batches, offsets) where
+    batches[i] is the row list of trigger i and offsets the committed
+    end offsets (initial offset first)."""
+    offset = rdr.initialOffset()
+    offsets = [offset]
+    batches = []
+    for _ in range(max_batches):
+        rows, end = rdr.read(offset)
+        rows = list(rows)
+        if end["version"] == offset["version"] and not rows:
+            break
+        batches.append(rows)
+        offsets.append(end)
+        offset = end
+    return batches, offsets
+
+
+def test_branch_tail_with_version_cap_bounded_exactly_once(
+    spark, sf_small, tmp_path
+):
+    """Round-6 verdict item #8 — admission control COMPOSED with
+    branch subscription: main and a named branch commit interleaved
+    version numbers; a capped branch subscriber must (a) catch up in
+    bounded batches, (b) emit ONLY branch-line rows, (c) commit
+    offsets that always land on the branch's own line, and (d) replay
+    every recorded interval identically (exactly-once across restarts
+    is readBetweenOffsets over these offsets)."""
+    from novelti_dingo_spark.pipelines import create_branch
+    from novelti_dingo_spark.sources.lake_stream import (
+        LakeChainStreamReader,
+        _ancestor_set,
+        _latest,
+        _manifest_schema,
+        _read_manifest,
+    )
+
+    base = str(tmp_path / "lake")
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    publish_versioned(o.filter("o_orderkey % 5 = 0"), base)        # v1
+    create_branch(spark, base, "exp")                              # @v1
+    publish_append(o.filter("o_orderkey % 5 = 1"), base)           # v2 main
+    publish_append(o.filter("o_orderkey % 5 = 2"), base, branch="exp")  # v3
+    publish_append(o.filter("o_orderkey % 5 = 3"), base)           # v4 main
+    publish_append(o.filter("o_orderkey % 5 = 4"), base, branch="exp")  # v5
+    schema = _manifest_schema(_read_manifest(base, _latest(base, "exp")))
+
+    rdr = LakeChainStreamReader(
+        {"path": base, "branch": "exp", "max_versions_per_trigger": "1"},
+        schema,
+    )
+    batches, offsets = _drain(rdr)
+    # (a) bounded: one emitting branch version per trigger -> the three
+    # branch-line versions (v1 base, v3, v5) arrive in three batches
+    assert len(batches) == 3
+    # (b) branch rows only, and all of them
+    got = sorted(t for rows in batches for t in rows)
+    want = sorted(
+        tuple(r)
+        for r in o.filter("o_orderkey % 5 IN (0, 2, 4)").collect()
+    )
+    assert got == want
+    # (c) every committed offset is on the branch's own line
+    line = _ancestor_set(base, _latest(base, "exp"))
+    for off in offsets[1:]:
+        assert off["version"] in line, offsets
+    # (d) exactly-once: replaying each recorded interval reproduces
+    # the original batch verbatim (this is what checkpoint recovery
+    # executes after a crash)
+    for i, rows in enumerate(batches):
+        replay = list(
+            rdr.readBetweenOffsets(offsets[i], offsets[i + 1])
+        )
+        assert sorted(replay) == sorted(rows), i
+
+
+def test_main_tail_with_version_cap_never_ingests_branch(
+    spark, sf_small, tmp_path
+):
+    """The dual composition hazard: a capped MAIN subscriber whose
+    number-arithmetic head would land on a branch version must neither
+    ingest the branch commit nor skip its own. Before the in-line cap
+    fix, batch (v2, v3] computed its ancestry filter from branch v3
+    and leaked the branch's rows into main's stream."""
+    from novelti_dingo_spark.pipelines import create_branch
+    from novelti_dingo_spark.sources.lake_stream import (
+        LakeChainStreamReader,
+        _ancestor_set,
+        _latest,
+        _manifest_schema,
+        _read_manifest,
+    )
+
+    base = str(tmp_path / "lake")
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    publish_versioned(o.filter("o_orderkey % 5 = 0"), base)        # v1
+    create_branch(spark, base, "exp")
+    publish_append(o.filter("o_orderkey % 5 = 1"), base)           # v2 main
+    publish_append(o.filter("o_orderkey % 5 = 2"), base, branch="exp")  # v3
+    publish_append(o.filter("o_orderkey % 5 = 3"), base)           # v4 main
+    schema = _manifest_schema(_read_manifest(base, _latest(base)))
+
+    rdr = LakeChainStreamReader(
+        {"path": base, "max_versions_per_trigger": "1"}, schema
+    )
+    batches, offsets = _drain(rdr)
+    got = sorted(t for rows in batches for t in rows)
+    want = sorted(
+        tuple(r)
+        for r in o.filter("o_orderkey % 5 IN (0, 1, 3)").collect()
+    )
+    assert got == want  # no branch leak, no main loss
+    line = _ancestor_set(base, _latest(base))
+    for off in offsets[1:]:
+        assert off["version"] in line
+    for i, rows in enumerate(batches):
+        replay = list(rdr.readBetweenOffsets(offsets[i], offsets[i + 1]))
+        assert sorted(replay) == sorted(rows), i
+
+
+def test_branch_tail_with_row_cap_offsets_stay_in_line(
+    spark, sf_small, tmp_path
+):
+    """max_rows_per_trigger on a branch tail: the committed end must
+    also stay on the subscribed line (the _cap_rows twin of the
+    version-cap invariant), batches respect the row budget except for
+    the single-oversized-segment progress guarantee, and the union is
+    exact."""
+    from novelti_dingo_spark.pipelines import create_branch
+    from novelti_dingo_spark.sources.lake_stream import (
+        LakeChainStreamReader,
+        _ancestor_set,
+        _latest,
+        _manifest_schema,
+        _read_manifest,
+    )
+
+    base = str(tmp_path / "lake")
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    publish_versioned(o.filter("o_orderkey % 5 = 0"), base)        # v1
+    create_branch(spark, base, "exp")
+    publish_append(o.filter("o_orderkey % 5 = 1"), base)           # v2 main
+    publish_append(o.filter("o_orderkey % 5 = 2"), base, branch="exp")  # v3
+    publish_append(o.filter("o_orderkey % 5 = 3"), base)           # v4 main
+    publish_append(o.filter("o_orderkey % 5 = 4"), base, branch="exp")  # v5
+    n_base = o.filter("o_orderkey % 5 = 0").count()
+    schema = _manifest_schema(_read_manifest(base, _latest(base, "exp")))
+
+    cap = n_base  # base segment alone fills a batch
+    rdr = LakeChainStreamReader(
+        {"path": base, "branch": "exp", "max_rows_per_trigger": str(cap)},
+        schema,
+    )
+    batches, offsets = _drain(rdr)
+    got = sorted(t for rows in batches for t in rows)
+    want = sorted(
+        tuple(r)
+        for r in o.filter("o_orderkey % 5 IN (0, 2, 4)").collect()
+    )
+    assert got == want
+    line = _ancestor_set(base, _latest(base, "exp"))
+    for off in offsets[1:]:
+        assert off["version"] in line
+    assert len(batches) >= 2  # the cap actually split the catch-up
+    for i, rows in enumerate(batches):
+        replay = list(rdr.readBetweenOffsets(offsets[i], offsets[i + 1]))
+        assert sorted(replay) == sorted(rows), i
