@@ -15,6 +15,12 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "novelti-dingo-spark") -> SparkSession:
+    # must precede JVM creation: python workers inherit PYTHONPATH via
+    # the JVM, and transformWithState's state protocol needs a protobuf
+    # runtime in the WORKER (no-op when the real package is installed)
+    from .protobuf_fallback import ensure_protobuf
+
+    ensure_protobuf()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle = os.environ.get("SPARK_DINGO_SHUFFLE_PARTITIONS", "32")
     builder = (

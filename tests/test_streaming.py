@@ -413,20 +413,38 @@ def test_stream_topk_watermark_finality(spark, tmp_path):
 def test_transform_with_state_matches_batch(spark, sf_small, events_stream):
     """transformWithStateInPandas (Spark 4 stateful API) drains to the
     same per-user aggregates as the batch groupBy — and therefore agrees
-    with the applyInPandasWithState operator tested above."""
-    pytest.importorskip(
-        "google.protobuf",
-        reason="transformWithState's state protocol needs protobuf, "
-        "absent from this container (operator is complete; "
-        "applyInPandasWithState covers the semantics in CI)",
-    )
+    with the applyInPandasWithState operator tested above.
+
+    This test EXECUTES the real state protocol end-to-end: the python
+    worker drives the JVM state server over protobuf — served by the
+    real `google.protobuf` when installed, else by the clean-room
+    wire-format shim (novelti_dingo_spark.protobuf_fallback, activated
+    by session.get_spark before the JVM spawned). transformWithState
+    additionally requires the RocksDB state store provider; restore
+    the session default afterwards so other streaming tests keep the
+    HDFS-backed provider they were written against."""
     from pyspark.sql import functions as F
 
+    from novelti_dingo_spark.protobuf_fallback import ensure_protobuf
     from novelti_dingo_spark.sources import load_table
     from novelti_dingo_spark.streaming.stateful import running_user_stats_tws
 
-    out = running_user_stats_tws(events_stream)
-    name = streaming.run_to_memory(out, "t_tws", mode="update")
+    assert ensure_protobuf() in ("real", "shim")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = running_user_stats_tws(events_stream)
+        name = streaming.run_to_memory(out, "t_tws", mode="update")
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
     rows = spark.sql(
         f"""SELECT user_id, n_events, sum_value, last_ts_us FROM (
               SELECT *, row_number() OVER (PARTITION BY user_id
