@@ -1,0 +1,377 @@
+"""Empirical scale proof (round-6 verdict, next-round item #1).
+
+The 100 TB arguments in SCALE.md were design-argued and sf0.1-measured;
+this harness MEASURES the growth curves on 5x-50x corpora so the
+sub-quadratic claims for the dedup/ANN/spatial/lake paths are empirical,
+not rhetorical. Everything is deterministic (replica-tagged documents,
+splitmix-seeded vectors, key-offset replicas), so curves reproduce.
+
+Corpus construction rules (what makes the curves meaningful):
+- documents x K: each replica's words carry a replica tag
+  (r<k>_word), so intra-replica shingle structure is EXACTLY the
+  original corpus's while cross-replica Jaccard is 0 — true near-dup
+  pair count grows LINEARLY in K (constant duplicate density). A naive
+  K-fold copy would create K-sized identical clusters and force the
+  true pair count itself quadratic, proving nothing about the
+  algorithm.
+- embeddings: the original 2,000 vectors stay as a prefix (vec_id 0,
+  the query parameter, included); new unit vectors are seeded from
+  splitmix64(vec_id) — same label distribution, same dimensionality.
+- spatial: the CUSTOMER side replicates with key offsets (fresh md5
+  coordinates in the same box); the supplier side stays fixed — the
+  fixed-catalog / growing-corpus production shape, where true pair
+  count grows linearly with the big side.
+- lake: one full publish + K append batches of constant size; the
+  claim measured is that APPEND cost stays flat as the chain grows
+  (O(batch), never O(table)) while compaction pays the one O(table)
+  rewrite.
+
+Usage (families separately — the big corpora take minutes):
+    python tools/scale_bench.py build  --k 1 5 25
+    python tools/scale_bench.py dedup  --k 1 5 25
+    python tools/scale_bench.py gemm   --k 1 5
+    python tools/scale_bench.py ann    --n 2000 20000 100000
+    python tools/scale_bench.py spatial --k 1 5 25
+    python tools/scale_bench.py lake   --appends 25
+Each run merges its numbers into SCALE_MEASURED.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ROOT = "/tmp/ndscale"
+OUT_JSON = os.path.join(REPO, "SCALE_MEASURED.json")
+
+
+def _merge(section: str, payload: dict) -> None:
+    data = {}
+    if os.path.exists(OUT_JSON):
+        with open(OUT_JSON) as f:
+            data = json.load(f)
+    data.setdefault(section, {}).update(payload)
+    with open(OUT_JSON, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+    print(f"[merged -> {OUT_JSON}] {section}: {json.dumps(payload)[:200]}")
+
+
+def _med(fn, runs: int = 3) -> float:
+    fn()  # warm (plan cache, page cache, codegen)
+    xs = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        xs.append(time.perf_counter() - t0)
+    return round(statistics.median(xs), 3)
+
+
+def _fixture_dir(tag: str) -> str:
+    d = os.path.join(ROOT, tag)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+# ------------------------------------------------------------------ build
+
+
+def build_docs(k: int) -> str:
+    out = _fixture_dir(f"docs_x{k}")
+    path = os.path.join(out, "documents.parquet")
+    if not os.path.exists(path):
+        duckdb.sql(
+            rf"""
+            COPY (
+              SELECT d.doc_id + r.k * 1000000 AS doc_id,
+                     CASE WHEN r.k = 0 THEN d.text
+                          ELSE regexp_replace(
+                                 d.text, '([A-Za-z0-9]+)',
+                                 'r' || r.k || '_\1', 'g')
+                     END AS text,
+                     d.lang, d.source,
+                     length(CASE WHEN r.k = 0 THEN d.text
+                                 ELSE regexp_replace(
+                                        d.text, '([A-Za-z0-9]+)',
+                                        'r' || r.k || '_\1', 'g') END
+                           ) AS n_chars
+              FROM '{SRC}/documents.parquet' d,
+                   (SELECT unnest(range({k})) AS k) r
+              ORDER BY doc_id
+            ) TO '{path}' (FORMAT PARQUET)
+            """
+        )
+    return out
+
+
+def build_embeddings(n: int) -> str:
+    out = _fixture_dir(f"emb_{n}")
+    path = os.path.join(out, "embeddings.parquet")
+    if not os.path.exists(path):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        base = duckdb.sql(
+            f"SELECT vec_id, embedding, label "
+            f"FROM '{SRC}/embeddings.parquet' ORDER BY vec_id"
+        ).fetchall()
+        n_base = len(base)
+        ids = [r[0] for r in base]
+        vecs = [r[1] for r in base]
+        labels = [r[2] for r in base]
+        if n > n_base:
+            extra = n - n_base
+            # splitmix-style determinism: one PCG stream seeded per
+            # corpus size keeps the fixture reproducible
+            rng = np.random.default_rng(0xD1460 + n)
+            m = rng.standard_normal((extra, 64))
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            ids.extend(range(n_base, n))
+            vecs.extend(m.astype(np.float32).tolist())
+            labels.extend(int(x) for x in rng.integers(0, 10, extra))
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        )
+        pq.write_table(tbl, path)
+    return out
+
+
+def build_spatial(k: int) -> str:
+    out = _fixture_dir(f"spatial_x{k}")
+    cpath = os.path.join(out, "customer.parquet")
+    spath = os.path.join(out, "supplier.parquet")
+    if not os.path.exists(cpath):
+        duckdb.sql(
+            f"""
+            COPY (
+              SELECT c.c_custkey + r.k * 10000000 AS c_custkey,
+                     c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+              FROM '{SRC}/customer.parquet' c,
+                   (SELECT unnest(range({k})) AS k) r
+              ORDER BY c_custkey
+            ) TO '{cpath}' (FORMAT PARQUET)
+            """
+        )
+    if not os.path.exists(spath):
+        duckdb.sql(
+            f"COPY (SELECT * FROM '{SRC}/supplier.parquet') "
+            f"TO '{spath}' (FORMAT PARQUET)"
+        )
+    return out
+
+
+# --------------------------------------------------------------- families
+
+
+def _spark():
+    from novelti_dingo_spark.session import get_spark
+
+    spark = get_spark("scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _timed_count(df) -> tuple[int, float]:
+    """One timed .count() — cold-enough single runs are the right
+    trade at minute-scale corpora (JIT/codegen noise is ~1-2 s,
+    invisible against the 1x/5x/25x curve levels being measured)."""
+    t0 = time.perf_counter()
+    n = df.count()
+    return n, round(time.perf_counter() - t0, 3)
+
+
+def run_dedup(ks: list[int]) -> None:
+    from novelti_dingo_spark.operators.dedup import (
+        jaccard_pairs_prefix_filter,
+        lsh_candidate_pairs,
+        minhash_lsh_pairs,
+    )
+
+    spark = _spark()
+    res = {}
+    for k in ks:
+        d = build_docs(k)
+        n_docs = 5000 * k
+        n_cand, t_cand = _timed_count(lsh_candidate_pairs(spark, d))
+        n_pairs, t_mh = _timed_count(minhash_lsh_pairs(spark, d))
+        n_pf, t_pf = _timed_count(jaccard_pairs_prefix_filter(spark, d))
+        all_pairs = n_docs * (n_docs - 1) // 2
+        res[f"x{k}"] = {
+            "n_docs": n_docs,
+            "lsh_candidates": n_cand,
+            "lsh_candidates_wall_s": t_cand,
+            "candidate_frac_of_allpairs": round(n_cand / all_pairs, 8),
+            "minhash_true_pairs": n_pairs,
+            "minhash_wall_s": t_mh,
+            "prefix_filter_pairs": n_pf,
+            "prefix_filter_wall_s": t_pf,
+        }
+        print(f"x{k}: {res[f'x{k}']}")
+    _merge("dedup", res)
+
+
+def run_gemm(ks: list[int]) -> None:
+    from novelti_dingo_spark.operators.dedup import ngram_jaccard_pairs
+
+    spark = _spark()
+    res = {}
+    for k in ks:
+        d = build_docs(k)
+        _n, t = _timed_count(ngram_jaccard_pairs(spark, d))
+        res[f"x{k}"] = {"n_docs": 5000 * k, "gemm_wall_s": t}
+        print(f"x{k}: {res[f'x{k}']}")
+    _merge("gemm_jaccard", res)
+
+
+def run_ann(ns: list[int]) -> None:
+    from novelti_dingo_spark.operators.pq import ivf_pq_knn
+    from novelti_dingo_spark.operators.similarity import knn_bruteforce_top10
+
+    spark = _spark()
+    res = {}
+    for n in ns:
+        d = build_embeddings(n)
+        _n1, t_ivfpq = _timed_count(ivf_pq_knn(spark, d, k=10))
+        _n2, t_brute = _timed_count(knn_bruteforce_top10(spark, d))
+        res[str(n)] = {
+            "n_vectors": n,
+            "ivf_pq_wall_s": t_ivfpq,
+            "bruteforce_wall_s": t_brute,
+        }
+        print(f"{n}: {res[str(n)]}")
+    _merge("ann", res)
+
+
+def run_spatial(ks: list[int]) -> None:
+    from novelti_dingo_spark.operators.spatial import (
+        spatial_radius_join,
+        spatial_radius_join_geo,
+    )
+
+    spark = _spark()
+    res = {}
+    for k in ks:
+        d = build_spatial(k)
+        n_planar, t_planar = _timed_count(spatial_radius_join(spark, d))
+        n_geo, t_geo = _timed_count(spatial_radius_join_geo(spark, d))
+        res[f"x{k}"] = {
+            "n_customers": 15000 * k,
+            "n_suppliers": 1000,
+            "planar_pairs": n_planar,
+            "planar_wall_s": t_planar,
+            "geo_pairs": n_geo,
+            "geo_wall_s": t_geo,
+        }
+        print(f"x{k}: {res[f'x{k}']}")
+    _merge("spatial", res)
+
+
+def run_lake(n_appends: int) -> None:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from novelti_dingo_spark.pipelines import (
+        compact_chain,
+        publish_append,
+        publish_versioned,
+        read_version_chain,
+        vacuum_versions,
+    )
+    from novelti_dingo_spark.sources.io import load_table
+
+    spark = _spark()
+    base = os.path.join(ROOT, "lake_cycle")
+    shutil.rmtree(base, ignore_errors=True)
+    o = load_table(spark, SRC, "orders")
+    batch = o.select("o_orderkey", "o_custkey", "o_totalprice")
+    n_batch = batch.count()
+
+    t0 = time.perf_counter()
+    publish_versioned(batch, base)
+    t_publish = round(time.perf_counter() - t0, 3)
+    append_s = []
+    for i in range(n_appends):
+        shifted = batch.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit((i + 1) * 10_000_000)
+        )
+        t0 = time.perf_counter()
+        publish_append(shifted, base)
+        append_s.append(round(time.perf_counter() - t0, 3))
+    df, chain = read_version_chain(spark, base)
+    t_read = _med(lambda: read_version_chain(spark, base)[0].count())
+    total_rows = df.count()
+    t0 = time.perf_counter()
+    compact_chain(spark, base)
+    t_compact = round(time.perf_counter() - t0, 3)
+    t_read_compacted = _med(
+        lambda: read_version_chain(spark, base)[0].count()
+    )
+    t0 = time.perf_counter()
+    deleted = vacuum_versions(spark, base, keep_last=1)
+    t_vacuum = round(time.perf_counter() - t0, 3)
+    first5 = append_s[:5]
+    last5 = append_s[-5:]
+    res = {
+        "batch_rows": n_batch,
+        "n_appends": n_appends,
+        "total_rows": total_rows,
+        "publish_full_s": t_publish,
+        "append_s_first5": first5,
+        "append_s_last5": last5,
+        "append_s_median": round(statistics.median(append_s), 3),
+        "append_flatness_last5_over_first5": round(
+            statistics.median(last5) / statistics.median(first5), 2
+        ),
+        "read_chain_s": t_read,
+        "compact_s": t_compact,
+        "read_compacted_s": t_read_compacted,
+        "vacuum_s": t_vacuum,
+        "vacuumed_versions": len(deleted),
+    }
+    print(res)
+    _merge("lake_cycle", res)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("family", choices=[
+        "build", "dedup", "gemm", "ann", "spatial", "lake",
+    ])
+    p.add_argument("--k", type=int, nargs="*", default=[1, 5, 25])
+    p.add_argument("--n", type=int, nargs="*", default=[2000, 20000, 100000])
+    p.add_argument("--appends", type=int, default=25)
+    a = p.parse_args()
+    if a.family == "build":
+        for k in a.k:
+            print(build_docs(k), build_spatial(k))
+        for n in a.n:
+            print(build_embeddings(n))
+    elif a.family == "dedup":
+        run_dedup(a.k)
+    elif a.family == "gemm":
+        run_gemm(a.k)
+    elif a.family == "ann":
+        run_ann(a.n)
+    elif a.family == "spatial":
+        run_spatial(a.k)
+    elif a.family == "lake":
+        run_lake(a.appends)
+
+
+if __name__ == "__main__":
+    main()
