@@ -611,3 +611,114 @@ def temporal_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "stratified_sample_exact",
+    """
+    WITH counts AS (
+      SELECT o_orderpriority, count(*) AS n_h FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT sum(n_h) AS n FROM counts
+    ), quota AS (
+      SELECT o_orderpriority, n_h,
+             CAST(floor((1000.0 * n_h) / n) AS BIGINT) AS base,
+             (1000 * n_h) % n AS rem,
+             n
+      FROM counts, tot
+    ), alloc AS (
+      SELECT o_orderpriority, n_h,
+             base + CASE WHEN rank() OVER (ORDER BY rem DESC,
+                                           o_orderpriority)
+                         <= 1000 - (SELECT sum(base) FROM quota)
+                    THEN 1 ELSE 0 END AS n_take
+      FROM quota
+    ), ranked AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY md5(CAST(o_orderkey AS VARCHAR)),
+                                         o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT r.o_orderpriority,
+           count(*) AS n_sampled,
+           a.n_h AS n_stratum,
+           round(sum(CAST(r.o_totalprice AS DECIMAL(18,2))), 2)
+             AS sampled_price
+    FROM ranked r JOIN alloc a USING (o_orderpriority)
+    WHERE r.rn <= a.n_take
+    GROUP BY 1, 3
+    """,
+    survey_rows="L16,A1,W1,sampling",
+)
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT proportional stratified sampling with largest-remainder
+    allocation — the deterministic twin of sampleBy (which is Bernoulli
+    per stratum and only hits quotas in expectation). A 1000-row budget
+    splits across order-priority strata as floor(B*n_h/N) plus one
+    extra for the largest remainders (integer arithmetic throughout, so
+    the allocation is exact and identical on both engines); within each
+    stratum the sample is the first n_take rows ordered by
+    md5(key) — the same portable deterministic-draw idiom as the PPS
+    sampler, so the SAMPLE SET itself (not just its size) is
+    reproducible anywhere, which is what a training-data pipeline needs
+    to re-derive a split.
+
+    Scale shape: one partial-agg pass for strata counts (grid-sized),
+    one window rank per stratum partition (the single data-sized
+    shuffle), broadcast of the 5-row allocation — at 100 TB the hash
+    rank replaces an ORDER BY over the corpus; sampling never sorts
+    globally. Sum is DECIMAL-exact (float-hash rules); the verified
+    output is the per-stratum sample aggregate, with quota arithmetic
+    hash-proven by n_sampled == n_take."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    counts = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_h")
+    )
+    tot = counts.agg(F.sum("n_h").alias("n"))
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        "o_orderpriority",
+        "n_h",
+        F.floor(
+            (F.lit(1000.0) * F.col("n_h")) / F.col("n")
+        ).cast("bigint").alias("base"),
+        ((F.lit(1000) * F.col("n_h")) % F.col("n")).alias("rem"),
+    )
+    leftover = quota.agg(
+        (F.lit(1000) - F.sum("base")).alias("leftover")
+    )
+    wrem = Window.orderBy(F.desc("rem"), F.asc("o_orderpriority"))
+    alloc = (
+        quota.crossJoin(F.broadcast(leftover))
+        .withColumn("rk", F.rank().over(wrem))
+        .select(
+            "o_orderpriority",
+            "n_h",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("n_take"),
+        )
+    )
+    wsel = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
+    )
+    ranked = o.withColumn("rn", F.row_number().over(wsel))
+    return (
+        ranked.join(F.broadcast(alloc), "o_orderpriority")
+        .filter(F.col("rn") <= F.col("n_take"))
+        .groupBy("o_orderpriority", F.col("n_h").alias("n_stratum"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            ).alias("sampled_price"),
+        )
+        .select(
+            "o_orderpriority", "n_sampled", "n_stratum", "sampled_price"
+        )
+    )

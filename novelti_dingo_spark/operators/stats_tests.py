@@ -837,3 +837,120 @@ def survival_km_signup_purchase(
         .orderBy("dur_h")
         .limit(30)
     )
+
+
+@register(
+    "mann_kendall_trend",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             sum(CAST(value AS DECIMAL(18,2))) AS x
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT a.event_type,
+             sum(CAST(sign(b.x - a.x) AS BIGINT)) AS s_stat
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+      GROUP BY 1
+    ), nd AS (
+      SELECT event_type, count(*) AS n FROM daily GROUP BY 1
+    ), ties AS (
+      SELECT event_type,
+             sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+      FROM (SELECT event_type, x, count(*) AS t
+            FROM daily GROUP BY 1, 2) GROUP BY 1
+    )
+    SELECT s.event_type, nd.n AS n_days, s.s_stat,
+           round((nd.n * (nd.n - 1) * (2 * nd.n + 5) - ties.tie_term)
+                 / 18.0, 6) AS var_s,
+           round(CASE
+             WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+               / sqrt((nd.n * (nd.n - 1) * (2 * nd.n + 5) - ties.tie_term)
+                      / 18.0)
+             WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+               / sqrt((nd.n * (nd.n - 1) * (2 * nd.n + 5) - ties.tie_term)
+                      / 18.0)
+             ELSE 0.0 END, 6) AS z_stat
+    FROM s JOIN nd USING (event_type) JOIN ties USING (event_type)
+    """,
+    survey_rows="A1,J5,W,stats-tests",
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per event segment — the
+    standard nonparametric drift detector for daily KPI series (does
+    revenue trend up, independent of distribution shape?).
+
+    S = sum over day pairs i<j of sign(x_j - x_i); under H0,
+    Var(S) = [n(n-1)(2n+5) - sum t(t-1)(2t+5)] / 18 with the tie
+    correction, and Z = (S -+ 1)/sqrt(Var) is ~N(0,1).
+
+    Exactness discipline (float-hash rules): daily totals are exact
+    DECIMAL(18,2) sums (value is 2dp-quantized), so every sign
+    comparison is exact and S is a bigint; n and the tie term are
+    integers; Var's /18.0 and Z's one division + one IEEE-exact sqrt
+    are bit-identical given identical integer inputs — no libm hazard
+    anywhere, 6dp rounding is belt-and-braces.
+
+    Scale shape: the corpus collapses to the (segment, day) grid in
+    one partial-agg pass; the pairwise self-join runs on the BOUNDED
+    grid (30 days -> 435 pairs per segment), never on raw events —
+    the same bounded-domain pattern as the KS/KM/log-rank family. At
+    100 TB: one shuffle of segment-day partials, then grid-sized
+    work."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("x"))
+    a = daily.select(
+        "event_type", F.col("d").alias("da"), F.col("x").alias("xa")
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("db"), F.col("x").alias("xb")
+    )
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.signum(F.col("xb") - F.col("xa")).cast("bigint")
+            ).alias("s_stat")
+        )
+    )
+    nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    n = F.col("n")
+    var_expr = (
+        (n * (n - 1) * (2 * n + 5) - F.col("tie_term")) / F.lit(18.0)
+    )
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(var_expr),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(var_expr),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        s.join(nd, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "s_stat",
+            F.round(var_expr, 6).alias("var_s"),
+            F.round(z, 6).alias("z_stat"),
+        )
+    )

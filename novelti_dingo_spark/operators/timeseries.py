@@ -1147,3 +1147,81 @@ def daily_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acf_7"
         ),
     )
+
+
+@register(
+    "seasonal_dow_decompose",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             sum(CAST(value AS DECIMAL(18,2))) AS x
+      FROM events GROUP BY 1, 2
+    ), det AS (
+      SELECT event_type, d,
+             7 * x - (x
+               + lag(x, 1) OVER w + lag(x, 2) OVER w
+               + lag(x, 3) OVER w + lag(x, 4) OVER w
+               + lag(x, 5) OVER w + lag(x, 6) OVER w) AS det7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    )
+    SELECT event_type, dayofweek(d) + 1 AS dow,
+           count(*) AS n_days,
+           round(CAST(sum(det7) AS DOUBLE) / (7.0 * count(*)), 6)
+             AS seasonal_idx
+    FROM det WHERE det7 IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    survey_rows="ST12,W2,A1,seasonality",
+)
+def seasonal_dow_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week SEASONAL DECOMPOSITION per event segment — the
+    moving-average method (classical decomposition): trend is the
+    trailing 7-day mean, the seasonal index of a weekday is the mean
+    detrended value landing on it. Positive index = that weekday runs
+    above its surrounding week's trend.
+
+    Exactness discipline (float-hash rules): daily totals are exact
+    DECIMAL sums; instead of dividing the 7-day window by 7 (decimal
+    division scale/rounding differs across engines), the detrended
+    series is scaled by 7 — det7 = 7x - (x + lag1..lag6), an EXACT
+    decimal built from a fixed textual lag chain (never a sliding
+    frame, whose internal summation order engines choose differently).
+    Only the final per-dow mean converts to double: one exact-decimal
+    sum, one cast, one division by an integer — bit-identical, with
+    6dp rounding as the belt-and-braces guard.
+
+    Scale shape: the corpus collapses to the (segment, day) grid in
+    one partial-agg pass; lags and the dow rollup run on the grid.
+    The lag chain shares ONE (event_type) window partitioning — same
+    single-shuffle shape as the EWMA/ACF family. At 100 TB: grid-sized
+    state, segment-parallel."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    det7 = F.col("x") * 7 - (
+        F.col("x")
+        + F.lag("x", 1).over(w)
+        + F.lag("x", 2).over(w)
+        + F.lag("x", 3).over(w)
+        + F.lag("x", 4).over(w)
+        + F.lag("x", 5).over(w)
+        + F.lag("x", 6).over(w)
+    )
+    return (
+        daily.withColumn("det7", det7)
+        .filter(F.col("det7").isNotNull())
+        .groupBy("event_type", F.dayofweek("d").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(
+                F.sum("det7").cast("double")
+                / (F.lit(7.0) * F.count(F.lit(1))),
+                6,
+            ).alias("seasonal_idx"),
+        )
+    )

@@ -168,3 +168,20 @@ def test_geo_join_broadcast_knob_matches(spark, sf_med):
         for r in radius_join_geo(c, s, broadcast_right=True).collect()
     }
     assert a == b
+
+
+def test_geo_top1_rank_gap_guard(sf_med, sf_big):
+    """spatial_nearest_supplier_geo ranks RAW haversine doubles (libm),
+    which is cross-engine-sound only while best-vs-second-best gaps
+    dwarf ulp drift — pin the measured margin at both gate SFs."""
+    for sf_dir in (sf_med, sf_big):
+        _, cla, clo = _coords(sf_dir, "customer", "c_custkey")
+        _, sla, slo = _coords(sf_dir, "supplier", "s_suppkey")
+        d = _hav_matrix(cla, clo, sla, slo)
+        within = d <= RADIUS_KM
+        gaps = []
+        for i in range(d.shape[0]):
+            dr = np.sort(d[i][within[i]])
+            if len(dr) >= 2:
+                gaps.append(dr[1] - dr[0])
+        assert gaps and min(gaps) > 1e-6, sf_dir

@@ -679,6 +679,26 @@ EXPECT = {
     "spatial_radius_join_geo": {
         "hash_join_not_nlj": True, "no_python_udf": True,
     },
+    # geodesic top-1: blocked candidates, hash join on the banded cell
+    # key, per-customer window (partitioned — parallel across customers)
+    "spatial_nearest_supplier_geo": {
+        "hash_join_not_nlj": True, "no_python_udf": True,
+    },
+    # Mann-Kendall: corpus collapses to the (segment, day) grid via
+    # partial agg; the pairwise join runs on the bounded grid
+    "mann_kendall_trend": {
+        "partial_agg": True, "no_python_udf": True, "max_scan_cols": 3,
+    },
+    # stratified sampler: strata counts partial-agg'd, 5-row allocation
+    # broadcast back over the per-stratum hash-rank window
+    "stratified_sample_exact": {
+        "partial_agg": True, "no_python_udf": True, "max_scan_cols": 3,
+    },
+    # seasonal decomposition: grid-sized lag chain on ONE event_type
+    # window partitioning, then the dow rollup
+    "seasonal_dow_decompose": {
+        "partial_agg": True, "no_python_udf": True, "max_scan_cols": 3,
+    },
 }
 
 
