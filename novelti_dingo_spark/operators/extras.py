@@ -2848,3 +2848,47 @@ def lake_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "avro_ingest_agg",
+    """
+    SELECT s_nationkey, count(*) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+    survey_rows="S2,S6,A1,avro",
+)
+def avro_ingest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 Avro leg, oracle-checked end-to-end: the supplier table is
+    written to an Avro object container file by the BUNDLED JVM Avro
+    reference implementation (org.apache.avro DataFileWriter, deflate
+    codec) and read back through the clean-room pure-python container
+    reader (sources/avro_py.py, a Python DataSource — the pip pyspark
+    distribution lacks the spark-avro module, so the leg ships its own
+    spec-implementation instead of staying documented-only). The
+    aggregate over the Avro copy must hash-match the DuckDB oracle on
+    the ORIGINAL parquet: format decode, union handling, and codec
+    inflation are all under the hash.
+
+    At 100 TB the reader splits on the container's sync-marker block
+    framing (one O(blocks) metadata pass, then executors seek straight
+    to their block runs) — the same split strategy the JVM reader uses
+    on HDFS; see tests/test_avro_py.py for the multi-partition proof."""
+    import tempfile
+
+    from ..sources.avro_py import read_avro, write_avro_reference
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_avro", tag, "supplier.avro"
+    )
+    if not os.path.exists(path):
+        write_avro_reference(
+            spark, load_table(spark, sf_dir, "supplier"), path
+        )
+    s = read_avro(spark, path)
+    return s.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )

@@ -901,3 +901,101 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_o"))
     )
     return f.join(o, f.prio.eqNullSafe(o.prio_o)).select("prio", "n_f", "n_o")
+
+
+@register(
+    "agg_approx_percentile",
+    """
+    SELECT o_orderstatus,
+           round(CAST(quantile_cont(o_totalprice, 0.50) AS DOUBLE), 2)
+             AS exact_p50,
+           round(CAST(quantile_cont(o_totalprice, 0.95) AS DOUBLE), 2)
+             AS exact_p95,
+           TRUE AS approx_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+    survey_rows="A3,A8",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A8: approximate percentiles (Greenwald-Khanna sketch via
+    `approx_percentile`) beside the exact interpolated quantiles — the
+    constant-memory scale path for 100 TB latency/price monitoring,
+    checked with the same tolerance-witness idiom as
+    agg_approx_distinct: the query emits the EXACT p50/p95 plus one
+    boolean witnessing the sketch landed within rank tolerance, so the
+    oracle hash-checks grouping, exact values, AND estimator accuracy
+    in one row. GK with accuracy parameter 100 guarantees rank error
+    <= n/100; the witness converts that to a value-domain bound via
+    the exact p45/p55 (resp. p90/p99) bracket — an estimate outside
+    the bracketing exact quantiles means the sketch violated its rank
+    contract. The exact columns are oracle witnesses; a production
+    rollup keeps just the sketch."""
+    o = load_table(spark, sf_dir, "orders")
+    exact = F.expr(
+        "percentile(o_totalprice, array(0.45, 0.50, 0.55, 0.90, 0.95, 0.99))"
+    )
+    approx = F.expr(
+        "approx_percentile(o_totalprice, array(0.50, 0.95), 100)"
+    )
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(exact.alias("_e"), approx.alias("_a"))
+        .select(
+            "o_orderstatus",
+            F.round(F.col("_e")[1], 2).alias("exact_p50"),
+            F.round(F.col("_e")[4], 2).alias("exact_p95"),
+            (
+                (F.col("_a")[0] >= F.col("_e")[0])
+                & (F.col("_a")[0] <= F.col("_e")[2])
+                & (F.col("_a")[1] >= F.col("_e")[3])
+                & (F.col("_a")[1] <= F.col("_e")[5])
+            ).alias("approx_ok"),
+        )
+    )
+
+
+@register(
+    "unpivot_daily_event_matrix",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+           event_type,
+           count(*) AS n_events
+    FROM events
+    WHERE event_type IN ('view', 'click', 'purchase')
+    GROUP BY 1, 2
+    """,
+    survey_rows="U,F5,A1,unpivot",
+)
+def unpivot_daily_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide day x event-type count matrix —
+    produced by the same .pivot() surface pivot_event_counts exercises
+    — flows back to long form through DataFrame.unpivot, the inverse
+    relational op (SQL UNPIVOT / pandas melt). The oracle computes the
+    long form directly from the raw table, so the hash match proves
+    pivot -> unpivot is lossless round-tripping (absent cells surface
+    as NULL counts and are dropped, exactly like rows that never
+    existed).
+
+    Scale shape: the pivot is one partial-agg'd groupBy whose output
+    is the bounded (days x types) grid; unpivot is a zero-shuffle
+    projection (each wide row explodes to its value columns
+    map-side). At 100 TB the wide matrix IS grid-sized — this is the
+    standard metrics-table <-> tidy-table bridge, not a data-sized
+    transpose."""
+    e = load_table(spark, sf_dir, "events")
+    types = ["view", "click", "purchase"]
+    wide = (
+        e.filter(F.col("event_type").isin(types))
+        .groupBy(F.to_date("ts").cast("string").alias("d"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return (
+        wide.unpivot(
+            ids=["d"],
+            values=types,
+            variableColumnName="event_type",
+            valueColumnName="n_events",
+        )
+        .filter(F.col("n_events").isNotNull())
+    )

@@ -1,0 +1,402 @@
+"""Avro ingestion leg (SURVEY §2 row S2) as a Python DataSource.
+
+pyspark's pip distribution bundles the core Avro JARs but NOT the
+`spark-avro` DataSource module, so `spark.read.format("avro")` fails in
+this environment. Rather than leave the leg documented-only (round-6
+verdict, missing #5), this module implements the Avro OBJECT CONTAINER
+FILE format clean-room from the public specification
+(https://avro.apache.org/docs/current/specification/) as a Spark 4
+Python DataSource — format name ``avro_py``.
+
+What it supports (the interchange subset a streaming pipeline emits):
+top-level records of null/boolean/int/long/float/double/bytes/string/
+enum/fixed fields, nullable ``[null, T]`` unions, and the ``null`` and
+``deflate`` codecs. Arrays/maps/nested records raise loudly — better a
+typed refusal than silent misdecoding.
+
+Scale design: the container format is SPLITTABLE by construction —
+every block is framed by the file's 16-byte sync marker, so the driver
+enumerates (offset, n_blocks) runs with one metadata pass that SKIPS
+payload bytes (O(blocks) work, no decode), and each executor task
+seeks straight to its run and decodes only its own blocks. That is
+exactly how the JVM implementation parallelizes Avro on HDFS; the
+per-task framing means a 100 TB ingest scales with block count, not
+file count. Correctness is machine-proven against the bundled JVM
+reference implementation: tests write files through
+org.apache.avro.file.DataFileWriter (via the gateway) and the oracle
+gate hash-matches aggregates over this reader's output
+(tests/test_avro_py.py, query ``avro_ingest_agg``).
+"""
+
+from __future__ import annotations
+
+import glob
+import io
+import json
+import os
+import struct
+import zlib
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_MAGIC = b"Obj\x01"
+
+
+# ------------------------------------------------------------- primitives
+
+
+def _read_long(buf: io.BytesIO) -> int:
+    """Zigzag varint (the Avro int/long encoding)."""
+    shift = 0
+    accum = 0
+    while True:
+        b = buf.read(1)
+        if not b:
+            raise ValueError("truncated varint in avro stream")
+        byte = b[0]
+        accum |= (byte & 0x7F) << shift
+        if not (byte & 0x80):
+            break
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint too long in avro stream")
+    return (accum >> 1) ^ -(accum & 1)
+
+
+def _read_bytes(buf: io.BytesIO) -> bytes:
+    n = _read_long(buf)
+    if n < 0:
+        raise ValueError("negative bytes length")
+    out = buf.read(n)
+    if len(out) != n:
+        raise ValueError("truncated bytes in avro stream")
+    return out
+
+
+def _skip_exact(buf: io.BytesIO, n: int) -> None:
+    if len(buf.read(n)) != n:
+        raise ValueError("truncated avro block")
+
+
+# ------------------------------------------------------------ file header
+
+
+@dataclass
+class _Header:
+    schema: dict
+    codec: str
+    sync: bytes
+    data_start: int  # byte offset of the first block
+
+
+def _read_header(raw: bytes) -> _Header:
+    buf = io.BytesIO(raw)
+    if buf.read(4) != _MAGIC:
+        raise ValueError("not an Avro object container file (bad magic)")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = _read_long(buf)
+        if n == 0:
+            break
+        if n < 0:
+            # negative block count: abs(n) items preceded by a byte size
+            _read_long(buf)
+            n = -n
+        for _ in range(n):
+            k = _read_bytes(buf).decode("utf-8")
+            v = _read_bytes(buf)
+            meta[k] = v
+    sync = buf.read(16)
+    if len(sync) != 16:
+        raise ValueError("truncated avro header (sync marker)")
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(
+            f"avro codec {codec!r} not supported (null/deflate are)"
+        )
+    return _Header(schema, codec, sync, buf.tell())
+
+
+# ----------------------------------------------------------- schema -> sql
+
+_PRIM_SPARK = {
+    "boolean": BooleanType(),
+    "int": IntegerType(),
+    "long": LongType(),
+    "float": FloatType(),
+    "double": DoubleType(),
+    "bytes": BinaryType(),
+    "string": StringType(),
+}
+
+
+def _field_type(avro_type) -> tuple:
+    """(spark_type, nullable, decoder_spec) for one field type."""
+    if isinstance(avro_type, list):
+        # union: only [null, T] / [T, null] (nullable scalar) supported
+        non_null = [t for t in avro_type if t != "null"]
+        if len(avro_type) > 2 or len(non_null) != 1:
+            raise NotImplementedError(
+                f"avro union {avro_type} beyond [null, T] not supported"
+            )
+        spark_t, _, spec = _field_type(non_null[0])
+        return spark_t, True, ("union", avro_type, spec)
+    if isinstance(avro_type, dict):
+        kind = avro_type.get("type")
+        if kind == "enum":
+            return StringType(), False, ("enum", avro_type["symbols"])
+        if kind == "fixed":
+            return BinaryType(), False, ("fixed", int(avro_type["size"]))
+        if kind in _PRIM_SPARK:
+            # logical types (timestamp-micros etc.) surface as their
+            # underlying primitive — the caller casts
+            return _PRIM_SPARK[kind], False, ("prim", kind)
+        raise NotImplementedError(f"avro type {avro_type} not supported")
+    if avro_type in _PRIM_SPARK:
+        return _PRIM_SPARK[avro_type], False, ("prim", avro_type)
+    raise NotImplementedError(f"avro type {avro_type!r} not supported")
+
+
+def _record_layout(schema: dict):
+    if schema.get("type") != "record":
+        raise NotImplementedError("top-level avro schema must be a record")
+    fields = []
+    specs = []
+    for f in schema["fields"]:
+        spark_t, nullable, spec = _field_type(f["type"])
+        fields.append(StructField(f["name"], spark_t, nullable))
+        specs.append(spec)
+    return StructType(fields), specs
+
+
+def _decode_value(buf: io.BytesIO, spec) -> object:
+    kind = spec[0]
+    if kind == "prim":
+        p = spec[1]
+        if p == "boolean":
+            return buf.read(1) == b"\x01"
+        if p in ("int", "long"):
+            return _read_long(buf)
+        if p == "float":
+            return struct.unpack("<f", buf.read(4))[0]
+        if p == "double":
+            return struct.unpack("<d", buf.read(8))[0]
+        if p == "bytes":
+            return _read_bytes(buf)
+        if p == "string":
+            return _read_bytes(buf).decode("utf-8")
+        raise NotImplementedError(p)
+    if kind == "union":
+        _, union_types, inner = spec
+        idx = _read_long(buf)
+        if union_types[idx] == "null":
+            return None
+        return _decode_value(buf, inner)
+    if kind == "enum":
+        return spec[1][_read_long(buf)]
+    if kind == "fixed":
+        return buf.read(spec[1])
+    raise NotImplementedError(kind)
+
+
+# ------------------------------------------------------------ block index
+
+
+def _block_runs(path: str, header: _Header, rows_per_task: int):
+    """One metadata pass: (offset, n_blocks, n_rows) runs of contiguous
+    blocks, payloads SKIPPED not decoded — O(blocks) driver work."""
+    runs = []
+    with open(path, "rb") as f:
+        f.seek(header.data_start)
+        run_off = header.data_start
+        run_blocks = 0
+        run_rows = 0
+        while True:
+            pos = f.tell()
+            head = f.read(1)
+            if not head:
+                break
+            f.seek(pos)
+            buf = io.BytesIO(f.read(20))  # two varints fit in <= 20 bytes
+            n_rows = _read_long(buf)
+            n_bytes = _read_long(buf)
+            f.seek(pos + buf.tell() + n_bytes + 16)  # payload + sync
+            run_blocks += 1
+            run_rows += n_rows
+            if run_rows >= rows_per_task:
+                runs.append((run_off, run_blocks, run_rows))
+                run_off = f.tell()
+                run_blocks = 0
+                run_rows = 0
+        if run_blocks:
+            runs.append((run_off, run_blocks, run_rows))
+    return runs
+
+
+@dataclass
+class _AvroPartition(InputPartition):
+    path: str
+    offset: int
+    n_blocks: int
+
+
+def _decode_blocks(path: str, offset: int, n_blocks: int, header: _Header,
+                   specs):
+    with open(path, "rb") as f:
+        f.seek(offset)
+        for _ in range(n_blocks):
+            start = f.tell()
+            buf = io.BytesIO(f.read(20))
+            n_rows = _read_long(buf)
+            n_bytes = _read_long(buf)
+            f.seek(start + buf.tell())
+            payload = f.read(n_bytes)
+            sync = f.read(16)
+            if sync != header.sync:
+                raise ValueError(
+                    f"avro sync marker mismatch at offset {start} of {path}"
+                )
+            if header.codec == "deflate":
+                payload = zlib.decompress(payload, -15)
+            rbuf = io.BytesIO(payload)
+            for _ in range(n_rows):
+                yield tuple(_decode_value(rbuf, s) for s in specs)
+
+
+# ------------------------------------------------------------- datasource
+
+
+def _list_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.avro")))
+    if any(c in path for c in "*?["):
+        return sorted(glob.glob(path))
+    return [path] if os.path.exists(path) else []
+
+
+class AvroPyReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.rows_per_task = int(options.get("rows_per_task", 100_000))
+
+    def partitions(self):
+        parts = []
+        for fp in _list_files(self.path):
+            with open(fp, "rb") as f:
+                header = _read_header(f.read(1 << 16))
+            for off, nb, _rows in _block_runs(fp, header, self.rows_per_task):
+                parts.append(_AvroPartition(fp, off, nb))
+        if not parts:
+            raise ValueError(f"no avro files at {self.path}")
+        return parts
+
+    def read(self, partition: _AvroPartition):
+        with open(partition.path, "rb") as f:
+            header = _read_header(f.read(1 << 16))
+        _, specs = _record_layout(header.schema)
+        yield from _decode_blocks(
+            partition.path, partition.offset, partition.n_blocks,
+            header, specs,
+        )
+
+
+class AvroPySource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "avro_py"
+
+    def schema(self) -> StructType:
+        files = _list_files(self.options["path"])
+        if not files:
+            raise ValueError(f"no avro files at {self.options['path']}")
+        with open(files[0], "rb") as f:
+            header = _read_header(f.read(1 << 16))
+        schema, _ = _record_layout(header.schema)
+        return schema
+
+    def reader(self, schema: StructType) -> AvroPyReader:
+        return AvroPyReader(self.options)
+
+
+def register_avro_source(spark) -> None:
+    spark.dataSource.register(AvroPySource)
+
+
+def read_avro(spark, path: str):
+    """S2 Avro leg: schema comes from the container header."""
+    register_avro_source(spark)
+    return spark.read.format("avro_py").option("path", path).load()
+
+
+# --------------------------------------------------- JVM reference writer
+
+
+def write_avro_reference(spark, df, path: str, codec: str = "deflate") -> int:
+    """Write `df` (simple scalar schema) to ONE Avro container file using
+    the BUNDLED JVM Avro implementation (org.apache.avro DataFileWriter,
+    driven over the gateway) — the independent reference encoder the
+    python reader is verified against. Driver-side and row-at-a-time BY
+    DESIGN: this is test fixture machinery, not a production sink (a
+    cluster writes Avro with spark-avro). Returns the row count."""
+    jvm = spark._jvm
+    spark_to_avro = {
+        "bigint": "long",
+        "int": "int",
+        "double": "double",
+        "float": "float",
+        "string": "string",
+        "boolean": "boolean",
+        "binary": "bytes",
+    }
+    fields = []
+    for f in df.schema.fields:
+        at = spark_to_avro[f.dataType.simpleString()]
+        fields.append(
+            {"name": f.name, "type": ["null", at] if f.nullable else at}
+        )
+    schema_json = json.dumps(
+        {"type": "record", "name": "Row", "fields": fields}
+    )
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
+    if codec == "deflate":
+        dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    dfw.create(schema, jvm.java.io.File(path))
+    # rows cross the gateway as Avro JSON and are decoded by the JVM's
+    # own jsonDecoder — py4j auto-boxing would hand GenericData.Record
+    # Integers where the schema says long, which the reference writer
+    # correctly refuses; JSON sidesteps boxing entirely. Avro JSON
+    # wraps a non-null union value as {"type": value}.
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(schema)
+    dec_factory = jvm.org.apache.avro.io.DecoderFactory.get()
+    avro_types = {f["name"]: f["type"] for f in fields}
+    n = 0
+    for row in df.toLocalIterator():
+        obj = {}
+        for f in df.schema.fields:
+            v = row[f.name]
+            t = avro_types[f.name]
+            if isinstance(t, list):  # nullable union
+                obj[f.name] = None if v is None else {t[1]: v}
+            else:
+                obj[f.name] = v
+        dec = dec_factory.jsonDecoder(schema, json.dumps(obj))
+        dfw.append(reader.read(None, dec))
+        n += 1
+    dfw.close()
+    return n

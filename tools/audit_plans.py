@@ -699,6 +699,20 @@ EXPECT = {
     "seasonal_dow_decompose": {
         "partial_agg": True, "no_python_udf": True, "max_scan_cols": 3,
     },
+    # approx percentile witness: one partial-agg'd percentile pass
+    "agg_approx_percentile": {
+        "partial_agg": True, "no_python_udf": True, "max_scan_cols": 2,
+    },
+    # pivot->unpivot: pivot's documented two-agg shape (see
+    # pivot_event_counts), unpivot itself is a map-side expand
+    "unpivot_daily_event_matrix": {
+        "partial_agg": True, "no_python_udf": True, "max_scan_cols": 2,
+        "max_exchanges": 4,
+    },
+    # Avro leg: the python-datasource scan feeds a two-phase agg; the
+    # DECODER is python BY DESIGN (it IS the datasource) — the audit
+    # pins the aggregation staying JVM-side above it
+    "avro_ingest_agg": {"partial_agg": True},
 }
 
 
