@@ -476,3 +476,99 @@ def running_user_holt(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- ListState top-k --------------------------------------------------------
+
+TOPK_K = 3
+
+TOPK_ITEM_SCHEMA = StructType(
+    [
+        StructField("value", DoubleType()),
+        StructField("event_id", LongType()),
+    ]
+)
+
+TOPK_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("rank", LongType()),
+        StructField("value", DoubleType()),
+        StructField("event_id", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+class TopKProcessor(StatefulProcessor):
+    """Per-user streaming TOP-K via transformWithStateInPandas
+    LISTSTATE — the state-variable kind the legacy applyInPandasWithState
+    API cannot express separately (its single tuple row would force the
+    k items through one packed column). The list state holds AT MOST k
+    (value, event_id) rows per user — merge new batch rows, keep the k
+    best (value desc, event_id asc as the deterministic tiebreak), put
+    the truncated list back. A ValueState counts rows seen, so each
+    emission is tagged and a test can select the FINAL emission per
+    user.
+
+    Scale: state is O(k) per key — the streaming twin of
+    window_topk_per_user, whose batch window sorts each user's full
+    history; here the accumulator never holds more than k rows no
+    matter how long the stream runs. Exercises the ListState protocol
+    legs (AppendList / ListStateGet / ListStatePut) end-to-end through
+    the state server."""
+
+    def init(self, handle) -> None:
+        self._top = handle.getListState("top", TOPK_ITEM_SCHEMA)
+        self._seen = handle.getValueState(
+            "seen", StructType([StructField("n", LongType())])
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        items: list[tuple[float, int]] = [
+            (float(r["value"]), int(r["event_id"]))
+            for r in self._top.get()
+        ]
+        n_seen = self._seen.get()[0] if self._seen.exists() else 0
+        for pdf in rows:
+            n_seen += len(pdf)
+            items.extend(
+                zip(
+                    pdf["value"].astype(float).tolist(),
+                    pdf["event_id"].astype("int64").tolist(),
+                )
+            )
+        items.sort(key=lambda t: (-t[0], t[1]))
+        items = items[:TOPK_K]
+        self._top.put([(v, e) for v, e in items])
+        self._seen.update((n_seen,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(items),
+                "rank": list(range(1, len(items) + 1)),
+                "value": [v for v, _ in items],
+                "event_id": [e for _, e in items],
+                "n_seen": [n_seen] * len(items),
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def topk_per_user_tws(events: DataFrame) -> DataFrame:
+    """Streaming per-user top-K (transformWithStateInPandas ListState).
+    Same deployment notes as running_user_stats_tws (protobuf runtime —
+    real or the vendored fallback — plus the RocksDB provider)."""
+    return (
+        events.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=TopKProcessor(),
+            outputStructType=TOPK_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -865,3 +865,53 @@ def test_stream_stream_full_outer_join_matches_batch(
     null_c = {t for t in got if t[0] == -1}
     assert null_p and null_c, "expected null extension on BOTH sides"
     assert len(got) > len(null_p) + len(null_c), "expected matches too"
+
+
+def test_tws_liststate_topk_matches_batch(spark, sf_small, events_stream):
+    """transformWithState LISTSTATE: the streaming per-user top-3
+    (O(k) state) must equal the batch window top-3 — exercises the
+    ListState protocol legs (AppendList/Get/Put) through the live
+    state server, beyond the ValueState the stats test covers."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from novelti_dingo_spark.protobuf_fallback import ensure_protobuf
+    from novelti_dingo_spark.sources import load_table
+    from novelti_dingo_spark.streaming.stateful import topk_per_user_tws
+
+    assert ensure_protobuf() in ("real", "shim")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = topk_per_user_tws(events_stream)
+        name = streaming.run_to_memory(out, "t_tws_topk", mode="update")
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    # final emission per user = rows carrying that user's max n_seen
+    rows = spark.sql(
+        f"""SELECT user_id, rank, value, event_id FROM (
+              SELECT *, max(n_seen) OVER (PARTITION BY user_id) AS mx
+              FROM {name}) WHERE n_seen = mx"""
+    ).collect()
+    got = {
+        (r.user_id, r.rank): (r.value, r.event_id) for r in rows
+    }
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    want = {
+        (r.user_id, r.rn): (r.value, r.event_id)
+        for r in load_table(spark, sf_small, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    }
+    assert got == want
