@@ -4234,3 +4234,107 @@ def clone_snapshot(
         lakefs.copy(spark, f"{src}/v={v}", f"{dest}/v={v}")
     lakefs.replace_text(spark, f"{dest}/LATEST", str(version))
     return version
+
+
+def sync_clone(
+    spark: SparkSession,
+    src_base: str,
+    dest_base: str,
+    version: int | None = None,
+) -> tuple[int, list[int]]:
+    """INCREMENTAL clone refresh — the disaster-recovery / replica-
+    maintenance companion to `clone_snapshot`: copy only the ancestor
+    versions of `version` (default: the source's LATEST) that the
+    destination does not already hold, then advance the clone's LATEST.
+    Each sync costs O(new versions)' bytes, never a re-copy — the same
+    O(batch) property append commits have, carried over to replication.
+
+    Safety rules (all checked BEFORE any copy):
+    - the destination must be an existing clone (have a LATEST) — a
+      fresh target belongs to clone_snapshot;
+    - the destination's LATEST must be an ancestor of the new version
+      on the SOURCE's history (same-lineage fast-forward, exactly the
+      merge_branch rule): a diverged clone — one that took local
+      appends of its own — cannot be silently overwritten; refuse and
+      let the caller reconcile or re-clone. Version numbers shared
+      with the source but written by the CLONE (possible after local
+      appends) would otherwise be skipped as "already present" and
+      corrupt the lineage.
+    - version directories present at BOTH ends are trusted as
+      identical (they are immutable at the source by the manifest
+      format's contract; the clone's copy is a byte copy).
+
+    Returns (new_version, newly_copied_versions). A sync to an
+    up-to-date clone is a no-op returning ([] copied). Vacuum safety:
+    like clone_snapshot, a crash mid-copy leaves LATEST untouched, so
+    the clone stays consistent at its previous version and the sync is
+    re-runnable."""
+    from .sources import lakefs
+
+    src = src_base.rstrip("/")
+    dest = dest_base.rstrip("/")
+    if not lakefs.exists(spark, f"{dest}/LATEST"):
+        raise ValueError(
+            f"{dest} is not an existing clone (no LATEST) — use "
+            "clone_snapshot for the initial copy"
+        )
+    if version is None:
+        version = int(lakefs.read_text(spark, f"{src}/LATEST").strip())
+    if not lakefs.exists(spark, f"{src}/v={version}/_manifest.json"):
+        raise ValueError(f"source has no v={version} to sync to")
+    dest_head = int(lakefs.read_text(spark, f"{dest}/LATEST").strip())
+    # the fast-forward legality check walks the FULL history —
+    # append-parent, MOR-parent, AND compacted_from (a clone behind a
+    # source compaction/materialization is still same-lineage; its head
+    # only survives in the rewrite's compacted_from list). Versions the
+    # source has vacuumed stay IN the set (same rule as the stream
+    # source's ancestry): they prove lineage even though their bytes
+    # are gone — the clone already holds its own copy.
+    import json as _hist_json
+
+    history: set[int] = set()
+    todo = [version]
+    while todo:
+        x = todo.pop()
+        if x in history:
+            continue
+        history.add(x)
+        try:
+            m = _hist_json.loads(
+                lakefs.read_text(spark, f"{src}/v={x}/_manifest.json")
+            )
+        except Exception:
+            continue  # vacuumed: number stays in the set
+        if m.get("append") and m.get("parent") is not None:
+            todo.append(int(m["parent"]))
+        rec = _mor_record(m)
+        if rec:
+            todo.append(int(rec["parent"]))
+        todo.extend(int(fv) for fv in m.get("compacted_from") or [])
+    if dest_head not in history:
+        raise ValueError(
+            f"clone at {dest} (LATEST v={dest_head}) is not on the "
+            f"history of source v={version} — the clone diverged (local "
+            "writes?); reconcile explicitly or re-clone to a fresh base"
+        )
+    src_ancestors = _ancestors(spark, src, version)
+    copied: list[int] = []
+    for v in sorted(src_ancestors):
+        if lakefs.exists(spark, f"{dest}/v={v}/_manifest.json"):
+            # shared version numbers are only trustworthy if they ARE
+            # the same commit — a clone that wrote a local version
+            # under a number the source also used must not be spliced
+            # (manifest bytes are the commit's identity)
+            if lakefs.read_text(
+                spark, f"{dest}/v={v}/_manifest.json"
+            ) != lakefs.read_text(spark, f"{src}/v={v}/_manifest.json"):
+                raise ValueError(
+                    f"clone at {dest} holds a DIFFERENT v={v} than the "
+                    "source — colliding local writes; re-clone to a "
+                    "fresh base"
+                )
+            continue
+        lakefs.copy(spark, f"{src}/v={v}", f"{dest}/v={v}")
+        copied.append(v)
+    lakefs.replace_text(spark, f"{dest}/LATEST", str(version))
+    return version, copied

@@ -174,3 +174,50 @@ def test_clone_preserves_file_stats_pruning(spark, sf_small, tmp_path):
         for r in o.filter("o_orderkey BETWEEN 1 AND 10").collect()
     )
     assert sorted(r.o_orderkey for r in got.collect()) == want
+
+
+def test_sync_clone_copies_only_new_versions(spark, sf_small, chain_base, tmp_path):
+    from novelti_dingo_spark.pipelines import materialize_mor, sync_clone
+
+    dest = str(tmp_path / "dest")
+    clone_snapshot(spark, chain_base, dest, version=2)
+    # source moves on: materialize the MOR head (v4), append more (v5)
+    materialize_mor(spark, chain_base)
+    extra = _orders(spark, sf_small).filter("o_orderkey % 3 = 2").limit(7)
+    publish_append(extra, chain_base)
+    v, copied = sync_clone(spark, chain_base, dest)
+    assert v == 5
+    # v4 (the materialized full snapshot) truncates the read lineage,
+    # so v5's ancestors are {4, 5}: exactly those cross; v1/v2 are
+    # already at the clone, v3 (the folded MOR layer) is not needed
+    assert copied == [4, 5]
+    assert _rows(spark, dest) == _rows(spark, chain_base)
+    # idempotent: second sync is a no-op
+    v2, copied2 = sync_clone(spark, chain_base, dest)
+    assert v2 == 5 and copied2 == []
+    # clone still reads after source vacuum
+    deleted = vacuum_versions(spark, chain_base, keep_last=1)
+    assert deleted
+    assert _rows(spark, dest) == _rows(spark, dest)
+
+
+def test_sync_clone_refuses_diverged_clone(spark, sf_small, chain_base, tmp_path):
+    from novelti_dingo_spark.pipelines import materialize_mor, sync_clone
+
+    dest = str(tmp_path / "dest")
+    clone_snapshot(spark, chain_base, dest)
+    # clone takes local writes: its lineage forks from the source's
+    materialize_mor(spark, dest)  # v4 on the CLONE only
+    extra = _orders(spark, sf_small).filter("o_orderkey % 3 = 2").limit(3)
+    publish_append(extra, dest)  # v5 on the CLONE only
+    # source also moves on
+    materialize_mor(spark, chain_base)  # v4 on the SOURCE
+    with pytest.raises(ValueError, match="diverged"):
+        sync_clone(spark, chain_base, dest)
+
+
+def test_sync_clone_requires_existing_clone(spark, chain_base, tmp_path):
+    from novelti_dingo_spark.pipelines import sync_clone
+
+    with pytest.raises(ValueError, match="not an existing clone"):
+        sync_clone(spark, chain_base, str(tmp_path / "fresh"))
