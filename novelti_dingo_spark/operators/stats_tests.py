@@ -848,7 +848,8 @@ def survival_km_signup_purchase(
       FROM events GROUP BY 1, 2
     ), s AS (
       SELECT a.event_type,
-             sum(CAST(sign(b.x - a.x) AS BIGINT)) AS s_stat
+             CAST(sum(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT)
+               AS s_stat
       FROM daily a JOIN daily b
         ON a.event_type = b.event_type AND a.d < b.d
       GROUP BY 1
