@@ -513,3 +513,109 @@ def spatial_nearest_supplier_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", "s_suppkey", F.round("_dkm", 6).alias("dist_km")
         )
     )
+
+
+# ----------------------------------------------------------- point-in-polygon
+
+# Literal polygons over the corpus box (lat 40..50, lon -5..5): a convex
+# quad and a CONCAVE hexagon (notch) — the concavity is what separates a
+# real winding test from a bounding-box check. Vertices are (lat, lon).
+POLYGONS: dict[str, list[tuple[float, float]]] = {
+    "quad_west": [
+        (41.0, -4.5), (44.5, -3.0), (43.5, 0.5), (40.5, -1.5),
+    ],
+    "notch_east": [
+        (44.0, 1.0), (49.0, 1.5), (48.5, 4.5),
+        (46.0, 2.5),  # the notch vertex — makes the polygon concave
+        (44.5, 4.0),
+    ],
+}
+
+
+def pip_crossings_sql(px: str, py: str, verts: list[tuple[float, float]]) -> str:
+    """Ray-casting (even-odd) point-in-polygon as ONE SQL expression
+    over literal vertices — the division-free cross-product form, so
+    every term is a comparison or multiplication of exact doubles:
+    bit-identical on both engines (same shared-text discipline as the
+    md5 coordinate derivation; no libm anywhere). For each edge
+    (x1,y1)->(x2,y2), a rightward ray from (px,py) crosses iff the
+    point's y lies in the edge's half-open y-span and the point sits
+    strictly left of the edge line (cross-product sign, oriented by
+    the edge's y direction). Odd crossings = inside. Points exactly ON
+    an edge are measure-zero for hash-derived coordinates (and the
+    corpus is verified off-edge by the margin test)."""
+    terms = []
+    n = len(verts)
+    for i in range(n):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % n]
+        cross = (
+            f"(({x2!r} - {x1!r}) * (({py}) - {y1!r})"
+            f" - (({px}) - {x1!r}) * ({y2!r} - {y1!r}))"
+        )
+        if y2 > y1:
+            cond = f"({y1!r} <= ({py}) AND ({py}) < {y2!r} AND {cross} > 0.0)"
+        elif y2 < y1:
+            cond = f"({y2!r} <= ({py}) AND ({py}) < {y1!r} AND {cross} < 0.0)"
+        else:
+            continue  # horizontal edge never crosses a horizontal ray
+        terms.append(f"CASE WHEN {cond} THEN 1 ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pip_case_sql(px: str, py: str) -> str:
+    """polygon_id for a point, or NULL — first match wins (polygons
+    here are disjoint; overlapping regions would emit one row per
+    polygon via a UNION instead)."""
+    whens = " ".join(
+        f"WHEN {pip_crossings_sql(px, py, v)} % 2 = 1 THEN '{name}'"
+        for name, v in sorted(POLYGONS.items())
+    )
+    return f"CASE {whens} ELSE NULL END"
+
+
+@register(
+    "spatial_point_in_polygon",
+    f"""
+    WITH c AS (
+      SELECT c_custkey, {lat_expr('c_custkey')} AS lat,
+             {lon_expr('c_custkey')} AS lon
+      FROM customer
+    )
+    SELECT {_pip_case_sql('lat', 'lon')} AS polygon_id,
+           count(*) AS n_customers,
+           min(c_custkey) AS first_cust,
+           max(c_custkey) AS last_cust
+    FROM c
+    WHERE {_pip_case_sql('lat', 'lon')} IS NOT NULL
+    GROUP BY 1
+    """,
+    survey_rows="P2,A1,spatial-polygon",
+)
+def spatial_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment (geofencing / region assignment)
+    beside the radius family: customers classified into literal
+    polygons — one CONVEX, one CONCAVE — by the division-free
+    ray-casting expression, evaluated entirely in whole-stage codegen
+    (comparisons + multiplications of exact doubles; no UDF, no libm,
+    so the DuckDB oracle evaluates the IDENTICAL text and the hash
+    match machine-proves the winding logic, concavity included).
+
+    At 100 TB: the per-polygon test is O(vertices) per row with zero
+    shuffles — a scan-side CASE. For many/large polygons the
+    production composition is: cell-index polygons once (the same
+    banded grid as radius_join_geo), broadcast the (cell -> candidate
+    polygon) map, run the exact test only on candidates — same
+    blocking-then-residual shape as every spatial operator here."""
+    c = _points(spark, sf_dir, "customer", "c_custkey")
+    pid = F.expr(_pip_case_sql("lat", "lon"))
+    return (
+        c.withColumn("polygon_id", pid)
+        .filter(F.col("polygon_id").isNotNull())
+        .groupBy("polygon_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_custkey").alias("first_cust"),
+            F.max("c_custkey").alias("last_cust"),
+        )
+    )

@@ -185,3 +185,80 @@ def test_geo_top1_rank_gap_guard(sf_med, sf_big):
             if len(dr) >= 2:
                 gaps.append(dr[1] - dr[0])
         assert gaps and min(gaps) > 1e-6, sf_dir
+
+
+def _pip_ref(px, py, verts):
+    """Independent reference ray-casting (crossing number)."""
+    n = len(verts)
+    inside = False
+    for i in range(n):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % n]
+        if (y1 <= py < y2) or (y2 <= py < y1):
+            cross = (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)
+            if (y2 > y1 and cross > 0) or (y2 < y1 and cross < 0):
+                inside = not inside
+    return inside
+
+
+def test_point_in_polygon_matches_reference(spark, sf_med):
+    from novelti_dingo_spark.operators.spatial import (
+        POLYGONS,
+        spatial_point_in_polygon,
+    )
+
+    cid, cla, clo = _coords(sf_med, "customer", "c_custkey")
+    lat = np.degrees(cla)
+    lon = np.degrees(clo)
+    want: dict[str, set[int]] = {name: set() for name in POLYGONS}
+    for k, key in enumerate(cid):
+        for name, verts in sorted(POLYGONS.items()):
+            if _pip_ref(lat[k], lon[k], verts):
+                want[name].add(int(key))
+                break
+    rows = spatial_point_in_polygon(spark, sf_med).collect()
+    got = {r.polygon_id: r.n_customers for r in rows}
+    assert got == {
+        n: len(s) for n, s in want.items() if s
+    }
+    for r in rows:
+        assert r.first_cust == min(want[r.polygon_id])
+        assert r.last_cust == max(want[r.polygon_id])
+
+
+def test_polygon_concavity_actually_excludes_notch():
+    """notch_east is concave: a point inside its convex hull but in
+    the notch must be OUTSIDE — the case a bounding-box or convex test
+    gets wrong."""
+    from novelti_dingo_spark.operators.spatial import POLYGONS
+
+    verts = POLYGONS["notch_east"]
+    assert _pip_ref(46.5, 2.2, verts)  # solidly inside
+    assert not _pip_ref(45.2, 3.4, verts)  # inside hull, in the notch
+    assert not _pip_ref(43.0, 2.0, verts)  # below the polygon
+
+
+def test_no_corpus_point_near_polygon_edges(sf_med, sf_big):
+    """The exact even-odd test is cross-engine-sound because no corpus
+    point sits ON (or at float distance from) a polygon edge — pin the
+    measured margin like the radius-boundary guard."""
+    from novelti_dingo_spark.operators.spatial import POLYGONS
+
+    for sf_dir in (sf_med, sf_big):
+        _, cla, clo = _coords(sf_dir, "customer", "c_custkey")
+        px = np.degrees(cla)
+        py = np.degrees(clo)
+        for verts in POLYGONS.values():
+            n = len(verts)
+            for i in range(n):
+                x1, y1 = verts[i]
+                x2, y2 = verts[(i + 1) % n]
+                # distance of every point to the edge segment
+                vx, vy = x2 - x1, y2 - y1
+                t = np.clip(
+                    ((px - x1) * vx + (py - y1) * vy) / (vx * vx + vy * vy),
+                    0.0,
+                    1.0,
+                )
+                d = np.hypot(px - (x1 + t * vx), py - (y1 + t * vy))
+                assert d.min() > 1e-6, (sf_dir, i)

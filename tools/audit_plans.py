@@ -713,6 +713,11 @@ EXPECT = {
     # DECODER is python BY DESIGN (it IS the datasource) — the audit
     # pins the aggregation staying JVM-side above it
     "avro_ingest_agg": {"partial_agg": True},
+    # point-in-polygon: a scan-side codegen CASE (comparisons +
+    # multiplications only) feeding a two-phase agg — zero joins
+    "spatial_point_in_polygon": {
+        "partial_agg": True, "no_python_udf": True,
+    },
 }
 
 
