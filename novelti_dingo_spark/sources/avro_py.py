@@ -38,7 +38,13 @@ import struct
 import zlib
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
@@ -400,3 +406,202 @@ def write_avro_reference(spark, df, path: str, codec: str = "deflate") -> int:
         n += 1
     dfw.close()
     return n
+
+
+# ------------------------------------------------------------- writer leg
+
+
+def _write_long(out: bytearray, v: int) -> None:
+    """Zigzag varint encode."""
+    u = (v << 1) ^ (v >> 63)
+    u &= (1 << 64) - 1
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _encode_value(out: bytearray, spec, v) -> None:
+    kind = spec[0]
+    if kind == "union":
+        _, union_types, inner = spec
+        if v is None:
+            _write_long(out, union_types.index("null"))
+            return
+        _write_long(out, 1 - union_types.index("null"))
+        _encode_value(out, inner, v)
+        return
+    p = spec[1]
+    if p == "boolean":
+        out.append(1 if v else 0)
+    elif p in ("int", "long"):
+        _write_long(out, int(v))
+    elif p == "float":
+        out.extend(struct.pack("<f", v))
+    elif p == "double":
+        out.extend(struct.pack("<d", v))
+    elif p == "bytes":
+        _write_long(out, len(v))
+        out.extend(v)
+    elif p == "string":
+        b = v.encode("utf-8")
+        _write_long(out, len(b))
+        out.extend(b)
+    else:
+        raise NotImplementedError(f"avro encode of {spec}")
+
+
+def _spark_to_avro_schema(schema: StructType) -> dict:
+    spark_to_avro = {
+        "bigint": "long",
+        "int": "int",
+        "double": "double",
+        "float": "float",
+        "string": "string",
+        "boolean": "boolean",
+        "binary": "bytes",
+    }
+    fields = []
+    for f in schema.fields:
+        st = f.dataType.simpleString()
+        if st not in spark_to_avro:
+            raise NotImplementedError(
+                f"avro_py sink cannot encode spark type {st!r}"
+            )
+        at = spark_to_avro[st]
+        fields.append(
+            {"name": f.name, "type": ["null", at] if f.nullable else at}
+        )
+    return {"type": "record", "name": "Row", "fields": fields}
+
+
+def write_avro_file(
+    rows, schema: StructType, path: str,
+    codec: str = "deflate", rows_per_block: int = 4096, sync_seed: int = 0,
+) -> int:
+    """Encode rows (tuples/Rows in schema field order) into ONE Avro
+    object container file — the per-task encoder behind the sink. The
+    sync marker derives deterministically from (path, seed) so output
+    is byte-reproducible; the spec only requires it be unlikely to
+    appear in the data."""
+    import hashlib
+
+    avro_schema = _spark_to_avro_schema(schema)
+    _, specs = _record_layout(avro_schema)
+    sync = hashlib.md5(f"{path}:{sync_seed}".encode()).digest()
+    header = bytearray()
+    header += _MAGIC
+    meta = {
+        "avro.schema": json.dumps(avro_schema).encode(),
+        "avro.codec": codec.encode(),
+    }
+    _write_long(header, len(meta))
+    for k, v in sorted(meta.items()):
+        _write_long(header, len(k.encode()))
+        header += k.encode()
+        _write_long(header, len(v))
+        header += v
+    _write_long(header, 0)
+    header += sync
+    n_fields = len(schema.fields)
+    n_total = 0
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(header)
+        block = bytearray()
+        n_block = 0
+
+        def flush():
+            nonlocal block, n_block
+            if not n_block:
+                return
+            payload = bytes(block)
+            if codec == "deflate":
+                co = zlib.compressobj(6, zlib.DEFLATED, -15)
+                payload = co.compress(payload) + co.flush()
+            head = bytearray()
+            _write_long(head, n_block)
+            _write_long(head, len(payload))
+            f.write(bytes(head) + payload + sync)
+            block = bytearray()
+            n_block = 0
+
+        for row in rows:
+            for i in range(n_fields):
+                _encode_value(block, specs[i], row[i])
+            n_block += 1
+            n_total += 1
+            if n_block >= rows_per_block:
+                flush()
+        flush()
+    return n_total
+
+
+class AvroCommitMessage(WriterCommitMessage):
+    def __init__(self, file: str, rows: int):
+        self.file = file
+        self.rows = rows
+
+
+class AvroPyWriter(DataSourceWriter):
+    """Per-task executor writer: one container file per non-empty
+    partition (part-<uuid>.avro), committed via _SUCCESS on the driver
+    — the same files-then-marker protocol parquet uses here."""
+
+    def __init__(self, options, schema):
+        self.path = options["path"]
+        self.codec = options.get("codec", "deflate")
+        self.schema = schema
+
+    def write(self, iterator):
+        import uuid
+
+        rows = list(iterator)
+        if not rows:
+            return AvroCommitMessage("", 0)
+        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.avro")
+        n = write_avro_file(rows, self.schema, fname, codec=self.codec)
+        return AvroCommitMessage(fname, n)
+
+    def commit(self, messages):
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write("")
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and getattr(m, "file", ""):
+                try:
+                    os.remove(m.file)
+                except OSError:
+                    pass
+
+
+def _attach_writer():
+    """Extend AvroPySource with the writer half (kept out of the class
+    body so the reader-only surface above stays unchanged)."""
+
+    def writer(self, schema, overwrite: bool):
+        return AvroPyWriter(self.options, schema)
+
+    AvroPySource.writer = writer
+
+
+_attach_writer()
+
+
+def write_avro(df, path: str, codec: str = "deflate") -> None:
+    """S3 Avro sink: distributed — each partition encodes its own
+    container file on its executor; _SUCCESS marks the commit."""
+    register_avro_source(df.sparkSession)
+    (
+        df.write.format("avro_py")
+        .option("path", path)
+        .option("codec", codec)
+        .mode("append")
+        .save()
+    )

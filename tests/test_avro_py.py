@@ -163,3 +163,69 @@ def test_missing_path_refuses(spark, tmp_path):
     src = AvroPySource({"path": str(tmp_path / "nothing")})
     with pytest.raises(ValueError, match="no avro files"):
         src.schema()
+
+
+@pytest.mark.parametrize("codec", ["deflate", "null"])
+def test_python_writer_decoded_by_jvm_reference(spark, sf_small, tmp_path, codec):
+    """The sink's machine-proof mirror of the reader tests: files the
+    PYTHON writer encodes must decode identically through the bundled
+    JVM DataFileReader — both directions of the format are now checked
+    against the reference implementation."""
+    from novelti_dingo_spark.sources.avro_py import write_avro
+
+    s = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).limit(200)
+    d = str(tmp_path / f"out_{codec}")
+    write_avro(s, d, codec=codec)
+    assert os.path.exists(os.path.join(d, "_SUCCESS"))
+    jvm = spark._jvm
+    got = []
+    import glob as _glob
+
+    for fp in sorted(_glob.glob(os.path.join(d, "*.avro"))):
+        rdr = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(fp),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        while rdr.hasNext():
+            rec = rdr.next()
+            got.append(
+                (
+                    rec.get("o_orderkey"),
+                    str(rec.get("o_orderpriority")),
+                    rec.get("o_totalprice"),
+                )
+            )
+        rdr.close()
+    want = sorted(tuple(r) for r in s.collect())
+    assert sorted(got) == want
+
+
+def test_python_writer_python_reader_roundtrip_with_nulls(spark, tmp_path):
+    from novelti_dingo_spark.sources.avro_py import read_avro, write_avro
+
+    rows = [(1, "a", 1.5), (2, None, None), (3, "c", -0.25)]
+    df = spark.createDataFrame(rows, "k bigint, name string, v double")
+    d = str(tmp_path / "rt")
+    write_avro(df, d)
+    got = sorted((r.k, r.name, r.v) for r in read_avro(spark, d).collect())
+    assert got == sorted(rows)
+
+
+def test_python_writer_is_distributed(spark, sf_small, tmp_path):
+    """One container file per non-empty input partition — the write
+    runs on executors, not the driver."""
+    import glob as _glob
+
+    from novelti_dingo_spark.sources.avro_py import read_avro, write_avro
+
+    s = (
+        load_table(spark, sf_small, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .repartition(4)
+    )
+    d = str(tmp_path / "dist")
+    write_avro(s, d)
+    assert len(_glob.glob(os.path.join(d, "*.avro"))) == 4
+    assert read_avro(spark, d).count() == s.count()
