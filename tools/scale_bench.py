@@ -347,10 +347,96 @@ def run_lake(n_appends: int) -> None:
     _merge("lake_cycle", res)
 
 
+
+
+def run_text(ks: list[int]) -> None:
+    """Inverted-index build (expected ~linear in docs) and BM25 query
+    cost (expected FLAT: the In-filter postings scan touches the query
+    terms' postings, whose size is constant across replicas because
+    the fixed terms exist only in replica 0 — index growth must not
+    leak into query latency)."""
+    import shutil
+
+    from novelti_dingo_spark.operators.invindex import (
+        _TERMS,
+        build_inverted_index,
+        search_bm25,
+    )
+    from novelti_dingo_spark.sources.io import load_table
+
+    spark = _spark()
+    res = {}
+    for k in ks:
+        d = build_docs(k)
+        base = os.path.join(ROOT, f"invindex_x{k}")
+        shutil.rmtree(base, ignore_errors=True)
+        docs = load_table(spark, d, "documents")
+        t0 = time.perf_counter()
+        build_inverted_index(docs, base)
+        t_build = round(time.perf_counter() - t0, 3)
+        from novelti_dingo_spark.pipelines import read_version
+
+        idx, _m = read_version(spark, base)
+        n_postings = idx.count()
+        _n, t_q = _timed_count(search_bm25(spark, base, list(_TERMS), k=10))
+        # second timed query on the warm index — the serving figure
+        _n2, t_q2 = _timed_count(search_bm25(spark, base, list(_TERMS), k=10))
+        res[f"x{k}"] = {
+            "n_docs": 5000 * k,
+            "n_postings": n_postings,
+            "index_build_s": t_build,
+            "bm25_query_s_cold": t_q,
+            "bm25_query_s_warm": t_q2,
+        }
+        print(f"x{k}: {res[f'x{k}']}")
+    _merge("text_index", res)
+
+
+def run_cdc(n_appends: int) -> None:
+    """Change-feed cost: reading the LAST commit's changes must stay
+    FLAT as the chain grows (O(changes), never O(table)) — measured at
+    three chain depths; the full-history feed is the O(total) contrast."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from novelti_dingo_spark.pipelines import (
+        publish_append,
+        publish_versioned,
+        table_changes,
+    )
+    from novelti_dingo_spark.sources.io import load_table
+
+    spark = _spark()
+    base = os.path.join(ROOT, "cdc_chain")
+    shutil.rmtree(base, ignore_errors=True)
+    o = load_table(spark, SRC, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    publish_versioned(o, base)
+    res = {"batch_rows": o.count(), "tail_read_s_at_depth": {}}
+    checkpoints = {5, n_appends // 2, n_appends}
+    v = 1
+    for i in range(n_appends):
+        shifted = o.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit((i + 1) * 10_000_000)
+        )
+        v = publish_append(shifted, base)
+        depth = i + 1
+        if depth in checkpoints:
+            _n, t_tail = _timed_count(table_changes(spark, base, v - 1, v))
+            res["tail_read_s_at_depth"][str(depth)] = t_tail
+    _n_all, t_all = _timed_count(table_changes(spark, base, 1, v))
+    res["full_feed_rows"] = _n_all
+    res["full_feed_s"] = t_all
+    print(res)
+    _merge("cdc_feed", res)
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("family", choices=[
-        "build", "dedup", "gemm", "ann", "spatial", "lake",
+        "build", "dedup", "gemm", "ann", "spatial", "lake", "text", "cdc",
     ])
     p.add_argument("--k", type=int, nargs="*", default=[1, 5, 25])
     p.add_argument("--n", type=int, nargs="*", default=[2000, 20000, 100000])
@@ -371,6 +457,10 @@ def main() -> None:
         run_spatial(a.k)
     elif a.family == "lake":
         run_lake(a.appends)
+    elif a.family == "text":
+        run_text(a.k)
+    elif a.family == "cdc":
+        run_cdc(a.appends)
 
 
 if __name__ == "__main__":
