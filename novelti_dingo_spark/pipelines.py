@@ -4338,3 +4338,92 @@ def sync_clone(
         copied.append(v)
     lakefs.replace_text(spark, f"{dest}/LATEST", str(version))
     return version, copied
+
+
+def clone_table_set(
+    spark: SparkSession,
+    sources: dict[str, tuple[str, int | None]],
+    dest_root: str,
+) -> dict[str, int]:
+    """CONSISTENT multi-table clone: clone several versioned datasets
+    in one operation, pinning each at a caller-chosen version (None =
+    its LATEST, resolved ONCE up front) — the cross-dataset complement
+    of `publish_snapshot` (which co-publishes tables into one store;
+    this exports already-independent stores as one frozen set). The
+    canonical use: freeze the exact {fact@12, dim@7, labels@3} an
+    experiment trained on, immune to every source's later compaction,
+    vacuum, or publish.
+
+    All-or-nothing discipline: every precondition (fresh destination,
+    existing source version) is checked BEFORE the first byte copies;
+    if a copy still fails midway, the already-created destination
+    tables are removed (best-effort rollback — the set manifest is
+    written LAST, so a torn clone set is never observable as complete).
+    `dest_root/_CLONE_SET.json` records the pinned versions; each
+    member is a full first-class clone (sync_clone can refresh them
+    individually, though a refreshed member is by definition no longer
+    the frozen set — the manifest keeps the original pins).
+
+    Returns {table: pinned_version}."""
+    import json
+
+    from .sources import lakefs
+
+    root = dest_root.rstrip("/")
+    if lakefs.exists(spark, f"{root}/_CLONE_SET.json"):
+        raise ValueError(f"{root} already holds a clone set")
+    pinned: dict[str, int] = {}
+    for name, (src_base, version) in sources.items():
+        src = src_base.rstrip("/")
+        v = version
+        if v is None:
+            v = int(lakefs.read_text(spark, f"{src}/LATEST").strip())
+        if not lakefs.exists(spark, f"{src}/v={v}/_manifest.json"):
+            raise ValueError(f"table {name!r}: source has no v={v}")
+        dest = f"{root}/{name}"
+        if lakefs.exists(spark, dest):
+            taken = [
+                n
+                for n in lakefs.listdir(spark, dest)
+                if n in ("LATEST", "STAGED") or n.startswith(("v=", "BRANCH_"))
+            ]
+            if taken:
+                raise ValueError(
+                    f"table {name!r}: destination {dest} already holds "
+                    "dataset state — clone sets need a fresh root"
+                )
+        pinned[name] = v
+    done: list[str] = []
+    try:
+        for name, (src_base, _v) in sources.items():
+            clone_snapshot(
+                spark, src_base, f"{root}/{name}", version=pinned[name]
+            )
+            done.append(name)
+    except BaseException:
+        for name in done:
+            lakefs.delete(spark, f"{root}/{name}")
+        raise
+    lakefs.write_text(
+        spark, f"{root}/_CLONE_SET.json", json.dumps({"tables": pinned})
+    )
+    return pinned
+
+
+def read_clone_set(spark: SparkSession, dest_root: str):
+    """({table: DataFrame}, {table: pinned_version}) for a clone set —
+    every table resolves at its frozen pin (the member's own LATEST,
+    which clone_snapshot pointed at the pinned version)."""
+    import json
+
+    from .sources import lakefs
+
+    root = dest_root.rstrip("/")
+    pins = json.loads(
+        lakefs.read_text(spark, f"{root}/_CLONE_SET.json")
+    )["tables"]
+    out = {}
+    for name, v in pins.items():
+        df, _chain = read_version_chain(spark, f"{root}/{name}", int(v))
+        out[name] = df
+    return out, pins

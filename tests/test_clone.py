@@ -221,3 +221,73 @@ def test_sync_clone_requires_existing_clone(spark, chain_base, tmp_path):
 
     with pytest.raises(ValueError, match="not an existing clone"):
         sync_clone(spark, chain_base, str(tmp_path / "fresh"))
+
+
+def test_clone_table_set_freezes_consistent_pins(
+    spark, sf_small, chain_base, tmp_path
+):
+    from novelti_dingo_spark.pipelines import clone_table_set, read_clone_set
+
+    # a second, independent source dataset
+    lbase = str(tmp_path / "lsrc")
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    publish_versioned(li.limit(100), lbase)  # v1
+    publish_append(li.limit(50), lbase)  # v2 (its LATEST)
+
+    root = str(tmp_path / "expset")
+    pins = clone_table_set(
+        spark,
+        {"orders": (chain_base, 2), "lineitem": (lbase, None)},
+        root,
+    )
+    assert pins == {"orders": 2, "lineitem": 2}
+    tables, got_pins = read_clone_set(spark, root)
+    assert got_pins == {"orders": 2, "lineitem": 2}
+    want_orders = _rows(spark, chain_base, version=2)
+    assert (
+        sorted(
+            (r.o_orderkey, r.o_totalprice)
+            for r in tables["orders"].collect()
+        )
+        == want_orders
+    )
+    assert tables["lineitem"].count() == 150
+    # sources move on; the set stays frozen
+    compact_chain(spark, chain_base)
+    vacuum_versions(spark, chain_base, keep_last=1)
+    tables2, _ = read_clone_set(spark, root)
+    assert (
+        sorted(
+            (r.o_orderkey, r.o_totalprice)
+            for r in tables2["orders"].collect()
+        )
+        == want_orders
+    )
+
+
+def test_clone_table_set_rolls_back_on_failure(
+    spark, sf_small, chain_base, tmp_path
+):
+    from novelti_dingo_spark.pipelines import clone_table_set
+
+    root = str(tmp_path / "badset")
+    with pytest.raises(ValueError, match="no v=9"):
+        clone_table_set(
+            spark,
+            {"orders": (chain_base, 2), "ghost": (chain_base, 9)},
+            root,
+        )
+    # nothing observable was created
+    assert not lakefs.exists(spark, f"{root}/_CLONE_SET.json")
+    assert not lakefs.exists(spark, f"{root}/orders")
+
+
+def test_clone_table_set_refuses_reuse(spark, chain_base, tmp_path):
+    from novelti_dingo_spark.pipelines import clone_table_set
+
+    root = str(tmp_path / "set")
+    clone_table_set(spark, {"orders": (chain_base, 2)}, root)
+    with pytest.raises(ValueError, match="already holds a clone set"):
+        clone_table_set(spark, {"orders": (chain_base, 2)}, root)
