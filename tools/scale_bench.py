@@ -348,7 +348,6 @@ def run_lake(n_appends: int) -> None:
 
 
 
-
 def run_text(ks: list[int]) -> None:
     """Inverted-index build (expected ~linear in docs) and BM25 query
     cost (expected FLAT: the In-filter postings scan touches the query
@@ -433,10 +432,100 @@ def run_cdc(n_appends: int) -> None:
     _merge("cdc_feed", res)
 
 
+
+def run_skew(k: int = 25) -> None:
+    """Hot-cell skew study (round-8 list item pulled forward): every
+    scaled customer lands in ONE spatial grid cell, so the blocked
+    join's cell key has a single hot value. Three measured strategies:
+    (a) plain shuffle join (one reducer owns the hot cell),
+    (b) AQE skew-join splitting (thresholds lowered to local scale —
+        the production no-code-change answer),
+    (c) manual salting (operators/skew.salted_join — the recipe for
+        engines/paths AQE can't split).
+    Output correctness is asserted equal across all three."""
+    from pyspark.sql import functions as F
+
+    from novelti_dingo_spark.operators.skew import salted_join
+
+    spark = _spark()
+    n_hot = 15000 * k
+    # hot facts: every row in cell (150, 0) of a 0.3-deg grid
+    facts = (
+        spark.range(n_hot)
+        .withColumn("cell", F.lit(150 * 100000 + 0))
+        .withColumn("payload", F.col("id") % 97)
+    )
+    # dim: 10 rows in the hot cell + 990 elsewhere
+    dim = spark.range(1000).select(
+        F.col("id").alias("dim_id"),
+        F.when(F.col("id") < 10, F.lit(150 * 100000 + 0))
+        .otherwise(F.col("id") * 7 + 1)
+        .alias("cell"),
+        (F.col("id") % 13).alias("weight"),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    def agg(joined):
+        return joined.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("payload") * F.col("weight")).alias("s"),
+        )
+
+    def measure(tag, mk):
+        df = mk()
+        n0, t0 = _timed_count(df)
+        row = df.collect()[0]
+        return {"wall_s": t0, "n": int(row["n"]), "s": int(row["s"])}
+
+    res = {"n_hot_facts": n_hot, "hot_cell_dim_rows": 10}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    res["plain_shuffle"] = measure(
+        "plain", lambda: agg(facts.join(dim, "cell"))
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+    )
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+    )
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB"
+    )
+    res["aqe_skew_split"] = measure(
+        "aqe", lambda: agg(facts.join(dim, "cell"))
+    )
+    for key in (
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    ):
+        spark.conf.unset(key)
+    res["salted_join_8"] = measure(
+        "salted",
+        lambda: agg(salted_join(facts, dim, key="cell", row_id="id")),
+    )
+    assert (
+        res["plain_shuffle"]["n"]
+        == res["aqe_skew_split"]["n"]
+        == res["salted_join_8"]["n"]
+    )
+    assert (
+        res["plain_shuffle"]["s"]
+        == res["aqe_skew_split"]["s"]
+        == res["salted_join_8"]["s"]
+    )
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    print(res)
+    _merge("skew_hot_cell", res)
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("family", choices=[
         "build", "dedup", "gemm", "ann", "spatial", "lake", "text", "cdc",
+        "skew",
     ])
     p.add_argument("--k", type=int, nargs="*", default=[1, 5, 25])
     p.add_argument("--n", type=int, nargs="*", default=[2000, 20000, 100000])
@@ -461,6 +550,8 @@ def main() -> None:
         run_text(a.k)
     elif a.family == "cdc":
         run_cdc(a.appends)
+    elif a.family == "skew":
+        run_skew(a.k[0] if a.k else 25)
 
 
 if __name__ == "__main__":
