@@ -211,8 +211,34 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
         f.write(payload + "\n")
+    # The driver keeps only the LAST 2000 stdout characters; the full
+    # payload above is ~2300 chars, so four rounds of BENCH_r{N}.json came
+    # back `parsed: null` with a tail that starts mid-JSON (round-8
+    # verdict #1). Final stdout line is therefore a compact summary —
+    # headline medians, totals, ratios, floors — guaranteed under 1500
+    # chars; the full per-query IQRs / minus-floor maps / lake extras live
+    # in BENCH_LOCAL.json, which the driver archives alongside.
+    compact = json.dumps(
+        {
+            "metric": "headline_median_total",
+            "value": total,
+            "unit": "sec",
+            "queries": spark_t,
+            "duckdb_total": duck_total,
+            "ratio": round(total / duck_total, 2) if duck_total else None,
+            "spark_job_floor": spark_floor,
+            "duckdb_job_floor": duck_floor,
+            "ratio_minus_floor": (
+                round(adj_total / adj_duck_total, 2) if adj_duck_total else None
+            ),
+            "n": runs,
+            "full": "BENCH_LOCAL.json",
+            "sf": float(sf),
+        }
+    )
+    assert len(compact) <= 1500, f"compact bench line {len(compact)} > 1500"
     sys.stderr.flush()
-    sys.stdout.write(payload + "\n")
+    sys.stdout.write(compact + "\n")
     sys.stdout.flush()
 
 
