@@ -574,6 +574,68 @@ def _pip_case_sql(px: str, py: str) -> str:
     return f"CASE {whens} ELSE NULL END"
 
 
+def _pip_edges_array_sql(verts: list[tuple[float, float]]) -> str:
+    """The polygon's non-horizontal edges as ONE literal
+    array<struct<x1,y1,x2,y2>> (doubles via the D suffix so the struct
+    fields are typed double, not decimal)."""
+    items = []
+    n = len(verts)
+    for i in range(n):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % n]
+        if y1 == y2:
+            continue  # horizontal edge never crosses a horizontal ray
+        items.append(
+            f"named_struct('x1', {x1!r}D, 'y1', {y1!r}D,"
+            f" 'x2', {x2!r}D, 'y2', {y2!r}D)"
+        )
+    return "array(" + ", ".join(items) + ")"
+
+
+def pip_crossings_hof_sql(
+    px: str, py: str, verts: list[tuple[float, float]]
+) -> str:
+    """Spark-side twin of pip_crossings_sql with the per-edge terms
+    FOLDED through `aggregate()` over a literal edge array instead of
+    unrolled into one giant expression.
+
+    Why: the unrolled form — 11 edges x (span check + cross product),
+    duplicated per polygon inside the pid CASE — pushed the fused
+    scan->project->filter->partial-agg method past Janino's 64 KB
+    limit, and Spark silently fell back to INTERPRETED execution for
+    the whole stage (round-8 verdict #3: `hashAgg_doAggregateWithKeys_0
+    ... Code grows beyond 64 KB`). The HOF keeps the stage's generated
+    code tiny (one expression call site), so everything around it —
+    scan, hash aggregate — stays whole-stage-compiled; the audit runs
+    this query under spark.sql.codegen.fallback=false to prove it.
+
+    Exactness: identical arithmetic on identical doubles — the edge
+    coordinates are the same literals, and (x2-x1)*(py-y1) -
+    (px-x1)*(y2-y1) is pure *,- on exact doubles, deterministic
+    whether constant-folded (unrolled oracle) or computed per-edge at
+    runtime (this fold). The crossing count is an integer, so the
+    DuckDB oracle keeps the unrolled text and still hash-matches."""
+    edges = _pip_edges_array_sql(verts)
+    cross = f"((e.x2 - e.x1) * (({py}) - e.y1) - (({px}) - e.x1) * (e.y2 - e.y1))"
+    return (
+        f"aggregate({edges}, 0, (acc, e) -> acc + (CASE WHEN "
+        f"(e.y1 < e.y2 AND e.y1 <= ({py}) AND ({py}) < e.y2 AND {cross} > 0.0D)"
+        f" OR "
+        f"(e.y2 < e.y1 AND e.y2 <= ({py}) AND ({py}) < e.y1 AND {cross} < 0.0D)"
+        f" THEN 1 ELSE 0 END))"
+    )
+
+
+def _pip_case_hof_sql(px: str, py: str) -> str:
+    """Spark-side pid CASE over the HOF-folded crossing counts (same
+    first-match-wins semantics as _pip_case_sql)."""
+    whens = " ".join(
+        f"WHEN {pip_crossings_hof_sql(px, py, v)} % 2 = 1 THEN '{name}'"
+        for name, v in sorted(POLYGONS.items())
+    )
+    return f"CASE {whens} ELSE NULL END"
+
+
 @register(
     "spatial_point_in_polygon",
     f"""
@@ -606,9 +668,13 @@ def spatial_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     production composition is: cell-index polygons once (the same
     banded grid as radius_join_geo), broadcast the (cell -> candidate
     polygon) map, run the exact test only on candidates — same
-    blocking-then-residual shape as every spatial operator here."""
+    blocking-then-residual shape as every spatial operator here.
+
+    Spark side uses the HOF-folded crossings (pip_crossings_hof_sql)
+    so the fused scan->agg stage compiles under Janino's 64 KB method
+    limit; the unrolled twin remains the DuckDB oracle text."""
     c = _points(spark, sf_dir, "customer", "c_custkey")
-    pid = F.expr(_pip_case_sql("lat", "lon"))
+    pid = F.expr(_pip_case_hof_sql("lat", "lon"))
     return (
         c.withColumn("polygon_id", pid)
         .filter(F.col("polygon_id").isNotNull())

@@ -226,6 +226,22 @@ def test_point_in_polygon_matches_reference(spark, sf_med):
         assert r.last_cust == max(want[r.polygon_id])
 
 
+def test_point_in_polygon_codegen_compiles(spark, sf_med):
+    """Regression for the round-8 Janino 64 KB overflow: the unrolled
+    ray-cast CASE blew the fused scan->agg method limit and the whole
+    stage silently ran interpreted. With fallback disabled, a compile
+    failure raises — so this test passing proves the HOF-folded form
+    stays within the method limit AND produces the same rows."""
+    from novelti_dingo_spark.operators.spatial import spatial_point_in_polygon
+
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        rows = spatial_point_in_polygon(spark, sf_med).collect()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")
+    assert {r.polygon_id for r in rows} == {"quad_west", "notch_east"}
+
+
 def test_polygon_concavity_actually_excludes_notch():
     """notch_east is concave: a point inside its convex hull but in
     the notch must be OUTSIDE — the case a bounding-box or convex test

@@ -714,9 +714,15 @@ EXPECT = {
     # pins the aggregation staying JVM-side above it
     "avro_ingest_agg": {"partial_agg": True},
     # point-in-polygon: a scan-side codegen CASE (comparisons +
-    # multiplications only) feeding a two-phase agg — zero joins
+    # multiplications only) feeding a two-phase agg — zero joins.
+    # codegen_compiles: round-8 verdict #3 caught the unrolled ray-cast
+    # blowing Janino's 64 KB method limit and silently running the whole
+    # stage INTERPRETED; the audit now executes this query under
+    # spark.sql.codegen.fallback=false so a compile failure is a hard
+    # audit failure, not a silent scale hazard.
     "spatial_point_in_polygon": {
         "partial_agg": True, "no_python_udf": True,
+        "codegen_compiles": True,
     },
 }
 
@@ -903,6 +909,19 @@ def main() -> int:
         df = specs[name].fn(spark, sf_dir)
         plan = explain_formatted(df)
         problems = audit(name, plan)
+        if EXPECT[name].get("codegen_compiles"):
+            # execute with codegen fallback DISABLED: any generated-code
+            # compile failure (e.g. Janino 64 KB overflow) raises instead
+            # of silently degrading the stage to interpreted execution
+            spark.conf.set("spark.sql.codegen.fallback", "false")
+            try:
+                specs[name].fn(spark, sf_dir).collect()
+            except Exception as e:  # noqa: BLE001 — audit reports, not raises
+                problems.append(
+                    f"whole-stage codegen failed to compile: {e}"[:300]
+                )
+            finally:
+                spark.conf.set("spark.sql.codegen.fallback", "true")
         status = "PASS" if not problems else "FAIL"
         if problems:
             failures += 1
