@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..registry import register
-from ..sources.io import load_table
+from ..sources.io import fixture_tag, load_table
 
 
 @register(
@@ -1048,7 +1048,7 @@ def orc_ingest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import schemas
     from ..sources.io import read_orc, write_orc
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     orc_path = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_orc", tag, "supplier"
     )
@@ -1307,7 +1307,7 @@ def lake_pruned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..pipelines import publish_versioned, read_version_pruned
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "orders"
     )
@@ -1388,7 +1388,7 @@ def lake_schema_evolution_chain(
     )
     from ..sources import lakefs
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "orders_evolved"
     )
@@ -1454,7 +1454,8 @@ def lake_bucketed_mart_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipelines import publish_bucketed, read_bucketed
     from ..sources import lakefs
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # tag feeds SQL table identifiers — keep [a-z0-9_] only
+    tag = fixture_tag(sf_dir).replace(".", "_").replace("-", "_")
     root = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag
     )
@@ -1535,7 +1536,7 @@ def lake_partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     from ..sources import lakefs
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "orders_pevolved"
     )
@@ -1594,7 +1595,7 @@ def mv_rewrite_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.mv import MvSpec, publish_mv, rewrite_agg
     from ..sources import lakefs
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "lineitem_pricing_mv"
     )
@@ -1667,7 +1668,7 @@ def constraint_quarantine_publish(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..pipelines import publish_checked, read_version
     from ..sources import lakefs
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "events_checked"
     )
@@ -1718,7 +1719,7 @@ def mv_rewrite_star_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.mv import MvSpec, choose_mv, publish_mv, rewrite_agg
     from ..sources import lakefs
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     root = os.path.join(tempfile.gettempdir(), "novelti_dingo_lake", tag)
     base = os.path.join(root, "star_segment_mv")
     decoy = os.path.join(root, "star_segment_mv_fine")
@@ -1801,7 +1802,7 @@ def lake_delete_rows_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..sources import lakefs
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "orders_gdpr"
     )
@@ -1847,7 +1848,7 @@ def snapshot_consistent_mart_join(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..pipelines import publish_snapshot, read_snapshot
     from ..sources import lakefs
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "mart_snapshot"
     )
@@ -1923,7 +1924,7 @@ def stats_cbo_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans import DimSpec, plan_star_join
     from ..sources import lakefs
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     root = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "cbo"
     )
@@ -2122,7 +2123,7 @@ def wap_promoted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..sources import lakefs
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "lineitem_wap"
     )
@@ -2246,7 +2247,7 @@ def lake_rename_widen_chain_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipelines import publish_append, publish_versioned, read_version_chain
     from ..sources import lakefs
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "orders_renamed"
     )
@@ -2302,7 +2303,7 @@ def lake_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipelines import delete_rows_mor, publish_versioned, read_version
     from ..sources import lakefs
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "orders_mor"
     )
@@ -2349,7 +2350,7 @@ def lake_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..sources import lakefs
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "orders_fastcount"
     )
@@ -2406,7 +2407,7 @@ def lake_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..sources import lakefs
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "orders_cdf"
     )
@@ -2465,7 +2466,7 @@ def lake_hidden_partition_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..sources import lakefs
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "events_hidden"
     )
@@ -2517,7 +2518,7 @@ def lake_bucket_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipelines import publish_versioned, read_bucket_lookup
     from ..sources import lakefs
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "events_bucket"
     )
@@ -2572,7 +2573,7 @@ def lake_pos_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..sources import lakefs
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "orders_pos"
     )
@@ -2623,7 +2624,7 @@ def lake_branch_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..sources import lakefs
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "orders_branched"
     )
@@ -2696,7 +2697,7 @@ def lake_merge_into_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipelines import merge_into, publish_versioned, read_version
     from ..sources import lakefs
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "orders_merged"
     )
@@ -2758,7 +2759,7 @@ def lake_fast_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..sources import lakefs
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "orders_fastmm"
     )
@@ -2827,7 +2828,7 @@ def lake_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..sources import lakefs
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     root = os.path.join(tempfile.gettempdir(), "novelti_dingo_lake", tag)
     src = os.path.join(root, "orders_clone_src")
     dest = os.path.join(root, "orders_clone_dest")
@@ -2879,7 +2880,7 @@ def avro_ingest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.avro_py import read_avro, write_avro_reference
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     path = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_avro", tag, "supplier.avro"
     )

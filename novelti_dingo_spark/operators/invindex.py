@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.io import load_table
+from ..sources.io import fixture_tag, load_table
 
 _TERMS = ("data", "join", "vector")
 
@@ -198,7 +198,7 @@ def phrase_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches two tokens' postings and never the documents text."""
     import tempfile
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "documents_invindex"
     )
@@ -311,7 +311,7 @@ def bm25_ranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB that asymmetry IS the feature."""
     import tempfile
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "documents_invindex"
     )
@@ -344,7 +344,7 @@ def inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clustering)."""
     import tempfile
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "documents_invindex"
     )
@@ -440,7 +440,7 @@ def bitmap_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded count-distinct plan shuffles one row per (term, doc)."""
     import tempfile
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "documents_invindex"
     )
@@ -545,7 +545,7 @@ def bitmap_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     both an included and an excluded term (must NOT surface)."""
     import tempfile
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "documents_invindex"
     )
@@ -662,7 +662,7 @@ def runlen_postings_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     touch at an endpoint and docs sitting in a width-1 span."""
     import tempfile
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_lake", tag, "documents_invindex"
     )

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.io import load_table
+from ..sources.io import fixture_tag, load_table
 
 
 def _orders_by_nation(spark: SparkSession, sf_dir: str) -> str:
@@ -31,7 +31,7 @@ def _orders_by_nation(spark: SparkSession, sf_dir: str) -> str:
     The enrichment join broadcasts the customer key map (dim-sized)."""
     import tempfile
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = fixture_tag(sf_dir)
     base = os.path.join(
         tempfile.gettempdir(), "novelti_dingo_dpp", tag, "orders_by_nation"
     )

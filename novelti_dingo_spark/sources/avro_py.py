@@ -107,8 +107,13 @@ class _Header:
     data_start: int  # byte offset of the first block
 
 
-def _read_header(raw: bytes) -> _Header:
-    buf = io.BytesIO(raw)
+def _read_header(raw) -> _Header:
+    """Parse the container header from `raw`: bytes OR an open binary
+    file positioned at 0. File-object parsing reads incrementally, so
+    a header whose schema JSON exceeds any fixed prefix size parses
+    fine (round-7 advice: the old fixed 64 KB `f.read(1 << 16)` prefix
+    silently truncated wide-schema headers into decode errors)."""
+    buf = io.BytesIO(raw) if isinstance(raw, (bytes, bytearray)) else raw
     if buf.read(4) != _MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
     meta: dict[str, bytes] = {}
@@ -302,7 +307,7 @@ class AvroPyReader(DataSourceReader):
         parts = []
         for fp in _list_files(self.path):
             with open(fp, "rb") as f:
-                header = _read_header(f.read(1 << 16))
+                header = _read_header(f)
             for off, nb, _rows in _block_runs(fp, header, self.rows_per_task):
                 parts.append(_AvroPartition(fp, off, nb))
         if not parts:
@@ -311,7 +316,7 @@ class AvroPyReader(DataSourceReader):
 
     def read(self, partition: _AvroPartition):
         with open(partition.path, "rb") as f:
-            header = _read_header(f.read(1 << 16))
+            header = _read_header(f)
         _, specs = _record_layout(header.schema)
         yield from _decode_blocks(
             partition.path, partition.offset, partition.n_blocks,
@@ -329,7 +334,7 @@ class AvroPySource(DataSource):
         if not files:
             raise ValueError(f"no avro files at {self.options['path']}")
         with open(files[0], "rb") as f:
-            header = _read_header(f.read(1 << 16))
+            header = _read_header(f)
         schema, _ = _record_layout(header.schema)
         return schema
 
@@ -550,25 +555,49 @@ class AvroCommitMessage(WriterCommitMessage):
 class AvroPyWriter(DataSourceWriter):
     """Per-task executor writer: one container file per non-empty
     partition (part-<uuid>.avro), committed via _SUCCESS on the driver
-    — the same files-then-marker protocol parquet uses here."""
+    — the same files-then-marker protocol parquet uses here.
 
-    def __init__(self, options, schema):
+    mode("overwrite") is honored two-phase: tasks write uniquely-named
+    NEW files beside the old ones; commit() then deletes every *.avro
+    not produced by this job. A failure before commit leaves the old
+    files (plus orphans abort() removes) — readers keyed on _SUCCESS
+    never observe the half-replaced state."""
+
+    def __init__(self, options, schema, overwrite: bool = False):
         self.path = options["path"]
         self.codec = options.get("codec", "deflate")
         self.schema = schema
+        self.overwrite = overwrite
 
     def write(self, iterator):
+        import itertools
         import uuid
 
-        rows = list(iterator)
-        if not rows:
+        # peek ONE row to detect an empty partition — never materialize
+        # the whole partition (round-7 advice: list(iterator) buffered
+        # full partitions in executor memory; write_avro_file itself
+        # streams block-by-block off the iterator)
+        try:
+            first = next(iterator)
+        except StopIteration:
             return AvroCommitMessage("", 0)
         fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.avro")
-        n = write_avro_file(rows, self.schema, fname, codec=self.codec)
+        n = write_avro_file(
+            itertools.chain([first], iterator), self.schema, fname,
+            codec=self.codec,
+        )
         return AvroCommitMessage(fname, n)
 
     def commit(self, messages):
         os.makedirs(self.path, exist_ok=True)
+        if self.overwrite:
+            keep = {
+                m.file for m in messages
+                if m is not None and getattr(m, "file", "")
+            }
+            for fp in glob.glob(os.path.join(self.path, "*.avro")):
+                if fp not in keep:
+                    os.remove(fp)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write("")
 
@@ -586,7 +615,7 @@ def _attach_writer():
     body so the reader-only surface above stays unchanged)."""
 
     def writer(self, schema, overwrite: bool):
-        return AvroPyWriter(self.options, schema)
+        return AvroPyWriter(self.options, schema, overwrite=overwrite)
 
     AvroPySource.writer = writer
 
@@ -594,14 +623,16 @@ def _attach_writer():
 _attach_writer()
 
 
-def write_avro(df, path: str, codec: str = "deflate") -> None:
+def write_avro(df, path: str, codec: str = "deflate", mode: str = "append") -> None:
     """S3 Avro sink: distributed — each partition encodes its own
-    container file on its executor; _SUCCESS marks the commit."""
+    container file on its executor; _SUCCESS marks the commit.
+    mode("overwrite") replaces the directory's previous files at
+    commit time (see AvroPyWriter)."""
     register_avro_source(df.sparkSession)
     (
         df.write.format("avro_py")
         .option("path", path)
         .option("codec", codec)
-        .mode("append")
+        .mode(mode)
         .save()
     )

@@ -101,6 +101,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return reader.parquet(path)
 
 
+def fixture_tag(sf_dir: str) -> str:
+    """Cache tag for derived /tmp fixture roots (lake fixtures, inverted
+    indexes, ORC/Avro copies): the sf_dir basename PLUS an 8-hex digest
+    of the source files' identities (name, mtime_ns, size). A testdata
+    dir REGENERATED in place stops matching its old digest, so every
+    fixture built from it rebuilds under a fresh root instead of
+    serving stale bytes (round-7 advice: caches were keyed on bare
+    path existence). Local-path concern only — a cluster deployment
+    keys derived state on catalog table versions instead."""
+    import hashlib
+
+    base = sf_dir.rstrip("/")
+    ents = []
+    try:
+        for name in sorted(os.listdir(base)):
+            st = os.stat(os.path.join(base, name))
+            ents.append(f"{name}:{st.st_mtime_ns}:{st.st_size}")
+    except OSError:
+        ents.append("missing")
+    digest = hashlib.md5(";".join(ents).encode()).hexdigest()[:8]
+    return f"{os.path.basename(base)}-{digest}"
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """S4: register all ten tables as temp views (mirrors the oracle views)."""
     out: dict[str, DataFrame] = {}

@@ -229,3 +229,83 @@ def test_python_writer_is_distributed(spark, sf_small, tmp_path):
     write_avro(s, d)
     assert len(_glob.glob(os.path.join(d, "*.avro"))) == 4
     assert read_avro(spark, d).count() == s.count()
+
+
+def test_writer_overwrite_replaces_previous_files(spark, tmp_path):
+    """mode('overwrite') must actually replace the directory's previous
+    files (round-7 advice: the writer ignored the overwrite flag, so
+    'overwrite' silently appended). Two-phase: new files land first,
+    commit deletes the stale ones."""
+    import glob as _glob
+
+    from novelti_dingo_spark.sources.avro_py import read_avro, write_avro
+
+    d = str(tmp_path / "ow")
+    old = spark.createDataFrame([(1, "old"), (2, "old")], "k bigint, tag string")
+    new = spark.createDataFrame([(7, "new")], "k bigint, tag string")
+    write_avro(old, d)
+    n_old_files = len(_glob.glob(os.path.join(d, "*.avro")))
+    assert n_old_files >= 1
+    write_avro(new, d, mode="overwrite")
+    got = sorted((r.k, r.tag) for r in read_avro(spark, d).collect())
+    assert got == [(7, "new")]
+    # append still appends
+    write_avro(old, d, mode="append")
+    assert read_avro(spark, d).count() == 3
+
+
+def test_wide_schema_header_beyond_64kb(spark, tmp_path):
+    """A header whose schema JSON exceeds the old fixed 64 KB read
+    prefix must parse (round-7 advice: incremental header parse)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from novelti_dingo_spark.sources.avro_py import (
+        write_avro_file,
+    )
+
+    n_fields = 1500
+    names = [f"f_{i:04d}_{'x' * 48}" for i in range(n_fields)]
+    schema = StructType([StructField(n, LongType(), False) for n in names])
+    path = str(tmp_path / "wide.avro")
+    write_avro_file([tuple(range(n_fields))], schema, path, codec="null")
+    assert os.path.getsize(path) > (1 << 16)
+    with open(path, "rb") as f:
+        header = _read_header(f)
+    assert header.data_start > (1 << 16)
+    assert len(header.schema["fields"]) == n_fields
+    df = read_avro(spark, path)
+    row = df.collect()[0]
+    assert row[names[0]] == 0 and row[names[-1]] == n_fields - 1
+
+
+def test_writer_streams_blocks_not_materializing_partition(tmp_path):
+    """write_avro_file must flush encoded blocks WHILE the row iterator
+    is still being consumed (round-7 advice: the sink buffered whole
+    partitions via list(iterator))."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from novelti_dingo_spark.sources.avro_py import write_avro_file
+
+    from pyspark.sql.types import StringType
+
+    schema = StructType(
+        [StructField("k", LongType(), False),
+         StructField("pad", StringType(), False)]
+    )
+    path = str(tmp_path / "stream.avro")
+    sizes_at_pull: list[int] = []
+    pad = "x" * 1024  # each 100-row block ≈ 100 KB >> the 8 KB file buffer
+
+    def gen():
+        for i in range(1000):
+            if i % 100 == 0:
+                sizes_at_pull.append(
+                    os.path.getsize(path) if os.path.exists(path) else 0
+                )
+            yield (i, pad)
+
+    n = write_avro_file(gen(), schema, path, codec="null", rows_per_block=100)
+    assert n == 1000
+    # blocks hit disk before the generator finished: file size grew
+    # while rows were still being pulled
+    assert any(s > 0 for s in sizes_at_pull[2:]), sizes_at_pull

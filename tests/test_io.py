@@ -239,3 +239,31 @@ def test_parquet_quarantine_detects_corrupt_files(spark, sf_small, tmp_path):
     df2, bad2 = read_parquet_quarantine(spark, str(allbad), schemas.ORDERS)
     assert bad2 == ["x.parquet"] and df2.count() == 0
     assert df2.schema == schemas.ORDERS
+
+
+def test_fixture_tag_tracks_source_content(tmp_path):
+    """Fixture cache roots must change when the source dir is
+    REGENERATED in place (round-7 advice: /tmp fixtures were keyed on
+    bare path existence and served stale bytes after testdata
+    regeneration)."""
+    import os
+    import time
+
+    from novelti_dingo_spark.sources.io import fixture_tag
+
+    d = tmp_path / "sfX"
+    d.mkdir()
+    (d / "orders.parquet").write_bytes(b"v1-bytes")
+    t1 = fixture_tag(str(d))
+    assert t1.startswith("sfX-")
+    assert fixture_tag(str(d)) == t1  # stable while content unchanged
+    # regenerate in place: same path, different content
+    time.sleep(0.01)
+    (d / "orders.parquet").write_bytes(b"v2-bytes-longer")
+    t2 = fixture_tag(str(d))
+    assert t2 != t1
+    # same size, later mtime still invalidates
+    time.sleep(0.01)
+    (d / "orders.parquet").write_bytes(b"v3-bytes-longer")
+    os.utime(d / "orders.parquet")
+    assert fixture_tag(str(d)) != t2

@@ -136,6 +136,20 @@ def test_unknown_fields_skipped(sm):
     assert m.statusCode == 3
 
 
+def test_mismatched_wire_type_on_known_field_raises(sm):
+    """A KNOWN field arriving with the WRONG wire type is stream
+    corruption or an out-of-scope encoding (packed repeated
+    primitives arrive as LEN where the declared type says VARINT).
+    Silently skipping would drop data — the runtime must fail loud
+    (round-7 advice: the old code skipped it like an unknown field)."""
+    f = sm.StateResponse.DESCRIPTOR.fields_by_name["statusCode"]
+    # statusCode is varint-typed; deliver it length-delimited
+    bad = bytes([f.number << 3 | 2, 0x02, 0x61, 0x62])
+    m = sm.StateResponse()
+    with pytest.raises(NotImplementedError, match="wire type"):
+        m.ParseFromString(bad)
+
+
 def test_descriptor_parse_matches_generated_metadata(sm):
     """The descriptor-blob parser must agree with the generated
     module's own metadata (message set, field numbering)."""
