@@ -48,7 +48,13 @@ EXPECT = {
     "window_topk_per_user": {"single_shuffle": True, "no_python_udf": True},
     "sessionize_30min": {"single_shuffle": True, "no_python_udf": True},
     "topk_orders": {"take_ordered": True},
-    "knn_bruteforce_top10": {"no_python_udf": True, "take_ordered": True},
+    # round 9: corpus pinned in memory (serving-index design) — the plan
+    # must read the cache, not re-scan parquet, and stay codegen'd
+    "knn_bruteforce_top10": {
+        "no_python_udf": True, "take_ordered": True,
+        "plan_must_contain": ["InMemoryTableScan"],
+        "codegen_compiles": True,
+    },
     "exact_dedup_survivors": {"partial_agg": True},
     "tumbling_1h_agg": {"partial_agg": True, "no_python_udf": True,
                         "max_scan_cols": 3},
