@@ -690,6 +690,144 @@ def test_stateful_sessionize_matches_batch_closed_sessions(
     assert got == want and len(want) > 0
 
 
+def _with_rocksdb_provider(spark):
+    """Context manager: transformWithState requires the RocksDB state
+    store provider; restore the session default afterwards."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        key = "spark.sql.streaming.stateStore.providerClass"
+        old = spark.conf.get(key, None)
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            yield
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+
+    return cm()
+
+
+def test_timer_tws_sessionize_multibatch_replay(spark, tmp_path):
+    """Event-time TIMERS via transformWithState (registerTimer /
+    handleExpiredTimer): the same three-file replay as the legacy
+    EventTimeTimeout test — one session closes by in-stream gap, one
+    purely by timer expiry when an unrelated batch advances the
+    watermark, and the still-open final session is withheld."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    from novelti_dingo_spark.protobuf_fallback import ensure_protobuf
+    from novelti_dingo_spark.streaming.stateful import sessionize_timer_tws
+
+    assert ensure_protobuf() in ("real", "shim")
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    def us(h, m):
+        return int(
+            t(h, m).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+        )
+
+    f1 = pd.DataFrame(
+        {
+            "ts": [t(10, 0), t(10, 10), t(10, 5)],
+            "event_id": [1, 2, 3],
+            "user_id": [1, 1, 2],
+            "value": [1.0, 2.0, 5.0],
+        }
+    )
+    f2 = pd.DataFrame(
+        {"ts": [t(12, 0)], "event_id": [4], "user_id": [1], "value": [3.0]}
+    )
+    f3 = pd.DataFrame(
+        {"ts": [t(13, 0)], "event_id": [5], "user_id": [3], "value": [7.0]}
+    )
+    for i, f in enumerate((f1, f2, f3), 1):
+        path = src / f"f{i}.parquet"
+        f.assign(ts=f["ts"].astype("datetime64[us]")).to_parquet(str(path))
+        os.utime(path, (1_900_000_000 + i * 1000,) * 2)
+
+    ev = spark.readStream.schema(
+        "ts timestamp, event_id long, user_id long, value double"
+    ).option("maxFilesPerTrigger", "1").parquet(str(src))
+    with _with_rocksdb_provider(spark):
+        out = sessionize_timer_tws(ev, watermark="15 minutes")
+        name = streaming.run_to_memory(out, "t_sess_timer", mode="append")
+    got = {
+        (r.user_id, r.session_start_us): (
+            r.session_end_us,
+            r.n_events,
+            r.sum_value,
+        )
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        (1, us(10, 0)): (us(10, 10), 2, 3.0),  # closed by in-stream gap
+        (2, us(10, 5)): (us(10, 5), 1, 5.0),   # closed by timer expiry
+        (1, us(12, 0)): (us(12, 0), 1, 3.0),   # timer fired by f3's wm
+    }
+    # C's 13:00 session is still open (timer 13:30 > final wm): withheld
+    assert got == want
+
+
+def test_timer_tws_sessionize_matches_batch_closed_sessions(
+    spark, sf_small, events_stream
+):
+    """Full-replay parity for the timer-based processor: emitted rows
+    must equal the legacy TTL operator's contract — every non-final
+    session (closed inline) plus final sessions whose end + gap fell
+    behind the final watermark (closed by handleExpiredTimer), each
+    byte-equal to the batch sessionize_30min row."""
+    from novelti_dingo_spark.operators.events_ops import sessionize_30min
+    from novelti_dingo_spark.protobuf_fallback import ensure_protobuf
+    from novelti_dingo_spark.streaming.stateful import sessionize_timer_tws
+
+    assert ensure_protobuf() in ("real", "shim")
+    with _with_rocksdb_provider(spark):
+        out = sessionize_timer_tws(events_stream, watermark="15 minutes")
+        name = streaming.run_to_memory(out, "t_sess_timer_parity", mode="append")
+    got = {
+        (r.user_id, r.session_start_us): (
+            r.session_end_us,
+            r.n_events,
+            round(r.sum_value, 2),
+        )
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    batch = sessionize_30min(spark, sf_small).collect()
+    gap_us = 30 * 60 * 1_000_000
+    wm_us = max(r.session_end_us for r in batch) - 15 * 60 * 1_000_000
+    last_start = {}
+    for r in batch:
+        last_start[r.user_id] = max(
+            last_start.get(r.user_id, 0), r.session_start_us
+        )
+    want = {}
+    for r in batch:
+        is_final = r.session_start_us == last_start[r.user_id]
+        if not is_final or r.session_end_us + gap_us < wm_us:
+            want[(r.user_id, r.session_start_us)] = (
+                r.session_end_us,
+                r.n_events,
+                r.sum_value,
+            )
+    assert got == want and len(want) > 0
+
+
 def test_stream_stream_left_outer_join_matches_batch(spark, sf_small, tmp_path):
     """ST9 left-outer: the watermarked LEFT OUTER stream-stream interval
     join emits matched pairs in append mode AND null-extends every
