@@ -154,9 +154,18 @@ def ivf_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- index persistence: the ANN index as a versioned lake dataset ----------
 
+# driver-side routing table per published snapshot: (base_dir, version)
+# -> [(cid, centroid)]. k_cells x dim floats - the index root, the part
+# a serving layer pins in process memory.
+_ROUTING_CACHE: dict[tuple, list] = {}
+
 
 def publish_ivf_index(
-    spark: SparkSession, sf_dir: str, base_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    base_dir: str,
+    k_cells: int = K,
+    partition_postings: bool = False,
 ) -> int:
     """Train the IVF index once and publish it as an ATOMIC multi-table
     snapshot (centroids + postings under one LATEST pointer): the
@@ -169,12 +178,18 @@ def publish_ivf_index(
     from ..pipelines import publish_snapshot
 
     e = load_table(spark, sf_dir, "embeddings")
-    centroids = kmeans_fit(e)
+    centroids = kmeans_fit(e, k=k_cells)
     postings = _assign(e, centroids)
     return publish_snapshot(
         {"centroids": centroids, "postings": postings},
         base_dir,
-        meta={"k": K, "source_sf": sf_dir},
+        meta={"k": k_cells, "source_sf": sf_dir},
+        # cell-partitioned postings let a probe read ONLY its n_probe
+        # cells' files (hive partition pruning) — the layout that makes
+        # probe cost O(n_probe/k · corpus) in BYTES READ, not just in
+        # distance evaluations (tools/scale_bench.py measures both
+        # layouts' probe walls)
+        partition_by={"postings": ["cid"]} if partition_postings else None,
     )
 
 
@@ -218,21 +233,40 @@ def ivf_knn_from_index(
     republishes (the eval-set property a training pipeline needs)."""
     from ..pipelines import read_snapshot
 
-    tables, _ = read_snapshot(spark, base_dir, version)
-    centroids = tables["centroids"]
+    tables, manifest = read_snapshot(spark, base_dir, version)
     postings = tables["postings"]
-    q = spark.createDataFrame(
-        [([float(x) for x in q_emb],)], "q_emb array<double>"
-    )
-    probe_cells = (
-        centroids.crossJoin(F.broadcast(q))
-        .select("cid", _sq_dist("centroid", "q_emb").alias("dist"))
-        .orderBy("dist", "cid")
-        .limit(n_probe)
-        .select("cid")
-    )
-    out = postings.join(F.broadcast(probe_cells), "cid").crossJoin(
-        F.broadcast(q)
+    # Routing runs DRIVER-SIDE over the k centroids (k_cells × dim
+    # floats — the index's "root node", cached per published snapshot):
+    # a serving query must not pay a Spark job to pick its cells. The
+    # python fold below adds (x-y)² left-to-right exactly like _sq_dist,
+    # so cell selection is bit-identical to the in-plan form.
+    ckey = (base_dir.rstrip("/"), int(manifest["snapshot"]))
+    if ckey not in _ROUTING_CACHE:
+        _ROUTING_CACHE[ckey] = [
+            (int(r.cid), [float(x) for x in r.centroid])
+            for r in tables["centroids"].collect()
+        ]
+    qd = [float(x) for x in q_emb]
+
+    def sqd(c: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(c, qd):
+            d = x - y
+            acc += d * d
+        return acc
+
+    ranked = sorted((sqd(c), cid) for cid, c in _ROUTING_CACHE[ckey])
+    probe_cids = [cid for _, cid in ranked[:n_probe]]
+    # The probed cells become a LITERAL isin predicate — on
+    # cid-partitioned postings (publish_ivf_index partition_postings)
+    # the scan PRUNES to those cells' files; on flat postings the
+    # predicate still pushes into the row-group filter. Probe cost thus
+    # scales with n_probe/k of the corpus in BYTES READ (round-8
+    # verdict #2 / the ANN scale study). The query vector is inlined as
+    # a literal array: zero extra jobs, zero joins per query.
+    q_lit = F.array(*[F.lit(x) for x in qd])
+    out = postings.filter(F.col("cid").isin(probe_cids)).withColumn(
+        "q_emb", q_lit
     )
     if exclude_vec_id is not None:
         out = out.filter(F.col("vec_id") != exclude_vec_id)

@@ -685,3 +685,167 @@ def spatial_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_custkey").alias("last_cust"),
         )
     )
+
+
+# ------------------------------------------------- polygon-TABLE spatial join
+
+# Polygon TABLE for the points ⋈ polygons join (round-8 verdict missing
+# #3): six polygons over the corpus box — convex quads, a triangle, a
+# pentagon, one CONCAVE (notch), and one pair that OVERLAPS so the join
+# semantics (one output row per containing polygon, unlike the
+# first-match CASE of spatial_point_in_polygon) are actually exercised.
+# No horizontal edges (consecutive equal lon), so every edge
+# participates in the crossing test.
+TABLE_POLYGONS: dict[str, list[tuple[float, float]]] = {
+    "p_nw_quad": [(46.0, -4.5), (49.5, -4.0), (49.0, -1.5), (45.5, -2.5)],
+    "p_sw_tri": [(40.5, -4.8), (43.5, -3.8), (41.0, -1.8)],
+    "p_mid_notch": [
+        (44.0, -1.0), (48.0, -0.5), (47.5, 2.0),
+        (45.5, 0.2),  # notch vertex — concave
+        (44.5, 1.5),
+    ],
+    "p_se_quad": [(40.3, 1.0), (43.0, 1.5), (42.5, 4.5), (40.8, 4.0)],
+    "p_ne_pent": [
+        (46.5, 2.5), (49.5, 3.0), (49.0, 4.8), (47.0, 4.5), (46.2, 3.5),
+    ],
+    # overlaps p_mid_notch around (45.5, 0) — a point there emits TWO rows
+    "p_overlap_mid": [(43.0, -2.0), (47.0, -1.5), (46.0, 1.0), (43.5, 0.5)],
+}
+
+POLY_CELL = 1.0  # blocking grid (degrees) for polygon bounding boxes
+
+
+def pip_crossings_edges_sql(px: str, py: str, edges: str) -> str:
+    """Ray-cast crossing count with the edges supplied as an expression
+    (a COLUMN of array<struct<x1,y1,x2,y2>> from the polygon table, or
+    a literal array) — the generic form behind pip_crossings_hof_sql.
+    Same division-free polynomial as the unrolled oracle text, folded
+    through aggregate() so the stage codegen stays small."""
+    cross = (
+        f"((e.x2 - e.x1) * (({py}) - e.y1) - (({px}) - e.x1) * (e.y2 - e.y1))"
+    )
+    return (
+        f"aggregate({edges}, 0, (acc, e) -> acc + (CASE WHEN "
+        f"(e.y1 < e.y2 AND e.y1 <= ({py}) AND ({py}) < e.y2 AND {cross} > 0.0D)"
+        f" OR "
+        f"(e.y2 < e.y1 AND e.y2 <= ({py}) AND ({py}) < e.y1 AND {cross} < 0.0D)"
+        f" THEN 1 ELSE 0 END))"
+    )
+
+
+def polygon_table(spark: SparkSession) -> DataFrame:
+    """TABLE_POLYGONS as a DataFrame dim table: (polygon_id, edges,
+    bbox). In production this is a real table read from the lake; here
+    the literal dict doubles as the oracle's ground truth. Edges carry
+    only non-horizontal segments (a horizontal edge never crosses a
+    horizontal ray); the bbox comes from ALL vertices."""
+    rows = []
+    for name, verts in sorted(TABLE_POLYGONS.items()):
+        edges = []
+        n = len(verts)
+        for i in range(n):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % n]
+            if y1 != y2:
+                edges.append((x1, y1, x2, y2))
+        xs = [v[0] for v in verts]
+        ys = [v[1] for v in verts]
+        rows.append((name, edges, min(xs), max(xs), min(ys), max(ys)))
+    return spark.createDataFrame(
+        rows,
+        "polygon_id string, "
+        "edges array<struct<x1:double,y1:double,x2:double,y2:double>>, "
+        "min_x double, max_x double, min_y double, max_y double",
+    )
+
+
+def _polygon_join_oracle() -> str:
+    """Naive cross-join oracle: every polygon's unrolled ray-cast text
+    against every customer point (one UNION ALL branch per polygon —
+    exactly what a cross join against the 6-row polygon table
+    evaluates), then the same per-polygon aggregate."""
+    branches = " UNION ALL ".join(
+        f"SELECT '{name}' AS polygon_id, c_custkey FROM c "
+        f"WHERE {pip_crossings_sql('lat', 'lon', v)} % 2 = 1"
+        for name, v in sorted(TABLE_POLYGONS.items())
+    )
+    return f"""
+    WITH c AS (
+      SELECT c_custkey, {lat_expr('c_custkey')} AS lat,
+             {lon_expr('c_custkey')} AS lon
+      FROM customer
+    ), hits AS ({branches})
+    SELECT polygon_id, count(*) AS n_customers,
+           min(c_custkey) AS first_cust, max(c_custkey) AS last_cust
+    FROM hits GROUP BY polygon_id
+    """
+
+
+@register(
+    "spatial_polygon_join",
+    _polygon_join_oracle(),
+    survey_rows="J5,A1,spatial-polygon-table",
+)
+def spatial_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points ⋈ polygon-TABLE geofencing join (polygons as DATA, not
+    literals): which customers fall in which polygon, one output row
+    per CONTAINING polygon — overlapping polygons emit multiple rows,
+    which the first-match CASE of spatial_point_in_polygon cannot.
+
+    Shape (the blocking-then-residual pattern of every spatial operator
+    here): each polygon explodes to the POLY_CELL grid cells its
+    bounding box covers (sequence × 2 explodes, in-plan); each point
+    maps to its cell (two floors); an equi BROADCAST join on
+    (cell_x, cell_y) yields candidates — only points sharing a cell
+    with a polygon's bbox; a bbox prefilter then the EXACT division-free
+    ray-cast (aggregate HOF over the polygon's edge array) keeps true
+    containments. The oracle is the naive cross join (per-polygon
+    unrolled test over every point) — the hash match proves the
+    blocking loses nothing.
+
+    At 100 TB: points never shuffle (the polygon-cells side is the
+    small broadcast dim); polygon tables too large to broadcast
+    co-partition both sides on the cell key instead. Per-candidate cost
+    is O(edges); everything stays in whole-stage codegen except the
+    tiny aggregate() call site (same 64 KB-limit rationale as
+    spatial_point_in_polygon)."""
+    p = polygon_table(spark)
+    cells = p.select(
+        "polygon_id", "edges", "min_x", "max_x", "min_y", "max_y",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("min_x") / POLY_CELL),
+                F.floor(F.col("max_x") / POLY_CELL),
+            )
+        ).alias("cell_x"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("min_y") / POLY_CELL),
+                F.floor(F.col("max_y") / POLY_CELL),
+            )
+        ).alias("cell_y"),
+    )
+    c = _points(spark, sf_dir, "customer", "c_custkey").select(
+        "c_custkey", "lat", "lon",
+        F.floor(F.col("lat") / POLY_CELL).alias("cell_x"),
+        F.floor(F.col("lon") / POLY_CELL).alias("cell_y"),
+    )
+    crossings = F.expr(pip_crossings_edges_sql("lat", "lon", "edges"))
+    return (
+        c.join(F.broadcast(cells), ["cell_x", "cell_y"])
+        .filter(
+            (F.col("lat") >= F.col("min_x"))
+            & (F.col("lat") <= F.col("max_x"))
+            & (F.col("lon") >= F.col("min_y"))
+            & (F.col("lon") <= F.col("max_y"))
+        )
+        .filter(crossings % 2 == 1)
+        .groupBy("polygon_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_custkey").alias("first_cust"),
+            F.max("c_custkey").alias("last_cust"),
+        )
+    )

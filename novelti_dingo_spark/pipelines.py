@@ -2862,6 +2862,7 @@ def publish_snapshot(
     dfs: dict[str, DataFrame],
     base_dir: str,
     meta: dict | None = None,
+    partition_by: dict[str, list[str]] | None = None,
 ) -> int:
     """Atomic MULTI-table publish: write every table under
     `base_dir/snap=N/<table>/`, then flip one `LATEST` pointer for the
@@ -2896,9 +2897,15 @@ def publish_snapshot(
     counts: dict[str, int] = {}
     for name, df in dfs.items():
         obs = Observation(f"snap{version}_{name}")
-        df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        w = df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
             "errorifexists"
-        ).parquet(f"{out}/{name}")
+        )
+        # optional hive-style layout per table (e.g. ANN postings
+        # partitioned by cell id so probes prune to their cells)
+        cols = (partition_by or {}).get(name)
+        if cols:
+            w = w.partitionBy(*cols)
+        w.parquet(f"{out}/{name}")
         counts[name] = int(obs.get["n"])
     manifest = {
         "snapshot": version,

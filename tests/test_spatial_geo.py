@@ -278,3 +278,34 @@ def test_no_corpus_point_near_polygon_edges(sf_med, sf_big):
                 )
                 d = np.hypot(px - (x1 + t * vx), py - (y1 + t * vy))
                 assert d.min() > 1e-6, (sf_dir, i)
+
+
+def test_polygon_join_matches_reference_and_overlap(spark, sf_med):
+    """spatial_polygon_join vs the pure-python ray-cast over every
+    (point, polygon) pair — and the overlap region must emit one row
+    per CONTAINING polygon (join semantics, not first-match)."""
+    from novelti_dingo_spark.operators.spatial import (
+        TABLE_POLYGONS,
+        spatial_polygon_join,
+    )
+
+    cid, cla, clo = _coords(sf_med, "customer", "c_custkey")
+    lat = np.degrees(cla)
+    lon = np.degrees(clo)
+    want: dict[str, set[int]] = {name: set() for name in TABLE_POLYGONS}
+    per_point: dict[int, int] = {}
+    for k, key in enumerate(cid):
+        for name, verts in TABLE_POLYGONS.items():
+            if _pip_ref(lat[k], lon[k], verts):
+                want[name].add(int(key))
+                per_point[int(key)] = per_point.get(int(key), 0) + 1
+    rows = spatial_polygon_join(spark, sf_med).collect()
+    got = {r.polygon_id: r.n_customers for r in rows}
+    assert got == {n: len(s) for n, s in want.items() if s}
+    for r in rows:
+        assert r.first_cust == min(want[r.polygon_id])
+        assert r.last_cust == max(want[r.polygon_id])
+    # the polygon set genuinely overlaps: some point is inside >1 polygon
+    assert any(v > 1 for v in per_point.values()), (
+        "fixture polygons never overlap — overlap semantics untested"
+    )

@@ -730,6 +730,13 @@ EXPECT = {
         "partial_agg": True, "no_python_udf": True,
         "codegen_compiles": True,
     },
+    # polygon-TABLE join: points must NOT shuffle — the exploded
+    # (cell -> polygon) map is the broadcast side; exact ray-cast is the
+    # residual after the equi cell join; two-phase agg on polygon_id
+    "spatial_polygon_join": {
+        "broadcast_joins": 1, "partial_agg": True, "no_python_udf": True,
+        "codegen_compiles": True, "max_scan_cols": 1,
+    },
 }
 
 

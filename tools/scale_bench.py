@@ -238,19 +238,72 @@ def run_gemm(ks: list[int]) -> None:
 
 
 def run_ann(ns: list[int]) -> None:
-    from novelti_dingo_spark.operators.pq import ivf_pq_knn
+    """ANN study with BUILD and PROBE isolated (round-8 verdict #2: the
+    old single wall bucketed training+probe, so the amortized serving
+    cost — the number that decides whether an index ever pays for
+    itself — was never measured).
+
+    Per corpus size:
+    - build_s: train k-means (k_cells) + publish the CELL-PARTITIONED
+      index snapshot — one-time cost, amortized over every query.
+    - probe_s: median serving query against the pinned snapshot
+      (driver-side routing over k centroids, partition-pruned scan of
+      the n_probe cells, exact in-cell scoring = probe+rerank).
+    - brute_s: median in-memory brute scan (knn_bruteforce_top10's
+      pinned-corpus serving path) — the exact baseline the probe must
+      beat for the index to have a winning regime.
+    - recall_at_10: |ivf top10 ∩ brute top10| / 10.
+    """
+    import shutil
+
+    from novelti_dingo_spark.operators.ivf import (
+        ivf_knn_from_index,
+        publish_ivf_index,
+    )
     from novelti_dingo_spark.operators.similarity import knn_bruteforce_top10
 
     spark = _spark()
+    k_cells, n_probe = 32, 4
     res = {}
     for n in ns:
         d = build_embeddings(n)
-        _n1, t_ivfpq = _timed_count(ivf_pq_knn(spark, d, k=10))
-        _n2, t_brute = _timed_count(knn_bruteforce_top10(spark, d))
+        qv = duckdb.sql(
+            f"SELECT embedding FROM '{d}/embeddings.parquet' WHERE vec_id = 0"
+        ).fetchone()[0]
+        qv = [float(x) for x in qv]
+        base = os.path.join(d, "ivf_index")
+        shutil.rmtree(base, ignore_errors=True)
+        t0 = time.perf_counter()
+        publish_ivf_index(
+            spark, d, base, k_cells=k_cells, partition_postings=True
+        )
+        build_s = round(time.perf_counter() - t0, 3)
+
+        def probe():
+            return ivf_knn_from_index(
+                spark, base, qv, k=10, n_probe=n_probe, exclude_vec_id=0
+            ).collect()
+
+        def brute():
+            return knn_bruteforce_top10(spark, d).collect()
+
+        probe_s = _med(probe)
+        brute_s = _med(brute)
+        got = {r.vec_id for r in probe()}
+        want = {r.vec_id for r in brute()}
         res[str(n)] = {
             "n_vectors": n,
-            "ivf_pq_wall_s": t_ivfpq,
-            "bruteforce_wall_s": t_brute,
+            "k_cells": k_cells,
+            "n_probe": n_probe,
+            "build_s": build_s,
+            "probe_s": probe_s,
+            "brute_s": brute_s,
+            "recall_at_10": round(len(got & want) / 10, 2),
+            "breakeven_queries": (
+                round(build_s / (brute_s - probe_s), 1)
+                if brute_s > probe_s
+                else None  # probe never beats brute → no winning regime
+            ),
         }
         print(f"{n}: {res[str(n)]}")
     _merge("ann", res)
