@@ -2893,3 +2893,71 @@ def avro_ingest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_suppliers"),
         F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
     )
+
+
+@register(
+    "lake_shallow_clone_read",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderkey % 3 < 2
+    GROUP BY o_orderpriority
+    """,
+    survey_rows="S5,A1,shallow-clone",
+)
+def lake_shallow_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW clone at the correctness gate (the zero-copy sibling of
+    lake_clone_read; pipelines.shallow_clone_snapshot): the source
+    becomes a full publish (keys % 3 == 0), an append (% 3 == 1), and
+    an equality-vector delete; the shallow clone pins version 2 — a
+    ZERO-COPY time-travel view of the pre-delete state whose only
+    destination byte is the `_shallow.json` redirection record. The
+    source then moves on hard: the MOR head compacts away, a new append
+    lands, and the MOST aggressive vacuum (keep_last=1) runs — which
+    would reclaim v1/v2 if the clone's ledger ref (`_refs/shallow-*`)
+    did not pin them. This query reads the CLONE base, so the hash
+    match proves redirection resolves the pinned lineage exactly AND
+    the refcount ledger actually held the bytes against retention
+    (tests/test_clone.py proves the converse: release → reclaimed).
+
+    At 100 TB: the clone costs O(chain) manifest reads and ONE control
+    file — the dev/test-against-prod-snapshot shape — while the deep
+    clone (lake_clone_read) pays the bytes for total independence;
+    the ledger is what makes the cheap one safe to hand out."""
+    import tempfile
+
+    from ..pipelines import (
+        compact_chain,
+        delete_rows_mor,
+        publish_append,
+        publish_versioned,
+        read_version_chain,
+        shallow_clone_snapshot,
+        vacuum_versions,
+    )
+    from ..sources import lakefs
+
+    tag = fixture_tag(sf_dir)
+    root = os.path.join(tempfile.gettempdir(), "novelti_dingo_lake", tag)
+    src = os.path.join(root, "orders_sclone_src")
+    dest = os.path.join(root, "orders_sclone_dest")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    if not lakefs.exists(spark, f"{dest}/_shallow.json"):
+        publish_versioned(o.filter(F.col("o_orderkey") % 3 == 0), src)
+        publish_append(o.filter(F.col("o_orderkey") % 3 == 1), src)
+        delete_rows_mor(spark, src, "o_orderkey", [3, 4, 6])
+        shallow_clone_snapshot(spark, src, dest, version=2)
+        # the source moves on: compact, append, aggressive vacuum —
+        # only the clone's ledger ref keeps v1/v2 alive
+        compact_chain(spark, src)
+        publish_append(o.filter(F.col("o_orderkey") % 3 == 2), src)
+        vacuum_versions(spark, src, keep_last=1)
+    df, _ = read_version_chain(spark, dest)
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

@@ -2113,12 +2113,14 @@ def read_version_chain(
     in that branch, flat branches keep ordinary pushdown. The flat
     single-scan fast path is preserved for unevolved chains."""
     base = base_dir.rstrip("/")
+    # shallow clone: resolve to the source base at the pinned version
+    base, version = _follow_shallow(spark, base, version)
     chain = _resolve_chain(spark, base, version)
     if _mor_record(chain[0]):
         # MOR head over a chain (or snapshot): resolve the physical
         # ancestor's chain, then subtract the vectors
         data_v, _ = _mor_layers(spark, base, chain[0])
-        df, inner = read_version_chain(spark, base_dir, data_v)
+        df, inner = read_version_chain(spark, base, data_v)
         return _apply_mor(spark, df, base, chain[0]), [chain[0], *inner]
     schema = _chain_merged_schema(chain)
     if any(m.get("partition_by") for m in chain) or _chain_evolved(chain):
@@ -2159,6 +2161,7 @@ def read_chain_pruned(
     same accounting in the returned file counts), and other columns fall
     back to reading the whole segment with the filter pushed down."""
     base = base_dir.rstrip("/")
+    base, version = _follow_shallow(spark, base, version)
     chain = _resolve_chain(spark, base, version)
     if _mor_record(chain[0]):
         # pruned read through a MOR head: prune the physical chain,
@@ -2166,7 +2169,7 @@ def read_chain_pruned(
         # so every skip decision stays conservative)
         data_v, _ = _mor_layers(spark, base, chain[0])
         df, total, n_read = read_chain_pruned(
-            spark, base_dir, col, lo, hi, version=data_v
+            spark, base, col, lo, hi, version=data_v
         )
         return _apply_mor(spark, df, base, chain[0]), total, n_read
     schema = _chain_merged_schema(chain)
@@ -2428,6 +2431,10 @@ def vacuum_versions(
     for name in lakefs.listdir(spark, base):
         if name.startswith("BRANCH_"):
             keep.add(int(lakefs.read_text(spark, f"{base}/{name}").strip()))
+    # versions pinned by live SHALLOW-clone refs (the _refs ledger) are
+    # read dependencies of other datasets — reclaiming them would break
+    # every clone mid-read; release_shallow_clone frees them
+    keep |= _ref_pinned_versions(spark, base)
     # append chains: a kept head needs every ancestor segment back to
     # its full snapshot — expand the keep set over parent links so
     # vacuum never orphans a chain (read_version_chain of any keeper
@@ -2471,6 +2478,7 @@ def read_version(spark: SparkSession, base_dir: str, version: int | None = None)
     from .sources import lakefs
 
     base = base_dir.rstrip("/")
+    base, version = _follow_shallow(spark, base, version)
     if version is None:
         version = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
     out = f"{base}/v={version}"
@@ -4225,7 +4233,8 @@ def clone_snapshot(
         taken = [
             n
             for n in lakefs.listdir(spark, dest)
-            if n in ("LATEST", "STAGED") or n.startswith(("v=", "BRANCH_"))
+            if n in ("LATEST", "STAGED", "_shallow.json")
+            or n.startswith(("v=", "BRANCH_"))
         ]
         if taken:
             raise ValueError(
@@ -4345,6 +4354,186 @@ def sync_clone(
         copied.append(v)
     lakefs.replace_text(spark, f"{dest}/LATEST", str(version))
     return version, copied
+
+
+def _shallow_meta(spark: SparkSession, base: str) -> dict | None:
+    """The `_shallow.json` redirection record of a SHALLOW clone, or
+    None for a regular dataset."""
+    import json
+
+    from .sources import lakefs
+
+    if not lakefs.exists(spark, f"{base}/_shallow.json"):
+        return None
+    return json.loads(lakefs.read_text(spark, f"{base}/_shallow.json"))
+
+
+def _follow_shallow(
+    spark: SparkSession, base: str, version: int | None
+) -> tuple[str, int | None]:
+    """Resolve reads at a shallow clone to (source base, pinned
+    version). A caller-supplied `version` (time travel within the pin's
+    lineage) passes through; the default read resolves to the PIN, not
+    the source's LATEST — a clone is frozen by definition."""
+    meta = _shallow_meta(spark, base)
+    if meta is None:
+        return base, version
+    return meta["src"].rstrip("/"), (
+        version if version is not None else int(meta["version"])
+    )
+
+
+def shallow_clone_snapshot(
+    spark: SparkSession,
+    src_base: str,
+    dest_base: str,
+    version: int | None = None,
+) -> int:
+    """SHALLOW clone — the zero-copy sibling of clone_snapshot (the
+    Delta `SHALLOW CLONE` shape): the destination holds ONLY a
+    redirection record (`_shallow.json` → source base + pinned
+    version); every data byte stays at the source and reads at the
+    clone resolve through `_follow_shallow`. O(1) bytes, O(chain)
+    manifest reads — a 100 TB snapshot clones in milliseconds.
+
+    What makes this SAFE where Delta's shallow clone is documented-
+    hazardous ("vacuum on the source breaks shallow clones"): the clone
+    registers a REF in the source's ledger (`src/_refs/shallow-<id>.json`)
+    recording the pinned version, its full ancestor set, and every
+    referenced data file. `vacuum_versions` on the source treats every
+    ref-pinned version as live (exactly like branch heads), so
+    retention can never reclaim bytes a clone still reads —
+    tests/test_clone.py proves vacuum skips them and the clone read is
+    byte-stable. `clone_refcounts` derives per-file counts from the
+    ledger; `release_shallow_clone` drops the ref, after which vacuum
+    reclaims normally.
+
+    The ref is written BEFORE the destination becomes readable, so
+    there is no window where a vacuum could race the clone into
+    existence. The ref id is deterministic in the destination path —
+    re-cloning the same destination replaces its ref instead of
+    leaking one per attempt.
+
+    Contract differences vs the deep clone (both tested):
+    - the shallow clone is a READ-ONLY pinned view: publish_append /
+      branches at the clone base are not supported (the deep clone is
+      the way to fork a writable lineage);
+    - a shallow clone OF a shallow clone re-points at the ultimate
+      source (refs never chain, so releasing an intermediate clone
+      cannot strand a grand-clone).
+
+    Trade-off at 100 TB: deep clone = pay the bytes once, then total
+    independence; shallow clone = free until the source's retention
+    pressure matters — the standard dev/test-against-prod-snapshot and
+    short-lived-experiment shape. Returns the pinned version."""
+    import hashlib
+    import json
+
+    from .sources import lakefs
+
+    src = src_base.rstrip("/")
+    dest = dest_base.rstrip("/")
+    # shallow-of-shallow: chase to the ultimate source and ITS pin
+    src_meta = _shallow_meta(spark, src)
+    if src_meta is not None:
+        if version is None:
+            version = int(src_meta["version"])
+        src = src_meta["src"].rstrip("/")
+    if version is None:
+        version = int(lakefs.read_text(spark, f"{src}/LATEST").strip())
+    if not lakefs.exists(spark, f"{src}/v={version}/_manifest.json"):
+        raise ValueError(f"source has no v={version} to clone")
+    if lakefs.exists(spark, dest):
+        taken = [
+            n
+            for n in lakefs.listdir(spark, dest)
+            if n in ("LATEST", "STAGED", "_shallow.json")
+            or n.startswith(("v=", "BRANCH_"))
+        ]
+        if taken:
+            raise ValueError(
+                f"clone destination {dest} already holds dataset state "
+                f"{sorted(taken)[:4]} — a clone must import into a fresh "
+                "base, not splice into an existing lineage"
+            )
+    vers = sorted(_ancestors(spark, src, version))
+    files = {
+        str(v): lakefs.walk_files(spark, f"{src}/v={v}") for v in vers
+    }
+    ref_id = hashlib.md5(dest.encode()).hexdigest()[:12]
+    ref = {
+        "dest": dest,
+        "version": version,
+        "versions": vers,
+        "files": files,
+    }
+    # ledger entry FIRST (vacuum must see the pin before any reader
+    # depends on it), then the redirection record
+    lakefs.mkdirs(spark, f"{src}/_refs")
+    lakefs.write_text(
+        spark, f"{src}/_refs/shallow-{ref_id}.json", json.dumps(ref)
+    )
+    lakefs.mkdirs(spark, dest)
+    lakefs.write_text(
+        spark,
+        f"{dest}/_shallow.json",
+        json.dumps({"src": src, "version": version, "ref_id": ref_id}),
+    )
+    return version
+
+
+def release_shallow_clone(spark: SparkSession, dest_base: str) -> None:
+    """Drop a shallow clone's ledger ref (the source becomes free to
+    vacuum the pinned versions) and its redirection record. The caller
+    removes the (now empty) destination directory if desired."""
+    from .sources import lakefs
+
+    dest = dest_base.rstrip("/")
+    meta = _shallow_meta(spark, dest)
+    if meta is None:
+        raise ValueError(f"{dest} is not a shallow clone (no _shallow.json)")
+    lakefs.delete(
+        spark, f"{meta['src'].rstrip('/')}/_refs/shallow-{meta['ref_id']}.json"
+    )
+    lakefs.delete(spark, f"{dest}/_shallow.json")
+
+
+def _ref_pinned_versions(spark: SparkSession, base: str) -> set[int]:
+    """Every version pinned by the clone-ref ledger at `base`."""
+    import json
+
+    from .sources import lakefs
+
+    pinned: set[int] = set()
+    for name in lakefs.listdir(spark, f"{base}/_refs"):
+        if not name.endswith(".json"):
+            continue
+        ref = json.loads(lakefs.read_text(spark, f"{base}/_refs/{name}"))
+        pinned.update(int(v) for v in ref.get("versions", []))
+    return pinned
+
+
+def clone_refcounts(spark: SparkSession, src_base: str) -> dict[str, int]:
+    """Per-file reference counts derived from the ledger: how many
+    live shallow clones read each `v=N/<file>` of the source. The
+    vacuum-protection predicate is `count > 0` at version granularity;
+    the per-file ledger is what an object-store GC with sub-version
+    granularity (file-level compaction) would consume."""
+    import json
+
+    from .sources import lakefs
+
+    base = src_base.rstrip("/")
+    counts: dict[str, int] = {}
+    for name in lakefs.listdir(spark, f"{base}/_refs"):
+        if not name.endswith(".json"):
+            continue
+        ref = json.loads(lakefs.read_text(spark, f"{base}/_refs/{name}"))
+        for v, names in (ref.get("files") or {}).items():
+            for fname in names:
+                key = f"v={v}/{fname}"
+                counts[key] = counts.get(key, 0) + 1
+    return counts
 
 
 def clone_table_set(

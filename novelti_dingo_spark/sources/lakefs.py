@@ -72,6 +72,22 @@ def listdir(spark: SparkSession, path: str) -> list[str]:
     return [st.getPath().getName() for st in fs.listStatus(p)]
 
 
+def walk_files(spark: SparkSession, path: str) -> list[str]:
+    """All file paths under `path`, RELATIVE to it, recursively
+    (fs.listFiles(recursive=true) — one listing stream, object-store
+    safe). [] if the path doesn't exist."""
+    fs, p, _ = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    root = fs.makeQualified(p).toString().rstrip("/")
+    out = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        full = it.next().getPath().toString()
+        out.append(full[len(root) + 1:])
+    return sorted(out)
+
+
 def du_bytes(spark: SparkSession, path: str) -> int:
     """Total bytes under `path` (one getContentSummary RPC, no scan job)."""
     fs, p, _ = _fs(spark, path)

@@ -291,3 +291,129 @@ def test_clone_table_set_refuses_reuse(spark, chain_base, tmp_path):
     clone_table_set(spark, {"orders": (chain_base, 2)}, root)
     with pytest.raises(ValueError, match="already holds a clone set"):
         clone_table_set(spark, {"orders": (chain_base, 2)}, root)
+
+
+# --- shallow clone with refcount ledger (round-8 verdict missing #4) -------
+
+
+def test_shallow_clone_reads_identical_and_copies_nothing(
+    spark, chain_base, tmp_path
+):
+    from novelti_dingo_spark.pipelines import shallow_clone_snapshot
+
+    dest = str(tmp_path / "sdest")
+    v = shallow_clone_snapshot(spark, chain_base, dest)
+    assert v == 3
+    assert _rows(spark, dest) == _rows(spark, chain_base)
+    # ZERO data bytes at the destination: only the redirection record
+    assert lakefs.listdir(spark, dest) == ["_shallow.json"]
+    # and a ledger ref at the source
+    refs = lakefs.listdir(spark, f"{chain_base}/_refs")
+    assert len(refs) == 1 and refs[0].startswith("shallow-")
+
+
+def test_shallow_clone_pins_version_not_source_latest(
+    spark, sf_small, chain_base, tmp_path
+):
+    """The clone is FROZEN at its pin: appends on the source after the
+    clone must not appear at the clone base."""
+    from novelti_dingo_spark.pipelines import shallow_clone_snapshot
+
+    dest = str(tmp_path / "sdest")
+    shallow_clone_snapshot(spark, chain_base, dest)
+    before = _rows(spark, dest)
+    # source moves on (compact folds the MOR head, then an append)
+    compact_chain(spark, chain_base)
+    publish_append(
+        _orders(spark, sf_small).filter("o_orderkey % 3 = 2"), chain_base
+    )
+    assert _rows(spark, chain_base) != before  # source moved on
+    assert _rows(spark, dest) == before  # clone did not
+
+
+def test_source_vacuum_cannot_reclaim_referenced_files(
+    spark, sf_small, chain_base, tmp_path
+):
+    """THE ledger contract: aggressive vacuum on the source must skip
+    every version a live shallow clone pins — the clone read stays
+    byte-identical; releasing the clone then frees them."""
+    from novelti_dingo_spark.pipelines import (
+        release_shallow_clone,
+        shallow_clone_snapshot,
+    )
+
+    dest = str(tmp_path / "sdest")
+    shallow_clone_snapshot(spark, chain_base, dest, version=2)
+    pinned_rows = _rows(spark, dest)
+    # source moves on: compaction folds the MOR head, an append lands,
+    # then the most aggressive vacuum retention allows
+    o = _orders(spark, sf_small)
+    compact_chain(spark, chain_base)
+    publish_append(o.filter("o_orderkey % 3 = 2"), chain_base)
+    deleted = vacuum_versions(spark, chain_base, keep_last=1)
+    # v1, v2 (the pin's lineage) survived the vacuum
+    assert lakefs.exists(spark, f"{chain_base}/v=1/_manifest.json")
+    assert lakefs.exists(spark, f"{chain_base}/v=2/_manifest.json")
+    assert 1 not in deleted and 2 not in deleted
+    assert _rows(spark, dest) == pinned_rows
+    # release -> the next vacuum reclaims the pinned lineage
+    release_shallow_clone(spark, dest)
+    deleted2 = vacuum_versions(spark, chain_base, keep_last=1)
+    assert 1 in deleted2 and 2 in deleted2
+    assert not lakefs.exists(spark, f"{chain_base}/v=1")
+
+
+def test_clone_refcounts_per_file(spark, chain_base, tmp_path):
+    """Two clones of overlapping lineages: per-file counts from the
+    ledger are 2 on shared files, 1 on files only one clone pins."""
+    from novelti_dingo_spark.pipelines import (
+        clone_refcounts,
+        release_shallow_clone,
+        shallow_clone_snapshot,
+    )
+
+    d1 = str(tmp_path / "c1")
+    d2 = str(tmp_path / "c2")
+    shallow_clone_snapshot(spark, chain_base, d1, version=1)  # pins v1
+    shallow_clone_snapshot(spark, chain_base, d2, version=2)  # pins v1+v2
+    counts = clone_refcounts(spark, chain_base)
+    v1_files = [k for k in counts if k.startswith("v=1/")]
+    v2_files = [k for k in counts if k.startswith("v=2/")]
+    assert v1_files and v2_files
+    assert all(counts[k] == 2 for k in v1_files)  # both clones read v1
+    assert all(counts[k] == 1 for k in v2_files)  # only c2 reads v2
+    release_shallow_clone(spark, d1)
+    counts = clone_refcounts(spark, chain_base)
+    assert all(counts[k] == 1 for k in counts)
+
+
+def test_shallow_of_shallow_repoints_to_ultimate_source(
+    spark, chain_base, tmp_path
+):
+    from novelti_dingo_spark.pipelines import (
+        _shallow_meta,
+        shallow_clone_snapshot,
+    )
+
+    d1 = str(tmp_path / "c1")
+    d2 = str(tmp_path / "c2")
+    shallow_clone_snapshot(spark, chain_base, d1, version=2)
+    shallow_clone_snapshot(spark, d1, d2)
+    meta = _shallow_meta(spark, d2)
+    assert meta["src"] == chain_base  # never chains through d1
+    assert meta["version"] == 2
+    assert _rows(spark, d2) == _rows(spark, d1)
+
+
+def test_shallow_clone_refuses_taken_destination(
+    spark, chain_base, tmp_path
+):
+    from novelti_dingo_spark.pipelines import shallow_clone_snapshot
+
+    dest = str(tmp_path / "sdest")
+    shallow_clone_snapshot(spark, chain_base, dest)
+    with pytest.raises(ValueError, match="fresh"):
+        shallow_clone_snapshot(spark, chain_base, dest)
+    # and the DEEP clone refuses a shallow-clone destination too
+    with pytest.raises(ValueError, match="fresh"):
+        clone_snapshot(spark, chain_base, dest)

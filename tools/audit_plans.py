@@ -679,6 +679,10 @@ EXPECT = {
     # base + two-phase agg — the clone must plan exactly like the
     # original chain (no Python, no extra exchanges)
     "lake_clone_read": {"partial_agg": True, "no_python_udf": True},
+    # shallow clone: same read plan as the deep clone — the redirection
+    # is resolved at plan-build time, so the scan targets the SOURCE's
+    # pinned files directly (zero extra plan nodes)
+    "lake_shallow_clone_read": {"partial_agg": True, "no_python_udf": True},
     # geodesic radius join: latitude-banded grid candidates meet in an
     # equi hash join on the (row, lon-cell) key — same no-NLJ rule as
     # the planar twin; haversine runs JVM-side (no Python)
