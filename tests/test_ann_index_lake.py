@@ -81,3 +81,52 @@ def test_append_grows_index_and_old_version_is_immutable(
         ).collect()
     ]
     assert again == before
+
+
+def test_partitioned_postings_probe_prunes_and_matches(
+    spark, sf_small, tmp_path
+):
+    """partition_postings=True: the probe's scan must carry the probed
+    cells as PARTITION filters (pruned bytes, not just pruned rows) and
+    return exactly the flat index's rows."""
+    base_flat = str(tmp_path / "flat")
+    base_part = str(tmp_path / "part")
+    publish_ivf_index(spark, sf_small, base_flat)
+    publish_ivf_index(spark, sf_small, base_part, partition_postings=True)
+    q = _qvec(spark, sf_small)
+    flat = [
+        (r.vec_id, r.cos_sim)
+        for r in ivf_knn_from_index(
+            spark, base_flat, q, exclude_vec_id=0
+        ).collect()
+    ]
+    part_df = ivf_knn_from_index(spark, base_part, q, exclude_vec_id=0)
+    part = [(r.vec_id, r.cos_sim) for r in part_df.collect()]
+    assert part == flat and len(part) == 10
+    plan = part_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200], "probe cells did not become partition filters"
+
+
+def test_routing_cache_invalidates_on_republish(spark, sf_small, tmp_path):
+    """The driver-side routing table is keyed per snapshot version: a
+    republish (new training) must not serve stale centroids."""
+    from novelti_dingo_spark.operators.ivf import _ROUTING_CACHE
+
+    base = str(tmp_path / "ivf")
+    publish_ivf_index(spark, sf_small, base)
+    q = _qvec(spark, sf_small)
+    ivf_knn_from_index(spark, base, q).collect()
+    keys1 = {k for k in _ROUTING_CACHE if k[0] == base}
+    e = load_table(spark, sf_small, "embeddings")
+    append_vectors_to_index(
+        spark, base,
+        e.select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            "label", "embedding",
+        ).limit(5),
+    )
+    ivf_knn_from_index(spark, base, q).collect()
+    keys2 = {k for k in _ROUTING_CACHE if k[0] == base}
+    assert keys2 != keys1 and len(keys2 - keys1) == 1  # new snapshot key
