@@ -329,6 +329,7 @@ def upsert_by_partition(
 
     (A table format — Delta/Iceberg — adds ACID + concurrent writers on
     top; this is the engine-level primitive underneath.)"""
+    _refuse_shallow_write(spark, target_dir, "upsert_by_partition")
     import uuid
 
     from .sources import lakefs
@@ -791,6 +792,7 @@ def publish_versioned(
     HDFS/local via FileContext, a single last-write-wins PUT on S3/GCS —
     readers see the old or the new pointer, never a missing or torn
     one."""
+    _refuse_shallow_write(df.sparkSession, base_dir, "publish_versioned")
     import json
 
     from pyspark.sql import Observation
@@ -1160,6 +1162,7 @@ def publish_append(
     partition key IS the skipping index for such a segment (directory
     pruning), and per-file footer stats inside hive dirs would double-
     track the same bound."""
+    _refuse_shallow_write(df.sparkSession, base_dir, "publish_append")
     import json
 
     from .sources import lakefs
@@ -1742,6 +1745,7 @@ def compact_chain(
     pays one O(table) rewrite to restore clustering (data skipping
     degrades as appends interleave ranges) and to consolidate per-
     segment indexes into one."""
+    _refuse_shallow_write(spark, base_dir, "compact_chain")
     if cluster_by and zorder_by:
         raise ValueError("cluster_by and zorder_by are mutually exclusive")
     df, chain = read_version_chain(spark, base_dir)
@@ -3265,6 +3269,7 @@ def delete_rows_mor(
     space (see `delete_rows_pos`). Returns (new_version,
     n_rows_deleted) where the count is measured against the RESOLVED
     parent (already-deleted keys count zero)."""
+    _refuse_shallow_write(spark, base_dir, "delete_rows_mor")
     import json
 
     from .sources import lakefs
@@ -3473,6 +3478,7 @@ def delete_rows_pos(
     Returns (new_version, n_rows_deleted) measured against the
     RESOLVED parent (rows already dead in an earlier layer count
     zero)."""
+    _refuse_shallow_write(spark, base_dir, "delete_rows_pos")
     base = base_dir.rstrip("/")
     parent_v, pm, df = _pos_parent_scan(spark, base)
     doomed = df.filter(F.expr(predicate))
@@ -3995,6 +4001,7 @@ def create_branch(
     branch the corpus, run an experimental filter/dedup recipe on the
     branch, compare eval metrics, then merge_branch (fast-forward) or
     delete_branch — main's readers never see the experiment."""
+    _refuse_shallow_write(spark, base_dir, "create_branch")
     from .sources import lakefs
 
     base = base_dir.rstrip("/")
@@ -4354,6 +4361,20 @@ def sync_clone(
         copied.append(v)
     lakefs.replace_text(spark, f"{dest}/LATEST", str(version))
     return version, copied
+
+
+def _refuse_shallow_write(spark: SparkSession, base_dir: str, op: str) -> None:
+    """A SHALLOW clone is a read-only pinned view: local writes would
+    allocate version numbers in the SOURCE's number space without the
+    source knowing (splicing two lineages) — fork a writable lineage
+    with the deep clone_snapshot instead. Typed refusal, not a
+    documented footgun."""
+    if _shallow_meta(spark, base_dir.rstrip("/")) is not None:
+        raise ValueError(
+            f"{op} at {base_dir}: the base is a SHALLOW clone "
+            "(read-only pinned view) - use clone_snapshot (deep) to "
+            "fork a writable lineage"
+        )
 
 
 def _shallow_meta(spark: SparkSession, base: str) -> dict | None:

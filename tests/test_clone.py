@@ -417,3 +417,29 @@ def test_shallow_clone_refuses_taken_destination(
     # and the DEEP clone refuses a shallow-clone destination too
     with pytest.raises(ValueError, match="fresh"):
         clone_snapshot(spark, chain_base, dest)
+
+
+def test_shallow_clone_refuses_local_writes(spark, chain_base, tmp_path, sf_small):
+    """A shallow clone is a read-only pinned view: every lineage
+    mutator refuses with a typed error instead of splicing version
+    numbers into the source's space."""
+    from novelti_dingo_spark.pipelines import (
+        delete_rows_mor,
+        shallow_clone_snapshot,
+    )
+
+    dest = str(tmp_path / "sdest")
+    shallow_clone_snapshot(spark, chain_base, dest, version=2)
+    o = _orders(spark, sf_small).limit(5)
+    with pytest.raises(ValueError, match="SHALLOW clone"):
+        publish_versioned(o, dest)
+    with pytest.raises(ValueError, match="SHALLOW clone"):
+        publish_append(o, dest)
+    with pytest.raises(ValueError, match="SHALLOW clone"):
+        delete_rows_mor(spark, dest, "o_orderkey", [1])
+    with pytest.raises(ValueError, match="SHALLOW clone"):
+        compact_chain(spark, dest)
+    with pytest.raises(ValueError, match="SHALLOW clone"):
+        create_branch(spark, dest, "exp")
+    # reads still fine after the refusals
+    assert len(_rows(spark, dest)) > 0
