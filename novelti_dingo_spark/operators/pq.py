@@ -443,3 +443,93 @@ def ivf_pq_residual_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     The ivf_pq_residual_knn core parameterizes nprobe and an optional
     exact-rerank stage; SCALE.md records the measured recall curve."""
     return ivf_pq_residual_knn(spark, sf_dir, k=10)
+
+
+# --- PQ index persistence: codebooks + codes as a versioned snapshot --------
+
+# driver-side codebook cache per published snapshot: (base, version) ->
+# list[m][cid] = centroid (M*K*SUBDIM floats = 4 KB at these params) —
+# the part a serving layer keeps in process memory to build per-query
+# LUTs without any Spark job.
+_PQ_CB_CACHE: dict[tuple, list] = {}
+
+
+def publish_pq_index(spark: SparkSession, sf_dir: str, base_dir: str) -> int:
+    """Train the PQ model ONCE and publish {codebooks, codes} as an
+    atomic snapshot (same shape as publish_ivf_index): train offline,
+    version the index, pin readers. The codes table is the 32×-
+    compressed corpus (M one-byte-range ints per vector); the float
+    embeddings are NOT part of the index — rerank fetches them from
+    the source table for the shortlist only."""
+    from ..pipelines import publish_snapshot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    codebooks = pq_fit(e)
+    codes = pq_encode(e, codebooks)
+    return publish_snapshot(
+        {"codebooks": codebooks, "codes": codes},
+        base_dir,
+        meta={"m": M, "k": K, "subdim": SUBDIM, "source_sf": sf_dir},
+    )
+
+
+def pq_knn_from_index(
+    spark: SparkSession,
+    base_dir: str,
+    q_emb: list[float],
+    version: int | None = None,
+    k: int = 10,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Serve a PQ-ADC query from a PINNED index snapshot — the
+    amortized twin of pq_knn_top10 (which retrains per call). The
+    per-query work: build the M×K LUT of partial dots DRIVER-SIDE from
+    the cached codebooks (M·K·SUBDIM mults — microseconds), inline it
+    as a literal nested array, and score each code row as the sum of
+    M element_at lookups — one codegen'd scan over the 8-int codes,
+    zero joins, zero extra jobs, TakeOrderedAndProject for the top-k.
+
+    The LUT sum is a fixed left-to-right chain (m = 0..M-1), so scores
+    are bit-reproducible across runs — unlike the groupBy-sum form,
+    whose float add order is engine-chosen (both round to 6dp for
+    display; tests pin this form against a numpy replica exactly)."""
+    from ..pipelines import read_snapshot
+
+    tables, manifest = read_snapshot(spark, base_dir, version)
+    ckey = (base_dir.rstrip("/"), int(manifest["snapshot"]))
+    if ckey not in _PQ_CB_CACHE:
+        cbs: list[list[list[float]]] = [
+            [None] * K for _ in range(M)  # type: ignore[list-item]
+        ]
+        for r in tables["codebooks"].collect():
+            cbs[int(r.m)][int(r.cid)] = [float(x) for x in r.centroid]
+        _PQ_CB_CACHE[ckey] = cbs
+    cbs = _PQ_CB_CACHE[ckey]
+    qd = [float(x) for x in q_emb]
+    lut = []
+    for m in range(M):
+        sub = qd[m * SUBDIM:(m + 1) * SUBDIM]
+        row = []
+        for cid in range(K):
+            acc = 0.0
+            for c, qq in zip(cbs[m][cid], sub):
+                acc += c * qq  # left-to-right, like the HOF fold
+            row.append(acc)
+        lut.append(row)
+    lut_lit = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in lut]
+    )
+    score = None
+    for m in range(M):
+        term = F.element_at(
+            F.element_at(lut_lit, m + 1), F.col("codes").getItem(m) + 1
+        )
+        score = term if score is None else score + term
+    out = tables["codes"]
+    if exclude_vec_id is not None:
+        out = out.filter(F.col("vec_id") != exclude_vec_id)
+    return (
+        out.select("vec_id", F.round(score, 6).alias("pq_sim"))
+        .orderBy(F.desc("pq_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

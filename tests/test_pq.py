@@ -241,3 +241,59 @@ def test_ivf_pq_residual_identity_and_determinism(spark, sf_med):
         )
         want = float(q @ (cent[cell_of[r.vec_id]] + recon_res))
         assert abs(r.pq_sim - round(want, 6)) <= 1e-6
+
+
+def test_pq_index_served_matches_numpy_and_fresh(spark, sf_small, tmp_path):
+    """pq_knn_from_index serves from the pinned snapshot: scores must
+    equal a numpy replica EXACTLY (same left-to-right LUT sum), and the
+    top-10 ids must match the freshly-trained pq_knn_top10 (identical
+    deterministic training, so identical codes)."""
+    from novelti_dingo_spark.operators.pq import (
+        pq_knn_from_index,
+        pq_knn_top10,
+        publish_pq_index,
+    )
+
+    base = str(tmp_path / "pq")
+    publish_pq_index(spark, sf_small, base)
+    e = load_table(spark, sf_small, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).head().embedding]
+    served = pq_knn_from_index(
+        spark, base, q, k=10, exclude_vec_id=0
+    ).collect()
+    fresh = pq_knn_top10(spark, sf_small).collect()
+    assert [r.vec_id for r in served] == [r.vec_id for r in fresh]
+
+    # numpy replica of the ADC score for the served rows, same fold
+    from novelti_dingo_spark.pipelines import read_snapshot
+
+    tables, _ = read_snapshot(spark, base)
+    cbs = {(r.m, r.cid): list(r.centroid) for r in tables["codebooks"].collect()}
+    codes = {r.vec_id: list(r.codes) for r in tables["codes"].collect()}
+    for r in served:
+        want = 0.0
+        for m in range(M):
+            sub = q[m * SUBDIM:(m + 1) * SUBDIM]
+            acc = 0.0
+            for c, qq in zip(cbs[(m, codes[r.vec_id][m])], sub):
+                acc += c * qq
+            want += acc
+        assert r.pq_sim == round(want, 6), r.vec_id
+
+
+def test_pq_index_codebook_cache_keyed_per_snapshot(spark, sf_small, tmp_path):
+    from novelti_dingo_spark.operators.pq import (
+        _PQ_CB_CACHE,
+        pq_knn_from_index,
+        publish_pq_index,
+    )
+
+    base = str(tmp_path / "pq")
+    v1 = publish_pq_index(spark, sf_small, base)
+    e = load_table(spark, sf_small, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).head().embedding]
+    pq_knn_from_index(spark, base, q).collect()
+    assert (base, v1) in _PQ_CB_CACHE
+    v2 = publish_pq_index(spark, sf_small, base)
+    pq_knn_from_index(spark, base, q).collect()
+    assert v2 == v1 + 1 and (base, v2) in _PQ_CB_CACHE

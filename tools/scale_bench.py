@@ -309,6 +309,57 @@ def run_ann(ns: list[int]) -> None:
     _merge("ann", res)
 
 
+def run_ann_sweep(ns: list[int], probes: list[int] | None = None) -> None:
+    """The recall/cost DIAL, measured: for each corpus size, sweep
+    n_probe and record (probe_s, recall@10) against the exact brute
+    top-10. Probe cost should scale ~linearly in n_probe (it reads
+    n_probe/k_cells of the postings); recall rises monotonically and
+    hits 1.0 at n_probe = k_cells by construction (an exact scan
+    routed through the index). Uses the index snapshots run_ann
+    published (same k_cells=32); rebuilds any that are missing."""
+    import shutil
+
+    from novelti_dingo_spark.operators.ivf import (
+        ivf_knn_from_index,
+        publish_ivf_index,
+    )
+    from novelti_dingo_spark.operators.similarity import knn_bruteforce_top10
+
+    spark = _spark()
+    k_cells = 32
+    probes = probes or [1, 2, 4, 8, 16, 32]
+    res = {}
+    for n in ns:
+        d = build_embeddings(n)
+        qv = duckdb.sql(
+            f"SELECT embedding FROM '{d}/embeddings.parquet' WHERE vec_id = 0"
+        ).fetchone()[0]
+        qv = [float(x) for x in qv]
+        base = os.path.join(d, "ivf_index")
+        if not os.path.exists(os.path.join(base, "LATEST")):
+            shutil.rmtree(base, ignore_errors=True)
+            publish_ivf_index(
+                spark, d, base, k_cells=k_cells, partition_postings=True
+            )
+        want = {r.vec_id for r in knn_bruteforce_top10(spark, d).collect()}
+        curve = {}
+        for np_ in probes:
+            def probe():
+                return ivf_knn_from_index(
+                    spark, base, qv, k=10, n_probe=np_, exclude_vec_id=0
+                ).collect()
+
+            probe_s = _med(probe)
+            got = {r.vec_id for r in probe()}
+            curve[str(np_)] = {
+                "probe_s": probe_s,
+                "recall_at_10": round(len(got & want) / 10, 2),
+            }
+            print(f"n={n} n_probe={np_}: {curve[str(np_)]}")
+        res[str(n)] = {"k_cells": k_cells, "curve": curve}
+    _merge("ann_nprobe", res)
+
+
 def run_spatial(ks: list[int]) -> None:
     from novelti_dingo_spark.operators.spatial import (
         spatial_radius_join,
@@ -577,8 +628,8 @@ def run_skew(k: int = 25) -> None:
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("family", choices=[
-        "build", "dedup", "gemm", "ann", "spatial", "lake", "text", "cdc",
-        "skew",
+        "build", "dedup", "gemm", "ann", "ann_sweep", "spatial", "lake",
+        "text", "cdc", "skew",
     ])
     p.add_argument("--k", type=int, nargs="*", default=[1, 5, 25])
     p.add_argument("--n", type=int, nargs="*", default=[2000, 20000, 100000])
@@ -595,6 +646,8 @@ def main() -> None:
         run_gemm(a.k)
     elif a.family == "ann":
         run_ann(a.n)
+    elif a.family == "ann_sweep":
+        run_ann_sweep(a.n)
     elif a.family == "spatial":
         run_spatial(a.k)
     elif a.family == "lake":
