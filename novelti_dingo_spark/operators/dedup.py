@@ -395,6 +395,22 @@ def lsh_candidate_pairs(
     self-join shuffles 16-byte (band_idx, band_hash) keys; hot buckets
     (boilerplate docs) are the skew risk — AQE skew-join splitting, or
     salting the band hash (operators/skew.py), handles them."""
+    bands = _lsh_bands(spark, sf_dir, n_hashes, n_bands)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _lsh_bands(
+    spark: SparkSession, sf_dir: str, n_hashes: int, n_bands: int
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — the LSH bucket rows behind both
+    the plain and the salted candidate joins."""
     d = load_table(spark, sf_dir, "documents")
     gram_rows = d.select(
         "doc_id", F.explode(F.array_distinct(token_bigrams("text"))).alias("g")
@@ -406,7 +422,7 @@ def lsh_candidate_pairs(
         ]
     )
     r = n_hashes // n_bands
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -425,10 +441,42 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+
+
+def lsh_candidate_pairs_salted(
+    spark: SparkSession,
+    sf_dir: str,
+    n_salts: int = 8,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """SALTED LSH band self-join — the hot-bucket treatment for
+    boilerplate-heavy corpora (round-8 candidate #5; the spatial
+    hot-cell twin was measured in round 7). A bucket of m near-
+    identical docs puts all m² candidate pairs in ONE reducer task;
+    salting splits it: the LEFT side gets a deterministic salt
+    (pmod(xxhash64(doc), s)), the RIGHT side replicates each bucket
+    row across ALL s salts, and the join key grows to (band, hash,
+    salt) — every true pair still meets exactly once (the right copy
+    carrying the left row's salt), but the hot bucket's work spreads
+    over s tasks. Cost: the right side shuffles s× rows — worth it
+    only when a bucket dominates a task; tools/scale_bench.py
+    `skew_lsh` measures both sides of that trade on a deliberately
+    skewed corpus. Output is IDENTICAL to lsh_candidate_pairs
+    (pytest-pinned)."""
+    bands = _lsh_bands(spark, sf_dir, n_hashes, n_bands)
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash",
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).alias("salt"),
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_hash",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long"))
+        ).alias("salt"),
+    )
     return (
-        a.join(b, ["band_idx", "band_hash"])
+        a.join(b, ["band_idx", "band_hash", "salt"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()

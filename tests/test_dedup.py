@@ -246,3 +246,23 @@ def test_edit_distance_join_matches_naive(spark, sf_small):
     want = {(r.doc_a, r.doc_b, r.edit_dist) for r in naive.collect()}
     assert got == want
     assert len(want) > 0  # the corpus actually exercises the path
+
+
+def test_salted_lsh_candidates_equal_plain(spark, sf_med):
+    """lsh_candidate_pairs_salted must emit EXACTLY the plain band
+    join's candidate set (each true pair meets once: the replicated
+    right copy carrying the left row's salt)."""
+    from novelti_dingo_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_salted,
+    )
+
+    plain = {
+        (r.doc_a, r.doc_b) for r in lsh_candidate_pairs(spark, sf_med).collect()
+    }
+    for s in (2, 8):
+        salted = {
+            (r.doc_a, r.doc_b)
+            for r in lsh_candidate_pairs_salted(spark, sf_med, n_salts=s).collect()
+        }
+        assert salted == plain and len(plain) > 0

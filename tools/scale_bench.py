@@ -309,6 +309,90 @@ def run_ann(ns: list[int]) -> None:
     _merge("ann", res)
 
 
+def build_docs_skewed(k: int, n_hot: int = 1500) -> str:
+    """docs ×k PLUS n_hot near-identical boilerplate docs (one shared
+    paragraph + a unique tail token): their minhash signatures agree on
+    most bands, so a handful of LSH buckets hold ~n_hot docs each —
+    the deliberately skewed corpus for the band-join study."""
+    out = _fixture_dir(f"docs_x{k}_hot{n_hot}")
+    path = os.path.join(out, "documents.parquet")
+    if not os.path.exists(path):
+        boiler = " ".join(
+            f"boilerplate legal footer clause {i} all rights reserved"
+            for i in range(40)
+        )
+        duckdb.sql(
+            rf"""
+            COPY (
+              SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+              FROM '{SRC}/documents.parquet' d
+              UNION ALL
+              SELECT 90000000 + h.k AS doc_id,
+                     '{boiler} unique_tail_' || h.k AS text,
+                     'en' AS lang, 'boiler' AS source,
+                     length('{boiler}') + 15 AS n_chars
+              FROM (SELECT unnest(range({n_hot})) AS k) h
+              ORDER BY doc_id
+            ) TO '{path}' (FORMAT PARQUET)
+            """
+        )
+    return out
+
+
+def run_skew_lsh(n_hot: int = 1500) -> None:
+    """Hot-bucket LSH study (the band-join twin of round-7's spatial
+    hot-cell study): n_hot near-identical docs flood a few buckets, so
+    the plain band self-join puts ~n_hot² pair-rows in single tasks.
+    Measures plain (AQE off), AQE skew handling, and the SALTED join
+    (lsh_candidate_pairs_salted) — with identical candidate-set
+    checksums asserted across all three."""
+    from novelti_dingo_spark.operators.dedup import (
+        _lsh_bands,
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_salted,
+    )
+    from pyspark.sql import functions as F
+
+    spark = _spark()
+    d = build_docs_skewed(1, n_hot)
+    bands = _lsh_bands(spark, d, 128, 32)
+    hot = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"))
+        .head()
+    )
+
+    def checksum(df):
+        # bit_xor: order-independent, overflow-free pair-set fingerprint
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(doc_a, doc_b))").alias("h"),
+        ).head()
+
+    res = {"n_hot": n_hot, "max_bucket": int(hot.n)}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    t0 = time.perf_counter()
+    c_plain = checksum(lsh_candidate_pairs(spark, d))
+    res["plain_aqe_off_s"] = round(time.perf_counter() - t0, 3)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    t0 = time.perf_counter()
+    c_aqe = checksum(lsh_candidate_pairs(spark, d))
+    res["plain_aqe_on_s"] = round(time.perf_counter() - t0, 3)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    t0 = time.perf_counter()
+    c_salt = checksum(lsh_candidate_pairs_salted(spark, d))
+    res["salted_aqe_off_s"] = round(time.perf_counter() - t0, 3)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    res["n_candidates"] = int(c_plain.n)
+    assert (c_plain.n, c_plain.h) == (c_aqe.n, c_aqe.h) == (c_salt.n, c_salt.h), (
+        "candidate sets diverged across skew treatments"
+    )
+    res["checksums_identical"] = True
+    print(res)
+    _merge("skew_lsh", res)
+
+
 def run_ann_sweep(ns: list[int], probes: list[int] | None = None) -> None:
     """The recall/cost DIAL, measured: for each corpus size, sweep
     n_probe and record (probe_s, recall@10) against the exact brute
@@ -629,7 +713,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("family", choices=[
         "build", "dedup", "gemm", "ann", "ann_sweep", "spatial", "lake",
-        "text", "cdc", "skew",
+        "text", "cdc", "skew", "skew_lsh",
     ])
     p.add_argument("--k", type=int, nargs="*", default=[1, 5, 25])
     p.add_argument("--n", type=int, nargs="*", default=[2000, 20000, 100000])
@@ -658,6 +742,8 @@ def main() -> None:
         run_cdc(a.appends)
     elif a.family == "skew":
         run_skew(a.k[0] if a.k else 25)
+    elif a.family == "skew_lsh":
+        run_skew_lsh()
 
 
 if __name__ == "__main__":
