@@ -1224,3 +1224,65 @@ def edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= k)
         .select("doc_a", "doc_b", dist.cast("long").alias("edit_dist"))
     )
+
+
+def lsh_hot_buckets(
+    spark: SparkSession,
+    sf_dir: str,
+    max_bucket: int = 200,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """The buckets a capped run would drop: (band_idx, band_hash, n) for
+    every bucket above `max_bucket` docs — the monitoring/report side
+    of lsh_candidate_pairs_capped (route these docs to the exact-hash
+    boilerplate handler; a bucket this hot is near-identical text by
+    construction of minhash banding)."""
+    bands = _lsh_bands(spark, sf_dir, n_hashes, n_bands)
+    return (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+    )
+
+
+def lsh_candidate_pairs_capped(
+    spark: SparkSession,
+    sf_dir: str,
+    max_bucket: int = 200,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """LSH candidates with HOT BUCKETS DROPPED — the production
+    treatment for boilerplate floods (measured in tools/scale_bench.py
+    `skew_lsh`: a 1,475-doc bucket makes the plain join's pair volume
+    explode; salting doesn't help because banding already spreads the
+    work 32 ways — the pairs themselves are the cost).
+
+    The dial is EXPLICITLY recall-affecting: a pair whose ONLY shared
+    buckets are hot is not emitted (unlike salting, which is exact).
+    Why that loss is the right trade: a bucket of m >> max_bucket docs
+    means m near-identical texts — m²/2 candidate pairs that the
+    downstream exact-verify would re-score at quadratic cost to learn
+    what one exact-hash pass over the SAME docs (exact_dedup_docs)
+    finds for O(m). The composition is cap + route: capped LSH for the
+    genuine near-dups, lsh_hot_buckets feeding the hot docs to the
+    hash-dedup path. Pairs sharing ANY non-hot bucket are unaffected
+    (pytest pins this)."""
+    bands = _lsh_bands(spark, sf_dir, n_hashes, n_bands)
+    sizes = bands.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cool = bands.join(
+        F.broadcast(sizes.filter(F.col("n") > max_bucket)),
+        ["band_idx", "band_hash"],
+        "left_anti",
+    )
+    a = cool.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    b = cool.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )

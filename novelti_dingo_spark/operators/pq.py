@@ -533,3 +533,140 @@ def pq_knn_from_index(
         .orderBy(F.desc("pq_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+# --- IVF-PQ composed index: coarse cells + PQ codes, persisted --------------
+
+_IVFPQ_META_CACHE: dict[tuple, tuple] = {}
+
+
+def publish_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    base_dir: str,
+    k_cells: int | None = None,
+) -> int:
+    """Train BOTH quantizers once and publish the composed FAISS-IVFPQ-
+    shaped index as one atomic snapshot: `coarse` (k_cells centroids),
+    `codebooks` (M×K PQ centroids), and `codes` — (vec_id, codes)
+    PARTITIONED BY the coarse cell id, so a probe reads only its
+    n_probe cells' code files AND each vector costs 8 ints, not 64
+    floats: the two reductions compose multiplicatively in bytes
+    scanned. Float embeddings stay in the SOURCE table (rerank fetches
+    the shortlist only)."""
+    from ..pipelines import publish_snapshot
+    from .ivf import K as IVF_K, _assign as ivf_assign, kmeans_fit
+
+    if k_cells is None:
+        k_cells = IVF_K
+    e = load_table(spark, sf_dir, "embeddings")
+    coarse = kmeans_fit(e, k=k_cells)
+    assigned = ivf_assign(e, coarse).select(
+        "vec_id", F.col("cid").alias("ivf_cid")
+    )
+    codebooks = pq_fit(e)
+    codes = pq_encode(e, codebooks).join(assigned, "vec_id").select(
+        "vec_id", "codes", F.col("ivf_cid").alias("cell")
+    )
+    return publish_snapshot(
+        {"coarse": coarse, "codebooks": codebooks, "codes": codes},
+        base_dir,
+        meta={
+            "k_cells": k_cells, "m": M, "k": K, "subdim": SUBDIM,
+            "source_sf": sf_dir,
+        },
+        partition_by={"codes": ["cell"]},
+    )
+
+
+def ivfpq_knn_from_index(
+    spark: SparkSession,
+    base_dir: str,
+    q_emb: list[float],
+    version: int | None = None,
+    k: int = 10,
+    n_probe: int = 2,
+    shortlist: int = 100,
+    rerank: DataFrame | None = None,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Serve one query from the pinned IVF-PQ snapshot — every per-
+    query decision is driver-side math over cached index metadata
+    (coarse centroids for routing, codebooks for the LUT; together a
+    few KB), so the query is ONE Spark job: a partition-pruned scan of
+    the probed cells' 8-int codes, ADC-scored by a literal LUT with a
+    fixed fold order, TakeOrderedAndProject shortlist. With `rerank`
+    (the source (vec_id, embedding) table), the shortlist is re-scored
+    with exact float cosine — the production shape where quantization
+    error moves from the final ranking into the shortlist margin."""
+    from ..pipelines import read_snapshot
+
+    tables, manifest = read_snapshot(spark, base_dir, version)
+    ckey = (base_dir.rstrip("/"), int(manifest["snapshot"]))
+    if ckey not in _IVFPQ_META_CACHE:
+        coarse = [
+            (int(r.cid), [float(x) for x in r.centroid])
+            for r in tables["coarse"].collect()
+        ]
+        cbs: list[list[list[float]]] = [
+            [None] * K for _ in range(M)  # type: ignore[list-item]
+        ]
+        for r in tables["codebooks"].collect():
+            cbs[int(r.m)][int(r.cid)] = [float(x) for x in r.centroid]
+        _IVFPQ_META_CACHE[ckey] = (coarse, cbs)
+    coarse, cbs = _IVFPQ_META_CACHE[ckey]
+    qd = [float(x) for x in q_emb]
+
+    def sqd(c: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(c, qd):
+            d = x - y
+            acc += d * d
+        return acc
+
+    probe_cids = [
+        cid for _, cid in sorted((sqd(c), cid) for cid, c in coarse)[:n_probe]
+    ]
+    lut = []
+    for m in range(M):
+        sub = qd[m * SUBDIM:(m + 1) * SUBDIM]
+        row = []
+        for cid in range(K):
+            acc = 0.0
+            for c, qq in zip(cbs[m][cid], sub):
+                acc += c * qq
+            row.append(acc)
+        lut.append(row)
+    lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    score = None
+    for m in range(M):
+        term = F.element_at(
+            F.element_at(lut_lit, m + 1), F.col("codes").getItem(m) + 1
+        )
+        score = term if score is None else score + term
+    out = tables["codes"].filter(F.col("cell").isin(probe_cids))
+    if exclude_vec_id is not None:
+        out = out.filter(F.col("vec_id") != exclude_vec_id)
+    adc = (
+        out.select("vec_id", F.round(score, 6).alias("pq_sim"))
+        .orderBy(F.desc("pq_sim"), F.asc("vec_id"))
+        .limit(shortlist if rerank is not None else k)
+    )
+    if rerank is None:
+        return adc
+    q_lit = F.array(*[F.lit(x) for x in qd])
+    exact = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"), F.col("q_emb"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        rerank.join(F.broadcast(adc.select("vec_id")), "vec_id", "left_semi")
+        .withColumn("q_emb", q_lit)
+        .select("vec_id", F.round(exact, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -266,3 +266,45 @@ def test_salted_lsh_candidates_equal_plain(spark, sf_med):
             for r in lsh_candidate_pairs_salted(spark, sf_med, n_salts=s).collect()
         }
         assert salted == plain and len(plain) > 0
+
+
+def test_capped_lsh_drops_only_hot_bucket_pairs(spark, tmp_path):
+    """Bucket capping on a deliberately flooded corpus: pairs whose
+    only shared buckets are hot disappear; every pair sharing a cool
+    bucket survives; the hot-bucket report names what was dropped."""
+    import pandas as pd
+
+    from novelti_dingo_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_capped,
+        lsh_hot_buckets,
+    )
+
+    boiler = " ".join(f"boilerplate clause {i} reserved" for i in range(30))
+    rows = []
+    for i in range(60):  # flood: 60 near-identical docs
+        rows.append((1000 + i, f"{boiler} tail_{i}", "en", "boiler"))
+    for i in range(6):  # genuine near-dup pair family (distinct text)
+        rows.append((2000 + i, f"alpha beta gamma delta epsilon zeta v{i % 2}", "en", "real"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path / "docs"
+    d.mkdir()
+    pdf.to_parquet(str(d / "documents.parquet"))
+    sf = str(d)
+
+    plain = {
+        (r.doc_a, r.doc_b) for r in lsh_candidate_pairs(spark, sf).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs_capped(spark, sf, max_bucket=30).collect()
+    }
+    hot = lsh_hot_buckets(spark, sf, max_bucket=30).collect()
+    assert hot and all(r.n > 30 for r in hot)
+    # boiler-boiler pairs (only hot buckets) dropped; real pairs kept
+    boiler_pairs = {p for p in plain if p[0] >= 1000 and p[1] < 2000}
+    real_pairs = {p for p in plain if p[0] >= 2000}
+    assert real_pairs and real_pairs <= capped
+    assert capped.isdisjoint(boiler_pairs)
+    assert capped < plain

@@ -297,3 +297,77 @@ def test_pq_index_codebook_cache_keyed_per_snapshot(spark, sf_small, tmp_path):
     v2 = publish_pq_index(spark, sf_small, base)
     pq_knn_from_index(spark, base, q).collect()
     assert v2 == v1 + 1 and (base, v2) in _PQ_CB_CACHE
+
+
+def test_ivfpq_index_served_probe_and_rerank(spark, sf_small, tmp_path):
+    """Composed IVF-PQ snapshot serving: (a) the probed-cells ADC
+    shortlist contains only vectors from the probed cells; (b) scores
+    match a numpy replica exactly; (c) the plan partition-prunes on the
+    cell column; (d) reranked output carries exact float cosines."""
+    from novelti_dingo_spark.operators.ivf import (
+        _assign as ivf_assign,
+        kmeans_fit,
+    )
+    from novelti_dingo_spark.operators.pq import (
+        ivfpq_knn_from_index,
+        publish_ivfpq_index,
+    )
+    from novelti_dingo_spark.pipelines import read_snapshot
+
+    base = str(tmp_path / "ivfpq")
+    publish_ivfpq_index(spark, sf_small, base, k_cells=8)
+    e = load_table(spark, sf_small, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).head().embedding]
+
+    adc_df = ivfpq_knn_from_index(
+        spark, base, q, n_probe=2, exclude_vec_id=0
+    )
+    served = adc_df.collect()
+    assert len(served) == 10
+    plan = adc_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+
+    # (a) containment in probed cells + (b) numpy ADC identity
+    tables, _ = read_snapshot(spark, base)
+    cell_of = {r.vec_id: r.cell for r in tables["codes"].collect()}
+    codes = {r.vec_id: list(r.codes) for r in tables["codes"].collect()}
+    cbs = {
+        (r.m, r.cid): list(r.centroid)
+        for r in tables["codebooks"].collect()
+    }
+    coarse = {r.cid: list(r.centroid) for r in tables["coarse"].collect()}
+
+    def sqd(c):
+        acc = 0.0
+        for x, y in zip(c, q):
+            d = x - y
+            acc += d * d
+        return acc
+
+    probed = {cid for _, cid in sorted((sqd(c), cid) for cid, c in coarse.items())[:2]}
+    for r in served:
+        assert cell_of[r.vec_id] in probed
+        want = 0.0
+        for m in range(M):
+            sub = q[m * SUBDIM:(m + 1) * SUBDIM]
+            acc = 0.0
+            for c, qq in zip(cbs[(m, codes[r.vec_id][m])], sub):
+                acc += c * qq
+            want += acc
+        assert r.pq_sim == round(want, 6)
+
+    # (d) rerank: exact cosine on the shortlist, also containment-bound
+    rr = ivfpq_knn_from_index(
+        spark, base, q, n_probe=2, shortlist=50, rerank=e,
+        exclude_vec_id=0,
+    ).collect()
+    assert len(rr) == 10
+    emb = {r.vec_id: list(r.embedding) for r in e.collect()}
+    for r in rr:
+        acc = 0.0
+        for a, b in zip(emb[r.vec_id], q):
+            acc += float(a) * b
+        assert r.cos_sim == round(acc, 6)
+        assert cell_of[r.vec_id] in probed

@@ -384,6 +384,17 @@ def run_skew_lsh(n_hot: int = 1500) -> None:
     c_salt = checksum(lsh_candidate_pairs_salted(spark, d))
     res["salted_aqe_off_s"] = round(time.perf_counter() - t0, 3)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # the production treatment: CAP hot buckets (recall-affecting by
+    # design — the dropped pairs are the boilerplate flood itself,
+    # which the exact-hash dedup path handles at O(m))
+    from novelti_dingo_spark.operators.dedup import (
+        lsh_candidate_pairs_capped,
+    )
+
+    t0 = time.perf_counter()
+    c_cap = checksum(lsh_candidate_pairs_capped(spark, d, max_bucket=200))
+    res["capped_s"] = round(time.perf_counter() - t0, 3)
+    res["capped_candidates"] = int(c_cap.n)
     res["n_candidates"] = int(c_plain.n)
     assert (c_plain.n, c_plain.h) == (c_aqe.n, c_aqe.h) == (c_salt.n, c_salt.h), (
         "candidate sets diverged across skew treatments"
@@ -391,6 +402,65 @@ def run_skew_lsh(n_hot: int = 1500) -> None:
     res["checksums_identical"] = True
     print(res)
     _merge("skew_lsh", res)
+
+
+def run_ann_pq(ns: list[int]) -> None:
+    """The COMPOSED index point: IVF routing × PQ bytes. Publishes the
+    ivfpq snapshot (codes partitioned by coarse cell) and measures the
+    amortized ADC probe and ADC+exact-rerank walls beside the
+    IVF-exact probe and brute numbers already in `ann` — plus
+    recall@10 of the reranked output vs brute."""
+    import shutil
+
+    from novelti_dingo_spark.operators.pq import (
+        ivfpq_knn_from_index,
+        publish_ivfpq_index,
+    )
+    from novelti_dingo_spark.operators.similarity import knn_bruteforce_top10
+    from novelti_dingo_spark.sources.io import load_table
+
+    spark = _spark()
+    k_cells, n_probe = 32, 4
+    res = {}
+    for n in ns:
+        d = build_embeddings(n)
+        qv = duckdb.sql(
+            f"SELECT embedding FROM '{d}/embeddings.parquet' WHERE vec_id = 0"
+        ).fetchone()[0]
+        qv = [float(x) for x in qv]
+        base = os.path.join(d, "ivfpq_index")
+        shutil.rmtree(base, ignore_errors=True)
+        t0 = time.perf_counter()
+        publish_ivfpq_index(spark, d, base, k_cells=k_cells)
+        build_s = round(time.perf_counter() - t0, 3)
+        e = load_table(spark, d, "embeddings")
+
+        def adc():
+            return ivfpq_knn_from_index(
+                spark, base, qv, n_probe=n_probe, exclude_vec_id=0
+            ).collect()
+
+        def rerank():
+            return ivfpq_knn_from_index(
+                spark, base, qv, n_probe=n_probe, shortlist=100,
+                rerank=e, exclude_vec_id=0,
+            ).collect()
+
+        adc_s = _med(adc)
+        rerank_s = _med(rerank)
+        want = {r.vec_id for r in knn_bruteforce_top10(spark, d).collect()}
+        got = {r.vec_id for r in rerank()}
+        res[str(n)] = {
+            "n_vectors": n,
+            "k_cells": k_cells,
+            "n_probe": n_probe,
+            "build_s": build_s,
+            "adc_probe_s": adc_s,
+            "rerank_probe_s": rerank_s,
+            "recall_at_10_reranked": round(len(got & want) / 10, 2),
+        }
+        print(f"{n}: {res[str(n)]}")
+    _merge("ann_ivfpq", res)
 
 
 def run_ann_sweep(ns: list[int], probes: list[int] | None = None) -> None:
@@ -713,7 +783,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("family", choices=[
         "build", "dedup", "gemm", "ann", "ann_sweep", "spatial", "lake",
-        "text", "cdc", "skew", "skew_lsh",
+        "text", "cdc", "skew", "skew_lsh", "ann_pq",
     ])
     p.add_argument("--k", type=int, nargs="*", default=[1, 5, 25])
     p.add_argument("--n", type=int, nargs="*", default=[2000, 20000, 100000])
@@ -732,6 +802,8 @@ def main() -> None:
         run_ann(a.n)
     elif a.family == "ann_sweep":
         run_ann_sweep(a.n)
+    elif a.family == "ann_pq":
+        run_ann_pq(a.n)
     elif a.family == "spatial":
         run_spatial(a.k)
     elif a.family == "lake":
