@@ -4503,6 +4503,70 @@ def shallow_clone_snapshot(
     return version
 
 
+def repin_shallow_clone(
+    spark: SparkSession, dest_base: str, version: int | None = None
+) -> int:
+    """Move a shallow clone's pin to another source version (default:
+    the source's current LATEST) — the shallow analogue of sync_clone,
+    at O(chain) manifest reads and zero data bytes (the clone IS a
+    pointer). Works forward (replica refresh) and backward (time
+    travel), since a shallow clone has no local writes by construction
+    (every lineage mutator refuses at a `_shallow.json` base).
+
+    Crash-safe ledger ordering — the pinned lineage must never be
+    unprotected while any reader could still resolve it:
+    1. overwrite the ref with the UNION of the old and new ancestor
+       sets (single PUT; both lineages protected),
+    2. flip `_shallow.json` to the new pin,
+    3. shrink the ref to the new set only.
+    A crash after (1) or (2) leaves a SUPERSET-protective ref — safe,
+    merely retentive; re-running repin converges. Returns the new
+    pinned version."""
+    import hashlib
+    import json
+
+    from .sources import lakefs
+
+    dest = dest_base.rstrip("/")
+    meta = _shallow_meta(spark, dest)
+    if meta is None:
+        raise ValueError(f"{dest} is not a shallow clone (no _shallow.json)")
+    src = meta["src"].rstrip("/")
+    if version is None:
+        version = int(lakefs.read_text(spark, f"{src}/LATEST").strip())
+    if not lakefs.exists(spark, f"{src}/v={version}/_manifest.json"):
+        raise ValueError(f"source has no v={version} to repin to")
+    ref_id = meta.get("ref_id") or hashlib.md5(dest.encode()).hexdigest()[:12]
+    ref_path = f"{src}/_refs/shallow-{ref_id}.json"
+    old_ref = {}
+    if lakefs.exists(spark, ref_path):
+        old_ref = json.loads(lakefs.read_text(spark, ref_path))
+    new_vers = sorted(_ancestors(spark, src, version))
+    new_files = {
+        str(v): lakefs.walk_files(spark, f"{src}/v={v}") for v in new_vers
+    }
+    union_vers = sorted(
+        set(int(v) for v in old_ref.get("versions", [])) | set(new_vers)
+    )
+    union_files = dict(old_ref.get("files") or {})
+    union_files.update(new_files)
+    base_ref = {"dest": dest, "version": version}
+    lakefs.write_text(
+        spark, ref_path,
+        json.dumps({**base_ref, "versions": union_vers, "files": union_files}),
+    )
+    lakefs.write_text(
+        spark,
+        f"{dest}/_shallow.json",
+        json.dumps({"src": src, "version": version, "ref_id": ref_id}),
+    )
+    lakefs.write_text(
+        spark, ref_path,
+        json.dumps({**base_ref, "versions": new_vers, "files": new_files}),
+    )
+    return version
+
+
 def release_shallow_clone(spark: SparkSession, dest_base: str) -> None:
     """Drop a shallow clone's ledger ref (the source becomes free to
     vacuum the pinned versions) and its redirection record. The caller

@@ -443,3 +443,56 @@ def test_shallow_clone_refuses_local_writes(spark, chain_base, tmp_path, sf_smal
         create_branch(spark, dest, "exp")
     # reads still fine after the refusals
     assert len(_rows(spark, dest)) > 0
+
+
+def test_repin_shallow_clone_forward_and_back(
+    spark, sf_small, chain_base, tmp_path
+):
+    """repin moves the pin in both directions at zero data cost, the
+    ledger follows (old lineage released, new protected), and a
+    concurrent-style vacuum between states reclaims exactly what no
+    pin holds."""
+    from novelti_dingo_spark.pipelines import (
+        repin_shallow_clone,
+        shallow_clone_snapshot,
+    )
+
+    dest = str(tmp_path / "sdest")
+    shallow_clone_snapshot(spark, chain_base, dest, version=1)
+    v1_rows = _rows(spark, dest)
+    # source moves on: compact (v4) + append (v5)
+    compact_chain(spark, chain_base)
+    publish_append(
+        _orders(spark, sf_small).filter("o_orderkey % 3 = 2"), chain_base
+    )
+    # forward repin to LATEST (v5)
+    v = repin_shallow_clone(spark, dest)
+    assert v == 5
+    assert _rows(spark, dest) == _rows(spark, chain_base)
+    # the OLD pin (v1) is released: aggressive vacuum reclaims it,
+    # while the new pin's lineage (v4, v5) must survive keep_last=1
+    deleted = vacuum_versions(spark, chain_base, keep_last=1)
+    assert 1 in deleted
+    assert lakefs.exists(spark, f"{chain_base}/v=4/_manifest.json")
+    assert _rows(spark, dest) == _rows(spark, chain_base)
+    # backward repin (time travel) to v4
+    v = repin_shallow_clone(spark, dest, version=4)
+    assert v == 4
+    assert len(_rows(spark, dest)) > 0
+    assert v1_rows != _rows(spark, dest)
+
+
+def test_repin_refuses_non_shallow_and_missing_version(
+    spark, chain_base, tmp_path
+):
+    from novelti_dingo_spark.pipelines import (
+        repin_shallow_clone,
+        shallow_clone_snapshot,
+    )
+
+    with pytest.raises(ValueError, match="not a shallow clone"):
+        repin_shallow_clone(spark, chain_base)
+    dest = str(tmp_path / "sdest")
+    shallow_clone_snapshot(spark, chain_base, dest)
+    with pytest.raises(ValueError, match="no v=9"):
+        repin_shallow_clone(spark, dest, version=9)
