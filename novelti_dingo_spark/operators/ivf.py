@@ -194,7 +194,10 @@ def publish_ivf_index(
 
 
 def append_vectors_to_index(
-    spark: SparkSession, base_dir: str, new_vectors: DataFrame
+    spark: SparkSession,
+    base_dir: str,
+    new_vectors: DataFrame,
+    meta: dict | None = None,
 ) -> int:
     """Incremental index maintenance: assign NEW vectors to the
     EXISTING centroids (no retrain — assignment is one broadcast scan
@@ -212,7 +215,7 @@ def append_vectors_to_index(
     return publish_snapshot(
         {"centroids": centroids, "postings": postings.unionByName(added)},
         base_dir,
-        meta={"k": manifest.get("k", K), "appended": True},
+        meta={"k": manifest.get("k", K), "appended": True, **(meta or {})},
     )
 
 
