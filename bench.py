@@ -56,6 +56,8 @@ EXTRAS = [
     # and the grid-blocked radius join vs DuckDB's naive cross join
     "dpp_partitioned_join",
     "spatial_radius_join",
+    # round 9: the polygon-TABLE join vs DuckDB's naive per-polygon scan
+    "spatial_polygon_join",
 ]
 
 

@@ -741,6 +741,13 @@ EXPECT = {
         "broadcast_joins": 1, "partial_agg": True, "no_python_udf": True,
         "codegen_compiles": True, "max_scan_cols": 1,
     },
+    # IVF-PQ serving from the pinned snapshot: the ADC shortlist feeds
+    # a BROADCAST semi-join into the float table for the exact rerank;
+    # the code scan must carry the probed cells as PARTITION filters
+    "ivfpq_index_serve_top10": {
+        "broadcast_joins": 1, "take_ordered": True, "no_python_udf": True,
+        "plan_must_contain": ["PartitionFilters: [cell"],
+    },
 }
 
 
