@@ -748,6 +748,40 @@ EXPECT = {
         "broadcast_joins": 1, "take_ordered": True, "no_python_udf": True,
         "plan_must_contain": ["PartitionFilters: [cell"],
     },
+    # --- round-9 promotions off the exemption list (shrinking it is the
+    # point; these are simple shapes whose scale properties deserve the
+    # same lockstep guarantees as new queries) ---
+    "agg_distinct_customers": {"partial_agg": True, "no_python_udf": True},
+    "agg_filtered": {"partial_agg": True, "no_python_udf": True},
+    "agg_global_stats": {"partial_agg": True, "no_python_udf": True},
+    "agg_rollup": {"partial_agg": True, "no_python_udf": True},
+    "agg_cube": {"partial_agg": True, "no_python_udf": True},
+    "agg_grouping_sets": {"partial_agg": True, "no_python_udf": True},
+    "agg_collect_set": {"no_python_udf": True},
+    "exact_dedup_docs": {"partial_agg": True, "no_python_udf": True},
+    # dropDuplicates plans a deduplicate node, not a partial-agg pair
+    "distinct_pairs": {"no_python_udf": True},
+    "window_rank_dense": {"no_python_udf": True},
+    "window_lag_lead": {"no_python_udf": True},
+    "window_range_frame": {"no_python_udf": True},
+    "window_running_sum": {"no_python_udf": True},
+    "window_moving_avg": {"no_python_udf": True},
+    "setop_union_all": {"no_python_udf": True},
+    "setop_intersect": {"no_python_udf": True},
+    "setop_except": {"no_python_udf": True},
+    "join_semi": {"no_python_udf": True, "hash_join_not_nlj": True},
+    "join_anti": {"no_python_udf": True, "hash_join_not_nlj": True},
+    "join_full_outer": {"no_python_udf": True, "hash_join_not_nlj": True},
+    "join_left_outer": {"no_python_udf": True, "hash_join_not_nlj": True},
+    "join_right_outer": {"no_python_udf": True, "hash_join_not_nlj": True},
+    "str_funcs": {"no_python_udf": True},
+    "date_funcs": {"no_python_udf": True},
+    "math_funcs": {"no_python_udf": True},
+    "null_funcs": {"no_python_udf": True},
+    "hash_funcs": {"no_python_udf": True},
+    "sort_nulls_last": {"no_python_udf": True},
+    "sql_revenue_by_region": {"partial_agg": True, "no_python_udf": True},
+    "stream_dedup_first": {"no_python_udf": True},
 }
 
 
@@ -757,42 +791,42 @@ EXPECT = {
 # tests/test_plans.py::test_audit_lockstep enforces
 # set(registry) == set(EXPECT) | AUDIT_EXEMPT.
 AUDIT_EXEMPT = frozenset({
-    "agg_approx_distinct", "agg_argminmax_mode", "agg_collect_set",
-    "agg_corr_regression", "agg_cube", "agg_distinct_customers",
-    "agg_filtered", "agg_global_stats", "agg_grouping_sets", "agg_rollup",
+    "agg_approx_distinct", "agg_argminmax_mode", 
+    "agg_corr_regression", 
+    
     "agg_stats_moments", "ann_lsh_topk", "array_funcs",
     "audience_overlap_sketch", "bfs_hops_neardup", "bit_hex_funcs",
     "bpe_merge_table", "bpe_token_counts", "case_when_bucket",
-    "date_arith_funcs", "date_funcs", "distinct_pairs", "doc_fingerprint",
+    "date_arith_funcs", "doc_fingerprint",
     "doc_quality_score", "dq_summary", "embedding_neardup_cosine",
-    "embedding_pca_project", "exact_dedup_docs", "filter_predicates",
+    "embedding_pca_project", "filter_predicates",
     "gbm_quality_train", "grouped_agg_geomean", "grouped_normalize",
-    "hash_funcs", "hll_sketch_rollup",
+    "hll_sketch_rollup",
     "ivf_cell_sizes", "ivf_knn_top10", "ivf_pq_knn_top10",
-    "ivf_pq_residual_knn_top10", "join_anti", "join_cross",
-    "join_full_outer", "join_left_outer", "join_null_safe",
-    "join_right_outer", "join_semi", "json_map_functions",
+    "ivf_pq_residual_knn_top10", "join_cross",
+    "join_null_safe",
+    "json_map_functions",
     "json_props_extract", "knn_allpairs_label_top3", "lang_id_agreement",
-    "levenshtein_neighbors", "logreg_quality_train", "math_funcs",
+    "levenshtein_neighbors", "logreg_quality_train", 
     "minhash_lsh_pairs", "multimodal_decode_features",
     "multimodal_frame_sample", "multimodal_pack", "multimodal_resize",
     "neardup_clusters", "neardup_clusters_bigstar", "ngram_jaccard_pairs",
-    "null_funcs", "opq_pq_knn_top10", "pack_sequences_firstfit",
+    "opq_pq_knn_top10", "pack_sequences_firstfit",
     "pagerank_doc_centrality", "pandas_udf_vector_norm", "pq_knn_top10",
     "pq_rerank_top10", "proj_computed_cols", "q14_promo_revenue",
     "q15_top_supplier", "q16_supplier_cnt", "q22_sales_opportunity",
     "q4_order_priority", "q8_market_share", "running_user_totals",
-    "salted_skew_agg", "setop_except", "setop_except_all",
-    "setop_intersect", "setop_intersect_all", "setop_union_all",
-    "simhash_pairs", "sliding_1h_15m_agg", "sort_nulls_last",
-    "sql_recursive_calendar", "sql_revenue_by_region",
+    "salted_skew_agg", "setop_except_all",
+    "setop_intersect_all", 
+    "simhash_pairs", "sliding_1h_15m_agg", 
+    "sql_recursive_calendar", 
     "sql_scalar_function", "sql_segment_priority_matrix",
-    "sql_udf_pricing", "str_funcs", "stratified_sample",
-    "stream_dedup_first", "text_stats_by_lang", "tfidf_top_terms",
+    "sql_udf_pricing", "stratified_sample",
+    "text_stats_by_lang", "tfidf_top_terms",
     "token_counts", "token_counts_regex", "udtf_token_positions",
     "unpivot_flag_metrics", "variant_props_agg", "watermark_late_drop",
-    "window_distribution", "window_lag_lead", "window_moving_avg",
-    "window_range_frame", "window_rank_dense", "window_running_sum",
+    "window_distribution", 
+    
 })
 
 
