@@ -761,6 +761,37 @@ EXPECT = {
     "exact_dedup_docs": {"partial_agg": True, "no_python_udf": True},
     # dropDuplicates plans a deduplicate node, not a partial-agg pair
     "distinct_pairs": {"no_python_udf": True},
+    # --- round-9 promotions, batch 2 ---
+    "agg_argminmax_mode": {"partial_agg": True, "no_python_udf": True},
+    "agg_corr_regression": {"partial_agg": True, "no_python_udf": True},
+    "agg_stats_moments": {"partial_agg": True, "no_python_udf": True},
+    "bit_hex_funcs": {"no_python_udf": True},
+    "case_when_bucket": {"no_python_udf": True},
+    "date_arith_funcs": {"no_python_udf": True},
+    "filter_predicates": {"no_python_udf": True},
+    "proj_computed_cols": {"no_python_udf": True},
+    "json_props_extract": {"no_python_udf": True},
+    "json_map_functions": {"no_python_udf": True},
+    "variant_props_agg": {"partial_agg": True, "no_python_udf": True},
+    "unpivot_flag_metrics": {"no_python_udf": True},
+    "join_null_safe": {"no_python_udf": True, "hash_join_not_nlj": True},
+    "join_cross": {"cartesian_ok": True, "no_python_udf": True},
+    "running_user_totals": {"no_python_udf": True},
+    "sliding_1h_15m_agg": {"partial_agg": True, "no_python_udf": True},
+    "watermark_late_drop": {"partial_agg": True, "no_python_udf": True},
+    "token_counts": {"partial_agg": True, "no_python_udf": True},
+    "token_counts_regex": {"partial_agg": True, "no_python_udf": True},
+    "doc_fingerprint": {"no_python_udf": True},
+    "doc_quality_score": {"no_python_udf": True},
+    "lang_id_agreement": {"partial_agg": True, "no_python_udf": True},
+    "dq_summary": {"partial_agg": True, "no_python_udf": True},
+    "stratified_sample": {"no_python_udf": True},
+    "q4_order_priority": {"partial_agg": True, "no_python_udf": True},
+    "q8_market_share": {"partial_agg": True, "no_python_udf": True},
+    "q14_promo_revenue": {"partial_agg": True, "no_python_udf": True},
+    "q15_top_supplier": {"partial_agg": True, "no_python_udf": True},
+    "q16_supplier_cnt": {"partial_agg": True, "no_python_udf": True},
+    "q22_sales_opportunity": {"partial_agg": True, "no_python_udf": True},
     "window_rank_dense": {"no_python_udf": True},
     "window_lag_lead": {"no_python_udf": True},
     "window_range_frame": {"no_python_udf": True},
@@ -791,40 +822,40 @@ EXPECT = {
 # tests/test_plans.py::test_audit_lockstep enforces
 # set(registry) == set(EXPECT) | AUDIT_EXEMPT.
 AUDIT_EXEMPT = frozenset({
-    "agg_approx_distinct", "agg_argminmax_mode", 
-    "agg_corr_regression", 
+    "agg_approx_distinct", 
     
-    "agg_stats_moments", "ann_lsh_topk", "array_funcs",
-    "audience_overlap_sketch", "bfs_hops_neardup", "bit_hex_funcs",
-    "bpe_merge_table", "bpe_token_counts", "case_when_bucket",
-    "date_arith_funcs", "doc_fingerprint",
-    "doc_quality_score", "dq_summary", "embedding_neardup_cosine",
-    "embedding_pca_project", "filter_predicates",
+    
+    "ann_lsh_topk", "array_funcs",
+    "audience_overlap_sketch", "bfs_hops_neardup", 
+    "bpe_merge_table", "bpe_token_counts", 
+    
+    "embedding_neardup_cosine",
+    "embedding_pca_project", 
     "gbm_quality_train", "grouped_agg_geomean", "grouped_normalize",
     "hll_sketch_rollup",
     "ivf_cell_sizes", "ivf_knn_top10", "ivf_pq_knn_top10",
-    "ivf_pq_residual_knn_top10", "join_cross",
-    "join_null_safe",
-    "json_map_functions",
-    "json_props_extract", "knn_allpairs_label_top3", "lang_id_agreement",
+    "ivf_pq_residual_knn_top10", 
+    
+    
+    "knn_allpairs_label_top3", 
     "levenshtein_neighbors", "logreg_quality_train", 
     "minhash_lsh_pairs", "multimodal_decode_features",
     "multimodal_frame_sample", "multimodal_pack", "multimodal_resize",
     "neardup_clusters", "neardup_clusters_bigstar", "ngram_jaccard_pairs",
     "opq_pq_knn_top10", "pack_sequences_firstfit",
     "pagerank_doc_centrality", "pandas_udf_vector_norm", "pq_knn_top10",
-    "pq_rerank_top10", "proj_computed_cols", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_cnt", "q22_sales_opportunity",
-    "q4_order_priority", "q8_market_share", "running_user_totals",
+    "pq_rerank_top10", 
+    
+    
     "salted_skew_agg", "setop_except_all",
     "setop_intersect_all", 
-    "simhash_pairs", "sliding_1h_15m_agg", 
+    "simhash_pairs", 
     "sql_recursive_calendar", 
     "sql_scalar_function", "sql_segment_priority_matrix",
-    "sql_udf_pricing", "stratified_sample",
+    "sql_udf_pricing", 
     "text_stats_by_lang", "tfidf_top_terms",
-    "token_counts", "token_counts_regex", "udtf_token_positions",
-    "unpivot_flag_metrics", "variant_props_agg", "watermark_late_drop",
+    "udtf_token_positions",
+    
     "window_distribution", 
     
 })
