@@ -396,6 +396,41 @@ def run_skew_lsh(n_hot: int = 1500) -> None:
     res["capped_s"] = round(time.perf_counter() - t0, 3)
     res["capped_candidates"] = int(c_cap.n)
     res["n_candidates"] = int(c_plain.n)
+    # where capping actually pays: the EXACT-VERIFY stage is
+    # |candidates| gram-set intersections — the flood's 1M+ pairs all
+    # reach it, the capped 1.6k don't. End-to-end verified-pairs walls:
+    from novelti_dingo_spark.functions.text_funcs import token_bigrams
+    from novelti_dingo_spark.operators.dedup import JACCARD_THRESHOLD
+
+    grams = (
+        spark.read.parquet(f"{d}/documents.parquet")
+        .select(
+            "doc_id",
+            F.array_distinct(token_bigrams("text")).alias("grams"),
+        )
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+
+    def verify(cand):
+        inter = F.size(F.array_intersect("ga", "gb"))
+        union = F.size(F.array_union("ga", "gb"))
+        return (
+            cand.join(ga, "doc_a").join(gb, "doc_b")
+            .filter(inter * F.lit(1.0) / union >= JACCARD_THRESHOLD)
+            .count()
+        )
+
+    t0 = time.perf_counter()
+    res["plain_verified_pairs"] = int(
+        verify(lsh_candidate_pairs(spark, d))
+    )
+    res["plain_end_to_end_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    res["capped_verified_pairs"] = int(
+        verify(lsh_candidate_pairs_capped(spark, d, max_bucket=200))
+    )
+    res["capped_end_to_end_s"] = round(time.perf_counter() - t0, 3)
     assert (c_plain.n, c_plain.h) == (c_aqe.n, c_aqe.h) == (c_salt.n, c_salt.h), (
         "candidate sets diverged across skew treatments"
     )
