@@ -266,8 +266,19 @@ def jaccard_pairs_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arrays instead of strings (measured ~1.7× off the string-keyed
     # verify at sf0.1). The prefix ORDER stays (df, gram), so the
     # chosen prefixes are deterministic across runs.
-    dfreq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df")).select(
-        "gram", "df", F.monotonically_increasing_id().alias("gid")
+    # gid must be DETERMINISTIC: dfreq is instantiated in two independent
+    # plan subtrees (broadcast into `ranked` for candidate generation and
+    # into `d_ids` for verification), so a nondeterministic id source
+    # (monotonically_increasing_id) could map the same gram to different
+    # ids in the two instantiations. with_global_rank over the unique
+    # `gram` key is a pure function of the data — every instantiation
+    # (and every task retry) produces the identical bijective mapping.
+    from .rank import with_global_rank
+
+    dfreq = with_global_rank(
+        g.groupBy("gram").agg(F.count(F.lit(1)).alias("df")),
+        ["gram"],
+        rank_col="gid",
     )
     ranked = g.join(F.broadcast(dfreq), "gram").select(
         "doc_id", "gram", "gid", "df"

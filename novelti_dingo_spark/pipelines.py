@@ -3146,25 +3146,45 @@ def merge_into(
             .alias(c)
         )
     acted = j.withColumn("__action", action)
-    counts_row = acted.groupBy("__action").count().collect()
-    by_action = {r["__action"]: int(r["count"]) for r in counts_row}
+    # The audit counts ride the WRITE job via Observation, so the
+    # full-outer merge join is evaluated exactly ONCE (round-9 verdict:
+    # a groupBy().collect() pre-pass re-evaluated the un-persisted join
+    # a second time inside publish_versioned — doubling the O(table)
+    # cost of every MERGE, the verb where it hurts most). CollectMetrics
+    # is a pushdown barrier, so the downstream D/X filter cannot reach
+    # below the metrics node and skew the counts (pinned in
+    # tests/test_merge_into.py). The counts are only known after the
+    # write, so the manifest carries the merge PROVENANCE
+    # (from_version, keys); the full count audit is in the return value.
+    from pyspark.sql import Observation
+
+    obs = Observation(f"merge_v{head_v}")
+    acted = acted.observe(
+        obs,
+        *[
+            F.sum(
+                F.when(F.col("__action") == code, 1).otherwise(0)
+            ).alias(name)
+            for code, name in (
+                ("U", "updated"),
+                ("D", "deleted"),
+                ("I", "inserted"),
+                ("K", "kept"),
+            )
+        ],
+    )
     merged = acted.filter(~F.col("__action").isin("D", "X")).select(
         *out_cols
     )
     meta = dict(publish_kwargs.pop("meta", None) or {})
-    meta["merge"] = {
-        "from_version": head_v,
-        "keys": list(key_cols),
-        "updated": by_action.get("U", 0),
-        "deleted": by_action.get("D", 0),
-        "inserted": by_action.get("I", 0),
-    }
+    meta["merge"] = {"from_version": head_v, "keys": list(key_cols)}
     new_v = publish_versioned(merged, base_dir, meta=meta, **publish_kwargs)
+    by_action = obs.get
     return new_v, {
-        "updated": by_action.get("U", 0),
-        "deleted": by_action.get("D", 0),
-        "inserted": by_action.get("I", 0),
-        "kept": by_action.get("K", 0),
+        "updated": int(by_action["updated"]),
+        "deleted": int(by_action["deleted"]),
+        "inserted": int(by_action["inserted"]),
+        "kept": int(by_action["kept"]),
     }
 
 
@@ -4259,6 +4279,40 @@ def clone_snapshot(
     return version
 
 
+def _lineage_history(spark: SparkSession, base: str, version: int) -> set[int]:
+    """The FULL history set of `version` — append-parent, MOR-parent,
+    AND compacted_from (a head behind a compaction/materialization is
+    still same-lineage; it only survives in the rewrite's
+    compacted_from list). Versions the source has vacuumed stay IN the
+    set (same rule as the stream source's ancestry): they prove lineage
+    even though their bytes are gone. Shared by the fast-forward
+    legality checks of sync_clone and sync_shallow_clone."""
+    import json as _hist_json
+
+    from .sources import lakefs
+
+    history: set[int] = set()
+    todo = [version]
+    while todo:
+        x = todo.pop()
+        if x in history:
+            continue
+        history.add(x)
+        try:
+            m = _hist_json.loads(
+                lakefs.read_text(spark, f"{base}/v={x}/_manifest.json")
+            )
+        except Exception:
+            continue  # vacuumed: number stays in the set
+        if m.get("append") and m.get("parent") is not None:
+            todo.append(int(m["parent"]))
+        rec = _mor_record(m)
+        if rec:
+            todo.append(int(rec["parent"]))
+        todo.extend(int(fv) for fv in m.get("compacted_from") or [])
+    return history
+
+
 def sync_clone(
     spark: SparkSession,
     src_base: str,
@@ -4306,34 +4360,7 @@ def sync_clone(
     if not lakefs.exists(spark, f"{src}/v={version}/_manifest.json"):
         raise ValueError(f"source has no v={version} to sync to")
     dest_head = int(lakefs.read_text(spark, f"{dest}/LATEST").strip())
-    # the fast-forward legality check walks the FULL history —
-    # append-parent, MOR-parent, AND compacted_from (a clone behind a
-    # source compaction/materialization is still same-lineage; its head
-    # only survives in the rewrite's compacted_from list). Versions the
-    # source has vacuumed stay IN the set (same rule as the stream
-    # source's ancestry): they prove lineage even though their bytes
-    # are gone — the clone already holds its own copy.
-    import json as _hist_json
-
-    history: set[int] = set()
-    todo = [version]
-    while todo:
-        x = todo.pop()
-        if x in history:
-            continue
-        history.add(x)
-        try:
-            m = _hist_json.loads(
-                lakefs.read_text(spark, f"{src}/v={x}/_manifest.json")
-            )
-        except Exception:
-            continue  # vacuumed: number stays in the set
-        if m.get("append") and m.get("parent") is not None:
-            todo.append(int(m["parent"]))
-        rec = _mor_record(m)
-        if rec:
-            todo.append(int(rec["parent"]))
-        todo.extend(int(fv) for fv in m.get("compacted_from") or [])
+    history = _lineage_history(spark, src, version)
     if dest_head not in history:
         raise ValueError(
             f"clone at {dest} (LATEST v={dest_head}) is not on the "
@@ -4431,9 +4458,13 @@ def shallow_clone_snapshot(
 
     The ref is written BEFORE the destination becomes readable, so
     there is no window where a vacuum could race the clone into
-    existence. The ref id is deterministic in the destination path —
-    re-cloning the same destination replaces its ref instead of
-    leaking one per attempt.
+    existence. The ref id is deterministic in the destination path, so
+    a CRASHED attempt (ref written, `_shallow.json` not yet) converges
+    on retry — the retry overwrites the orphan ref instead of leaking
+    one per attempt. A LIVE clone (destination already holds
+    `_shallow.json`) is refused like any taken destination: re-pointing
+    an existing clone is `repin_shallow_clone` / `sync_shallow_clone`'s
+    job, not a re-clone's.
 
     Contract differences vs the deep clone (both tested):
     - the shallow clone is a READ-ONLY pinned view: publish_append /
@@ -4565,6 +4596,57 @@ def repin_shallow_clone(
         json.dumps({**base_ref, "versions": new_vers, "files": new_files}),
     )
     return version
+
+
+def sync_shallow_clone(
+    spark: SparkSession, dest_base: str, version: int | None = None
+) -> int:
+    """FAST-FORWARD a shallow clone — the shallow analogue of
+    `sync_clone`, completing the clone-maintenance matrix (deep+initial
+    = clone_snapshot, deep+refresh = sync_clone, shallow+initial =
+    shallow_clone_snapshot, shallow+refresh = this). Cost is O(chain)
+    manifest reads and zero data bytes: a "sync" of a pointer is a
+    guarded re-point.
+
+    Same legality rule as sync_clone, adapted to a pin instead of a
+    copied head: the new version (default: the source's LATEST) must
+    carry the CURRENT pin in its lineage history (_lineage_history —
+    append-parent + MOR-parent + compacted_from, vacuumed numbers
+    retained). A source whose history was rewritten out from under the
+    pin (e.g. the lineage was re-published from scratch, so the pinned
+    version number now names an unrelated commit) is refused rather
+    than silently re-pointed — the caller chose a pin for
+    reproducibility; moving it across a lineage break needs the
+    explicit `repin_shallow_clone`, which imposes no ancestry rule
+    (time travel backward, jumps across rewrites).
+
+    Refuses a sync BACKWARD (new version already in the current pin's
+    own history but not equal to it) for the same reason sync_clone
+    only fast-forwards; a no-op sync (already at `version`) returns the
+    pin unchanged. The ledger update inherits repin's crash-safe
+    superset-first ordering. Returns the new pinned version."""
+    from .sources import lakefs
+
+    dest = dest_base.rstrip("/")
+    meta = _shallow_meta(spark, dest)
+    if meta is None:
+        raise ValueError(f"{dest} is not a shallow clone (no _shallow.json)")
+    src = meta["src"].rstrip("/")
+    pin = int(meta["version"])
+    if version is None:
+        version = int(lakefs.read_text(spark, f"{src}/LATEST").strip())
+    if version == pin:
+        return pin  # already current — no-op
+    if not lakefs.exists(spark, f"{src}/v={version}/_manifest.json"):
+        raise ValueError(f"source has no v={version} to sync to")
+    if pin not in _lineage_history(spark, src, version):
+        raise ValueError(
+            f"shallow clone at {dest} pins v={pin}, which is not on the "
+            f"history of source v={version} — not a fast-forward (source "
+            "lineage rewritten, or target precedes the pin); use "
+            "repin_shallow_clone to move the pin explicitly"
+        )
+    return repin_shallow_clone(spark, dest, version)
 
 
 def release_shallow_clone(spark: SparkSession, dest_base: str) -> None:

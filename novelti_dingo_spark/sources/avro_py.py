@@ -557,17 +557,34 @@ class AvroPyWriter(DataSourceWriter):
     partition (part-<uuid>.avro), committed via _SUCCESS on the driver
     — the same files-then-marker protocol parquet uses here.
 
-    mode("overwrite") is honored two-phase: tasks write uniquely-named
-    NEW files beside the old ones; commit() then deletes every *.avro
-    not produced by this job. A failure before commit leaves the old
-    files (plus orphans abort() removes) — readers keyed on _SUCCESS
-    never observe the half-replaced state."""
+    mode("overwrite") is honored two-phase with a staging swap: tasks
+    write uniquely-named NEW files into a hidden staging subdirectory
+    (never beside the live *.avro, so a concurrent reader never sees a
+    mixed old+new file set under a valid _SUCCESS); commit() then
+    (1) removes _SUCCESS — from here the directory reads as
+    uncommitted, (2) deletes the old *.avro, (3) renames the staged
+    files into place, (4) recreates _SUCCESS. A crash before (1)
+    leaves the old committed state intact; a crash anywhere in (1)-(3)
+    leaves NO _SUCCESS, so readers keyed on the marker treat the
+    directory as uncommitted rather than half-replaced. The guarantee
+    is therefore: _SUCCESS present => the *.avro set is exactly one
+    job's complete output. (Readers that ignore _SUCCESS get no
+    atomicity — same contract as Hadoop FileOutputCommitter v1 on a
+    non-atomic-rename store.)"""
 
     def __init__(self, options, schema, overwrite: bool = False):
+        import uuid
+
         self.path = options["path"]
         self.codec = options.get("codec", "deflate")
         self.schema = schema
         self.overwrite = overwrite
+        # chosen driver-side, shared by every pickled task copy
+        self.staging = (
+            os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+            if overwrite
+            else self.path
+        )
 
     def write(self, iterator):
         import itertools
@@ -581,7 +598,8 @@ class AvroPyWriter(DataSourceWriter):
             first = next(iterator)
         except StopIteration:
             return AvroCommitMessage("", 0)
-        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.avro")
+        os.makedirs(self.staging, exist_ok=True)
+        fname = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.avro")
         n = write_avro_file(
             itertools.chain([first], iterator), self.schema, fname,
             codec=self.codec,
@@ -590,15 +608,28 @@ class AvroPyWriter(DataSourceWriter):
 
     def commit(self, messages):
         os.makedirs(self.path, exist_ok=True)
+        marker = os.path.join(self.path, "_SUCCESS")
         if self.overwrite:
-            keep = {
+            # swap protocol — see class docstring for the crash matrix
+            try:
+                os.remove(marker)  # (1) directory now reads uncommitted
+            except FileNotFoundError:
+                pass
+            staged = {
                 m.file for m in messages
                 if m is not None and getattr(m, "file", "")
             }
             for fp in glob.glob(os.path.join(self.path, "*.avro")):
-                if fp not in keep:
-                    os.remove(fp)
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+                os.remove(fp)  # (2) old files go before new appear
+            for fp in staged:  # (3) rename staged output into place
+                os.replace(
+                    fp, os.path.join(self.path, os.path.basename(fp))
+                )
+            try:
+                os.rmdir(self.staging)
+            except OSError:
+                pass
+        with open(marker, "w") as f:  # (4) commit point
             f.write("")
 
     def abort(self, messages):
@@ -608,6 +639,11 @@ class AvroPyWriter(DataSourceWriter):
                     os.remove(m.file)
                 except OSError:
                     pass
+        if self.overwrite:
+            try:
+                os.rmdir(self.staging)
+            except OSError:
+                pass
 
 
 def _attach_writer():

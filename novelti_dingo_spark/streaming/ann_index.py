@@ -23,28 +23,26 @@ republish with publish_ivf_index when drift makes cells lopsided.
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.ivf import append_vectors_to_index
 from ..sources import lakefs
-from .cdc import _checkpoint_identity
+from .cdc import (
+    _checkpoint_identity,
+    _last_stream_epoch,
+    _record_stream_epoch,
+)
 
 
 def _last_appended_epoch(spark: SparkSession, base: str, run_id: str) -> int:
     """Highest batch epoch already published into this index by THIS
-    checkpoint lineage (snapshot-manifest flavor of the CDC guard)."""
-    b = base.rstrip("/")
-    if not lakefs.exists(spark, f"{b}/LATEST"):
-        return -1
-    v = int(lakefs.read_text(spark, f"{b}/LATEST").strip())
-    manifest = json.loads(
-        lakefs.read_text(spark, f"{b}/snap={v}/_manifest.json")
-    )
-    if manifest.get("checkpoint_id") != run_id:
-        return -1
-    return int(manifest.get("batch_id", -1))
+    checkpoint lineage (snapshot-manifest flavor of the CDC guard:
+    scans ALL snapshot manifests plus the per-checkpoint control file,
+    so a non-stream publish — an offline append_vectors_to_index or a
+    publish_ivf_index retrain — landing between the stream's publish
+    and a crash-replay no longer hides the stream's own manifest
+    behind LATEST; round-9 advice)."""
+    return _last_stream_epoch(spark, base.rstrip("/"), run_id, "snap=")
 
 
 def ivf_index_append_stream(
@@ -59,11 +57,51 @@ def ivf_index_append_stream(
     existing coarse centroids and published as the next index
     snapshot. The index must already exist (publish_ivf_index) — a
     stream cannot train the quantizer, only grow the postings."""
+    _index_append_stream(
+        spark, vectors_dir, index_base, checkpoint_dir, schema,
+        append_vectors_to_index, "publish_ivf_index",
+    )
+
+
+def ivfpq_index_append_stream(
+    spark: SparkSession,
+    vectors_dir: str,
+    index_base: str,
+    checkpoint_dir: str,
+    schema: str = "vec_id long, embedding array<float>, label int",
+) -> None:
+    """Streaming maintenance of the COMPOSED IVF-PQ index (round-10):
+    appended vectors are PQ-ENCODED per batch with the published
+    codebooks (coarse-assign → residual-subtract if the snapshot is
+    residual-encoded → frozen-codebook encode), one snapshot per
+    non-empty batch, same exactly-once replay guard. Coarse centroids
+    and codebooks republish unchanged — pinned readers are byte-stable
+    and unpinned readers score in the same LUT space across appends.
+    The retrain threshold (cell skew / residual-norm drift) is
+    documented on append_vectors_to_ivfpq_index; the stream never
+    retrains."""
+    from ..operators.pq import append_vectors_to_ivfpq_index
+
+    _index_append_stream(
+        spark, vectors_dir, index_base, checkpoint_dir, schema,
+        append_vectors_to_ivfpq_index, "publish_ivfpq_index",
+    )
+
+
+def _index_append_stream(
+    spark: SparkSession,
+    vectors_dir: str,
+    index_base: str,
+    checkpoint_dir: str,
+    schema: str,
+    append_fn,
+    trainer_name: str,
+) -> None:
     base = index_base.rstrip("/")
     if not lakefs.exists(spark, f"{base}/LATEST"):
         raise ValueError(
             f"{index_base} holds no published index — run "
-            "publish_ivf_index first (streams append, they don't train)"
+            f"{trainer_name} first (streams append, they don't train)"
         )
     run_id = _checkpoint_identity(spark, checkpoint_dir)
 
@@ -72,10 +110,11 @@ def ivf_index_append_stream(
             return
         if epoch_id <= _last_appended_epoch(spark, base, run_id):
             return  # replayed batch: already published
-        append_vectors_to_index(
+        append_fn(
             spark, base, batch,
             meta={"batch_id": int(epoch_id), "checkpoint_id": run_id},
         )
+        _record_stream_epoch(spark, base, run_id, epoch_id)
 
     q = (
         spark.readStream.schema(schema)

@@ -39,7 +39,9 @@ from ..pipelines import merge_rows, publish_versioned, read_version
 from ..sources import lakefs
 
 
-def _last_applied_epoch(spark: SparkSession, base: str, run_id: str) -> int:
+def _last_stream_epoch(
+    spark: SparkSession, base: str, run_id: str, version_prefix: str
+) -> int:
     """Highest epoch already published by THIS checkpoint lineage.
 
     The epoch guard must be scoped to a checkpoint identity: streaming
@@ -47,17 +49,66 @@ def _last_applied_epoch(spark: SparkSession, base: str, run_id: str) -> int:
     fresh checkpoint is pointed at an existing target, and an unscoped
     `epoch <= last` comparison would then silently skip every new batch
     — data loss with no error. Manifests record (checkpoint_id,
-    batch_id); the guard applies only when the recorded identity matches
-    the running checkpoint's."""
+    batch_id); the guard applies only where the recorded identity
+    matches the running checkpoint's.
+
+    Two sources of truth, max'd (round-9 advice: reading only the
+    LATEST manifest broke as soon as any non-stream publish landed
+    between the stream's publish and a crash-replay — the guard saw a
+    foreign checkpoint_id, returned -1, and the replayed batch was
+    appended twice):
+
+    - EVERY version/snapshot manifest whose checkpoint_id matches.
+      The manifest is written atomically with the publish itself, so
+      this survives a crash at any point after the publish — including
+      before the control file below lands.
+    - the per-checkpoint control file
+      `{base}/_stream_ckpt/{run_id}.json`, written (atomic
+      replace_text) AFTER each successful publish. It survives
+      vacuum_versions/vacuum_snapshots reclaiming the old version dirs
+      that carried the matching manifests.
+
+    Neither alone is crash+vacuum proof; together the failure windows
+    don't overlap (vacuum cannot run between a publish and the crash
+    that loses the control-file write — that window contains no other
+    work)."""
+    hi = -1
+    ctrl = f"{base}/_stream_ckpt/{run_id}.json"
+    if lakefs.exists(spark, ctrl):
+        hi = int(json.loads(lakefs.read_text(spark, ctrl)).get("batch_id", -1))
     if not lakefs.exists(spark, f"{base}/LATEST"):
-        return -1
-    v = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
-    manifest = json.loads(
-        lakefs.read_text(spark, f"{base}/v={v}/_manifest.json")
+        return hi
+    for name in lakefs.listdir(spark, base):
+        if not (
+            name.startswith(version_prefix)
+            and name.split("=")[1].isdigit()
+        ):
+            continue
+        mpath = f"{base}/{name}/_manifest.json"
+        if not lakefs.exists(spark, mpath):
+            continue  # crash-orphaned partial version: no manifest yet
+        manifest = json.loads(lakefs.read_text(spark, mpath))
+        if manifest.get("checkpoint_id") == run_id:
+            hi = max(hi, int(manifest.get("batch_id", -1)))
+    return hi
+
+
+def _record_stream_epoch(
+    spark: SparkSession, base: str, run_id: str, epoch_id: int
+) -> None:
+    """Persist the checkpoint's high-water mark in its own control file
+    (vacuum-proof half of the replay guard — see _last_stream_epoch)."""
+    lakefs.mkdirs(spark, f"{base}/_stream_ckpt")
+    lakefs.replace_text(
+        spark,
+        f"{base}/_stream_ckpt/{run_id}.json",
+        json.dumps({"batch_id": int(epoch_id)}),
     )
-    if manifest.get("checkpoint_id") != run_id:
-        return -1
-    return int(manifest.get("batch_id", -1))
+
+
+def _last_applied_epoch(spark: SparkSession, base: str, run_id: str) -> int:
+    """CDC flavor of the replay guard (versions live at `v=N`)."""
+    return _last_stream_epoch(spark, base, run_id, "v=")
 
 
 def _checkpoint_identity(spark: SparkSession, checkpoint_dir: str) -> str:
@@ -131,6 +182,7 @@ def cdc_apply_stream(
             base,
             meta={"batch_id": int(epoch_id), "checkpoint_id": run_id},
         )
+        _record_stream_epoch(spark, base, run_id, epoch_id)
 
     q = (
         spark.readStream.schema(schema)

@@ -120,3 +120,226 @@ def test_stream_refuses_untrained_index(spark, tmp_path):
             spark, str(tmp_path / "src"), str(tmp_path / "nope"),
             str(tmp_path / "ckpt"),
         )
+
+
+def test_replay_guard_survives_interleaved_offline_publish(
+    spark, sf_small, tmp_path
+):
+    """Round-9 advice: the guard used to read only the LATEST snapshot's
+    manifest, so an offline append_vectors_to_index landing between the
+    stream's publish and a crash-replay made _last_appended_epoch
+    return -1 and the replayed batch was appended a SECOND time. Now
+    the guard scans every snapshot manifest plus the per-checkpoint
+    control file."""
+    from novelti_dingo_spark.operators.ivf import append_vectors_to_index
+    from novelti_dingo_spark.streaming.ann_index import _last_appended_epoch
+    from novelti_dingo_spark.streaming.cdc import _checkpoint_identity
+
+    base = str(tmp_path / "ivf")
+    publish_ivf_index(spark, sf_small, base)
+    src = tmp_path / "newvecs"
+    src.mkdir()
+    _new_vec_file(src / "a.parquet", 300_000, 12)
+    ckpt = str(tmp_path / "ckpt")
+    ivf_index_append_stream(spark, str(src), base, ckpt)
+    run_id = _checkpoint_identity(spark, ckpt)
+    assert _last_appended_epoch(spark, base, run_id) == 0
+
+    # an OFFLINE (non-stream) append lands on top — LATEST's manifest
+    # now carries no checkpoint_id
+    extra = (
+        load_table(spark, sf_small, "embeddings")
+        .limit(5)
+        .withColumn("vec_id", F.col("vec_id") + 400_000)
+    )
+    append_vectors_to_index(spark, base, extra)
+    n_after_offline = read_snapshot(spark, base)[0]["postings"].count()
+
+    # the guard still sees the stream's own manifest behind LATEST
+    assert _last_appended_epoch(spark, base, run_id) == 0
+
+    # end-to-end: force Spark to REPLAY batch 0 by deleting its commit
+    # marker (crash-between-publish-and-checkpoint-commit simulation),
+    # then re-run — the guard must skip the duplicate publish
+    commit0 = os.path.join(ckpt, "commits", "0")
+    assert os.path.exists(commit0)
+    os.remove(commit0)
+    crc0 = os.path.join(os.path.dirname(commit0), ".0.crc")
+    if os.path.exists(crc0):  # Hadoop ChecksumFs shadow file
+        os.remove(crc0)
+    ivf_index_append_stream(spark, str(src), base, ckpt)
+    assert read_snapshot(spark, base)[0]["postings"].count() == n_after_offline
+
+
+def test_replay_guard_survives_vacuum_of_stream_snapshot(
+    spark, sf_small, tmp_path
+):
+    """The control-file half of the guard: vacuum_snapshots can reclaim
+    the snapshot dir that carried the stream's manifest — the
+    per-checkpoint high-water mark in _stream_ckpt/ must survive it."""
+    from novelti_dingo_spark.operators.ivf import append_vectors_to_index
+    from novelti_dingo_spark.pipelines import vacuum_snapshots
+    from novelti_dingo_spark.streaming.ann_index import _last_appended_epoch
+    from novelti_dingo_spark.streaming.cdc import _checkpoint_identity
+
+    base = str(tmp_path / "ivf")
+    publish_ivf_index(spark, sf_small, base)
+    src = tmp_path / "newvecs"
+    src.mkdir()
+    _new_vec_file(src / "a.parquet", 500_000, 8)
+    ckpt = str(tmp_path / "ckpt")
+    ivf_index_append_stream(spark, str(src), base, ckpt)
+    run_id = _checkpoint_identity(spark, ckpt)
+    # two offline publishes push the stream's snapshot out of keep_last
+    extra = (
+        load_table(spark, sf_small, "embeddings")
+        .limit(3)
+        .withColumn("vec_id", F.col("vec_id") + 600_000)
+    )
+    append_vectors_to_index(spark, base, extra)
+    append_vectors_to_index(
+        spark, base, extra.withColumn("vec_id", F.col("vec_id") + 100)
+    )
+    vacuum_snapshots(spark, base, keep_last=2)
+    assert _last_appended_epoch(spark, base, run_id) == 0
+
+
+def test_ivfpq_streamed_appends_encode_with_frozen_quantizers(
+    spark, sf_small, tmp_path
+):
+    """Round-10: the composed IVF-PQ index grows by stream — appended
+    vectors get PQ codes from the PUBLISHED codebooks (no retrain of
+    either level), one snapshot per batch, pinned readers byte-stable,
+    and the new codes are numpy-verifiable against the frozen
+    codebooks (residual encoding included)."""
+    import numpy as np
+
+    from novelti_dingo_spark.operators.pq import (
+        ivfpq_knn_from_index,
+        publish_ivfpq_index,
+    )
+    from novelti_dingo_spark.streaming.ann_index import (
+        ivfpq_index_append_stream,
+    )
+
+    base = str(tmp_path / "ivfpq")
+    v1 = publish_ivfpq_index(spark, sf_small, base, k_cells=8)
+    e = load_table(spark, sf_small, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).head().embedding]
+    pinned_before = [
+        (r.vec_id, r.pq_sim)
+        for r in ivfpq_knn_from_index(
+            spark, base, q, version=v1, n_probe=2, exclude_vec_id=0
+        ).collect()
+    ]
+    t0, m0 = read_snapshot(spark, base)
+    n0 = t0["codes"].count()
+    cb0 = sorted(
+        (r.m, r.cid, tuple(r.centroid)) for r in t0["codebooks"].collect()
+    )
+
+    src = tmp_path / "newvecs"
+    src.mkdir()
+    _new_vec_file(src / "a.parquet", 700_000, 30)
+    _new_vec_file(src / "b.parquet", 700_100, 20)
+    ckpt = str(tmp_path / "ckpt")
+    ivfpq_index_append_stream(spark, str(src), base, ckpt)
+
+    assert lakefs.read_text(spark, f"{base}/LATEST").strip() == str(v1 + 2)
+    tables, manifest = read_snapshot(spark, base)
+    assert manifest["residual"] is True  # format flags carried forward
+    assert tables["codes"].count() == n0 + 50
+    # quantizers are FROZEN across streamed appends
+    cb1 = sorted(
+        (r.m, r.cid, tuple(r.centroid))
+        for r in tables["codebooks"].collect()
+    )
+    assert cb0 == cb1
+    # new codes verify against the frozen quantizers in numpy: for one
+    # streamed vector, code_m is the argmin centroid of its residual
+    coarse = {r.cid: np.array(r.centroid) for r in tables["coarse"].collect()}
+    cbs = {
+        (r.m, r.cid): np.array(r.centroid)
+        for r in tables["codebooks"].collect()
+    }
+    new_row = (
+        tables["codes"].filter(F.col("vec_id") >= 700_000).head()
+    )
+    vec = np.array(
+        spark.read.parquet(str(src))
+        .filter(F.col("vec_id") == new_row.vec_id)
+        .head()
+        .embedding,
+        dtype=np.float64,
+    )
+    resid = vec - coarse[new_row.cell]
+    from novelti_dingo_spark.operators.pq import K as PQ_K, M, SUBDIM
+
+    for m in range(M):
+        sub = resid[m * SUBDIM:(m + 1) * SUBDIM]
+        dists = {
+            cid: float(((cbs[(m, cid)] - sub) ** 2).sum())
+            for cid in range(PQ_K)
+            if (m, cid) in cbs
+        }
+        best = min(dists, key=lambda c: (dists[c], c))
+        assert new_row.codes[m] == best
+    # a reader pinned to v1 is byte-stable through the appends
+    pinned_after = [
+        (r.vec_id, r.pq_sim)
+        for r in ivfpq_knn_from_index(
+            spark, base, q, version=v1, n_probe=2, exclude_vec_id=0
+        ).collect()
+    ]
+    assert pinned_after == pinned_before
+
+
+def test_ivfpq_stream_replay_exactly_once_and_refusals(
+    spark, sf_small, tmp_path
+):
+    """Mirrors the IVF stream's exactly-once coverage for the composed
+    index: same-checkpoint rerun is a no-op, a forced replay (deleted
+    commit marker) does not double-append even with an interleaved
+    offline publish, and an untrained base is refused."""
+    from novelti_dingo_spark.operators.pq import (
+        append_vectors_to_ivfpq_index,
+        publish_ivfpq_index,
+    )
+    from novelti_dingo_spark.streaming.ann_index import (
+        ivfpq_index_append_stream,
+    )
+
+    with pytest.raises(ValueError, match="no published index"):
+        ivfpq_index_append_stream(
+            spark, str(tmp_path / "src"), str(tmp_path / "nope"),
+            str(tmp_path / "ckpt0"),
+        )
+
+    base = str(tmp_path / "ivfpq")
+    publish_ivfpq_index(spark, sf_small, base, k_cells=8)
+    src = tmp_path / "newvecs"
+    src.mkdir()
+    _new_vec_file(src / "a.parquet", 800_000, 10)
+    ckpt = str(tmp_path / "ckpt")
+    ivfpq_index_append_stream(spark, str(src), base, ckpt)
+    v_after = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
+    n_after = read_snapshot(spark, base)[0]["codes"].count()
+    # same checkpoint, nothing new: no publish
+    ivfpq_index_append_stream(spark, str(src), base, ckpt)
+    assert int(lakefs.read_text(spark, f"{base}/LATEST").strip()) == v_after
+    # interleaved OFFLINE append + forced replay: guard holds
+    extra = (
+        load_table(spark, sf_small, "embeddings")
+        .limit(4)
+        .withColumn("vec_id", F.col("vec_id") + 900_000)
+    )
+    append_vectors_to_ivfpq_index(spark, base, extra)
+    n_offline = read_snapshot(spark, base)[0]["codes"].count()
+    assert n_offline == n_after + 4
+    commit0 = os.path.join(ckpt, "commits", "0")
+    os.remove(commit0)
+    crc0 = os.path.join(os.path.dirname(commit0), ".0.crc")
+    if os.path.exists(crc0):  # Hadoop ChecksumFs shadow file
+        os.remove(crc0)
+    ivfpq_index_append_stream(spark, str(src), base, ckpt)
+    assert read_snapshot(spark, base)[0]["codes"].count() == n_offline

@@ -254,6 +254,55 @@ def test_writer_overwrite_replaces_previous_files(spark, tmp_path):
     assert read_avro(spark, d).count() == 3
 
 
+def test_writer_overwrite_stages_then_swaps_atomically(spark, tmp_path):
+    """Round-9 advice: the old overwrite protocol wrote new part files
+    BESIDE the live ones while the previous job's _SUCCESS still stood,
+    so a concurrent reader keyed on _SUCCESS could observe a valid
+    marker over a mixed old+new file set. The fix stages new files in a
+    hidden subdirectory and swaps at commit: before commit() the live
+    *.avro set is EXACTLY the old job's output; after commit() it is
+    exactly the new job's. Drives AvroPyWriter directly so the
+    pre-commit window can be inspected."""
+    import glob as _glob
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from novelti_dingo_spark.sources.avro_py import (
+        AvroPyWriter,
+        read_avro,
+        write_avro,
+    )
+
+    d = str(tmp_path / "swap")
+    schema = StructType([StructField("k", LongType(), False)])
+    old = spark.createDataFrame([(1,), (2,)], schema)
+    write_avro(old, d, codec="null")
+    old_files = sorted(_glob.glob(os.path.join(d, "*.avro")))
+    assert old_files and os.path.exists(os.path.join(d, "_SUCCESS"))
+
+    w = AvroPyWriter({"path": d, "codec": "null"}, schema, overwrite=True)
+    msg = w.write(iter([(7,), (8,)]))
+    # pre-commit: staged file lives OUTSIDE the live *.avro set; the
+    # directory still reads as the old job's complete, committed output
+    assert msg.file.startswith(os.path.join(d, "_staging-"))
+    assert sorted(_glob.glob(os.path.join(d, "*.avro"))) == old_files
+    assert sorted((r.k,) for r in read_avro(spark, d).collect()) == [(1,), (2,)]
+
+    w.commit([msg])
+    live = _glob.glob(os.path.join(d, "*.avro"))
+    assert len(live) == 1 and os.path.basename(msg.file) == os.path.basename(live[0])
+    assert not os.path.exists(w.staging)  # staging dir cleaned up
+    assert os.path.exists(os.path.join(d, "_SUCCESS"))
+    assert sorted(r.k for r in read_avro(spark, d).collect()) == [7, 8]
+
+    # abort of a staged attempt leaves the committed state untouched
+    w2 = AvroPyWriter({"path": d, "codec": "null"}, schema, overwrite=True)
+    msg2 = w2.write(iter([(99,)]))
+    w2.abort([msg2])
+    assert not os.path.exists(w2.staging)
+    assert sorted(r.k for r in read_avro(spark, d).collect()) == [7, 8]
+
+
 def test_wide_schema_header_beyond_64kb(spark, tmp_path):
     """A header whose schema JSON exceeds the old fixed 64 KB read
     prefix must parse (round-7 advice: incremental header parse)."""

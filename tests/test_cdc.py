@@ -109,3 +109,48 @@ def test_cdc_apply_end_to_end(spark, dirs):
     assert {
         r.id for r in read_version(spark, str(target), version=1)[0].collect()
     } == {1, 2, 3}
+
+
+def test_cdc_replay_guard_survives_interleaved_publish_and_vacuum(
+    spark, dirs
+):
+    """Round-9 advice (shared guard): an out-of-band publish_versioned
+    between the stream's publish and a crash-replay must not reset the
+    epoch guard (it used to read only LATEST's manifest), and vacuuming
+    the version that carried the stream's manifest must not either (the
+    _stream_ckpt control file survives)."""
+    from novelti_dingo_spark.pipelines import (
+        publish_versioned,
+        vacuum_versions,
+    )
+    from novelti_dingo_spark.streaming.cdc import (
+        _checkpoint_identity,
+        _last_applied_epoch,
+    )
+
+    src, target, ckpt = dirs
+    _write([(1, "a", 1.0, 1, False)], src / "b1.parquet")
+    cdc_apply_stream(spark, str(src), str(target), str(ckpt), ["id"], SCHEMA)
+    run_id = _checkpoint_identity(spark, str(ckpt))
+    assert _last_applied_epoch(spark, str(target), run_id) == 0
+
+    # out-of-band publish: LATEST's manifest has a foreign identity
+    tgt_df, _ = read_version(spark, str(target))
+    publish_versioned(tgt_df, str(target), meta={"note": "offline"})
+    assert _last_applied_epoch(spark, str(target), run_id) == 0
+
+    # and with the stream's own version vacuumed away, the control file
+    # still carries the high-water mark
+    publish_versioned(tgt_df, str(target), meta={"note": "offline2"})
+    vacuum_versions(spark, str(target), keep_last=1)
+    assert _last_applied_epoch(spark, str(target), run_id) == 0
+
+    # end-to-end: force replay of batch 0 and confirm no double-apply
+    commit0 = os.path.join(str(ckpt), "commits", "0")
+    assert os.path.exists(commit0)
+    os.remove(commit0)
+    crc0 = os.path.join(os.path.dirname(commit0), ".0.crc")
+    if os.path.exists(crc0):  # Hadoop ChecksumFs shadow file
+        os.remove(crc0)
+    cdc_apply_stream(spark, str(src), str(target), str(ckpt), ["id"], SCHEMA)
+    assert _target(spark, target) == {1: ("a", 1.0)}

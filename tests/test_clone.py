@@ -496,3 +496,62 @@ def test_repin_refuses_non_shallow_and_missing_version(
     shallow_clone_snapshot(spark, chain_base, dest)
     with pytest.raises(ValueError, match="no v=9"):
         repin_shallow_clone(spark, dest, version=9)
+
+
+def test_sync_shallow_clone_fast_forwards_across_compaction(
+    spark, sf_small, chain_base, tmp_path
+):
+    """sync_shallow_clone mirrors sync_clone's coverage for pins: a
+    fast-forward across the source's compaction (lineage preserved via
+    compacted_from) re-points at zero data cost, is idempotent, and the
+    ledger swaps old-lineage protection for new."""
+    from novelti_dingo_spark.pipelines import (
+        shallow_clone_snapshot,
+        sync_shallow_clone,
+    )
+
+    dest = str(tmp_path / "sdest")
+    shallow_clone_snapshot(spark, chain_base, dest)  # pins v3 (head)
+    # source moves on: compact (v4) + append (v5)
+    compact_chain(spark, chain_base)
+    publish_append(
+        _orders(spark, sf_small).filter("o_orderkey % 3 = 2"), chain_base
+    )
+    v = sync_shallow_clone(spark, dest)
+    assert v == 5
+    assert _rows(spark, dest) == _rows(spark, chain_base)
+    # idempotent: a second sync is a no-op at the same pin
+    assert sync_shallow_clone(spark, dest) == 5
+    # old pin (v3) released by the ledger swap: vacuum reclaims it
+    # while the new pin's lineage survives keep_last=1
+    deleted = vacuum_versions(spark, chain_base, keep_last=1)
+    assert 3 in deleted
+    assert _rows(spark, dest) == _rows(spark, chain_base)
+
+
+def test_sync_shallow_clone_refuses_backward_and_rewritten_lineage(
+    spark, sf_small, chain_base, tmp_path
+):
+    """The fast-forward rule: a target version that does not carry the
+    current pin in its history — backward time travel, or a version
+    from a rewritten lineage — is refused (repin_shallow_clone is the
+    explicit override). Also refuses non-clones and missing versions,
+    mirroring sync_clone's precondition tests."""
+    from novelti_dingo_spark.pipelines import (
+        shallow_clone_snapshot,
+        sync_shallow_clone,
+    )
+
+    with pytest.raises(ValueError, match="not a shallow clone"):
+        sync_shallow_clone(spark, chain_base)
+
+    dest = str(tmp_path / "sdest")
+    shallow_clone_snapshot(spark, chain_base, dest, version=2)
+    with pytest.raises(ValueError, match="no v=9"):
+        sync_shallow_clone(spark, dest, version=9)
+    # backward: v1 is in v2's history, not the reverse
+    with pytest.raises(ValueError, match="not a fast-forward"):
+        sync_shallow_clone(spark, dest, version=1)
+    # forward within lineage works from a non-head pin too
+    assert sync_shallow_clone(spark, dest, version=3) == 3
+    assert _rows(spark, dest) == _rows(spark, chain_base)

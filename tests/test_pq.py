@@ -315,7 +315,10 @@ def test_ivfpq_index_served_probe_and_rerank(spark, sf_small, tmp_path):
     from novelti_dingo_spark.pipelines import read_snapshot
 
     base = str(tmp_path / "ivfpq")
-    publish_ivfpq_index(spark, sf_small, base, k_cells=8)
+    # residual=False: this test pins the RAW-encoding format (the
+    # reader stays backward-compatible with pre-residual snapshots);
+    # the residual default is pinned in the _residual_ tests below
+    publish_ivfpq_index(spark, sf_small, base, k_cells=8, residual=False)
     e = load_table(spark, sf_small, "embeddings")
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).head().embedding]
 
@@ -371,3 +374,185 @@ def test_ivfpq_index_served_probe_and_rerank(spark, sf_small, tmp_path):
             acc += float(a) * b
         assert r.cos_sim == round(acc, 6)
         assert cell_of[r.vec_id] in probed
+
+
+def _emb_fixture(tmp_path, corpus: "np.ndarray") -> str:
+    """Write a synthetic embeddings.parquet shaped like the testdata
+    (vec_id long, embedding list<float32>, label int32) so load_table /
+    publish_ivfpq_index treat the dir as an sf_dir."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    d = tmp_path / "emb_fixture"
+    d.mkdir(exist_ok=True)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(corpus)), pa.int64()),
+            "embedding": pa.array(
+                corpus.astype(np.float32).tolist(), pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(corpus), pa.int32()),
+        }
+    )
+    pq_.write_table(tbl, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_ivfpq_residual_index_served_numpy_exact(spark, sf_small, tmp_path):
+    """Round-10 verdict item #1 done-criterion: the PERSISTED IVF-PQ
+    index is residual-encoded by default and the served ADC score is
+    numpy/python-EXACT: q·centroid(cell) + Σ_m LUT[m, code_m], every
+    float fold left-to-right."""
+    from novelti_dingo_spark.operators.pq import (
+        ivfpq_knn_from_index,
+        publish_ivfpq_index,
+    )
+    from novelti_dingo_spark.pipelines import read_snapshot
+
+    base = str(tmp_path / "ivfpq_res")
+    publish_ivfpq_index(spark, sf_small, base, k_cells=8)
+    tables, manifest = read_snapshot(spark, base)
+    assert manifest["residual"] is True and manifest["k"] == K
+    e = load_table(spark, sf_small, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).head().embedding]
+
+    served = ivfpq_knn_from_index(
+        spark, base, q, n_probe=2, exclude_vec_id=0
+    ).collect()
+    assert len(served) == 10
+
+    cell_of = {r.vec_id: r.cell for r in tables["codes"].collect()}
+    codes = {r.vec_id: list(r.codes) for r in tables["codes"].collect()}
+    cbs = {
+        (r.m, r.cid): list(r.centroid)
+        for r in tables["codebooks"].collect()
+    }
+    coarse = {r.cid: list(r.centroid) for r in tables["coarse"].collect()}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    def sqd(c):
+        acc = 0.0
+        for x, y in zip(c, q):
+            d = x - y
+            acc += d * d
+        return acc
+
+    probed = {
+        cid
+        for _, cid in sorted((sqd(c), cid) for cid, c in coarse.items())[:2]
+    }
+    for r in served:
+        assert cell_of[r.vec_id] in probed
+        want = fold_dot(coarse[cell_of[r.vec_id]], q)
+        for m in range(M):
+            sub = q[m * SUBDIM:(m + 1) * SUBDIM]
+            want += fold_dot(cbs[(m, codes[r.vec_id][m])], sub)
+        assert r.pq_sim == round(want, 6)
+
+
+def test_residual_index_recall_beats_raw_on_clustered_corpus(
+    spark, tmp_path
+):
+    """The reason residual encoding exists: on a clustered corpus
+    (planted near-duplicates of the query), the RESIDUAL index's pure
+    ADC shortlist must recover the planted neighbors; round 9 measured
+    the raw composition losing exactly this signal (recall@10 = 0.0 at
+    1M uniform). Pins residual recall == 1.0 on the planted set and
+    >= the raw index's recall on identical data + quantizer budgets."""
+    from novelti_dingo_spark.operators.pq import (
+        ivfpq_knn_from_index,
+        publish_ivfpq_index,
+    )
+
+    rng = np.random.default_rng(17)
+    base_corpus = rng.normal(size=(800, 64))
+    base_corpus /= np.linalg.norm(base_corpus, axis=1, keepdims=True)
+    q = base_corpus[0]
+    planted = q + rng.normal(scale=0.02, size=(5, 64))
+    planted /= np.linalg.norm(planted, axis=1, keepdims=True)
+    corpus = np.vstack([base_corpus, planted])
+    sf_dir = _emb_fixture(tmp_path, corpus)
+    planted_ids = set(range(800, 805))
+    qd = [float(x) for x in q]
+
+    def top10(index_base, residual):
+        publish_ivfpq_index(
+            spark, sf_dir, index_base, k_cells=8, residual=residual
+        )
+        return {
+            r.vec_id
+            for r in ivfpq_knn_from_index(
+                spark, index_base, qd, n_probe=2, exclude_vec_id=0
+            ).collect()
+        }
+
+    res_hits = top10(str(tmp_path / "idx_res"), True) & planted_ids
+    raw_hits = top10(str(tmp_path / "idx_raw"), False) & planted_ids
+    assert len(res_hits) == 5, f"residual ADC missed planted: {res_hits}"
+    assert len(res_hits) >= len(raw_hits)
+
+
+def test_ivfpq_k256_code_rate_served(spark, sf_small, tmp_path):
+    """pq_k=256 (1-byte codes): codes stay in range, the serving LUT
+    handles a sparse codebook (empty Lloyd's cells on a small corpus),
+    and the ADC score remains numpy-exact."""
+    from novelti_dingo_spark.operators.pq import (
+        ivfpq_knn_from_index,
+        publish_ivfpq_index,
+    )
+    from novelti_dingo_spark.pipelines import read_snapshot
+
+    base = str(tmp_path / "ivfpq256")
+    publish_ivfpq_index(spark, sf_small, base, k_cells=4, pq_k=256)
+    tables, manifest = read_snapshot(spark, base)
+    assert manifest["k"] == 256 and manifest["residual"] is True
+    all_codes = tables["codes"].collect()
+    assert all(0 <= c < 256 for r in all_codes for c in r.codes)
+    e = load_table(spark, sf_small, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).head().embedding]
+    served = ivfpq_knn_from_index(
+        spark, base, q, n_probe=2, exclude_vec_id=0
+    ).collect()
+    assert len(served) == 10
+
+    cell_of = {r.vec_id: r.cell for r in all_codes}
+    codes = {r.vec_id: list(r.codes) for r in all_codes}
+    cbs = {
+        (r.m, r.cid): list(r.centroid)
+        for r in tables["codebooks"].collect()
+    }
+    coarse = {r.cid: list(r.centroid) for r in tables["coarse"].collect()}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    for r in served:
+        want = fold_dot(coarse[cell_of[r.vec_id]], q)
+        for m in range(M):
+            sub = q[m * SUBDIM:(m + 1) * SUBDIM]
+            want += fold_dot(cbs[(m, codes[r.vec_id][m])], sub)
+        assert r.pq_sim == round(want, 6)
+
+
+def test_numpy_encoder_matches_join_encoder(spark, sf_small):
+    """pq_encode_numpy (the high-code-rate scale path) must produce
+    code-for-code the same assignment as the join encoder: same
+    argmin, same lowest-cid tie-break."""
+    from novelti_dingo_spark.operators.pq import pq_encode_numpy
+
+    e = load_table(spark, sf_small, "embeddings")
+    cb = pq_fit(e)
+    a = {r.vec_id: list(r.codes) for r in pq_encode(e, cb).collect()}
+    b = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode_numpy(e, cb, k=K).collect()
+    }
+    assert a == b

@@ -1002,6 +1002,7 @@ def main() -> int:
             # execute with codegen fallback DISABLED: any generated-code
             # compile failure (e.g. Janino 64 KB overflow) raises instead
             # of silently degrading the stage to interpreted execution
+            prior_fallback = spark.conf.get("spark.sql.codegen.fallback", None)
             spark.conf.set("spark.sql.codegen.fallback", "false")
             try:
                 specs[name].fn(spark, sf_dir).collect()
@@ -1010,7 +1011,12 @@ def main() -> int:
                     f"whole-stage codegen failed to compile: {e}"[:300]
                 )
             finally:
-                spark.conf.set("spark.sql.codegen.fallback", "true")
+                if prior_fallback is None:
+                    spark.conf.unset("spark.sql.codegen.fallback")
+                else:
+                    spark.conf.set(
+                        "spark.sql.codegen.fallback", prior_fallback
+                    )
         status = "PASS" if not problems else "FAIL"
         if problems:
             failures += 1

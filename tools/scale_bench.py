@@ -440,11 +440,19 @@ def run_skew_lsh(n_hot: int = 1500) -> None:
 
 
 def run_ann_pq(ns: list[int]) -> None:
-    """The COMPOSED index point: IVF routing × PQ bytes. Publishes the
-    ivfpq snapshot (codes partitioned by coarse cell) and measures the
-    amortized ADC probe and ADC+exact-rerank walls beside the
-    IVF-exact probe and brute numbers already in `ann` — plus
-    recall@10 of the reranked output vs brute."""
+    """The COMPOSED index point: IVF routing × PQ bytes — swept over
+    the ENCODING variants (round-10 verdict #1: the raw 32-bit
+    composition measured recall@10 = 0.0 at 1M):
+
+      raw_k16  — round-9 format (PQ on raw vectors, 4-bit codes)
+      res_k16  — residual encoding, same 32-bit budget
+      res_k256 — residual + 1-byte codes (64 bits/vector; sampled
+                 training + numpy encoder — the production rate)
+
+    For each (n, variant): build wall, amortized ADC-only and
+    ADC+exact-rerank probe walls, and recall@10 of BOTH outputs vs
+    brute — so the measured statement covers the achievable ceiling at
+    each code rate, not one blended number."""
     import shutil
 
     from novelti_dingo_spark.operators.pq import (
@@ -456,6 +464,11 @@ def run_ann_pq(ns: list[int]) -> None:
 
     spark = _spark()
     k_cells, n_probe = 32, 4
+    variants = [
+        ("raw_k16", dict(residual=False, pq_k=16)),
+        ("res_k16", dict(residual=True, pq_k=16)),
+        ("res_k256", dict(residual=True, pq_k=256)),
+    ]
     res = {}
     for n in ns:
         d = build_embeddings(n)
@@ -463,38 +476,45 @@ def run_ann_pq(ns: list[int]) -> None:
             f"SELECT embedding FROM '{d}/embeddings.parquet' WHERE vec_id = 0"
         ).fetchone()[0]
         qv = [float(x) for x in qv]
-        base = os.path.join(d, "ivfpq_index")
-        shutil.rmtree(base, ignore_errors=True)
-        t0 = time.perf_counter()
-        publish_ivfpq_index(spark, d, base, k_cells=k_cells)
-        build_s = round(time.perf_counter() - t0, 3)
         e = load_table(spark, d, "embeddings")
-
-        def adc():
-            return ivfpq_knn_from_index(
-                spark, base, qv, n_probe=n_probe, exclude_vec_id=0
-            ).collect()
-
-        def rerank():
-            return ivfpq_knn_from_index(
-                spark, base, qv, n_probe=n_probe, shortlist=100,
-                rerank=e, exclude_vec_id=0,
-            ).collect()
-
-        adc_s = _med(adc)
-        rerank_s = _med(rerank)
         want = {r.vec_id for r in knn_bruteforce_top10(spark, d).collect()}
-        got = {r.vec_id for r in rerank()}
+        per_variant = {}
+        for tag, kw in variants:
+            base = os.path.join(d, f"ivfpq_index_{tag}")
+            shutil.rmtree(base, ignore_errors=True)
+            t0 = time.perf_counter()
+            publish_ivfpq_index(spark, d, base, k_cells=k_cells, **kw)
+            build_s = round(time.perf_counter() - t0, 3)
+
+            def adc():
+                return ivfpq_knn_from_index(
+                    spark, base, qv, n_probe=n_probe, exclude_vec_id=0
+                ).collect()
+
+            def rerank():
+                return ivfpq_knn_from_index(
+                    spark, base, qv, n_probe=n_probe, shortlist=100,
+                    rerank=e, exclude_vec_id=0,
+                ).collect()
+
+            adc_s = _med(adc)
+            rerank_s = _med(rerank)
+            got_adc = {r.vec_id for r in adc()}
+            got_rr = {r.vec_id for r in rerank()}
+            per_variant[tag] = {
+                "build_s": build_s,
+                "adc_probe_s": adc_s,
+                "rerank_probe_s": rerank_s,
+                "recall_at_10_adc": round(len(got_adc & want) / 10, 2),
+                "recall_at_10_reranked": round(len(got_rr & want) / 10, 2),
+            }
+            print(f"{n}/{tag}: {per_variant[tag]}")
         res[str(n)] = {
             "n_vectors": n,
             "k_cells": k_cells,
             "n_probe": n_probe,
-            "build_s": build_s,
-            "adc_probe_s": adc_s,
-            "rerank_probe_s": rerank_s,
-            "recall_at_10_reranked": round(len(got & want) / 10, 2),
+            **per_variant,
         }
-        print(f"{n}: {res[str(n)]}")
     _merge("ann_ivfpq", res)
 
 
