@@ -748,6 +748,90 @@ EXPECT = {
         "broadcast_joins": 1, "take_ordered": True, "no_python_udf": True,
         "plan_must_contain": ["PartitionFilters: [cell"],
     },
+    # --- round-10 promotions: the ANN train-per-call family. These are
+    # iterative trainers whose Lloyd's loops inline into one large plan,
+    # so exchange counts are unstable by design; the pinned properties
+    # are the serving-shape invariants: broadcast dims/LUTs (never a
+    # shuffled join against the corpus), top-k via TakeOrderedAndProject
+    # (never a global sort), partial aggregation in every groupBy, and
+    # JVM-only hot paths. The 1-row query-vector crossJoin legitimately
+    # plans BroadcastNestedLoopJoin — broadcast of one row, not a blowup.
+    "ivf_knn_top10": {
+        "broadcast_joins": 2, "take_ordered": True, "partial_agg": True,
+        "no_python_udf": True,
+    },
+    "ivf_cell_sizes": {
+        "take_ordered": True, "partial_agg": True, "no_python_udf": True,
+    },
+    "ivf_pq_knn_top10": {
+        "broadcast_joins": 8, "take_ordered": True, "partial_agg": True,
+        "no_python_udf": True,
+    },
+    "ivf_pq_residual_knn_top10": {
+        "broadcast_joins": 8, "take_ordered": True, "partial_agg": True,
+        "no_python_udf": True,
+    },
+    "pq_knn_top10": {
+        "broadcast_joins": 8, "take_ordered": True, "partial_agg": True,
+        "no_python_udf": True,
+    },
+    "pq_rerank_top10": {
+        "broadcast_joins": 8, "take_ordered": True, "partial_agg": True,
+        "no_python_udf": True,
+    },
+    # OPQ's rotation deliberately applies as an Arrow-batched matmul
+    # (X-surface exception) — so no no_python_udf here; the scale
+    # properties are the same broadcast/topk/partial-agg invariants
+    "opq_pq_knn_top10": {
+        "broadcast_joins": 8, "take_ordered": True, "partial_agg": True,
+    },
+    # pairwise dedup/similarity: candidate generation must stay an
+    # EQUI-join (bucket/band/gram keys) — never nested-loop/cartesian —
+    # with dims broadcast and aggregations two-phase
+    "ann_lsh_topk": {
+        "broadcast_joins": 2, "hash_join_not_nlj": True,
+        "no_python_udf": True,
+    },
+    "knn_allpairs_label_top3": {
+        "broadcast_joins": 2, "hash_join_not_nlj": True,
+        "no_python_udf": True,
+    },
+    "embedding_neardup_cosine": {
+        "broadcast_joins": 2, "hash_join_not_nlj": True,
+    },
+    "minhash_lsh_pairs": {
+        "broadcast_joins": 2, "hash_join_not_nlj": True,
+        "partial_agg": True, "no_python_udf": True,
+    },
+    "ngram_jaccard_pairs": {
+        "broadcast_joins": 2, "hash_join_not_nlj": True,
+        "no_python_udf": True,
+    },
+    "simhash_pairs": {
+        "hash_join_not_nlj": True, "partial_agg": True,
+        "no_python_udf": True,
+    },
+    # pagerank: the registered query reads the converged ranks from the
+    # iteration's localCheckpoint — the plan must stay checkpoint-fed
+    # (no re-derivation scan) and top-k without a global sort
+    "pagerank_doc_centrality": {
+        "take_ordered": True, "no_python_udf": True, "max_exchanges": 0,
+    },
+    # the deliberate X1-X3 pandas surface: the plan must actually carry
+    # the Arrow eval node it exists to exercise (and nothing else —
+    # X1 is a zero-shuffle scan; X2/X3 shuffle once on the group key)
+    "pandas_udf_vector_norm": {
+        "plan_must_contain": ["ArrowEvalPython"], "max_exchanges": 0,
+        "codegen_compiles": True,
+    },
+    "grouped_normalize": {
+        "plan_must_contain": ["FlatMapGroupsInPandas"],
+        "single_shuffle": True, "codegen_compiles": True,
+    },
+    "grouped_agg_geomean": {
+        "plan_must_contain": ["ArrowAggregatePython"],
+        "single_shuffle": True, "codegen_compiles": True,
+    },
     # --- round-9 promotions off the exemption list (shrinking it is the
     # point; these are simple shapes whose scale properties deserve the
     # same lockstep guarantees as new queries) ---
@@ -822,42 +906,26 @@ EXPECT = {
 # tests/test_plans.py::test_audit_lockstep enforces
 # set(registry) == set(EXPECT) | AUDIT_EXEMPT.
 AUDIT_EXEMPT = frozenset({
-    "agg_approx_distinct", 
-    
-    
-    "ann_lsh_topk", "array_funcs",
-    "audience_overlap_sketch", "bfs_hops_neardup", 
-    "bpe_merge_table", "bpe_token_counts", 
-    
-    "embedding_neardup_cosine",
-    "embedding_pca_project", 
-    "gbm_quality_train", "grouped_agg_geomean", "grouped_normalize",
+    "agg_approx_distinct",
+    "array_funcs",
+    "audience_overlap_sketch", "bfs_hops_neardup",
+    "bpe_merge_table", "bpe_token_counts",
+    "embedding_pca_project",
+    "gbm_quality_train",
     "hll_sketch_rollup",
-    "ivf_cell_sizes", "ivf_knn_top10", "ivf_pq_knn_top10",
-    "ivf_pq_residual_knn_top10", 
-    
-    
-    "knn_allpairs_label_top3", 
-    "levenshtein_neighbors", "logreg_quality_train", 
-    "minhash_lsh_pairs", "multimodal_decode_features",
+    "levenshtein_neighbors", "logreg_quality_train",
+    "multimodal_decode_features",
     "multimodal_frame_sample", "multimodal_pack", "multimodal_resize",
-    "neardup_clusters", "neardup_clusters_bigstar", "ngram_jaccard_pairs",
-    "opq_pq_knn_top10", "pack_sequences_firstfit",
-    "pagerank_doc_centrality", "pandas_udf_vector_norm", "pq_knn_top10",
-    "pq_rerank_top10", 
-    
-    
+    "neardup_clusters", "neardup_clusters_bigstar",
+    "pack_sequences_firstfit",
     "salted_skew_agg", "setop_except_all",
-    "setop_intersect_all", 
-    "simhash_pairs", 
-    "sql_recursive_calendar", 
+    "setop_intersect_all",
+    "sql_recursive_calendar",
     "sql_scalar_function", "sql_segment_priority_matrix",
-    "sql_udf_pricing", 
+    "sql_udf_pricing",
     "text_stats_by_lang", "tfidf_top_terms",
     "udtf_token_positions",
-    
-    "window_distribution", 
-    
+    "window_distribution",
 })
 
 
