@@ -198,24 +198,45 @@ def append_vectors_to_index(
     base_dir: str,
     new_vectors: DataFrame,
     meta: dict | None = None,
+    mode: str = "delta",
 ) -> int:
     """Incremental index maintenance: assign NEW vectors to the
     EXISTING centroids (no retrain — assignment is one broadcast scan
-    of the additions) and publish centroids + grown postings as the
-    next snapshot. The index degrades gracefully as the data drifts
-    from the trained centroids; the retrain trigger is cell-skew
-    monitoring (ivf_cell_sizes) — republish with publish_ivf_index
-    when a cell outgrows its siblings."""
-    from ..pipelines import publish_snapshot, read_snapshot
+    of the additions) and publish the growth as the next snapshot. The
+    index degrades gracefully as the data drifts from the trained
+    centroids; the retrain trigger is cell-skew monitoring
+    (ivf_cell_sizes) — republish with publish_ivf_index when a cell
+    outgrows its siblings.
 
-    tables, manifest = read_snapshot(spark, base_dir)
+    `mode` (round-10, same trade as append_vectors_to_ivfpq_index):
+    "delta" publishes ONLY the batch's postings as a chained delta
+    snapshot — O(batch) bytes per append instead of rewriting the full
+    postings table; readers resolve via read_snapshot_chain and
+    compact_snapshot_chain folds long chains. "rewrite" keeps the old
+    full-republish shape (zero read-side chain cost)."""
+    from ..pipelines import (
+        publish_snapshot,
+        publish_snapshot_delta,
+        read_snapshot_chain,
+    )
+
+    tables, manifest = read_snapshot_chain(spark, base_dir)
     centroids = tables["centroids"]
     postings = tables["postings"]
     added = _assign(new_vectors, centroids)
+    carried = {"k": manifest.get("k", K)}
+    if mode == "delta":
+        return publish_snapshot_delta(
+            {"postings": added},
+            base_dir,
+            meta={**carried, "appended": True, **(meta or {})},
+        )
+    if mode != "rewrite":
+        raise ValueError(f"mode must be 'delta' or 'rewrite', got {mode!r}")
     return publish_snapshot(
         {"centroids": centroids, "postings": postings.unionByName(added)},
         base_dir,
-        meta={"k": manifest.get("k", K), "appended": True, **(meta or {})},
+        meta={**carried, "appended": True, **(meta or {})},
     )
 
 
@@ -233,10 +254,12 @@ def ivf_knn_from_index(
     cells' postings. Identical plan shape to ivf_knn, but the training
     cost is amortized across every query against the snapshot — and a
     pinned `version` makes retrieval reproducible under concurrent
-    republishes (the eval-set property a training pipeline needs)."""
-    from ..pipelines import read_snapshot
+    republishes (the eval-set property a training pipeline needs).
+    Reads resolve the append delta chain (read_snapshot_chain) — each
+    chained postings scan prunes to the probed cells independently."""
+    from ..pipelines import read_snapshot_chain
 
-    tables, manifest = read_snapshot(spark, base_dir, version)
+    tables, manifest = read_snapshot_chain(spark, base_dir, version)
     postings = tables["postings"]
     # Routing runs DRIVER-SIDE over the k centroids (k_cells × dim
     # floats — the index's "root node", cached per published snapshot):

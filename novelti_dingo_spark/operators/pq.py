@@ -691,6 +691,7 @@ def append_vectors_to_ivfpq_index(
     base_dir: str,
     new_vectors: DataFrame,
     meta: dict | None = None,
+    mode: str = "delta",
 ) -> int:
     """Incremental IVF-PQ maintenance (round-10 verdict #5 / round-9
     missing #3): encode NEW vectors with the PUBLISHED quantizers — no
@@ -704,13 +705,17 @@ def append_vectors_to_ivfpq_index(
     byte-identical results, and an unpinned reader's scores stay
     comparable across the append (same LUT space).
 
-    Write amplification: like append_vectors_to_index, the snapshot
-    publish rewrites the codes table (O(corpus) per batch at toy scale;
-    at 100 TB swap the publish step for a partition-level upsert of the
-    touched cells only — codes are hive-partitioned by cell, so the
-    rewrite set is bounded by the batch's cell fan-out; the known
-    snapshot-simplicity vs write-amplification trade, same note as
-    streaming/cdc.py).
+    Write amplification — `mode` picks the trade:
+    - "delta" (default, the scale shape): publish ONLY the batch's
+      codes as a chained delta snapshot (publish_snapshot_delta) —
+      O(batch) bytes written; readers resolve the chain via
+      read_snapshot_chain (each delta scan still partition-prunes on
+      its own cell dirs), vacuum pins chain ancestors, and
+      compact_snapshot_chain folds a long chain back into one full
+      snapshot (bound the O(chain) manifest walk per serve call).
+    - "rewrite": union into the full codes table and republish
+      everything — O(corpus) per batch, zero read-side chain cost; the
+      right shape when appends are rare and reads are hot.
 
     RETRAIN THRESHOLD (documented, monitored offline): appended
     vectors quantize against centroids trained before they existed, so
@@ -721,10 +726,14 @@ def append_vectors_to_ivfpq_index(
     norm exceeds ~1.5× the training corpus's (the codebooks stop
     resolving within-cell structure). Both are one aggregate over
     KB-to-MB-scale tables."""
-    from ..pipelines import publish_snapshot, read_snapshot
+    from ..pipelines import (
+        publish_snapshot,
+        publish_snapshot_delta,
+        read_snapshot_chain,
+    )
     from .ivf import _assign as ivf_assign
 
-    tables, manifest = read_snapshot(spark, base_dir)
+    tables, manifest = read_snapshot_chain(spark, base_dir)
     coarse = tables["coarse"]
     codebooks = tables["codebooks"]
     codes = tables["codes"]
@@ -759,6 +768,15 @@ def append_vectors_to_ivfpq_index(
         for key in ("k_cells", "m", "k", "subdim", "residual")
         if key in manifest
     }
+    if mode == "delta":
+        return publish_snapshot_delta(
+            {"codes": added},
+            base_dir,
+            meta={**carried, "appended": True, **(meta or {})},
+            partition_by={"codes": ["cell"]},
+        )
+    if mode != "rewrite":
+        raise ValueError(f"mode must be 'delta' or 'rewrite', got {mode!r}")
     return publish_snapshot(
         {
             "coarse": coarse,
@@ -798,10 +816,14 @@ def ivfpq_knn_from_index(
     snapshot the score is q·centroid(cell) + Σ_m LUT[m, code_m]: the
     per-cell constant is driver-side math over the already-cached
     routing table, inlined as an n_probe-entry literal map — still one
-    codegen'd scan, zero joins per query."""
-    from ..pipelines import read_snapshot
+    codegen'd scan, zero joins per query. Reads resolve the append
+    DELTA CHAIN (read_snapshot_chain): streamed appends land as
+    codes-only delta snapshots, and the scan unions the chain's pruned
+    cell scans — still one job; compact_snapshot_chain bounds the
+    chain length."""
+    from ..pipelines import read_snapshot_chain
 
-    tables, manifest = read_snapshot(spark, base_dir, version)
+    tables, manifest = read_snapshot_chain(spark, base_dir, version)
     n_sub = int(manifest.get("m", M))
     kk = int(manifest.get("k", K))
     subdim = int(manifest.get("subdim", SUBDIM))

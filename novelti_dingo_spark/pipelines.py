@@ -2925,11 +2925,128 @@ def publish_snapshot(
             name: {"rows": counts[name], "schema": df.schema.simpleString()}
             for name, df in dfs.items()
         },
+        # recorded so chain compaction can republish with the same
+        # physical layout without the caller re-supplying it
+        **({"partitioned": partition_by} if partition_by else {}),
         **(meta or {}),
     }
     lakefs.write_text(spark, f"{out}/_manifest.json", json.dumps(manifest))
     lakefs.replace_text(spark, f"{base}/LATEST", str(version))
     return version
+
+
+def publish_snapshot_delta(
+    dfs: dict[str, DataFrame],
+    base_dir: str,
+    meta: dict | None = None,
+    partition_by: dict[str, list[str]] | None = None,
+) -> int:
+    """APPEND-shaped snapshot commit: publish only the DELTA tables of
+    this batch and record `delta_parent` = the current LATEST, forming
+    a chain the reader resolves with `read_snapshot_chain`. This is the
+    O(batch) counterpart to publish_snapshot's O(all-tables) rewrite —
+    the difference between re-writing a 100 TB index per streamed
+    micro-batch and writing the batch's few MB (same trade the
+    versioned lake's publish_append makes vs publish_versioned, lifted
+    to multi-table snapshots).
+
+    Chain rules (enforced by the reader and vacuum):
+    - a delta snapshot carries a SUBSET of the full snapshot's tables;
+      resolution unions each delta table down the chain and takes the
+      remaining tables from the nearest FULL ancestor;
+    - `vacuum_snapshots` pins every delta_parent ancestor of a kept
+      snapshot — a delta is unreadable without its chain;
+    - `compact_snapshot_chain` folds the chain back into one full
+      snapshot when it grows long (O(chain) manifest reads per serve
+      call is the cost being bounded)."""
+    from .sources import lakefs
+
+    base = base_dir.rstrip("/")
+    if not lakefs.exists(spark_of(dfs), f"{base}/LATEST"):
+        raise ValueError(
+            f"{base_dir} holds no published snapshot — a delta needs a "
+            "full parent (publish_snapshot first)"
+        )
+    parent = int(
+        lakefs.read_text(spark_of(dfs), f"{base}/LATEST").strip()
+    )
+    return publish_snapshot(
+        dfs,
+        base_dir,
+        meta={"delta_parent": parent, **(meta or {})},
+        partition_by=partition_by,
+    )
+
+
+def spark_of(dfs: dict[str, DataFrame]):
+    """The SparkSession behind a non-empty {name: DataFrame} dict."""
+    if not dfs:
+        raise ValueError("need at least one table")
+    return next(iter(dfs.values())).sparkSession
+
+
+def read_snapshot_chain(
+    spark: SparkSession, base_dir: str, version: int | None = None
+):
+    """Read a snapshot RESOLVING its delta chain: returns
+    ({table: DataFrame}, head_manifest). Tables present in delta
+    snapshots union down the chain (head first — order is irrelevant to
+    the union) until the nearest full ancestor supplies every remaining
+    table. A plain full snapshot resolves to itself, so this is a
+    drop-in superset of read_snapshot for any consumer that must accept
+    both layouts. Partition-pruning survives resolution: the union is a
+    union of parquet scans, each of which prunes on its own hive
+    partitions."""
+    tables, head = read_snapshot(spark, base_dir, version)
+    cur_tables, cur_manifest = tables, head
+    resolved = dict(tables)
+    seen = {int(head["snapshot"])}
+    while cur_manifest.get("delta_parent") is not None:
+        parent = int(cur_manifest["delta_parent"])
+        if parent in seen:
+            raise ValueError(
+                f"snapshot delta chain at {base_dir} has a cycle at "
+                f"v={parent}"
+            )
+        seen.add(parent)
+        cur_tables, cur_manifest = read_snapshot(spark, base_dir, parent)
+        for name, df in cur_tables.items():
+            if name in resolved:
+                resolved[name] = resolved[name].unionByName(df)
+            else:
+                resolved[name] = df
+    return resolved, head
+
+
+def compact_snapshot_chain(
+    spark: SparkSession, base_dir: str, meta: dict | None = None
+) -> int:
+    """Fold the LATEST delta chain into one FULL snapshot: chain-
+    resolved tables republished under the layout recorded in the
+    manifests (`partitioned`), after which the old chain is vacuumable
+    and readers pay zero chain walks. The compaction analogue of
+    compact_chain for the versioned lake."""
+    tables, head = read_snapshot_chain(spark, base_dir)
+    # layout + format flags come from the manifests: the head's meta
+    # minus chain bookkeeping, layout from the nearest recorded one
+    carried = {
+        k: v
+        for k, v in head.items()
+        if k not in ("snapshot", "tables", "delta_parent", "partitioned",
+                     "appended", "batch_id", "checkpoint_id")
+    }
+    part = head.get("partitioned")
+    if part is None:
+        cur = head
+        while cur.get("delta_parent") is not None and part is None:
+            _, cur = read_snapshot(spark, base_dir, int(cur["delta_parent"]))
+            part = cur.get("partitioned")
+    return publish_snapshot(
+        tables,
+        base_dir,
+        meta={**carried, "compacted_chain": True, **(meta or {})},
+        partition_by=part,
+    )
 
 
 def read_snapshot(
@@ -2957,7 +3074,12 @@ def vacuum_snapshots(
     spark: SparkSession, base_dir: str, keep_last: int = 2
 ) -> list[int]:
     """Reclaim old and orphaned (crash-abandoned, never-pointed-to)
-    snapshots; same retention + LATEST-pin rules as vacuum_versions."""
+    snapshots; same retention + LATEST-pin rules as vacuum_versions.
+    Delta chains (publish_snapshot_delta): every `delta_parent`
+    ancestor of a kept snapshot is kept too — a delta is unreadable
+    without its chain, so retention counts CHAINS, not snapshots."""
+    import json as _json
+
     from .sources import lakefs
 
     base = base_dir.rstrip("/")
@@ -2972,6 +3094,18 @@ def vacuum_snapshots(
     keep = set(versions[-keep_last:]) if keep_last > 0 else set()
     if pinned is not None:
         keep.add(pinned)
+    # expand: walk delta_parent chains out of every kept snapshot
+    todo = list(keep)
+    while todo:
+        v = todo.pop()
+        mpath = f"{base}/snap={v}/_manifest.json"
+        if not lakefs.exists(spark, mpath):
+            continue  # crash-orphaned partial snapshot
+        m = _json.loads(lakefs.read_text(spark, mpath))
+        parent = m.get("delta_parent")
+        if parent is not None and int(parent) not in keep:
+            keep.add(int(parent))
+            todo.append(int(parent))
     deleted = []
     for v in versions:
         if v not in keep:

@@ -15,7 +15,7 @@ from novelti_dingo_spark.operators.ivf import (
     ivf_knn_from_index,
     publish_ivf_index,
 )
-from novelti_dingo_spark.pipelines import read_snapshot
+from novelti_dingo_spark.pipelines import read_snapshot_chain as read_snapshot
 from novelti_dingo_spark.sources import lakefs
 from novelti_dingo_spark.sources.io import load_table
 from novelti_dingo_spark.streaming.ann_index import ivf_index_append_stream

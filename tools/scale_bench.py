@@ -480,6 +480,12 @@ def run_ann_pq(ns: list[int]) -> None:
         want = {r.vec_id for r in knn_bruteforce_top10(spark, d).collect()}
         per_variant = {}
         for tag, kw in variants:
+            if tag == "raw_k16" and n >= 1_000_000:
+                # round-9 already measured the raw composition at 1M
+                # (SCALE_MEASURED.json ann_ivfpq."1000000": recall 0.0,
+                # build 2313 s) — don't re-pay a 38-minute build to
+                # reconfirm the format this sweep exists to replace
+                continue
             base = os.path.join(d, f"ivfpq_index_{tag}")
             shutil.rmtree(base, ignore_errors=True)
             t0 = time.perf_counter()
