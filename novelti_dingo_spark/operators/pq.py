@@ -960,3 +960,51 @@ def ivfpq_index_serve_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, base, q, n_probe=2, shortlist=50, rerank=e,
         exclude_vec_id=0,
     )
+
+
+@register(
+    "ivfpq_delta_serve_top10",
+    None,  # trained quantizers + engine-specific delta-chain layout →
+    # rows-only; chain resolution, pruning, and byte-stability are
+    # pinned in tests/test_snapshot_chain.py.
+    survey_rows="L22,L3-scale,S5,ST13",
+)
+def ivfpq_delta_serve_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-10 APPEND-SERVE shape at the correctness gate: the
+    composed index takes a codes-only DELTA append
+    (append_vectors_to_ivfpq_index mode='delta' — O(batch) bytes, the
+    streamed-maintenance commit) and the very next query serves through
+    the resolved chain (read_snapshot_chain): one job unioning the
+    probed cells' pruned scans across the chain, ADC-scored by the same
+    literal LUT. The appended vectors are copies of real corpus vectors
+    re-keyed upward, so the served top-k is deterministic (copies carry
+    identical codes; ties break on vec_id). ADC-only on purpose: the
+    appended ids have no float rows in the source table, so a rerank
+    stage would silently drop exactly the rows this query exists to
+    prove visible."""
+    import os
+    import tempfile
+
+    from ..sources import lakefs
+    from ..sources.io import fixture_tag
+
+    tag = fixture_tag(sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "ivfpq_index_delta"
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        publish_ivfpq_index(spark, sf_dir, base)
+        batch = (
+            e.orderBy("vec_id")
+            .limit(16)
+            .withColumn("vec_id", F.col("vec_id") + 10_000_000)
+        )
+        append_vectors_to_ivfpq_index(spark, base, batch)  # delta commit
+    q = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).head().embedding
+    ]
+    return ivfpq_knn_from_index(
+        spark, base, q, n_probe=2, exclude_vec_id=0
+    )

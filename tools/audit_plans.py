@@ -748,6 +748,13 @@ EXPECT = {
         "broadcast_joins": 1, "take_ordered": True, "no_python_udf": True,
         "plan_must_contain": ["PartitionFilters: [cell"],
     },
+    # round-10 delta-chain serve: the resolved chain must still prune
+    # on cell partitions in EVERY chained scan and keep the single-job
+    # top-k shape (no joins — the LUT is a literal)
+    "ivfpq_delta_serve_top10": {
+        "take_ordered": True, "no_python_udf": True,
+        "plan_must_contain": ["PartitionFilters: [cell", "Union"],
+    },
     # --- round-10 promotions: the ANN train-per-call family. These are
     # iterative trainers whose Lloyd's loops inline into one large plan,
     # so exchange counts are unstable by design; the pinned properties

@@ -450,20 +450,21 @@ def run_ann_pq(ns: list[int]) -> None:
                  training + numpy encoder — the production rate)
 
     For each (n, variant): build wall, amortized ADC-only and
-    ADC+exact-rerank probe walls, and recall@10 of BOTH outputs vs
-    brute — so the measured statement covers the achievable ceiling at
-    each code rate, not one blended number."""
-    import shutil
-
+    ADC+exact-rerank probe walls (median over the query set), and
+    recall@10 of BOTH outputs vs exact — AVERAGED over N_QUERIES query
+    vectors (a single query's recall has 0.1 granularity and is noise;
+    the round-9 sweep's one-query numbers wobbled ±0.2). Published
+    indexes are REUSED across runs (content-keyed fixture dirs), so a
+    re-measure doesn't re-pay the builds."""
     from novelti_dingo_spark.operators.pq import (
         ivfpq_knn_from_index,
         publish_ivfpq_index,
     )
-    from novelti_dingo_spark.operators.similarity import knn_bruteforce_top10
+    from novelti_dingo_spark.sources import lakefs
     from novelti_dingo_spark.sources.io import load_table
 
     spark = _spark()
-    k_cells, n_probe = 32, 4
+    k_cells, n_probe, n_queries = 32, 4, 10
     variants = [
         ("raw_k16", dict(residual=False, pq_k=16)),
         ("res_k16", dict(residual=True, pq_k=16)),
@@ -472,12 +473,27 @@ def run_ann_pq(ns: list[int]) -> None:
     res = {}
     for n in ns:
         d = build_embeddings(n)
-        qv = duckdb.sql(
-            f"SELECT embedding FROM '{d}/embeddings.parquet' WHERE vec_id = 0"
-        ).fetchone()[0]
-        qv = [float(x) for x in qv]
+        qvs = {
+            int(vid): [float(x) for x in emb]
+            for vid, emb in duckdb.sql(
+                f"SELECT vec_id, embedding FROM '{d}/embeddings.parquet' "
+                f"WHERE vec_id < {n_queries} ORDER BY vec_id"
+            ).fetchall()
+        }
+        # exact ground truth per query (DuckDB dot product, self excluded)
+        truth = {}
+        for vid, qv in qvs.items():
+            qlit = "[" + ",".join(repr(x) for x in qv) + "]::FLOAT[]"
+            truth[vid] = {
+                r[0]
+                for r in duckdb.sql(
+                    f"SELECT vec_id FROM '{d}/embeddings.parquet' "
+                    f"WHERE vec_id <> {vid} "
+                    f"ORDER BY list_dot_product(embedding, {qlit}) DESC, "
+                    f"vec_id LIMIT 10"
+                ).fetchall()
+            }
         e = load_table(spark, d, "embeddings")
-        want = {r.vec_id for r in knn_bruteforce_top10(spark, d).collect()}
         per_variant = {}
         for tag, kw in variants:
             if tag == "raw_k16" and n >= 1_000_000:
@@ -487,32 +503,45 @@ def run_ann_pq(ns: list[int]) -> None:
                 # reconfirm the format this sweep exists to replace
                 continue
             base = os.path.join(d, f"ivfpq_index_{tag}")
-            shutil.rmtree(base, ignore_errors=True)
-            t0 = time.perf_counter()
-            publish_ivfpq_index(spark, d, base, k_cells=k_cells, **kw)
-            build_s = round(time.perf_counter() - t0, 3)
+            if lakefs.exists(spark, f"{base}/LATEST"):
+                build_s = None  # reused from a prior run's publish
+            else:
+                t0 = time.perf_counter()
+                publish_ivfpq_index(spark, d, base, k_cells=k_cells, **kw)
+                build_s = round(time.perf_counter() - t0, 3)
 
-            def adc():
+            def adc(vid, qv):
                 return ivfpq_knn_from_index(
-                    spark, base, qv, n_probe=n_probe, exclude_vec_id=0
+                    spark, base, qv, n_probe=n_probe, exclude_vec_id=vid
                 ).collect()
 
-            def rerank():
+            def rerank(vid, qv):
                 return ivfpq_knn_from_index(
                     spark, base, qv, n_probe=n_probe, shortlist=100,
-                    rerank=e, exclude_vec_id=0,
+                    rerank=e, exclude_vec_id=vid,
                 ).collect()
 
-            adc_s = _med(adc)
-            rerank_s = _med(rerank)
-            got_adc = {r.vec_id for r in adc()}
-            got_rr = {r.vec_id for r in rerank()}
+            adc_walls, rr_walls, adc_rec, rr_rec = [], [], [], []
+            for vid, qv in qvs.items():
+                t0 = time.perf_counter()
+                got_adc = {r.vec_id for r in adc(vid, qv)}
+                adc_walls.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                got_rr = {r.vec_id for r in rerank(vid, qv)}
+                rr_walls.append(time.perf_counter() - t0)
+                adc_rec.append(len(got_adc & truth[vid]) / 10)
+                rr_rec.append(len(got_rr & truth[vid]) / 10)
             per_variant[tag] = {
                 "build_s": build_s,
-                "adc_probe_s": adc_s,
-                "rerank_probe_s": rerank_s,
-                "recall_at_10_adc": round(len(got_adc & want) / 10, 2),
-                "recall_at_10_reranked": round(len(got_rr & want) / 10, 2),
+                "n_queries": n_queries,
+                "adc_probe_s": round(statistics.median(adc_walls), 3),
+                "rerank_probe_s": round(statistics.median(rr_walls), 3),
+                "recall_at_10_adc": round(
+                    statistics.mean(adc_rec), 3
+                ),
+                "recall_at_10_reranked": round(
+                    statistics.mean(rr_rec), 3
+                ),
             }
             print(f"{n}/{tag}: {per_variant[tag]}")
         res[str(n)] = {
