@@ -169,6 +169,65 @@ def pq_encode_numpy(
     )
 
 
+def pq_fit_numpy(
+    vectors: DataFrame,
+    iterations: int = ITERATIONS,
+    k: int = K,
+    sample: int = 1 << 16,
+) -> DataFrame:
+    """Driver-side Lloyd's over a collected sample — the quantizer-
+    TRAINING shape production ANN systems actually use (FAISS trains
+    codebooks on a bounded sample single-node; the cluster's job is
+    encoding and serving, which stay distributed here via
+    pq_encode_numpy / the published snapshot). Rationale at high code
+    rates: the join-based pq_fit materializes sample·M·k candidate
+    rows per Lloyd's iteration — 537M rows at a 262k sample × M=8 ×
+    k=256, measured ~30 min of shuffles — while the same sample is
+    65536×64 doubles = 32 MB collected once, and each iteration is one
+    ||x||²+||c||²−2x·cᵀ GEMM per subspace (milliseconds).
+
+    Faithful to pq_fit's contract: init = the k lowest-
+    (xxhash64(vec_id), vec_id) subvectors per subspace (identical
+    ordering), argmin ties break to the lowest cid, deterministic.
+    One deliberate difference: an empty Lloyd's cell KEEPS its previous
+    centroid instead of dropping the codebook row (the DataFrame
+    groupBy drops it) — strictly more usable, same scores for every
+    occupied cell."""
+    import numpy as np
+
+    samp = (
+        vectors.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r.emb for r in samp], dtype=np.float64)
+    k_eff = min(k, len(x))
+    rows = []
+    for m in range(M):
+        sub = np.ascontiguousarray(x[:, m * SUBDIM:(m + 1) * SUBDIM])
+        cb = sub[:k_eff].copy()
+        for _ in range(iterations):
+            d = (
+                (sub ** 2).sum(1)[:, None]
+                + (cb ** 2).sum(1)[None, :]
+                - 2.0 * (sub @ cb.T)
+            )
+            a = np.argmin(d, axis=1)
+            for c in range(k_eff):
+                mask = a == c
+                if mask.any():
+                    cb[c] = sub[mask].mean(axis=0)
+        rows.extend(
+            (m, c, [float(v) for v in cb[c]]) for c in range(k_eff)
+        )
+    return vectors.sparkSession.createDataFrame(
+        rows, "m int, cid int, centroid array<double>"
+    )
+
+
 @register(
     "pq_knn_top10",
     None,  # k-means training is engine-specific → rows-only; ADC
@@ -626,13 +685,15 @@ def publish_ivfpq_index(
     256 = 1-byte codes, the classic operating point — 2× the code
     bytes for 16× finer cells; scale_bench ann_pq measures both.
 
-    `train_sample` (default: full corpus at pq_k<=32, else 2^18):
+    `train_sample` (default: full corpus at pq_k<=32, else 2^16):
     Lloyd's iterations run over a deterministic lowest-xxhash64 sample
     — the standard quantizer-training recipe (codebook quality needs a
     representative sample, not the population; at 100 TB nobody
-    Lloyd's-iterates the full corpus). Encoding then covers EVERY
-    vector: via the join encoder at small pq_k, or pq_encode_numpy at
-    high pq_k where the join's n·M·pq_k candidate space explodes."""
+    Lloyd's-iterates the full corpus). At pq_k>32 both training and
+    encoding switch to the numpy forms (pq_fit_numpy driver-side over
+    the collected sample; pq_encode_numpy Arrow-batched over the full
+    corpus) because the join forms explode in the candidate dimension
+    (n·M·pq_k rows). Encoding always covers EVERY vector."""
     from ..pipelines import publish_snapshot
     from .ivf import K as IVF_K, _assign as ivf_assign, kmeans_fit
 
@@ -658,17 +719,22 @@ def publish_ivfpq_index(
             "vec_id", F.col("cid").alias("ivf_cid"), "embedding"
         )
     vecs = pq_input.select("vec_id", "embedding")
-    if train_sample is None and pq_k > 32:
-        train_sample = 1 << 18
-    train = (
-        vecs.orderBy(F.xxhash64("vec_id"), "vec_id").limit(train_sample)
-        if train_sample
-        else vecs
-    )
-    codebooks = pq_fit(train, k=pq_k)
     if pq_k > 32:
+        # high code rate: driver-side sampled Lloyd's + Arrow numpy
+        # encoder — the join forms explode in the candidate dimension
+        # (n·M·pq_k rows) and stop being the right tool (docstrings on
+        # pq_fit_numpy / pq_encode_numpy carry the measured rationale)
+        codebooks = pq_fit_numpy(
+            vecs, k=pq_k, sample=train_sample or (1 << 16)
+        )
         codes_raw = pq_encode_numpy(vecs, codebooks, k=pq_k)
     else:
+        train = (
+            vecs.orderBy(F.xxhash64("vec_id"), "vec_id").limit(train_sample)
+            if train_sample
+            else vecs
+        )
+        codebooks = pq_fit(train, k=pq_k)
         codes_raw = pq_encode(vecs, codebooks)
     codes = (
         codes_raw
