@@ -741,15 +741,102 @@ def publish_ivfpq_index(
         .join(pq_input.select("vec_id", "ivf_cid"), "vec_id")
         .select("vec_id", "codes", F.col("ivf_cid").alias("cell"))
     )
+    extra_meta = {}
+    if residual:
+        # recorded so ivfpq_index_drift can measure distribution drift
+        # of later appends against the TRAINING residual scale
+        extra_meta["train_residual_norm"] = float(
+            pq_input.select(
+                F.avg(F.sqrt(_sq_dist_zero("embedding"))).alias("n")
+            ).head()["n"]
+        )
     return publish_snapshot(
         {"coarse": coarse, "codebooks": codebooks, "codes": codes},
         base_dir,
         meta={
             "k_cells": k_cells, "m": M, "k": pq_k, "subdim": SUBDIM,
             "residual": bool(residual), "source_sf": sf_dir,
+            **extra_meta,
         },
         partition_by={"codes": ["cell"]},
     )
+
+
+def _sq_dist_zero(col):
+    """Σ x² of an array column (squared L2 norm), HOF fold."""
+    return F.aggregate(
+        F.col(col) if isinstance(col, str) else col,
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+
+
+def ivfpq_index_drift(
+    spark: SparkSession,
+    base_dir: str,
+    new_vectors: DataFrame | None = None,
+    skew_threshold: float = 4.0,
+    norm_threshold: float = 1.5,
+) -> dict:
+    """The RETRAIN monitor — makes append_vectors_to_ivfpq_index's
+    documented threshold executable instead of prose. Two cheap
+    aggregates over the live index chain:
+
+    - cell_skew = max/median vectors-per-cell from the codes table
+      (one two-phase count over 8-int rows): when routing cells go
+      lopsided, the n_probe/k byte-pruning claim stops holding;
+    - norm_ratio = (mean residual L2 of `new_vectors` against the
+      published coarse centroids) / the TRAINING mean recorded in the
+      manifest at publish time: when appended data drifts away from
+      the trained cells, residuals grow and the codebooks stop
+      resolving within-cell structure.
+
+    Returns the measurements plus `retrain_recommended` (either
+    threshold tripped). The decision stays offline and human-paced —
+    streams never retrain (exactly the IVF contract)."""
+    from ..pipelines import read_snapshot_chain
+    from .ivf import _assign as ivf_assign
+
+    tables, manifest = read_snapshot_chain(spark, base_dir)
+    sizes = sorted(
+        r.n for r in tables["codes"].groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    median = sizes[len(sizes) // 2] if sizes else 0
+    skew = (sizes[-1] / median) if median else float("inf")
+    out = {
+        "n_cells": len(sizes),
+        "cell_skew": round(skew, 3),
+        "skew_threshold": skew_threshold,
+        "retrain_recommended": skew > skew_threshold,
+    }
+    trained = manifest.get("train_residual_norm")
+    if new_vectors is not None and trained:
+        res = ivf_assign(new_vectors, tables["coarse"]).join(
+            F.broadcast(tables["coarse"]), "cid"
+        ).select(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                "centroid",
+                lambda x, c: x - c,
+            ).alias("r")
+        )
+        batch_norm = float(
+            res.select(F.avg(F.sqrt(_sq_dist_zero("r"))).alias("n"))
+            .head()["n"]
+        )
+        ratio = batch_norm / trained
+        out.update(
+            {
+                "train_residual_norm": round(trained, 6),
+                "batch_residual_norm": round(batch_norm, 6),
+                "norm_ratio": round(ratio, 3),
+                "norm_threshold": norm_threshold,
+                "retrain_recommended": out["retrain_recommended"]
+                or ratio > norm_threshold,
+            }
+        )
+    return out
 
 
 def append_vectors_to_ivfpq_index(

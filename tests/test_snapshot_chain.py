@@ -147,3 +147,49 @@ def test_ivfpq_delta_append_serves_and_compacts(spark, sf_small, tmp_path):
     assert head.get("delta_parent") is None
     assert tables["codes"].count() == e.count() + 18
     assert head.get("residual") is True  # format flags survive compaction
+
+
+def test_ivfpq_drift_monitor(spark, sf_small, tmp_path):
+    """The executable retrain threshold: in-distribution appends keep
+    retrain_recommended False; a far-out-of-distribution batch (scaled
+    vectors — residuals blow up) trips the norm ratio; a flood into
+    one cell trips the skew ratio."""
+    from novelti_dingo_spark.operators.pq import (
+        append_vectors_to_ivfpq_index,
+        ivfpq_index_drift,
+        publish_ivfpq_index,
+    )
+
+    base = str(tmp_path / "ivfpq")
+    publish_ivfpq_index(spark, sf_small, base, k_cells=8)
+    e = load_table(spark, sf_small, "embeddings")
+
+    in_dist = e.limit(20).withColumn("vec_id", F.col("vec_id") + 100_000)
+    d0 = ivfpq_index_drift(spark, base, in_dist)
+    assert d0["norm_ratio"] < 1.2 and not d0["retrain_recommended"]
+
+    # out-of-distribution: 10x-norm vectors sit far from every centroid
+    far = in_dist.withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x * F.lit(10.0)).cast(
+            "array<float>"
+        ),
+    )
+    d1 = ivfpq_index_drift(spark, base, far)
+    assert d1["norm_ratio"] > 1.5 and d1["retrain_recommended"]
+
+    # skew: flood one vector's cell with copies of itself
+    one = e.filter(F.col("vec_id") == 0)
+    flood = one
+    for i in range(1, 8):
+        flood = flood.unionByName(
+            one.withColumn("vec_id", F.lit(200_000 + i))
+        )
+    big_flood = flood
+    for j in range(1, 40):
+        big_flood = big_flood.unionByName(
+            flood.withColumn("vec_id", F.col("vec_id") + 1_000 * j)
+        )
+    append_vectors_to_ivfpq_index(spark, base, big_flood)
+    d2 = ivfpq_index_drift(spark, base)
+    assert d2["cell_skew"] > 4.0 and d2["retrain_recommended"]
