@@ -85,6 +85,93 @@ def kmeans_fit(vectors: DataFrame, k: int = K, iterations: int = ITERATIONS) -> 
     return centroids
 
 
+def kmeans_fit_numpy(
+    vectors: DataFrame,
+    k: int = K,
+    iterations: int = ITERATIONS,
+    sample: int = 1 << 16,
+) -> DataFrame:
+    """Driver-side Lloyd's over a collected sample — the coarse-
+    quantizer twin of pq_fit_numpy and the production trainer shape
+    (FAISS trains coarse quantizers on bounded samples; the cluster's
+    job is assignment and serving). Motivation is measured: the
+    DataFrame kmeans_fit at 1M vectors shuffles ~16 GB of wide rows
+    per Lloyd's iteration through the window argmin (~50 min wall for
+    a k=32 coarse quantizer), while the 2^16-vector training sample is
+    32 MB collected once and each iteration is one GEMM. Init mirrors
+    kmeans_fit: the k lowest-(xxhash64(vec_id), vec_id) vectors (the
+    sample IS that ordering's prefix, so the init set is identical);
+    argmin ties break to the lowest cid; empty cells keep their
+    previous centroid. Returns (cid, centroid) like kmeans_fit —
+    centroid VALUES differ from the exact trainer at sample < corpus
+    (different data) and at ulp level otherwise (numpy mean vs
+    shuffled avg fold order), so pick ONE trainer per index and keep
+    its train-per-call twin on the same one."""
+    import numpy as np
+
+    samp = (
+        vectors.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r.emb for r in samp], dtype=np.float64)
+    k_eff = min(k, len(x))
+    cb = x[:k_eff].copy()
+    for _ in range(iterations):
+        d = (
+            (x ** 2).sum(1)[:, None]
+            + (cb ** 2).sum(1)[None, :]
+            - 2.0 * (x @ cb.T)
+        )
+        a = np.argmin(d, axis=1)
+        for c in range(k_eff):
+            mask = a == c
+            if mask.any():
+                cb[c] = x[mask].mean(axis=0)
+    return vectors.sparkSession.createDataFrame(
+        [(c, [float(v) for v in cb[c]]) for c in range(k_eff)],
+        "cid int, centroid array<double>",
+    )
+
+
+def assign_literal(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Zero-shuffle nearest-centroid assignment — BIT-IDENTICAL to
+    `_assign` (pinned code-for-code in tests/test_ivf.py) but planned
+    as a pure projection: the k centroids (k×dim doubles — KBs)
+    collect driver-side and inline as literal arrays; each row
+    evaluates k `_sq_dist` folds (same HOF, same float order as the
+    joined form) into an array of (dist, cid) structs whose array_min
+    IS the (dist, cid)-ordered argmin. The joined `_assign` form
+    materializes n·k candidate rows and shuffles them through a
+    window (~16 GB/iteration at 1M×32): right for centroids that are
+    a mid-plan DataFrame, wasteful for a FINISHED quantizer. Use this
+    for corpus-sized assignment against published/trained centroids;
+    `_assign` stays the in-training form."""
+    cents = sorted(
+        (int(r.cid), [float(v) for v in r.centroid])
+        for r in centroids.collect()
+    )
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist(
+                        "embedding", F.array(*[F.lit(v) for v in cent])
+                    ).alias("dist"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cent in cents
+            ]
+        )
+    )
+    return vectors.select(
+        "vec_id", "label", "embedding", best.getField("cid").alias("cid")
+    )
+
+
 @register(
     "ivf_cell_sizes",
     None,  # k-means init/iteration order is engine-specific → rows-only;
@@ -166,6 +253,7 @@ def publish_ivf_index(
     base_dir: str,
     k_cells: int = K,
     partition_postings: bool = False,
+    trainer: str = "exact",
 ) -> int:
     """Train the IVF index once and publish it as an ATOMIC multi-table
     snapshot (centroids + postings under one LATEST pointer): the
@@ -174,12 +262,29 @@ def publish_ivf_index(
     forward/back by pointer flip. Centroids and postings can never be
     observed from different trainings (the cross-table anomaly
     publish_snapshot exists to prevent — probing cells against the
-    wrong partition of postings silently destroys recall)."""
+    wrong partition of postings silently destroys recall).
+
+    `trainer`: "exact" (default — full-corpus DataFrame Lloyd's,
+    matches the ivf_knn train-per-call twin bit-for-bit) or "sampled"
+    (kmeans_fit_numpy over a 2^16 sample — the 100 TB shape; the
+    measured 1M build-wall difference is in SCALE.md round-10). Full-
+    corpus ASSIGNMENT always runs as the zero-shuffle assign_literal
+    (bit-identical to the joined form — pinned in tests)."""
     from ..pipelines import publish_snapshot
 
     e = load_table(spark, sf_dir, "embeddings")
-    centroids = kmeans_fit(e, k=k_cells)
-    postings = _assign(e, centroids)
+    if trainer == "sampled":
+        centroids = kmeans_fit_numpy(e, k=k_cells)
+    elif trainer == "exact":
+        centroids = kmeans_fit(e, k=k_cells)
+    else:
+        raise ValueError(f"trainer must be 'exact' or 'sampled', got {trainer!r}")
+    # restore fan-out when the scan's partitioning is degenerate (a
+    # single big parquet file splits into few chunks; the zero-shuffle
+    # assign inherits that) — one narrow repartition of ~corpus bytes
+    if e.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        e = e.repartition(spark.sparkContext.defaultParallelism)
+    postings = assign_literal(e, centroids)
     return publish_snapshot(
         {"centroids": centroids, "postings": postings},
         base_dir,
@@ -223,7 +328,7 @@ def append_vectors_to_index(
     tables, manifest = read_snapshot_chain(spark, base_dir)
     centroids = tables["centroids"]
     postings = tables["postings"]
-    added = _assign(new_vectors, centroids)
+    added = assign_literal(new_vectors, centroids)
     carried = {"k": manifest.get("k", K)}
     if mode == "delta":
         return publish_snapshot_delta(

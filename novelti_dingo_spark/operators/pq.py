@@ -657,6 +657,7 @@ def publish_ivfpq_index(
     residual: bool = True,
     pq_k: int | None = None,
     train_sample: int | None = None,
+    trainer: str = "exact",
 ) -> int:
     """Train BOTH quantizers once and publish the composed FAISS-IVFPQ-
     shaped index as one atomic snapshot: `coarse` (k_cells centroids),
@@ -695,15 +696,36 @@ def publish_ivfpq_index(
     corpus) because the join forms explode in the candidate dimension
     (n·M·pq_k rows). Encoding always covers EVERY vector."""
     from ..pipelines import publish_snapshot
-    from .ivf import K as IVF_K, _assign as ivf_assign, kmeans_fit
+    from .ivf import (
+        K as IVF_K,
+        assign_literal,
+        kmeans_fit,
+        kmeans_fit_numpy,
+    )
 
     if k_cells is None:
         k_cells = IVF_K
     if pq_k is None:
         pq_k = K
     e = load_table(spark, sf_dir, "embeddings")
-    coarse = kmeans_fit(e, k=k_cells)
-    assigned = ivf_assign(e, coarse)  # (vec_id, label, embedding, cid)
+    if trainer == "sampled":
+        coarse = kmeans_fit_numpy(e, k=k_cells)
+    elif trainer == "exact":
+        coarse = kmeans_fit(e, k=k_cells)
+    else:
+        raise ValueError(
+            f"trainer must be 'exact' or 'sampled', got {trainer!r}"
+        )
+    # zero-shuffle stages inherit the SCAN's parallelism — a single
+    # 1M-row parquet file splits into only ~3 maxPartitionBytes chunks,
+    # serializing the corpus-wide assign/encode on 3 of 32 cores
+    # (measured: the whole build sat at load ~3). One narrow
+    # repartition of the ~corpus bytes (vs the 16 GB/iter the old
+    # joined assign shuffled) restores full fan-out; skipped when the
+    # source is already wider than the cluster.
+    if e.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        e = e.repartition(spark.sparkContext.defaultParallelism)
+    assigned = assign_literal(e, coarse)  # (vec_id, label, embedding, cid)
     if residual:
         pq_input = assigned.join(F.broadcast(coarse), "cid").select(
             "vec_id",
@@ -884,7 +906,7 @@ def append_vectors_to_ivfpq_index(
         publish_snapshot_delta,
         read_snapshot_chain,
     )
-    from .ivf import _assign as ivf_assign
+    from .ivf import assign_literal as ivf_assign
 
     tables, manifest = read_snapshot_chain(spark, base_dir)
     coarse = tables["coarse"]

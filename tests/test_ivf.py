@@ -89,3 +89,47 @@ def test_residual_rerank_scores_exact(spark, sf_med):
     assert rows
     for r in rows:
         assert abs(float(vecs[r.vec_id] @ q) - r.cos_sim) < 1e-5
+
+
+def test_assign_literal_matches_join_assign_exactly(spark, sf_small):
+    """assign_literal is the zero-shuffle projection form of _assign:
+    same _sq_dist fold, same (dist, cid) argmin ordering — the cell
+    assignment must match cell-for-cell, and the plan must carry no
+    Exchange or Join at all."""
+    from novelti_dingo_spark.operators.ivf import (
+        _assign,
+        assign_literal,
+        kmeans_fit,
+    )
+
+    e = load_table(spark, sf_small, "embeddings")
+    cents = kmeans_fit(e)
+    a = {r.vec_id: r.cid for r in _assign(e, cents).collect()}
+    df = assign_literal(e, cents)
+    b = {r.vec_id: r.cid for r in df.collect()}
+    assert a == b
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_kmeans_fit_numpy_trains_usable_centroids(spark, sf_small):
+    """The sampled trainer returns k (cid, centroid) rows the standard
+    assignment consumes; with sample >= corpus the init set equals the
+    exact trainer's and every cell is non-degenerate on the fixture."""
+    from novelti_dingo_spark.operators.ivf import (
+        assign_literal,
+        kmeans_fit_numpy,
+    )
+
+    e = load_table(spark, sf_small, "embeddings")
+    cents = kmeans_fit_numpy(e, k=8)
+    rows = cents.collect()
+    assert sorted(r.cid for r in rows) == list(range(8))
+    assert all(len(r.centroid) == 64 for r in rows)
+    # deterministic: second training is identical
+    again = kmeans_fit_numpy(e, k=8).collect()
+    assert sorted(map(tuple, ((r.cid, tuple(r.centroid)) for r in rows))) == \
+        sorted(map(tuple, ((r.cid, tuple(r.centroid)) for r in again)))
+    assigned = assign_literal(e, cents)
+    n_cells = assigned.select("cid").distinct().count()
+    assert n_cells >= 6  # no mass degeneracy into one cell
