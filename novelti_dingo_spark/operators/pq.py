@@ -758,19 +758,39 @@ def publish_ivfpq_index(
         )
         codebooks = pq_fit(train, k=pq_k)
         codes_raw = pq_encode(vecs, codebooks)
-    codes = (
-        codes_raw
-        .join(pq_input.select("vec_id", "ivf_cid"), "vec_id")
-        .select("vec_id", "codes", F.col("ivf_cid").alias("cell"))
-    )
-    extra_meta = {}
+    obs_norm = None
     if residual:
         # recorded so ivfpq_index_drift can measure distribution drift
-        # of later appends against the TRAINING residual scale
-        extra_meta["train_residual_norm"] = float(
-            pq_input.select(
-                F.avg(F.sqrt(_sq_dist_zero("embedding"))).alias("n")
-            ).head()["n"]
+        # of later appends against the TRAINING residual scale. The
+        # statistic RIDES the codes write via Observation + the
+        # publish_snapshot meta_late hook — a separate aggregate would
+        # re-evaluate the full assign+broadcast-join+residual plan over
+        # the corpus once more (round-11 advice; same double-evaluation
+        # shape merge_into's audit counts had before round 10)
+        from pyspark.sql import Observation
+
+        obs_norm = Observation("ivfpq_train_residual_norm")
+        codes = (
+            codes_raw
+            .join(
+                pq_input.select(
+                    "vec_id", "ivf_cid",
+                    F.sqrt(_sq_dist_zero("embedding")).alias("_res_norm"),
+                ),
+                "vec_id",
+            )
+            .select(
+                "vec_id", "codes", F.col("ivf_cid").alias("cell"),
+                "_res_norm",
+            )
+            .observe(obs_norm, F.avg("_res_norm").alias("n"))
+            .drop("_res_norm")
+        )
+    else:
+        codes = (
+            codes_raw
+            .join(pq_input.select("vec_id", "ivf_cid"), "vec_id")
+            .select("vec_id", "codes", F.col("ivf_cid").alias("cell"))
         )
     return publish_snapshot(
         {"coarse": coarse, "codebooks": codebooks, "codes": codes},
@@ -778,8 +798,12 @@ def publish_ivfpq_index(
         meta={
             "k_cells": k_cells, "m": M, "k": pq_k, "subdim": SUBDIM,
             "residual": bool(residual), "source_sf": sf_dir,
-            **extra_meta,
         },
+        meta_late=(
+            (lambda: {"train_residual_norm": float(obs_norm.get["n"])})
+            if obs_norm is not None
+            else None
+        ),
         partition_by={"codes": ["cell"]},
     )
 
@@ -940,7 +964,14 @@ def append_vectors_to_ivfpq_index(
     )
     carried = {
         key: manifest[key]
-        for key in ("k_cells", "m", "k", "subdim", "residual")
+        for key in (
+            "k_cells", "m", "k", "subdim", "residual",
+            # the drift monitor's norm baseline must survive appends and
+            # (via compact_snapshot_chain's carry-everything rule)
+            # compactions — dropping it silently disabled the residual-
+            # norm check exactly when it matters: AFTER appends
+            "train_residual_norm",
+        )
         if key in manifest
     }
     if mode == "delta":

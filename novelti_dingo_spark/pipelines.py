@@ -2875,6 +2875,7 @@ def publish_snapshot(
     base_dir: str,
     meta: dict | None = None,
     partition_by: dict[str, list[str]] | None = None,
+    meta_late=None,
 ) -> int:
     """Atomic MULTI-table publish: write every table under
     `base_dir/snap=N/<table>/`, then flip one `LATEST` pointer for the
@@ -2887,7 +2888,15 @@ def publish_snapshot(
 
     Same I/O discipline as publish_versioned: Hadoop FileSystem API
     throughout, per-table row counts via Observation (no recount jobs),
-    pointer flip via write-tmp-then-atomic-rename."""
+    pointer flip via write-tmp-then-atomic-rename.
+
+    `meta_late` (a zero-arg callable returning a dict) is evaluated
+    AFTER every table write and merged into the manifest: the hook for
+    statistics that only exist once the write action has run — i.e.
+    Observation results attached to the published DataFrames, which let
+    a corpus-wide statistic ride the write instead of costing a second
+    evaluation of the same plan (the publish-side twin of the
+    merge_into audit-count idiom)."""
     import json
 
     from pyspark.sql import Observation
@@ -2929,6 +2938,7 @@ def publish_snapshot(
         # physical layout without the caller re-supplying it
         **({"partitioned": partition_by} if partition_by else {}),
         **(meta or {}),
+        **(meta_late() if meta_late is not None else {}),
     }
     lakefs.write_text(spark, f"{out}/_manifest.json", json.dumps(manifest))
     lakefs.replace_text(spark, f"{base}/LATEST", str(version))

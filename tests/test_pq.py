@@ -556,3 +556,84 @@ def test_numpy_encoder_matches_join_encoder(spark, sf_small):
         for r in pq_encode_numpy(e, cb, k=K).collect()
     }
     assert a == b
+
+
+def test_publish_residual_norm_rides_the_write(
+    spark, sf_small, tmp_path, monkeypatch
+):
+    """Round-11 advice: train_residual_norm used to be a SEPARATE
+    aggregate action re-evaluating the full assign+broadcast-join+
+    residual plan over the corpus on top of the publish write; it now
+    rides the codes write via Observation + publish_snapshot's
+    meta_late hook. Spy: a mapInPandas probe on the embeddings source
+    drops one marker per (partition, evaluation). Measured breakdown at
+    k_cells=8, residual=True, trainer="exact": 19 source passes
+    (kmeans_fit collect for assign_literal's routing literals; pq_fit's
+    3 Lloyd's iterations and the codes write each re-evaluating the
+    broadcast coarse subtree + one corpus pass; coarse/codebooks table
+    writes). The OLD separate-aggregate shape re-ran the whole
+    pq_input plan once more on top — measurably MORE passes; pin the
+    post-fix count so the double evaluation cannot silently return."""
+    import os
+    import uuid
+
+    from novelti_dingo_spark.operators import pq as pq_mod
+    from novelti_dingo_spark.operators.ivf import assign_literal
+    from novelti_dingo_spark.pipelines import read_snapshot
+
+    e = load_table(spark, sf_small, "embeddings")
+    n_parts = 4
+    d = tmp_path / "probe"
+    d.mkdir()
+    src = e.repartition(n_parts)
+
+    def probe(batches):
+        with open(os.path.join(str(d), uuid.uuid4().hex), "w"):
+            pass
+        yield from batches
+
+    spied = src.mapInPandas(probe, src.schema)
+    monkeypatch.setattr(
+        pq_mod, "load_table", lambda _spark, _sf, _name: spied
+    )
+    base = str(tmp_path / "idx")
+    pq_mod.publish_ivfpq_index(spark, sf_small, base, k_cells=8)
+    monkeypatch.undo()
+    passes = len(os.listdir(str(d))) / n_parts
+    assert passes == 19, (
+        f"publish evaluated the source {passes} times, expected 19 — "
+        "a separate norm aggregate re-appearing would add ~5 passes"
+    )
+
+    # and the observed value IS the corpus mean residual norm against
+    # the PUBLISHED assignment (cells from the codes table, centroids
+    # from the coarse table — bit-identical to what the publish scored)
+    tables, manifest = read_snapshot(spark, base)
+    want = (
+        e.join(tables["codes"].select("vec_id", "cell"), "vec_id")
+        .join(
+            F.broadcast(
+                tables["coarse"].select(
+                    F.col("cid").alias("cell"), "centroid"
+                )
+            ),
+            "cell",
+        )
+        .select(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding").cast("array<double>"),
+                        "centroid",
+                        lambda x, c: x - c,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            ).alias("n")
+        )
+        .agg(F.avg("n"))
+        .head()[0]
+    )
+    got = manifest["train_residual_norm"]
+    assert abs(got - want) <= 1e-9 * max(1.0, abs(want))

@@ -193,3 +193,15 @@ def test_ivfpq_drift_monitor(spark, sf_small, tmp_path):
     append_vectors_to_ivfpq_index(spark, base, big_flood)
     d2 = ivfpq_index_drift(spark, base)
     assert d2["cell_skew"] > 4.0 and d2["retrain_recommended"]
+
+    # the norm check must SURVIVE appends: the delta head's manifest
+    # carries train_residual_norm forward, so the post-append drift
+    # call still measures the ratio (round-11 advice: the carried-keys
+    # tuple dropped it, silently disabling the norm branch exactly in
+    # the post-append scenario the monitor was built for)
+    d3 = ivfpq_index_drift(spark, base, far)
+    assert "norm_ratio" in d3 and d3["norm_ratio"] > 1.5
+    # ... and compaction (carry-everything minus chain bookkeeping)
+    compact_snapshot_chain(spark, base)
+    d4 = ivfpq_index_drift(spark, base, far)
+    assert "norm_ratio" in d4 and d4["norm_ratio"] > 1.5
