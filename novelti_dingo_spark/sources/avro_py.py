@@ -562,15 +562,19 @@ class AvroPyWriter(DataSourceWriter):
     (never beside the live *.avro, so a concurrent reader never sees a
     mixed old+new file set under a valid _SUCCESS); commit() then
     (1) removes _SUCCESS — from here the directory reads as
-    uncommitted, (2) deletes the old *.avro, (3) renames the staged
-    files into place, (4) recreates _SUCCESS. A crash before (1)
-    leaves the old committed state intact; a crash anywhere in (1)-(3)
-    leaves NO _SUCCESS, so readers keyed on the marker treat the
-    directory as uncommitted rather than half-replaced. The guarantee
-    is therefore: _SUCCESS present => the *.avro set is exactly one
-    job's complete output. (Readers that ignore _SUCCESS get no
-    atomicity — same contract as Hadoop FileOutputCommitter v1 on a
-    non-atomic-rename store.)"""
+    uncommitted, (2) snapshots the old *.avro names, (3) renames the
+    staged files into place, (4) deletes the old set, (5) sweeps stale
+    _staging-* dirs, (6) recreates _SUCCESS. A crash before (1) leaves
+    the old committed state intact; a crash anywhere in (1)-(5) leaves
+    NO _SUCCESS, so readers keyed on the marker treat the directory as
+    uncommitted rather than half-replaced — and because renames happen
+    BEFORE deletes, the previous job's files are all still on disk at
+    every crash point, so a retry (or a manual roll-back) loses
+    nothing. The guarantee is therefore: _SUCCESS present => the
+    *.avro set is exactly one job's complete output. (Readers that
+    ignore _SUCCESS get no atomicity — same contract as Hadoop
+    FileOutputCommitter v1 on a non-atomic-rename store; like v1 this
+    assumes a single writer per directory.)"""
 
     def __init__(self, options, schema, overwrite: bool = False):
         import uuid
@@ -607,6 +611,8 @@ class AvroPyWriter(DataSourceWriter):
         return AvroCommitMessage(fname, n)
 
     def commit(self, messages):
+        import shutil
+
         os.makedirs(self.path, exist_ok=True)
         marker = os.path.join(self.path, "_SUCCESS")
         if self.overwrite:
@@ -619,17 +625,32 @@ class AvroPyWriter(DataSourceWriter):
                 m.file for m in messages
                 if m is not None and getattr(m, "file", "")
             }
-            for fp in glob.glob(os.path.join(self.path, "*.avro")):
-                os.remove(fp)  # (2) old files go before new appear
+            # (2) snapshot the PREVIOUS committed set before anything
+            # moves, then rename staged output in, THEN delete the old
+            # set (round-11 advice: delete-before-rename destroyed the
+            # previous data if the commit crashed in between; with
+            # rename-first a crash at any point leaves every old file
+            # on disk — recovery is a retry, never forensics). Mixed
+            # old+new contents are never observable under _SUCCESS
+            # because (1) already unmarked the directory; part-<uuid>
+            # names make old/new collisions impossible.
+            old = set(glob.glob(os.path.join(self.path, "*.avro")))
             for fp in staged:  # (3) rename staged output into place
                 os.replace(
                     fp, os.path.join(self.path, os.path.basename(fp))
                 )
-            try:
-                os.rmdir(self.staging)
-            except OSError:
-                pass
-        with open(marker, "w") as f:  # (4) commit point
+            for fp in old:  # (4) then retire the previous set
+                try:
+                    os.remove(fp)
+                except FileNotFoundError:
+                    pass
+            # (5) sweep staging dirs: this run's, plus any stale
+            # _staging-* a crashed earlier attempt leaked (single-
+            # writer contract, same as FileOutputCommitter v1 — a
+            # concurrent writer's staging dir would be swept too)
+            for d in glob.glob(os.path.join(self.path, "_staging-*")):
+                shutil.rmtree(d, ignore_errors=True)
+        with open(marker, "w") as f:  # (6) commit point
             f.write("")
 
     def abort(self, messages):

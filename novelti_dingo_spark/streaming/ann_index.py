@@ -110,11 +110,11 @@ def _index_append_stream(
             return
         if epoch_id <= _last_appended_epoch(spark, base, run_id):
             return  # replayed batch: already published
-        append_fn(
+        v = append_fn(
             spark, base, batch,
             meta={"batch_id": int(epoch_id), "checkpoint_id": run_id},
         )
-        _record_stream_epoch(spark, base, run_id, epoch_id)
+        _record_stream_epoch(spark, base, run_id, epoch_id, version=v)
 
     q = (
         spark.readStream.schema(schema)

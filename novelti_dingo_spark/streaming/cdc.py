@@ -71,11 +71,26 @@ def _last_stream_epoch(
     Neither alone is crash+vacuum proof; together the failure windows
     don't overlap (vacuum cannot run between a publish and the crash
     that loses the control-file write — that window contains no other
-    work)."""
+    work).
+
+    Scan cost is BOUNDED by the control file's recorded publish
+    version (round-11 advice: an unconditional all-manifest scan per
+    micro-batch was O(versions) JVM reads per batch, O(n²) over a
+    delta-append stream's lifetime): publishes by one checkpoint
+    lineage are totally ordered and version numbers strictly increase,
+    so a manifest at version ≤ the control file's recorded version
+    cannot carry a higher batch_id for this run_id than the control
+    file itself — only NEWER versions (the crash window since the last
+    control-file write, normally zero or one publish) are read. A
+    legacy control file without the version key falls back to the full
+    scan."""
     hi = -1
+    known_version = -1
     ctrl = f"{base}/_stream_ckpt/{run_id}.json"
     if lakefs.exists(spark, ctrl):
-        hi = int(json.loads(lakefs.read_text(spark, ctrl)).get("batch_id", -1))
+        rec = json.loads(lakefs.read_text(spark, ctrl))
+        hi = int(rec.get("batch_id", -1))
+        known_version = int(rec.get("version", -1))
     if not lakefs.exists(spark, f"{base}/LATEST"):
         return hi
     for name in lakefs.listdir(spark, base):
@@ -84,6 +99,8 @@ def _last_stream_epoch(
             and name.split("=")[1].isdigit()
         ):
             continue
+        if int(name.split("=")[1]) <= known_version:
+            continue  # already reflected in the control file's mark
         mpath = f"{base}/{name}/_manifest.json"
         if not lakefs.exists(spark, mpath):
             continue  # crash-orphaned partial version: no manifest yet
@@ -94,15 +111,25 @@ def _last_stream_epoch(
 
 
 def _record_stream_epoch(
-    spark: SparkSession, base: str, run_id: str, epoch_id: int
+    spark: SparkSession,
+    base: str,
+    run_id: str,
+    epoch_id: int,
+    version: int | None = None,
 ) -> None:
     """Persist the checkpoint's high-water mark in its own control file
-    (vacuum-proof half of the replay guard — see _last_stream_epoch)."""
+    (vacuum-proof half of the replay guard — see _last_stream_epoch).
+    `version` = the publish version that carried this epoch; recording
+    it lets the guard skip every manifest at or below it on the next
+    batch (the scan bound above)."""
     lakefs.mkdirs(spark, f"{base}/_stream_ckpt")
     lakefs.replace_text(
         spark,
         f"{base}/_stream_ckpt/{run_id}.json",
-        json.dumps({"batch_id": int(epoch_id)}),
+        json.dumps(
+            {"batch_id": int(epoch_id)}
+            | ({"version": int(version)} if version is not None else {})
+        ),
     )
 
 
@@ -177,12 +204,12 @@ def cdc_apply_stream(
         else:
             target = spark.createDataFrame([], upserts.schema)
         merged = merge_rows(target, upserts, key_cols, deletes)
-        publish_versioned(
+        v = publish_versioned(
             merged,
             base,
             meta={"batch_id": int(epoch_id), "checkpoint_id": run_id},
         )
-        _record_stream_epoch(spark, base, run_id, epoch_id)
+        _record_stream_epoch(spark, base, run_id, epoch_id, version=v)
 
     q = (
         spark.readStream.schema(schema)
@@ -238,13 +265,16 @@ def stream_append_publish(
             return
         if int(epoch_id) <= _last_applied_epoch(spark, base, run_id):
             return
-        publish_append(
+        v = publish_append(
             batch,
             base,
             meta={"checkpoint_id": run_id, "batch_id": int(epoch_id)},
             stats_cols=stats_cols,
             partition_by=partition_by,
         )
+        # control file: vacuum-proofs the mark AND bounds the guard's
+        # next manifest scan to versions newer than v
+        _record_stream_epoch(spark, base, run_id, int(epoch_id), version=v)
 
     stream = (
         spark.readStream.schema(schema)

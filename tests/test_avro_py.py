@@ -358,3 +358,66 @@ def test_writer_streams_blocks_not_materializing_partition(tmp_path):
     # blocks hit disk before the generator finished: file size grew
     # while rows were still being pulled
     assert any(s > 0 for s in sizes_at_pull[2:]), sizes_at_pull
+
+
+def test_overwrite_commit_crash_window_preserves_old_data(spark, tmp_path):
+    """Round-11 advice: the swap used to DELETE the old *.avro before
+    renaming the staged files in — a crash in that window destroyed the
+    previous committed data. Renames now happen first: inject a crash
+    right after every rename (before any delete) and assert the old
+    files are all still on disk (recoverable), the directory reads as
+    uncommitted (no _SUCCESS), and a clean retry converges with no
+    stale _staging-* leftovers."""
+    import glob as _glob
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from novelti_dingo_spark.sources.avro_py import (
+        AvroPyWriter,
+        read_avro,
+        write_avro,
+    )
+
+    d = str(tmp_path / "crash")
+    schema = StructType([StructField("k", LongType(), False)])
+    write_avro(spark.createDataFrame([(1,), (2,)], schema), d, codec="null")
+    old_files = sorted(_glob.glob(os.path.join(d, "*.avro")))
+
+    w = AvroPyWriter({"path": d, "codec": "null"}, schema, overwrite=True)
+    msg = w.write(iter([(7,)]))
+
+    class Boom(RuntimeError):
+        pass
+
+    real_remove = os.remove
+
+    def crashing_remove(p):
+        if p.endswith(".avro"):  # first old-file delete = crash point
+            raise Boom(p)
+        real_remove(p)
+
+    import unittest.mock as mock
+
+    with mock.patch(
+        "novelti_dingo_spark.sources.avro_py.os.remove", crashing_remove
+    ):
+        try:
+            w.commit([msg])
+            raise AssertionError("crash injection never fired")
+        except Boom:
+            pass
+
+    # the previous committed data is fully intact on disk...
+    for fp in old_files:
+        assert os.path.exists(fp), f"old file destroyed in crash window: {fp}"
+    # ...and the directory correctly reads as uncommitted
+    assert not os.path.exists(os.path.join(d, "_SUCCESS"))
+
+    # a retried overwrite (fresh writer = fresh staging dir, as the
+    # engine would do) converges: exactly the new data, committed, and
+    # the crashed attempt's staging dir swept
+    w2 = AvroPyWriter({"path": d, "codec": "null"}, schema, overwrite=True)
+    msg2 = w2.write(iter([(7,)]))
+    w2.commit([msg2])
+    assert sorted(r.k for r in read_avro(spark, d).collect()) == [7]
+    assert _glob.glob(os.path.join(d, "_staging-*")) == []

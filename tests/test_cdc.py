@@ -154,3 +154,67 @@ def test_cdc_replay_guard_survives_interleaved_publish_and_vacuum(
         os.remove(crc0)
     cdc_apply_stream(spark, str(src), str(target), str(ckpt), ["id"], SCHEMA)
     assert _target(spark, target) == {1: ("a", 1.0)}
+
+
+def test_replay_guard_scan_is_bounded_by_control_file(
+    spark, dirs, monkeypatch
+):
+    """Round-11 advice: the guard used to read EVERY matching manifest
+    on every micro-batch — O(versions) JVM reads per batch, O(n²) over
+    a stream's lifetime. The control file now records the publish
+    version alongside the batch epoch, and the scan skips manifests at
+    or below it: with nothing published since the last control write,
+    the guard reads ZERO manifests. Crash-window safety holds: a
+    manifest NEWER than the recorded version (publish landed, control
+    write lost) is still read and honored, and a LEGACY control file
+    without the version key falls back to the full scan."""
+    import json
+
+    from novelti_dingo_spark.pipelines import publish_versioned
+    from novelti_dingo_spark.sources import lakefs
+    from novelti_dingo_spark.streaming.cdc import (
+        _checkpoint_identity,
+        _last_applied_epoch,
+    )
+
+    src, target, ckpt = dirs
+    for i in range(6):
+        _write([(i, "a", float(i), 1, False)], src / f"b{i}.parquet")
+        cdc_apply_stream(
+            spark, str(src), str(target), str(ckpt), ["id"], SCHEMA
+        )
+    run_id = _checkpoint_identity(spark, str(ckpt))
+    assert _last_applied_epoch(spark, str(target), run_id) == 5
+
+    real_read = lakefs.read_text
+    reads: list[str] = []
+
+    def counting_read(s, path):
+        reads.append(path)
+        return real_read(s, path)
+
+    monkeypatch.setattr(lakefs, "read_text", counting_read)
+    assert _last_applied_epoch(spark, str(target), run_id) == 5
+    manifest_reads = [p for p in reads if p.endswith("_manifest.json")]
+    assert manifest_reads == [], (
+        f"guard read {len(manifest_reads)} manifests with an "
+        f"up-to-date control file; expected 0: {manifest_reads}"
+    )
+
+    # crash window: a publish newer than the control file's version is
+    # scanned and its (matching) epoch honored
+    tgt_df, _ = read_version(spark, str(target))
+    publish_versioned(
+        tgt_df, str(target),
+        meta={"checkpoint_id": run_id, "batch_id": 11},
+    )
+    reads.clear()
+    assert _last_applied_epoch(spark, str(target), run_id) == 11
+    manifest_reads = [p for p in reads if p.endswith("_manifest.json")]
+    assert len(manifest_reads) == 1
+
+    # legacy control file (no version key) → full scan still correct
+    monkeypatch.undo()
+    ctrl = f"{target}/_stream_ckpt/{run_id}.json"
+    lakefs.replace_text(spark, ctrl, json.dumps({"batch_id": 5}))
+    assert _last_applied_epoch(spark, str(target), run_id) == 11
