@@ -89,7 +89,7 @@ def kmeans_fit_numpy(
     vectors: DataFrame,
     k: int = K,
     iterations: int = ITERATIONS,
-    sample: int = 1 << 16,
+    sample: int | None = None,
 ) -> DataFrame:
     """Driver-side Lloyd's over a collected sample — the coarse-
     quantizer twin of pq_fit_numpy and the production trainer shape
@@ -97,8 +97,13 @@ def kmeans_fit_numpy(
     job is assignment and serving). Motivation is measured: the
     DataFrame kmeans_fit at 1M vectors shuffles ~16 GB of wide rows
     per Lloyd's iteration through the window argmin (~50 min wall for
-    a k=32 coarse quantizer), while the 2^16-vector training sample is
-    32 MB collected once and each iteration is one GEMM. Init mirrors
+    a k=32 coarse quantizer), while the training sample is a few MB
+    collected once and each iteration is one GEMM. The sample defaults
+    to 256·k (the FAISS points-per-centroid training rule — 8192 rows
+    for the k=32 coarse quantizer; more sample stops moving centroids
+    long before it stops costing collect bytes) and arrives via the
+    threshold filter in hash_sample (a corpus-wide TakeOrdered merge
+    on the driver was the measured 1M build tail). Init mirrors
     kmeans_fit: the k lowest-(xxhash64(vec_id), vec_id) vectors (the
     sample IS that ordering's prefix, so the init set is identical);
     argmin ties break to the lowest cid; empty cells keep their
@@ -109,13 +114,13 @@ def kmeans_fit_numpy(
     its train-per-call twin on the same one."""
     import numpy as np
 
-    samp = (
+    from .hash_sample import collect_hash_sample
+
+    samp = collect_hash_sample(
         vectors.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-        )
-        .orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(sample)
-        .collect()
+        ),
+        sample if sample is not None else 256 * k,
     )
     x = np.array([r.emb for r in samp], dtype=np.float64)
     k_eff = min(k, len(x))
@@ -253,7 +258,7 @@ def publish_ivf_index(
     base_dir: str,
     k_cells: int = K,
     partition_postings: bool = False,
-    trainer: str = "exact",
+    trainer: str = "sampled",
 ) -> int:
     """Train the IVF index once and publish it as an ATOMIC multi-table
     snapshot (centroids + postings under one LATEST pointer): the
@@ -264,12 +269,13 @@ def publish_ivf_index(
     publish_snapshot exists to prevent — probing cells against the
     wrong partition of postings silently destroys recall).
 
-    `trainer`: "exact" (default — full-corpus DataFrame Lloyd's,
-    matches the ivf_knn train-per-call twin bit-for-bit) or "sampled"
-    (kmeans_fit_numpy over a 2^16 sample — the 100 TB shape; the
-    measured 1M build-wall difference is in SCALE.md round-10). Full-
-    corpus ASSIGNMENT always runs as the zero-shuffle assign_literal
-    (bit-identical to the joined form — pinned in tests)."""
+    `trainer`: "sampled" (default — kmeans_fit_numpy over a 256·k_cells
+    threshold sample, the 100 TB shape; the measured 1M build-wall
+    difference is in SCALE.md) or "exact" (full-corpus DataFrame
+    Lloyd's, matches the ivf_knn train-per-call twin bit-for-bit).
+    Full-corpus ASSIGNMENT always runs as the zero-shuffle
+    assign_literal (bit-identical to the joined form — pinned in
+    tests)."""
     from ..pipelines import publish_snapshot
 
     e = load_table(spark, sf_dir, "embeddings")

@@ -173,7 +173,7 @@ def pq_fit_numpy(
     vectors: DataFrame,
     iterations: int = ITERATIONS,
     k: int = K,
-    sample: int = 1 << 16,
+    sample: int | None = None,
 ) -> DataFrame:
     """Driver-side Lloyd's over a collected sample — the quantizer-
     TRAINING shape production ANN systems actually use (FAISS trains
@@ -192,16 +192,23 @@ def pq_fit_numpy(
     One deliberate difference: an empty Lloyd's cell KEEPS its previous
     centroid instead of dropping the codebook row (the DataFrame
     groupBy drops it) — strictly more usable, same scores for every
-    occupied cell."""
+    occupied cell.
+
+    The sample defaults to 256·k (the points-per-centroid training
+    rule; k=256 → the round-10 2^16 default exactly) and is collected
+    via hash_sample's threshold filter — the corpus-wide
+    orderBy().limit() TakeOrdered this replaced serialized on a
+    single-threaded driver merge at large partition counts (the
+    measured 1M composed-build tail)."""
     import numpy as np
 
-    samp = (
+    from .hash_sample import collect_hash_sample
+
+    samp = collect_hash_sample(
         vectors.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-        )
-        .orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(sample)
-        .collect()
+        ),
+        sample if sample is not None else 256 * k,
     )
     x = np.array([r.emb for r in samp], dtype=np.float64)
     k_eff = min(k, len(x))
@@ -657,7 +664,7 @@ def publish_ivfpq_index(
     residual: bool = True,
     pq_k: int | None = None,
     train_sample: int | None = None,
-    trainer: str = "exact",
+    trainer: str = "sampled",
 ) -> int:
     """Train BOTH quantizers once and publish the composed FAISS-IVFPQ-
     shaped index as one atomic snapshot: `coarse` (k_cells centroids),
@@ -686,16 +693,25 @@ def publish_ivfpq_index(
     256 = 1-byte codes, the classic operating point — 2× the code
     bytes for 16× finer cells; scale_bench ann_pq measures both.
 
-    `train_sample` (default: full corpus at pq_k<=32, else 2^16):
+    `train_sample` (default: full corpus at pq_k<=32, else 256·pq_k):
     Lloyd's iterations run over a deterministic lowest-xxhash64 sample
     — the standard quantizer-training recipe (codebook quality needs a
     representative sample, not the population; at 100 TB nobody
-    Lloyd's-iterates the full corpus). At pq_k>32 both training and
-    encoding switch to the numpy forms (pq_fit_numpy driver-side over
-    the collected sample; pq_encode_numpy Arrow-batched over the full
-    corpus) because the join forms explode in the candidate dimension
-    (n·M·pq_k rows). Encoding always covers EVERY vector."""
+    Lloyd's-iterates the full corpus). Samples arrive via
+    hash_sample's threshold filter, never a corpus-wide TakeOrdered
+    (the measured 1M build tail — see operators/hash_sample.py). At
+    pq_k>32 both training and encoding switch to the numpy forms
+    (pq_fit_numpy driver-side over the collected sample;
+    pq_encode_numpy Arrow-batched over the full corpus) because the
+    join forms explode in the candidate dimension (n·M·pq_k rows).
+    Encoding always covers EVERY vector.
+
+    `trainer` (default "sampled" — the 100 TB shape, round-11): the
+    coarse quantizer trains driver-side on a 256·k_cells threshold
+    sample (kmeans_fit_numpy); "exact" keeps the full-corpus DataFrame
+    Lloyd's for bit-parity with the train-per-call ivf_knn twin."""
     from ..pipelines import publish_snapshot
+    from .hash_sample import hash_sample_df
     from .ivf import (
         K as IVF_K,
         assign_literal,
@@ -746,15 +762,11 @@ def publish_ivfpq_index(
         # encoder — the join forms explode in the candidate dimension
         # (n·M·pq_k rows) and stop being the right tool (docstrings on
         # pq_fit_numpy / pq_encode_numpy carry the measured rationale)
-        codebooks = pq_fit_numpy(
-            vecs, k=pq_k, sample=train_sample or (1 << 16)
-        )
+        codebooks = pq_fit_numpy(vecs, k=pq_k, sample=train_sample)
         codes_raw = pq_encode_numpy(vecs, codebooks, k=pq_k)
     else:
         train = (
-            vecs.orderBy(F.xxhash64("vec_id"), "vec_id").limit(train_sample)
-            if train_sample
-            else vecs
+            hash_sample_df(vecs, train_sample) if train_sample else vecs
         )
         codebooks = pq_fit(train, k=pq_k)
         codes_raw = pq_encode(vecs, codebooks)
@@ -1153,7 +1165,7 @@ def ivfpq_index_serve_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = fixture_tag(sf_dir)
     base = os.path.join(
-        tempfile.gettempdir(), "novelti_dingo_lake", tag, "ivfpq_index_res"
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "ivfpq_index_res_st"
     )
     if not lakefs.exists(spark, f"{base}/LATEST"):
         publish_ivfpq_index(spark, sf_dir, base)
@@ -1196,7 +1208,7 @@ def ivfpq_delta_serve_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = fixture_tag(sf_dir)
     base = os.path.join(
-        tempfile.gettempdir(), "novelti_dingo_lake", tag, "ivfpq_index_delta"
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "ivfpq_index_delta_st"
     )
     e = load_table(spark, sf_dir, "embeddings")
     if not lakefs.exists(spark, f"{base}/LATEST"):

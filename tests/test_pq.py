@@ -567,12 +567,13 @@ def test_publish_residual_norm_rides_the_write(
     rides the codes write via Observation + publish_snapshot's
     meta_late hook. Spy: a mapInPandas probe on the embeddings source
     drops one marker per (partition, evaluation). Measured breakdown at
-    k_cells=8, residual=True, trainer="exact": 19 source passes
-    (kmeans_fit collect for assign_literal's routing literals; pq_fit's
-    3 Lloyd's iterations and the codes write each re-evaluating the
-    broadcast coarse subtree + one corpus pass; coarse/codebooks table
-    writes). The OLD separate-aggregate shape re-ran the whole
-    pq_input plan once more on top — measurably MORE passes; pin the
+    k_cells=8, residual=True with the round-11 defaults (sampled coarse
+    trainer + threshold hash sample): 5 source passes — the sampler's
+    count + filtered collect, pq_fit's window-init/Lloyd's subtree, and
+    the codes write (coarse/codebooks writes are driver-built
+    DataFrames, zero source passes). The round-10 exact-trainer default
+    measured 19 passes on this same spy; the OLD separate-aggregate
+    norm re-ran the whole pq_input plan once more on top — pin the
     post-fix count so the double evaluation cannot silently return."""
     import os
     import uuid
@@ -600,9 +601,10 @@ def test_publish_residual_norm_rides_the_write(
     pq_mod.publish_ivfpq_index(spark, sf_small, base, k_cells=8)
     monkeypatch.undo()
     passes = len(os.listdir(str(d))) / n_parts
-    assert passes == 19, (
-        f"publish evaluated the source {passes} times, expected 19 — "
-        "a separate norm aggregate re-appearing would add ~5 passes"
+    assert passes == 5, (
+        f"publish evaluated the source {passes} times, expected 5 — "
+        "a separate norm aggregate re-appearing would add ~2 passes "
+        "(the full assign+join+residual plan re-run once more)"
     )
 
     # and the observed value IS the corpus mean residual norm against
