@@ -54,12 +54,19 @@ def _threshold(n: int, sample: int, margin: float) -> int | None:
     return _I64_MIN + int(_SPAN * frac)
 
 
-def hash_sample_df(df: DataFrame, sample: int, key: str = "vec_id") -> DataFrame:
+def hash_sample_df(
+    df: DataFrame, sample: int, key: str = "vec_id", n: int | None = None
+) -> DataFrame:
     """The `sample` lowest-(xxhash64(key), key) rows as a DataFrame —
     bit-identical to `df.orderBy(xxhash64(key), key).limit(sample)`,
     planned as threshold-filter → top-k over the ~2·sample survivors
-    (the TakeOrdered runs over the survivor set, not the corpus)."""
-    n = df.count()
+    (the TakeOrdered runs over the survivor set, not the corpus).
+    Pass `n` (the exact row count) when the caller knows it from a
+    cheaper plan — e.g. a base-table count answered from parquet
+    metadata while `df` is a row-preserving derivation whose count
+    would evaluate the derivation."""
+    if n is None:
+        n = df.count()
     margin = _MARGIN
     flt = df
     while True:
@@ -74,12 +81,16 @@ def hash_sample_df(df: DataFrame, sample: int, key: str = "vec_id") -> DataFrame
     return flt.orderBy(F.xxhash64(key), key).limit(sample)
 
 
-def collect_hash_sample(df: DataFrame, sample: int, key: str = "vec_id") -> list:
+def collect_hash_sample(
+    df: DataFrame, sample: int, key: str = "vec_id", n: int | None = None
+) -> list:
     """The same prefix COLLECTED for driver-side trainers: one filtered
     collect of ~2·sample rows (sorted + truncated in Python — microseconds
     at trainer sample sizes) instead of a corpus-wide TakeOrdered merge.
-    Rows carry the input columns plus the `_h` hash used for the order."""
-    n = df.count()
+    Rows carry the input columns plus the `_h` hash used for the order.
+    `n` as in hash_sample_df."""
+    if n is None:
+        n = df.count()
     margin = _MARGIN
     with_h = df.withColumn("_h", F.xxhash64(key))
     while True:

@@ -90,6 +90,7 @@ def kmeans_fit_numpy(
     k: int = K,
     iterations: int = ITERATIONS,
     sample: int | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """Driver-side Lloyd's over a collected sample — the coarse-
     quantizer twin of pq_fit_numpy and the production trainer shape
@@ -121,6 +122,7 @@ def kmeans_fit_numpy(
             "vec_id", F.col("embedding").cast("array<double>").alias("emb")
         ),
         sample if sample is not None else 256 * k,
+        n=n,
     )
     x = np.array([r.emb for r in samp], dtype=np.float64)
     k_eff = min(k, len(x))

@@ -174,6 +174,7 @@ def pq_fit_numpy(
     iterations: int = ITERATIONS,
     k: int = K,
     sample: int | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """Driver-side Lloyd's over a collected sample — the quantizer-
     TRAINING shape production ANN systems actually use (FAISS trains
@@ -209,6 +210,7 @@ def pq_fit_numpy(
             "vec_id", F.col("embedding").cast("array<double>").alias("emb")
         ),
         sample if sample is not None else 256 * k,
+        n=n,
     )
     x = np.array([r.emb for r in samp], dtype=np.float64)
     k_eff = min(k, len(x))
@@ -568,18 +570,32 @@ def ivf_pq_residual_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_CB_CACHE: dict[tuple, list] = {}
 
 
-def publish_pq_index(spark: SparkSession, sf_dir: str, base_dir: str) -> int:
+def publish_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    base_dir: str,
+    train_sample: int | None = None,
+) -> int:
     """Train the PQ model ONCE and publish {codebooks, codes} as an
     atomic snapshot (same shape as publish_ivf_index): train offline,
     version the index, pin readers. The codes table is the 32×-
     compressed corpus (M one-byte-range ints per vector); the float
     embeddings are NOT part of the index — rerank fetches them from
-    the source table for the shortlist only."""
+    the source table for the shortlist only. Round-11 build path:
+    training runs over a 256·K threshold sample (hash_sample — never a
+    corpus TakeOrdered) and encoding is the Arrow numpy encoder (pinned
+    code-for-code equal to the join form, without its n·M·K candidate
+    blow-up)."""
     from ..pipelines import publish_snapshot
+    from .hash_sample import hash_sample_df
 
     e = load_table(spark, sf_dir, "embeddings")
-    codebooks = pq_fit(e)
-    codes = pq_encode(e, codebooks)
+    train = hash_sample_df(
+        e.select("vec_id", "embedding"),
+        train_sample if train_sample is not None else 256 * K,
+    )
+    codebooks = pq_fit(train)
+    codes = pq_encode_numpy(e, codebooks)
     return publish_snapshot(
         {"codebooks": codebooks, "codes": codes},
         base_dir,
@@ -693,18 +709,20 @@ def publish_ivfpq_index(
     256 = 1-byte codes, the classic operating point — 2× the code
     bytes for 16× finer cells; scale_bench ann_pq measures both.
 
-    `train_sample` (default: full corpus at pq_k<=32, else 256·pq_k):
+    `train_sample` (default 256·pq_k — the points-per-centroid rule):
     Lloyd's iterations run over a deterministic lowest-xxhash64 sample
     — the standard quantizer-training recipe (codebook quality needs a
     representative sample, not the population; at 100 TB nobody
     Lloyd's-iterates the full corpus). Samples arrive via
     hash_sample's threshold filter, never a corpus-wide TakeOrdered
-    (the measured 1M build tail — see operators/hash_sample.py). At
-    pq_k>32 both training and encoding switch to the numpy forms
-    (pq_fit_numpy driver-side over the collected sample;
-    pq_encode_numpy Arrow-batched over the full corpus) because the
-    join forms explode in the candidate dimension (n·M·pq_k rows).
-    Encoding always covers EVERY vector.
+    (the measured 1M build tail — see operators/hash_sample.py).
+    Training uses the join-based pq_fit at pq_k<=32 and the driver-side
+    pq_fit_numpy above that (the join trainer explodes in the candidate
+    dimension: sample·M·pq_k rows per iteration). ENCODING always runs
+    pq_encode_numpy over every vector: the encoders are pinned
+    code-for-code identical, and the join encoder's n·M·pq_k candidate
+    blow-up (128M rows at 1M×k16, measured as the dominant share of the
+    round-10 2313 s raw_k16 build) buys nothing at publish time.
 
     `trainer` (default "sampled" — the 100 TB shape, round-11): the
     coarse quantizer trains driver-side on a 256·k_cells threshold
@@ -724,8 +742,9 @@ def publish_ivfpq_index(
     if pq_k is None:
         pq_k = K
     e = load_table(spark, sf_dir, "embeddings")
+    n_corpus = e.count()  # metadata-only on the parquet scan
     if trainer == "sampled":
-        coarse = kmeans_fit_numpy(e, k=k_cells)
+        coarse = kmeans_fit_numpy(e, k=k_cells, n=n_corpus)
     elif trainer == "exact":
         coarse = kmeans_fit(e, k=k_cells)
     else:
@@ -758,18 +777,25 @@ def publish_ivfpq_index(
         )
     vecs = pq_input.select("vec_id", "embedding")
     if pq_k > 32:
-        # high code rate: driver-side sampled Lloyd's + Arrow numpy
-        # encoder — the join forms explode in the candidate dimension
-        # (n·M·pq_k rows) and stop being the right tool (docstrings on
-        # pq_fit_numpy / pq_encode_numpy carry the measured rationale)
-        codebooks = pq_fit_numpy(vecs, k=pq_k, sample=train_sample)
-        codes_raw = pq_encode_numpy(vecs, codebooks, k=pq_k)
+        # high code rate: driver-side sampled Lloyd's — the join
+        # trainer explodes in the candidate dimension (sample·M·pq_k
+        # rows per iteration; pq_fit_numpy's docstring carries the
+        # measured rationale)
+        codebooks = pq_fit_numpy(
+            vecs, k=pq_k, sample=train_sample, n=n_corpus
+        )
     else:
-        train = (
-            hash_sample_df(vecs, train_sample) if train_sample else vecs
+        # n passed through: vecs is a row-preserving derivation of e
+        # (projection + broadcast inner join whose key always matches),
+        # so the sampler's threshold math can use the base scan's
+        # metadata-only count instead of evaluating the residual plan
+        train = hash_sample_df(
+            vecs,
+            train_sample if train_sample is not None else 256 * pq_k,
+            n=n_corpus,
         )
         codebooks = pq_fit(train, k=pq_k)
-        codes_raw = pq_encode(vecs, codebooks)
+    codes_raw = pq_encode_numpy(vecs, codebooks, k=pq_k)
     obs_norm = None
     if residual:
         # recorded so ivfpq_index_drift can measure distribution drift
@@ -910,8 +936,8 @@ def append_vectors_to_ivfpq_index(
     snapshot. Per batch: assign to the frozen coarse centroids (one
     broadcast scan of the additions), subtract the cell centroid if the
     index is residual-encoded, PQ-encode against the frozen codebooks
-    (join encoder at small k, numpy encoder at k>32 — same dispatch as
-    publish), and union into `codes`. Coarse + codebooks republish
+    (the Arrow numpy encoder at every code rate — same as publish),
+    and union into `codes`. Coarse + codebooks republish
     UNCHANGED, so a reader pinned to any snapshot version keeps
     byte-identical results, and an unpinned reader's scores stay
     comparable across the append (same LUT space).
@@ -966,10 +992,7 @@ def append_vectors_to_ivfpq_index(
             "vec_id", F.col("cid").alias("ivf_cid"), "embedding"
         )
     vecs = pq_input.select("vec_id", "embedding")
-    if pq_k > 32:
-        new_codes = pq_encode_numpy(vecs, codebooks, k=pq_k)
-    else:
-        new_codes = pq_encode(vecs, codebooks)
+    new_codes = pq_encode_numpy(vecs, codebooks, k=pq_k)
     added = (
         new_codes.join(pq_input.select("vec_id", "ivf_cid"), "vec_id")
         .select("vec_id", "codes", F.col("ivf_cid").alias("cell"))

@@ -568,13 +568,16 @@ def test_publish_residual_norm_rides_the_write(
     meta_late hook. Spy: a mapInPandas probe on the embeddings source
     drops one marker per (partition, evaluation). Measured breakdown at
     k_cells=8, residual=True with the round-11 defaults (sampled coarse
-    trainer + threshold hash sample): 5 source passes — the sampler's
-    count + filtered collect, pq_fit's window-init/Lloyd's subtree, and
-    the codes write (coarse/codebooks writes are driver-built
-    DataFrames, zero source passes). The round-10 exact-trainer default
-    measured 19 passes on this same spy; the OLD separate-aggregate
-    norm re-ran the whole pq_input plan once more on top — pin the
-    post-fix count so the double evaluation cannot silently return."""
+    trainer + threshold hash sample + numpy encoder): 6 source passes —
+    the shared corpus count, the coarse sampler's filtered collect, the
+    PQ train sampler's shortfall-check count, the codebook collect
+    (evaluating pq_fit's Lloyd's subtree over the sampled train set),
+    and the codes write evaluating its two join branches (the encode
+    scan and the residual-norm side of pq_input). The round-10
+    exact-trainer default measured 19 passes on this same spy; the OLD
+    separate-aggregate norm re-ran the whole pq_input plan once more on
+    top — pin the post-fix count so neither the double evaluation nor a
+    TakeOrdered sampler can silently return."""
     import os
     import uuid
 
@@ -601,8 +604,8 @@ def test_publish_residual_norm_rides_the_write(
     pq_mod.publish_ivfpq_index(spark, sf_small, base, k_cells=8)
     monkeypatch.undo()
     passes = len(os.listdir(str(d))) / n_parts
-    assert passes == 5, (
-        f"publish evaluated the source {passes} times, expected 5 — "
+    assert passes == 6, (
+        f"publish evaluated the source {passes} times, expected 6 — "
         "a separate norm aggregate re-appearing would add ~2 passes "
         "(the full assign+join+residual plan re-run once more)"
     )

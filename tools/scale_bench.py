@@ -553,6 +553,101 @@ def run_ann_pq(ns: list[int]) -> None:
     _merge("ann_ivfpq", res)
 
 
+def run_ann_sampled(ns: list[int]) -> None:
+    """Round-11 re-measure of the SAMPLED-TRAINER composed build after
+    the TakeOrdered→threshold-filter sampler swap (hash_sample.py):
+    publish_ivfpq_index with the new defaults (sampled coarse trainer
+    over a 256·k_cells threshold sample, pq_k=256 numpy trainer over a
+    2^16 threshold sample), recall measured the same way as run_ann_pq
+    (averaged over N_QUERIES queries vs exact DuckDB ground truth).
+    Builds are NEVER fixture-reused here — the build wall IS the
+    number under test; the round-10 TakeOrdered build (1212 s at 1M,
+    SCALE_MEASURED.json ann_ivfpq_sampled_trainer.build_s_takeordered)
+    is the comparison line."""
+    from novelti_dingo_spark.operators.pq import (
+        ivfpq_knn_from_index,
+        publish_ivfpq_index,
+    )
+    from novelti_dingo_spark.sources.io import load_table
+
+    spark = _spark()
+    k_cells, n_probe, n_queries = 32, 4, 10
+    res = {}
+    for n in ns:
+        d = build_embeddings(n)
+        qvs = {
+            int(vid): [float(x) for x in emb]
+            for vid, emb in duckdb.sql(
+                f"SELECT vec_id, embedding FROM '{d}/embeddings.parquet' "
+                f"WHERE vec_id < {n_queries} ORDER BY vec_id"
+            ).fetchall()
+        }
+        truth = {}
+        for vid, qv in qvs.items():
+            qlit = "[" + ",".join(repr(x) for x in qv) + "]::FLOAT[]"
+            truth[vid] = {
+                r[0]
+                for r in duckdb.sql(
+                    f"SELECT vec_id FROM '{d}/embeddings.parquet' "
+                    f"WHERE vec_id <> {vid} "
+                    f"ORDER BY list_dot_product(embedding, {qlit}) DESC, "
+                    f"vec_id LIMIT 10"
+                ).fetchall()
+            }
+        base = os.path.join(d, "ivfpq_index_sampled_thr")
+        if os.path.exists(base):
+            import shutil
+
+            shutil.rmtree(base)  # the build wall is the measurement
+        t0 = time.perf_counter()
+        publish_ivfpq_index(
+            spark, d, base, k_cells=k_cells, pq_k=256
+        )  # round-11 defaults: residual + sampled trainer + threshold
+        build_s = round(time.perf_counter() - t0, 3)
+        e = load_table(spark, d, "embeddings")
+        adc_walls, rr_walls, adc_rec, rr_rec = [], [], [], []
+        for vid, qv in qvs.items():
+            t0 = time.perf_counter()
+            got_adc = {
+                r.vec_id
+                for r in ivfpq_knn_from_index(
+                    spark, base, qv, n_probe=n_probe, exclude_vec_id=vid
+                ).collect()
+            }
+            adc_walls.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            got_rr = {
+                r.vec_id
+                for r in ivfpq_knn_from_index(
+                    spark, base, qv, n_probe=n_probe, shortlist=100,
+                    rerank=e, exclude_vec_id=vid,
+                ).collect()
+            }
+            rr_walls.append(time.perf_counter() - t0)
+            adc_rec.append(len(got_adc & truth[vid]) / 10)
+            rr_rec.append(len(got_rr & truth[vid]) / 10)
+        res[str(n)] = {
+            "n_vectors": n,
+            "k_cells": k_cells,
+            "n_probe": n_probe,
+            "n_queries": n_queries,
+            "pq_k": 256,
+            "trainer": "sampled",
+            "sampler": "hash_threshold",
+            "coarse_sample": 256 * k_cells,
+            "build_s": build_s,
+            "adc_probe_s": round(statistics.median(adc_walls), 3),
+            "rerank_probe_s": round(statistics.median(rr_walls), 3),
+            "recall_at_10_adc": round(statistics.mean(adc_rec), 3),
+            "recall_at_10_reranked": round(statistics.mean(rr_rec), 3),
+        }
+        if n == 1_000_000:
+            # the round-10 TakeOrdered-sampler build this swap replaces
+            res[str(n)]["build_s_takeordered"] = 1212.018
+        print(f"{n}/sampled_thr: {res[str(n)]}")
+    _merge("ann_ivfpq_sampled_trainer", res)
+
+
 def run_ann_sweep(ns: list[int], probes: list[int] | None = None) -> None:
     """The recall/cost DIAL, measured: for each corpus size, sweep
     n_probe and record (probe_s, recall@10) against the exact brute
@@ -873,7 +968,8 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("family", choices=[
         "build", "dedup", "gemm", "ann", "ann_sweep", "spatial", "lake",
-        "text", "cdc", "skew", "skew_lsh", "ann_pq",
+        "text", "cdc", "skew", "skew_lsh", "ann_pq", "ann_sampled",
+        "ann_clustered",
     ])
     p.add_argument("--k", type=int, nargs="*", default=[1, 5, 25])
     p.add_argument("--n", type=int, nargs="*", default=[2000, 20000, 100000])
@@ -894,6 +990,10 @@ def main() -> None:
         run_ann_sweep(a.n)
     elif a.family == "ann_pq":
         run_ann_pq(a.n)
+    elif a.family == "ann_sampled":
+        run_ann_sampled(a.n)
+    elif a.family == "ann_clustered":
+        run_ann_clustered(a.n)
     elif a.family == "spatial":
         run_spatial(a.k)
     elif a.family == "lake":
