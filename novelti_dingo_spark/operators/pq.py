@@ -603,6 +603,66 @@ def publish_pq_index(
     )
 
 
+def append_vectors_to_pq_index(
+    spark: SparkSession,
+    base_dir: str,
+    new_vectors: DataFrame,
+    meta: dict | None = None,
+    mode: str = "delta",
+) -> int:
+    """Incremental maintenance for the PLAIN-PQ index (round-11: the
+    IVF and IVF-PQ layouts both had O(batch) delta appends + streaming
+    maintenance; plain PQ required a full republish on corpus growth —
+    the last inconsistent corner of the three layouts' maintenance
+    surface). Encode the NEW vectors with the FROZEN published
+    codebooks (no retrain — unpinned readers keep scoring in the same
+    LUT space, pinned readers are byte-stable) and publish:
+
+    - mode="delta" (default): the batch's codes as a chained delta
+      snapshot (publish_snapshot_delta) — O(batch) bytes; readers
+      (pq_knn_from_index) resolve the chain via read_snapshot_chain,
+      and compact_snapshot_chain / the maintenance stream's
+      compact_every fold long chains back into one full snapshot.
+    - mode="rewrite": union into the full codes table and republish —
+      O(corpus) per batch, zero chain walks at read time.
+
+    Same retrain discipline as the IVF-PQ layout: codes of appended
+    vectors quantize against codebooks trained before they existed;
+    monitor quantization MSE drift offline and republish
+    (publish_pq_index) when the corpus distribution moves."""
+    from ..pipelines import (
+        publish_snapshot,
+        publish_snapshot_delta,
+        read_snapshot_chain,
+    )
+
+    tables, manifest = read_snapshot_chain(spark, base_dir)
+    codebooks = tables["codebooks"]
+    kk = int(manifest.get("k", K))
+    added = pq_encode_numpy(
+        new_vectors.select("vec_id", "embedding"), codebooks, k=kk
+    )
+    carried = {
+        key: manifest[key] for key in ("m", "k", "subdim") if key in manifest
+    }
+    if mode == "delta":
+        return publish_snapshot_delta(
+            {"codes": added},
+            base_dir,
+            meta={**carried, "appended": True, **(meta or {})},
+        )
+    if mode != "rewrite":
+        raise ValueError(f"mode must be 'delta' or 'rewrite', got {mode!r}")
+    return publish_snapshot(
+        {
+            "codebooks": codebooks,
+            "codes": tables["codes"].unionByName(added),
+        },
+        base_dir,
+        meta={**carried, "appended": True, **(meta or {})},
+    )
+
+
 def pq_knn_from_index(
     spark: SparkSession,
     base_dir: str,
@@ -622,10 +682,13 @@ def pq_knn_from_index(
     The LUT sum is a fixed left-to-right chain (m = 0..M-1), so scores
     are bit-reproducible across runs — unlike the groupBy-sum form,
     whose float add order is engine-chosen (both round to 6dp for
-    display; tests pin this form against a numpy replica exactly)."""
-    from ..pipelines import read_snapshot
+    display; tests pin this form against a numpy replica exactly).
+    Reads resolve the append delta chain (read_snapshot_chain — a
+    drop-in superset for plain snapshots): streamed appends land as
+    codes-only deltas and the scan unions the chain, still one job."""
+    from ..pipelines import read_snapshot_chain
 
-    tables, manifest = read_snapshot(spark, base_dir, version)
+    tables, manifest = read_snapshot_chain(spark, base_dir, version)
     ckey = (base_dir.rstrip("/"), int(manifest["snapshot"]))
     if ckey not in _PQ_CB_CACHE:
         cbs: list[list[list[float]]] = [
@@ -1249,3 +1312,47 @@ def ivfpq_delta_serve_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_knn_from_index(
         spark, base, q, n_probe=2, exclude_vec_id=0
     )
+
+
+@register(
+    "pq_delta_serve_top10",
+    None,  # trained codebooks + engine-specific delta-chain layout →
+    # rows-only; chain resolution, frozen-codebook encoding, and
+    # byte-stability are pinned in tests/test_ann_index_stream.py.
+    survey_rows="L22,S5,ST13",
+)
+def pq_delta_serve_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 append-serve for the PLAIN-PQ layout (the delta twin of
+    ivfpq_delta_serve_top10, completing the three persisted layouts'
+    maintenance surface): the index takes a codes-only DELTA append
+    (append_vectors_to_pq_index — O(batch) bytes, the streamed-
+    maintenance commit) and the next query serves through the resolved
+    chain: one job scanning the unioned 8-int code tables, scored by
+    the literal LUT, TakeOrderedAndProject top-k. The appended vectors
+    are copies of real corpus vectors re-keyed upward, so the served
+    top-k is deterministic (copies carry identical codes; ties break on
+    vec_id)."""
+    import os
+    import tempfile
+
+    from ..sources import lakefs
+    from ..sources.io import fixture_tag
+
+    tag = fixture_tag(sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "pq_index_delta_st"
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        publish_pq_index(spark, sf_dir, base)
+        batch = (
+            e.orderBy("vec_id")
+            .limit(16)
+            .withColumn("vec_id", F.col("vec_id") + 10_000_000)
+        )
+        append_vectors_to_pq_index(spark, base, batch)  # delta commit
+    q = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).head().embedding
+    ]
+    return pq_knn_from_index(spark, base, q, exclude_vec_id=0)

@@ -2968,7 +2968,15 @@ def publish_snapshot_delta(
       snapshot — a delta is unreadable without its chain;
     - `compact_snapshot_chain` folds the chain back into one full
       snapshot when it grows long (O(chain) manifest reads per serve
-      call is the cost being bounded)."""
+      call is the cost being bounded).
+
+    The manifest records `chain_len` (parent's + 1; a full snapshot is
+    0), maintained with ONE parent-manifest read per publish — so an
+    auto-compaction policy (streaming/ann_index.py `compact_every`) can
+    test the chain length without walking the chain (the O(n²)-over-a-
+    stream's-lifetime shape the round-11 replay-guard fix removed)."""
+    import json
+
     from .sources import lakefs
 
     base = base_dir.rstrip("/")
@@ -2980,10 +2988,17 @@ def publish_snapshot_delta(
     parent = int(
         lakefs.read_text(spark_of(dfs), f"{base}/LATEST").strip()
     )
+    parent_manifest = json.loads(
+        lakefs.read_text(spark_of(dfs), f"{base}/snap={parent}/_manifest.json")
+    )
     return publish_snapshot(
         dfs,
         base_dir,
-        meta={"delta_parent": parent, **(meta or {})},
+        meta={
+            "delta_parent": parent,
+            "chain_len": int(parent_manifest.get("chain_len", 0)) + 1,
+            **(meta or {}),
+        },
         partition_by=partition_by,
     )
 
@@ -3042,8 +3057,8 @@ def compact_snapshot_chain(
     carried = {
         k: v
         for k, v in head.items()
-        if k not in ("snapshot", "tables", "delta_parent", "partitioned",
-                     "appended", "batch_id", "checkpoint_id")
+        if k not in ("snapshot", "tables", "delta_parent", "chain_len",
+                     "partitioned", "appended", "batch_id", "checkpoint_id")
     }
     part = head.get("partitioned")
     if part is None:

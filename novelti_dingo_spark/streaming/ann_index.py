@@ -1,8 +1,10 @@
-"""Streaming ANN index maintenance: new vectors stream into the
-published IVF index as incremental snapshots — the wiring between
-`append_vectors_to_index` (assignment-only, no retrain) and Structured
-Streaming's foreachBatch, with the same exactly-once discipline as the
-CDC sink (streaming/cdc.py):
+"""Streaming ANN index maintenance: new vectors stream into a
+published index as incremental snapshots — the wiring between the
+per-layout append verbs (IVF `append_vectors_to_index`, IVF-PQ
+`append_vectors_to_ivfpq_index`, plain-PQ `append_vectors_to_pq_index`;
+frozen quantizers, no retrain) and Structured Streaming's foreachBatch,
+with the same exactly-once discipline as the CDC sink
+(streaming/cdc.py):
 
 - one published index snapshot per non-empty micro-batch;
 - replay guard scoped to the checkpoint's identity: a crash between
@@ -33,6 +35,12 @@ from .cdc import (
     _record_stream_epoch,
 )
 
+# fold the delta chain back into one full snapshot once it reaches this
+# many links (~one compaction per COMPACT_EVERY batches: the serve-side
+# chain walk stays O(64) while the compaction write amortizes to
+# corpus/64 bytes per batch). None disables the policy.
+COMPACT_EVERY = 64
+
 
 def _last_appended_epoch(spark: SparkSession, base: str, run_id: str) -> int:
     """Highest batch epoch already published into this index by THIS
@@ -51,6 +59,7 @@ def ivf_index_append_stream(
     index_base: str,
     checkpoint_dir: str,
     schema: str = "vec_id long, embedding array<float>, label int",
+    compact_every: int | None = COMPACT_EVERY,
 ) -> None:
     """One incremental index-maintenance run (Trigger.AvailableNow):
     every new-vector file not yet in the checkpoint is assigned to the
@@ -59,7 +68,7 @@ def ivf_index_append_stream(
     stream cannot train the quantizer, only grow the postings."""
     _index_append_stream(
         spark, vectors_dir, index_base, checkpoint_dir, schema,
-        append_vectors_to_index, "publish_ivf_index",
+        append_vectors_to_index, "publish_ivf_index", compact_every,
     )
 
 
@@ -69,6 +78,7 @@ def ivfpq_index_append_stream(
     index_base: str,
     checkpoint_dir: str,
     schema: str = "vec_id long, embedding array<float>, label int",
+    compact_every: int | None = COMPACT_EVERY,
 ) -> None:
     """Streaming maintenance of the COMPOSED IVF-PQ index (round-10):
     appended vectors are PQ-ENCODED per batch with the published
@@ -85,6 +95,28 @@ def ivfpq_index_append_stream(
     _index_append_stream(
         spark, vectors_dir, index_base, checkpoint_dir, schema,
         append_vectors_to_ivfpq_index, "publish_ivfpq_index",
+        compact_every,
+    )
+
+
+def pq_index_append_stream(
+    spark: SparkSession,
+    vectors_dir: str,
+    index_base: str,
+    checkpoint_dir: str,
+    schema: str = "vec_id long, embedding array<float>, label int",
+    compact_every: int | None = COMPACT_EVERY,
+) -> None:
+    """Streaming maintenance of the PLAIN-PQ index (round-11 — the
+    last of the three persisted layouts to gain appends): each batch is
+    encoded with the FROZEN published codebooks and lands as a
+    codes-only delta snapshot; same exactly-once replay guard, same
+    auto-compaction policy. pq_knn_from_index resolves the chain."""
+    from ..operators.pq import append_vectors_to_pq_index
+
+    _index_append_stream(
+        spark, vectors_dir, index_base, checkpoint_dir, schema,
+        append_vectors_to_pq_index, "publish_pq_index", compact_every,
     )
 
 
@@ -96,7 +128,12 @@ def _index_append_stream(
     schema: str,
     append_fn,
     trainer_name: str,
+    compact_every: int | None = COMPACT_EVERY,
 ) -> None:
+    import json
+
+    from ..pipelines import compact_snapshot_chain
+
     base = index_base.rstrip("/")
     if not lakefs.exists(spark, f"{base}/LATEST"):
         raise ValueError(
@@ -114,6 +151,22 @@ def _index_append_stream(
             spark, base, batch,
             meta={"batch_id": int(epoch_id), "checkpoint_id": run_id},
         )
+        # auto-compaction (round-11): an unattended delta-append stream
+        # otherwise grows an unbounded chain (every serve call pays an
+        # O(chain) manifest walk) until someone compacts manually. The
+        # chain length comes from the just-published manifest's
+        # chain_len counter — one O(1) read, no chain walk. Compaction
+        # publishes a NEW full snapshot carrying no (checkpoint_id,
+        # batch_id), so the replay guard is undisturbed; a crash
+        # between append and compaction just leaves the chain one
+        # batch longer for the next trigger. Pinned readers keep
+        # resolving the old chain until vacuum — byte-stable.
+        if compact_every is not None:
+            manifest = json.loads(
+                lakefs.read_text(spark, f"{base}/snap={v}/_manifest.json")
+            )
+            if int(manifest.get("chain_len", 0)) >= compact_every:
+                v = compact_snapshot_chain(spark, base)
         _record_stream_epoch(spark, base, run_id, epoch_id, version=v)
 
     q = (

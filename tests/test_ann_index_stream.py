@@ -343,3 +343,232 @@ def test_ivfpq_stream_replay_exactly_once_and_refusals(
         os.remove(crc0)
     ivfpq_index_append_stream(spark, str(src), base, ckpt)
     assert read_snapshot(spark, base)[0]["codes"].count() == n_offline
+
+
+def test_pq_streamed_appends_encode_with_frozen_codebooks(
+    spark, sf_small, tmp_path
+):
+    """Round-11: the PLAIN-PQ index (the last layout without appends)
+    grows by stream — appended vectors get codes from the PUBLISHED
+    codebooks, one delta snapshot per batch, pinned readers
+    byte-stable, and a new code is numpy-verifiable against the frozen
+    codebooks."""
+    import numpy as np
+
+    from novelti_dingo_spark.operators.pq import (
+        K as PQ_K,
+        M,
+        SUBDIM,
+        pq_knn_from_index,
+        publish_pq_index,
+    )
+    from novelti_dingo_spark.streaming.ann_index import (
+        pq_index_append_stream,
+    )
+
+    base = str(tmp_path / "pq")
+    v1 = publish_pq_index(spark, sf_small, base)
+    e = load_table(spark, sf_small, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).head().embedding]
+    pinned_before = [
+        (r.vec_id, r.pq_sim)
+        for r in pq_knn_from_index(
+            spark, base, q, version=v1, exclude_vec_id=0
+        ).collect()
+    ]
+    t0, _ = read_snapshot(spark, base)
+    n0 = t0["codes"].count()
+    cb0 = sorted(
+        (r.m, r.cid, tuple(r.centroid)) for r in t0["codebooks"].collect()
+    )
+
+    src = tmp_path / "newvecs"
+    src.mkdir()
+    _new_vec_file(src / "a.parquet", 700_000, 30)
+    _new_vec_file(src / "b.parquet", 700_100, 20)
+    ckpt = str(tmp_path / "ckpt")
+    pq_index_append_stream(spark, str(src), base, ckpt)
+
+    assert lakefs.read_text(spark, f"{base}/LATEST").strip() == str(v1 + 2)
+    tables, manifest = read_snapshot(spark, base)
+    assert int(manifest["k"]) == PQ_K  # format keys carried forward
+    assert tables["codes"].count() == n0 + 50
+    cb1 = sorted(
+        (r.m, r.cid, tuple(r.centroid))
+        for r in tables["codebooks"].collect()
+    )
+    assert cb0 == cb1
+    # new codes verify against the frozen codebooks in numpy (raw
+    # subvector argmin — the plain-PQ layout has no coarse level)
+    cbs = {
+        (r.m, r.cid): np.array(r.centroid)
+        for r in tables["codebooks"].collect()
+    }
+    new_row = tables["codes"].filter(F.col("vec_id") >= 700_000).head()
+    vec = np.array(
+        spark.read.parquet(str(src))
+        .filter(F.col("vec_id") == new_row.vec_id)
+        .head()
+        .embedding,
+        dtype=np.float64,
+    )
+    for m in range(M):
+        sub = vec[m * SUBDIM:(m + 1) * SUBDIM]
+        dists = {
+            cid: float(((cbs[(m, cid)] - sub) ** 2).sum())
+            for cid in range(PQ_K)
+            if (m, cid) in cbs
+        }
+        best = min(dists, key=lambda c: (dists[c], c))
+        assert new_row.codes[m] == best
+    # the streamed vectors are SERVED through the resolved chain
+    served = {
+        r.vec_id
+        for r in pq_knn_from_index(
+            spark, base, q, k=n0 + 50, exclude_vec_id=0
+        ).collect()
+    }
+    assert {700_000, 700_100} <= served
+    # a reader pinned to v1 is byte-stable through the appends
+    pinned_after = [
+        (r.vec_id, r.pq_sim)
+        for r in pq_knn_from_index(
+            spark, base, q, version=v1, exclude_vec_id=0
+        ).collect()
+    ]
+    assert pinned_after == pinned_before
+
+
+def test_pq_stream_replay_exactly_once_and_refusals(
+    spark, sf_small, tmp_path
+):
+    """Exactly-once coverage for the plain-PQ stream: same-checkpoint
+    rerun is a no-op, a forced replay (deleted commit marker) does not
+    double-append even with an interleaved offline append, and an
+    untrained base is refused."""
+    from novelti_dingo_spark.operators.pq import (
+        append_vectors_to_pq_index,
+        publish_pq_index,
+    )
+    from novelti_dingo_spark.streaming.ann_index import (
+        pq_index_append_stream,
+    )
+
+    with pytest.raises(ValueError, match="no published index"):
+        pq_index_append_stream(
+            spark, str(tmp_path / "src"), str(tmp_path / "nope"),
+            str(tmp_path / "ckpt0"),
+        )
+
+    base = str(tmp_path / "pq")
+    publish_pq_index(spark, sf_small, base)
+    src = tmp_path / "newvecs"
+    src.mkdir()
+    _new_vec_file(src / "a.parquet", 800_000, 10)
+    ckpt = str(tmp_path / "ckpt")
+    pq_index_append_stream(spark, str(src), base, ckpt)
+    v_after = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
+    n_after = read_snapshot(spark, base)[0]["codes"].count()
+    pq_index_append_stream(spark, str(src), base, ckpt)
+    assert int(lakefs.read_text(spark, f"{base}/LATEST").strip()) == v_after
+    extra = (
+        load_table(spark, sf_small, "embeddings")
+        .limit(4)
+        .withColumn("vec_id", F.col("vec_id") + 900_000)
+    )
+    append_vectors_to_pq_index(spark, base, extra)
+    n_offline = read_snapshot(spark, base)[0]["codes"].count()
+    assert n_offline == n_after + 4
+    commit0 = os.path.join(ckpt, "commits", "0")
+    os.remove(commit0)
+    crc0 = os.path.join(os.path.dirname(commit0), ".0.crc")
+    if os.path.exists(crc0):
+        os.remove(crc0)
+    pq_index_append_stream(spark, str(src), base, ckpt)
+    assert read_snapshot(spark, base)[0]["codes"].count() == n_offline
+
+
+def test_pq_append_rewrite_mode_and_mode_refusal(spark, sf_small, tmp_path):
+    """mode='rewrite' republishes the FULL index (no delta_parent — a
+    plain snapshot any reader resolves without chain machinery); an
+    unknown mode is refused loudly."""
+    from novelti_dingo_spark.operators.pq import (
+        append_vectors_to_pq_index,
+        publish_pq_index,
+    )
+    from novelti_dingo_spark.pipelines import read_snapshot as read_full
+
+    base = str(tmp_path / "pq")
+    publish_pq_index(spark, sf_small, base)
+    n0 = read_full(spark, base)[0]["codes"].count()
+    extra = (
+        load_table(spark, sf_small, "embeddings")
+        .limit(6)
+        .withColumn("vec_id", F.col("vec_id") + 800_000)
+    )
+    with pytest.raises(ValueError, match="mode must be"):
+        append_vectors_to_pq_index(spark, base, extra, mode="merge")
+    append_vectors_to_pq_index(spark, base, extra, mode="rewrite")
+    tables, manifest = read_full(spark, base)
+    assert manifest.get("delta_parent") is None
+    assert tables["codes"].count() == n0 + 6
+    assert "codebooks" in tables  # full snapshot carries every table
+
+
+def test_stream_auto_compaction_folds_chain_reader_stable(
+    spark, sf_small, tmp_path
+):
+    """Round-11 auto-compaction policy: with compact_every=2 the
+    stream folds the delta chain into a full snapshot as soon as the
+    just-published manifest's chain_len reaches the threshold — an
+    unattended ingest stream can no longer grow an unbounded chain.
+    A reader pinned to a MID-CHAIN delta version resolves identical
+    bytes before and after the fold (compaction only ADDS a snapshot),
+    and the guard still treats the compacted snapshot as no epoch."""
+    from novelti_dingo_spark.operators.pq import (
+        pq_knn_from_index,
+        publish_pq_index,
+    )
+    from novelti_dingo_spark.pipelines import read_snapshot as read_full
+    from novelti_dingo_spark.streaming.ann_index import (
+        pq_index_append_stream,
+    )
+
+    base = str(tmp_path / "pq")
+    v1 = publish_pq_index(spark, sf_small, base)
+    e = load_table(spark, sf_small, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).head().embedding]
+    src = tmp_path / "newvecs"
+    src.mkdir()
+    _new_vec_file(src / "a.parquet", 700_000, 8)
+    _new_vec_file(src / "b.parquet", 700_100, 8)
+    ckpt = str(tmp_path / "ckpt")
+    pq_index_append_stream(spark, str(src), base, ckpt, compact_every=2)
+    # v1 full, v2 delta(len 1), v3 delta(len 2) -> compacted v4 (full)
+    head_v = int(lakefs.read_text(spark, f"{base}/LATEST").strip())
+    assert head_v == v1 + 3
+    _, head_m = read_full(spark, base)
+    assert head_m.get("delta_parent") is None
+    assert head_m.get("compacted_chain") is True
+    assert "chain_len" not in head_m  # a full snapshot starts a new chain
+    # pinned mid-chain reader: identical bytes through the fold
+    mid = [
+        (r.vec_id, r.pq_sim)
+        for r in pq_knn_from_index(
+            spark, base, q, version=v1 + 2, k=20, exclude_vec_id=0
+        ).collect()
+    ]
+    head = [
+        (r.vec_id, r.pq_sim)
+        for r in pq_knn_from_index(
+            spark, base, q, k=20, exclude_vec_id=0
+        ).collect()
+    ]
+    assert mid == head  # the fold changed layout, not content
+    # next batch starts a fresh chain on top of the compacted snapshot
+    _new_vec_file(src / "c.parquet", 700_200, 8)
+    pq_index_append_stream(spark, str(src), base, ckpt, compact_every=2)
+    _, m5 = read_full(spark, base)
+    assert int(m5["chain_len"]) == 1
+    assert int(m5["delta_parent"]) == head_v
+    assert read_snapshot(spark, base)[0]["codes"].count() == 500 + 24

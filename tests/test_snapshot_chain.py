@@ -205,3 +205,31 @@ def test_ivfpq_drift_monitor(spark, sf_small, tmp_path):
     compact_snapshot_chain(spark, base)
     d4 = ivfpq_index_drift(spark, base, far)
     assert "norm_ratio" in d4 and d4["norm_ratio"] > 1.5
+
+
+def test_chain_len_bookkeeping(spark, sf_small, tmp_path):
+    """chain_len is the O(1) counter the streaming auto-compaction
+    policy reads instead of walking the chain: full snapshot = absent,
+    each delta = parent's + 1, compaction resets (and never carries the
+    counter into the compacted manifest), the next delta restarts at
+    1 on top of the compacted snapshot."""
+    base = str(tmp_path / "snap")
+    o = _orders(spark, sf_small)
+    publish_snapshot({"facts": o.limit(10)}, base)
+    _, m1 = read_snapshot(spark, base)
+    assert "chain_len" not in m1
+    publish_snapshot_delta({"facts": o.limit(3)}, base)
+    _, m2 = read_snapshot(spark, base)
+    assert int(m2["chain_len"]) == 1
+    publish_snapshot_delta({"facts": o.limit(2)}, base)
+    _, m3 = read_snapshot(spark, base)
+    assert int(m3["chain_len"]) == 2
+    v4 = compact_snapshot_chain(spark, base)
+    _, m4 = read_snapshot(spark, base)
+    assert m4["snapshot"] == v4 and "chain_len" not in m4
+    assert m4.get("compacted_chain") is True
+    publish_snapshot_delta({"facts": o.limit(1)}, base)
+    _, m5 = read_snapshot(spark, base)
+    assert int(m5["chain_len"]) == 1 and int(m5["delta_parent"]) == v4
+    tables, _ = read_snapshot_chain(spark, base)
+    assert tables["facts"].count() == 10 + 3 + 2 + 1

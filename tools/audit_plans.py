@@ -755,6 +755,15 @@ EXPECT = {
         "take_ordered": True, "no_python_udf": True,
         "plan_must_contain": ["PartitionFilters: [cell", "Union"],
     },
+    # round-11 delta-chain serve for the PLAIN-PQ layout: the resolved
+    # chain unions the code scans; scoring is the literal LUT (no
+    # joins), top-k via TakeOrderedAndProject. No cell partitions in
+    # this layout — the reduction is code bytes, not pruned cells.
+    "pq_delta_serve_top10": {
+        "take_ordered": True, "no_python_udf": True,
+        "plan_must_contain": ["Union"],
+        "plan_must_not_contain": ["Join"],
+    },
     # --- round-10 promotions: the ANN train-per-call family. These are
     # iterative trainers whose Lloyd's loops inline into one large plan,
     # so exchange counts are unstable by design; the pinned properties

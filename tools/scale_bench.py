@@ -648,6 +648,136 @@ def run_ann_sampled(ns: list[int]) -> None:
     _merge("ann_ivfpq_sampled_trainer", res)
 
 
+def build_embeddings_clustered(
+    n: int, n_clusters: int = 1024, noise: float = 0.15
+) -> str:
+    """A CLUSTERED 1M-scale embedding fixture — the distribution real
+    embedding corpora actually have (the uniform-sphere fixture is the
+    worst case for PQ: near-orthogonal gaps leave nothing within-cell
+    to quantize; SCALE.md's recall-ceiling caveat). Each vector =
+    normalize(center[i % n_clusters] + N(0, noise²)) with centers on
+    the unit sphere — deterministic per (n, n_clusters, noise)."""
+    out = _fixture_dir(f"embc_{n}_{n_clusters}_{noise}")
+    path = os.path.join(out, "embeddings.parquet")
+    if not os.path.exists(path):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(0xC105 + n)
+        centers = rng.standard_normal((n_clusters, 64))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        vecs = np.empty((n, 64), dtype=np.float64)
+        chunk = 1 << 17
+        for lo in range(0, n, chunk):
+            hi = min(n, lo + chunk)
+            idx = np.arange(lo, hi) % n_clusters
+            v = centers[idx] + noise * rng.standard_normal((hi - lo, 64))
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            vecs[lo:hi] = v
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    vecs.astype(np.float32).tolist(), pa.list_(pa.float32())
+                ),
+                "label": pa.array(
+                    [int(i % 10) for i in range(n)], pa.int32()
+                ),
+            }
+        )
+        pq.write_table(tbl, path)
+    return out
+
+
+def run_ann_clustered(ns: list[int]) -> None:
+    """Recall@10 of the composed residual index on CLUSTERED data at
+    scale — the honest headline number a production corpus would see
+    (round-10 verdict #6: the planted-cluster recall-1.0 proof was
+    pytest-scale only; the 1M sweep used the uniform worst case).
+    Same harness as run_ann_pq (10 queries, exact DuckDB ground truth)
+    over the planted-cluster generator above, at res_k16 and res_k256
+    with the round-11 default build path."""
+    from novelti_dingo_spark.operators.pq import (
+        ivfpq_knn_from_index,
+        publish_ivfpq_index,
+    )
+    from novelti_dingo_spark.sources.io import load_table
+
+    spark = _spark()
+    k_cells, n_probe, n_queries = 32, 4, 10
+    res = {}
+    for n in ns:
+        d = build_embeddings_clustered(n)
+        qvs = {
+            int(vid): [float(x) for x in emb]
+            for vid, emb in duckdb.sql(
+                f"SELECT vec_id, embedding FROM '{d}/embeddings.parquet' "
+                f"WHERE vec_id < {n_queries} ORDER BY vec_id"
+            ).fetchall()
+        }
+        truth = {}
+        for vid, qv in qvs.items():
+            qlit = "[" + ",".join(repr(x) for x in qv) + "]::FLOAT[]"
+            truth[vid] = {
+                r[0]
+                for r in duckdb.sql(
+                    f"SELECT vec_id FROM '{d}/embeddings.parquet' "
+                    f"WHERE vec_id <> {vid} "
+                    f"ORDER BY list_dot_product(embedding, {qlit}) DESC, "
+                    f"vec_id LIMIT 10"
+                ).fetchall()
+            }
+        e = load_table(spark, d, "embeddings")
+        per_variant = {}
+        for tag, pq_k in (("res_k16", 16), ("res_k256", 256)):
+            base = os.path.join(d, f"ivfpq_{tag}")
+            build_s = None
+            if not os.path.exists(os.path.join(base, "LATEST")):
+                t0 = time.perf_counter()
+                publish_ivfpq_index(spark, d, base, k_cells=k_cells, pq_k=pq_k)
+                build_s = round(time.perf_counter() - t0, 3)
+            adc_walls, rr_walls, adc_rec, rr_rec = [], [], [], []
+            for vid, qv in qvs.items():
+                t0 = time.perf_counter()
+                got_adc = {
+                    r.vec_id
+                    for r in ivfpq_knn_from_index(
+                        spark, base, qv, n_probe=n_probe, exclude_vec_id=vid
+                    ).collect()
+                }
+                adc_walls.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                got_rr = {
+                    r.vec_id
+                    for r in ivfpq_knn_from_index(
+                        spark, base, qv, n_probe=n_probe, shortlist=100,
+                        rerank=e, exclude_vec_id=vid,
+                    ).collect()
+                }
+                rr_walls.append(time.perf_counter() - t0)
+                adc_rec.append(len(got_adc & truth[vid]) / 10)
+                rr_rec.append(len(got_rr & truth[vid]) / 10)
+            per_variant[tag] = {
+                "build_s": build_s,
+                "adc_probe_s": round(statistics.median(adc_walls), 3),
+                "rerank_probe_s": round(statistics.median(rr_walls), 3),
+                "recall_at_10_adc": round(statistics.mean(adc_rec), 3),
+                "recall_at_10_reranked": round(statistics.mean(rr_rec), 3),
+            }
+            print(f"{n}/clustered/{tag}: {per_variant[tag]}")
+        res[str(n)] = {
+            "n_vectors": n,
+            "n_clusters": 1024,
+            "noise": 0.15,
+            "k_cells": k_cells,
+            "n_probe": n_probe,
+            "n_queries": n_queries,
+            **per_variant,
+        }
+    _merge("ann_ivfpq_clustered", res)
+
+
 def run_ann_sweep(ns: list[int], probes: list[int] | None = None) -> None:
     """The recall/cost DIAL, measured: for each corpus size, sweep
     n_probe and record (probe_s, recall@10) against the exact brute
