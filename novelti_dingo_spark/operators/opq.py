@@ -48,8 +48,10 @@ M = 8
 SUBDIM = 8
 
 
-def rotate(e: DataFrame, R: np.ndarray) -> DataFrame:
-    """(vec_id, embedding ← R·x): one broadcast GEMM per Arrow batch."""
+def rotate(e: DataFrame, R: np.ndarray, keep: tuple = ()) -> DataFrame:
+    """(vec_id, embedding ← R·x, *keep): one broadcast GEMM per Arrow
+    batch. `keep` passes extra columns through untouched (the publish
+    path keeps `label` so the downstream assign contract holds)."""
     Rt = R.T.copy()  # x @ Rᵀ == (R·x)ᵀ rows
 
     @F.pandas_udf("array<double>")
@@ -57,7 +59,7 @@ def rotate(e: DataFrame, R: np.ndarray) -> DataFrame:
         x = np.stack(s.to_numpy()).astype(np.float64)
         return pd.Series(list(x @ Rt))
 
-    return e.select("vec_id", _rot("embedding").alias("embedding"))
+    return e.select("vec_id", _rot("embedding").alias("embedding"), *keep)
 
 
 def _reconstruct(rotated: DataFrame, codebooks: DataFrame) -> DataFrame:

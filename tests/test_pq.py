@@ -642,3 +642,113 @@ def test_publish_residual_norm_rides_the_write(
     )
     got = manifest["train_residual_norm"]
     assert abs(got - want) <= 1e-9 * max(1.0, abs(want))
+
+
+def test_ivfpq_opq_index_persists_rotation_and_serves_numpy_exact(
+    spark, sf_small, tmp_path
+):
+    """Round-11: publish_ivfpq_index(opq=True) persists the learned
+    rotation as a snapshot table and serving rotates the QUERY only —
+    the rotated-ADC score is numpy/python-EXACT (q_rot·centroid(cell)
+    + Σ_m LUT[m, code_m], same float folds), the rerank scores exact
+    RAW-space dots (rotation-invariance), appends rotate with the
+    FROZEN R, and the drift monitor's norm ratio stays ~1 on
+    in-distribution batches (it rotates before measuring)."""
+    from novelti_dingo_spark.operators.pq import (
+        append_vectors_to_ivfpq_index,
+        ivfpq_index_drift,
+        ivfpq_knn_from_index,
+        publish_ivfpq_index,
+    )
+    from novelti_dingo_spark.pipelines import read_snapshot
+
+    base = str(tmp_path / "ivfpq_opq")
+    publish_ivfpq_index(spark, sf_small, base, k_cells=8, opq=True)
+    tables, manifest = read_snapshot(spark, base)
+    assert manifest["opq"] is True and manifest["residual"] is True
+    assert "rotation" in tables
+    R = np.array(
+        [
+            row
+            for _, row in sorted(
+                (int(r.i), [float(x) for x in r.row])
+                for r in tables["rotation"].collect()
+            )
+        ]
+    )
+    assert R.shape == (64, 64)
+    assert np.abs(R @ R.T - np.eye(64)).max() < 1e-9  # orthonormal
+
+    e = load_table(spark, sf_small, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).head().embedding]
+    # the replica rotates exactly like the server (numpy float64 matvec)
+    q_rot = [float(v) for v in R @ np.asarray(q, dtype=np.float64)]
+
+    served = ivfpq_knn_from_index(
+        spark, base, q, n_probe=2, exclude_vec_id=0
+    ).collect()
+    assert len(served) == 10
+    cell_of = {r.vec_id: r.cell for r in tables["codes"].collect()}
+    codes = {r.vec_id: list(r.codes) for r in tables["codes"].collect()}
+    cbs = {
+        (r.m, r.cid): list(r.centroid)
+        for r in tables["codebooks"].collect()
+    }
+    coarse = {r.cid: list(r.centroid) for r in tables["coarse"].collect()}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    def sqd(c):
+        acc = 0.0
+        for x, y in zip(c, q_rot):
+            d = x - y
+            acc += d * d
+        return acc
+
+    probed = {
+        cid
+        for _, cid in sorted((sqd(c), cid) for cid, c in coarse.items())[:2]
+    }
+    for r in served:
+        assert cell_of[r.vec_id] in probed
+        want = fold_dot(coarse[cell_of[r.vec_id]], q_rot)
+        for m in range(M):
+            sub = q_rot[m * SUBDIM:(m + 1) * SUBDIM]
+            want += fold_dot(cbs[(m, codes[r.vec_id][m])], sub)
+        assert r.pq_sim == round(want, 6)
+
+    # exact rerank stays in RAW space: cos_sim is the raw q·x fold
+    rr = ivfpq_knn_from_index(
+        spark, base, q, n_probe=2, shortlist=50, rerank=e, exclude_vec_id=0
+    ).collect()
+    emb = {r.vec_id: list(r.embedding) for r in e.collect()}
+    for r in rr:
+        acc = 0.0
+        for a, b in zip(emb[r.vec_id], q):
+            acc += float(a) * b
+        assert r.cos_sim == round(acc, 6)
+
+    # appends rotate with the FROZEN persisted R: re-keyed copies of
+    # corpus vectors receive codes identical to their originals
+    batch = (
+        e.orderBy("vec_id").limit(4)
+        .withColumn("vec_id", F.col("vec_id") + 500_000)
+    )
+    append_vectors_to_ivfpq_index(spark, base, batch)
+    from novelti_dingo_spark.pipelines import read_snapshot_chain
+
+    resolved, head = read_snapshot_chain(spark, base)
+    assert head["opq"] is True  # flag rides the delta manifest
+    grown = {r.vec_id: (list(r.codes), r.cell) for r in resolved["codes"].collect()}
+    for vid in range(4):
+        assert grown[vid + 500_000] == grown[vid]
+
+    # drift monitor rotates before measuring: in-distribution batch
+    # sits at norm_ratio ~ 1, not at the unrotated-space artifact
+    drift = ivfpq_index_drift(spark, base, new_vectors=batch)
+    assert 0.5 < drift["norm_ratio"] < 1.5
+    assert drift["retrain_recommended"] in (False,)

@@ -764,6 +764,15 @@ EXPECT = {
         "plan_must_contain": ["Union"],
         "plan_must_not_contain": ["Join"],
     },
+    # round-11 OPQ serve: the rotation is DRIVER-side math (a 64×64
+    # matvec on the query), so the query plan is identical to the
+    # unrotated serve — pruned cell scan, literal LUT, broadcast
+    # semi-join rerank; any Python UDF appearing here would mean the
+    # rotation leaked into the per-row path
+    "ivfpq_opq_serve_top10": {
+        "broadcast_joins": 1, "take_ordered": True, "no_python_udf": True,
+        "plan_must_contain": ["PartitionFilters: [cell"],
+    },
     # --- round-10 promotions: the ANN train-per-call family. These are
     # iterative trainers whose Lloyd's loops inline into one large plan,
     # so exchange counts are unstable by design; the pinned properties

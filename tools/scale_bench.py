@@ -553,6 +553,148 @@ def run_ann_pq(ns: list[int]) -> None:
     _merge("ann_ivfpq", res)
 
 
+def _ann_truth(d: str, n_queries: int = 10):
+    """(query vectors, exact top-10 ground truth) via DuckDB — shared
+    by the recall harnesses."""
+    qvs = {
+        int(vid): [float(x) for x in emb]
+        for vid, emb in duckdb.sql(
+            f"SELECT vec_id, embedding FROM '{d}/embeddings.parquet' "
+            f"WHERE vec_id < {n_queries} ORDER BY vec_id"
+        ).fetchall()
+    }
+    truth = {}
+    for vid, qv in qvs.items():
+        qlit = "[" + ",".join(repr(x) for x in qv) + "]::FLOAT[]"
+        truth[vid] = {
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT vec_id FROM '{d}/embeddings.parquet' "
+                f"WHERE vec_id <> {vid} "
+                f"ORDER BY list_dot_product(embedding, {qlit}) DESC, "
+                f"vec_id LIMIT 10"
+            ).fetchall()
+        }
+    return qvs, truth
+
+
+def _probe_recall(spark, base, qvs, truth, e, n_probe: int) -> dict:
+    """Median probe walls + mean recall@10 (ADC and reranked) over the
+    query set — the run_ann_pq measurement, reusable."""
+    from novelti_dingo_spark.operators.pq import ivfpq_knn_from_index
+
+    adc_walls, rr_walls, adc_rec, rr_rec = [], [], [], []
+    for vid, qv in qvs.items():
+        t0 = time.perf_counter()
+        got_adc = {
+            r.vec_id
+            for r in ivfpq_knn_from_index(
+                spark, base, qv, n_probe=n_probe, exclude_vec_id=vid
+            ).collect()
+        }
+        adc_walls.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        got_rr = {
+            r.vec_id
+            for r in ivfpq_knn_from_index(
+                spark, base, qv, n_probe=n_probe, shortlist=100,
+                rerank=e, exclude_vec_id=vid,
+            ).collect()
+        }
+        rr_walls.append(time.perf_counter() - t0)
+        adc_rec.append(len(got_adc & truth[vid]) / 10)
+        rr_rec.append(len(got_rr & truth[vid]) / 10)
+    return {
+        "adc_probe_s": round(statistics.median(adc_walls), 3),
+        "rerank_probe_s": round(statistics.median(rr_walls), 3),
+        "recall_at_10_adc": round(statistics.mean(adc_rec), 3),
+        "recall_at_10_reranked": round(statistics.mean(rr_rec), 3),
+    }
+
+
+def build_embeddings_aniso(n: int, decay: float = 0.75) -> str:
+    """An ANISOTROPIC fixture — per-dimension std (j+1)^-decay, then
+    normalized: variance concentrates in the leading dimensions, so
+    plain PQ's contiguous subspaces are unbalanced (the leading
+    subspace carries nearly all signal; trailing codebooks quantize
+    noise). This is the regime OPQ's rotation exists for."""
+    out = _fixture_dir(f"emba_{n}_{decay}")
+    path = os.path.join(out, "embeddings.parquet")
+    if not os.path.exists(path):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(0xA150 + n)
+        std = (np.arange(64, dtype=np.float64) + 1.0) ** (-decay)
+        vecs = rng.standard_normal((n, 64)) * std[None, :]
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    vecs.astype(np.float32).tolist(), pa.list_(pa.float32())
+                ),
+                "label": pa.array(
+                    [int(i % 10) for i in range(n)], pa.int32()
+                ),
+            }
+        )
+        pq.write_table(tbl, path)
+    return out
+
+
+def run_ann_opq(ns: list[int]) -> None:
+    """Where the PERSISTED OPQ rotation moves recall (round-11): the
+    res/opq_res pairs at k16 and k256 on the uniform fixture (isotropic
+    — R should tie) and the anisotropic fixture (variance concentrated
+    in leading dims — R's redistribution should pay). Same 10-query
+    exact-ground-truth harness as run_ann_pq."""
+    from novelti_dingo_spark.operators.pq import publish_ivfpq_index
+    from novelti_dingo_spark.sources.io import load_table
+
+    spark = _spark()
+    k_cells, n_probe = 32, 4
+    variants = [
+        ("res_k16", dict(residual=True, pq_k=16)),
+        ("opq_res_k16", dict(residual=True, pq_k=16, opq=True)),
+        ("res_k256", dict(residual=True, pq_k=256)),
+        ("opq_res_k256", dict(residual=True, pq_k=256, opq=True)),
+    ]
+    res = {}
+    for n in ns:
+        for fam, d in (
+            ("uniform", build_embeddings(n)),
+            ("aniso", build_embeddings_aniso(n)),
+        ):
+            qvs, truth = _ann_truth(d)
+            e = load_table(spark, d, "embeddings")
+            per_variant = {}
+            for tag, kw in variants:
+                base = os.path.join(d, f"ivfpq_opq_sweep_{tag}")
+                build_s = None
+                if not os.path.exists(os.path.join(base, "LATEST")):
+                    t0 = time.perf_counter()
+                    publish_ivfpq_index(
+                        spark, d, base, k_cells=k_cells, **kw
+                    )
+                    build_s = round(time.perf_counter() - t0, 3)
+                per_variant[tag] = {
+                    "build_s": build_s,
+                    **_probe_recall(spark, base, qvs, truth, e, n_probe),
+                }
+                print(f"{n}/{fam}/{tag}: {per_variant[tag]}")
+            res[f"{fam}_{n}"] = {
+                "n_vectors": n,
+                "fixture": fam,
+                "k_cells": k_cells,
+                "n_probe": n_probe,
+                "n_queries": 10,
+                **per_variant,
+            }
+    _merge("ann_ivfpq_opq", res)
+
+
 def run_ann_sampled(ns: list[int]) -> None:
     """Round-11 re-measure of the SAMPLED-TRAINER composed build after
     the TakeOrdered→threshold-filter sampler swap (hash_sample.py):
@@ -1099,7 +1241,7 @@ def main() -> None:
     p.add_argument("family", choices=[
         "build", "dedup", "gemm", "ann", "ann_sweep", "spatial", "lake",
         "text", "cdc", "skew", "skew_lsh", "ann_pq", "ann_sampled",
-        "ann_clustered",
+        "ann_clustered", "ann_opq",
     ])
     p.add_argument("--k", type=int, nargs="*", default=[1, 5, 25])
     p.add_argument("--n", type=int, nargs="*", default=[2000, 20000, 100000])
@@ -1124,6 +1266,8 @@ def main() -> None:
         run_ann_sampled(a.n)
     elif a.family == "ann_clustered":
         run_ann_clustered(a.n)
+    elif a.family == "ann_opq":
+        run_ann_opq(a.n)
     elif a.family == "spatial":
         run_spatial(a.k)
     elif a.family == "lake":
