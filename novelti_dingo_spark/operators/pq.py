@@ -127,7 +127,10 @@ def pq_encode(vectors: DataFrame, codebooks: DataFrame) -> DataFrame:
 
 
 def pq_encode_numpy(
-    vectors: DataFrame, codebooks: DataFrame, k: int = K
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    k: int = K,
+    with_error: bool = False,
 ) -> DataFrame:
     """Arrow-batched numpy encoder — the SCALE path for high code
     rates. The join encoder (`pq_encode`) materializes
@@ -143,7 +146,13 @@ def pq_encode_numpy(
     space. Ties (measure-zero on continuous data) break to the lowest
     cid in both encoders (np.argmin picks the first minimum; the join
     encoder orders by (dist, cid)); tests pin code-for-code equality
-    on the fixtures."""
+    on the fixtures.
+
+    `with_error=True` adds a `qerr` column — the per-vector squared
+    quantization error Σ_m min_c ‖x_m − c‖² (the argmin distances the
+    encoder computes anyway, so the statistic is FREE at encode time):
+    publish_pq_index observes its mean as the drift baseline
+    pq_index_drift compares appended batches against."""
     import numpy as np
 
     cb = np.full((M, k, SUBDIM), np.inf)
@@ -157,16 +166,21 @@ def pq_encode_numpy(
             x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             xs = x.reshape(len(pdf), M, SUBDIM)
             codes = np.empty((len(pdf), M), dtype=np.int32)
+            err = np.zeros(len(pdf))
             for m in range(M):
                 d = ((xs[:, m, None, :] - cb[m][None, :, :]) ** 2).sum(-1)
                 codes[:, m] = np.argmin(d, axis=1)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "codes": list(codes.tolist())}
-            )
+                if with_error:
+                    err += d[np.arange(len(pdf)), codes[:, m]]
+            out = {"vec_id": pdf["vec_id"], "codes": list(codes.tolist())}
+            if with_error:
+                out["qerr"] = err
+            yield pd.DataFrame(out)
 
-    return vectors.select("vec_id", "embedding").mapInPandas(
-        enc, "vec_id long, codes array<int>"
-    )
+    schema = "vec_id long, codes array<int>"
+    if with_error:
+        schema += ", qerr double"
+    return vectors.select("vec_id", "embedding").mapInPandas(enc, schema)
 
 
 def pq_fit_numpy(
@@ -585,7 +599,15 @@ def publish_pq_index(
     training runs over a 256·K threshold sample (hash_sample — never a
     corpus TakeOrdered) and encoding is the Arrow numpy encoder (pinned
     code-for-code equal to the join form, without its n·M·K candidate
-    blow-up)."""
+    blow-up).
+
+    The manifest records `train_quant_mse` — the corpus mean squared
+    quantization error, observed ON the codes write (the encoder emits
+    each vector's argmin distances anyway; Observation + meta_late, the
+    same ride-the-write idiom as the IVF-PQ residual norm) — the
+    baseline pq_index_drift compares appended batches against."""
+    from pyspark.sql import Observation
+
     from ..pipelines import publish_snapshot
     from .hash_sample import hash_sample_df
 
@@ -595,11 +617,17 @@ def publish_pq_index(
         train_sample if train_sample is not None else 256 * K,
     )
     codebooks = pq_fit(train)
-    codes = pq_encode_numpy(e, codebooks)
+    obs = Observation("pq_train_quant_mse")
+    codes = (
+        pq_encode_numpy(e, codebooks, with_error=True)
+        .observe(obs, F.avg("qerr").alias("mse"))
+        .drop("qerr")
+    )
     return publish_snapshot(
         {"codebooks": codebooks, "codes": codes},
         base_dir,
         meta={"m": M, "k": K, "subdim": SUBDIM, "source_sf": sf_dir},
+        meta_late=lambda: {"train_quant_mse": float(obs.get["mse"])},
     )
 
 
@@ -628,8 +656,9 @@ def append_vectors_to_pq_index(
 
     Same retrain discipline as the IVF-PQ layout: codes of appended
     vectors quantize against codebooks trained before they existed;
-    monitor quantization MSE drift offline and republish
-    (publish_pq_index) when the corpus distribution moves."""
+    `pq_index_drift` makes the threshold executable (batch quantization
+    MSE vs the manifest-recorded training MSE) — republish
+    (publish_pq_index) when it trips."""
     from ..pipelines import (
         publish_snapshot,
         publish_snapshot_delta,
@@ -643,7 +672,13 @@ def append_vectors_to_pq_index(
         new_vectors.select("vec_id", "embedding"), codebooks, k=kk
     )
     carried = {
-        key: manifest[key] for key in ("m", "k", "subdim") if key in manifest
+        key: manifest[key]
+        # train_quant_mse: the drift monitor's baseline must survive
+        # appends and compactions (the round-11 advice lesson from the
+        # IVF-PQ residual norm — dropping it silently disabled the
+        # check exactly after the first append)
+        for key in ("m", "k", "subdim", "train_quant_mse")
+        if key in manifest
     }
     if mode == "delta":
         return publish_snapshot_delta(
@@ -661,6 +696,56 @@ def append_vectors_to_pq_index(
         base_dir,
         meta={**carried, "appended": True, **(meta or {})},
     )
+
+
+def pq_index_drift(
+    spark: SparkSession,
+    base_dir: str,
+    new_vectors: DataFrame | None = None,
+    mse_threshold: float = 1.5,
+) -> dict:
+    """RETRAIN monitor for the plain-PQ layout (the executable twin of
+    ivfpq_index_drift — round-11 closed the gap where the append verb's
+    retrain discipline was prose only): mse_ratio = (mean squared
+    quantization error of `new_vectors` under the FROZEN published
+    codebooks) / the training-corpus mean recorded in the manifest at
+    publish time. When appended data drifts off the trained manifold,
+    its argmin distances grow and the codes stop resolving structure —
+    the one signal the codeword stream itself cannot show (codes stay
+    in range no matter how wrong they are). One Arrow-batched aggregate
+    over the batch; the index corpus is never rescanned. The decision
+    stays offline — streams never retrain."""
+    from ..pipelines import read_snapshot_chain
+
+    tables, manifest = read_snapshot_chain(spark, base_dir)
+    out = {
+        "n_codes": tables["codes"].count(),
+        "mse_threshold": mse_threshold,
+        "retrain_recommended": False,
+    }
+    trained = manifest.get("train_quant_mse")
+    if new_vectors is not None and trained:
+        kk = int(manifest.get("k", K))
+        batch_mse = float(
+            pq_encode_numpy(
+                new_vectors.select("vec_id", "embedding"),
+                tables["codebooks"],
+                k=kk,
+                with_error=True,
+            )
+            .agg(F.avg("qerr").alias("mse"))
+            .head()["mse"]
+        )
+        ratio = batch_mse / trained
+        out.update(
+            {
+                "train_quant_mse": round(float(trained), 6),
+                "batch_quant_mse": round(batch_mse, 6),
+                "mse_ratio": round(ratio, 3),
+                "retrain_recommended": ratio > mse_threshold,
+            }
+        )
+    return out
 
 
 def pq_knn_from_index(

@@ -233,3 +233,48 @@ def test_chain_len_bookkeeping(spark, sf_small, tmp_path):
     assert int(m5["chain_len"]) == 1 and int(m5["delta_parent"]) == v4
     tables, _ = read_snapshot_chain(spark, base)
     assert tables["facts"].count() == 10 + 3 + 2 + 1
+
+
+def test_pq_drift_monitor(spark, sf_small, tmp_path):
+    """The plain-PQ retrain threshold is executable (round-11): the
+    publish records the corpus training MSE ON the codes write; an
+    in-distribution batch sits at mse_ratio ~ 1, a far-out-of-
+    distribution batch trips it, and the baseline SURVIVES delta
+    appends and compaction (the carried-keys lesson from the IVF-PQ
+    norm baseline)."""
+    from novelti_dingo_spark.operators.pq import (
+        append_vectors_to_pq_index,
+        pq_index_drift,
+        publish_pq_index,
+    )
+
+    base = str(tmp_path / "pq")
+    publish_pq_index(spark, sf_small, base)
+    _, manifest = read_snapshot(spark, base)
+    assert manifest["train_quant_mse"] > 0
+    e = load_table(spark, sf_small, "embeddings")
+
+    in_dist = e.limit(20).withColumn("vec_id", F.col("vec_id") + 100_000)
+    d0 = pq_index_drift(spark, base, in_dist)
+    assert 0.5 < d0["mse_ratio"] < 1.5 and not d0["retrain_recommended"]
+
+    far = in_dist.withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x * F.lit(10.0)).cast(
+            "array<float>"
+        ),
+    )
+    d1 = pq_index_drift(spark, base, far)
+    assert d1["mse_ratio"] > 1.5 and d1["retrain_recommended"]
+
+    # baseline survives a delta append ...
+    append_vectors_to_pq_index(spark, base, in_dist)
+    d2 = pq_index_drift(spark, base, far)
+    assert "mse_ratio" in d2 and d2["mse_ratio"] > 1.5
+    # ... and compaction
+    compact_snapshot_chain(spark, base)
+    d3 = pq_index_drift(spark, base, far)
+    assert "mse_ratio" in d3 and d3["mse_ratio"] > 1.5
+    # no-batch call: structural stats only, no recommendation
+    d4 = pq_index_drift(spark, base)
+    assert d4["n_codes"] == 500 + 20 and not d4["retrain_recommended"]
