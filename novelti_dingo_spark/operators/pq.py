@@ -1253,38 +1253,12 @@ def append_vectors_to_ivfpq_index(
     )
 
 
-def ivfpq_knn_from_index(
-    spark: SparkSession,
-    base_dir: str,
-    q_emb: list[float],
-    version: int | None = None,
-    k: int = 10,
-    n_probe: int = 2,
-    shortlist: int = 100,
-    rerank: DataFrame | None = None,
-    exclude_vec_id: int | None = None,
-) -> DataFrame:
-    """Serve one query from the pinned IVF-PQ snapshot — every per-
-    query decision is driver-side math over cached index metadata
-    (coarse centroids for routing, codebooks for the LUT; together a
-    few KB), so the query is ONE Spark job: a partition-pruned scan of
-    the probed cells' 8-int codes, ADC-scored by a literal LUT with a
-    fixed fold order, TakeOrderedAndProject shortlist. With `rerank`
-    (the source (vec_id, embedding) table), the shortlist is re-scored
-    with exact float cosine — the production shape where quantization
-    error moves from the final ranking into the shortlist margin.
-
-    Format-aware: the snapshot manifest's (m, k, subdim, residual)
-    drive the LUT shape and scoring, so one reader serves 4-bit or
-    1-byte code rates and raw or residual encodings. For a residual
-    snapshot the score is q·centroid(cell) + Σ_m LUT[m, code_m]: the
-    per-cell constant is driver-side math over the already-cached
-    routing table, inlined as an n_probe-entry literal map — still one
-    codegen'd scan, zero joins per query. Reads resolve the append
-    DELTA CHAIN (read_snapshot_chain): streamed appends land as
-    codes-only delta snapshots, and the scan unions the chain's pruned
-    cell scans — still one job; compact_snapshot_chain bounds the
-    chain length."""
+def _load_ivfpq_meta(spark: SparkSession, base_dir: str, version):
+    """(tables, manifest, n_sub, kk, subdim, residual, coarse, cbs, rot)
+    with the driver-side index metadata — coarse centroids for routing,
+    codebooks for LUTs, the OPQ rotation if persisted — cached per
+    (base_dir, snapshot): the few KB a serving layer pins in process
+    memory. Shared by the single-query and batched serve paths."""
     from ..pipelines import read_snapshot_chain
 
     tables, manifest = read_snapshot_chain(spark, base_dir, version)
@@ -1321,10 +1295,22 @@ def ivfpq_knn_from_index(
             )
         _IVFPQ_META_CACHE[ckey] = (coarse, cbs, rot)
     coarse, cbs, rot = _IVFPQ_META_CACHE[ckey]
+    return tables, manifest, n_sub, kk, subdim, residual, coarse, cbs, rot
+
+
+def _query_probe_and_lut(
+    q_emb: list[float], n_sub, kk, subdim, residual, coarse, cbs, rot,
+    n_probe: int,
+):
+    """Driver-side per-query routing math, shared by both serve paths:
+    returns (q_raw, qd, probe_cids, lut, cell_dot) — qd is the rotated
+    query when the index is OPQ-encoded (routing + ADC live in rotated
+    space; exact rerank uses q_raw, dot products being rotation-
+    invariant), lut the n_sub×kk partial-dot table with the fixed
+    left-to-right fold the numpy replicas pin, cell_dot the per-probed-
+    cell q·centroid constants (residual scoring) or None."""
     q_raw = [float(x) for x in q_emb]
     if rot is not None:
-        # routing + ADC live in rotated space; the exact rerank below
-        # stays in RAW space (dot products are rotation-invariant)
         import numpy as np
 
         qd = [float(v) for v in rot @ np.asarray(q_raw, dtype=np.float64)]
@@ -1353,12 +1339,8 @@ def ivfpq_knn_from_index(
                 acc += c * qq
             row.append(acc)
         lut.append(row)
-    lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
-    score = None
+    cell_dot = None
     if residual:
-        # q·centroid(cell) per probed cell — same left-to-right fold as
-        # the LUT entries (the numpy replica in tests matches exactly),
-        # inlined as a literal map keyed by the cell partition column
         cents = dict(coarse)
 
         def qdot(c: list[float]) -> float:
@@ -1367,11 +1349,59 @@ def ivfpq_knn_from_index(
                 acc += x * qq
             return acc
 
+        cell_dot = {cid: qdot(cents[cid]) for cid in probe_cids}
+    return q_raw, qd, probe_cids, lut, cell_dot
+
+
+def ivfpq_knn_from_index(
+    spark: SparkSession,
+    base_dir: str,
+    q_emb: list[float],
+    version: int | None = None,
+    k: int = 10,
+    n_probe: int = 2,
+    shortlist: int = 100,
+    rerank: DataFrame | None = None,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Serve one query from the pinned IVF-PQ snapshot — every per-
+    query decision is driver-side math over cached index metadata
+    (coarse centroids for routing, codebooks for the LUT; together a
+    few KB), so the query is ONE Spark job: a partition-pruned scan of
+    the probed cells' 8-int codes, ADC-scored by a literal LUT with a
+    fixed fold order, TakeOrderedAndProject shortlist. With `rerank`
+    (the source (vec_id, embedding) table), the shortlist is re-scored
+    with exact float cosine — the production shape where quantization
+    error moves from the final ranking into the shortlist margin.
+
+    Format-aware: the snapshot manifest's (m, k, subdim, residual)
+    drive the LUT shape and scoring, so one reader serves 4-bit or
+    1-byte code rates and raw or residual encodings. For a residual
+    snapshot the score is q·centroid(cell) + Σ_m LUT[m, code_m]: the
+    per-cell constant is driver-side math over the already-cached
+    routing table, inlined as an n_probe-entry literal map — still one
+    codegen'd scan, zero joins per query. Reads resolve the append
+    DELTA CHAIN (read_snapshot_chain): streamed appends land as
+    codes-only delta snapshots, and the scan unions the chain's pruned
+    cell scans — still one job; compact_snapshot_chain bounds the
+    chain length."""
+    tables, manifest, n_sub, kk, subdim, residual, coarse, cbs, rot = (
+        _load_ivfpq_meta(spark, base_dir, version)
+    )
+    q_raw, qd, probe_cids, lut, cdot = _query_probe_and_lut(
+        q_emb, n_sub, kk, subdim, residual, coarse, cbs, rot, n_probe
+    )
+    lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    score = None
+    if residual:
+        # q·centroid(cell) per probed cell — same left-to-right fold as
+        # the LUT entries (the numpy replica in tests matches exactly),
+        # inlined as a literal map keyed by the cell partition column
         cell_dot = F.create_map(
             *[
                 lit
                 for cid in probe_cids
-                for lit in (F.lit(cid), F.lit(qdot(cents[cid])))
+                for lit in (F.lit(cid), F.lit(cdot[cid]))
             ]
         )
         score = F.element_at(cell_dot, F.col("cell").cast("int"))
@@ -1405,6 +1435,117 @@ def ivfpq_knn_from_index(
         .select("vec_id", F.round(exact, 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
+    )
+
+
+def ivfpq_knn_batch_from_index(
+    spark: SparkSession,
+    base_dir: str,
+    queries: dict[int, list[float]],
+    version: int | None = None,
+    k: int = 10,
+    n_probe: int = 2,
+    shortlist: int = 100,
+    rerank: DataFrame | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """BATCHED serving — the production multi-query shape
+    (round-11): Q queries answered by ONE scan of the union of their
+    probed cells instead of Q separate jobs. The single-query path
+    pays the per-job floor (~17 ms locally; scheduler+scan overhead on
+    a cluster) per query; here the per-query routing stays driver-side
+    math (same _query_probe_and_lut as the single path), and the
+    per-query LUTs + residual cell constants ship as a BROADCAST
+    (query_id, cell, base, lut) table — one row per probed (query,
+    cell), KBs. Each code row joins only the queries probing its cell
+    (join on the hive partition column, so the scan still prunes to
+    the UNION of probed cells), the ADC score folds the joined lut
+    column left-to-right seeded with the residual base — BIT-EQUAL to
+    the single-query literal chain (pinned in tests) — and the
+    per-query top-k is one window rank over the ~|probed|·Q candidate
+    rows.
+
+    Returns (query_id, vec_id, pq_sim) — or (query_id, vec_id,
+    cos_sim) with `rerank`, where each query's shortlist is re-scored
+    with the exact RAW-space dot (per-query vectors join in by
+    query_id; rotation-invariant under OPQ). `exclude_self` drops rows
+    where vec_id == query_id (corpus-vector queries)."""
+    tables, manifest, n_sub, kk, subdim, residual, coarse, cbs, rot = (
+        _load_ivfpq_meta(spark, base_dir, version)
+    )
+    qrows = []
+    raw_q = {}
+    all_cells: set[int] = set()
+    for qid in sorted(queries):
+        q_raw, _qd, probe_cids, lut, cdot = _query_probe_and_lut(
+            queries[qid], n_sub, kk, subdim, residual, coarse, cbs, rot,
+            n_probe,
+        )
+        raw_q[qid] = q_raw
+        all_cells.update(probe_cids)
+        for cid in probe_cids:
+            qrows.append(
+                (int(qid), int(cid), float(cdot[cid]) if cdot else 0.0, lut)
+            )
+    qdf = spark.createDataFrame(
+        qrows, "query_id long, cell int, base double, lut array<array<double>>"
+    )
+    score = F.aggregate(
+        F.sequence(F.lit(1), F.lit(n_sub)),
+        F.col("base"),
+        # left-to-right fold seeded with the residual base — the same
+        # float order as the single-query literal chain
+        lambda acc, m: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), m),
+            F.element_at(F.col("codes"), m) + 1,
+        ),
+    )
+    out = (
+        tables["codes"]
+        .filter(F.col("cell").isin(sorted(all_cells)))
+        .join(F.broadcast(qdf), "cell")
+    )
+    if exclude_self:
+        out = out.filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("pq_sim"), F.asc("vec_id")
+    )
+    adc = (
+        out.select(
+            "query_id", "vec_id", F.round(score, 6).alias("pq_sim")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= (shortlist if rerank is not None else k))
+        .drop("rn")
+    )
+    if rerank is None:
+        return adc.orderBy("query_id", F.desc("pq_sim"), F.asc("vec_id"))
+    qvec = spark.createDataFrame(
+        [(int(qid), raw_q[qid]) for qid in sorted(raw_q)],
+        "query_id long, q_emb array<double>",
+    )
+    exact = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"), F.col("q_emb"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        rerank.join(
+            F.broadcast(adc.select("query_id", "vec_id")), "vec_id"
+        )
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "vec_id", F.round(exact, 6).alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("query_id", F.desc("cos_sim"), F.asc("vec_id"))
     )
 
 
@@ -1576,4 +1717,41 @@ def ivfpq_opq_serve_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_knn_from_index(
         spark, base, q, n_probe=2, shortlist=50, rerank=e,
         exclude_vec_id=0,
+    )
+
+
+@register(
+    "ivfpq_batch_serve_top3",
+    None,  # trained quantizers → rows-only; per-query equality with the
+    # single-query serve path (bit-equal ADC scores) is pinned in
+    # tests/test_pq.py.
+    survey_rows="L22,L3-scale,S5,P",
+)
+def ivfpq_batch_serve_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 BATCHED serving at the gate: four corpus-vector queries
+    answered by ONE partition-pruned scan of the union of their probed
+    cells (broadcast per-query LUT table joined on the cell partition
+    column, window top-k per query) instead of four jobs — the
+    amortization that matters when the per-query cost is dominated by
+    job/scan overhead rather than ADC math. Self-matches excluded;
+    deterministic (ties break on vec_id)."""
+    from ..sources import lakefs
+    from ..sources.io import fixture_tag
+
+    import os
+    import tempfile
+
+    tag = fixture_tag(sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "ivfpq_index_res_st"
+    )
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        publish_ivfpq_index(spark, sf_dir, base)
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < 4).collect()
+    }
+    return ivfpq_knn_batch_from_index(
+        spark, base, queries, k=3, n_probe=2, exclude_self=True
     )

@@ -752,3 +752,66 @@ def test_ivfpq_opq_index_persists_rotation_and_serves_numpy_exact(
     drift = ivfpq_index_drift(spark, base, new_vectors=batch)
     assert 0.5 < drift["norm_ratio"] < 1.5
     assert drift["retrain_recommended"] in (False,)
+
+
+def test_batched_serve_matches_single_query_serve(spark, sf_small, tmp_path):
+    """The batched serve path must return, for EVERY query in the
+    batch, exactly the single-query serve results — same vec_ids, same
+    ADC scores bit-for-bit (the batch fold seeds the residual base and
+    folds LUT terms in the same left-to-right order), across residual,
+    raw, and OPQ-rotated snapshots; reranked scores equal the exact
+    raw-space dots; self-exclusion works."""
+    from novelti_dingo_spark.operators.pq import (
+        ivfpq_knn_batch_from_index,
+        ivfpq_knn_from_index,
+        publish_ivfpq_index,
+    )
+
+    e = load_table(spark, sf_small, "embeddings")
+    queries = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < 4).collect()
+    }
+    for tag, kw in (
+        ("res", dict()),
+        ("raw", dict(residual=False)),
+        ("opq", dict(opq=True)),
+    ):
+        base = str(tmp_path / f"idx_{tag}")
+        publish_ivfpq_index(spark, sf_small, base, k_cells=8, **kw)
+        batch = ivfpq_knn_batch_from_index(
+            spark, base, queries, k=5, n_probe=2, exclude_self=True
+        ).collect()
+        by_q = {}
+        for r in batch:
+            by_q.setdefault(r.query_id, []).append((r.vec_id, r.pq_sim))
+        assert set(by_q) == set(queries)
+        for qid, qv in queries.items():
+            single = [
+                (r.vec_id, r.pq_sim)
+                for r in ivfpq_knn_from_index(
+                    spark, base, qv, k=5, n_probe=2, exclude_vec_id=qid
+                ).collect()
+            ]
+            assert by_q[qid] == single, f"{tag} q{qid}"
+
+    # reranked: each query's cos_sim is the exact raw-space dot
+    base = str(tmp_path / "idx_res")
+    rr = ivfpq_knn_batch_from_index(
+        spark, base, queries, k=3, n_probe=2, shortlist=20,
+        rerank=e, exclude_self=True,
+    ).collect()
+    emb = {r.vec_id: list(r.embedding) for r in e.collect()}
+    seen_q = set()
+    for r in rr:
+        seen_q.add(r.query_id)
+        assert r.vec_id != r.query_id
+        acc = 0.0
+        for a, b in zip(emb[r.vec_id], queries[r.query_id]):
+            acc += float(a) * float(b)
+        assert r.cos_sim == round(acc, 6)
+    assert seen_q == set(queries)
+    # per-query count = k
+    from collections import Counter
+
+    assert set(Counter(r.query_id for r in rr).values()) == {3}

@@ -773,6 +773,15 @@ EXPECT = {
         "broadcast_joins": 1, "take_ordered": True, "no_python_udf": True,
         "plan_must_contain": ["PartitionFilters: [cell"],
     },
+    # round-11 BATCHED serve: Q queries, ONE pruned scan of the union
+    # of probed cells; per-query LUTs arrive as a broadcast join on the
+    # cell partition column and the per-query top-k is a window rank
+    # (the single global TakeOrdered shape does not exist here — ranks
+    # are per query_id)
+    "ivfpq_batch_serve_top3": {
+        "broadcast_joins": 1, "no_python_udf": True,
+        "plan_must_contain": ["PartitionFilters: [cell", "Window"],
+    },
     # --- round-10 promotions: the ANN train-per-call family. These are
     # iterative trainers whose Lloyd's loops inline into one large plan,
     # so exchange counts are unstable by design; the pinned properties

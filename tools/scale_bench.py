@@ -695,6 +695,61 @@ def run_ann_opq(ns: list[int]) -> None:
     _merge("ann_ivfpq_opq", res)
 
 
+def run_ann_batch(ns: list[int], n_queries: int = 16) -> None:
+    """Batched vs sequential IVF-PQ serving (round-11): Q corpus-vector
+    queries answered as ONE pruned scan + window rank
+    (ivfpq_knn_batch_from_index) vs Q single-query jobs. The single
+    path's wall is dominated by per-job overhead at local scale — the
+    batch amortizes it Q ways; on a cluster the same shape amortizes
+    scheduler + scan setup. Uses the run_ann_sampled index if present
+    (publishes one otherwise)."""
+    from pyspark.sql import functions as F
+
+    from novelti_dingo_spark.operators.pq import (
+        ivfpq_knn_batch_from_index,
+        ivfpq_knn_from_index,
+        publish_ivfpq_index,
+    )
+    from novelti_dingo_spark.sources.io import load_table
+
+    spark = _spark()
+    res = {}
+    for n in ns:
+        d = build_embeddings(n)
+        base = os.path.join(d, "ivfpq_index_sampled_thr")
+        if not os.path.exists(os.path.join(base, "LATEST")):
+            publish_ivfpq_index(spark, d, base, k_cells=32, pq_k=256)
+        e = load_table(spark, d, "embeddings")
+        queries = {
+            int(r.vec_id): [float(x) for x in r.embedding]
+            for r in e.filter(F.col("vec_id") < n_queries).collect()
+        }
+
+        def sequential():
+            for qid, qv in queries.items():
+                ivfpq_knn_from_index(
+                    spark, base, qv, n_probe=4, exclude_vec_id=qid
+                ).collect()
+
+        def batched():
+            ivfpq_knn_batch_from_index(
+                spark, base, queries, n_probe=4, exclude_self=True
+            ).collect()
+
+        seq_s = _med(sequential)
+        bat_s = _med(batched)
+        res[str(n)] = {
+            "n_vectors": n,
+            "n_queries": n_queries,
+            "n_probe": 4,
+            "sequential_s": seq_s,
+            "batched_s": bat_s,
+            "speedup": round(seq_s / bat_s, 2) if bat_s else None,
+        }
+        print(f"{n}/batch: {res[str(n)]}")
+    _merge("ann_batch_serve", res)
+
+
 def run_ann_sampled(ns: list[int]) -> None:
     """Round-11 re-measure of the SAMPLED-TRAINER composed build after
     the TakeOrdered→threshold-filter sampler swap (hash_sample.py):
@@ -1241,7 +1296,7 @@ def main() -> None:
     p.add_argument("family", choices=[
         "build", "dedup", "gemm", "ann", "ann_sweep", "spatial", "lake",
         "text", "cdc", "skew", "skew_lsh", "ann_pq", "ann_sampled",
-        "ann_clustered", "ann_opq",
+        "ann_clustered", "ann_opq", "ann_batch",
     ])
     p.add_argument("--k", type=int, nargs="*", default=[1, 5, 25])
     p.add_argument("--n", type=int, nargs="*", default=[2000, 20000, 100000])
@@ -1268,6 +1323,8 @@ def main() -> None:
         run_ann_clustered(a.n)
     elif a.family == "ann_opq":
         run_ann_opq(a.n)
+    elif a.family == "ann_batch":
+        run_ann_batch(a.n)
     elif a.family == "spatial":
         run_spatial(a.k)
     elif a.family == "lake":
