@@ -1463,7 +1463,12 @@ def ivfpq_knn_batch_from_index(
     column left-to-right seeded with the residual base — BIT-EQUAL to
     the single-query literal chain (pinned in tests) — and the
     per-query top-k is one window rank over the ~|probed|·Q candidate
-    rows.
+    rows. Known trade at cluster scale: the window shuffles ALL
+    candidate rows on query_id (Q partitions); a map-side
+    per-partition pre-rank would cut the shuffle Q·k-fold and is the
+    next optimization if batch sizes grow — at the routing-pruned
+    candidate volumes measured (n_probe/k_cells of the corpus) the
+    single window wins on simplicity.
 
     Returns (query_id, vec_id, pq_sim) — or (query_id, vec_id,
     cos_sim) with `rerank`, where each query's shortlist is re-scored

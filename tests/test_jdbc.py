@@ -1,0 +1,59 @@
+"""JDBC source/sink through the embedded Derby engine (ships in
+Spark's jars): value-exact roundtrip, PARTITIONED parallel extraction
+(one bounded query per task), and predicate/column pushdown into the
+database — the ingest surface the verdict had marked environment-
+impossible."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from novelti_dingo_spark.sources import load_table
+from novelti_dingo_spark.sources.jdbc import derby_url, read_jdbc, write_jdbc
+
+
+def test_jdbc_roundtrip_partitioned_and_pushdown(spark, sf_small, tmp_path):
+    url = derby_url(str(tmp_path / "db"))
+    s = load_table(spark, sf_small, "supplier")
+    write_jdbc(s, url, "supplier", num_partitions=1)
+
+    lo, hi = s.agg(F.min("s_suppkey"), F.max("s_suppkey")).head()[:2]
+    back = read_jdbc(
+        spark, url, "supplier",
+        partition_column="s_suppkey", lower=int(lo), upper=int(hi) + 1,
+        num_partitions=4,
+    )
+    # the partitioned extraction really is N parallel bounded queries
+    assert back.rdd.getNumPartitions() == 4
+    # value-exact roundtrip (every column, every row)
+    want = sorted(tuple(r) for r in s.collect())
+    got = sorted(tuple(r) for r in back.select(*s.columns).collect())
+    assert got == want
+    # no row duplicated or lost across partition bounds
+    assert back.select("s_suppkey").distinct().count() == s.count()
+
+    # predicate pushdown INTO the database (not a post-scan filter)
+    flt = back.filter(F.col("s_nationkey") == 3).select("s_suppkey")
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "JDBCRelation" in plan
+    assert "PushedFilters: [" in plan and "S_NATIONKEY" in plan.upper()
+    # column pruning reaches the database too: the scan's output is
+    # the two referenced columns, not the supplier width
+    assert "S_COMMENT" not in plan.upper()
+
+    # single-cursor read (dimension-sized path) agrees
+    dim = read_jdbc(spark, url, "supplier")
+    assert dim.count() == s.count()
+
+
+def test_jdbc_overwrite_and_append_modes(spark, sf_small, tmp_path):
+    url = derby_url(str(tmp_path / "db"))
+    s = load_table(spark, sf_small, "supplier").limit(5)
+    write_jdbc(s, url, "t", num_partitions=1)
+    assert read_jdbc(spark, url, "t").count() == 5
+    write_jdbc(s, url, "t", mode="append", num_partitions=1)
+    assert read_jdbc(spark, url, "t").count() == 10
+    write_jdbc(s, url, "t", mode="overwrite", num_partitions=1)
+    assert read_jdbc(spark, url, "t").count() == 5

@@ -782,6 +782,13 @@ EXPECT = {
         "broadcast_joins": 1, "no_python_udf": True,
         "plan_must_contain": ["PartitionFilters: [cell", "Window"],
     },
+    # round-11 JDBC ingest: the scan must be the PARTITIONED parallel
+    # extraction (numPartitions=4 → one bounded query per task), two-
+    # phase agg on top
+    "jdbc_ingest_agg": {
+        "partial_agg": True, "no_python_udf": True,
+        "plan_must_contain": ["JDBCRelation", "numPartitions=4"],
+    },
     # --- round-10 promotions: the ANN train-per-call family. These are
     # iterative trainers whose Lloyd's loops inline into one large plan,
     # so exchange counts are unstable by design; the pinned properties

@@ -695,6 +695,43 @@ def run_ann_opq(ns: list[int]) -> None:
     _merge("ann_ivfpq_opq", res)
 
 
+def run_ann_clustered_sweep(ns: list[int]) -> None:
+    """The SERVING DIAL chart on the clustered fixture (round-11
+    follow-on to ann_clustered's single operating point): recall@10 ×
+    probe wall over n_probe ∈ {2,4,8} for both code rates, QUERY-ONLY
+    (reuses the published ann_clustered indexes — n_probe is a
+    query-time knob, the whole point of the routing/IVF split)."""
+    from novelti_dingo_spark.sources.io import load_table
+
+    spark = _spark()
+    res = {}
+    for n in ns:
+        d = build_embeddings_clustered(n)
+        qvs, truth = _ann_truth(d)
+        e = load_table(spark, d, "embeddings")
+        for tag in ("res_k16", "res_k256"):
+            base = os.path.join(d, f"ivfpq_{tag}")
+            if not os.path.exists(os.path.join(base, "LATEST")):
+                from novelti_dingo_spark.operators.pq import (
+                    publish_ivfpq_index,
+                )
+
+                publish_ivfpq_index(
+                    spark, d, base, k_cells=32,
+                    pq_k=16 if tag == "res_k16" else 256,
+                )
+            for n_probe in (2, 4, 8):
+                key = f"{tag}_probe{n_probe}_{n}"
+                res[key] = {
+                    "n_vectors": n,
+                    "variant": tag,
+                    "n_probe": n_probe,
+                    **_probe_recall(spark, base, qvs, truth, e, n_probe),
+                }
+                print(f"{key}: {res[key]}")
+    _merge("ann_clustered_nprobe", res)
+
+
 def run_ann_batch(ns: list[int], n_queries: int = 16) -> None:
     """Batched vs sequential IVF-PQ serving (round-11): Q corpus-vector
     queries answered as ONE pruned scan + window rank
@@ -1296,7 +1333,7 @@ def main() -> None:
     p.add_argument("family", choices=[
         "build", "dedup", "gemm", "ann", "ann_sweep", "spatial", "lake",
         "text", "cdc", "skew", "skew_lsh", "ann_pq", "ann_sampled",
-        "ann_clustered", "ann_opq", "ann_batch",
+        "ann_clustered", "ann_opq", "ann_batch", "ann_clustered_sweep",
     ])
     p.add_argument("--k", type=int, nargs="*", default=[1, 5, 25])
     p.add_argument("--n", type=int, nargs="*", default=[2000, 20000, 100000])
@@ -1325,6 +1362,8 @@ def main() -> None:
         run_ann_opq(a.n)
     elif a.family == "ann_batch":
         run_ann_batch(a.n)
+    elif a.family == "ann_clustered_sweep":
+        run_ann_clustered_sweep(a.n)
     elif a.family == "spatial":
         run_spatial(a.k)
     elif a.family == "lake":
