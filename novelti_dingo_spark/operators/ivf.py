@@ -418,3 +418,112 @@ def ivf_knn_from_index(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ivf_knn_batch_from_index(
+    spark: SparkSession,
+    base_dir: str,
+    queries: dict[int, list[float]],
+    version: int | None = None,
+    k: int = 10,
+    n_probe: int = N_PROBE,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """BATCHED IVF serving (round-11, the float-postings twin of
+    pq.ivfpq_knn_batch_from_index): Q queries answered by ONE scan of
+    the union of their probed cells. Routing stays driver-side per
+    query (same bit-exact fold as the single path); the per-query
+    vectors ship as a BROADCAST (query_id, cid, q_emb) table — one row
+    per probed (query, cell) — joined on the cid partition column, so
+    each posting row scores only the queries probing its cell and the
+    scan still prunes to the UNION of probed cells. cos_sim is
+    bit-equal to the single-query literal form (same `dot` fold over
+    the same doubles; pinned in tests); per-query top-k is a window
+    rank. Same cluster-scale trade note as the IVF-PQ batch path: the
+    window shuffles candidates on query_id; volume is already bounded
+    by the routing prune."""
+    from ..pipelines import read_snapshot_chain
+
+    tables, manifest = read_snapshot_chain(spark, base_dir, version)
+    postings = tables["postings"]
+    ckey = (base_dir.rstrip("/"), int(manifest["snapshot"]))
+    if ckey not in _ROUTING_CACHE:
+        _ROUTING_CACHE[ckey] = [
+            (int(r.cid), [float(x) for x in r.centroid])
+            for r in tables["centroids"].collect()
+        ]
+    routing = _ROUTING_CACHE[ckey]
+    qrows = []
+    all_cells: set[int] = set()
+    for qid in sorted(queries):
+        qd = [float(x) for x in queries[qid]]
+
+        def sqd(c: list[float]) -> float:
+            acc = 0.0
+            for x, y in zip(c, qd):
+                d = x - y
+                acc += d * d
+            return acc
+
+        ranked = sorted((sqd(c), cid) for cid, c in routing)
+        for _, cid in ranked[:n_probe]:
+            qrows.append((int(qid), int(cid), qd))
+            all_cells.add(int(cid))
+    qdf = spark.createDataFrame(
+        qrows, "query_id long, cid int, q_emb array<double>"
+    )
+    out = (
+        postings.filter(F.col("cid").isin(sorted(all_cells)))
+        .join(F.broadcast(qdf), "cid")
+    )
+    if exclude_self:
+        out = out.filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        out.select(
+            "query_id",
+            "vec_id",
+            F.round(dot("embedding", "q_emb"), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("query_id", F.desc("cos_sim"), F.asc("vec_id"))
+    )
+
+
+@register(
+    "ivf_batch_serve_top3",
+    None,  # trained quantizer → rows-only; per-query bit-equality with
+    # the single-query serve is pinned in tests/test_ivf.py.
+    survey_rows="L3-scale,S5,P",
+)
+def ivf_batch_serve_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 BATCHED IVF serving at the gate: four corpus-vector
+    queries answered by ONE scan of the union of their probed cells
+    (cid-partitioned postings prune to those cells' files; the
+    per-query vectors arrive as a broadcast joined on cid), window
+    top-k per query — the float-postings twin of ivfpq_batch_serve_top3.
+    Self-matches excluded; ties break on vec_id."""
+    import os
+    import tempfile
+
+    from ..sources import lakefs
+    from ..sources.io import fixture_tag
+
+    tag = fixture_tag(sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "ivf_index_part_st"
+    )
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        publish_ivf_index(spark, sf_dir, base, partition_postings=True)
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < 4).collect()
+    }
+    return ivf_knn_batch_from_index(
+        spark, base, queries, k=3, n_probe=2, exclude_self=True
+    )

@@ -815,6 +815,82 @@ def pq_knn_from_index(
     )
 
 
+def pq_knn_batch_from_index(
+    spark: SparkSession,
+    base_dir: str,
+    queries: dict[int, list[float]],
+    version: int | None = None,
+    k: int = 10,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """BATCHED plain-PQ serving (round-11, completing the three
+    layouts' batch surface): Q queries scored by ONE scan of the 8-int
+    codes instead of Q jobs. The per-query M×K LUTs build driver-side
+    from the cached codebooks (microseconds each) and ship as a
+    BROADCAST (query_id, lut) table; with no cell structure to join on,
+    each code row crosses the Q-row broadcast (candidate volume Q·n —
+    exactly what Q sequential scans evaluate, minus Q−1 scans and job
+    floors) and folds its joined lut left-to-right, bit-equal to the
+    single-query literal chain (pinned). Per-query top-k is a window
+    rank; chain-resolved like pq_knn_from_index."""
+    from ..pipelines import read_snapshot_chain
+
+    tables, manifest = read_snapshot_chain(spark, base_dir, version)
+    kk = int(manifest.get("k", K))
+    n_sub = int(manifest.get("m", M))
+    subdim = int(manifest.get("subdim", SUBDIM))
+    ckey = (base_dir.rstrip("/"), int(manifest["snapshot"]))
+    if ckey not in _PQ_CB_CACHE:
+        cbs: list[list[list[float]]] = [
+            [None] * kk for _ in range(n_sub)  # type: ignore[list-item]
+        ]
+        for r in tables["codebooks"].collect():
+            cbs[int(r.m)][int(r.cid)] = [float(x) for x in r.centroid]
+        _PQ_CB_CACHE[ckey] = cbs
+    cbs = _PQ_CB_CACHE[ckey]
+    qrows = []
+    for qid in sorted(queries):
+        qd = [float(x) for x in queries[qid]]
+        lut = []
+        for m in range(n_sub):
+            sub = qd[m * subdim:(m + 1) * subdim]
+            row = []
+            for cid in range(kk):
+                acc = 0.0
+                for c, qq in zip(cbs[m][cid] or (), sub):
+                    acc += c * qq
+                row.append(acc)
+            lut.append(row)
+        qrows.append((int(qid), lut))
+    qdf = spark.createDataFrame(
+        qrows, "query_id long, lut array<array<double>>"
+    )
+    score = F.aggregate(
+        F.sequence(F.lit(1), F.lit(n_sub)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), m),
+            F.element_at(F.col("codes"), m) + 1,
+        ),
+    )
+    out = tables["codes"].crossJoin(F.broadcast(qdf))
+    if exclude_self:
+        out = out.filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("pq_sim"), F.asc("vec_id")
+    )
+    return (
+        out.select(
+            "query_id", "vec_id", F.round(score, 6).alias("pq_sim")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("query_id", F.desc("pq_sim"), F.asc("vec_id"))
+    )
+
+
 # --- IVF-PQ composed index: coarse cells + PQ codes, persisted --------------
 
 _IVFPQ_META_CACHE: dict[tuple, tuple] = {}
@@ -1759,4 +1835,46 @@ def ivfpq_batch_serve_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     return ivfpq_knn_batch_from_index(
         spark, base, queries, k=3, n_probe=2, exclude_self=True
+    )
+
+
+@register(
+    "pq_batch_serve_top3",
+    None,  # trained codebooks → rows-only; per-query bit-equality with
+    # the single-query serve (through the delta chain) is pinned in
+    # tests/test_pq.py.
+    survey_rows="L22,S5,P",
+)
+def pq_batch_serve_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 BATCHED plain-PQ serving at the gate, THROUGH the
+    append delta chain (reuses the pq_delta_serve fixture — publish +
+    one codes-only delta): four corpus-vector queries scored by one
+    scan of the chain-resolved 8-int codes against a broadcast
+    per-query LUT table, window top-k per query. Completes the batch
+    surface across all three persisted layouts."""
+    import os
+    import tempfile
+
+    from ..sources import lakefs
+    from ..sources.io import fixture_tag
+
+    tag = fixture_tag(sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "pq_index_delta_st"
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        publish_pq_index(spark, sf_dir, base)
+        batch = (
+            e.orderBy("vec_id")
+            .limit(16)
+            .withColumn("vec_id", F.col("vec_id") + 10_000_000)
+        )
+        append_vectors_to_pq_index(spark, base, batch)
+    queries = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < 4).collect()
+    }
+    return pq_knn_batch_from_index(
+        spark, base, queries, k=3, exclude_self=True
     )

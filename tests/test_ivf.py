@@ -133,3 +133,43 @@ def test_kmeans_fit_numpy_trains_usable_centroids(spark, sf_small):
     assigned = assign_literal(e, cents)
     n_cells = assigned.select("cid").distinct().count()
     assert n_cells >= 6  # no mass degeneracy into one cell
+
+
+def test_ivf_batched_serve_matches_single_query(spark, sf_small, tmp_path):
+    """The batched IVF serve must return, per query, exactly the
+    single-query serve results — same vec_ids, same cos_sim
+    bit-for-bit (same `dot` fold over the same doubles), with
+    self-exclusion and per-query counts."""
+    from collections import Counter
+
+    from novelti_dingo_spark.operators.ivf import (
+        ivf_knn_batch_from_index,
+        ivf_knn_from_index,
+        publish_ivf_index,
+    )
+    from novelti_dingo_spark.sources.io import load_table as lt
+
+    base = str(tmp_path / "ivf")
+    publish_ivf_index(spark, sf_small, base, partition_postings=True)
+    e = lt(spark, sf_small, "embeddings")
+    queries = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in e.filter("vec_id < 4").collect()
+    }
+    batch = ivf_knn_batch_from_index(
+        spark, base, queries, k=5, n_probe=2, exclude_self=True
+    ).collect()
+    by_q = {}
+    for r in batch:
+        assert r.vec_id != r.query_id
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.cos_sim))
+    assert set(by_q) == set(queries)
+    assert set(Counter(r.query_id for r in batch).values()) == {5}
+    for qid, qv in queries.items():
+        single = [
+            (r.vec_id, r.cos_sim)
+            for r in ivf_knn_from_index(
+                spark, base, qv, k=5, n_probe=2, exclude_vec_id=qid
+            ).collect()
+        ]
+        assert by_q[qid] == single, f"q{qid}"

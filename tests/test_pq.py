@@ -815,3 +815,49 @@ def test_batched_serve_matches_single_query_serve(spark, sf_small, tmp_path):
     from collections import Counter
 
     assert set(Counter(r.query_id for r in rr).values()) == {3}
+
+
+def test_pq_batched_serve_matches_single_query_through_chain(
+    spark, sf_small, tmp_path
+):
+    """The batched plain-PQ serve must equal the single-query serve per
+    query — bit-for-bit pq_sim — INCLUDING through an append delta
+    chain (both paths chain-resolve)."""
+    from collections import Counter
+
+    from novelti_dingo_spark.operators.pq import (
+        append_vectors_to_pq_index,
+        pq_knn_batch_from_index,
+        pq_knn_from_index,
+        publish_pq_index,
+    )
+
+    base = str(tmp_path / "pq")
+    publish_pq_index(spark, sf_small, base)
+    e = load_table(spark, sf_small, "embeddings")
+    append_vectors_to_pq_index(
+        spark, base,
+        e.orderBy("vec_id").limit(8)
+        .withColumn("vec_id", F.col("vec_id") + 700_000),
+    )
+    queries = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in e.filter("vec_id < 4").collect()
+    }
+    batch = pq_knn_batch_from_index(
+        spark, base, queries, k=6, exclude_self=True
+    ).collect()
+    by_q = {}
+    for r in batch:
+        assert r.vec_id != r.query_id
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.pq_sim))
+    assert set(by_q) == set(queries)
+    assert set(Counter(r.query_id for r in batch).values()) == {6}
+    for qid, qv in queries.items():
+        single = [
+            (r.vec_id, r.pq_sim)
+            for r in pq_knn_from_index(
+                spark, base, qv, k=6, exclude_vec_id=qid
+            ).collect()
+        ]
+        assert by_q[qid] == single, f"q{qid}"

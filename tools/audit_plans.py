@@ -789,6 +789,21 @@ EXPECT = {
         "partial_agg": True, "no_python_udf": True,
         "plan_must_contain": ["JDBCRelation", "numPartitions=4"],
     },
+    # round-11 batch-serve twins for the other two layouts: IVF joins
+    # the broadcast query table on the cid partition column (pruned
+    # scan of the probed cells); plain PQ has no cell structure — the
+    # Q-row broadcast crosses the code scan (BroadcastNestedLoopJoin
+    # of a KB-side, the documented legitimate NLJ) and the chain-
+    # resolved scans union
+    "ivf_batch_serve_top3": {
+        "broadcast_joins": 1, "no_python_udf": True,
+        "plan_must_contain": ["PartitionFilters: [cid", "Window"],
+    },
+    "pq_batch_serve_top3": {
+        "no_python_udf": True,
+        "plan_must_contain": ["Union", "Window"],
+        "cartesian_ok": True,
+    },
     # --- round-10 promotions: the ANN train-per-call family. These are
     # iterative trainers whose Lloyd's loops inline into one large plan,
     # so exchange counts are unstable by design; the pinned properties
