@@ -773,8 +773,23 @@ def run_ann_batch(ns: list[int], n_queries: int = 16) -> None:
                 spark, base, queries, n_probe=4, exclude_self=True
             ).collect()
 
+        def sequential_rerank():
+            for qid, qv in queries.items():
+                ivfpq_knn_from_index(
+                    spark, base, qv, n_probe=4, shortlist=100,
+                    rerank=e, exclude_vec_id=qid,
+                ).collect()
+
+        def batched_rerank():
+            ivfpq_knn_batch_from_index(
+                spark, base, queries, n_probe=4, shortlist=100,
+                rerank=e, exclude_self=True,
+            ).collect()
+
         seq_s = _med(sequential)
         bat_s = _med(batched)
+        seq_rr_s = _med(sequential_rerank)
+        bat_rr_s = _med(batched_rerank)
         res[str(n)] = {
             "n_vectors": n,
             "n_queries": n_queries,
@@ -782,6 +797,11 @@ def run_ann_batch(ns: list[int], n_queries: int = 16) -> None:
             "sequential_s": seq_s,
             "batched_s": bat_s,
             "speedup": round(seq_s / bat_s, 2) if bat_s else None,
+            "sequential_rerank_s": seq_rr_s,
+            "batched_rerank_s": bat_rr_s,
+            "speedup_rerank": (
+                round(seq_rr_s / bat_rr_s, 2) if bat_rr_s else None
+            ),
         }
         print(f"{n}/batch: {res[str(n)]}")
     _merge("ann_batch_serve", res)
