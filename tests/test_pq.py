@@ -861,3 +861,223 @@ def test_pq_batched_serve_matches_single_query_through_chain(
             ).collect()
         ]
         assert by_q[qid] == single, f"q{qid}"
+
+
+def test_prerank_is_bit_equal_and_in_plan(spark, sf_small, tmp_path):
+    """Round-12: the map-side pre-rank (rank.local_topk_per_group,
+    default on) must be EXACT — bit-equal rows vs prerank=False on both
+    the IVF-PQ and plain-PQ batch paths — and visible in the executed
+    plan as a MapInPandas node (the narrow pre-exchange stage), absent
+    when disabled."""
+    from novelti_dingo_spark.operators.pq import (
+        ivfpq_knn_batch_from_index,
+        pq_knn_batch_from_index,
+        publish_ivfpq_index,
+        publish_pq_index,
+    )
+
+    e = load_table(spark, sf_small, "embeddings")
+    queries = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < 5).collect()
+    }
+
+    base = str(tmp_path / "ivfpq")
+    publish_ivfpq_index(spark, sf_small, base, k_cells=8)
+    on = ivfpq_knn_batch_from_index(
+        spark, base, queries, k=5, n_probe=2, exclude_self=True
+    )
+    off = ivfpq_knn_batch_from_index(
+        spark, base, queries, k=5, n_probe=2, exclude_self=True,
+        prerank=False,
+    )
+    assert on.collect() == off.collect()
+    assert "MapInPandas" in on._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in (
+        off._jdf.queryExecution().executedPlan().toString()
+    )
+    # reranked variant: pre-rank bounds the shortlist window the same way
+    on_rr = ivfpq_knn_batch_from_index(
+        spark, base, queries, k=3, n_probe=2, shortlist=20,
+        rerank=e, exclude_self=True,
+    )
+    off_rr = ivfpq_knn_batch_from_index(
+        spark, base, queries, k=3, n_probe=2, shortlist=20,
+        rerank=e, exclude_self=True, prerank=False,
+    )
+    assert on_rr.collect() == off_rr.collect()
+
+    base2 = str(tmp_path / "pq")
+    publish_pq_index(spark, sf_small, base2)
+    on2 = pq_knn_batch_from_index(spark, base2, queries, k=6)
+    off2 = pq_knn_batch_from_index(
+        spark, base2, queries, k=6, prerank=False
+    )
+    assert on2.collect() == off2.collect()
+    assert "MapInPandas" in on2._jdf.queryExecution().executedPlan().toString()
+
+
+def test_single_query_serve_uses_manifest_geometry(spark, sf_small, tmp_path):
+    """Round-12 (round-11 advice): the single-query plain-PQ serve must
+    read its code-rate geometry from the snapshot MANIFEST like the
+    batch path — a k=32 snapshot served through the module-constant
+    K=16 cache shape would either crash or score wrongly, and both
+    paths share one _PQ_CB_CACHE key, so the first caller must not
+    poison the cache for the other."""
+    from novelti_dingo_spark.operators.pq import (
+        M,
+        SUBDIM,
+        pq_encode_numpy,
+        pq_fit,
+        pq_knn_batch_from_index,
+        pq_knn_from_index,
+    )
+    from novelti_dingo_spark.pipelines import publish_snapshot
+
+    e = load_table(spark, sf_small, "embeddings")
+    cbs = pq_fit(e.select("vec_id", "embedding"), k=32)
+    codes = pq_encode_numpy(e.select("vec_id", "embedding"), cbs, k=32)
+    base = str(tmp_path / "pq32")
+    publish_snapshot(
+        {"codebooks": cbs, "codes": codes}, base,
+        meta={"m": M, "k": 32, "subdim": SUBDIM},
+    )
+    queries = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < 3).collect()
+    }
+    # single-query FIRST (it builds the shared cache entry), batch second
+    singles = {
+        qid: [
+            (r.vec_id, r.pq_sim)
+            for r in pq_knn_from_index(
+                spark, base, qv, k=5, exclude_vec_id=qid
+            ).collect()
+        ]
+        for qid, qv in queries.items()
+    }
+    batch = pq_knn_batch_from_index(
+        spark, base, queries, k=5, exclude_self=True
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.pq_sim))
+    assert by_q == singles
+
+
+def test_drift_zero_baseline_reports_sentinel(spark, sf_small, tmp_path):
+    """Round-12 (round-11 advice): a recorded training baseline of 0.0
+    (exactly quantizable corpus) must NOT silently disable the drift
+    check — the monitor reports baseline_zero, an infinite ratio for a
+    non-zero batch error, and recommends retrain."""
+    from novelti_dingo_spark.operators.pq import (
+        M,
+        SUBDIM,
+        pq_encode_numpy,
+        pq_fit,
+        pq_index_drift,
+    )
+    from novelti_dingo_spark.pipelines import publish_snapshot
+
+    e = load_table(spark, sf_small, "embeddings")
+    cbs = pq_fit(e.select("vec_id", "embedding"))
+    codes = pq_encode_numpy(e.select("vec_id", "embedding"), cbs)
+    base = str(tmp_path / "pq0")
+    publish_snapshot(
+        {"codebooks": cbs, "codes": codes}, base,
+        meta={"m": M, "k": 16, "subdim": SUBDIM, "train_quant_mse": 0.0},
+    )
+    d = pq_index_drift(
+        spark, base, new_vectors=e.select("vec_id", "embedding").limit(16)
+    )
+    assert d["baseline_zero"] is True
+    assert d["mse_ratio"] == float("inf")
+    assert d["retrain_recommended"] is True
+    assert d["batch_quant_mse"] > 0
+
+
+def test_opq_drift_and_append_accept_labelless_batches(
+    spark, sf_small, tmp_path
+):
+    """Round-12 (round-11 advice): OPQ indexes must accept drift/append
+    batches carrying only (vec_id, embedding) — label is unused on both
+    paths, and keep=("label",) raised AnalysisException for the
+    schemas every non-OPQ index already accepted."""
+    from novelti_dingo_spark.operators.pq import (
+        append_vectors_to_ivfpq_index,
+        ivfpq_index_drift,
+        publish_ivfpq_index,
+    )
+
+    e = load_table(spark, sf_small, "embeddings")
+    base = str(tmp_path / "opq")
+    publish_ivfpq_index(spark, sf_small, base, k_cells=8, opq=True)
+    bare = e.select("vec_id", "embedding").limit(16)
+    d = ivfpq_index_drift(spark, base, new_vectors=bare)
+    assert "norm_ratio" in d
+    from novelti_dingo_spark.pipelines import read_snapshot_chain
+
+    n0 = read_snapshot_chain(spark, base)[0]["codes"].count()
+    append_vectors_to_ivfpq_index(
+        spark, base,
+        bare.withColumn("vec_id", F.col("vec_id") + 900_000),
+    )
+    assert read_snapshot_chain(spark, base)[0]["codes"].count() == n0 + 16
+
+
+def test_opq_rotation_staleness_monitor(spark, sf_small, tmp_path):
+    """Round-12 (round-11 verdict #6): OPQ indexes record a
+    train_subspace_balance baseline at publish (riding the codes write
+    as an Observation) and ivfpq_index_drift monitors the FROZEN
+    rotation with it: an in-distribution batch sits near ratio 1; a
+    batch whose variance concentrates in one subspace (rotation gone
+    stale for the new data) trips balance_threshold. The baseline
+    survives BOTH appends and chain compaction (the carried-keys
+    lesson, applied on day one)."""
+    from novelti_dingo_spark.operators.pq import (
+        append_vectors_to_ivfpq_index,
+        ivfpq_index_drift,
+        publish_ivfpq_index,
+    )
+    from novelti_dingo_spark.pipelines import (
+        compact_snapshot_chain,
+        read_snapshot_chain,
+    )
+
+    base = str(tmp_path / "opqbal")
+    publish_ivfpq_index(spark, sf_small, base, k_cells=8, opq=True)
+    _, manifest = read_snapshot_chain(spark, base)
+    assert manifest.get("train_subspace_balance", 0) >= 1.0
+    assert len(manifest["train_subspace_energy"]) == 8
+
+    e = load_table(spark, sf_small, "embeddings")
+    bare = e.select("vec_id", "embedding").limit(64)
+    d = ivfpq_index_drift(spark, base, new_vectors=bare)
+    assert "balance_ratio" in d
+    assert d["batch_subspace_balance"] >= 1.0
+    # in-distribution: the rotation still balances this batch
+    assert d["balance_ratio"] < 1.5
+    assert d["retrain_recommended"] is False
+
+    # variance concentrated on 8 raw dims: under the frozen R the
+    # rotated energies go lopsided and the monitor trips
+    skewed = bare.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: F.when(i < 8, x * 40.0).otherwise(x * 0.01),
+        ).alias("embedding"),
+    )
+    d_skew = ivfpq_index_drift(spark, base, new_vectors=skewed)
+    assert d_skew["balance_ratio"] > d["balance_ratio"]
+    assert d_skew["retrain_recommended"] is True
+
+    # baseline survives an append (delta) and a compaction
+    append_vectors_to_ivfpq_index(
+        spark, base, bare.withColumn("vec_id", F.col("vec_id") + 800_000)
+    )
+    d2 = ivfpq_index_drift(spark, base, new_vectors=bare)
+    assert d2["train_subspace_balance"] == d["train_subspace_balance"]
+    compact_snapshot_chain(spark, base)
+    d3 = ivfpq_index_drift(spark, base, new_vectors=bare)
+    assert d3["train_subspace_balance"] == d["train_subspace_balance"]

@@ -7,8 +7,11 @@ import hashlib
 import duckdb
 
 from novelti_dingo_spark.operators.multimodal import (
-    decode_image_stub,
     multimodal_decode_features,
+    parse_image_header,
+    synth_dims,
+    synth_jpeg,
+    synth_png,
 )
 from novelti_dingo_spark.operators.text import doc_fingerprint
 
@@ -33,36 +36,80 @@ def test_fingerprint_matches_python(spark, sf_small):
         assert got[doc_id] == want
 
 
-def test_multimodal_decode_plumbing(spark, sf_small):
-    texts = dict(
-        duckdb.sql(
-            f"SELECT doc_id, text FROM '{sf_small}/documents.parquet'"
-        ).fetchall()
-    )
+def test_image_header_parse_is_real(spark):
+    """Round-12: the header parser reads true properties out of real
+    bytes — spec-valid PNGs (full chunks + CRCs, verified by a second
+    independent decode of the IDAT scanlines) and structurally valid
+    JPEG segment chains — and rejects corrupt input instead of
+    fabricating dimensions."""
+    import struct
+    import zlib
+
+    for w, h in ((1, 1), (33, 21), (640, 480), (4, 63)):
+        png = synth_png(w, h, seed=w + h)
+        assert parse_image_header(png) == ("png", w, h, 3)
+        # the PNG really is valid end-to-end: signature, IHDR dims,
+        # CRC-correct chunks, and IDAT inflates to h*(1+3w) filter+RGB
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        assert struct.unpack(">II", png[16:24]) == (w, h)
+        crc = struct.unpack(">I", png[29:33])[0]
+        assert crc == zlib.crc32(png[12:29])
+        idat_len = struct.unpack(">I", png[33:37])[0]
+        body = png[41:41 + idat_len]
+        assert len(zlib.decompress(body)) == h * (1 + 3 * w)
+
+        jpg = synth_jpeg(w, h)
+        assert parse_image_header(jpg) == ("jpeg", w, h, 3)
+        assert jpg[:2] == b"\xff\xd8" and jpg[-2:] == b"\xff\xd9"
+
+    for bad in (
+        b"",
+        b"garbage",
+        b"\x89PNG\r\n\x1a\nxxxxIDAT",        # first chunk not IHDR
+        b"\xff\xd8\xff\xd9",                  # JPEG with no SOF
+        synth_png(5, 5)[:20],                     # truncated PNG
+    ):
+        try:
+            parse_image_header(bad)
+            raise AssertionError(f"accepted corrupt payload {bad[:12]!r}")
+        except ValueError:
+            pass
+
+
+def test_multimodal_decode_returns_true_dimensions(spark, sf_small):
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_small}/documents.parquet'"
+    ).fetchone()[0]
     rows = multimodal_decode_features(spark, sf_small).collect()
-    assert len(rows) == len(texts)
-    for r in rows[:50]:
-        payload = texts[r.doc_id].encode()
+    assert len(rows) == n_docs
+    for r in rows[:80]:
+        fmt, w, h = synth_dims(r.doc_id)
+        assert (r.format, r.width, r.height) == (fmt, w, h)
+        assert r.channels == 3
+        assert r.decoder == "header-v1"
+        # payload length matches a local re-synthesis of the same bytes
+        payload = (
+            synth_png(w, h, seed=r.doc_id & 0xFF)
+            if fmt == "png"
+            else synth_jpeg(w, h)
+        )
         assert r.payload_bytes == len(payload)
-        w, h = decode_image_stub(payload)
-        assert (r.fake_width, r.fake_height) == (w, h)
-        assert r.decoder == "stub-v1"
 
 
-def test_multimodal_resize_deterministic(spark, sf_small):
-    from novelti_dingo_spark.operators.multimodal import multimodal_resize, resize_stub
+def test_multimodal_resize_plans_from_true_dims(spark, sf_small):
+    from novelti_dingo_spark.operators.multimodal import multimodal_resize
 
-    texts = dict(
-        duckdb.sql(
-            f"SELECT doc_id, text FROM '{sf_small}/documents.parquet'"
-        ).fetchall()
-    )
     rows = multimodal_resize(spark, sf_small).collect()
-    assert len(rows) == len(texts)
-    for r in rows[:30]:
-        w, h, b = resize_stub(texts[r.doc_id].encode(), 256)
-        assert (r.out_width, r.out_height, r.resized_bytes) == (w, h, b)
-        assert max(r.out_width, r.out_height) <= 256
+    assert len(rows) > 0
+    scaled = 0
+    for r in rows[:80]:
+        _, w, h = synth_dims(r.doc_id)
+        scale = min(1.0, 32 / max(w, h))
+        ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+        assert (r.out_width, r.out_height) == (ow, oh)
+        assert r.resized_bytes == ow * oh * 3
+        scaled += scale < 1.0
+    assert scaled > 0  # the target genuinely downsizes part of the corpus
 
 
 def test_multimodal_frame_sample_shape(spark, sf_small):

@@ -778,9 +778,23 @@ EXPECT = {
     # cell partition column and the per-query top-k is a window rank
     # (the single global TakeOrdered shape does not exist here — ranks
     # are per query_id)
+    # round-12: MapInPandas is the map-side pre-rank (exact local
+    # top-k per query BEFORE the window's exchange — rank.
+    # local_topk_per_group); its presence is pinned so the shuffle
+    # stays bounded by partitions·Q·k survivors, not candidate volume
     "ivfpq_batch_serve_top3": {
         "broadcast_joins": 1, "no_python_udf": True,
-        "plan_must_contain": ["PartitionFilters: [cell", "Window"],
+        "plan_must_contain": [
+            "PartitionFilters: [cell", "Window", "MapInPandas",
+        ],
+    },
+    # round-12 bench-extras twin at Q=16 — same invariants as the Q=4
+    # gate query: pruned cell scan, one broadcast, pre-rank present
+    "ivfpq_batch_serve_q16": {
+        "broadcast_joins": 1, "no_python_udf": True,
+        "plan_must_contain": [
+            "PartitionFilters: [cell", "Window", "MapInPandas",
+        ],
     },
     # round-11 JDBC ingest: the scan must be the PARTITIONED parallel
     # extraction (numPartitions=4 → one bounded query per task), two-
@@ -797,11 +811,13 @@ EXPECT = {
     # resolved scans union
     "ivf_batch_serve_top3": {
         "broadcast_joins": 1, "no_python_udf": True,
-        "plan_must_contain": ["PartitionFilters: [cid", "Window"],
+        "plan_must_contain": [
+            "PartitionFilters: [cid", "Window", "MapInPandas",
+        ],
     },
     "pq_batch_serve_top3": {
         "no_python_udf": True,
-        "plan_must_contain": ["Union", "Window"],
+        "plan_must_contain": ["Union", "Window", "MapInPandas"],
         "cartesian_ok": True,
     },
     # --- round-10 promotions: the ANN train-per-call family. These are
@@ -1013,9 +1029,11 @@ AUDIT_EXEMPT = frozenset({
     "neardup_clusters", "neardup_clusters_bigstar",
     "pack_sequences_firstfit",
     "sql_recursive_calendar",
-    # stubbed decode surface (no media libs in the container): the plan
-    # is mapInPandas around a deterministic fake — shape pinned by the
-    # multimodal pytest suite instead
+    # multimodal decode surface: REAL public-spec PNG/JPEG header parse
+    # over synthesized spec-valid payloads (round-12); pixel decode
+    # still needs codecs the container doesn't ship. The plan is
+    # mapInPandas around the parser — shape + true-dimension outputs
+    # pinned by the multimodal pytest suite instead
     "multimodal_decode_features",
     "multimodal_frame_sample", "multimodal_pack", "multimodal_resize",
 })

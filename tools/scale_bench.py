@@ -116,6 +116,10 @@ def build_docs(k: int) -> str:
 def build_embeddings(n: int) -> str:
     out = _fixture_dir(f"emb_{n}")
     path = os.path.join(out, "embeddings.parquet")
+    if os.path.exists(path):
+        return out
+    if n > 10_000_000:
+        return _build_embeddings_chunked(n, out, path)
     if not os.path.exists(path):
         import numpy as np
         import pyarrow as pa
@@ -147,6 +151,60 @@ def build_embeddings(n: int) -> str:
             }
         )
         pq.write_table(tbl, path)
+    return out
+
+
+def _build_embeddings_chunked(n: int, out: str, path: str) -> str:
+    """100M-scale fixture writer (round-12, the one-decade-past-10M
+    probe): the in-memory builder above materializes the whole corpus
+    as python lists — ~50 GB of float64 plus list overhead at 100M —
+    so beyond 10M the fixture streams through a ParquetWriter in 1M-row
+    chunks, zero-copy Arrow list arrays from flat numpy buffers.
+    Deterministic per n (separate label stream — the >10M fixtures are
+    new; sub-10M fixtures keep their historical byte-identity)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(0xD1460 + n)
+    rng_labels = np.random.default_rng(0xD1461 + n)
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    chunk = 1_000_000
+    tmp = path + ".tmp"
+    with pq.ParquetWriter(tmp, schema) as w:
+        for lo in range(0, n, chunk):
+            hi = min(n, lo + chunk)
+            m = rng.standard_normal((hi - lo, 64))
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            flat = pa.array(m.astype(np.float32).ravel(), pa.float32())
+            offsets = pa.array(
+                np.arange(0, (hi - lo + 1) * 64, 64, dtype=np.int32)
+            )
+            w.write_table(
+                pa.table(
+                    {
+                        "vec_id": pa.array(
+                            np.arange(lo, hi, dtype=np.int64)
+                        ),
+                        "embedding": pa.ListArray.from_arrays(
+                            offsets, flat
+                        ),
+                        "label": pa.array(
+                            rng_labels.integers(
+                                0, 10, hi - lo, dtype=np.int32
+                            )
+                        ),
+                    },
+                    schema=schema,
+                )
+            )
+    os.replace(tmp, path)
     return out
 
 
@@ -183,6 +241,39 @@ def _spark():
     spark = get_spark("scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
     return spark
+
+
+def _shuffle_written(df) -> dict:
+    """Sum shuffle-write bytes/records over every exchange in the
+    EXECUTED plan (py4j walk after an action has run the DataFrame).
+    The round-12 pre-rank claim is about shuffle VOLUME, not wall —
+    this reads the volume out of Spark's own SQL metrics instead of
+    asserting it."""
+    def walk(jnode, acc):
+        m = jnode.metrics()
+        it = m.iterator()
+        while it.hasNext():
+            kv = it.next()
+            name, metric = kv._1(), kv._2()
+            if name in ("shuffleBytesWritten", "shuffleRecordsWritten"):
+                acc[name] = acc.get(name, 0) + metric.value()
+        cls = jnode.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            kids = [jnode.executedPlan()]
+        elif cls.endswith("QueryStageExec"):
+            kids = [jnode.plan()]
+        else:
+            ch = jnode.children()
+            kids = [ch.apply(i) for i in range(ch.size())]
+        for k in kids:
+            walk(k, acc)
+        return acc
+
+    acc = walk(df._jdf.queryExecution().executedPlan(), {})
+    return {
+        "shuffle_bytes": int(acc.get("shuffleBytesWritten", 0)),
+        "shuffle_records": int(acc.get("shuffleRecordsWritten", 0)),
+    }
 
 
 def _timed_count(df) -> tuple[int, float]:
@@ -773,6 +864,12 @@ def run_ann_batch(ns: list[int], n_queries: int = 16) -> None:
                 spark, base, queries, n_probe=4, exclude_self=True
             ).collect()
 
+        def batched_prerank_off():
+            ivfpq_knn_batch_from_index(
+                spark, base, queries, n_probe=4, exclude_self=True,
+                prerank=False,
+            ).collect()
+
         def sequential_rerank():
             for qid, qv in queries.items():
                 ivfpq_knn_from_index(
@@ -788,19 +885,44 @@ def run_ann_batch(ns: list[int], n_queries: int = 16) -> None:
 
         seq_s = _med(sequential)
         bat_s = _med(batched)
+        bat_off_s = _med(batched_prerank_off)
         seq_rr_s = _med(sequential_rerank)
         bat_rr_s = _med(batched_rerank)
+        # shuffle volume INTO the per-query window, prerank on vs off
+        # (round-12: the map-side pre-rank's claim is a Q·k-bounded
+        # exchange instead of the full candidate volume — measure it)
+        d_on = ivfpq_knn_batch_from_index(
+            spark, base, queries, n_probe=4, exclude_self=True
+        )
+        d_on.collect()
+        d_off = ivfpq_knn_batch_from_index(
+            spark, base, queries, n_probe=4, exclude_self=True,
+            prerank=False,
+        )
+        d_off.collect()
+        sw_on = _shuffle_written(d_on)
+        sw_off = _shuffle_written(d_off)
         res[str(n)] = {
             "n_vectors": n,
             "n_queries": n_queries,
             "n_probe": 4,
             "sequential_s": seq_s,
             "batched_s": bat_s,
+            "batched_prerank_off_s": bat_off_s,
             "speedup": round(seq_s / bat_s, 2) if bat_s else None,
             "sequential_rerank_s": seq_rr_s,
             "batched_rerank_s": bat_rr_s,
             "speedup_rerank": (
                 round(seq_rr_s / bat_rr_s, 2) if bat_rr_s else None
+            ),
+            "window_shuffle_bytes_prerank": sw_on["shuffle_bytes"],
+            "window_shuffle_records_prerank": sw_on["shuffle_records"],
+            "window_shuffle_bytes_noprerank": sw_off["shuffle_bytes"],
+            "window_shuffle_records_noprerank": sw_off["shuffle_records"],
+            "shuffle_bytes_cut": (
+                round(sw_off["shuffle_bytes"] / sw_on["shuffle_bytes"], 2)
+                if sw_on["shuffle_bytes"]
+                else None
             ),
         }
         print(f"{n}/batch: {res[str(n)]}")
@@ -854,8 +976,9 @@ def run_ann_sampled(ns: list[int]) -> None:
 
             shutil.rmtree(base)  # the build wall is the measurement
         t0 = time.perf_counter()
+        timings: dict = {}
         publish_ivfpq_index(
-            spark, d, base, k_cells=k_cells, pq_k=256
+            spark, d, base, k_cells=k_cells, pq_k=256, timings=timings
         )  # round-11 defaults: residual + sampled trainer + threshold
         build_s = round(time.perf_counter() - t0, 3)
         e = load_table(spark, d, "embeddings")
@@ -890,6 +1013,12 @@ def run_ann_sampled(ns: list[int]) -> None:
             "sampler": "hash_threshold",
             "coarse_sample": 256 * k_cells,
             "build_s": build_s,
+            # per-phase walls (round-12): coarse_train/pq_train are the
+            # eager driver-side trainers (pq_train includes the sample
+            # pass its threshold filter evaluates); write is the fused
+            # assign+encode+cell-partitioned publish job — the candidate
+            # superlinear phase the 100M decade probes
+            "phase_walls": timings,
             "adc_probe_s": round(statistics.median(adc_walls), 3),
             "rerank_probe_s": round(statistics.median(rr_walls), 3),
             "recall_at_10_adc": round(statistics.mean(adc_rec), 3),
