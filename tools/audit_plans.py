@@ -796,6 +796,18 @@ EXPECT = {
             "PartitionFilters: [cell", "Window", "MapInPandas",
         ],
     },
+    # round-12 Delta-log interop: scans come from the replayed
+    # transaction log's active file set (file pruning is driver-side —
+    # pinned via inputFiles in tests/test_delta.py); the plans are
+    # ordinary pruned parquet scans + two-phase aggs, JVM-only
+    "delta_ingest_agg": {"partial_agg": True, "no_python_udf": True},
+    "delta_time_travel_agg": {
+        "partial_agg": True, "no_python_udf": True,
+        "plan_must_contain": ["Union"],
+    },
+    "delta_partition_pruned_agg": {
+        "partial_agg": True, "no_python_udf": True,
+    },
     # round-11 JDBC ingest: the scan must be the PARTITIONED parallel
     # extraction (numPartitions=4 → one bounded query per task), two-
     # phase agg on top
