@@ -1256,6 +1256,121 @@ def delta_partition_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_ingest_agg",
+    """
+    SELECT s_nationkey, count(*) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+    survey_rows="S2,S3,A1",
+)
+def iceberg_ingest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3 Iceberg leg (round-12, the second open-table-format beside
+    delta_ingest_agg): supplier committed as a format-v2 Iceberg table
+    through the clean-room writer (sources/iceberg.py — metadata.json +
+    manifest-list/manifest Avro via the repo's own Avro codec), read
+    back by resolving the FULL metadata chain driver-side (snapshot →
+    manifest list → manifests → live parquet files; no directory
+    listing, no Iceberg jars), and the aggregate must hash-match the
+    DuckDB oracle on the ORIGINAL parquet. Snapshot time travel,
+    overwrite semantics, and manifest-level partition pruning are
+    pinned in tests/test_iceberg.py."""
+    from ..sources.iceberg import read_iceberg_table, write_iceberg_table
+
+    base = _delta_fixture_root(spark, sf_dir, "ice_supplier")
+    s = load_table(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(base, "metadata")):
+        write_iceberg_table(s, base)
+    d = read_iceberg_table(spark, base)
+    return d.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
+    "iceberg_time_travel_agg",
+    """
+    SELECT 'v0' AS snap, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+    FROM supplier WHERE s_suppkey % 2 = 0
+    UNION ALL
+    SELECT 'latest' AS snap, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+    FROM supplier
+    """,
+    survey_rows="S2,S5,U1,A5",
+)
+def iceberg_time_travel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg SNAPSHOT time travel: commit 1 = the even-suppkey half,
+    commit 2 appends the odd half (its manifest list references the
+    first commit's manifest plus its own — the spec's append shape);
+    reading the FIRST snapshot id resolves only the original manifest
+    while the current read resolves both. Both states aggregated side
+    by side, hash-matched against DuckDB recomputing them from the
+    source parquet."""
+    from ..sources.iceberg import (
+        iceberg_snapshots,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    base = _delta_fixture_root(spark, sf_dir, "ice_supplier_tt")
+    s = load_table(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(base, "metadata")):
+        write_iceberg_table(s.filter(F.col("s_suppkey") % 2 == 0), base)
+        write_iceberg_table(
+            s.filter(F.col("s_suppkey") % 2 == 1), base, mode="append"
+        )
+    first = iceberg_snapshots(base)[0]["snapshot_id"]
+    v0 = read_iceberg_table(spark, base, snapshot_id=first)
+    latest = read_iceberg_table(spark, base)
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("s_acctbal"), 2).alias("bal"),
+        ).select(F.lit(snap).alias("snap"), "n", "bal")
+
+    return agg(v0, "v0").unionAll(agg(latest, "latest"))
+
+
+@register(
+    "iceberg_partition_pruned_agg",
+    """
+    SELECT count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal,
+           round(avg(s_acctbal), 6) AS avg_bal
+    FROM supplier WHERE s_nationkey = 3
+    """,
+    survey_rows="S2,S5,S7,A5",
+)
+def iceberg_partition_pruned_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MANIFEST-level partition pruning on an Iceberg table: supplier
+    committed partitioned by s_nationkey (identity transform; one data
+    file per partition tuple, per-file partition record in the
+    manifest), read with partition_filter={'s_nationkey': 3} — the
+    manifest entries prune the file list DRIVER-SIDE, so the parquet
+    scan opens exactly nation 3's files. Iceberg data files CONTAIN
+    their partition columns (spec contract, unlike hive layouts), so
+    no value injection is needed; hash-matched against DuckDB filtering
+    the source parquet."""
+    from ..sources.iceberg import read_iceberg_table, write_iceberg_table
+
+    base = _delta_fixture_root(spark, sf_dir, "ice_supplier_part")
+    s = load_table(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(base, "metadata")):
+        write_iceberg_table(s, base, partition_by=["s_nationkey"])
+    d = read_iceberg_table(
+        spark, base, partition_filter={"s_nationkey": 3}
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        F.round(F.avg("s_acctbal"), 6).alias("avg_bal"),
+    )
+
+
+@register(
     "weighted_sample_pps",
     f"""
     SELECT doc_id, lang, n_chars,

@@ -171,6 +171,31 @@ def _field_type(avro_type) -> tuple:
             return StringType(), False, ("enum", avro_type["symbols"])
         if kind == "fixed":
             return BinaryType(), False, ("fixed", int(avro_type["size"]))
+        if kind == "record":
+            # nested record (round-12, for Iceberg manifest files):
+            # fields decode in declaration order into a python dict /
+            # StructType
+            sub_fields, sub_specs, sub_names = [], [], []
+            for f in avro_type["fields"]:
+                st, nullable, spec = _field_type(f["type"])
+                sub_fields.append(StructField(f["name"], st, nullable))
+                sub_specs.append(spec)
+                sub_names.append(f["name"])
+            return (
+                StructType(sub_fields),
+                False,
+                ("record", sub_names, sub_specs),
+            )
+        if kind == "array":
+            st, _, spec = _field_type(avro_type["items"])
+            from pyspark.sql.types import ArrayType
+
+            return ArrayType(st), False, ("array", spec)
+        if kind == "map":
+            st, _, spec = _field_type(avro_type["values"])
+            from pyspark.sql.types import MapType
+
+            return MapType(StringType(), st), False, ("map", spec)
         if kind in _PRIM_SPARK:
             # logical types (timestamp-micros etc.) surface as their
             # underlying primitive — the caller casts
@@ -220,6 +245,37 @@ def _decode_value(buf: io.BytesIO, spec) -> object:
         return spec[1][_read_long(buf)]
     if kind == "fixed":
         return buf.read(spec[1])
+    if kind == "record":
+        _, names, specs = spec
+        return {
+            n: _decode_value(buf, s) for n, s in zip(names, specs)
+        }
+    if kind == "array":
+        # spec: blocks of `count` items; negative count carries a byte
+        # size to skip-scan past (we decode, so only abs() matters);
+        # a zero count terminates
+        out = []
+        while True:
+            count = _read_long(buf)
+            if count == 0:
+                return out
+            if count < 0:
+                _read_long(buf)  # block byte size, unused when decoding
+                count = -count
+            for _ in range(count):
+                out.append(_decode_value(buf, spec[1]))
+    if kind == "map":
+        out = {}
+        while True:
+            count = _read_long(buf)
+            if count == 0:
+                return out
+            if count < 0:
+                _read_long(buf)
+                count = -count
+            for _ in range(count):
+                key = _read_bytes(buf).decode("utf-8")
+                out[key] = _decode_value(buf, spec[1])
     raise NotImplementedError(kind)
 
 
@@ -460,6 +516,54 @@ def _encode_value(out: bytearray, spec, v) -> None:
         raise NotImplementedError(f"avro encode of {spec}")
 
 
+def _encode_complex(out: bytearray, spec, v) -> None:
+    """Encode nested record/array/map values (round-12: the Iceberg
+    manifest writer's needs). Records accept dicts (by field name) or
+    sequences (by position); arrays/maps emit one block + terminator —
+    the simplest spec-valid shape."""
+    kind = spec[0]
+    if kind == "record":
+        _, names, specs = spec
+        for i, (n, s) in enumerate(zip(names, specs)):
+            item = v[n] if isinstance(v, dict) else v[i]
+            _encode_any(out, s, item)
+    elif kind == "array":
+        if v:
+            _write_long(out, len(v))
+            for item in v:
+                _encode_any(out, spec[1], item)
+        _write_long(out, 0)
+    elif kind == "map":
+        if v:
+            _write_long(out, len(v))
+            for key, item in v.items():
+                b = key.encode("utf-8")
+                _write_long(out, len(b))
+                out.extend(b)
+                _encode_any(out, spec[1], item)
+        _write_long(out, 0)
+    else:
+        raise NotImplementedError(f"avro encode of {spec}")
+
+
+def _encode_any(out: bytearray, spec, v) -> None:
+    """Dispatch: unions/primitives through _encode_value, nested
+    through _encode_complex. Unions over complex types encode the
+    branch index then recurse."""
+    kind = spec[0]
+    if kind in ("record", "array", "map"):
+        _encode_complex(out, spec, v)
+    elif kind == "union":
+        _, union_types, inner = spec
+        if v is None:
+            _write_long(out, union_types.index("null"))
+        else:
+            _write_long(out, 1 - union_types.index("null"))
+            _encode_any(out, inner, v)
+    else:
+        _encode_value(out, spec, v)
+
+
 def _spark_to_avro_schema(schema: StructType) -> dict:
     spark_to_avro = {
         "bigint": "long",
@@ -693,3 +797,102 @@ def write_avro(df, path: str, codec: str = "deflate", mode: str = "append") -> N
         .mode(mode)
         .save()
     )
+
+
+# ------------------------------------------- driver-side record helpers
+
+def read_avro_records(path: str) -> tuple[dict, list[dict]]:
+    """Decode one Avro object container file driver-side into (embedded
+    avro schema, list of row dicts) — the metadata-file shape (round-12:
+    Iceberg manifest-list and manifest files are KB-scale Avro that the
+    table-format reader resolves on the driver, exactly like the Delta
+    JSON log). Nested records decode to dicts, arrays to lists, maps to
+    dicts; unions beyond [null, T] stay unsupported-loud."""
+    with open(path, "rb") as f:
+        header = _read_header(f)
+        schema = header.schema
+        if schema.get("type") != "record":
+            raise NotImplementedError("top-level avro schema must be a record")
+        names, specs = [], []
+        for fld in schema["fields"]:
+            _, _, spec = _field_type(fld["type"])
+            names.append(fld["name"])
+            specs.append(spec)
+        rows = []
+        f.seek(header.data_start)
+        while True:
+            start = f.tell()
+            head = f.read(20)
+            if not head:
+                break
+            buf = io.BytesIO(head)
+            n_rows = _read_long(buf)
+            n_bytes = _read_long(buf)
+            f.seek(start + buf.tell())
+            payload = f.read(n_bytes)
+            if f.read(16) != header.sync:
+                raise ValueError(f"avro sync marker mismatch in {path}")
+            if header.codec == "deflate":
+                payload = zlib.decompress(payload, -15)
+            rbuf = io.BytesIO(payload)
+            for _ in range(n_rows):
+                rows.append(
+                    {
+                        n: _decode_value(rbuf, s)
+                        for n, s in zip(names, specs)
+                    }
+                )
+    return schema, rows
+
+
+def write_avro_records(
+    path: str, avro_schema: dict, rows, codec: str = "deflate",
+    sync_seed: int = 0,
+) -> int:
+    """Encode row dicts into one Avro object container file under an
+    ARBITRARY avro record schema (write_avro_file's twin for metadata
+    files whose schema isn't a flat Spark row — nested records, arrays,
+    maps). Deterministic sync marker, same container layout."""
+    import hashlib
+
+    if avro_schema.get("type") != "record":
+        raise NotImplementedError("top-level avro schema must be a record")
+    names, specs = [], []
+    for fld in avro_schema["fields"]:
+        _, _, spec = _field_type(fld["type"])
+        names.append(fld["name"])
+        specs.append(spec)
+    sync = hashlib.md5(f"{path}:{sync_seed}".encode()).digest()
+    header = bytearray()
+    header += _MAGIC
+    meta = {
+        "avro.schema": json.dumps(avro_schema).encode(),
+        "avro.codec": codec.encode(),
+    }
+    _write_long(header, len(meta))
+    for k, v in sorted(meta.items()):
+        _write_long(header, len(k.encode()))
+        header += k.encode()
+        _write_long(header, len(v))
+        header += v
+    _write_long(header, 0)
+    header += sync
+    block = bytearray()
+    n = 0
+    for row in rows:
+        for name, spec in zip(names, specs):
+            _encode_any(block, spec, row.get(name))
+        n += 1
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(header)
+        if n:
+            payload = bytes(block)
+            if codec == "deflate":
+                co = zlib.compressobj(6, zlib.DEFLATED, -15)
+                payload = co.compress(payload) + co.flush()
+            head = bytearray()
+            _write_long(head, n)
+            _write_long(head, len(payload))
+            f.write(bytes(head) + payload + sync)
+    return n

@@ -421,3 +421,49 @@ def test_overwrite_commit_crash_window_preserves_old_data(spark, tmp_path):
     w2.commit([msg2])
     assert sorted(r.k for r in read_avro(spark, d).collect()) == [7]
     assert _glob.glob(os.path.join(d, "_staging-*")) == []
+
+
+def test_nested_record_array_map_roundtrip(tmp_path):
+    """Round-12 codec extension (for Iceberg manifests): nested
+    records decode to dicts, arrays to lists, maps to dicts; unions
+    over complex types take the branch index; multi-block arrays from
+    foreign writers (negative block counts with byte sizes) decode."""
+    from novelti_dingo_spark.sources.avro_py import (
+        read_avro_records,
+        write_avro_records,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "outer",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {
+                "name": "inner",
+                "type": {
+                    "type": "record",
+                    "name": "inner_r",
+                    "fields": [
+                        {"name": "s", "type": "string"},
+                        {"name": "xs", "type": {"type": "array", "items": "int"}},
+                        {
+                            "name": "kv",
+                            "type": ["null", {"type": "map", "values": "double"}],
+                        },
+                    ],
+                },
+            },
+            {"name": "maybe_list", "type": ["null", {"type": "array", "items": "string"}]},
+        ],
+    }
+    rows = [
+        {"id": 1, "inner": {"s": "a", "xs": [1, 2, 3], "kv": {"x": 1.5}},
+         "maybe_list": ["p", "q"]},
+        {"id": 2, "inner": {"s": "", "xs": [], "kv": None},
+         "maybe_list": None},
+    ]
+    path = str(tmp_path / "nested.avro")
+    assert write_avro_records(path, schema, rows) == 2
+    got_schema, got = read_avro_records(path)
+    assert got == rows
+    assert got_schema["name"] == "outer"

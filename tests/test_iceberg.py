@@ -1,0 +1,228 @@
+"""Clean-room Iceberg table reader/writer (public table spec): metadata
+chain resolution through the repo's own Avro codec, snapshot time
+travel, append/overwrite manifest-list semantics, manifest-level
+partition pruning, and loud refusals on v2 delete files / unsupported
+features."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from novelti_dingo_spark.sources import load_table
+from novelti_dingo_spark.sources.avro_py import (
+    read_avro_records,
+    write_avro_records,
+)
+from novelti_dingo_spark.sources.iceberg import (
+    IcebergError,
+    UnsupportedIcebergFeature,
+    iceberg_snapshots,
+    read_iceberg_table,
+    write_iceberg_table,
+)
+
+
+def test_iceberg_roundtrip_and_metadata_shape(spark, sf_small, tmp_path):
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    sid = write_iceberg_table(s, base)
+
+    back = read_iceberg_table(spark, base)
+    assert back.schema == s.schema  # decimal(15,2) included
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, s.collect()))
+
+    # metadata.json is spec-shaped
+    md = os.path.join(base, "metadata")
+    v = int(open(os.path.join(md, "version-hint.text")).read())
+    meta = json.load(open(os.path.join(md, f"v{v}.metadata.json")))
+    assert meta["format-version"] == 2
+    assert meta["current-snapshot-id"] == sid
+    snap = meta["snapshots"][-1]
+    assert snap["snapshot-id"] == sid
+
+    # manifest list and manifest are real Avro container files our own
+    # codec (and any Avro reader) decodes; entries carry true sizes
+    _, manifests = read_avro_records(
+        os.path.join(base, snap["manifest-list"])
+    )
+    assert all(m["content"] == 0 for m in manifests)
+    _, entries = read_avro_records(
+        os.path.join(base, manifests[0]["manifest_path"])
+    )
+    total_rows = 0
+    for e in entries:
+        d = e["data_file"]
+        assert e["status"] == 1 and d["file_format"] == "PARQUET"
+        fp = os.path.join(base, d["file_path"])
+        assert d["file_size_in_bytes"] == os.path.getsize(fp)
+        total_rows += d["record_count"]
+    assert total_rows == s.count()
+
+
+def test_iceberg_append_overwrite_time_travel(spark, sf_small, tmp_path):
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    even = s.filter(F.col("s_suppkey") % 2 == 0)
+    odd = s.filter(F.col("s_suppkey") % 2 == 1)
+    sid0 = write_iceberg_table(even, base)
+    sid1 = write_iceberg_table(odd, base, mode="append")
+    assert read_iceberg_table(spark, base).count() == s.count()
+    assert read_iceberg_table(spark, base, snapshot_id=sid0).count() == (
+        even.count()
+    )
+
+    # append's manifest list references BOTH manifests (spec shape)
+    md, v = os.path.join(base, "metadata"), None
+    meta = json.load(
+        open(
+            os.path.join(
+                md,
+                f"v{int(open(os.path.join(md, 'version-hint.text')).read())}"
+                ".metadata.json",
+            )
+        )
+    )
+    snap1 = next(x for x in meta["snapshots"] if x["snapshot-id"] == sid1)
+    _, manifests = read_avro_records(os.path.join(base, snap1["manifest-list"]))
+    assert len(manifests) == 2
+
+    sid2 = write_iceberg_table(s.limit(3), base, mode="overwrite")
+    assert read_iceberg_table(spark, base).count() == 3
+    # every older snapshot stays readable
+    assert read_iceberg_table(spark, base, snapshot_id=sid1).count() == s.count()
+    assert read_iceberg_table(spark, base, snapshot_id=sid0).count() == (
+        even.count()
+    )
+    ops = [h["operation"] for h in iceberg_snapshots(base)]
+    assert ops == ["overwrite", "append", "overwrite"]
+    assert sid2 == iceberg_snapshots(base)[-1]["snapshot_id"]
+
+    with pytest.raises(IcebergError):
+        read_iceberg_table(spark, base, snapshot_id=42)
+    with pytest.raises(ValueError):
+        write_iceberg_table(s, base, mode="merge")
+
+
+def test_iceberg_partition_pruning_driver_side(spark, sf_small, tmp_path):
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    write_iceberg_table(s, base, partition_by=["s_nationkey"])
+
+    # spec contract: iceberg data files CONTAIN the partition columns
+    import pyarrow.parquet as pq
+
+    md = os.path.join(base, "metadata")
+    meta = json.load(
+        open(
+            os.path.join(
+                md,
+                f"v{int(open(os.path.join(md, 'version-hint.text')).read())}"
+                ".metadata.json",
+            )
+        )
+    )
+    _, manifests = read_avro_records(
+        os.path.join(base, meta["snapshots"][-1]["manifest-list"])
+    )
+    _, entries = read_avro_records(
+        os.path.join(base, manifests[0]["manifest_path"])
+    )
+    first = entries[0]["data_file"]
+    assert "s_nationkey" in pq.read_schema(
+        os.path.join(base, first["file_path"])
+    ).names
+    # one data file per partition tuple, partition record carries the value
+    nations = {e["data_file"]["partition"]["s_nationkey"] for e in entries}
+    assert nations == {
+        r.s_nationkey for r in s.select("s_nationkey").distinct().collect()
+    }
+
+    pruned = read_iceberg_table(
+        spark, base, partition_filter={"s_nationkey": 3}
+    )
+    want = s.filter(F.col("s_nationkey") == 3)
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    keep = {
+        os.path.join(base, e["data_file"]["file_path"])
+        for e in entries
+        if e["data_file"]["partition"]["s_nationkey"] == 3
+    }
+    assert {f.replace("file://", "") for f in pruned.inputFiles()} == keep
+
+    with pytest.raises(ValueError):
+        read_iceberg_table(spark, base, partition_filter={"s_comment": "x"})
+
+
+def test_iceberg_fails_loud_not_wrong(spark, sf_small, tmp_path):
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier").limit(5)
+    write_iceberg_table(s, base)
+
+    # a v2 DELETE manifest in the snapshot → refusal, not undeleted rows
+    md = os.path.join(base, "metadata")
+    meta_path = os.path.join(
+        md,
+        f"v{int(open(os.path.join(md, 'version-hint.text')).read())}"
+        ".metadata.json",
+    )
+    meta = json.load(open(meta_path))
+    mlist = os.path.join(base, meta["snapshots"][-1]["manifest-list"])
+    schema, manifests = read_avro_records(mlist)
+    manifests.append({**manifests[0], "content": 1})
+    write_avro_records(mlist, schema, manifests)
+    with pytest.raises(UnsupportedIcebergFeature):
+        read_iceberg_table(spark, base)
+
+    # format-version 3 → refusal
+    base2 = str(tmp_path / "v3")
+    write_iceberg_table(s, base2)
+    md2 = os.path.join(base2, "metadata")
+    mp = os.path.join(
+        md2,
+        f"v{int(open(os.path.join(md2, 'version-hint.text')).read())}"
+        ".metadata.json",
+    )
+    m2 = json.load(open(mp))
+    m2["format-version"] = 3
+    json.dump(m2, open(mp, "w"))
+    with pytest.raises(UnsupportedIcebergFeature):
+        read_iceberg_table(spark, base2)
+
+    with pytest.raises(IcebergError):
+        read_iceberg_table(spark, str(tmp_path / "nope"))
+
+
+def test_iceberg_manifest_entries_status_deleted_respected(
+    spark, sf_small, tmp_path
+):
+    """A manifest entry with status=DELETED (2) must drop its file from
+    the snapshot — the reconciliation rule a naive 'collect all paths'
+    reader would get wrong."""
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier").limit(10)
+    write_iceberg_table(s, base)
+    md = os.path.join(base, "metadata")
+    meta = json.load(
+        open(
+            os.path.join(
+                md,
+                f"v{int(open(os.path.join(md, 'version-hint.text')).read())}"
+                ".metadata.json",
+            )
+        )
+    )
+    _, manifests = read_avro_records(
+        os.path.join(base, meta["snapshots"][-1]["manifest-list"])
+    )
+    mpath = os.path.join(base, manifests[0]["manifest_path"])
+    schema, entries = read_avro_records(mpath)
+    dropped = entries[0]["data_file"]["record_count"]
+    entries[0] = {**entries[0], "status": 2}
+    write_avro_records(mpath, schema, entries)
+    assert read_iceberg_table(spark, base).count() == 10 - dropped

@@ -808,6 +808,16 @@ EXPECT = {
     "delta_partition_pruned_agg": {
         "partial_agg": True, "no_python_udf": True,
     },
+    # round-12 Iceberg interop: same invariants as the delta trio —
+    # driver-side metadata resolution, ordinary pruned scans, JVM-only
+    "iceberg_ingest_agg": {"partial_agg": True, "no_python_udf": True},
+    "iceberg_time_travel_agg": {
+        "partial_agg": True, "no_python_udf": True,
+        "plan_must_contain": ["Union"],
+    },
+    "iceberg_partition_pruned_agg": {
+        "partial_agg": True, "no_python_udf": True,
+    },
     # round-11 JDBC ingest: the scan must be the PARTITIONED parallel
     # extraction (numPartitions=4 → one bounded query per task), two-
     # phase agg on top
