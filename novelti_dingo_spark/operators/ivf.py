@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 from ..functions.vector import dot
 from ..registry import register
 from ..sources.io import load_table
-from .rank import local_topk_per_group
 
 K = 8
 ITERATIONS = 3
@@ -435,7 +434,6 @@ def ivf_knn_batch_from_index(
     k: int = 10,
     n_probe: int = N_PROBE,
     exclude_self: bool = False,
-    prerank: bool = True,
 ) -> DataFrame:
     """BATCHED IVF serving (round-11, the float-postings twin of
     pq.ivfpq_knn_batch_from_index): Q queries answered by ONE scan of
@@ -447,11 +445,10 @@ def ivf_knn_batch_from_index(
     scan still prunes to the UNION of probed cells. cos_sim is
     bit-equal to the single-query literal form (same `dot` fold over
     the same doubles; pinned in tests); per-query top-k is a window
-    rank. `prerank` (default on, round-12): a map-side per-partition
-    local top-k (rank.local_topk_per_group, exact by total order) runs
-    before the window's exchange — the shuffle carries at most
-    partitions·Q·k survivors instead of every routed candidate row;
-    pinned bit-equal to the prerank=False plan in tests."""
+    rank — whose exchange (round-12 measured note, same as the IVF-PQ
+    twin) is bounded by the native WindowGroupLimit(Partial) Catalyst
+    plans before it: at most partitions·Q·k survivor rows shuffle,
+    never the routed candidate volume. Pinned in the plan audit."""
     from ..pipelines import read_snapshot_chain
 
     tables, manifest = read_snapshot_chain(spark, base_dir, version)
@@ -496,8 +493,6 @@ def ivf_knn_batch_from_index(
         "vec_id",
         F.round(dot("embedding", "q_emb"), 6).alias("cos_sim"),
     )
-    if prerank:
-        scored = local_topk_per_group(scored, "query_id", "cos_sim", "vec_id", k)
     return (
         scored
         .withColumn("rn", F.row_number().over(w))

@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.io import load_table
-from .rank import local_topk_per_group
 
 M = 8  # subspaces
 K = 16  # centroids per subspace (1-byte codes would allow 256)
@@ -861,7 +860,6 @@ def pq_knn_batch_from_index(
     version: int | None = None,
     k: int = 10,
     exclude_self: bool = False,
-    prerank: bool = True,
 ) -> DataFrame:
     """BATCHED plain-PQ serving (round-11, completing the three
     layouts' batch surface): Q queries scored by ONE scan of the 8-int
@@ -874,12 +872,14 @@ def pq_knn_batch_from_index(
     single-query literal chain (pinned). Per-query top-k is a window
     rank; chain-resolved like pq_knn_from_index.
 
-    `prerank` (default on, round-12): a map-side per-partition local
-    top-k (rank.local_topk_per_group) runs BEFORE the window's hash
-    exchange, so the shuffle carries at most partitions·Q·k survivor
-    rows instead of the full Q·n candidate volume — exact, not
-    approximate (total order; see the helper's proof), pinned
-    bit-equal to the prerank=False plan in tests."""
+    Shuffle volume (round-12, measured): the `row_number() ≤ k` shape
+    plans a native WindowGroupLimit(Partial) BEFORE the hash exchange —
+    Catalyst's rank-limit pushdown keeps each partition's per-query
+    top-k and shuffles at most partitions·Q·k survivor rows, never the
+    Q·n candidate volume. A hand-rolled mapInPandas pre-rank was built,
+    measured BIT-EQUAL but 1.7× slower at 1M (Arrow round-trip on the
+    candidate rows), and deleted — the JVM operator already is the
+    map-side pre-rank. The node is pinned in the plan audit."""
     from ..pipelines import read_snapshot_chain
 
     tables, manifest = read_snapshot_chain(spark, base_dir, version)
@@ -909,8 +909,6 @@ def pq_knn_batch_from_index(
     scored = out.select(
         "query_id", "vec_id", F.round(score, 6).alias("pq_sim")
     )
-    if prerank:
-        scored = local_topk_per_group(scored, "query_id", "pq_sim", "vec_id", k)
     return (
         scored
         .withColumn("rn", F.row_number().over(w))
@@ -1729,7 +1727,6 @@ def ivfpq_knn_batch_from_index(
     shortlist: int = 100,
     rerank: DataFrame | None = None,
     exclude_self: bool = False,
-    prerank: bool = True,
 ) -> DataFrame:
     """BATCHED serving — the production multi-query shape
     (round-11): Q queries answered by ONE scan of the union of their
@@ -1745,13 +1742,15 @@ def ivfpq_knn_batch_from_index(
     column left-to-right seeded with the residual base — BIT-EQUAL to
     the single-query literal chain (pinned in tests) — and the
     per-query top-k is one window rank over the ~|probed|·Q candidate
-    rows. `prerank` (default on, round-12 — closes the trade the
-    round-11 docstring documented): a map-side per-partition local
-    top-k (rank.local_topk_per_group, exact by total order) runs
-    before the window's exchange, so the shuffle carries at most
-    partitions·Q·shortlist survivors instead of every candidate row;
-    the rerank window's input is already ≤ Q·shortlist rows and needs
-    no pre-rank.
+    rows — whose exchange, round-12 MEASURED correction to the
+    round-11 "known trade" note, never carries that volume: the
+    `row_number() ≤ k` shape plans a native WindowGroupLimit(Partial)
+    before the hash exchange (Catalyst rank-limit pushdown), so each
+    scan partition forwards only its per-query top-`shortlist` rows —
+    590 shuffle records measured at 1M vectors/Q=16 where ~2M
+    candidates are scored. A hand-rolled mapInPandas pre-rank was
+    bit-equal and 1.7× slower (Arrow round-trip); deleted in favor of
+    the JVM operator, which the plan audit pins.
 
     Returns (query_id, vec_id, pq_sim) — or (query_id, vec_id,
     cos_sim) with `rerank`, where each query's shortlist is re-scored
@@ -1803,10 +1802,6 @@ def ivfpq_knn_batch_from_index(
     scored = out.select(
         "query_id", "vec_id", F.round(score, 6).alias("pq_sim")
     )
-    if prerank:
-        scored = local_topk_per_group(
-            scored, "query_id", "pq_sim", "vec_id", cutoff
-        )
     adc = (
         scored
         .withColumn("rn", F.row_number().over(w))

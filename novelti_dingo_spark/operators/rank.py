@@ -71,55 +71,3 @@ def with_global_rank(
         .drop("_pid", "_lrn", "_off")
     )
 
-
-def local_topk_per_group(
-    df: DataFrame,
-    group_col: str,
-    sim_col: str,
-    tiebreak_col: str,
-    k: int,
-) -> DataFrame:
-    """Map-side pre-rank (round-12, closing the round-11 verdict's
-    documented batched-ANN-serving trade): per INPUT partition, keep
-    only each group's local top-k rows — (sim DESC, tiebreak ASC) —
-    BEFORE a per-group `row_number()` window's hash exchange, cutting
-    the shuffle from the full candidate volume (Q·candidates rows) to
-    at most partitions·Q·k rows.
-
-    Exactness (not approximate): (sim DESC, tiebreak ASC) is a TOTAL
-    order when tiebreak is unique within a group (vec_id is), and any
-    group's global top-k row is by definition within the top-k of
-    whichever partition holds it — so the surviving superset always
-    contains the exact window answer, and the downstream window over
-    survivors is bit-equal to the window over everything. The same
-    argument as TakeOrderedAndProject's per-partition take, applied
-    per group.
-
-    Mechanics: one `mapInPandas` pass — a narrow, pipelined stage
-    (no exchange; Arrow-batched). Within a partition the running
-    survivor set folds batch-by-batch (concat → stable sort →
-    per-group head-k), so executor memory is bounded by Q·k survivors
-    plus one Arrow batch regardless of partition size. Floats cross
-    Arrow as exact float64, so the ranked values are the same bits the
-    JVM computed."""
-    import pandas as pd
-
-    out_schema = df.schema
-    cols = [f.name for f in out_schema.fields]
-
-    def prerank(batches):
-        acc: pd.DataFrame | None = None
-        for chunk in batches:
-            cur = chunk if acc is None else pd.concat(
-                (acc, chunk), ignore_index=True
-            )
-            cur = cur.sort_values(
-                [group_col, sim_col, tiebreak_col],
-                ascending=[True, False, True],
-                kind="mergesort",
-            )
-            acc = cur.groupby(group_col, sort=False).head(k)
-        if acc is not None and len(acc):
-            yield acc[cols]
-
-    return df.mapInPandas(prerank, out_schema)

@@ -175,10 +175,13 @@ def test_ivf_batched_serve_matches_single_query(spark, sf_small, tmp_path):
         assert by_q[qid] == single, f"q{qid}"
 
 
-def test_ivf_prerank_is_bit_equal_and_in_plan(spark, sf_small, tmp_path):
-    """Round-12: the map-side pre-rank on the IVF batch path is exact —
-    bit-equal vs prerank=False — and appears as the MapInPandas narrow
-    stage before the per-query window's exchange."""
+def test_ivf_batch_serve_window_has_native_group_limit(
+    spark, sf_small, tmp_path
+):
+    """Round-12: same native-WindowGroupLimit pin as the PQ twins — the
+    IVF batch path's per-query window exchange is bounded by Catalyst's
+    rank-limit pushdown (Partial before the exchange), no Python stage
+    in the plan."""
     from novelti_dingo_spark.operators.ivf import (
         ivf_knn_batch_from_index,
         publish_ivf_index,
@@ -191,15 +194,10 @@ def test_ivf_prerank_is_bit_equal_and_in_plan(spark, sf_small, tmp_path):
         int(r.vec_id): [float(x) for x in r.embedding]
         for r in e.filter("vec_id < 5").collect()
     }
-    on = ivf_knn_batch_from_index(
+    batch = ivf_knn_batch_from_index(
         spark, base, queries, k=5, n_probe=2, exclude_self=True
     )
-    off = ivf_knn_batch_from_index(
-        spark, base, queries, k=5, n_probe=2, exclude_self=True,
-        prerank=False,
-    )
-    assert on.collect() == off.collect()
-    assert "MapInPandas" in on._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" not in (
-        off._jdf.queryExecution().executedPlan().toString()
-    )
+    assert len(batch.collect()) == 5 * 5
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "MapInPandas" not in plan and "ArrowEval" not in plan

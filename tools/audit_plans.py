@@ -778,14 +778,15 @@ EXPECT = {
     # cell partition column and the per-query top-k is a window rank
     # (the single global TakeOrdered shape does not exist here — ranks
     # are per query_id)
-    # round-12: MapInPandas is the map-side pre-rank (exact local
-    # top-k per query BEFORE the window's exchange — rank.
-    # local_topk_per_group); its presence is pinned so the shuffle
-    # stays bounded by partitions·Q·k survivors, not candidate volume
+    # round-12: WindowGroupLimit is Catalyst's NATIVE map-side
+    # pre-rank (rank-limit pushdown: per-partition per-query top-k
+    # BEFORE the window's exchange) — pinned so the shuffle stays
+    # bounded by partitions·Q·k survivors, not candidate volume
+    # (measured: 590 records at 1M vectors / Q=16 / ~2M candidates)
     "ivfpq_batch_serve_top3": {
         "broadcast_joins": 1, "no_python_udf": True,
         "plan_must_contain": [
-            "PartitionFilters: [cell", "Window", "MapInPandas",
+            "PartitionFilters: [cell", "Window", "WindowGroupLimit",
         ],
     },
     # round-12 bench-extras twin at Q=16 — same invariants as the Q=4
@@ -793,7 +794,7 @@ EXPECT = {
     "ivfpq_batch_serve_q16": {
         "broadcast_joins": 1, "no_python_udf": True,
         "plan_must_contain": [
-            "PartitionFilters: [cell", "Window", "MapInPandas",
+            "PartitionFilters: [cell", "Window", "WindowGroupLimit",
         ],
     },
     # round-12 Delta-log interop: scans come from the replayed
@@ -834,12 +835,12 @@ EXPECT = {
     "ivf_batch_serve_top3": {
         "broadcast_joins": 1, "no_python_udf": True,
         "plan_must_contain": [
-            "PartitionFilters: [cid", "Window", "MapInPandas",
+            "PartitionFilters: [cid", "Window", "WindowGroupLimit",
         ],
     },
     "pq_batch_serve_top3": {
         "no_python_udf": True,
-        "plan_must_contain": ["Union", "Window", "MapInPandas"],
+        "plan_must_contain": ["Union", "Window", "WindowGroupLimit"],
         "cartesian_ok": True,
     },
     # --- round-10 promotions: the ANN train-per-call family. These are

@@ -864,12 +864,6 @@ def run_ann_batch(ns: list[int], n_queries: int = 16) -> None:
                 spark, base, queries, n_probe=4, exclude_self=True
             ).collect()
 
-        def batched_prerank_off():
-            ivfpq_knn_batch_from_index(
-                spark, base, queries, n_probe=4, exclude_self=True,
-                prerank=False,
-            ).collect()
-
         def sequential_rerank():
             for qid, qv in queries.items():
                 ivfpq_knn_from_index(
@@ -885,44 +879,40 @@ def run_ann_batch(ns: list[int], n_queries: int = 16) -> None:
 
         seq_s = _med(sequential)
         bat_s = _med(batched)
-        bat_off_s = _med(batched_prerank_off)
         seq_rr_s = _med(sequential_rerank)
         bat_rr_s = _med(batched_rerank)
-        # shuffle volume INTO the per-query window, prerank on vs off
-        # (round-12: the map-side pre-rank's claim is a Q·k-bounded
-        # exchange instead of the full candidate volume — measure it)
+        # shuffle volume through the per-query window (round-12):
+        # Catalyst's WindowGroupLimit(Partial) bounds the exchange to
+        # partitions·Q·k survivor rows — measure records/bytes written
+        # and the candidate volume they replace, instead of asserting
         d_on = ivfpq_knn_batch_from_index(
             spark, base, queries, n_probe=4, exclude_self=True
         )
         d_on.collect()
-        d_off = ivfpq_knn_batch_from_index(
-            spark, base, queries, n_probe=4, exclude_self=True,
-            prerank=False,
-        )
-        d_off.collect()
-        sw_on = _shuffle_written(d_on)
-        sw_off = _shuffle_written(d_off)
+        sw = _shuffle_written(d_on)
+        n_codes = duckdb.sql(
+            f"SELECT count(*) FROM '{d}/embeddings.parquet'"
+        ).fetchone()[0]
         res[str(n)] = {
             "n_vectors": n,
             "n_queries": n_queries,
             "n_probe": 4,
             "sequential_s": seq_s,
             "batched_s": bat_s,
-            "batched_prerank_off_s": bat_off_s,
             "speedup": round(seq_s / bat_s, 2) if bat_s else None,
             "sequential_rerank_s": seq_rr_s,
             "batched_rerank_s": bat_rr_s,
             "speedup_rerank": (
                 round(seq_rr_s / bat_rr_s, 2) if bat_rr_s else None
             ),
-            "window_shuffle_bytes_prerank": sw_on["shuffle_bytes"],
-            "window_shuffle_records_prerank": sw_on["shuffle_records"],
-            "window_shuffle_bytes_noprerank": sw_off["shuffle_bytes"],
-            "window_shuffle_records_noprerank": sw_off["shuffle_records"],
-            "shuffle_bytes_cut": (
-                round(sw_off["shuffle_bytes"] / sw_on["shuffle_bytes"], 2)
-                if sw_on["shuffle_bytes"]
-                else None
+            # total shuffle written by the batched serve (window group
+            # limit survivors + final orderBy rows); contrast with the
+            # approximate candidate volume Q·(n_probe/32)·n the window
+            # would shuffle without the rank-limit pushdown
+            "serve_shuffle_records": sw["shuffle_records"],
+            "serve_shuffle_bytes": sw["shuffle_bytes"],
+            "approx_candidate_rows": int(
+                n_queries * 4 / 32 * n_codes
             ),
         }
         print(f"{n}/batch: {res[str(n)]}")
