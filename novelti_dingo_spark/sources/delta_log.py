@@ -29,11 +29,15 @@ Scale/semantics notes:
   log, so a read plans O(|log|) driver work + one multi-file parquet
   scan of exactly the live files (stale/uncommitted files are invisible
   — the ACID property the log exists for).
-- Commits replay from version 0; real tables periodically write parquet
-  checkpoints AND keep the JSON deltas (default retention 30 days), so
-  replay works on ordinary tables. A table whose early JSON was vacuumed
-  away and only exists as a checkpoint raises a clear error (checkpoint
-  parsing is a documented non-goal here, not a silent wrong answer).
+- Commits replay from version 0 — or, when early JSON has been cleaned
+  up (log retention), from the latest PARQUET CHECKPOINT at or before
+  the requested version (`_last_checkpoint` + `%020d.checkpoint.parquet`
+  per the spec: one row per action with nullable protocol/metaData/
+  add/remove struct columns), then the JSON commits after it. Both
+  directions are implemented: `write_delta_checkpoint` emits the same
+  shape, so checkpointed fixtures are honest. Time travel BELOW the
+  oldest reachable state (JSON gone, no older checkpoint) raises a
+  clear error rather than a silent wrong answer.
 - `protocol.minReaderVersion > 1` (column mapping, deletion vectors,
   ...) raises UnsupportedDeltaFeature instead of mis-reading.
 """
@@ -78,27 +82,100 @@ def _list_log_versions(table_path: str) -> list[int]:
     return sorted(out)
 
 
+def _checkpoint_versions(table_path: str) -> list[int]:
+    log_dir = os.path.join(table_path, _LOG_DIR)
+    out = []
+    for name in os.listdir(log_dir):
+        m = None
+        if name.endswith(".checkpoint.parquet"):
+            stem = name[: -len(".checkpoint.parquet")]
+            if stem.isdigit():
+                m = int(stem)
+        if m is not None:
+            out.append(m)
+    return sorted(out)
+
+
+def _load_checkpoint(
+    table_path: str, cp_version: int
+) -> tuple[dict, dict | None]:
+    """Seed (active adds, metaData) from a spec-shaped checkpoint
+    parquet: one row per action, nullable struct columns. Read with
+    pyarrow driver-side — the checkpoint is KB-to-MB control metadata,
+    the same tier as the JSON commits."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(
+        table_path, _LOG_DIR, f"{cp_version:020d}.checkpoint.parquet"
+    )
+    rows = pq.read_table(path).to_pylist()
+    active: dict[str, dict] = {}
+    meta = None
+    for r in rows:
+        p = r.get("protocol")
+        if p:
+            mrv = int(p.get("minReaderVersion", 1))
+            if mrv > 1:
+                raise UnsupportedDeltaFeature(
+                    f"minReaderVersion={mrv} in checkpoint"
+                )
+        if r.get("metaData"):
+            meta = r["metaData"]
+        a = r.get("add")
+        if a:
+            # foreign checkpoints type partitionValues as map<str,str>
+            # (pyarrow pylist: [(k, v), ...]); ours as struct (dict) —
+            # normalize to dict either way
+            pv = a.get("partitionValues")
+            if isinstance(pv, list):
+                a = {**a, "partitionValues": dict(pv)}
+            active[a["path"]] = a
+        rm = r.get("remove")
+        if rm:
+            active.pop(rm["path"], None)
+    return active, meta
+
+
 def _replay(table_path: str, version: int | None) -> tuple[dict, dict, int]:
-    """Replay commits 0..version → (active add-actions by path,
-    latest metaData, resolved version)."""
+    """Replay → (active add-actions by path, latest metaData, resolved
+    version): from version 0 when the full JSON history exists, else
+    from the newest checkpoint ≤ the requested version."""
     versions = _list_log_versions(table_path)
-    if not versions:
+    cps = _checkpoint_versions(table_path)
+    if not versions and not cps:
         raise DeltaLogError(f"empty {_LOG_DIR} in {table_path}")
-    if versions[0] != 0:
-        raise DeltaLogError(
-            f"log starts at {versions[0]}, not 0 — early JSON commits "
-            "were cleaned up; checkpoint-only history is unsupported "
-            "(see module docstring)"
-        )
+    latest = max(versions[-1] if versions else -1, cps[-1] if cps else -1)
     if version is None:
-        version = versions[-1]
-    if version not in versions:
+        version = latest
+    elif version not in versions and version not in cps:
         raise DeltaLogError(
-            f"version {version} not in log (have {versions[0]}..{versions[-1]})"
+            f"version {version} not in log (JSON {versions}, "
+            f"checkpoints {cps})"
         )
     active: dict[str, dict] = {}
     meta: dict | None = None
+    start = 0
+    usable_cps = [c for c in cps if c <= version]
+    json_complete_from = 0 if (versions and versions[0] == 0) else None
+    if json_complete_from is None or not _contiguous_json(
+        versions, 0, version
+    ):
+        if not usable_cps:
+            raise DeltaLogError(
+                f"JSON history for 0..{version} is incomplete and no "
+                f"checkpoint ≤ {version} exists — state unreachable"
+            )
+        cp = max(usable_cps)
+        active, meta = _load_checkpoint(table_path, cp)
+        start = cp + 1
+        if not _contiguous_json(versions, start, version):
+            raise DeltaLogError(
+                f"JSON commits {start}..{version} after checkpoint {cp} "
+                "are incomplete — state unreachable"
+            )
     for v in versions:
+        if v < start:
+            continue
         if v > version:
             break
         with open(_log_path(table_path, v), encoding="utf-8") as f:
@@ -130,12 +207,128 @@ def _replay(table_path: str, version: int | None) -> tuple[dict, dict, int]:
     return active, meta, version
 
 
+def _contiguous_json(versions: list[int], start: int, end: int) -> bool:
+    """True iff JSON commits start..end all exist (replay needs every
+    commit — a hole means unreconstructable state)."""
+    have = set(versions)
+    return all(v in have for v in range(start, end + 1))
+
+
+def write_delta_checkpoint(
+    table_path: str, version: int | None = None
+) -> int:
+    """Write the spec's checkpoint for `version` (default: latest):
+    `%020d.checkpoint.parquet` holding the complete replay state — one
+    row per action with nullable protocol/metaData/add struct columns —
+    plus the `_last_checkpoint` pointer. After log-retention cleanup
+    deletes old JSON commits, reads seed from this file (remove
+    tombstones are vacuum bookkeeping, not read state, and are
+    intentionally not carried). Driver-side pyarrow write: checkpoints
+    are control metadata, KBs to MBs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    active, meta, version = _replay(table_path, version)
+    # explicit arrow schema: the spec types configuration and
+    # partitionValues as map<string,string> (an inferred empty struct
+    # wouldn't even be writable to parquet)
+    str_map = pa.map_(pa.string(), pa.string())
+    cp_schema = pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("format", pa.struct([("provider", pa.string())])),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", str_map),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", str_map),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    meta_row = {
+        "id": meta.get("id"),
+        "format": {"provider": (meta.get("format") or {}).get("provider")},
+        "schemaString": meta.get("schemaString"),
+        "partitionColumns": meta.get("partitionColumns") or [],
+        "configuration": list((meta.get("configuration") or {}).items()),
+        "createdTime": meta.get("createdTime"),
+    }
+    rows = [
+        {
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            "metaData": None,
+            "add": None,
+        },
+        {"protocol": None, "metaData": meta_row, "add": None},
+    ]
+    for p in sorted(active):
+        a = active[p]
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": {
+                    "path": a["path"],
+                    "partitionValues": list(
+                        (a.get("partitionValues") or {}).items()
+                    ),
+                    "size": int(a.get("size", 0)),
+                    "modificationTime": int(a.get("modificationTime", 0)),
+                    "dataChange": False,
+                },
+            }
+        )
+    table = pa.Table.from_pylist(rows, schema=cp_schema)
+    out = os.path.join(
+        table_path, _LOG_DIR, f"{version:020d}.checkpoint.parquet"
+    )
+    tmp = out + f".tmp-{uuid.uuid4().hex}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, out)
+    lc_tmp = os.path.join(
+        table_path, _LOG_DIR, f".lc-{uuid.uuid4().hex}"
+    )
+    with open(lc_tmp, "w") as f:
+        json.dump({"version": version, "size": len(rows)}, f)
+    os.replace(
+        lc_tmp, os.path.join(table_path, _LOG_DIR, "_last_checkpoint")
+    )
+    return version
+
+
 def delta_table_version(table_path: str) -> int:
     """Latest committed version (the snapshot a versionless read pins)."""
     versions = _list_log_versions(table_path)
-    if not versions:
+    cps = _checkpoint_versions(table_path)
+    if not versions and not cps:
         raise DeltaLogError(f"empty {_LOG_DIR} in {table_path}")
-    return versions[-1]
+    return max(versions[-1] if versions else -1, cps[-1] if cps else -1)
 
 
 def read_delta_table(
@@ -227,9 +420,14 @@ def write_delta_table(
     spark = df.sparkSession
     os.makedirs(os.path.join(table_path, _LOG_DIR), exist_ok=True)
     versions = _list_log_versions(table_path)
-    version = (versions[-1] + 1) if versions else 0
+    cps = _checkpoint_versions(table_path)
+    # next version counts CHECKPOINTS too: after log-retention cleanup
+    # the newest state may exist only as a checkpoint, and writing
+    # "version 0" over it would fork the table's history
+    latest = max(versions[-1] if versions else -1, cps[-1] if cps else -1)
+    version = latest + 1
     prior: dict[str, dict] = {}
-    if versions and mode == "overwrite":
+    if latest >= 0 and mode == "overwrite":
         prior, _, _ = _replay(table_path, None)
 
     staging = os.path.join(table_path, f"_staging-{uuid.uuid4().hex}")

@@ -177,3 +177,53 @@ def test_delta_reader_fails_loud_not_wrong(spark, sf_small, tmp_path):
     # not a delta table at all
     with pytest.raises(DeltaLogError):
         read_delta_table(spark, str(tmp_path / "nope"))
+
+
+def test_delta_checkpoint_replay_after_log_cleanup(spark, sf_small, tmp_path):
+    """Spec checkpoints: after write_delta_checkpoint, deleting the
+    early JSON commits (log-retention cleanup) leaves the table fully
+    readable — state seeds from the checkpoint parquet, later JSON
+    commits replay on top, and partition semantics survive the
+    roundtrip. Time travel below the oldest reachable state stays a
+    loud error."""
+    from novelti_dingo_spark.sources.delta_log import (
+        delta_table_version,
+        write_delta_checkpoint,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    even = s.filter(F.col("s_suppkey") % 2 == 0)
+    odd = s.filter(F.col("s_suppkey") % 2 == 1)
+    write_delta_table(even, base, partition_by=["s_nationkey"])
+    write_delta_table(odd, base, mode="append", partition_by=["s_nationkey"])
+    assert write_delta_checkpoint(base) == 1
+    assert os.path.exists(
+        os.path.join(base, "_delta_log", "_last_checkpoint")
+    )
+
+    # retention cleanup: the JSON history disappears
+    for v in (0, 1):
+        os.remove(os.path.join(base, "_delta_log", f"{v:020d}.json"))
+
+    assert delta_table_version(base) == 1
+    back = read_delta_table(spark, base)
+    assert sorted(map(tuple, back.select(*s.columns).collect())) == sorted(
+        map(tuple, s.collect())
+    )
+    # a later JSON commit replays on top of the checkpoint seed
+    write_delta_table(
+        s.limit(4), base, mode="overwrite", partition_by=["s_nationkey"]
+    )
+    assert read_delta_table(spark, base).count() == 4
+    # pruning still works from checkpoint-seeded partitionValues
+    pruned = read_delta_table(
+        spark, base, version=1, partition_filter={"s_nationkey": 3}
+    )
+    want = s.filter(F.col("s_nationkey") == 3)
+    assert sorted(map(tuple, pruned.select(*s.columns).collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # v0's JSON is gone and no checkpoint covers it → loud error
+    with pytest.raises(DeltaLogError):
+        read_delta_table(spark, base, version=0)

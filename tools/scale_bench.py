@@ -176,6 +176,11 @@ def _build_embeddings_chunked(n: int, out: str, path: str) -> str:
         ]
     )
     chunk = 1_000_000
+    # 128k-row row groups (~32 MB of float32 vectors): 32 concurrent
+    # local tasks each decode one row group — 1M-row groups OOM'd a
+    # default heap at 100M (measured round-12; FAILED_READ_FILE ← Java
+    # heap space), and small groups parallelize the scan better anyway
+    row_group = 131_072
     tmp = path + ".tmp"
     with pq.ParquetWriter(tmp, schema) as w:
         for lo in range(0, n, chunk):
@@ -202,7 +207,8 @@ def _build_embeddings_chunked(n: int, out: str, path: str) -> str:
                         ),
                     },
                     schema=schema,
-                )
+                ),
+                row_group_size=row_group,
             )
     os.replace(tmp, path)
     return out
