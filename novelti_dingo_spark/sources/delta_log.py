@@ -46,11 +46,13 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.types import StructType
 
 _LOG_DIR = "_delta_log"
@@ -370,16 +372,52 @@ def read_delta_table(
         return spark.read.schema(data_schema).parquet(*paths).select(
             *[f.name for f in full_schema.fields]
         )
-    # partition values live ONLY in the log (spec: partition columns are
-    # not written into data files): group the active set by its
-    # partitionValues tuple, scan each group once, inject the typed
-    # literals, union — the per-group scans are one job (union of
-    # parquet relations), not N jobs
+    # Partition values live ONLY in the log (spec: partition columns
+    # are not written into data files), so they must be re-attached.
+    # Scale shape: ONE multi-file scan + a BROADCAST (file → partition
+    # values) mapping joined on the scanned file's basename — the plan
+    # stays O(1) in the partition count, where a per-partition-value
+    # union would put thousands of relations in the plan at 100 TB
+    # partition counts. Sound when basenames are unique and clean
+    # (Delta writers embed a uuid per file — true for this writer and
+    # standard ones); verified driver-side, with the per-group
+    # union+literal fallback for exotic foreign layouts.
+    types = {f.name: f.dataType for f in full_schema.fields}
+    basenames = [p.split("/")[-1] for p in active]
+    clean = all(
+        re.fullmatch(r"[A-Za-z0-9._=-]+", b) for b in basenames
+    )
+    if clean and len(set(basenames)) == len(basenames):
+        rows = []
+        for p, a in sorted(active.items()):
+            pv = a.get("partitionValues", {})
+            rows.append(
+                (p.split("/")[-1], *[pv.get(c) for c in part_cols])
+            )
+        map_schema = T.StructType(
+            [T.StructField("_file_base", T.StringType())]
+            + [T.StructField(c, T.StringType()) for c in part_cols]
+        )
+        mapping = spark.createDataFrame(rows, map_schema)
+        scan = spark.read.schema(data_schema).parquet(
+            *[os.path.join(table_path, p) for p in sorted(active)]
+        )
+        joined = scan.withColumn(
+            "_file_base",
+            F.substring_index(F.input_file_name(), "/", -1),
+        ).join(F.broadcast(mapping), "_file_base")
+        return joined.select(
+            *[
+                F.col(f.name).cast(types[f.name]).alias(f.name)
+                if f.name in part_cols
+                else F.col(f.name)
+                for f in full_schema.fields
+            ]
+        )
     by_pv: dict[tuple, list[str]] = {}
     for p, a in sorted(active.items()):
         pv = tuple(a.get("partitionValues", {}).get(c) for c in part_cols)
         by_pv.setdefault(pv, []).append(os.path.join(table_path, p))
-    types = {f.name: f.dataType for f in full_schema.fields}
     parts = []
     for pv, paths in by_pv.items():
         df = spark.read.schema(data_schema).parquet(*paths)
