@@ -127,9 +127,12 @@ def test_directory_and_filter_pushthrough(spark, sf_small, tmp_path):
     assert got == want
 
 
-def test_unsupported_shapes_refuse_loudly(spark, tmp_path):
-    """Arrays/maps/nested records and exotic codecs must raise typed
-    errors, not misdecode."""
+def test_complex_types_decode_and_remaining_shapes_refuse(spark, tmp_path):
+    """Round-12: arrays (and maps/nested records) DECODE — including
+    from a FOREIGN writer (the JVM's own org.apache.avro, which blocks
+    arrays with negative counts differently than our writer); what
+    remains unsupported (multi-branch unions, exotic codecs) still
+    raises typed errors instead of misdecoding."""
     jvm = spark._jvm
     import json as _json
 
@@ -154,9 +157,16 @@ def test_unsupported_shapes_refuse_loudly(spark, tmp_path):
     )
     dfw.append(reader.read(None, dec))
     dfw.close()
-    src = AvroPySource({"path": path})
-    with pytest.raises(NotImplementedError, match="array"):
-        src.schema()
+    from novelti_dingo_spark.sources.avro_py import read_avro_records
+
+    _, rows = read_avro_records(path)
+    assert rows == [{"k": 1, "xs": [1, 2]}]
+
+    # multi-branch union: still a loud refusal
+    from novelti_dingo_spark.sources.avro_py import _field_type
+
+    with pytest.raises(NotImplementedError, match="union"):
+        _field_type(["int", "string", "null"])
 
 
 def test_missing_path_refuses(spark, tmp_path):
