@@ -1371,6 +1371,53 @@ def iceberg_partition_pruned_agg(
 
 
 @register(
+    "lake_export_delta_agg",
+    """
+    SELECT 'v1' AS snap, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+    FROM supplier WHERE s_suppkey % 2 = 0
+    UNION ALL
+    SELECT 'v2' AS snap, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+    FROM supplier
+    """,
+    survey_rows="S2,S3,S5,U1,A5",
+)
+def lake_export_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EGRESS interop: the repo's OWN versioned lake (publish_versioned
+    — v=N dirs + LATEST pointer) exports to a Delta table version for
+    version (export_versioned_lake_to_delta), and a stock Delta-reading
+    consumer gets the same time-travel surface: lake v=1 (even-suppkey
+    half) ↔ delta version 0, lake v=2 (full supplier) ↔ delta version
+    1. Both exported snapshots aggregated through the DELTA reader and
+    hash-matched against DuckDB computing the same states from the
+    source parquet — the full publish → export → foreign-read chain is
+    value-exact."""
+    from ..pipelines import publish_versioned
+    from ..sources.delta_log import (
+        export_versioned_lake_to_delta,
+        read_delta_table,
+    )
+
+    root = _delta_fixture_root(spark, sf_dir, "lake_export")
+    lake = os.path.join(root, "lake")
+    delta = os.path.join(root, "delta")
+    s = load_table(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(delta, "_delta_log")):
+        publish_versioned(s.filter(F.col("s_suppkey") % 2 == 0), lake)
+        publish_versioned(s, lake)
+        export_versioned_lake_to_delta(spark, lake, delta)
+    v1 = read_delta_table(spark, delta, version=0)
+    v2 = read_delta_table(spark, delta, version=1)
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("s_acctbal"), 2).alias("bal"),
+        ).select(F.lit(snap).alias("snap"), "n", "bal")
+
+    return agg(v1, "v1").unionAll(agg(v2, "v2"))
+
+
+@register(
     "weighted_sample_pps",
     f"""
     SELECT doc_id, lang, n_chars,

@@ -556,3 +556,49 @@ def write_delta_table(
     # sources' signatures (and future FS-API generalization)
     _ = spark
     return version
+
+
+def export_versioned_lake_to_delta(
+    spark: SparkSession,
+    lake_base: str,
+    table_path: str,
+    versions: list[int] | None = None,
+) -> dict[int, int]:
+    """EGRESS mapping, version for version: replay the repo's own
+    versioned lake (pipelines.publish_versioned — `v=N/` immutable
+    directories + LATEST pointer) into a Delta table, one lake version
+    per Delta commit in ascending order, so a stock Delta reader gets
+    the SAME time-travel surface the lake's own readers have
+    (`VERSION AS OF k` ↔ `read_version(base, versions[k])`). Each lake
+    version exports as an overwrite commit — the lake's versions are
+    full snapshots (its append/MOR layers resolve inside read_version,
+    so what exports is always the resolved table state). Returns the
+    {lake_version: delta_version} mapping. Idempotent growth: already-
+    exported prefix versions are skipped by comparing against the
+    Delta table's existing commit count."""
+    import re as _re
+
+    from ..pipelines import read_version
+    from . import lakefs
+
+    base = lake_base.rstrip("/")
+    if versions is None:
+        versions = sorted(
+            int(m.group(1))
+            for m in (
+                _re.fullmatch(r"v=(\d+)", d.rsplit("/", 1)[-1])
+                for d in lakefs.listdir(spark, base)
+            )
+            if m
+        )
+    done = 0
+    if os.path.isdir(os.path.join(table_path, _LOG_DIR)):
+        done = delta_table_version(table_path) + 1
+    mapping: dict[int, int] = {}
+    for i, lv in enumerate(versions):
+        if i < done:
+            mapping[lv] = i
+            continue
+        df, _manifest = read_version(spark, base, lv)
+        mapping[lv] = write_delta_table(df, table_path, mode="overwrite")
+    return mapping

@@ -227,3 +227,37 @@ def test_delta_checkpoint_replay_after_log_cleanup(spark, sf_small, tmp_path):
     # v0's JSON is gone and no checkpoint covers it → loud error
     with pytest.raises(DeltaLogError):
         read_delta_table(spark, base, version=0)
+
+
+def test_export_versioned_lake_version_for_version(spark, sf_small, tmp_path):
+    """The repo's own lake exports to Delta one commit per lake
+    version, idempotently: re-export skips the already-committed
+    prefix, new lake versions land as new Delta commits, and every
+    exported snapshot is value-exact vs its lake source."""
+    from novelti_dingo_spark.pipelines import publish_versioned, read_version
+    from novelti_dingo_spark.sources.delta_log import (
+        delta_table_version,
+        export_versioned_lake_to_delta,
+    )
+
+    lake = str(tmp_path / "lake")
+    delta = str(tmp_path / "delta")
+    s = load_table(spark, sf_small, "supplier")
+    publish_versioned(s.filter(F.col("s_suppkey") % 2 == 0), lake)
+    publish_versioned(s, lake)
+    mapping = export_versioned_lake_to_delta(spark, lake, delta)
+    assert mapping == {1: 0, 2: 1}
+    for lv, dv in mapping.items():
+        want, _ = read_version(spark, lake, lv)
+        got = read_delta_table(spark, delta, version=dv)
+        assert sorted(map(tuple, got.select(*want.columns).collect())) == (
+            sorted(map(tuple, want.collect()))
+        )
+    # idempotent: nothing re-exports
+    assert export_versioned_lake_to_delta(spark, lake, delta) == mapping
+    assert delta_table_version(delta) == 1
+    # incremental: a third lake version lands as delta version 2
+    publish_versioned(s.limit(3), lake)
+    m3 = export_versioned_lake_to_delta(spark, lake, delta)
+    assert m3 == {1: 0, 2: 1, 3: 2}
+    assert read_delta_table(spark, delta).count() == 3

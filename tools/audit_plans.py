@@ -819,6 +819,10 @@ EXPECT = {
     "iceberg_partition_pruned_agg": {
         "partial_agg": True, "no_python_udf": True,
     },
+    "lake_export_delta_agg": {
+        "partial_agg": True, "no_python_udf": True,
+        "plan_must_contain": ["Union"],
+    },
     # round-11 JDBC ingest: the scan must be the PARTITIONED parallel
     # extraction (numPartitions=4 → one bounded query per task), two-
     # phase agg on top
