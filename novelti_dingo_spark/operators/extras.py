@@ -1418,6 +1418,45 @@ def lake_export_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_row_delete_agg",
+    """
+    SELECT s_nationkey, count(*) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier WHERE s_suppkey % 3 <> 0
+    GROUP BY s_nationkey
+    """,
+    survey_rows="S2,S5,A1",
+)
+def iceberg_row_delete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 POSITION deletes end-to-end (round-12 second pass — the
+    refusal turned into capability): supplier committed as an Iceberg
+    table, every s_suppkey%3=0 row deleted MERGE-ON-READ via a
+    position-delete commit (delete_rows_from_iceberg_table — a
+    (file_path, pos) parquet under a content=1 manifest; data files
+    untouched), and the aggregate over the post-delete read — which
+    applies the deletes as one distributed anti-join on
+    (file, _metadata.row_index) — must hash-match DuckDB filtering the
+    source parquet with the same predicate. Older snapshots still read
+    the full table (pinned in tests/test_iceberg.py)."""
+    from ..sources.iceberg import (
+        delete_rows_from_iceberg_table,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    base = _delta_fixture_root(spark, sf_dir, "ice_supplier_del")
+    s = load_table(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(base, "metadata")):
+        write_iceberg_table(s, base)
+        delete_rows_from_iceberg_table(spark, base, "s_suppkey % 3 = 0")
+    d = read_iceberg_table(spark, base)
+    return d.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
     "weighted_sample_pps",
     f"""
     SELECT doc_id, lang, n_chars,

@@ -28,10 +28,17 @@ Key spec semantics this module implements:
 - Time travel = resolving a non-current snapshot-id from the metadata's
   snapshot list (every snapshot keeps its own manifest list).
 
-Loud refusals instead of wrong answers: format-version > 2, delete
-manifests (v2 row-level deletes, `content=1`), non-parquet data files,
-non-identity transforms in a partition_filter, and schema types beyond
-the supported set all raise typed errors.
+Row-level deletes (round-12, second pass): v2 POSITION deletes are
+implemented in both directions — `delete_rows_from_iceberg_table`
+commits a position-delete parquet (file_path, pos) under a content=1
+manifest, and reads apply every delete file with one distributed LEFT
+ANTI join keyed on (data-file identity, `_metadata.row_index`) — the
+ordinal Spark's parquet reader exposes is exactly the spec's `pos`.
+Loud refusals instead of wrong answers: format-version > 2, EQUALITY
+delete files (content=2), non-parquet data files, non-identity
+transforms in a partition_filter, ambiguous data-file basenames under
+position deletes, and schema types beyond the supported set all raise
+typed errors.
 """
 
 from __future__ import annotations
@@ -230,7 +237,7 @@ def _abs_path(table_path: str, p: str) -> str:
 def _live_files(
     table_path: str, snap: dict, partition_filter: dict | None,
     spec_fields: list[dict],
-) -> list[dict]:
+) -> tuple[list[dict], list[dict]]:
     if partition_filter:
         by_name = {f["name"]: f for f in spec_fields}
         for c in partition_filter:
@@ -244,12 +251,9 @@ def _live_files(
     mlist = _abs_path(table_path, snap["manifest-list"])
     _, manifests = read_avro_records(mlist)
     live: list[dict] = []
+    deletes: list[dict] = []
     for mf in manifests:
-        if int(mf.get("content") or 0) == 1:
-            raise UnsupportedIcebergFeature(
-                "delete manifests (v2 row-level deletes) present — this "
-                "reader refuses rather than returning undeleted rows"
-            )
+        is_delete_manifest = int(mf.get("content") or 0) == 1
         mpath = _abs_path(table_path, mf["manifest_path"])
         _, entries = read_avro_records(mpath)
         for e in entries:
@@ -260,6 +264,16 @@ def _live_files(
                 raise UnsupportedIcebergFeature(
                     f"data file format {df_rec.get('file_format')!r}"
                 )
+            content = int(df_rec.get("content") or 0)
+            if is_delete_manifest or content == 1:
+                # POSITION delete file (round-12: refusal → capability);
+                # equality deletes (content=2) stay refused
+                deletes.append(df_rec)
+                continue
+            if content == 2:
+                raise UnsupportedIcebergFeature(
+                    "equality delete files are beyond this reader"
+                )
             if partition_filter:
                 pv = df_rec.get("partition") or {}
                 if not all(
@@ -267,7 +281,7 @@ def _live_files(
                 ):
                     continue
             live.append(df_rec)
-    return live
+    return live, deletes
 
 
 def iceberg_snapshots(table_path: str) -> list[dict]:
@@ -300,15 +314,50 @@ def read_iceberg_table(
     meta, _ = _latest_metadata(table_path)
     schema = _current_schema(meta)
     snap = _resolve_snapshot(meta, snapshot_id)
-    files = _live_files(
+    files, deletes = _live_files(
         table_path, snap, partition_filter, _partition_spec(meta)
     )
     if not files:
         return spark.createDataFrame([], schema)
     paths = sorted(_abs_path(table_path, f["file_path"]) for f in files)
-    return spark.read.schema(schema).parquet(*paths).select(
-        *[f.name for f in schema.fields]
+    scan = spark.read.schema(schema).parquet(*paths)
+    if not deletes:
+        return scan.select(*[f.name for f in schema.fields])
+    # v2 POSITION deletes: each delete parquet holds (file_path, pos)
+    # rows naming ordinal positions in data files. Spark's parquet
+    # reader exposes exactly that ordinal as _metadata.row_index, so
+    # deletion is one LEFT ANTI join on (file identity, position) —
+    # fully distributed, no per-file driver loops. File identity joins
+    # on the basename (uuid-unique in practice; verified driver-side,
+    # loud refusal otherwise, since URI spelling differs between the
+    # writer's recorded path and the scanner's file_path).
+    from pyspark.sql import functions as F
+
+    basenames = [p.rsplit("/", 1)[-1] for p in paths]
+    if len(set(basenames)) != len(basenames):
+        raise UnsupportedIcebergFeature(
+            "data-file basenames are not unique — position-delete "
+            "matching by basename would be ambiguous"
+        )
+    dpaths = sorted(_abs_path(table_path, d["file_path"]) for d in deletes)
+    dels = (
+        spark.read.schema("file_path string, pos long")
+        .parquet(*dpaths)
+        .select(
+            F.substring_index("file_path", "/", -1).alias("_file_base"),
+            F.col("pos").alias("_pos"),
+        )
     )
+    keyed = scan.select(
+        *[f.name for f in schema.fields],
+        F.substring_index(F.col("_metadata.file_path"), "/", -1).alias(
+            "_file_base"
+        ),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+    return keyed.join(
+        F.broadcast(dels), ["_file_base", "_pos"], "left_anti"
+    ).select(*[f.name for f in schema.fields])
 
 
 # --------------------------------------------------------------- writer
@@ -540,4 +589,151 @@ def write_iceberg_table(
         f.write(str(new_v))
     os.replace(hint_tmp, os.path.join(md, "version-hint.text"))
     _ = spark
+    return snapshot_id
+
+
+def delete_rows_from_iceberg_table(
+    spark: SparkSession,
+    table_path: str,
+    condition,
+) -> int:
+    """Commit v2 POSITION deletes for every current row matching
+    `condition` (a Column or SQL string): scan the current snapshot
+    with Spark's parquet metadata columns to get each matching row's
+    (data file, ordinal position) — `_metadata.row_index` IS the
+    spec's `pos` — write one position-delete parquet (file_path, pos,
+    recorded with the data file's manifest path string), and commit a
+    new snapshot whose manifest list carries the prior manifests plus
+    a content=1 delete manifest. Data files are untouched (merge-on-
+    read); older snapshots keep reading the undeleted rows. Returns
+    the new snapshot id."""
+    from pyspark.sql import functions as F
+
+    meta, prior_v = _latest_metadata(table_path)
+    snap = _resolve_snapshot(meta, None)
+    files, _existing_deletes = _live_files(table_path, snap, None, [])
+    if not files:
+        raise IcebergError("no data files to delete from")
+    base_to_stored = {
+        f["file_path"].rsplit("/", 1)[-1]: f["file_path"] for f in files
+    }
+    if len(base_to_stored) != len(files):
+        raise UnsupportedIcebergFeature(
+            "data-file basenames are not unique — cannot key deletes"
+        )
+    schema = _current_schema(meta)
+    paths = sorted(
+        _abs_path(table_path, f["file_path"]) for f in files
+    )
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    mapping = spark.createDataFrame(
+        sorted(base_to_stored.items()), "_file_base string, file_path string"
+    )
+    hits = (
+        spark.read.schema(schema).parquet(*paths)
+        .select(
+            F.substring_index(
+                F.col("_metadata.file_path"), "/", -1
+            ).alias("_file_base"),
+            F.col("_metadata.row_index").alias("pos"),
+            "*",
+        )
+        .filter(cond)
+        .join(F.broadcast(mapping), "_file_base")
+        .select("file_path", "pos")
+        .orderBy("file_path", "pos")  # spec: sorted by file, position
+    )
+
+    snapshot_id = int(time.time() * 1000) * 1000 + (prior_v + 1)
+    now_ms = int(time.time() * 1000)
+    staging = os.path.join(table_path, f"_staging-{uuid.uuid4().hex}")
+    hits.coalesce(1).write.mode("overwrite").parquet(staging)
+    del_rel = os.path.join(
+        "data", f"delete-{uuid.uuid4().hex}.parquet"
+    )
+    moved = False
+    for name in sorted(os.listdir(staging)):
+        if name.endswith(".parquet"):
+            os.replace(
+                os.path.join(staging, name),
+                os.path.join(table_path, del_rel),
+            )
+            moved = True
+            break
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    if not moved:
+        raise IcebergError("delete scan produced no parquet output")
+
+    import pyarrow.parquet as pq
+
+    dst = os.path.join(table_path, del_rel)
+    n_deletes = pq.read_metadata(dst).num_rows
+    # delete manifest: same entry schema, partition record all-null at
+    # the table's spec width (delete files here are table-scoped)
+    spec_fields = _partition_spec(meta)
+    part_avro_fields = []
+    for f in spec_fields:
+        part_avro_fields.append((f["name"], "string"))
+    entry = {
+        "status": 1,
+        "snapshot_id": snapshot_id,
+        "data_file": {
+            "content": 1,  # POSITION DELETES
+            "file_path": del_rel,
+            "file_format": "PARQUET",
+            "partition": {n: None for n, _ in part_avro_fields},
+            "record_count": n_deletes,
+            "file_size_in_bytes": os.path.getsize(dst),
+        },
+    }
+    man_rel = os.path.join(
+        "metadata", f"manifest-del-{uuid.uuid4().hex}.avro"
+    )
+    man_abs = os.path.join(table_path, man_rel)
+    write_avro_records(man_abs, _manifest_schema(part_avro_fields), [entry])
+
+    _, prior_manifests = read_avro_records(
+        _abs_path(table_path, snap["manifest-list"])
+    )
+    mlist_rel = os.path.join(
+        "metadata", f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
+    )
+    write_avro_records(
+        os.path.join(table_path, mlist_rel),
+        _MANIFEST_LIST_SCHEMA,
+        prior_manifests
+        + [
+            {
+                "manifest_path": man_rel,
+                "manifest_length": os.path.getsize(man_abs),
+                "partition_spec_id": 0,
+                "content": 1,
+                "added_snapshot_id": snapshot_id,
+            }
+        ],
+    )
+    new_meta = dict(meta)
+    new_meta["snapshots"] = list(meta.get("snapshots", [])) + [
+        {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": now_ms,
+            "manifest-list": mlist_rel,
+            "summary": {"operation": "delete"},
+            "schema-id": 0,
+        }
+    ]
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["last-updated-ms"] = now_ms
+    new_v = prior_v + 1
+    md = _metadata_dir(table_path)
+    tmp = os.path.join(md, f".v{new_v}.metadata.json.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(new_meta, f)
+    os.replace(tmp, os.path.join(md, f"v{new_v}.metadata.json"))
+    hint_tmp = os.path.join(md, f".hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as f:
+        f.write(str(new_v))
+    os.replace(hint_tmp, os.path.join(md, "version-hint.text"))
     return snapshot_id

@@ -164,7 +164,8 @@ def test_iceberg_fails_loud_not_wrong(spark, sf_small, tmp_path):
     s = load_table(spark, sf_small, "supplier").limit(5)
     write_iceberg_table(s, base)
 
-    # a v2 DELETE manifest in the snapshot → refusal, not undeleted rows
+    # v2 EQUALITY delete files → refusal, not undeleted rows
+    # (position deletes are supported; equality semantics are not)
     md = os.path.join(base, "metadata")
     meta_path = os.path.join(
         md,
@@ -173,9 +174,14 @@ def test_iceberg_fails_loud_not_wrong(spark, sf_small, tmp_path):
     )
     meta = json.load(open(meta_path))
     mlist = os.path.join(base, meta["snapshots"][-1]["manifest-list"])
-    schema, manifests = read_avro_records(mlist)
-    manifests.append({**manifests[0], "content": 1})
-    write_avro_records(mlist, schema, manifests)
+    _, manifests = read_avro_records(mlist)
+    mpath = os.path.join(base, manifests[0]["manifest_path"])
+    mschema, entries = read_avro_records(mpath)
+    entries[0] = {
+        **entries[0],
+        "data_file": {**entries[0]["data_file"], "content": 2},
+    }
+    write_avro_records(mpath, mschema, entries)
     with pytest.raises(UnsupportedIcebergFeature):
         read_iceberg_table(spark, base)
 
@@ -226,3 +232,70 @@ def test_iceberg_manifest_entries_status_deleted_respected(
     entries[0] = {**entries[0], "status": 2}
     write_avro_records(mpath, schema, entries)
     assert read_iceberg_table(spark, base).count() == 10 - dropped
+
+
+def test_iceberg_position_deletes_merge_on_read(spark, sf_small, tmp_path):
+    """Round-12 second pass: v2 POSITION deletes, both directions.
+    delete_rows_from_iceberg_table commits a (file_path, pos) parquet
+    under a content=1 manifest; reads drop exactly those ordinals via
+    the _metadata.row_index anti-join; data files are untouched; older
+    snapshots still see the rows; deletes stack across commits; the
+    delete file itself is spec-shaped."""
+    from novelti_dingo_spark.sources.iceberg import (
+        delete_rows_from_iceberg_table,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    sid0 = write_iceberg_table(s, base)
+    sid1 = delete_rows_from_iceberg_table(spark, base, "s_suppkey % 3 = 0")
+
+    got = read_iceberg_table(spark, base)
+    want = s.filter("s_suppkey % 3 <> 0")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # time travel: pre-delete snapshot unaffected; delete snapshot pinned
+    assert read_iceberg_table(spark, base, snapshot_id=sid0).count() == (
+        s.count()
+    )
+    assert read_iceberg_table(spark, base, snapshot_id=sid1).count() == (
+        want.count()
+    )
+
+    # the delete file is spec-shaped (file_path, pos) and sorted
+    import pyarrow.parquet as pq
+
+    md = os.path.join(base, "metadata")
+    meta = json.load(
+        open(
+            os.path.join(
+                md,
+                f"v{int(open(os.path.join(md, 'version-hint.text')).read())}"
+                ".metadata.json",
+            )
+        )
+    )
+    _, manifests = read_avro_records(
+        os.path.join(base, meta["snapshots"][-1]["manifest-list"])
+    )
+    del_manifests = [m for m in manifests if m["content"] == 1]
+    assert len(del_manifests) == 1
+    _, entries = read_avro_records(
+        os.path.join(base, del_manifests[0]["manifest_path"])
+    )
+    dfile = entries[0]["data_file"]
+    assert dfile["content"] == 1 and dfile["file_format"] == "PARQUET"
+    tbl = pq.read_table(os.path.join(base, dfile["file_path"]))
+    assert tbl.column_names == ["file_path", "pos"]
+    assert tbl.num_rows == dfile["record_count"] == s.count() - want.count()
+    rows = list(zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist()))
+    assert rows == sorted(rows)
+
+    # deletes stack; a second delete commit composes with the first
+    delete_rows_from_iceberg_table(spark, base, "s_nationkey = 3")
+    got2 = read_iceberg_table(spark, base)
+    want2 = s.filter("s_suppkey % 3 <> 0 AND s_nationkey <> 3")
+    assert sorted(map(tuple, got2.collect())) == sorted(
+        map(tuple, want2.collect())
+    )

@@ -819,6 +819,12 @@ EXPECT = {
     "iceberg_partition_pruned_agg": {
         "partial_agg": True, "no_python_udf": True,
     },
+    # position deletes apply as one broadcast LEFT ANTI join keyed on
+    # (file, row ordinal) before the two-phase agg — pin the join shape
+    "iceberg_row_delete_agg": {
+        "partial_agg": True, "no_python_udf": True, "broadcast_joins": 1,
+        "plan_must_contain": ["LeftAnti"],
+    },
     "lake_export_delta_agg": {
         "partial_agg": True, "no_python_udf": True,
         "plan_must_contain": ["Union"],
