@@ -164,8 +164,10 @@ def test_iceberg_fails_loud_not_wrong(spark, sf_small, tmp_path):
     s = load_table(spark, sf_small, "supplier").limit(5)
     write_iceberg_table(s, base)
 
-    # v2 EQUALITY delete files → refusal, not undeleted rows
-    # (position deletes are supported; equality semantics are not)
+    # a content=2 (equality delete) entry WITHOUT equality_ids is
+    # structurally malformed — refusal, not undeleted rows (round-13:
+    # equality deletes themselves are now supported, so the refusal
+    # narrowed to the genuinely unreadable shape)
     md = os.path.join(base, "metadata")
     meta_path = os.path.join(
         md,
@@ -179,7 +181,20 @@ def test_iceberg_fails_loud_not_wrong(spark, sf_small, tmp_path):
     mschema, entries = read_avro_records(mpath)
     entries[0] = {
         **entries[0],
-        "data_file": {**entries[0]["data_file"], "content": 2},
+        "data_file": {
+            **entries[0]["data_file"],
+            "content": 2,
+            "equality_ids": None,
+        },
+    }
+    write_avro_records(mpath, mschema, entries)
+    with pytest.raises(IcebergError):
+        read_iceberg_table(spark, base)
+
+    # an unknown future content value → typed refusal
+    entries[0] = {
+        **entries[0],
+        "data_file": {**entries[0]["data_file"], "content": 3},
     }
     write_avro_records(mpath, mschema, entries)
     with pytest.raises(UnsupportedIcebergFeature):
@@ -299,3 +314,196 @@ def test_iceberg_position_deletes_merge_on_read(spark, sf_small, tmp_path):
     assert sorted(map(tuple, got2.collect())) == sorted(
         map(tuple, want2.collect())
     )
+
+
+def test_iceberg_equality_deletes_merge_on_read(spark, sf_small, tmp_path):
+    """Round-13: v2 EQUALITY deletes, both directions.
+    delete_rows_from_iceberg_table(mode='equality') commits the
+    matching rows' distinct identifier tuples as a content=2 parquet
+    with equality_ids; reads resolve the ids through the table schema
+    and apply one null-safe anti-join per identifier set; older
+    snapshots still see the rows; the delete file is spec-shaped."""
+    from novelti_dingo_spark.sources.iceberg import (
+        delete_rows_from_iceberg_table,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    k1, k2 = [
+        r[0]
+        for r in s.select("s_nationkey").distinct().orderBy(
+            "s_nationkey"
+        ).limit(2).collect()
+    ]
+    sid0 = write_iceberg_table(s, base)
+    sid1 = delete_rows_from_iceberg_table(
+        spark, base, f"s_nationkey IN ({k1}, {k2})",
+        mode="equality", equality_columns=["s_nationkey"],
+    )
+
+    got = read_iceberg_table(spark, base)
+    want = s.filter(f"s_nationkey NOT IN ({k1}, {k2})")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert read_iceberg_table(spark, base, snapshot_id=sid0).count() == (
+        s.count()
+    )
+    assert read_iceberg_table(spark, base, snapshot_id=sid1).count() == (
+        want.count()
+    )
+
+    # the delete file is spec-shaped: content=2, equality_ids resolve
+    # to the identifier column, schema = identifier columns only
+    import pyarrow.parquet as pq
+
+    md = os.path.join(base, "metadata")
+    meta = json.load(
+        open(
+            os.path.join(
+                md,
+                f"v{int(open(os.path.join(md, 'version-hint.text')).read())}"
+                ".metadata.json",
+            )
+        )
+    )
+    _, manifests = read_avro_records(
+        os.path.join(base, meta["snapshots"][-1]["manifest-list"])
+    )
+    del_manifests = [m for m in manifests if m["content"] == 1]
+    assert len(del_manifests) == 1
+    assert del_manifests[0]["sequence_number"] == 2  # write=1, delete=2
+    _, entries = read_avro_records(
+        os.path.join(base, del_manifests[0]["manifest_path"])
+    )
+    dfile = entries[0]["data_file"]
+    assert dfile["content"] == 2
+    fid = {
+        f["name"]: f["id"] for f in meta["schemas"][0]["fields"]
+    }["s_nationkey"]
+    assert dfile["equality_ids"] == [fid]
+    tbl = pq.read_table(os.path.join(base, dfile["file_path"]))
+    assert tbl.column_names == ["s_nationkey"]
+    assert sorted(tbl.column(0).to_pylist()) == sorted([k1, k2])
+    assert tbl.num_rows == dfile["record_count"] == 2
+
+    # equality + position deletes COMPOSE in one snapshot chain
+    delete_rows_from_iceberg_table(spark, base, "s_suppkey % 5 = 0")
+    got2 = read_iceberg_table(spark, base)
+    want2 = s.filter(
+        f"s_nationkey NOT IN ({k1}, {k2}) AND s_suppkey % 5 <> 0"
+    )
+    assert sorted(map(tuple, got2.collect())) == sorted(
+        map(tuple, want2.collect())
+    )
+
+    # argument validation
+    with pytest.raises(ValueError):
+        delete_rows_from_iceberg_table(spark, base, "1=1", mode="equality")
+    with pytest.raises(ValueError):
+        delete_rows_from_iceberg_table(
+            spark, base, "1=1", mode="equality", equality_columns=["nope"]
+        )
+    with pytest.raises(ValueError):
+        delete_rows_from_iceberg_table(spark, base, "1=1", mode="upsert")
+
+
+def test_iceberg_equality_delete_sequence_scoping(spark, sf_small, tmp_path):
+    """The spec's sequence-number rule: an equality delete applies only
+    to data files with a STRICTLY OLDER data sequence number, so a row
+    re-inserted AFTER the delete commit survives — the semantics that
+    make equality deletes usable as upsert building blocks."""
+    from novelti_dingo_spark.sources.iceberg import (
+        delete_rows_from_iceberg_table,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    key = s.select("s_nationkey").orderBy("s_nationkey").head()[0]
+    victim = s.filter(F.col("s_nationkey") == key)
+    n_victim = victim.count()
+    assert n_victim > 0
+    write_iceberg_table(s, base)                       # seq 1
+    delete_rows_from_iceberg_table(                    # seq 2
+        spark, base, f"s_nationkey = {key}",
+        mode="equality", equality_columns=["s_nationkey"],
+    )
+    assert read_iceberg_table(spark, base).filter(
+        f"s_nationkey = {key}"
+    ).count() == 0
+    # re-insert the SAME keys after the delete: seq 3 > delete seq 2,
+    # so the delete must NOT touch them
+    write_iceberg_table(victim, base, mode="append")   # seq 3
+    back = read_iceberg_table(spark, base)
+    assert back.filter(f"s_nationkey = {key}").count() == n_victim
+    assert back.count() == s.count()
+
+
+def test_iceberg_equality_delete_null_safe_matching(spark, tmp_path):
+    """Equality deletes match NULL identifier values null-safely (spec:
+    null in a delete tuple matches null in the data) — a plain equi-join
+    would silently keep every null-keyed row."""
+    from novelti_dingo_spark.sources.iceberg import (
+        delete_rows_from_iceberg_table,
+    )
+
+    base = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "b")], "id int, k string"
+    )
+    write_iceberg_table(df, base)
+    delete_rows_from_iceberg_table(
+        spark, base, "k IS NULL", mode="equality", equality_columns=["k"]
+    )
+    got = sorted(r.id for r in read_iceberg_table(spark, base).collect())
+    assert got == [1, 4]
+
+
+def test_iceberg_time_travel_resolves_snapshot_schema_id(
+    spark, sf_small, tmp_path
+):
+    """Round-13 ADVICE fix: a time-travel read applies the SNAPSHOT's
+    schema-id, not the current schema. Simulated schema evolution (a
+    foreign writer adding a column): the old snapshot reads with the
+    old schema; the current read sees the evolved one; a snapshot
+    naming a vanished schema-id refuses."""
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    sid0 = write_iceberg_table(s, base)
+    md = os.path.join(base, "metadata")
+    v = int(open(os.path.join(md, "version-hint.text")).read())
+    mp = os.path.join(md, f"v{v}.metadata.json")
+    meta = json.load(open(mp))
+    old_schema = meta["schemas"][0]
+    new_schema = {
+        **old_schema,
+        "schema-id": 1,
+        "fields": old_schema["fields"]
+        + [
+            {
+                "id": 99,
+                "name": "s_extra",
+                "required": False,
+                "type": "string",
+            }
+        ],
+    }
+    meta["schemas"] = [old_schema, new_schema]
+    meta["current-schema-id"] = 1
+    json.dump(meta, open(mp, "w"))
+
+    pinned = read_iceberg_table(spark, base, snapshot_id=sid0)
+    assert [f.name for f in pinned.schema.fields] == [
+        "s_suppkey", "s_name", "s_nationkey"
+    ]
+    current = read_iceberg_table(spark, base)
+    assert [f.name for f in current.schema.fields][-1] == "s_extra"
+    assert current.filter("s_extra IS NOT NULL").count() == 0
+
+    # snapshot pointing at a schema-id the metadata no longer carries
+    meta["snapshots"][-1]["schema-id"] = 7
+    json.dump(meta, open(mp, "w"))
+    with pytest.raises(IcebergError):
+        read_iceberg_table(spark, base, snapshot_id=sid0)

@@ -825,6 +825,13 @@ EXPECT = {
         "partial_agg": True, "no_python_udf": True, "broadcast_joins": 1,
         "plan_must_contain": ["LeftAnti"],
     },
+    # round-13 equality deletes: TWO broadcast joins — the basename→
+    # sequence-number mapping (inner) plus the null-safe anti-join
+    # against the delete tuples scoped by data_seq < delete_seq
+    "iceberg_equality_delete_agg": {
+        "partial_agg": True, "no_python_udf": True, "broadcast_joins": 2,
+        "plan_must_contain": ["LeftAnti"],
+    },
     "lake_export_delta_agg": {
         "partial_agg": True, "no_python_udf": True,
         "plan_must_contain": ["Union"],
