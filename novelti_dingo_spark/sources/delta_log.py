@@ -38,8 +38,18 @@ Scale/semantics notes:
   shape, so checkpointed fixtures are honest. Time travel BELOW the
   oldest reachable state (JSON gone, no older checkpoint) raises a
   clear error rather than a silent wrong answer.
-- `protocol.minReaderVersion > 1` (column mapping, deletion vectors,
-  ...) raises UnsupportedDeltaFeature instead of mis-reading.
+- DELETION VECTORS (round-13, protocol v3 readerFeature): add actions
+  may carry a `deletionVector` descriptor naming a roaring bitmap of
+  row ordinals to skip (clean-room 64-bit-portable codec in
+  sources/roaring.py; storage 'u' uuid-file / 'p' absolute / 'i'
+  z85-inline, CRC-checked). Reads apply each file's bitmap as ONE
+  broadcast LEFT ANTI join on (file basename, _metadata.row_index);
+  `delete_rows_from_delta_table` writes the other direction — a
+  merge-on-read DELETE commit (remove + DV-bearing re-add per file,
+  protocol upgraded to v3/deletionVectors), data files untouched.
+- Protocol gating: minReaderVersion 2 (column mapping) and v3
+  readerFeatures beyond {deletionVectors} raise UnsupportedDeltaFeature
+  instead of mis-reading.
 """
 
 from __future__ import annotations
@@ -47,7 +57,9 @@ from __future__ import annotations
 import json
 import os
 import re
+import struct
 import time
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,6 +79,99 @@ class UnsupportedDeltaFeature(Exception):
 class DeltaLogError(Exception):
     """Structurally broken or incomplete log (e.g. vacuumed JSON with
     checkpoint-only history, no metaData action)."""
+
+
+_SUPPORTED_READER_FEATURES = {"deletionVectors"}
+
+
+def _check_protocol(p: dict) -> None:
+    """Gate on the table's protocol action. minReaderVersion 1 is the
+    base; 3 is accepted iff every listed readerFeature is implemented
+    here (round-13: deletionVectors). Version 2 (column mapping) and
+    v3 features beyond the supported set refuse loudly — silently
+    mis-reading a column-mapped or otherwise feature-gated table is
+    exactly what the protocol's feature gates exist to prevent."""
+    mrv = int(p.get("minReaderVersion", 1))
+    if mrv <= 1:
+        return
+    feats = p.get("readerFeatures")
+    if mrv == 3 and feats is not None:
+        extra = set(feats) - _SUPPORTED_READER_FEATURES
+        if extra:
+            raise UnsupportedDeltaFeature(
+                f"readerFeatures {sorted(extra)} are beyond this reader"
+            )
+        return
+    raise UnsupportedDeltaFeature(
+        f"minReaderVersion={mrv} (column mapping / unlisted v3 "
+        "features) is beyond this reader"
+    )
+
+
+def _dv_absolute_path(table_path: str, dv: dict) -> str:
+    """Resolve a deletion-vector descriptor's file location (spec:
+    storageType 'u' = relative, `pathOrInlineDv` is
+    <optional prefix><z85 of the 16-byte uuid> and the file is
+    <prefix>/deletion_vector_<canonical uuid>.bin under the table
+    root; 'p' = absolute path)."""
+    import uuid as _uuid
+
+    from .roaring import z85_decode
+
+    st = dv.get("storageType")
+    if st == "p":
+        return dv["pathOrInlineDv"]
+    if st == "u":
+        enc = dv["pathOrInlineDv"]
+        prefix, uuid_part = enc[:-20], enc[-20:]
+        u = _uuid.UUID(bytes=z85_decode(uuid_part))
+        name = f"deletion_vector_{u}.bin"
+        return (
+            os.path.join(table_path, prefix, name)
+            if prefix
+            else os.path.join(table_path, name)
+        )
+    raise UnsupportedDeltaFeature(
+        f"deletion vector storageType {st!r} is beyond this reader"
+    )
+
+
+def _read_dv_positions(table_path: str, dv: dict):
+    """Deletion-vector descriptor → sorted uint64 ordinal array, with
+    the spec's integrity checks (stored-size match, CRC-32, declared
+    cardinality)."""
+    import zlib
+
+    from .roaring import deserialize_roaring64, z85_decode
+
+    if dv.get("storageType") == "i":
+        data = z85_decode(dv["pathOrInlineDv"])[: int(dv["sizeInBytes"])]
+    else:
+        path = _dv_absolute_path(table_path, dv)
+        with open(path, "rb") as f:
+            raw = f.read()
+        if not raw or raw[0] != 1:
+            raise DeltaLogError(
+                f"DV file format version {raw[:1]!r} (expected 1)"
+            )
+        off = int(dv["offset"])
+        (stored_size,) = struct.unpack_from(">i", raw, off)
+        if stored_size != int(dv["sizeInBytes"]):
+            raise DeltaLogError(
+                f"DV size mismatch: stored {stored_size}, descriptor "
+                f"{dv['sizeInBytes']}"
+            )
+        data = raw[off + 4:off + 4 + stored_size]
+        (crc,) = struct.unpack_from(">I", raw, off + 4 + stored_size)
+        if crc != (zlib.crc32(data) & 0xFFFFFFFF):
+            raise DeltaLogError("DV checksum mismatch")
+    positions = deserialize_roaring64(data)
+    if len(positions) != int(dv["cardinality"]):
+        raise DeltaLogError(
+            f"DV cardinality mismatch: bitmap {len(positions)}, "
+            f"descriptor {dv['cardinality']}"
+        )
+    return positions
 
 
 def _log_path(table_path: str, version: int) -> str:
@@ -116,11 +221,7 @@ def _load_checkpoint(
     for r in rows:
         p = r.get("protocol")
         if p:
-            mrv = int(p.get("minReaderVersion", 1))
-            if mrv > 1:
-                raise UnsupportedDeltaFeature(
-                    f"minReaderVersion={mrv} in checkpoint"
-                )
+            _check_protocol(p)
         if r.get("metaData"):
             meta = r["metaData"]
         a = r.get("add")
@@ -131,6 +232,8 @@ def _load_checkpoint(
             pv = a.get("partitionValues")
             if isinstance(pv, list):
                 a = {**a, "partitionValues": dict(pv)}
+            if a.get("deletionVector") is None:
+                a = {k: v for k, v in a.items() if k != "deletionVector"}
             active[a["path"]] = a
         rm = r.get("remove")
         if rm:
@@ -187,13 +290,7 @@ def _replay(table_path: str, version: int | None) -> tuple[dict, dict, int]:
                     continue
                 action = json.loads(line)
                 if "protocol" in action:
-                    mrv = int(action["protocol"].get("minReaderVersion", 1))
-                    if mrv > 1:
-                        raise UnsupportedDeltaFeature(
-                            f"minReaderVersion={mrv} (column mapping / "
-                            "deletion vectors / v2 features) is beyond "
-                            "this reader"
-                        )
+                    _check_protocol(action["protocol"])
                 elif "metaData" in action:
                     meta = action["metaData"]
                 elif "add" in action:
@@ -235,6 +332,15 @@ def write_delta_checkpoint(
     # partitionValues as map<string,string> (an inferred empty struct
     # wouldn't even be writable to parquet)
     str_map = pa.map_(pa.string(), pa.string())
+    dv_struct = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
     cp_schema = pa.schema(
         [
             (
@@ -243,6 +349,8 @@ def write_delta_checkpoint(
                     [
                         ("minReaderVersion", pa.int32()),
                         ("minWriterVersion", pa.int32()),
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
@@ -268,6 +376,7 @@ def write_delta_checkpoint(
                         ("size", pa.int64()),
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        ("deletionVector", dv_struct),
                     ]
                 ),
             ),
@@ -281,16 +390,29 @@ def write_delta_checkpoint(
         "configuration": list((meta.get("configuration") or {}).items()),
         "createdTime": meta.get("createdTime"),
     }
-    rows = [
+    has_dvs = any(a.get("deletionVector") for a in active.values())
+    proto_row = (
         {
-            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
-            "metaData": None,
-            "add": None,
-        },
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+        if has_dvs
+        else {
+            "minReaderVersion": 1,
+            "minWriterVersion": 2,
+            "readerFeatures": None,
+            "writerFeatures": None,
+        }
+    )
+    rows = [
+        {"protocol": proto_row, "metaData": None, "add": None},
         {"protocol": None, "metaData": meta_row, "add": None},
     ]
     for p in sorted(active):
         a = active[p]
+        dv = a.get("deletionVector")
         rows.append(
             {
                 "protocol": None,
@@ -303,6 +425,17 @@ def write_delta_checkpoint(
                     "size": int(a.get("size", 0)),
                     "modificationTime": int(a.get("modificationTime", 0)),
                     "dataChange": False,
+                    "deletionVector": (
+                        {
+                            "storageType": dv["storageType"],
+                            "pathOrInlineDv": dv["pathOrInlineDv"],
+                            "offset": int(dv.get("offset") or 0),
+                            "sizeInBytes": int(dv["sizeInBytes"]),
+                            "cardinality": int(dv["cardinality"]),
+                        }
+                        if dv
+                        else None
+                    ),
                 },
             }
         )
@@ -322,6 +455,19 @@ def write_delta_checkpoint(
         lc_tmp, os.path.join(table_path, _LOG_DIR, "_last_checkpoint")
     )
     return version
+
+
+def _pv_serialize(v) -> str | None:
+    """A python filter value in Delta's partitionValues serialization
+    (round-13 ADVICE fix: raw str() never matches foreign tables —
+    str(None)='None' can't match JSON null, str(True)='True' differs
+    from the spec's lowercase booleans, str(3.0) may differ from the
+    writer's float spelling). None stays None to match JSON null."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
 
 
 def delta_table_version(table_path: str) -> int:
@@ -361,17 +507,69 @@ def read_delta_table(
             p: a
             for p, a in active.items()
             if all(
-                a.get("partitionValues", {}).get(c) == str(v)
+                a.get("partitionValues", {}).get(c) == _pv_serialize(v)
                 for c, v in partition_filter.items()
             )
         }
     if not active:
         return spark.createDataFrame([], full_schema)
+
+    def _keyed_scan(scan: DataFrame) -> DataFrame:
+        """The scan plus a `_file_base` column (basename from
+        `_metadata.file_path`, resolved AT SCAN TIME — reliable after
+        joins, unlike input_file_name) with deletion vectors applied.
+
+        DVs (round-13, protocol v3 readerFeature): each DV-bearing add
+        names the ordinals to skip in its file. The bitmaps are
+        log-tier control metadata only the driver can see — decode
+        them here and apply ONE distributed broadcast LEFT ANTI join
+        on (file basename, `_metadata.row_index`), the same
+        ordinal-join shape as Iceberg position deletes. DV cardinality
+        is bounded by uncompacted deletes (writers compact files once
+        DVs grow), so the broadcast side stays dimension-sized; the
+        descriptor's `cardinality` field is the knob a reader can use
+        to switch strategies if a foreign table ever ships huge DVs."""
+        dv_adds = {
+            p: a for p, a in active.items() if a.get("deletionVector")
+        }
+        keyed = scan.select(
+            "*",
+            F.substring_index(
+                F.col("_metadata.file_path"), "/", -1
+            ).alias("_file_base"),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+        )
+        if not dv_adds:
+            return keyed.drop("_dv_pos")
+        rows = []
+        for p in sorted(dv_adds):
+            base = p.split("/")[-1]
+            for pos in _read_dv_positions(
+                table_path, dv_adds[p]["deletionVector"]
+            ):
+                rows.append((base, int(pos)))
+        dels = spark.createDataFrame(
+            rows, "_del_base string, _del_pos long"
+        )
+        return keyed.join(
+            F.broadcast(dels),
+            (F.col("_file_base") == F.col("_del_base"))
+            & (F.col("_dv_pos") == F.col("_del_pos")),
+            "left_anti",
+        ).drop("_dv_pos")
+
+    has_dvs = any(a.get("deletionVector") for a in active.values())
+    basenames = [p.split("/")[-1] for p in active]
+    if has_dvs and len(set(basenames)) != len(basenames):
+        raise UnsupportedDeltaFeature(
+            "data-file basenames are not unique — deletion-vector "
+            "matching by basename would be ambiguous"
+        )
+
     if not part_cols:
         paths = [os.path.join(table_path, p) for p in sorted(active)]
-        return spark.read.schema(data_schema).parquet(*paths).select(
-            *[f.name for f in full_schema.fields]
-        )
+        scan = _keyed_scan(spark.read.schema(data_schema).parquet(*paths))
+        return scan.select(*[f.name for f in full_schema.fields])
     # Partition values live ONLY in the log (spec: partition columns
     # are not written into data files), so they must be re-attached.
     # Scale shape: ONE multi-file scan + a BROADCAST (file → partition
@@ -399,13 +597,12 @@ def read_delta_table(
             + [T.StructField(c, T.StringType()) for c in part_cols]
         )
         mapping = spark.createDataFrame(rows, map_schema)
-        scan = spark.read.schema(data_schema).parquet(
-            *[os.path.join(table_path, p) for p in sorted(active)]
+        keyed = _keyed_scan(
+            spark.read.schema(data_schema).parquet(
+                *[os.path.join(table_path, p) for p in sorted(active)]
+            )
         )
-        joined = scan.withColumn(
-            "_file_base",
-            F.substring_index(F.input_file_name(), "/", -1),
-        ).join(F.broadcast(mapping), "_file_base")
+        joined = keyed.join(F.broadcast(mapping), "_file_base")
         return joined.select(
             *[
                 F.col(f.name).cast(types[f.name]).alias(f.name)
@@ -413,6 +610,12 @@ def read_delta_table(
                 else F.col(f.name)
                 for f in full_schema.fields
             ]
+        )
+    if has_dvs:
+        raise UnsupportedDeltaFeature(
+            "deletion vectors on a table whose file basenames are not "
+            "clean/unique — the per-partition union fallback cannot "
+            "key the ordinal anti-join"
         )
     by_pv: dict[tuple, list[str]] = {}
     for p, a in sorted(active.items()):
@@ -465,8 +668,32 @@ def write_delta_table(
     latest = max(versions[-1] if versions else -1, cps[-1] if cps else -1)
     version = latest + 1
     prior: dict[str, dict] = {}
-    if latest >= 0 and mode == "overwrite":
-        prior, _, _ = _replay(table_path, None)
+    if latest >= 0:
+        prior_active, prior_meta, _ = _replay(table_path, None)
+        # writing into an existing table must honor its metaData
+        # (round-13 ADVICE fix: an append with different partitioning
+        # or schema would commit adds whose partitionValues don't match
+        # metaData.partitionColumns, and reads would silently inject
+        # nulls instead of failing)
+        t_parts = list(prior_meta.get("partitionColumns", []))
+        if partition_by != t_parts:
+            raise DeltaLogError(
+                f"table is partitioned by {t_parts}, write requested "
+                f"{partition_by} — repartitioning needs an explicit "
+                "table rewrite, not a commit"
+            )
+        t_schema = StructType.fromJson(
+            json.loads(prior_meta["schemaString"])
+        )
+        t_shape = [(f.name, f.dataType) for f in t_schema.fields]
+        df_shape = [(f.name, f.dataType) for f in df.schema.fields]
+        if df_shape != t_shape:
+            raise DeltaLogError(
+                f"df schema {df_shape} does not match the table's "
+                f"recorded schema {t_shape}"
+            )
+        if mode == "overwrite":
+            prior = prior_active
 
     staging = os.path.join(table_path, f"_staging-{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
@@ -482,11 +709,21 @@ def write_delta_table(
                 continue
             src = os.path.join(root, name)
             rel_dir = os.path.relpath(root, staging)
-            pv: dict[str, str] = {}
+            pv: dict[str, str | None] = {}
             if rel_dir != ".":
                 for seg in rel_dir.split(os.sep):
                     c, _, v = seg.partition("=")
-                    pv[c] = v
+                    # directory names are Hive-ESCAPED (Spark URL-
+                    # encodes spaces, '=', ':' ... and writes nulls as
+                    # the sentinel dir); partitionValues must hold the
+                    # REAL value — spec: null partition value is JSON
+                    # null, strings are unescaped (round-13 ADVICE fix:
+                    # a verbatim copy corrupts every escaped value for
+                    # any standard Delta reader)
+                    if v == "__HIVE_DEFAULT_PARTITION__":
+                        pv[c] = None
+                    else:
+                        pv[c] = urllib.parse.unquote(v)
             fname = f"part-{uuid.uuid4().hex}.snappy.parquet"
             rel = (
                 os.path.join(rel_dir, fname) if rel_dir != "." else fname
@@ -555,6 +792,166 @@ def write_delta_table(
     # `spark` kept as the session handle for parity with the other
     # sources' signatures (and future FS-API generalization)
     _ = spark
+    return version
+
+
+def delete_rows_from_delta_table(
+    spark: SparkSession,
+    table_path: str,
+    condition,
+) -> int:
+    """Commit DELETION VECTORS for every current row matching
+    `condition` (a Column or SQL string) — the protocol's merge-on-read
+    delete: data files are untouched; each affected file gets a new add
+    action carrying a DV descriptor whose roaring bitmap (clean-room
+    codec, sources/roaring.py) names the ordinals to skip, preceded by
+    a remove of the DV-less add. All per-file bitmaps pack into ONE
+    `deletion_vector_<uuid>.bin` (spec storage format: version byte,
+    then per DV <size big-endian><bitmap><crc32>), addressed by
+    storageType 'u' + z85(uuid) + per-file offset. Existing DVs merge
+    in (the spec requires each new DV to supersede, not increment).
+    The commit upgrades the protocol to v3 with the deletionVectors
+    reader/writer feature. Time travel to pre-delete versions still
+    reads the full files. Returns the committed version; if nothing
+    matches, returns the current version without committing."""
+    import uuid as _uuid
+    import zlib
+
+    from .roaring import serialize_roaring64, z85_encode
+
+    active, meta, latest = _replay(table_path, None)
+    if not active:
+        raise DeltaLogError("no data files to delete from")
+    full_schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns", []))
+    data_schema = StructType(
+        [f for f in full_schema.fields if f.name not in part_cols]
+    )
+    basenames = [p.split("/")[-1] for p in active]
+    if len(set(basenames)) != len(basenames):
+        raise UnsupportedDeltaFeature(
+            "data-file basenames are not unique — cannot key "
+            "deletion vectors"
+        )
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    types = {f.name: f.dataType for f in full_schema.fields}
+    paths = [os.path.join(table_path, p) for p in sorted(active)]
+    keyed = spark.read.schema(data_schema).parquet(*paths).select(
+        "*",
+        F.substring_index(F.col("_metadata.file_path"), "/", -1).alias(
+            "_file_base"
+        ),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+    if part_cols:
+        # typed partition values ride in on the same broadcast mapping
+        # the reader uses, so `condition` may reference them
+        rows = []
+        for p, a in sorted(active.items()):
+            pv = a.get("partitionValues", {})
+            rows.append(
+                (p.split("/")[-1], *[pv.get(c) for c in part_cols])
+            )
+        map_schema = T.StructType(
+            [T.StructField("_file_base", T.StringType())]
+            + [T.StructField(c, T.StringType()) for c in part_cols]
+        )
+        mapping = spark.createDataFrame(rows, map_schema)
+        keyed = keyed.join(F.broadcast(mapping), "_file_base").select(
+            "_file_base",
+            "_pos",
+            *[
+                F.col(c).cast(types[c]).alias(c) if c in part_cols
+                else F.col(c)
+                for c in [f.name for f in full_schema.fields]
+            ],
+        )
+    hits = (
+        keyed.filter(cond)
+        .select("_file_base", "_pos")
+        .orderBy("_file_base", "_pos")
+        .collect()
+    )
+    per_file: dict[str, list[int]] = {}
+    for r in hits:
+        per_file.setdefault(r["_file_base"], []).append(int(r["_pos"]))
+    if not per_file:
+        return latest
+
+    base_to_path = {p.split("/")[-1]: p for p in active}
+    dv_uuid = _uuid.uuid4()
+    blob = bytearray([1])  # DV file format version
+    descriptors: dict[str, dict] = {}
+    for base in sorted(per_file):
+        merged = set(per_file[base])
+        old_dv = active[base_to_path[base]].get("deletionVector")
+        if old_dv:
+            merged.update(
+                int(x) for x in _read_dv_positions(table_path, old_dv)
+            )
+        data = serialize_roaring64(sorted(merged))
+        off = len(blob)
+        blob += struct.pack(">i", len(data))
+        blob += data
+        blob += struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+        descriptors[base] = {
+            "storageType": "u",
+            "pathOrInlineDv": z85_encode(dv_uuid.bytes),
+            "offset": off,
+            "sizeInBytes": len(data),
+            "cardinality": len(merged),
+        }
+    dv_name = f"deletion_vector_{dv_uuid}.bin"
+    tmp = os.path.join(table_path, f".{dv_name}.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "wb") as f:
+        f.write(bytes(blob))
+    os.replace(tmp, os.path.join(table_path, dv_name))
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        }
+    ]
+    for base in sorted(per_file):
+        p = base_to_path[base]
+        a = active[p]
+        actions.append(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+        new_add = {
+            k: v for k, v in a.items() if k != "deletionVector"
+        }
+        new_add["dataChange"] = True
+        new_add["deletionVector"] = descriptors[base]
+        actions.append({"add": new_add})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DELETE",
+                "operationParameters": {},
+                "engineInfo": "novelti-dingo-spark clean-room writer",
+            }
+        }
+    )
+    version = latest + 1
+    tmp = _log_path(table_path, version) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        for a in actions:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    os.replace(tmp, _log_path(table_path, version))
     return version
 
 

@@ -261,3 +261,290 @@ def test_export_versioned_lake_version_for_version(spark, sf_small, tmp_path):
     m3 = export_versioned_lake_to_delta(spark, lake, delta)
     assert m3 == {1: 0, 2: 1, 3: 2}
     assert read_delta_table(spark, delta).count() == 3
+
+
+def test_delta_partition_values_unescaped_and_null_sentinel(spark, tmp_path):
+    """Round-13 ADVICE fixes: partitionValues in the log hold the REAL
+    values — Hive URL-escaping undone ('a b', 'x=y', '10:30' survive),
+    nulls recorded as JSON null (not the __HIVE_DEFAULT_PARTITION__
+    sentinel string) — and partition_filter matches None against JSON
+    null and booleans against the spec's lowercase serialization."""
+    base = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            (1, "a b"),
+            (2, "x=y"),
+            (3, "10:30"),
+            (4, None),
+        ],
+        "id int, k string",
+    )
+    write_delta_table(df, base, partition_by=["k"])
+
+    log0 = os.path.join(base, "_delta_log", f"{0:020d}.json")
+    pvs = [
+        json.loads(x)["add"]["partitionValues"]["k"]
+        for x in open(log0)
+        if x.strip() and "add" in json.loads(x)
+    ]
+    assert sorted(pvs, key=lambda v: (v is None, v)) == [
+        "10:30", "a b", "x=y", None
+    ]
+
+    # values round-trip exactly through the injected partition column
+    back = read_delta_table(spark, base)
+    assert sorted(
+        map(tuple, back.collect()), key=lambda t: t[0]
+    ) == [(1, "a b"), (2, "x=y"), (3, "10:30"), (4, None)]
+
+    # None filter matches the JSON-null partition
+    got = read_delta_table(spark, base, partition_filter={"k": None})
+    assert [tuple(r) for r in got.collect()] == [(4, None)]
+    got2 = read_delta_table(spark, base, partition_filter={"k": "a b"})
+    assert [tuple(r) for r in got2.collect()] == [(1, "a b")]
+
+    # boolean partitions serialize lowercase; True must match "true"
+    base2 = str(tmp_path / "b")
+    bdf = spark.createDataFrame(
+        [(1, True), (2, False)], "id int, flag boolean"
+    )
+    write_delta_table(bdf, base2, partition_by=["flag"])
+    log0b = os.path.join(base2, "_delta_log", f"{0:020d}.json")
+    bpvs = {
+        json.loads(x)["add"]["partitionValues"]["flag"]
+        for x in open(log0b)
+        if x.strip() and "add" in json.loads(x)
+    }
+    assert bpvs == {"true", "false"}
+    gotb = read_delta_table(spark, base2, partition_filter={"flag": True})
+    assert [tuple(r) for r in gotb.collect()] == [(1, True)]
+
+
+def test_delta_append_validates_against_metadata(spark, sf_small, tmp_path):
+    """Round-13 ADVICE fix: a write into an existing table must match
+    the recorded metaData — different partition_by or schema raises
+    instead of committing adds whose partitionValues silently read as
+    nulls."""
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    write_delta_table(s, base, partition_by=["s_nationkey"])
+
+    # append without the table's partitioning → loud error
+    with pytest.raises(DeltaLogError):
+        write_delta_table(s, base, mode="append")
+    # append with a different schema → loud error
+    with pytest.raises(DeltaLogError):
+        write_delta_table(
+            s.withColumn("extra", F.lit(1)), base, mode="append",
+            partition_by=["s_nationkey"],
+        )
+    # conforming append still works
+    write_delta_table(
+        s, base, mode="append", partition_by=["s_nationkey"]
+    )
+    assert read_delta_table(spark, base).count() == 2 * s.count()
+
+
+def test_delta_deletion_vectors_roundtrip(spark, sf_small, tmp_path):
+    """Round-13: deletion vectors, both directions.
+    delete_rows_from_delta_table commits a merge-on-read DELETE —
+    remove + DV-bearing re-add per affected file over untouched data
+    files, protocol upgraded to v3 with the deletionVectors feature —
+    and reads skip exactly the bitmap'd ordinals via the broadcast
+    anti-join. Time travel to the pre-delete version still reads
+    everything; a second delete MERGES into the existing DVs."""
+    from novelti_dingo_spark.sources.delta_log import (
+        delete_rows_from_delta_table,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier").repartition(3)
+    write_delta_table(s, base)
+    v1 = delete_rows_from_delta_table(spark, base, "s_suppkey % 3 = 0")
+    assert v1 == 1
+
+    got = read_delta_table(spark, base)
+    want = s.filter("s_suppkey % 3 <> 0")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # pre-delete version unaffected (merge-on-read, files untouched)
+    assert read_delta_table(spark, base, version=0).count() == s.count()
+
+    # the commit is spec-shaped: protocol v3 + deletionVectors feature,
+    # DV adds carry storageType 'u' descriptors, the .bin file exists
+    log1 = os.path.join(base, "_delta_log", f"{1:020d}.json")
+    actions = [json.loads(x) for x in open(log1) if x.strip()]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minReaderVersion"] == 3
+    assert proto["readerFeatures"] == ["deletionVectors"]
+    dv_adds = [a["add"] for a in actions if "add" in a]
+    assert dv_adds and all(a["deletionVector"] for a in dv_adds)
+    dv = dv_adds[0]["deletionVector"]
+    assert dv["storageType"] == "u"
+    bins = [n for n in os.listdir(base) if n.startswith("deletion_vector_")]
+    assert len(bins) == 1
+    # removes precede the re-adds for the same paths
+    removed = {a["remove"]["path"] for a in actions if "remove" in a}
+    assert removed == {a["path"] for a in dv_adds}
+
+    # second delete merges (supersedes) per spec — cardinality grows
+    delete_rows_from_delta_table(spark, base, "s_suppkey % 3 = 1")
+    got2 = read_delta_table(spark, base)
+    want2 = s.filter("s_suppkey % 3 = 2")
+    assert sorted(map(tuple, got2.collect())) == sorted(
+        map(tuple, want2.collect())
+    )
+
+    # delete matching nothing: no commit
+    v_before = delta_table_version(base)
+    assert delete_rows_from_delta_table(spark, base, "1 = 0") == v_before
+    assert delta_table_version(base) == v_before
+
+
+def test_delta_dv_partitioned_checkpoint_and_inline(spark, sf_small, tmp_path):
+    """DVs compose with everything around them: a condition referencing
+    the (log-only) partition column works; the DV survives a checkpoint
+    + JSON cleanup; and the inline ('i') and absolute-path ('p')
+    storage types read back identically to 'u'."""
+    from novelti_dingo_spark.sources.delta_log import (
+        _dv_absolute_path,
+        _read_dv_positions,
+        delete_rows_from_delta_table,
+        write_delta_checkpoint,
+    )
+    from novelti_dingo_spark.sources.roaring import (
+        serialize_roaring64,
+        z85_encode,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    key = s.select("s_nationkey").orderBy("s_nationkey").head()[0]
+    write_delta_table(s, base, partition_by=["s_nationkey"])
+    delete_rows_from_delta_table(
+        spark, base, f"s_nationkey = {key} OR s_suppkey % 4 = 0"
+    )
+    want = s.filter(f"NOT (s_nationkey = {key} OR s_suppkey % 4 = 0)")
+    got = read_delta_table(spark, base)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # partition pruning composes with DV application
+    pf = read_delta_table(spark, base, partition_filter={"s_nationkey": key})
+    assert pf.count() == 0
+
+    # checkpoint carries the DV descriptors; early JSON removable
+    cp = write_delta_checkpoint(base)
+    for v in range(cp):
+        os.remove(os.path.join(base, "_delta_log", f"{v:020d}.json"))
+    got_cp = read_delta_table(spark, base)
+    assert sorted(map(tuple, got_cp.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # inline and absolute-path storage types: rewrite one DV add to
+    # 'i' (z85 of the same bitmap) and then 'p' — same rows back
+    last = delta_table_version(base)
+    log = os.path.join(base, "_delta_log", f"{last:020d}.json")
+
+    def rewrite(transform):
+        cp_actions = [json.loads(x) for x in open(log) if x.strip()]
+        out = []
+        for a in cp_actions:
+            if "add" in a and a["add"].get("deletionVector"):
+                a = {"add": {**a["add"], "deletionVector": transform(
+                    a["add"]["deletionVector"]
+                )}}
+            out.append(a)
+        with open(log, "w") as f:
+            for a in out:
+                f.write(json.dumps(a) + "\n")
+
+    # the checkpoint seeded state; add a fresh commit so JSON wins
+    def to_inline(dv):
+        pos = _read_dv_positions(base, dv)
+        data = serialize_roaring64(pos)
+        pad = (-len(data)) % 4
+        return {
+            "storageType": "i",
+            "pathOrInlineDv": z85_encode(data + b"\x00" * pad),
+            "sizeInBytes": len(data),
+            "cardinality": int(len(pos)),
+        }
+
+    def to_abs(dv):
+        return {**dv, "storageType": "p",
+                "pathOrInlineDv": _dv_absolute_path(base, dv)}
+
+    import shutil
+
+    for transform in (to_inline, to_abs):
+        base2 = str(tmp_path / f"v_{transform.__name__}")
+        shutil.copytree(base, base2)
+        log2 = os.path.join(
+            base2, "_delta_log", f"{delta_table_version(base2):020d}.json"
+        )
+        cp_pq = [
+            n
+            for n in os.listdir(os.path.join(base2, "_delta_log"))
+            if n.endswith(".checkpoint.parquet")
+        ]
+        # rewrite the checkpoint's sibling JSON? The DV adds live in the
+        # checkpoint now — simplest: read current state and rewrite as a
+        # fresh JSON commit with transformed descriptors
+        import pyarrow.parquet as pq
+
+        cp_rows = pq.read_table(
+            os.path.join(base2, "_delta_log", cp_pq[0])
+        ).to_pylist()
+        nxt = delta_table_version(base2) + 1
+        with open(
+            os.path.join(base2, "_delta_log", f"{nxt:020d}.json"), "w"
+        ) as f:
+            for r in cp_rows:
+                a = r.get("add")
+                if a and a.get("deletionVector"):
+                    dv = dict(a["deletionVector"])
+                    if transform is to_abs:
+                        dv = to_abs(dv)
+                    else:
+                        dv = to_inline(dv)
+                    f.write(json.dumps({"add": {
+                        "path": a["path"],
+                        "partitionValues": dict(a["partitionValues"]),
+                        "size": a["size"],
+                        "modificationTime": a["modificationTime"],
+                        "dataChange": False,
+                        "deletionVector": dv,
+                    }}) + "\n")
+        got_t = read_delta_table(spark, base2)
+        assert sorted(map(tuple, got_t.collect())) == sorted(
+            map(tuple, want.collect())
+        ), transform.__name__
+
+
+def test_delta_protocol_v3_feature_gating(spark, sf_small, tmp_path):
+    """v3 + deletionVectors reads fine; v3 with any OTHER readerFeature
+    (columnMapping, timestampNtz, ...) refuses loudly."""
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier").limit(5)
+    write_delta_table(s, base)
+    log0 = os.path.join(base, "_delta_log", f"{0:020d}.json")
+    lines = open(log0).read().splitlines()
+    lines[0] = json.dumps(
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}}
+    )
+    open(log0, "w").write("\n".join(lines) + "\n")
+    assert read_delta_table(spark, base).count() == 5
+
+    lines[0] = json.dumps(
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors", "columnMapping"],
+                      "writerFeatures": []}}
+    )
+    open(log0, "w").write("\n".join(lines) + "\n")
+    with pytest.raises(UnsupportedDeltaFeature):
+        read_delta_table(spark, base)

@@ -836,6 +836,12 @@ EXPECT = {
         "partial_agg": True, "no_python_udf": True,
         "plan_must_contain": ["Union"],
     },
+    # round-13 deletion vectors: decoded bitmap ordinals apply as one
+    # broadcast LEFT ANTI join on (basename, row ordinal) pre-agg
+    "delta_deletion_vector_agg": {
+        "partial_agg": True, "no_python_udf": True, "broadcast_joins": 1,
+        "plan_must_contain": ["LeftAnti"],
+    },
     # round-11 JDBC ingest: the scan must be the PARTITIONED parallel
     # extraction (numPartitions=4 → one bounded query per task), two-
     # phase agg on top
