@@ -1418,6 +1418,56 @@ def lake_export_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_export_iceberg_agg",
+    """
+    SELECT 'v1' AS snap, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+    FROM supplier WHERE s_suppkey % 2 = 0
+    UNION ALL
+    SELECT 'v2' AS snap, count(*) AS n, round(sum(s_acctbal), 2) AS bal
+    FROM supplier
+    """,
+    survey_rows="S2,S3,S5,U1,A5",
+)
+def lake_export_iceberg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EGRESS interop, Iceberg twin of lake_export_delta_agg (round-13
+    — the round-12 verdict's #3 item): the repo's OWN versioned lake
+    exports to an Iceberg table version for snapshot
+    (export_versioned_lake_to_iceberg), and a stock Iceberg-reading
+    consumer gets the same time-travel surface: lake v=1 (even-suppkey
+    half) ↔ snapshot 0, lake v=2 (full supplier) ↔ snapshot 1. Both
+    exported snapshots aggregated through the ICEBERG reader (snapshot
+    time travel) and hash-matched against DuckDB computing the same
+    states from the source parquet — publish → export → foreign-read,
+    value-exact."""
+    from ..pipelines import publish_versioned
+    from ..sources.iceberg import (
+        export_versioned_lake_to_iceberg,
+        iceberg_snapshots,
+        read_iceberg_table,
+    )
+
+    root = _delta_fixture_root(spark, sf_dir, "lake_export_ice")
+    lake = os.path.join(root, "lake")
+    ice = os.path.join(root, "iceberg")
+    s = load_table(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(ice, "metadata")):
+        publish_versioned(s.filter(F.col("s_suppkey") % 2 == 0), lake)
+        publish_versioned(s, lake)
+        export_versioned_lake_to_iceberg(spark, lake, ice)
+    snaps = [h["snapshot_id"] for h in iceberg_snapshots(ice)]
+    v1 = read_iceberg_table(spark, ice, snapshot_id=snaps[0])
+    v2 = read_iceberg_table(spark, ice, snapshot_id=snaps[1])
+
+    def agg(df: DataFrame, snap: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("s_acctbal"), 2).alias("bal"),
+        ).select(F.lit(snap).alias("snap"), "n", "bal")
+
+    return agg(v1, "v1").unionAll(agg(v2, "v2"))
+
+
+@register(
     "iceberg_row_delete_agg",
     """
     SELECT s_nationkey, count(*) AS n_suppliers,

@@ -507,3 +507,42 @@ def test_iceberg_time_travel_resolves_snapshot_schema_id(
     json.dump(meta, open(mp, "w"))
     with pytest.raises(IcebergError):
         read_iceberg_table(spark, base, snapshot_id=sid0)
+
+
+def test_export_versioned_lake_to_iceberg_version_for_snapshot(
+    spark, sf_small, tmp_path
+):
+    """The Iceberg twin of the Delta egress (round-13): the repo's own
+    lake exports one snapshot per lake version, idempotently — re-export
+    skips the committed prefix, new lake versions land as new
+    snapshots, and every exported snapshot is value-exact vs its lake
+    source through snapshot time travel."""
+    from novelti_dingo_spark.pipelines import publish_versioned, read_version
+    from novelti_dingo_spark.sources.iceberg import (
+        export_versioned_lake_to_iceberg,
+    )
+
+    lake = str(tmp_path / "lake")
+    ice = str(tmp_path / "ice")
+    s = load_table(spark, sf_small, "supplier")
+    publish_versioned(s.filter(F.col("s_suppkey") % 2 == 0), lake)
+    publish_versioned(s, lake)
+    mapping = export_versioned_lake_to_iceberg(spark, lake, ice)
+    assert sorted(mapping) == [1, 2]
+    assert [h["snapshot_id"] for h in iceberg_snapshots(ice)] == [
+        mapping[1], mapping[2]
+    ]
+    for lv, sid in mapping.items():
+        want, _ = read_version(spark, lake, lv)
+        got = read_iceberg_table(spark, ice, snapshot_id=sid)
+        assert sorted(map(tuple, got.select(*want.columns).collect())) == (
+            sorted(map(tuple, want.collect()))
+        )
+    # idempotent: nothing re-exports
+    assert export_versioned_lake_to_iceberg(spark, lake, ice) == mapping
+    assert len(iceberg_snapshots(ice)) == 2
+    # incremental: a third lake version lands as a third snapshot
+    publish_versioned(s.limit(3), lake)
+    m3 = export_versioned_lake_to_iceberg(spark, lake, ice)
+    assert sorted(m3) == [1, 2, 3] and m3[1] == mapping[1]
+    assert read_iceberg_table(spark, ice).count() == 3

@@ -836,6 +836,10 @@ EXPECT = {
         "partial_agg": True, "no_python_udf": True,
         "plan_must_contain": ["Union"],
     },
+    "lake_export_iceberg_agg": {
+        "partial_agg": True, "no_python_udf": True,
+        "plan_must_contain": ["Union"],
+    },
     # round-13 deletion vectors: decoded bitmap ordinals apply as one
     # broadcast LEFT ANTI join on (basename, row ordinal) pre-agg
     "delta_deletion_vector_agg": {
