@@ -163,12 +163,23 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         lo = start["next"]
         hi = min(lo + self.per_batch, self.rows)
-        # a LIST, not a generator: the wrapper prefetches on the driver
-        # and pickles the records out to executors
-        return list(self._gen(lo, hi)), {"next": hi}
+        # materialized driver-side (the wrapper prefetches and pickles
+        # the records out to executors) but returned AS AN ITERATOR:
+        # when the cursor is exhausted (end == start) the wrapper
+        # probes emptiness with next(it)/StopIteration, and a bare list
+        # raises TypeError there — killing the query WITH uncommitted
+        # prefetched batches still in its cache (found by the round-13
+        # broker-pipeline test, which is the first to drain a query to
+        # exhaustion while output still depends on later commits)
+        return iter(list(self._gen(lo, hi))), {"next": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return list(self._gen(start["next"], end["next"]))
+        # an ITERATOR, unlike read(): crash-recovery replay hands this
+        # straight to the executor-side scan, which rejects a list
+        # (DATA_SOURCE_INVALID_RETURN_TYPE — found by the round-13
+        # broker-pipeline composition test, the first to actually
+        # crash-restart a query over this source)
+        return self._gen(start["next"], end["next"])
 
     def _gen(self, lo: int, hi: int):
         part = _RangePartition(lo, hi)

@@ -51,20 +51,15 @@ EVENT_WIRE_SCHEMA = StructType(
 )
 
 
-def socket_events(
-    spark: SparkSession, host: str, port: int
-) -> DataFrame:
-    """readStream from a TCP socket, one JSON event per line, parsed
-    against the explicit wire schema. Returns (event columns...,
-    _corrupt flag) — malformed lines survive to this point as a row of
-    nulls with _corrupt=true so the caller chooses the dead-letter
-    policy instead of silently losing data."""
-    raw = (
-        spark.readStream.format("socket")
-        .option("host", host)
-        .option("port", str(port))
-        .load()
-    )
+def parse_event_lines(raw: DataFrame) -> DataFrame:
+    """The SOURCE-AGNOSTIC parse/dead-letter stage (round-13 factoring
+    for the broker-shaped composition test): `raw` is any batch or
+    streaming DataFrame with a string `value` column — socket bytes, a
+    Kafka record value, file lines, a replayable cursor source's wire
+    serialization. One JSON event per value, parsed against the
+    explicit wire schema; malformed lines survive as a row of nulls
+    with _corrupt=true so the caller chooses the dead-letter policy
+    instead of silently losing data."""
     parsed = raw.select(
         F.from_json(F.col("value"), EVENT_WIRE_SCHEMA).alias("e"),
         F.col("value").alias("_raw"),
@@ -75,6 +70,21 @@ def socket_events(
             "_corrupt"
         ),
     )
+
+
+def socket_events(
+    spark: SparkSession, host: str, port: int
+) -> DataFrame:
+    """readStream from a TCP socket, one JSON event per line, through
+    parse_event_lines — the source swap IS the format string, the
+    parse/dead-letter stage is shared."""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .load()
+    )
+    return parse_event_lines(raw)
 
 
 def socket_tumbling_counts(

@@ -1038,34 +1038,80 @@ def build_embeddings_clustered(
     the unit sphere — deterministic per (n, n_clusters, noise)."""
     out = _fixture_dir(f"embc_{n}_{n_clusters}_{noise}")
     path = os.path.join(out, "embeddings.parquet")
-    if not os.path.exists(path):
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+    if os.path.exists(path):
+        return out
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
-        rng = np.random.default_rng(0xC105 + n)
-        centers = rng.standard_normal((n_clusters, 64))
-        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-        vecs = np.empty((n, 64), dtype=np.float64)
-        chunk = 1 << 17
-        for lo in range(0, n, chunk):
-            hi = min(n, lo + chunk)
-            idx = np.arange(lo, hi) % n_clusters
-            v = centers[idx] + noise * rng.standard_normal((hi - lo, 64))
-            v /= np.linalg.norm(v, axis=1, keepdims=True)
-            vecs[lo:hi] = v
-        tbl = pa.table(
-            {
-                "vec_id": pa.array(range(n), pa.int64()),
-                "embedding": pa.array(
-                    vecs.astype(np.float32).tolist(), pa.list_(pa.float32())
-                ),
-                "label": pa.array(
-                    [int(i % 10) for i in range(n)], pa.int32()
-                ),
-            }
+    rng = np.random.default_rng(0xC105 + n)
+    centers = rng.standard_normal((n_clusters, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    if n > 10_000_000:
+        # 100M-decade path (round-13): stream through a ParquetWriter
+        # in 1M-row chunks with 128k-row row groups — the same shape
+        # as _build_embeddings_chunked (an in-memory build is ~50 GB
+        # of float64 at 100M, and 1M-row groups OOM the 32-way scan)
+        schema = pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.int32()),
+            ]
         )
-        pq.write_table(tbl, path)
+        chunk, row_group = 1_000_000, 131_072
+        tmp = path + ".tmp"
+        with pq.ParquetWriter(tmp, schema) as w:
+            for lo in range(0, n, chunk):
+                hi = min(n, lo + chunk)
+                idx = np.arange(lo, hi) % n_clusters
+                v = centers[idx] + noise * rng.standard_normal(
+                    (hi - lo, 64)
+                )
+                v /= np.linalg.norm(v, axis=1, keepdims=True)
+                flat = pa.array(v.astype(np.float32).ravel(), pa.float32())
+                offsets = pa.array(
+                    np.arange(0, (hi - lo + 1) * 64, 64, dtype=np.int32)
+                )
+                w.write_table(
+                    pa.table(
+                        {
+                            "vec_id": pa.array(
+                                np.arange(lo, hi, dtype=np.int64)
+                            ),
+                            "embedding": pa.ListArray.from_arrays(
+                                offsets, flat
+                            ),
+                            "label": pa.array(
+                                (np.arange(lo, hi) % 10).astype(np.int32)
+                            ),
+                        },
+                        schema=schema,
+                    ),
+                    row_group_size=row_group,
+                )
+        os.replace(tmp, path)
+        return out
+    vecs = np.empty((n, 64), dtype=np.float64)
+    chunk = 1 << 17
+    for lo in range(0, n, chunk):
+        hi = min(n, lo + chunk)
+        idx = np.arange(lo, hi) % n_clusters
+        v = centers[idx] + noise * rng.standard_normal((hi - lo, 64))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        vecs[lo:hi] = v
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                vecs.astype(np.float32).tolist(), pa.list_(pa.float32())
+            ),
+            "label": pa.array(
+                [int(i % 10) for i in range(n)], pa.int32()
+            ),
+        }
+    )
+    pq.write_table(tbl, path)
     return out
 
 
@@ -1109,12 +1155,24 @@ def run_ann_clustered(ns: list[int]) -> None:
             }
         e = load_table(spark, d, "embeddings")
         per_variant = {}
-        for tag, pq_k in (("res_k16", 16), ("res_k256", 256)):
+        # at the 100M decade one build is ~90 min (write-phase bound,
+        # SCALE.md round-12) — probe the QUALITY variant only there;
+        # the small-n sweep keeps both code rates
+        variants = (
+            (("res_k256", 256),)
+            if n > 10_000_000
+            else (("res_k16", 16), ("res_k256", 256))
+        )
+        for tag, pq_k in variants:
             base = os.path.join(d, f"ivfpq_{tag}")
             build_s = None
+            timings: dict = {}
             if not os.path.exists(os.path.join(base, "LATEST")):
                 t0 = time.perf_counter()
-                publish_ivfpq_index(spark, d, base, k_cells=k_cells, pq_k=pq_k)
+                publish_ivfpq_index(
+                    spark, d, base, k_cells=k_cells, pq_k=pq_k,
+                    timings=timings,
+                )
                 build_s = round(time.perf_counter() - t0, 3)
             adc_walls, rr_walls, adc_rec, rr_rec = [], [], [], []
             for vid, qv in qvs.items():
@@ -1139,6 +1197,7 @@ def run_ann_clustered(ns: list[int]) -> None:
                 rr_rec.append(len(got_rr & truth[vid]) / 10)
             per_variant[tag] = {
                 "build_s": build_s,
+                "phase_walls": timings or None,
                 "adc_probe_s": round(statistics.median(adc_walls), 3),
                 "rerank_probe_s": round(statistics.median(rr_walls), 3),
                 "recall_at_10_adc": round(statistics.mean(adc_rec), 3),
