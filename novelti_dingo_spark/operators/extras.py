@@ -1552,6 +1552,48 @@ def delta_deletion_vector_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_dv_compaction_agg",
+    """
+    SELECT s_nationkey, count(*) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier
+    WHERE s_suppkey % 3 <> 0
+    GROUP BY s_nationkey
+    """,
+    survey_rows="S2,S3,S5,A1",
+)
+def delta_dv_compaction_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE over merge-on-read deletes (round-13): supplier as a
+    multi-file Delta table, rows DV-deleted, then COMPACTED —
+    compact_delta_table rewrites only the DV-bearing files without
+    their deleted rows and commits remove + plain adds, so the current
+    snapshot scans with NO anti-join (the plan the post-compaction
+    reader gets is the plain pruned multi-file scan). The aggregate
+    over the compacted table hash-matches DuckDB filtering the source
+    parquet — the delete→compact rewrite is value-exact. Pre-compaction
+    time travel still applying the DVs is pinned in
+    tests/test_delta.py."""
+    from ..sources.delta_log import (
+        compact_delta_table,
+        delete_rows_from_delta_table,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    base = _delta_fixture_root(spark, sf_dir, "supplier_dv_opt")
+    s = load_table(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(base, "_delta_log")):
+        write_delta_table(s.repartition(4), base)
+        delete_rows_from_delta_table(spark, base, "s_suppkey % 3 = 0")
+        compact_delta_table(spark, base)
+    d = read_delta_table(spark, base)
+    return d.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
     "iceberg_equality_delete_agg",
     """
     SELECT s_nationkey, count(*) AS n_suppliers,

@@ -955,6 +955,127 @@ def delete_rows_from_delta_table(
     return version
 
 
+def compact_delta_table(spark: SparkSession, table_path: str) -> int:
+    """OPTIMIZE for the merge-on-read surface (round-13): rewrite every
+    DV-bearing file WITHOUT its deleted rows and commit remove + plain
+    add actions — the compaction real lakehouses run once deletion
+    vectors accumulate, restoring scan speed (no anti-join) and letting
+    retention eventually reclaim the superseded files. Files without a
+    DV are untouched (their add actions are not rewritten — compaction
+    cost is O(deleted-from files), not O(table)). Time travel to
+    pre-compaction versions still applies the DVs. Returns the
+    committed version; no DV-bearing files → current version,
+    no commit."""
+    active, meta, latest = _replay(table_path, None)
+    dv_adds = {
+        p: a for p, a in active.items() if a.get("deletionVector")
+    }
+    if not dv_adds:
+        return latest
+    full_schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns", []))
+    data_schema = StructType(
+        [f for f in full_schema.fields if f.name not in part_cols]
+    )
+    # one scan of ONLY the DV-bearing files, their bitmaps applied the
+    # same way the reader applies them, rewritten via the same staging
+    # path the writer uses
+    rows = []
+    for p in sorted(dv_adds):
+        base = p.split("/")[-1]
+        for pos in _read_dv_positions(
+            table_path, dv_adds[p]["deletionVector"]
+        ):
+            rows.append((base, int(pos)))
+    dels = spark.createDataFrame(rows, "_del_base string, _del_pos long")
+    scan = spark.read.schema(data_schema).parquet(
+        *[os.path.join(table_path, p) for p in sorted(dv_adds)]
+    )
+    keyed = scan.select(
+        "*",
+        F.substring_index(F.col("_metadata.file_path"), "/", -1).alias(
+            "_file_base"
+        ),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+    kept = keyed.join(
+        F.broadcast(dels),
+        (F.col("_file_base") == F.col("_del_base"))
+        & (F.col("_pos") == F.col("_del_pos")),
+        "left_anti",
+    )
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    new_adds: list[dict] = []
+    for p in sorted(dv_adds):
+        a = dv_adds[p]
+        pv = a.get("partitionValues", {})
+        sub = kept.filter(F.col("_file_base") == p.split("/")[-1]).select(
+            *[f.name for f in data_schema.fields]
+        )
+        staging = os.path.join(
+            table_path, f"_staging-{uuid.uuid4().hex}"
+        )
+        sub.coalesce(1).write.mode("overwrite").parquet(staging)
+        import shutil
+
+        moved = None
+        for name in sorted(os.listdir(staging)):
+            if name.endswith(".parquet"):
+                rel_dir = os.path.dirname(p)
+                fname = f"part-{uuid.uuid4().hex}.snappy.parquet"
+                rel = (
+                    os.path.join(rel_dir, fname) if rel_dir else fname
+                )
+                dst = os.path.join(table_path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(os.path.join(staging, name), dst)
+                moved = (rel.replace(os.sep, "/"), os.path.getsize(dst))
+                break
+        shutil.rmtree(staging, ignore_errors=True)
+        if moved is None:
+            raise DeltaLogError(f"compaction produced no output for {p}")
+        actions.append(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": False,
+                }
+            }
+        )
+        new_adds.append(
+            {
+                "add": {
+                    "path": moved[0],
+                    "partitionValues": pv,
+                    "size": moved[1],
+                    "modificationTime": now_ms,
+                    "dataChange": False,
+                }
+            }
+        )
+    actions.extend(new_adds)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "OPTIMIZE",
+                "operationParameters": {"auxiliaryAction": "purge-dvs"},
+                "engineInfo": "novelti-dingo-spark clean-room writer",
+            }
+        }
+    )
+    version = latest + 1
+    tmp = _log_path(table_path, version) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        for a in actions:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    os.replace(tmp, _log_path(table_path, version))
+    return version
+
+
 def export_versioned_lake_to_delta(
     spark: SparkSession,
     lake_base: str,

@@ -548,3 +548,39 @@ def test_delta_protocol_v3_feature_gating(spark, sf_small, tmp_path):
     open(log0, "w").write("\n".join(lines) + "\n")
     with pytest.raises(UnsupportedDeltaFeature):
         read_delta_table(spark, base)
+
+
+def test_delta_compaction_purges_deletion_vectors(spark, sf_small, tmp_path):
+    """OPTIMIZE after merge-on-read deletes: DV-bearing files rewrite
+    without their deleted rows (cost O(deleted-from files) — untouched
+    files keep their adds), the new snapshot carries NO deletion
+    vectors, reads are value-identical, and time travel to the
+    pre-compaction version still applies the DVs."""
+    from novelti_dingo_spark.sources.delta_log import (
+        _replay,
+        compact_delta_table,
+        delete_rows_from_delta_table,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier").repartition(3)
+    write_delta_table(s, base)
+    delete_rows_from_delta_table(spark, base, "s_suppkey % 3 = 0")
+    want = sorted(
+        map(tuple, s.filter("s_suppkey % 3 <> 0").collect())
+    )
+    v_dv = delta_table_version(base)
+
+    v_opt = compact_delta_table(spark, base)
+    assert v_opt == v_dv + 1
+    active, _, _ = _replay(base, None)
+    assert not any(a.get("deletionVector") for a in active.values())
+    assert sorted(map(tuple, read_delta_table(spark, base).collect())) == want
+    # pre-compaction version still reads through its DVs
+    assert sorted(
+        map(tuple, read_delta_table(spark, base, version=v_dv).collect())
+    ) == want
+    # v0 still has everything
+    assert read_delta_table(spark, base, version=0).count() == s.count()
+    # idempotent: nothing left to compact
+    assert compact_delta_table(spark, base) == v_opt

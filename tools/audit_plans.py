@@ -846,6 +846,12 @@ EXPECT = {
         "partial_agg": True, "no_python_udf": True, "broadcast_joins": 1,
         "plan_must_contain": ["LeftAnti"],
     },
+    # post-compaction the DVs are GONE: the plan must be the plain
+    # pruned scan + two-phase agg with NO anti-join left in it
+    "delta_dv_compaction_agg": {
+        "partial_agg": True, "no_python_udf": True,
+        "plan_must_not_contain": ["LeftAnti"],
+    },
     # round-11 JDBC ingest: the scan must be the PARTITIONED parallel
     # extraction (numPartitions=4 → one bounded query per task), two-
     # phase agg on top
