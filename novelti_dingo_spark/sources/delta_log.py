@@ -1076,6 +1076,71 @@ def compact_delta_table(spark: SparkSession, table_path: str) -> int:
     return version
 
 
+def vacuum_delta_table(
+    spark: SparkSession,
+    table_path: str,
+    retain_versions: int = 0,
+    dry_run: bool = False,
+) -> list[str]:
+    """VACUUM: physically delete data files (parquet AND deletion-
+    vector .bin files) that no RETAINED version references — the
+    reclamation step after overwrites, merge-on-read deletes, and
+    compactions leave superseded files behind. `retain_versions` = how
+    many versions BELOW the latest stay time-travelable (0 = only the
+    current state); versions older than the horizon become unreadable,
+    exactly like Delta's vacuum-vs-time-travel trade (here versioned
+    deterministically instead of by wall-clock retention so tests pin
+    it). The log itself is never touched — version history and the
+    atomic-visibility guarantee stay intact for the retained range.
+    Returns the deleted paths (relative); `dry_run` lists without
+    deleting."""
+    latest = delta_table_version(table_path)
+    horizon = max(0, latest - retain_versions)
+    referenced: set[str] = set()
+    for v in range(horizon, latest + 1):
+        try:
+            active, _, _ = _replay(table_path, v)
+        except DeltaLogError:
+            continue  # below the checkpoint floor: not reconstructable
+        for p, a in active.items():
+            referenced.add(p)
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") in ("u", "p"):
+                referenced.add(
+                    os.path.relpath(
+                        _dv_absolute_path(table_path, dv), table_path
+                    )
+                )
+    doomed: list[str] = []
+    for root, dirs, files in os.walk(table_path):
+        dirs[:] = [
+            d
+            for d in dirs
+            if d != _LOG_DIR and not d.startswith("_staging-")
+        ]
+        for name in files:
+            if not (
+                name.endswith(".parquet")
+                or (
+                    name.startswith("deletion_vector_")
+                    and name.endswith(".bin")
+                )
+            ):
+                continue
+            rel = os.path.relpath(
+                os.path.join(root, name), table_path
+            ).replace(os.sep, "/")
+            if rel not in referenced:
+                doomed.append(rel)
+    if not dry_run:
+        for rel in doomed:
+            try:
+                os.remove(os.path.join(table_path, rel))
+            except OSError:
+                pass
+    return sorted(doomed)
+
+
 def export_versioned_lake_to_delta(
     spark: SparkSession,
     lake_base: str,

@@ -744,6 +744,80 @@ def write_iceberg_table(
     return snapshot_id
 
 
+def expire_iceberg_snapshots(
+    table_path: str,
+    retain_last: int = 1,
+    dry_run: bool = False,
+) -> list[str]:
+    """EXPIRE SNAPSHOTS — Iceberg's reclamation verb (the twin of
+    vacuum_delta_table): drop all but the newest `retain_last`
+    snapshots from the metadata and physically delete every file
+    (manifest list, manifest, data/delete parquet) referenced ONLY by
+    the expired snapshots. The expired ids stop being time-travelable
+    — resolving them raises instead of reading partial state — while
+    retained snapshots keep their full file closure. Commits a new
+    vN.metadata.json (the metadata swap is the atomicity point, same
+    as every other commit here). Returns the deleted paths (relative);
+    `dry_run` lists without deleting or committing."""
+    meta, prior_v = _latest_metadata(table_path)
+    snaps = list(meta.get("snapshots", []))
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    if len(snaps) <= retain_last:
+        return []
+    kept, expired = snaps[-retain_last:], snaps[:-retain_last]
+    cur = meta.get("current-snapshot-id")
+    if cur is not None and cur not in {s["snapshot-id"] for s in kept}:
+        raise IcebergError(
+            "current snapshot would be expired — raise retain_last"
+        )
+
+    def closure(snapshot: dict) -> set[str]:
+        refs = {snapshot["manifest-list"]}
+        _, manifests = read_avro_records(
+            _abs_path(table_path, snapshot["manifest-list"])
+        )
+        for mf in manifests:
+            refs.add(mf["manifest_path"])
+            _, entries = read_avro_records(
+                _abs_path(table_path, mf["manifest_path"])
+            )
+            for e in entries:
+                refs.add(e["data_file"]["file_path"])
+        return refs
+
+    kept_refs: set[str] = set()
+    for s in kept:
+        kept_refs |= closure(s)
+    doomed: set[str] = set()
+    for s in expired:
+        doomed |= closure(s) - kept_refs
+    if dry_run:
+        return sorted(doomed)
+
+    new_meta = dict(meta)
+    new_meta["snapshots"] = kept
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    md = _metadata_dir(table_path)
+    new_v = prior_v + 1
+    tmp = os.path.join(
+        md, f".v{new_v}.metadata.json.tmp-{uuid.uuid4().hex}"
+    )
+    with open(tmp, "w") as f:
+        json.dump(new_meta, f)
+    os.replace(tmp, os.path.join(md, f"v{new_v}.metadata.json"))
+    hint_tmp = os.path.join(md, f".hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as f:
+        f.write(str(new_v))
+    os.replace(hint_tmp, os.path.join(md, "version-hint.text"))
+    for rel in sorted(doomed):
+        try:
+            os.remove(_abs_path(table_path, rel))
+        except OSError:
+            pass
+    return sorted(doomed)
+
+
 def export_versioned_lake_to_iceberg(
     spark: SparkSession,
     lake_base: str,

@@ -584,3 +584,51 @@ def test_delta_compaction_purges_deletion_vectors(spark, sf_small, tmp_path):
     assert read_delta_table(spark, base, version=0).count() == s.count()
     # idempotent: nothing left to compact
     assert compact_delta_table(spark, base) == v_opt
+
+
+def test_delta_vacuum_reclaims_unreferenced_files(spark, sf_small, tmp_path):
+    """VACUUM after the full merge-on-read lifecycle (write → DV delete
+    → compact): superseded parquet AND the DV .bin become unreferenced
+    and are reclaimed; the current read is untouched; retained versions
+    stay time-travelable; vacuumed-away versions fail loudly instead of
+    returning partial data; dry_run only lists."""
+    import os as _os
+
+    from novelti_dingo_spark.sources.delta_log import (
+        compact_delta_table,
+        delete_rows_from_delta_table,
+        vacuum_delta_table,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier").repartition(2)
+    write_delta_table(s, base)                                   # v0
+    delete_rows_from_delta_table(spark, base, "s_suppkey % 3 = 0")  # v1
+    v_opt = compact_delta_table(spark, base)                     # v2
+    want = sorted(map(tuple, s.filter("s_suppkey % 3 <> 0").collect()))
+
+    # dry run: lists the superseded originals + the DV bin, deletes none
+    listed = vacuum_delta_table(spark, base, dry_run=True)
+    assert any(p.startswith("deletion_vector_") for p in listed)
+    assert all(_os.path.exists(_os.path.join(base, p)) for p in listed)
+
+    # retain 1 version: v1 needs the ORIGINAL files + DV, so nothing
+    # from the v1 state may go; v0 shares those files here
+    kept_listed = vacuum_delta_table(spark, base, retain_versions=1)
+    assert kept_listed == []
+    assert sorted(
+        map(tuple, read_delta_table(spark, base, version=v_opt - 1).collect())
+    ) == want
+
+    # retain 0: originals + DV reclaimed; current read exact
+    gone = vacuum_delta_table(spark, base, retain_versions=0)
+    assert sorted(gone) == listed
+    assert all(not _os.path.exists(_os.path.join(base, p)) for p in gone)
+    assert sorted(map(tuple, read_delta_table(spark, base).collect())) == want
+
+    # pre-horizon time travel now fails loudly (files gone), never
+    # silently returns partial data
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_delta_table(spark, base, version=0).collect()

@@ -546,3 +546,49 @@ def test_export_versioned_lake_to_iceberg_version_for_snapshot(
     m3 = export_versioned_lake_to_iceberg(spark, lake, ice)
     assert sorted(m3) == [1, 2, 3] and m3[1] == mapping[1]
     assert read_iceberg_table(spark, ice).count() == 3
+
+
+def test_iceberg_expire_snapshots_reclaims_files(spark, sf_small, tmp_path):
+    """expireSnapshots (round-13, the vacuum twin): keep-last-N drops
+    older snapshots from the metadata and deletes every file only they
+    referenced — an overwritten first commit's data files and manifests
+    go, files shared with retained snapshots stay, expired ids raise on
+    time travel, and the current read is untouched."""
+    import os as _os
+
+    from novelti_dingo_spark.sources.iceberg import (
+        expire_iceberg_snapshots,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    even = s.filter(F.col("s_suppkey") % 2 == 0)
+    sid0 = write_iceberg_table(even, base)                  # snap 0
+    sid1 = write_iceberg_table(
+        s.filter(F.col("s_suppkey") % 2 == 1), base, mode="append"
+    )                                                       # snap 1
+    sid2 = write_iceberg_table(s.limit(5), base)            # snap 2 (overwrite)
+
+    # retain_last covering everything → no-op
+    assert expire_iceberg_snapshots(base, retain_last=3) == []
+
+    # dry run with keep-last-1: snap0+snap1's closure minus snap2's
+    listed = expire_iceberg_snapshots(base, retain_last=1, dry_run=True)
+    assert listed and all(
+        _os.path.exists(_os.path.join(base, p)) for p in listed
+    )
+    assert {p.split("/")[0] for p in listed} == {"data", "metadata"}
+
+    gone = expire_iceberg_snapshots(base, retain_last=1)
+    assert gone == listed
+    assert all(not _os.path.exists(_os.path.join(base, p)) for p in gone)
+    # current read exact; expired snapshot ids refuse
+    got = read_iceberg_table(spark, base)
+    assert got.count() == 5
+    assert [h["snapshot_id"] for h in iceberg_snapshots(base)] == [sid2]
+    for old in (sid0, sid1):
+        with pytest.raises(IcebergError):
+            read_iceberg_table(spark, base, snapshot_id=old)
+
+    with pytest.raises(ValueError):
+        expire_iceberg_snapshots(base, retain_last=0)
