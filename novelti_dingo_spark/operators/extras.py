@@ -1594,6 +1594,94 @@ def delta_dv_compaction_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_vacuum_agg",
+    """
+    SELECT s_nationkey, count(*) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier
+    WHERE s_suppkey % 3 <> 0
+    GROUP BY s_nationkey
+    """,
+    survey_rows="S2,S3,S5,A1",
+)
+def delta_vacuum_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL merge-on-read lifecycle, reclaimed (round-13): write →
+    DV delete → OPTIMIZE → VACUUM(retain 0). The vacuum physically
+    deletes the superseded originals and the deletion-vector .bin; the
+    aggregate over what remains on disk must still hash-match DuckDB
+    filtering the source parquet — value-exactness survives every
+    lifecycle step including physical reclamation. The fixture asserts
+    the vacuum actually removed files (a no-op vacuum would silently
+    pass the hash). Loud pre-horizon time-travel failure is pinned in
+    tests/test_delta.py."""
+    from ..sources.delta_log import (
+        compact_delta_table,
+        delete_rows_from_delta_table,
+        read_delta_table,
+        vacuum_delta_table,
+        write_delta_table,
+    )
+
+    base = _delta_fixture_root(spark, sf_dir, "supplier_dv_vac")
+    s = load_table(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(base, "_delta_log")):
+        write_delta_table(s.repartition(4), base)
+        delete_rows_from_delta_table(spark, base, "s_suppkey % 3 = 0")
+        compact_delta_table(spark, base)
+        gone = vacuum_delta_table(spark, base, retain_versions=0)
+        assert gone, "vacuum reclaimed nothing — fixture is wrong"
+    d = read_delta_table(spark, base)
+    return d.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
+    "iceberg_expire_snapshots_agg",
+    """
+    SELECT s_nationkey, count(*) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier
+    WHERE s_suppkey % 2 = 0
+    GROUP BY s_nationkey
+    """,
+    survey_rows="S2,S3,S5,A1",
+)
+def iceberg_expire_snapshots_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """expireSnapshots end-to-end (round-13, the Iceberg reclamation
+    twin): full supplier committed, then OVERWRITTEN by its even half,
+    then all but the newest snapshot expired — the old snapshot's data
+    files and manifests are physically deleted and the metadata swap
+    drops its id. The aggregate over the surviving table must
+    hash-match DuckDB computing the even half from the source parquet;
+    the fixture asserts files were actually reclaimed. Expired-id
+    refusal is pinned in tests/test_iceberg.py."""
+    from ..sources.iceberg import (
+        expire_iceberg_snapshots,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    base = _delta_fixture_root(spark, sf_dir, "ice_supplier_expire")
+    s = load_table(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(base, "metadata")):
+        write_iceberg_table(s, base)
+        write_iceberg_table(
+            s.filter(F.col("s_suppkey") % 2 == 0), base, mode="overwrite"
+        )
+        gone = expire_iceberg_snapshots(base, retain_last=1)
+        assert gone, "expire reclaimed nothing — fixture is wrong"
+    d = read_iceberg_table(spark, base)
+    return d.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
     "iceberg_equality_delete_agg",
     """
     SELECT s_nationkey, count(*) AS n_suppliers,

@@ -852,6 +852,15 @@ EXPECT = {
         "partial_agg": True, "no_python_udf": True,
         "plan_must_not_contain": ["LeftAnti"],
     },
+    # post-vacuum / post-expire reads are plain pruned scans too
+    "delta_vacuum_agg": {
+        "partial_agg": True, "no_python_udf": True,
+        "plan_must_not_contain": ["LeftAnti"],
+    },
+    "iceberg_expire_snapshots_agg": {
+        "partial_agg": True, "no_python_udf": True,
+        "plan_must_not_contain": ["LeftAnti"],
+    },
     # round-11 JDBC ingest: the scan must be the PARTITIONED parallel
     # extraction (numPartitions=4 → one bounded query per task), two-
     # phase agg on top
