@@ -1682,6 +1682,47 @@ def iceberg_expire_snapshots_agg(
 
 
 @register(
+    "iceberg_hidden_partition_agg",
+    """
+    SELECT count(*) AS n, round(sum(s_acctbal), 2) AS bal,
+           min(s_name) AS nm
+    FROM supplier WHERE s_suppkey = 13
+    """,
+    survey_rows="S2,S5,S7",
+)
+def iceberg_hidden_partition_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HIDDEN PARTITIONING (round-13): supplier committed with
+    partition_by=['bucket(4, s_suppkey)'] — the spec's bucket transform
+    over the clean-room murmur3 pinned against the Iceberg spec's own
+    Appendix-B hash vectors — and read back with a filter ON THE SOURCE
+    COLUMN (partition_filter={'s_suppkey': 13}): the reader applies the
+    transform to the filter value and prunes the manifest to the one
+    bucket's files, the user never names the function. The residual
+    in-bucket filter + aggregate hash-matches DuckDB filtering the
+    source parquet — a wrong hash (wrong bucket pruned) loses the row
+    and fails the gate. File-exact pruning is pinned in
+    tests/test_iceberg.py."""
+    from ..sources.iceberg import read_iceberg_table, write_iceberg_table
+
+    base = _delta_fixture_root(spark, sf_dir, "ice_supplier_hidden")
+    s = load_table(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(base, "metadata")):
+        write_iceberg_table(
+            s, base, partition_by=["bucket(4, s_suppkey)"]
+        )
+    d = read_iceberg_table(
+        spark, base, partition_filter={"s_suppkey": 13}
+    )
+    return d.filter(F.col("s_suppkey") == 13).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+        F.min("s_name").alias("nm"),
+    )
+
+
+@register(
     "iceberg_equality_delete_agg",
     """
     SELECT s_nationkey, count(*) AS n_suppliers,

@@ -161,6 +161,189 @@ def _schema_to_iceberg(schema: T.StructType, base_id: int = 1) -> dict:
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
+# ------------------------------------------------ partition transforms
+#
+# Iceberg's HIDDEN PARTITIONING (spec "Partition Transforms"): the
+# table partitions on a FUNCTION of a source column — bucket[N] =
+# (murmur3_x86_32(value) & MAX_INT) % N over a spec-defined byte
+# serialization (ints/longs as 8-byte little-endian, strings as UTF-8),
+# truncate[W] = v − (v mod W) for ints / first-W-chars for strings —
+# and readers prune with PREDICATES ON THE SOURCE COLUMN, never naming
+# the transform. The murmur3 here is clean-room from the public
+# algorithm (Austin Appleby, public domain) and pinned against the
+# Iceberg spec's own Appendix-B test vectors in tests/test_iceberg.py.
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit; returns a SIGNED int32 like the JVM."""
+    c1, c2, m = 0xCC9E2D51, 0x1B873593, 0xFFFFFFFF
+    h = seed
+    n4 = len(data) // 4 * 4
+    for i in range(0, n4, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & m
+        k = ((k << 15) | (k >> 17)) & m
+        k = (k * c2) & m
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & m
+        h = (h * 5 + 0xE6546B64) & m
+    k = 0
+    tail = data[n4:]
+    for i in range(len(tail) - 1, -1, -1):
+        k = (k << 8) | tail[i]
+    if tail:
+        k = (k * c1) & m
+        k = ((k << 15) | (k >> 17)) & m
+        k = (k * c2) & m
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & m
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & m
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def iceberg_bucket(value, n: int) -> int | None:
+    """The spec's bucket[N] transform for int/long/string values (null
+    → null, per spec)."""
+    if value is None:
+        return None
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        raise UnsupportedIcebergFeature(
+            f"bucket over {type(value).__name__} is beyond this writer"
+        )
+    if isinstance(value, int):
+        data = int(value).to_bytes(8, "little", signed=True)
+    else:
+        data = value.encode("utf-8")
+    return (murmur3_32(data) & 0x7FFFFFFF) % n
+
+
+def iceberg_truncate(value, w: int):
+    """The spec's truncate[W]: v − (v mod W) for ints (mod is always
+    positive), first W chars for strings; null → null."""
+    if value is None:
+        return None
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        raise UnsupportedIcebergFeature(
+            f"truncate over {type(value).__name__} is beyond this writer"
+        )
+    if isinstance(value, int):
+        return value - (value % w if value % w >= 0 else value % w + w)
+    return value[:w]
+
+
+def _murmur3_32_long_batch(vals):
+    """Vectorized murmur3 over int64 values serialized the spec's way
+    (8-byte little-endian): exactly two 4-byte blocks per value, so the
+    whole batch mixes as uint32 numpy arithmetic — no per-row Python in
+    the bucket-write hot path."""
+    import numpy as np
+
+    v = vals.astype(np.int64).view(np.uint64)
+    k_lo = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    k_hi = (v >> np.uint64(32)).astype(np.uint32)
+
+    def mix(k, h):
+        k = k * np.uint32(0xCC9E2D51)
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k = k * np.uint32(0x1B873593)
+        h = h ^ k
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        return h * np.uint32(5) + np.uint32(0xE6546B64)
+
+    with np.errstate(over="ignore"):
+        h = np.zeros(len(v), dtype=np.uint32)
+        h = mix(k_lo, h)
+        h = mix(k_hi, h)
+        h = h ^ np.uint32(8)
+        h ^= h >> np.uint32(16)
+        h = h * np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h = h * np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+    return h
+
+
+def _bucket_column(n: int, is_string: bool):
+    """pandas UDF computing the spec bucket[N] of a column."""
+    from pyspark.sql.functions import pandas_udf
+
+    if is_string:
+        def f(s):
+            return s.map(
+                lambda x: None if x is None else iceberg_bucket(x, n)
+            )
+    else:
+        def f(s):
+            import numpy as np
+            import pandas as pd
+
+            mask = s.isna().to_numpy()
+            h = _murmur3_32_long_batch(
+                s.fillna(0).to_numpy(dtype=np.int64)
+            )
+            b = (h.astype(np.int64) & 0x7FFFFFFF) % n
+            out = pd.Series(b, dtype="object")
+            out[mask] = None
+            return out
+
+    return pandas_udf(f, T.IntegerType())
+
+
+_TRANSFORM_RE = re.compile(
+    r"(bucket|truncate)\s*\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)"
+)
+
+
+def _parse_partition_spec(partition_by: list[str]) -> list[dict]:
+    """['s_nationkey', 'bucket(8, s_suppkey)', 'truncate(4, s_name)']
+    → [{source, transform, param, field_name}] (identity keeps the
+    source name; transforms get the spec's conventional result names
+    col_bucket / col_trunc)."""
+    out = []
+    for spec in partition_by:
+        m = _TRANSFORM_RE.fullmatch(spec.strip())
+        if m:
+            kind, param, col = m.group(1), int(m.group(2)), m.group(3)
+            suffix = "bucket" if kind == "bucket" else "trunc"
+            out.append(
+                {
+                    "source": col,
+                    "transform": f"{kind}[{param}]",
+                    "param": param,
+                    "field_name": f"{col}_{suffix}",
+                }
+            )
+        else:
+            out.append(
+                {
+                    "source": spec,
+                    "transform": "identity",
+                    "param": None,
+                    "field_name": spec,
+                }
+            )
+    return out
+
+
+def _apply_transform(transform: str, value):
+    """Transform a SOURCE value into its partition value (the pruning
+    comparison readers make from source-column predicates)."""
+    if transform == "identity":
+        return value
+    m = re.fullmatch(r"bucket\[(\d+)\]", transform)
+    if m:
+        return iceberg_bucket(value, int(m.group(1)))
+    m = re.fullmatch(r"truncate\[(\d+)\]", transform)
+    if m:
+        return iceberg_truncate(value, int(m.group(1)))
+    raise UnsupportedIcebergFeature(
+        f"partition transform {transform!r} is beyond this reader"
+    )
+
+
 # ----------------------------------------------------- metadata resolve
 
 def _metadata_dir(table_path: str) -> str:
@@ -285,16 +468,36 @@ def _live_files(
     equality-delete files (content=2) inside content=1 delete
     manifests, so a manifest-first router would silently misfile them
     as position deletes."""
+    # HIDDEN PARTITIONING (round-13): a filter names the SOURCE column;
+    # the reader applies the field's transform to the filter value and
+    # prunes on the transformed partition record — the user never
+    # spells the bucket/truncate function, which is the spec's point.
+    # `source_of` maps a spec field back to its source column name:
+    # identity fields carry it as their name; transform fields follow
+    # the writer's col_bucket/col_trunc convention (source-id → name
+    # resolution would need the schema, which callers that prune
+    # already resolved — the convention holds for this writer's tables
+    # and the common foreign naming).
+    filter_exprs: list[tuple[str, object]] = []
     if partition_filter:
-        by_name = {f["name"]: f for f in spec_fields}
-        for c in partition_filter:
-            f = by_name.get(c)
+        by_source: dict[str, dict] = {}
+        for f in spec_fields:
+            t = f.get("transform", "identity")
+            name = f["name"]
+            src = name
+            if t != "identity":
+                src = re.sub(r"_(bucket|trunc)$", "", name)
+            by_source[src] = f
+        for c, v in partition_filter.items():
+            f = by_source.get(c)
             if f is None:
-                raise ValueError(f"{c!r} is not a partition field")
-            if f.get("transform", "identity") != "identity":
-                raise UnsupportedIcebergFeature(
-                    f"partition_filter on transform {f['transform']!r}"
+                raise ValueError(f"{c!r} is not a partition source field")
+            filter_exprs.append(
+                (
+                    f["name"],
+                    _apply_transform(f.get("transform", "identity"), v),
                 )
+            )
     mlist = _abs_path(table_path, snap["manifest-list"])
     _, manifests = read_avro_records(mlist)
     live: list[dict] = []
@@ -338,10 +541,10 @@ def _live_files(
                 raise IcebergError(
                     "content=0 data file inside a delete manifest"
                 )
-            if partition_filter:
+            if filter_exprs:
                 pv = df_rec.get("partition") or {}
                 if not all(
-                    pv.get(c) == v for c, v in partition_filter.items()
+                    pv.get(name) == v for name, v in filter_exprs
                 ):
                     continue
             live.append(df_rec)
@@ -584,15 +787,23 @@ def write_iceberg_table(
         prior_v = 0
 
     dtypes = dict(df.dtypes)
+    pspecs = _parse_partition_spec(partition_by)
     part_avro_fields = []
-    for c in partition_by:
-        st = dtypes[c]
+    for sp in pspecs:
+        st = dtypes.get(sp["source"])
+        if st is None:
+            raise ValueError(f"{sp['source']!r} is not a column")
         if st not in _PART_AVRO:
             raise UnsupportedIcebergFeature(
-                f"partition column type {st!r} (identity over "
-                f"{sorted(_PART_AVRO)} supported)"
+                f"partition source type {st!r} (int/long/string "
+                "supported for identity/bucket/truncate)"
             )
-        part_avro_fields.append((c, _PART_AVRO[st]))
+        avro_t = (
+            "int"
+            if sp["transform"].startswith("bucket")
+            else _PART_AVRO[st]
+        )
+        part_avro_fields.append((sp["field_name"], avro_t))
 
     # data files: one staging write per partition tuple so every file
     # maps to exactly one partition record (unpartitioned: one write)
@@ -631,19 +842,47 @@ def write_iceberg_table(
 
         shutil.rmtree(staging, ignore_errors=True)
 
-    if partition_by:
+    if pspecs:
         from pyspark.sql import functions as F
 
+        # one transform column per spec field: identity/truncate stay
+        # JVM-side expressions; bucket is the spec murmur3, computed in
+        # one Arrow-batched pandas UDF (numpy-vectorized for int/long)
+        tcols = []
+        for i, sp in enumerate(pspecs):
+            src = F.col(sp["source"])
+            st = dtypes[sp["source"]]
+            if sp["transform"] == "identity":
+                e = src
+            elif sp["transform"].startswith("bucket"):
+                e = _bucket_column(sp["param"], st == "string")(src)
+            else:  # truncate
+                w = sp["param"]
+                if st == "string":
+                    e = F.substring(src, 1, w)
+                else:
+                    e = (src - F.pmod(src, F.lit(w))).cast(st)
+            tcols.append(e.alias(f"_pt_{i}"))
+        keyed_df = df.select("*", *tcols)
+        pt_names = [f"_pt_{i}" for i in range(len(pspecs))]
         pvs = [
             tuple(r)
-            for r in df.select(*partition_by).distinct().collect()
+            for r in keyed_df.select(*pt_names).distinct().collect()
         ]
         for pv_vals in sorted(pvs, key=lambda t: tuple(map(str, t))):
             cond = None
-            for c, v in zip(partition_by, pv_vals):
+            for c, v in zip(pt_names, pv_vals):
                 e = F.col(c).isNull() if v is None else (F.col(c) == v)
                 cond = e if cond is None else (cond & e)
-            _stage(df.filter(cond), dict(zip(partition_by, pv_vals)))
+            _stage(
+                keyed_df.filter(cond).drop(*pt_names),
+                {
+                    sp["field_name"]: (
+                        int(v) if isinstance(v, int) else v
+                    )
+                    for sp, v in zip(pspecs, pv_vals)
+                },
+            )
     else:
         _stage(df, {})
 
@@ -714,12 +953,14 @@ def write_iceberg_table(
                     "spec-id": 0,
                     "fields": [
                         {
-                            "name": c,
-                            "transform": "identity",
-                            "source-id": i + 1,
+                            "name": sp["field_name"],
+                            "transform": sp["transform"],
+                            "source-id": 1 + [
+                                f.name for f in df.schema.fields
+                            ].index(sp["source"]),
                             "field-id": 1000 + i,
                         }
-                        for i, c in enumerate(partition_by)
+                        for i, sp in enumerate(pspecs)
                     ],
                 }
             ],

@@ -592,3 +592,113 @@ def test_iceberg_expire_snapshots_reclaims_files(spark, sf_small, tmp_path):
 
     with pytest.raises(ValueError):
         expire_iceberg_snapshots(base, retain_last=0)
+
+
+def test_iceberg_spec_murmur3_vectors():
+    """The bucket transform's hash pinned against the Iceberg spec's
+    own published Appendix-B test values — the interop contract for
+    hidden partitioning (a wrong hash silently prunes to the wrong
+    bucket on foreign tables)."""
+    import struct
+
+    import numpy as np
+
+    from novelti_dingo_spark.sources.iceberg import (
+        _murmur3_32_long_batch,
+        iceberg_bucket,
+        iceberg_truncate,
+        murmur3_32,
+    )
+
+    # spec: int/long 34 → 2017239379; string "iceberg" → 1210000089;
+    # date 2017-11-16 (17486 days) → -653330422
+    assert murmur3_32(struct.pack("<q", 34)) == 2017239379
+    assert murmur3_32("iceberg".encode()) == 1210000089
+    assert murmur3_32(struct.pack("<q", 17486)) == -653330422
+    # vectorized path bit-equal to scalar
+    vals = np.array([34, 0, -1, 17486, 2**40, -(2**40)], dtype=np.int64)
+    assert list(_murmur3_32_long_batch(vals).view(np.int32)) == [
+        murmur3_32(struct.pack("<q", int(x))) for x in vals
+    ]
+    assert iceberg_bucket(None, 8) is None
+    assert iceberg_truncate(-1, 10) == -10  # spec: mod always positive
+    assert iceberg_truncate("iceberg", 3) == "ice"
+
+
+def test_iceberg_hidden_partitioning_bucket_truncate(
+    spark, sf_small, tmp_path
+):
+    """HIDDEN PARTITIONING end-to-end: the table buckets on a hashed
+    column and truncates a string column, the manifest records the
+    TRANSFORMED values, and a read filtering on the SOURCE column
+    prunes to exactly the matching bucket's files — the user never
+    names the transform."""
+    import json as _json
+    import os as _os
+
+    from novelti_dingo_spark.sources.iceberg import iceberg_bucket
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    write_iceberg_table(s, base, partition_by=["bucket(4, s_suppkey)"])
+
+    # metadata records the spec transform
+    md = _os.path.join(base, "metadata")
+    meta = _json.load(
+        open(
+            _os.path.join(
+                md,
+                f"v{int(open(_os.path.join(md, 'version-hint.text')).read())}"
+                ".metadata.json",
+            )
+        )
+    )
+    fields = meta["partition-specs"][0]["fields"]
+    assert fields == [
+        {
+            "name": "s_suppkey_bucket",
+            "transform": "bucket[4]",
+            "source-id": 1,
+            "field-id": 1000,
+        }
+    ]
+
+    # full read exact
+    back = read_iceberg_table(spark, base)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, s.collect())
+    )
+
+    # source-column filter prunes to the right bucket's files
+    key = int(s.select("s_suppkey").orderBy("s_suppkey").head()[0])
+    pruned = read_iceberg_table(
+        spark, base, partition_filter={"s_suppkey": key}
+    )
+    b = iceberg_bucket(key, 4)
+    _, manifests = read_avro_records(
+        _os.path.join(base, meta["snapshots"][-1]["manifest-list"])
+    )
+    _, entries = read_avro_records(
+        _os.path.join(base, manifests[0]["manifest_path"])
+    )
+    keep = {
+        _os.path.join(base, e["data_file"]["file_path"])
+        for e in entries
+        if e["data_file"]["partition"]["s_suppkey_bucket"] == b
+    }
+    assert {f.replace("file://", "") for f in pruned.inputFiles()} == keep
+    # every row of the source with that key is in the pruned read
+    assert pruned.filter(F.col("s_suppkey") == key).count() == 1
+
+    # truncate on a string source: prefix groups, source-value filter
+    base2 = str(tmp_path / "t2")
+    write_iceberg_table(s, base2, partition_by=["truncate(9, s_name)"])
+    name = s.select("s_name").orderBy("s_name").head()[0]
+    got = read_iceberg_table(
+        spark, base2, partition_filter={"s_name": name}
+    )
+    assert got.filter(F.col("s_name") == name).count() == 1
+
+    # filters on non-partition sources still refuse
+    with pytest.raises(ValueError):
+        read_iceberg_table(spark, base, partition_filter={"s_comment": 1})

@@ -861,6 +861,11 @@ EXPECT = {
         "partial_agg": True, "no_python_udf": True,
         "plan_must_not_contain": ["LeftAnti"],
     },
+    # hidden partitioning: pruning happened DRIVER-side (manifest →
+    # one bucket's files); the plan is a plain pruned scan + agg
+    "iceberg_hidden_partition_agg": {
+        "partial_agg": True, "no_python_udf": True,
+    },
     # round-11 JDBC ingest: the scan must be the PARTITIONED parallel
     # extraction (numPartitions=4 → one bounded query per task), two-
     # phase agg on top
