@@ -866,6 +866,11 @@ EXPECT = {
     "iceberg_hidden_partition_agg": {
         "partial_agg": True, "no_python_udf": True,
     },
+    # spec evolution: per-manifest spec routing happened DRIVER-side;
+    # old-spec files conservatively included, residual filter + agg
+    "iceberg_spec_evolution_agg": {
+        "partial_agg": True, "no_python_udf": True,
+    },
     # round-11 JDBC ingest: the scan must be the PARTITIONED parallel
     # extraction (numPartitions=4 → one bounded query per task), two-
     # phase agg on top
