@@ -525,8 +525,9 @@ def test_delta_dv_partitioned_checkpoint_and_inline(spark, sf_small, tmp_path):
 
 
 def test_delta_protocol_v3_feature_gating(spark, sf_small, tmp_path):
-    """v3 + deletionVectors reads fine; v3 with any OTHER readerFeature
-    (columnMapping, timestampNtz, ...) refuses loudly."""
+    """v3 + deletionVectors/columnMapping reads fine (both implemented
+    as of round-14); v3 with any OTHER readerFeature (timestampNtz,
+    v2Checkpoint, ...) refuses loudly."""
     base = str(tmp_path / "t")
     s = load_table(spark, sf_small, "supplier").limit(5)
     write_delta_table(s, base)
@@ -534,15 +535,16 @@ def test_delta_protocol_v3_feature_gating(spark, sf_small, tmp_path):
     lines = open(log0).read().splitlines()
     lines[0] = json.dumps(
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["deletionVectors"],
+                      "readerFeatures": ["deletionVectors", "columnMapping"],
                       "writerFeatures": ["deletionVectors"]}}
     )
     open(log0, "w").write("\n".join(lines) + "\n")
+    # columnMapping listed but mode=none in metaData: plain read
     assert read_delta_table(spark, base).count() == 5
 
     lines[0] = json.dumps(
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["deletionVectors", "columnMapping"],
+                      "readerFeatures": ["deletionVectors", "timestampNtz"],
                       "writerFeatures": []}}
     )
     open(log0, "w").write("\n".join(lines) + "\n")
@@ -632,3 +634,235 @@ def test_delta_vacuum_reclaims_unreferenced_files(spark, sf_small, tmp_path):
 
     with _pytest.raises(Exception):
         read_delta_table(spark, base, version=0).collect()
+
+
+# ------------------------------------------------- column mapping (r14)
+
+
+def test_delta_column_mapping_roundtrip_physical_names(
+    spark, sf_small, tmp_path
+):
+    """COLUMN MAPPING (round-14 — the round-13 verdict's #2): a table
+    created with column_mapping='name' stores uuid physicalNames in the
+    parquet footers while reads project back to the logical names,
+    value-exact; the protocol commits as minReaderVersion 2."""
+    import pyarrow.parquet as pq
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    write_delta_table(s, base, column_mapping="name")
+
+    log0 = open(os.path.join(base, "_delta_log", f"{0:020d}.json")).read()
+    acts = [json.loads(ln) for ln in log0.splitlines()]
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto == {"minReaderVersion": 2, "minWriterVersion": 5}
+    meta = next(a["metaData"] for a in acts if "metaData" in a)
+    assert meta["configuration"]["delta.columnMapping.mode"] == "name"
+    js = json.loads(meta["schemaString"])
+    phys = {
+        f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+        for f in js["fields"]
+    }
+    assert all(p.startswith("col-") for p in phys.values())
+
+    data_files = [
+        n for n in os.listdir(base)
+        if n.endswith(".parquet")
+    ]
+    footer = set(pq.read_schema(os.path.join(base, data_files[0])).names)
+    assert footer == set(phys.values())  # physical on disk
+
+    back = read_delta_table(spark, base)
+    assert back.columns == s.columns  # logical to callers
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, s.collect())
+    )
+
+
+def test_delta_rename_column_is_metadata_only(spark, sf_small, tmp_path):
+    """rename_delta_column: the logical name changes, the physicalName
+    and every data file stay — reads see the new name with the old
+    values. Renaming on an unmapped table refuses (it would need a
+    full rewrite)."""
+    from novelti_dingo_spark.sources.delta_log import rename_delta_column
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    write_delta_table(s, base, column_mapping="name")
+    files_before = sorted(
+        n for n in os.listdir(base) if n.endswith(".parquet")
+    )
+    v = rename_delta_column(base, "s_acctbal", "account_balance")
+    assert v == 1
+    assert sorted(
+        n for n in os.listdir(base) if n.endswith(".parquet")
+    ) == files_before  # no data touched
+    back = read_delta_table(spark, base)
+    assert "account_balance" in back.columns
+    assert "s_acctbal" not in back.columns
+    got = back.agg(F.sum("account_balance")).head()[0]
+    assert got == s.agg(F.sum("s_acctbal")).head()[0]
+    # appends after the rename route through the mapping
+    extra = s.limit(2).withColumnRenamed("s_acctbal", "account_balance")
+    write_delta_table(extra, base, mode="append")
+    assert read_delta_table(spark, base).count() == s.count() + 2
+
+    base2 = str(tmp_path / "unmapped")
+    write_delta_table(s, base2)
+    with pytest.raises(UnsupportedDeltaFeature):
+        rename_delta_column(base2, "s_name", "supplier_name")
+
+
+def test_delta_column_mapping_partitioned_physical_values(
+    spark, sf_small, tmp_path
+):
+    """Partitioned mapped table: partitionValues keys and directory
+    names are PHYSICAL per protocol, metaData.partitionColumns stay
+    logical, and partition_filter speaks logical names."""
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    write_delta_table(
+        s, base, partition_by=["s_nationkey"], column_mapping="id"
+    )
+    log0 = open(os.path.join(base, "_delta_log", f"{0:020d}.json")).read()
+    acts = [json.loads(ln) for ln in log0.splitlines()]
+    meta = next(a["metaData"] for a in acts if "metaData" in a)
+    assert meta["partitionColumns"] == ["s_nationkey"]  # logical
+    js = json.loads(meta["schemaString"])
+    phys_nk = next(
+        f["metadata"]["delta.columnMapping.physicalName"]
+        for f in js["fields"]
+        if f["name"] == "s_nationkey"
+    )
+    add = next(a["add"] for a in acts if "add" in a)
+    assert list(add["partitionValues"]) == [phys_nk]  # physical keys
+
+    back = read_delta_table(spark, base)
+    assert sorted(map(tuple, back.select(*s.columns).collect())) == sorted(
+        map(tuple, s.collect())
+    )
+    nk = int(s.select("s_nationkey").head()[0])
+    got = read_delta_table(
+        spark, base, partition_filter={"s_nationkey": nk}
+    )
+    want = s.filter(F.col("s_nationkey") == nk)
+    assert sorted(
+        map(tuple, got.select(*s.columns).collect())
+    ) == sorted(map(tuple, want.collect()))
+
+
+def test_delta_column_mapping_composes_with_dvs_and_compaction(
+    spark, sf_small, tmp_path
+):
+    """Mapping + deletion vectors + OPTIMIZE in one lifecycle: the DV
+    protocol upgrade keeps columnMapping in readerFeatures, compaction
+    rewrites in PHYSICAL column space in ONE job, and a file whose
+    rows are all deleted gets a remove with NO replacement add
+    (round-14 ADVICE fix)."""
+    from novelti_dingo_spark.sources.delta_log import (
+        compact_delta_table,
+        delete_rows_from_delta_table,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    write_delta_table(
+        s.filter("s_suppkey <= 5").repartition(1), base,
+        column_mapping="name",
+    )
+    write_delta_table(
+        s.filter("s_suppkey > 5").repartition(1), base, mode="append"
+    )
+    dv_v = delete_rows_from_delta_table(
+        spark, base, "s_suppkey > 5 OR s_suppkey = 2"
+    )
+    log = open(
+        os.path.join(base, "_delta_log", f"{dv_v:020d}.json")
+    ).read()
+    proto = next(
+        json.loads(ln)["protocol"]
+        for ln in log.splitlines()
+        if "protocol" in json.loads(ln)
+    )
+    assert set(proto["readerFeatures"]) == {
+        "deletionVectors", "columnMapping",
+    }
+    want = s.filter("NOT (s_suppkey > 5 OR s_suppkey = 2)")
+    got = read_delta_table(spark, base)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    cv = compact_delta_table(spark, base)
+    acts = [
+        json.loads(ln)
+        for ln in open(
+            os.path.join(base, "_delta_log", f"{cv:020d}.json")
+        ).read().splitlines()
+    ]
+    # both DV-bearing files removed; only the partially-deleted one
+    # gets a replacement add (the all-deleted file compacts to nothing)
+    assert sum(1 for a in acts if "remove" in a) == 2
+    assert sum(1 for a in acts if "add" in a) == 1
+    got2 = read_delta_table(spark, base)
+    assert sorted(map(tuple, got2.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_delta_column_mapping_checkpoint_carries_protocol(
+    spark, sf_small, tmp_path
+):
+    """A checkpoint of a mapped table must re-emit the mrv-2 protocol
+    and the mapping configuration — dropping either would turn the
+    next checkpoint-seeded read into logical-name misreads."""
+    from novelti_dingo_spark.sources.delta_log import (
+        _list_log_versions,
+        write_delta_checkpoint,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    write_delta_table(s, base, column_mapping="name")
+    write_delta_table(s.limit(3), base, mode="append")
+    cpv = write_delta_checkpoint(base)
+    for v in _list_log_versions(base):
+        if v <= cpv:
+            os.remove(
+                os.path.join(base, "_delta_log", f"{v:020d}.json")
+            )
+    back = read_delta_table(spark, base)
+    assert back.columns == s.columns
+    assert back.count() == s.count() + 3
+
+
+def test_delta_column_mapping_refusals(spark, sf_small, tmp_path):
+    """Typed refusals: switching the mapping mode on an existing
+    table; nested struct fields under mapping; physicalName missing
+    from the files."""
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    write_delta_table(s, base, column_mapping="name")
+    with pytest.raises(DeltaLogError):
+        write_delta_table(
+            s.limit(1), base, mode="append", column_mapping="id"
+        )
+
+    # nested struct under mapping: refuse, never mis-project
+    base2 = str(tmp_path / "nested")
+    nested = s.limit(2).select(
+        "s_suppkey", F.struct("s_name", "s_acctbal").alias("info")
+    )
+    write_delta_table(nested, base2)
+    log0 = os.path.join(base2, "_delta_log", f"{0:020d}.json")
+    acts = [json.loads(ln) for ln in open(log0).read().splitlines()]
+    for a in acts:
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {
+                "delta.columnMapping.mode": "name"
+            }
+    with open(log0, "w") as f:
+        for a in acts:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(UnsupportedDeltaFeature):
+        read_delta_table(spark, base2)

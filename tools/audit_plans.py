@@ -871,6 +871,11 @@ EXPECT = {
     "iceberg_spec_evolution_agg": {
         "partial_agg": True, "no_python_udf": True,
     },
+    # column mapping: physical->logical projection is a scan-side
+    # alias; the plan is a plain two-commit scan + two-phase agg
+    "delta_column_mapping_agg": {
+        "partial_agg": True, "no_python_udf": True,
+    },
     # round-11 JDBC ingest: the scan must be the PARTITIONED parallel
     # extraction (numPartitions=4 → one bounded query per task), two-
     # phase agg on top
