@@ -1781,6 +1781,66 @@ def delta_column_mapping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_cdf_agg",
+    """
+    WITH changes AS (
+      SELECT 'insert' AS change_type, s_suppkey % 2 AS commit_version,
+             s_acctbal
+      FROM supplier
+      UNION ALL
+      SELECT 'delete', 2, s_acctbal FROM supplier WHERE s_nationkey < 5
+    )
+    SELECT change_type, commit_version, count(*) AS n_rows,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM changes GROUP BY change_type, commit_version
+    """,
+    survey_rows="S2,ST14,A1,change-data-feed",
+)
+def delta_cdf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHANGE DATA FEED interop (round-14 — the round-13
+    verdict's #3), composed with COLUMN MAPPING: a CDF-enabled mapped
+    table takes three commits — v0 inserts the even-suppkey half, v1
+    appends the odd half, v2 row-level-deletes every s_nationkey<5 row
+    merge-on-read (deletion vectors + a `cdc` action recording the
+    victim rows under _change_data/). read_delta_change_feed(0, 2)
+    replays: v0/v1's inserts DERIVED from their dataChange adds (the
+    spec's derivation rule — no cdc actions needed for blind appends)
+    and v2's deletes from its cdc file (derivation would be WRONG
+    there: the DV commit's remove+add pair looks like a whole-file
+    rewrite, which is exactly why the writer records cdc actions). The
+    oracle reconstructs the same (change_type, commit_version) multiset
+    declaratively; the hash match fails if changes are lost,
+    duplicated, mis-tagged, or attributed to the wrong commit. The
+    lake→Delta-CDF egress replaying pipelines.table_changes verbatim
+    is pinned in tests/test_delta.py."""
+    from ..sources.delta_log import (
+        delete_rows_from_delta_table,
+        read_delta_change_feed,
+        write_delta_table,
+    )
+
+    base = _delta_fixture_root(spark, sf_dir, "delta_supplier_cdf")
+    s = load_table(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(base, "_delta_log")):
+        write_delta_table(
+            s.filter(F.col("s_suppkey") % 2 == 0), base,
+            column_mapping="name", enable_change_feed=True,
+        )
+        write_delta_table(
+            s.filter(F.col("s_suppkey") % 2 == 1), base, mode="append"
+        )
+        delete_rows_from_delta_table(spark, base, "s_nationkey < 5")
+    feed = read_delta_change_feed(spark, base, 0, 2)
+    return feed.groupBy(
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
     "iceberg_spec_evolution_agg",
     """
     SELECT s_nationkey, count(*) AS n_suppliers,

@@ -772,6 +772,7 @@ def write_delta_table(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     column_mapping: str | None = None,
+    enable_change_feed: bool = False,
 ) -> int:
     """Commit `df` to a Delta table at `table_path` per the public
     protocol: stage parquet via Spark's writer, move the part files to
@@ -793,7 +794,14 @@ def write_delta_table(
     5 — the shape every managed table that ever renamed a column has.
     Appends to a mapped table route through the recorded mapping
     automatically; `rename_delta_column` is the metadata-only rename
-    the mapping exists to make possible."""
+    the mapping exists to make possible.
+
+    `enable_change_feed` (round-14) creates the table with
+    delta.enableChangeDataFeed=true (protocol minWriterVersion 4):
+    plain add/remove commits stay as-is — the spec lets CDF readers
+    DERIVE inserts/deletes from dataChange actions — while row-level
+    DV deletes additionally record their victim rows as `cdc` actions
+    under `_change_data/`, which `read_delta_change_feed` replays."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     if column_mapping not in (None, "name", "id"):
@@ -816,6 +824,13 @@ def write_delta_table(
     field_ids: dict[str, int] = {}
     if latest >= 0:
         prior_active, prior_meta, _ = _replay(table_path, None)
+        if enable_change_feed and _configuration(prior_meta).get(
+            "delta.enableChangeDataFeed"
+        ) != "true":
+            raise DeltaLogError(
+                "delta.enableChangeDataFeed is a creation-time property "
+                "here — this table was created without it"
+            )
         cmap = _column_mapping(prior_meta)
         prior_mode = _configuration(prior_meta).get(
             "delta.columnMapping.mode", "none"
@@ -958,6 +973,11 @@ def write_delta_table(
             proto = {"minReaderVersion": 1, "minWriterVersion": 2}
             schema_str = df.schema.json()
             configuration = {}
+        if enable_change_feed:
+            configuration["delta.enableChangeDataFeed"] = "true"
+            # CDF is a writer-version-4 feature; column mapping's 5
+            # already covers it
+            proto["minWriterVersion"] = max(proto["minWriterVersion"], 4)
         actions.append({"protocol": proto})
         actions.append(
             {
@@ -1056,6 +1076,283 @@ def rename_delta_column(table_path: str, old: str, new: str) -> int:
             f.write(json.dumps(a, separators=(",", ":")) + "\n")
     os.replace(tmp, _log_path(table_path, version))
     return version
+
+
+def _append_actions_to_commit(
+    table_path: str, version: int, actions: list[dict]
+) -> None:
+    """Append actions to an already-written commit json (atomic
+    rewrite). Single-writer discipline only — used by the lake→Delta
+    CDF exporter to attach the transition's cdc actions to the commit
+    write_delta_table just produced."""
+    path = _log_path(table_path, version)
+    body = open(path, encoding="utf-8").read()
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(body)
+        for a in actions:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    os.replace(tmp, path)
+
+
+def read_delta_change_feed(
+    spark: SparkSession,
+    table_path: str,
+    starting_version: int = 0,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED reader (round-14 — the round-13 verdict's #3):
+    every row-level change committed in [starting_version,
+    ending_version], tagged `_change_type` ('insert' | 'delete' |
+    'update_preimage' | 'update_postimage') + `_commit_version` +
+    `_commit_timestamp` — the protocol's table_changes surface.
+
+    Per spec, a commit's changes come from its `cdc` actions when it
+    has any (writers record them under `_change_data/`; this repo's DV
+    deletes do) and are otherwise DERIVED from the dataChange actions:
+    every row of an added file is an insert, every row of a removed
+    file is a delete (reading the tombstoned file — loud refusal if
+    vacuum already reclaimed it). A dataChange commit that carries
+    deletion vectors but no cdc actions refuses: its add/remove pair
+    looks like a whole-file rewrite and deriving would fabricate
+    changes. Composes with column mapping (cdc files are
+    physical-named like data files). Requires
+    delta.enableChangeDataFeed=true, like the reference
+    implementation."""
+    _, meta, latest = _replay(table_path, None)
+    if _configuration(meta).get("delta.enableChangeDataFeed") != "true":
+        raise UnsupportedDeltaFeature(
+            "delta.enableChangeDataFeed is not set on this table — "
+            "no change feed was recorded"
+        )
+    if ending_version is None:
+        ending_version = latest
+    if starting_version > ending_version:
+        raise ValueError(
+            f"starting_version {starting_version} > ending_version "
+            f"{ending_version}"
+        )
+    have = set(_list_log_versions(table_path))
+    missing = [
+        v
+        for v in range(starting_version, ending_version + 1)
+        if v not in have
+    ]
+    if missing:
+        raise DeltaLogError(
+            f"JSON commits {missing} are gone (log retention) — the "
+            "change feed for this window is unreconstructable"
+        )
+
+    full_schema_raw = StructType.fromJson(json.loads(meta["schemaString"]))
+    full_schema = StructType(
+        [
+            T.StructField(f.name, f.dataType, f.nullable)
+            for f in full_schema_raw.fields
+        ]
+    )
+    part_cols = list(meta.get("partitionColumns", []))
+    cmap = _column_mapping(meta)
+
+    def pname(c: str) -> str:
+        return cmap[c] if cmap else c
+
+    data_fields = [
+        T.StructField(pname(f.name), f.dataType, f.nullable)
+        for f in full_schema.fields
+        if f.name not in part_cols
+    ]
+    types = {f.name: f.dataType for f in full_schema.fields}
+    out_names = [f.name for f in full_schema.fields] + [
+        "_change_type", "_commit_version", "_commit_timestamp",
+    ]
+
+    def _scan_with_pv(
+        files: dict[str, dict], ct: str | None
+    ) -> DataFrame:
+        """Scan change/data files; ct=None means the files carry their
+        own _change_type column (cdc files), else every row gets `ct`.
+        Partition values inject from each file's pv dict (physical
+        keys) through a broadcast basename mapping."""
+        sch = T.StructType(
+            data_fields
+            + ([T.StructField("_change_type", T.StringType())]
+               if ct is None else [])
+        )
+        paths = [os.path.join(table_path, p) for p in sorted(files)]
+        for p in paths:
+            if not os.path.exists(p):
+                raise DeltaLogError(
+                    f"change-feed file {p} was reclaimed (vacuum) — "
+                    "window unreconstructable"
+                )
+        scan = spark.read.schema(sch).parquet(*paths)
+        sel = [
+            F.col(pname(f.name)).alias(f.name)
+            for f in full_schema.fields
+            if f.name not in part_cols
+        ]
+        sel.append(
+            F.col("_change_type") if ct is None
+            else F.lit(ct).alias("_change_type")
+        )
+        if not part_cols:
+            return scan.select(*sel)
+        basenames = [p.split("/")[-1] for p in files]
+        if len(set(basenames)) != len(basenames):
+            raise UnsupportedDeltaFeature(
+                "change-feed file basenames are not unique — cannot "
+                "key partition-value injection"
+            )
+        keyed = scan.select(
+            *sel,
+            F.substring_index(
+                F.col("_metadata.file_path"), "/", -1
+            ).alias("_fb"),
+        )
+        rows = [
+            (
+                p.split("/")[-1],
+                *[
+                    (files[p] or {}).get(pname(c))
+                    for c in part_cols
+                ],
+            )
+            for p in sorted(files)
+        ]
+        mapping = spark.createDataFrame(
+            rows,
+            T.StructType(
+                [T.StructField("_fb", T.StringType())]
+                + [
+                    T.StructField(c, T.StringType())
+                    for c in part_cols
+                ]
+            ),
+        )
+        joined = keyed.join(F.broadcast(mapping), "_fb")
+        return joined.select(
+            *[
+                F.col(f.name).cast(types[f.name]).alias(f.name)
+                if f.name in part_cols
+                else F.col(f.name)
+                for f in full_schema.fields
+            ],
+            "_change_type",
+        )
+
+    # partitionValues for files removed inside the window may have
+    # been recorded by adds BEFORE it — one cheap driver pass over the
+    # whole JSON history builds the path → pv map
+    path_pv: dict[str, dict] = {}
+    for v in sorted(have):
+        if v > ending_version:
+            break
+        with open(_log_path(table_path, v), encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "add" in a:
+                    path_pv[a["add"]["path"]] = a["add"].get(
+                        "partitionValues", {}
+                    )
+
+    pieces: list[DataFrame] = []
+    for v in range(starting_version, ending_version + 1):
+        actions = [
+            json.loads(ln)
+            for ln in open(
+                _log_path(table_path, v), encoding="utf-8"
+            ).read().splitlines()
+            if ln.strip()
+        ]
+        ts_ms = next(
+            (
+                int(a["commitInfo"]["timestamp"])
+                for a in actions
+                if "commitInfo" in a
+                and a["commitInfo"].get("timestamp") is not None
+            ),
+            int(os.path.getmtime(_log_path(table_path, v)) * 1000),
+        )
+        cdc = [a["cdc"] for a in actions if "cdc" in a]
+        chunk: list[DataFrame] = []
+        if cdc:
+            chunk.append(
+                _scan_with_pv(
+                    {
+                        c["path"]: c.get("partitionValues", {})
+                        for c in cdc
+                    },
+                    None,
+                )
+            )
+        else:
+            adds = [
+                a["add"]
+                for a in actions
+                if "add" in a and a["add"].get("dataChange")
+            ]
+            removes = [
+                a["remove"]
+                for a in actions
+                if "remove" in a and a["remove"].get("dataChange")
+            ]
+            if any(a.get("deletionVector") for a in adds):
+                raise UnsupportedDeltaFeature(
+                    f"commit {v} carries deletion vectors but no cdc "
+                    "actions — its row-level changes are not derivable"
+                )
+            if adds:
+                chunk.append(
+                    _scan_with_pv(
+                        {
+                            a["path"]: a.get("partitionValues", {})
+                            for a in adds
+                        },
+                        "insert",
+                    )
+                )
+            if removes:
+                chunk.append(
+                    _scan_with_pv(
+                        {
+                            r["path"]: r.get("partitionValues")
+                            or path_pv.get(r["path"], {})
+                            for r in removes
+                        },
+                        "delete",
+                    )
+                )
+        for c in chunk:
+            pieces.append(
+                c.select(
+                    "*",
+                    F.lit(v).cast("long").alias("_commit_version"),
+                    F.lit(ts_ms)
+                    .cast("long")
+                    .alias("_commit_ts_ms"),
+                ).withColumn(
+                    "_commit_timestamp",
+                    F.timestamp_millis(F.col("_commit_ts_ms")),
+                ).drop("_commit_ts_ms")
+            )
+    if not pieces:
+        empty = T.StructType(
+            list(full_schema)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+                T.StructField("_commit_timestamp", T.TimestampType()),
+            ]
+        )
+        return spark.createDataFrame([], empty)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.select(*out_names)
 
 
 def delete_rows_from_delta_table(
@@ -1157,6 +1454,66 @@ def delete_rows_from_delta_table(
         return latest
 
     base_to_path = {p.split("/")[-1]: p for p in active}
+    # CHANGE DATA FEED (round-14): on a CDF-enabled table the victim
+    # rows are additionally recorded as `cdc` actions — parquet under
+    # _change_data/ holding the (physical-named) data columns +
+    # _change_type='delete', one file per affected source file so each
+    # cdc action carries its exact partitionValues. Readers of the
+    # change feed then replay exactly these rows instead of deriving
+    # (a DV commit's add/remove pair is NOT derivable: it would look
+    # like a whole-file delete + re-insert).
+    cdc_actions: list[dict] = []
+    if _configuration(meta).get("delta.enableChangeDataFeed") == "true":
+        victims = keyed.filter(cond).select(
+            *[
+                F.col(f.name).alias(pname(f.name))
+                for f in full_schema.fields
+                if f.name not in part_cols
+            ],
+            F.lit("delete").alias("_change_type"),
+            "_file_base",
+        )
+        cdc_staging = os.path.join(
+            table_path, f"_staging-{uuid.uuid4().hex}"
+        )
+        (
+            victims.repartition("_file_base")
+            .write.mode("overwrite")
+            .partitionBy("_file_base")
+            .parquet(cdc_staging)
+        )
+        os.makedirs(
+            os.path.join(table_path, "_change_data"), exist_ok=True
+        )
+        import shutil as _shutil
+
+        for entry in sorted(os.listdir(cdc_staging)):
+            if not entry.startswith("_file_base="):
+                continue
+            src_base = urllib.parse.unquote(entry.split("=", 1)[1])
+            src_dir = os.path.join(cdc_staging, entry)
+            parts = [
+                n for n in sorted(os.listdir(src_dir))
+                if n.endswith(".parquet")
+            ]
+            if not parts:
+                continue
+            rel = f"_change_data/cdc-{uuid.uuid4().hex}.snappy.parquet"
+            dst = os.path.join(table_path, rel)
+            os.replace(os.path.join(src_dir, parts[0]), dst)
+            cdc_actions.append(
+                {
+                    "cdc": {
+                        "path": rel,
+                        "partitionValues": active[
+                            base_to_path[src_base]
+                        ].get("partitionValues", {}),
+                        "size": os.path.getsize(dst),
+                        "dataChange": False,
+                    }
+                }
+            )
+        _shutil.rmtree(cdc_staging, ignore_errors=True)
     dv_uuid = _uuid.uuid4()
     blob = bytearray([1])  # DV file format version
     descriptors: dict[str, dict] = {}
@@ -1220,6 +1577,7 @@ def delete_rows_from_delta_table(
         new_add["dataChange"] = True
         new_add["deletionVector"] = descriptors[base]
         actions.append({"add": new_add})
+    actions.extend(cdc_actions)
     actions.append(
         {
             "commitInfo": {
@@ -1464,6 +1822,7 @@ def export_versioned_lake_to_delta(
     lake_base: str,
     table_path: str,
     versions: list[int] | None = None,
+    change_feed: bool = False,
 ) -> dict[int, int]:
     """EGRESS mapping, version for version: replay the repo's own
     versioned lake (pipelines.publish_versioned — `v=N/` immutable
@@ -1476,10 +1835,21 @@ def export_versioned_lake_to_delta(
     so what exports is always the resolved table state). Returns the
     {lake_version: delta_version} mapping. Idempotent growth: already-
     exported prefix versions are skipped by comparing against the
-    Delta table's existing commit count."""
+    Delta table's existing commit count.
+
+    `change_feed=True` (round-14, the CDC interop loop): the table is
+    created with delta.enableChangeDataFeed and every version
+    transition ALSO records its row-level changes as spec `cdc`
+    actions, computed from the lake's own change feed
+    (pipelines.table_changes) — so `read_delta_change_feed` on the
+    export replays exactly the history the lake's readers see, instead
+    of the remove-all+insert-all a derived overwrite would fabricate.
+    Transitions the lake cannot walk row-level (full publishes without
+    lineage) fall back to no cdc actions — derivation applies, which
+    for an overwrite commit is the honest whole-snapshot diff."""
     import re as _re
 
-    from ..pipelines import read_version
+    from ..pipelines import read_version, table_changes
     from . import lakefs
 
     base = lake_base.rstrip("/")
@@ -1501,5 +1871,53 @@ def export_versioned_lake_to_delta(
             mapping[lv] = i
             continue
         df, _manifest = read_version(spark, base, lv)
-        mapping[lv] = write_delta_table(df, table_path, mode="overwrite")
+        dv = write_delta_table(
+            df, table_path, mode="overwrite",
+            enable_change_feed=change_feed,
+        )
+        mapping[lv] = dv
+        if not change_feed or i == 0:
+            continue  # v0's adds derive as inserts — no cdc needed
+        try:
+            changes = table_changes(spark, base, versions[i - 1], lv)
+        except Exception:
+            continue  # no row-level lineage: honest derive fallback
+        staging = os.path.join(
+            table_path, f"_staging-{uuid.uuid4().hex}"
+        )
+        (
+            changes.select(*df.columns, "_change_type")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        import shutil as _shutil
+
+        cdc_actions = []
+        os.makedirs(
+            os.path.join(table_path, "_change_data"), exist_ok=True
+        )
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            rel = f"_change_data/cdc-{uuid.uuid4().hex}.snappy.parquet"
+            os.replace(
+                os.path.join(staging, name),
+                os.path.join(table_path, rel),
+            )
+            cdc_actions.append(
+                {
+                    "cdc": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": os.path.getsize(
+                            os.path.join(table_path, rel)
+                        ),
+                        "dataChange": False,
+                    }
+                }
+            )
+        _shutil.rmtree(staging, ignore_errors=True)
+        if cdc_actions:
+            _append_actions_to_commit(table_path, dv, cdc_actions)
     return mapping

@@ -866,3 +866,157 @@ def test_delta_column_mapping_refusals(spark, sf_small, tmp_path):
             f.write(json.dumps(a) + "\n")
     with pytest.raises(UnsupportedDeltaFeature):
         read_delta_table(spark, base2)
+
+
+# ---------------------------------------------- change data feed (r14)
+
+
+def test_delta_change_feed_derive_and_cdc(spark, sf_small, tmp_path):
+    """CDF basics: inserts DERIVE from dataChange adds (no cdc actions
+    for blind appends, per spec), DV deletes record their victims as
+    cdc actions under _change_data/, overwrite removes derive as
+    deletes, and version windows slice exactly."""
+    from novelti_dingo_spark.sources.delta_log import (
+        delete_rows_from_delta_table,
+        read_delta_change_feed,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    write_delta_table(
+        s.filter("s_suppkey <= 5"), base, enable_change_feed=True
+    )
+    write_delta_table(s.filter("s_suppkey > 5"), base, mode="append")
+    delete_rows_from_delta_table(spark, base, "s_nationkey < 10")
+
+    feed = read_delta_change_feed(spark, base)
+    got = {
+        (r["_change_type"], r["_commit_version"]): r["count"]
+        for r in feed.groupBy("_change_type", "_commit_version")
+        .count()
+        .collect()
+    }
+    n_del = s.filter("s_nationkey < 10").count()
+    assert got == {
+        ("insert", 0): s.filter("s_suppkey <= 5").count(),
+        ("insert", 1): s.filter("s_suppkey > 5").count(),
+        ("delete", 2): n_del,
+    }
+    # the cdc file exists and is what the delete window replays
+    assert os.path.isdir(os.path.join(base, "_change_data"))
+    win = read_delta_change_feed(spark, base, 2, 2)
+    assert sorted(map(tuple, win.select(*s.columns).collect())) == sorted(
+        map(tuple, s.filter("s_nationkey < 10").collect())
+    )
+    assert win.schema["_commit_timestamp"].dataType.typeName() == (
+        "timestamp"
+    )
+
+    # overwrite: removed files' rows derive as deletes
+    write_delta_table(s.limit(2), base, mode="overwrite")
+    ow = read_delta_change_feed(spark, base, 3, 3)
+    per = {
+        r["_change_type"]: r["count"]
+        for r in ow.groupBy("_change_type").count().collect()
+    }
+    assert per["insert"] == 2 and per["delete"] == s.count()
+
+
+def test_delta_change_feed_refusals(spark, sf_small, tmp_path):
+    """Loud refusals: CDF read on a table without the property; a
+    foreign DV commit with no cdc actions (derivation would fabricate
+    a whole-file rewrite); enabling CDF on an existing table."""
+    from novelti_dingo_spark.sources.delta_log import (
+        delete_rows_from_delta_table,
+        read_delta_change_feed,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    write_delta_table(s, base)
+    with pytest.raises(UnsupportedDeltaFeature):
+        read_delta_change_feed(spark, base)
+    with pytest.raises(DeltaLogError):
+        write_delta_table(
+            s.limit(1), base, mode="append", enable_change_feed=True
+        )
+
+    # simulate a FOREIGN CDF table whose DV commit has no cdc actions
+    delete_rows_from_delta_table(spark, base, "s_suppkey = 1")
+    log0 = os.path.join(base, "_delta_log", f"{0:020d}.json")
+    acts = [json.loads(ln) for ln in open(log0).read().splitlines()]
+    for a in acts:
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {
+                "delta.enableChangeDataFeed": "true"
+            }
+    with open(log0, "w") as f:
+        for a in acts:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(UnsupportedDeltaFeature):
+        read_delta_change_feed(spark, base, 1, 1).count()
+
+
+def test_delta_change_feed_composes_with_column_mapping(
+    spark, sf_small, tmp_path
+):
+    """CDF + column mapping + partitioning in one table: cdc files are
+    physical-named like data files, partitionValues on cdc actions key
+    physically, and the feed projects back to logical names."""
+    from novelti_dingo_spark.sources.delta_log import (
+        delete_rows_from_delta_table,
+        read_delta_change_feed,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    write_delta_table(
+        s, base, partition_by=["s_nationkey"],
+        column_mapping="id", enable_change_feed=True,
+    )
+    delete_rows_from_delta_table(spark, base, "s_suppkey % 2 = 0")
+    feed = read_delta_change_feed(spark, base, 1, 1)
+    want = s.filter("s_suppkey % 2 = 0")
+    assert feed.columns[: len(s.columns)] == s.columns  # logical
+    assert sorted(map(tuple, feed.select(*s.columns).collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_lake_export_delta_cdf_replays_lake_change_feed(
+    spark, sf_small, tmp_path
+):
+    """The CDC interop loop (round-13 verdict #3): exporting a
+    versioned lake with change_feed=True makes read_delta_change_feed
+    return EXACTLY the multiset pipelines.table_changes reports for
+    the same window — lake → Delta CDF → consumer reproduces the
+    change history instead of remove-all+insert-all noise."""
+    from novelti_dingo_spark.pipelines import (
+        delete_rows_mor,
+        publish_append,
+        publish_versioned,
+        table_changes,
+    )
+    from novelti_dingo_spark.sources.delta_log import (
+        export_versioned_lake_to_delta,
+        read_delta_change_feed,
+    )
+
+    lake = str(tmp_path / "lake")
+    o = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    publish_versioned(o.filter("o_orderkey % 2 = 0"), lake)
+    publish_append(o.filter("o_orderkey % 2 = 1"), lake)
+    delete_rows_mor(spark, lake, "o_orderkey", [1, 2, 3])
+
+    dt = str(tmp_path / "delta")
+    mapping = export_versioned_lake_to_delta(
+        spark, lake, dt, change_feed=True
+    )
+    feed = read_delta_change_feed(spark, dt, mapping[2], mapping[3])
+    lakefeed = table_changes(spark, lake, 1, 3)
+    cols = ["o_orderkey", "o_totalprice", "_change_type"]
+    assert sorted(map(tuple, feed.select(*cols).collect())) == sorted(
+        map(tuple, lakefeed.select(*cols).collect())
+    )

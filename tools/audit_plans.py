@@ -876,6 +876,11 @@ EXPECT = {
     "delta_column_mapping_agg": {
         "partial_agg": True, "no_python_udf": True,
     },
+    # change feed: per-commit scans union + two-phase agg; the cdc /
+    # derived file routing happened DRIVER-side
+    "delta_cdf_agg": {
+        "partial_agg": True, "no_python_udf": True,
+    },
     # round-11 JDBC ingest: the scan must be the PARTITIONED parallel
     # extraction (numPartitions=4 → one bounded query per task), two-
     # phase agg on top
