@@ -1899,6 +1899,47 @@ def iceberg_spec_evolution_agg(
 
 
 @register(
+    "iceberg_stats_pruned_agg",
+    """
+    SELECT count(*) AS n, round(sum(s_acctbal), 2) AS bal,
+           min(s_name) AS nm, max(s_suppkey) AS mx
+    FROM supplier WHERE s_suppkey BETWEEN 3 AND 13
+    """,
+    survey_rows="S2,S5,S7",
+)
+def iceberg_stats_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-STATS file pruning (round-14 — the round-13 verdict's
+    #5): supplier committed range-clustered on s_suppkey (8 files with
+    disjoint key ranges), each manifest entry carrying the spec's
+    lower_bounds/upper_bounds harvested from the parquet FOOTERS at
+    write time (driver-side, field-id keyed, little-endian single-value
+    binaries — no extra Spark job). The read's range_filter
+    {'s_suppkey': (3, 13)} prunes every file whose recorded [min, max]
+    provably misses the window BEFORE the scan is planned — at 100 TB
+    the difference between scanning a partition and scanning a file —
+    and the residual BETWEEN + aggregate hash-matches DuckDB on the raw
+    parquet: bounds decoded with the wrong endianness/type, or pruning
+    a file that actually held in-range rows, loses rows and fails the
+    gate. File-exact pruning and the conservative no-bounds /
+    unsupported-type paths are pinned in tests/test_iceberg.py."""
+    from ..sources.iceberg import read_iceberg_table, write_iceberg_table
+
+    base = _delta_fixture_root(spark, sf_dir, "ice_supplier_stats")
+    s = load_table(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(base, "metadata")):
+        write_iceberg_table(s.repartitionByRange(8, "s_suppkey"), base)
+    d = read_iceberg_table(
+        spark, base, range_filter={"s_suppkey": (3, 13)}
+    )
+    return d.filter(F.col("s_suppkey").between(3, 13)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+        F.min("s_name").alias("nm"),
+        F.max("s_suppkey").alias("mx"),
+    )
+
+
+@register(
     "iceberg_equality_delete_agg",
     """
     SELECT s_nationkey, count(*) AS n_suppliers,

@@ -512,6 +512,7 @@ def _abs_path(table_path: str, p: str) -> str:
 def _live_files(
     table_path: str, snap: dict, partition_filter: dict | None,
     meta: dict, schema_json: dict | None = None,
+    range_filter: dict | None = None,
 ) -> tuple[list[dict], list[dict], list[dict]]:
     """Resolve the snapshot's manifests into (data files, position-
     delete files, equality-delete files). Every returned record carries
@@ -587,6 +588,56 @@ def _live_files(
                     f"{c!r} is not a partition source field under any "
                     f"spec (have {sorted(all_sources)})"
                 )
+    # COLUMN-STATS pruning plan (round-14): {col: (lo, hi)} inclusive
+    # range predicates checked against each data file's
+    # lower_bounds/upper_bounds. Resolution is by schema field-id; a
+    # file with no recorded bounds for a filtered field is UNPRUNABLE
+    # (included). Types come from the schema so the spec's single-value
+    # binaries decode correctly.
+    range_plan: list[tuple[int, str, object, object]] = []
+    if range_filter:
+        if schema_json is None:
+            raise IcebergError("range_filter needs the table schema")
+        by_name = {f["name"]: f for f in schema_json["fields"]}
+        for c, (lo, hi) in range_filter.items():
+            fjs = by_name.get(c)
+            if fjs is None:
+                raise ValueError(
+                    f"{c!r} is not a column (have {sorted(by_name)})"
+                )
+            t = fjs["type"]
+            spark_t = {
+                "int": "int", "long": "bigint", "float": "float",
+                "double": "double", "string": "string",
+            }.get(t if isinstance(t, str) else "")
+            if spark_t is None:
+                # no supported stats for this type: nothing prunable
+                continue
+            range_plan.append((int(fjs["id"]), spark_t, lo, hi))
+
+    def _range_prunes(df_rec: dict) -> bool:
+        """True iff the file's bounds PROVE it holds no matching row."""
+        if not range_plan:
+            return False
+        lbs = {
+            int(kv["key"]): kv["value"]
+            for kv in (df_rec.get("lower_bounds") or [])
+        }
+        ubs = {
+            int(kv["key"]): kv["value"]
+            for kv in (df_rec.get("upper_bounds") or [])
+        }
+        for fid, spark_t, lo, hi in range_plan:
+            if lo is not None and fid in ubs:
+                ub = _stats_deserialize(ubs[fid], spark_t)
+                if ub is not None and ub < lo:
+                    return True
+            if hi is not None and fid in lbs:
+                lb = _stats_deserialize(lbs[fid], spark_t)
+                if lb is not None and lb > hi:
+                    return True
+        return False
+
     mlist = _abs_path(table_path, snap["manifest-list"])
     _, manifests = read_avro_records(mlist)
     live: list[dict] = []
@@ -646,6 +697,8 @@ def _live_files(
                     for name, v in filter_exprs
                 ):
                     continue
+            if _range_prunes(df_rec):
+                continue
             live.append(df_rec)
     return live, pos_deletes, eq_deletes
 
@@ -669,6 +722,7 @@ def read_iceberg_table(
     table_path: str,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
+    range_filter: dict | None = None,
 ) -> DataFrame:
     """Scan an Iceberg table at a snapshot (default: current) by
     resolving metadata.json → manifest list → manifests → live parquet
@@ -688,7 +742,15 @@ def read_iceberg_table(
     contain their partition columns, so the pruned files read directly
     with the table schema (resolved by the SNAPSHOT's schema-id — time
     travel across schema evolution reads the snapshot's own schema,
-    round-13 ADVICE fix)."""
+    round-13 ADVICE fix).
+
+    `range_filter` ({col: (lo, hi)}, inclusive, either bound None)
+    prunes files on the manifests' COLUMN STATS (lower_bounds /
+    upper_bounds, round-14): a file whose recorded [min, max] range
+    provably misses the predicate never reaches the scan — at scale
+    the difference between scanning a partition and scanning a file.
+    Same superset semantics as partition_filter: apply the residual
+    predicate for exact row filtering."""
     meta, _ = _latest_metadata(table_path)
     snap = _resolve_snapshot(meta, snapshot_id)
     # current reads use the table's CURRENT schema; a time-travel read
@@ -700,6 +762,7 @@ def read_iceberg_table(
     files, pos_deletes, eq_deletes = _live_files(
         table_path, snap, partition_filter, meta,
         _schema_json(meta, snap if snapshot_id is not None else None),
+        range_filter=range_filter,
     )
     if not files:
         return spark.createDataFrame([], schema)
@@ -833,6 +896,22 @@ _MANIFEST_SCHEMA_BASE = {
 }
 
 
+def _bounds_kv_schema(name: str) -> dict:
+    # the spec's map<int, binary> column bounds, encoded the manifest
+    # way: an array of (key, value) records keyed by schema field-id
+    return {
+        "type": "array",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int"},
+                {"name": "value", "type": "bytes"},
+            ],
+        },
+    }
+
+
 def _manifest_schema(part_fields: list[tuple[str, str]]) -> dict:
     part_record = {
         "type": "record",
@@ -855,6 +934,17 @@ def _manifest_schema(part_fields: list[tuple[str, str]]) -> dict:
                 "name": "equality_ids",
                 "type": ["null", {"type": "array", "items": "int"}],
             },
+            # column stats (round-14): per-field min/max for file
+            # pruning on range predicates — the spec's
+            # lower_bounds/upper_bounds
+            {
+                "name": "lower_bounds",
+                "type": ["null", _bounds_kv_schema("kv_lb")],
+            },
+            {
+                "name": "upper_bounds",
+                "type": ["null", _bounds_kv_schema("kv_ub")],
+            },
         ],
     }
     return {
@@ -863,6 +953,106 @@ def _manifest_schema(part_fields: list[tuple[str, str]]) -> dict:
         "fields": _MANIFEST_SCHEMA_BASE["fields"]
         + [{"name": "data_file", "type": data_file}],
     }
+
+
+# spec Appendix D single-value binary serialization, the subset this
+# engine prunes on (unsupported types simply carry no bounds — files
+# stay unprunable on them, which is conservative and correct)
+def _stats_serialize(v, spark_type: str) -> bytes | None:
+    import struct as _struct
+
+    if v is None:
+        return None
+    if spark_type == "int":
+        return _struct.pack("<i", int(v))
+    if spark_type == "bigint":
+        return _struct.pack("<q", int(v))
+    if spark_type == "float":
+        return _struct.pack("<f", float(v))
+    if spark_type == "double":
+        return _struct.pack("<d", float(v))
+    if spark_type == "string":
+        s = v.decode("utf-8") if isinstance(v, bytes) else str(v)
+        return s.encode("utf-8")
+    return None
+
+
+def _stats_deserialize(b: bytes, spark_type: str):
+    import struct as _struct
+
+    if b is None:
+        return None
+    if spark_type == "int":
+        return _struct.unpack("<i", b)[0]
+    if spark_type == "bigint":
+        return _struct.unpack("<q", b)[0]
+    if spark_type == "float":
+        return _struct.unpack("<f", b)[0]
+    if spark_type == "double":
+        return _struct.unpack("<d", b)[0]
+    if spark_type == "string":
+        return b.decode("utf-8")
+    return None
+
+
+_STATS_TYPES = {"int", "bigint", "float", "double", "string"}
+
+
+def _file_column_bounds(
+    parquet_path: str, name_to_id: dict[str, int],
+    col_types: dict[str, str],
+) -> tuple[list[dict] | None, list[dict] | None]:
+    """min/max per supported column from the parquet FOOTER statistics
+    (driver-side, O(KB) — no data scan), serialized the spec's way and
+    keyed by schema field-id. Columns whose row groups lack stats are
+    omitted (unprunable, conservative)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(parquet_path)
+    lows: dict[str, object] = {}
+    highs: dict[str, object] = {}
+    complete: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if name not in name_to_id:
+                continue
+            if col_types.get(name) not in _STATS_TYPES:
+                continue
+            st = c.statistics
+            if (
+                st is None
+                or not st.has_min_max
+                or st.min is None
+                or st.max is None
+            ):
+                lows.pop(name, None)
+                highs.pop(name, None)
+                complete.discard(name)
+                complete.add(f"!{name}")  # poisoned: some group lacks stats
+                continue
+            if f"!{name}" in complete:
+                continue
+            lows[name] = (
+                st.min if name not in lows else min(lows[name], st.min)
+            )
+            highs[name] = (
+                st.max if name not in highs else max(highs[name], st.max)
+            )
+            complete.add(name)
+    lb, ub = [], []
+    for name in sorted(lows):
+        if f"!{name}" in complete:
+            continue
+        lo = _stats_serialize(lows[name], col_types[name])
+        hi = _stats_serialize(highs[name], col_types[name])
+        if lo is None or hi is None:
+            continue
+        lb.append({"key": name_to_id[name], "value": lo})
+        ub.append({"key": name_to_id[name], "value": hi})
+    return (lb or None), (ub or None)
 
 
 _MANIFEST_LIST_SCHEMA = {
@@ -1018,6 +1208,7 @@ def write_iceberg_table(
             rel = os.path.join("data", f"{uuid.uuid4().hex}.parquet")
             dst = os.path.join(table_path, rel)
             os.replace(src, dst)
+            lb, ub = _file_column_bounds(dst, name_to_id, dtypes)
             entries.append(
                 {
                     "status": 1,  # ADDED
@@ -1030,6 +1221,8 @@ def write_iceberg_table(
                         "record_count": pq.read_metadata(dst).num_rows,
                         "file_size_in_bytes": os.path.getsize(dst),
                         "equality_ids": None,
+                        "lower_bounds": lb,
+                        "upper_bounds": ub,
                     },
                 }
             )
@@ -1447,6 +1640,8 @@ def delete_rows_from_iceberg_table(
             "record_count": n_deletes,
             "file_size_in_bytes": os.path.getsize(dst),
             "equality_ids": equality_ids,
+            "lower_bounds": None,
+            "upper_bounds": None,
         },
     }
     man_rel = os.path.join(

@@ -893,3 +893,123 @@ def test_iceberg_oversized_delete_relation_falls_back_to_shuffle(
     small = read_iceberg_table(spark, base)
     plan = small._jdf.queryExecution().executedPlan().toString()
     assert sorted(map(tuple, small.collect())) == want
+
+
+def test_iceberg_column_stats_pruning(spark, sf_small, tmp_path):
+    """COLUMN STATS (round-14, verdict #5): the writer records per-file
+    lower_bounds/upper_bounds from the parquet footers (field-id keyed,
+    spec single-value binaries); range_filter prunes files whose
+    [min, max] provably misses the predicate — file-exact — while
+    unsupported types and bound-less files stay conservatively
+    included. Superset semantics: residual predicate gives exact rows."""
+    from novelti_dingo_spark.sources.avro_py import read_avro_records
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    write_iceberg_table(s.repartitionByRange(3, "s_suppkey"), base)
+
+    meta = _latest_meta(base)
+    _, manifests = read_avro_records(
+        os.path.join(base, meta["snapshots"][-1]["manifest-list"])
+    )
+    _, entries = read_avro_records(
+        os.path.join(base, manifests[0]["manifest_path"])
+    )
+    import struct
+
+    # bounds recorded for every supported type (long, string, int,
+    # double here), keyed by field-id, little-endian per spec
+    ids = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    per_file = []
+    for e in entries:
+        lb = {kv["key"]: kv["value"] for kv in e["data_file"]["lower_bounds"]}
+        ub = {kv["key"]: kv["value"] for kv in e["data_file"]["upper_bounds"]}
+        assert len(lb[ids["s_acctbal"]]) == 8  # IEEE double
+        assert lb[ids["s_name"]].decode("utf-8").startswith("Supplier#")
+        per_file.append(
+            (
+                struct.unpack("<q", lb[ids["s_suppkey"]])[0],
+                struct.unpack("<q", ub[ids["s_suppkey"]])[0],
+            )
+        )
+    # repartitionByRange → disjoint per-file ranges covering the data
+    per_file.sort()
+    mn = s.agg(F.min("s_suppkey")).head()[0]
+    mx = s.agg(F.max("s_suppkey")).head()[0]
+    assert per_file[0][0] == mn and per_file[-1][1] == mx
+
+    # file-exact pruning + residual correctness
+    lo, hi = per_file[0][1] + 1, mx  # everything past file 0
+    pruned = read_iceberg_table(
+        spark, base, range_filter={"s_suppkey": (lo, hi)}
+    )
+    assert len(pruned.inputFiles()) < len(entries)
+    got = pruned.filter(F.col("s_suppkey").between(lo, hi))
+    want = s.filter(F.col("s_suppkey").between(lo, hi))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    with pytest.raises(ValueError):
+        read_iceberg_table(
+            spark, base, range_filter={"nope": (0, 1)}
+        )
+
+    # unsupported stats type (date): no bounds recorded, range_filter
+    # on it includes every file instead of dropping rows
+    base2 = str(tmp_path / "dated")
+    dated = s.withColumn(
+        "d", F.to_date(F.lit("2024-01-01"))
+    )
+    write_iceberg_table(dated.repartitionByRange(2, "s_suppkey"), base2)
+    meta2 = _latest_meta(base2)
+    _, mans2 = read_avro_records(
+        os.path.join(base2, meta2["snapshots"][-1]["manifest-list"])
+    )
+    _, ents2 = read_avro_records(
+        os.path.join(base2, mans2[0]["manifest_path"])
+    )
+    ids2 = {f["name"]: f["id"] for f in meta2["schemas"][0]["fields"]}
+    for e in ents2:
+        lb2 = {
+            kv["key"] for kv in e["data_file"]["lower_bounds"]
+        }
+        assert ids2["d"] not in lb2
+    import datetime
+
+    all_in = read_iceberg_table(
+        spark, base2,
+        range_filter={
+            "d": (datetime.date(2030, 1, 1), None)
+        },
+    )
+    assert all_in.count() == s.count()  # unprunable: superset, no loss
+
+
+def test_iceberg_stats_absent_on_old_manifests_is_unprunable(
+    spark, sf_small, tmp_path
+):
+    """Back-compat: manifests written before bounds existed (or by
+    foreign writers without stats) have no lower/upper bounds — a
+    range_filter read includes every file instead of dropping rows."""
+    from novelti_dingo_spark.sources.avro_py import (
+        read_avro_records,
+        write_avro_records,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    write_iceberg_table(s, base)
+    meta = _latest_meta(base)
+    _, manifests = read_avro_records(
+        os.path.join(base, meta["snapshots"][-1]["manifest-list"])
+    )
+    mpath = os.path.join(base, manifests[0]["manifest_path"])
+    schema_js, entries = read_avro_records(mpath)
+    for e in entries:
+        e["data_file"]["lower_bounds"] = None
+        e["data_file"]["upper_bounds"] = None
+    write_avro_records(mpath, schema_js, entries)
+    got = read_iceberg_table(
+        spark, base, range_filter={"s_suppkey": (1, 2)}
+    )
+    assert got.count() == s.count()  # nothing prunable, nothing lost

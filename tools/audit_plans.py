@@ -871,6 +871,11 @@ EXPECT = {
     "iceberg_spec_evolution_agg": {
         "partial_agg": True, "no_python_udf": True,
     },
+    # column-stats pruning happened DRIVER-side from manifest bounds;
+    # plain pruned scan + residual filter + agg
+    "iceberg_stats_pruned_agg": {
+        "partial_agg": True, "no_python_udf": True,
+    },
     # column mapping: physical->logical projection is a scan-side
     # alias; the plan is a plain two-commit scan + two-phase agg
     "delta_column_mapping_agg": {
