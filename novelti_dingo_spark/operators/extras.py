@@ -1841,6 +1841,62 @@ def delta_cdf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_update_agg",
+    """
+    WITH changes AS (
+      SELECT 'update_preimage' AS change_type, s_acctbal
+      FROM supplier WHERE s_nationkey < 5
+      UNION ALL
+      SELECT 'update_postimage', s_acctbal + 1000
+      FROM supplier WHERE s_nationkey < 5
+    )
+    SELECT change_type, count(*) AS n_rows,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM changes GROUP BY change_type
+    """,
+    survey_rows="S2,ST14,A1,change-data-feed",
+)
+def delta_update_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOR UPDATE + the full CDF change-type vocabulary (round-14):
+    supplier becomes a CDF-enabled COLUMN-MAPPED Delta table, then
+    every s_nationkey<5 row gets s_acctbal += 1000 through
+    update_delta_table_rows — ONE commit carrying deletion vectors
+    over the old rows, a new data file with the updated rows, and
+    update_preimage/update_postimage cdc actions (the two change types
+    delete/insert commits can't produce). The gate aggregates the
+    change feed of that single commit per change_type: the preimage
+    line must reproduce the ORIGINAL balances and the postimage line
+    the shifted ones — a feed that replays the post-update state for
+    the preimage (or vice versa), loses rows, or double-counts the DV
+    add/remove pair hash-fails. Atomic single-commit visibility,
+    partitioned updates, compaction-after-update, and the
+    partition-column refusal are pinned in tests/test_delta.py."""
+    from ..sources.delta_log import (
+        read_delta_change_feed,
+        update_delta_table_rows,
+        write_delta_table,
+    )
+
+    base = _delta_fixture_root(spark, sf_dir, "delta_supplier_upd")
+    s = load_table(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(base, "_delta_log")):
+        write_delta_table(
+            s, base, column_mapping="name", enable_change_feed=True
+        )
+        update_delta_table_rows(
+            spark, base, "s_nationkey < 5",
+            {"s_acctbal": "s_acctbal + 1000"},
+        )
+    feed = read_delta_change_feed(spark, base, 1, 1)
+    return feed.groupBy(
+        F.col("_change_type").alias("change_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
     "iceberg_spec_evolution_agg",
     """
     SELECT s_nationkey, count(*) AS n_suppliers,

@@ -1359,6 +1359,7 @@ def delete_rows_from_delta_table(
     spark: SparkSession,
     table_path: str,
     condition,
+    assignments: dict | None = None,
 ) -> int:
     """Commit DELETION VECTORS for every current row matching
     `condition` (a Column or SQL string) — the protocol's merge-on-read
@@ -1373,7 +1374,17 @@ def delete_rows_from_delta_table(
     The commit upgrades the protocol to v3 with the deletionVectors
     reader/writer feature. Time travel to pre-delete versions still
     reads the full files. Returns the committed version; if nothing
-    matches, returns the current version without committing."""
+    matches, returns the current version without committing.
+
+    `assignments` ({col: Column|SQL}, round-14) turns the commit into
+    the protocol's MOR UPDATE: the matching rows are DV-deleted AND
+    re-appended with the assignments applied, in ONE commit
+    (remove+add-with-DV pairs, a new add for the rewritten rows, all
+    dataChange) — readers never observe the half-updated state. On a
+    CDF table the victims record as `update_preimage` and the new rows
+    as `update_postimage` cdc actions. Assignments to partition
+    columns refuse (a partition move is a rewrite, not an update).
+    `update_delta_table_rows` is the public verb."""
     import uuid as _uuid
     import zlib
 
@@ -1405,6 +1416,17 @@ def delete_rows_from_delta_table(
             "deletion vectors"
         )
     cond = F.expr(condition) if isinstance(condition, str) else condition
+    if assignments:
+        names = {f.name for f in full_schema.fields}
+        bad = [c for c in assignments if c not in names]
+        if bad:
+            raise ValueError(f"assignments to unknown columns: {bad}")
+        parts_touched = [c for c in assignments if c in part_cols]
+        if parts_touched:
+            raise UnsupportedDeltaFeature(
+                f"assignments to partition columns {parts_touched} — a "
+                "partition move is a rewrite, not a MOR update"
+            )
     types = {f.name: f.dataType for f in full_schema.fields}
     paths = [os.path.join(table_path, p) for p in sorted(active)]
     keyed = spark.read.schema(data_schema).parquet(*paths).select(
@@ -1470,7 +1492,9 @@ def delete_rows_from_delta_table(
                 for f in full_schema.fields
                 if f.name not in part_cols
             ],
-            F.lit("delete").alias("_change_type"),
+            F.lit(
+                "update_preimage" if assignments else "delete"
+            ).alias("_change_type"),
             "_file_base",
         )
         cdc_staging = os.path.join(
@@ -1514,6 +1538,125 @@ def delete_rows_from_delta_table(
                 }
             )
         _shutil.rmtree(cdc_staging, ignore_errors=True)
+    update_adds: list[dict] = []
+    if assignments:
+        now0 = int(time.time() * 1000)
+        updated = keyed.filter(cond)
+        for c, expr in assignments.items():
+            updated = updated.withColumn(
+                c,
+                (F.expr(expr) if isinstance(expr, str) else expr).cast(
+                    types[c]
+                ),
+            )
+        # stage like the writer: physical column names, hive dirs for
+        # the (physical) partition columns — which partitionBy drops
+        # from the data files, exactly the spec layout
+        out = updated.select(
+            *[
+                F.col(f.name).alias(pname(f.name))
+                for f in full_schema.fields
+            ]
+        )
+        upd_staging = os.path.join(
+            table_path, f"_staging-{uuid.uuid4().hex}"
+        )
+        w = out.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*[pname(c) for c in part_cols])
+        w.parquet(upd_staging)
+        cdf_on = (
+            _configuration(meta).get("delta.enableChangeDataFeed")
+            == "true"
+        )
+        import shutil as _shutil2
+
+        for root, _dirs, names_ in os.walk(upd_staging):
+            for fname in sorted(names_):
+                if not fname.endswith(".parquet"):
+                    continue
+                rel_dir = os.path.relpath(root, upd_staging)
+                pv: dict = {}
+                if rel_dir != ".":
+                    for seg in rel_dir.split(os.sep):
+                        c, _, v = seg.partition("=")
+                        pv[c] = (
+                            None
+                            if v == "__HIVE_DEFAULT_PARTITION__"
+                            else urllib.parse.unquote(v)
+                        )
+                new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+                rel = (
+                    os.path.join(rel_dir, new_name)
+                    if rel_dir != "."
+                    else new_name
+                )
+                dst = os.path.join(table_path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(os.path.join(root, fname), dst)
+                update_adds.append(
+                    {
+                        "add": {
+                            "path": rel.replace(os.sep, "/"),
+                            "partitionValues": pv,
+                            "size": os.path.getsize(dst),
+                            "modificationTime": now0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        _shutil2.rmtree(upd_staging, ignore_errors=True)
+        if cdf_on:
+            # postimage rows, grouped per partition value so each cdc
+            # action carries exact (physical) partitionValues
+            post = out.select(
+                "*", F.lit("update_postimage").alias("_change_type")
+            )
+            post_staging = os.path.join(
+                table_path, f"_staging-{uuid.uuid4().hex}"
+            )
+            wp = post.write.mode("overwrite")
+            if part_cols:
+                wp = wp.partitionBy(*[pname(c) for c in part_cols])
+            wp.parquet(post_staging)
+            os.makedirs(
+                os.path.join(table_path, "_change_data"), exist_ok=True
+            )
+            for root, _dirs, names_ in os.walk(post_staging):
+                for fname in sorted(names_):
+                    if not fname.endswith(".parquet"):
+                        continue
+                    rel_dir = os.path.relpath(root, post_staging)
+                    pv = {}
+                    if rel_dir != ".":
+                        for seg in rel_dir.split(os.sep):
+                            c, _, v = seg.partition("=")
+                            pv[c] = (
+                                None
+                                if v == "__HIVE_DEFAULT_PARTITION__"
+                                else urllib.parse.unquote(v)
+                            )
+                    rel = (
+                        "_change_data/"
+                        f"cdc-{uuid.uuid4().hex}.snappy.parquet"
+                    )
+                    os.replace(
+                        os.path.join(root, fname),
+                        os.path.join(table_path, rel),
+                    )
+                    cdc_actions.append(
+                        {
+                            "cdc": {
+                                "path": rel,
+                                "partitionValues": pv,
+                                "size": os.path.getsize(
+                                    os.path.join(table_path, rel)
+                                ),
+                                "dataChange": False,
+                            }
+                        }
+                    )
+            _shutil2.rmtree(post_staging, ignore_errors=True)
     dv_uuid = _uuid.uuid4()
     blob = bytearray([1])  # DV file format version
     descriptors: dict[str, dict] = {}
@@ -1577,12 +1720,13 @@ def delete_rows_from_delta_table(
         new_add["dataChange"] = True
         new_add["deletionVector"] = descriptors[base]
         actions.append({"add": new_add})
+    actions.extend(update_adds)
     actions.extend(cdc_actions)
     actions.append(
         {
             "commitInfo": {
                 "timestamp": now_ms,
-                "operation": "DELETE",
+                "operation": "UPDATE" if assignments else "DELETE",
                 "operationParameters": {},
                 "engineInfo": "novelti-dingo-spark clean-room writer",
             }
@@ -1595,6 +1739,27 @@ def delete_rows_from_delta_table(
             f.write(json.dumps(a, separators=(",", ":")) + "\n")
     os.replace(tmp, _log_path(table_path, version))
     return version
+
+
+def update_delta_table_rows(
+    spark: SparkSession,
+    table_path: str,
+    condition,
+    assignments: dict,
+) -> int:
+    """MOR UPDATE (round-14): rows matching `condition` get
+    `assignments` ({col: Column or SQL expr}) applied — implemented as
+    ONE commit of deletion vectors over the old rows plus a new data
+    file holding the updated rows, so data files are never rewritten
+    and readers see the update atomically. On a CDF table the commit
+    records update_preimage/update_postimage cdc actions, completing
+    the change-type vocabulary. Returns the committed version (current
+    version, uncommitted, when nothing matches)."""
+    if not assignments:
+        raise ValueError("assignments must name at least one column")
+    return delete_rows_from_delta_table(
+        spark, table_path, condition, assignments=assignments
+    )
 
 
 def compact_delta_table(spark: SparkSession, table_path: str) -> int:

@@ -1020,3 +1020,118 @@ def test_lake_export_delta_cdf_replays_lake_change_feed(
     assert sorted(map(tuple, feed.select(*cols).collect())) == sorted(
         map(tuple, lakefeed.select(*cols).collect())
     )
+
+
+def test_delta_mor_update_single_commit(spark, sf_small, tmp_path):
+    """update_delta_table_rows (round-14): one commit = DVs over the
+    old rows + a new add with the updated rows — atomic visibility,
+    data files untouched, time travel reads the pre-update state, and
+    on a CDF table the commit records update_preimage/update_postimage
+    cdc actions."""
+    from novelti_dingo_spark.sources.delta_log import (
+        read_delta_change_feed,
+        update_delta_table_rows,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    write_delta_table(s, base, enable_change_feed=True)
+    files_before = sorted(
+        n for n in os.listdir(base) if n.endswith(".parquet")
+    )
+    v = update_delta_table_rows(
+        spark, base, "s_nationkey >= 15",
+        {"s_acctbal": "s_acctbal * 2"},
+    )
+    assert v == 1
+    # old data files still on disk, untouched (MOR)
+    assert set(files_before) <= {
+        n for n in os.listdir(base) if n.endswith(".parquet")
+    }
+    want = s.withColumn(
+        "s_acctbal",
+        F.when(
+            F.col("s_nationkey") >= 15, F.col("s_acctbal") * 2
+        ).otherwise(F.col("s_acctbal")),
+    )
+    got = read_delta_table(spark, base)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # time travel: pre-update state intact
+    assert sorted(
+        map(tuple, read_delta_table(spark, base, version=0).collect())
+    ) == sorted(map(tuple, s.collect()))
+    # one commit only, operation UPDATE
+    acts = [
+        json.loads(ln)
+        for ln in open(
+            os.path.join(base, "_delta_log", f"{1:020d}.json")
+        ).read().splitlines()
+    ]
+    ci = next(a["commitInfo"] for a in acts if "commitInfo" in a)
+    assert ci["operation"] == "UPDATE"
+    # CDF: pre/postimage pairs, value-exact
+    feed = read_delta_change_feed(spark, base, 1, 1)
+    hit = s.filter("s_nationkey >= 15")
+    pre = feed.filter("_change_type = 'update_preimage'")
+    post = feed.filter("_change_type = 'update_postimage'")
+    assert sorted(map(tuple, pre.select(*s.columns).collect())) == sorted(
+        map(tuple, hit.collect())
+    )
+    assert sorted(
+        map(tuple, post.select(*s.columns).collect())
+    ) == sorted(
+        map(
+            tuple,
+            hit.withColumn("s_acctbal", F.col("s_acctbal") * 2).collect(),
+        )
+    )
+    # zero matches: no commit
+    assert update_delta_table_rows(
+        spark, base, "s_suppkey < 0", {"s_acctbal": "s_acctbal"}
+    ) == 1
+
+
+def test_delta_mor_update_partitioned_and_refusals(
+    spark, sf_small, tmp_path
+):
+    """Partitioned update keeps rows in their partitions (hive-dir
+    staging, physical partitionValues); assignments to partition
+    columns refuse; compaction after an update purges the DVs with the
+    updated state intact."""
+    from novelti_dingo_spark.sources.delta_log import (
+        UnsupportedDeltaFeature as UDF_,
+        compact_delta_table,
+        update_delta_table_rows,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    write_delta_table(
+        s, base, partition_by=["s_nationkey"], column_mapping="id"
+    )
+    update_delta_table_rows(
+        spark, base, "s_suppkey % 2 = 0", {"s_acctbal": F.lit(0.0)}
+    )
+    want = s.withColumn(
+        "s_acctbal",
+        F.when(F.col("s_suppkey") % 2 == 0, F.lit(0.0)).otherwise(
+            F.col("s_acctbal")
+        ),
+    )
+    got = read_delta_table(spark, base)
+    assert sorted(map(tuple, got.select(*s.columns).collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    with pytest.raises(UDF_):
+        update_delta_table_rows(
+            spark, base, "true", {"s_nationkey": F.lit(1)}
+        )
+    with pytest.raises(ValueError):
+        update_delta_table_rows(spark, base, "true", {"nope": F.lit(1)})
+    compact_delta_table(spark, base)
+    got2 = read_delta_table(spark, base)
+    assert sorted(
+        map(tuple, got2.select(*s.columns).collect())
+    ) == sorted(map(tuple, want.collect()))

@@ -886,6 +886,10 @@ EXPECT = {
     "delta_cdf_agg": {
         "partial_agg": True, "no_python_udf": True,
     },
+    # MOR update: one commit's cdc files scanned + two-phase agg
+    "delta_update_agg": {
+        "partial_agg": True, "no_python_udf": True,
+    },
     # round-11 JDBC ingest: the scan must be the PARTITIONED parallel
     # extraction (numPartitions=4 → one bounded query per task), two-
     # phase agg on top
