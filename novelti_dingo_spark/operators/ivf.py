@@ -24,6 +24,32 @@ ITERATIONS = 3
 N_PROBE = 2  # query probes this many nearest cells
 
 
+def default_ann_geometry(n_vectors: int) -> tuple[int, int]:
+    """(k_cells, n_probe) scaled to the corpus — the round-13 100M
+    probe PROVED a fixed k_cells=32 starves the shortlist at scale
+    (recall@10 reranked 0.22 on clustered data vs 0.47 at ≤1M; with
+    3M-vector cells the within-cell ADC ranking can't surface the true
+    neighbors into a 100-row shortlist, and the clustered structure
+    stops helping at all — 0.22 vs uniform 0.23).
+
+    Rule: k_cells ≈ 4·√N — the FAISS index-sizing guideline (between
+    4√N and 16√N), the point where per-cell population N/k ≈ √N/4
+    keeps both the routing table and the cells sub-linear — clamped to
+    [32, 4096]: below 32 routing is pointless, above 4096 the sampled
+    trainer's 256·k collect and its per-iteration GEMM start to rival
+    the encode pass (and a single driver routing table past ~4096×64
+    floats is better served by sharding the index). n_probe holds the
+    probed FRACTION at ~3% (k_cells/32, floor 4): recall on the
+    unstructured residue tracks the probed fraction, while clustered
+    neighbors concentrate in few cells and arrive with any n_probe ≥
+    the cluster spread. Measured recall-vs-geometry curves:
+    SCALE_MEASURED.json `ann_ivfpq_geometry` (round-14)."""
+    import math
+
+    k = max(32, min(4096, 4 * math.isqrt(max(1, int(n_vectors)))))
+    return k, max(4, k // 32)
+
+
 def _sq_dist(a, b):
     d = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))
     return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
@@ -183,6 +209,67 @@ def assign_literal(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
         "embedding",
         best.getField("cid").alias("cid"),
     )
+
+
+# assign_literal's plan is O(k·dim) literal sub-expressions; past a few
+# hundred centroids Catalyst abandons codegen and evaluates the fold
+# interpreted, so per-row cost is O(k·dim) interpreted — measured 25+
+# minutes for a 200k-row assignment at k≈1800 (round-14) where the GEMM
+# path below takes seconds. Above this k the publishers switch.
+ASSIGN_LITERAL_MAX_K = 128
+
+
+def assign_vectorized(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment for LARGE k (round-14, the geometry
+    scale-up's enabler): the k×dim centroid matrix collects driver-side
+    (KB–MB) and rides into one Arrow-batched pandas UDF that computes
+    the argmin via a single GEMM per batch —
+    ‖x−c‖² = ‖x‖² − 2x·Cᵀ + ‖c‖², argmin along cells, ties to the
+    LOWEST cid (rows sorted by cid; np.argmin takes the first
+    occurrence) — the same (dist, cid) ordering as `_assign` /
+    `assign_literal`, differing only in float summation order (GEMM vs
+    sequential fold), which is why the literal form remains the
+    bit-parity path for k ≤ ASSIGN_LITERAL_MAX_K. Plan size is O(1);
+    per-row cost is one row of a BLAS GEMM."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cents = sorted(
+        (int(r.cid), [float(v) for v in r.centroid])
+        for r in centroids.collect()
+    )
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    cmat = np.array([v for _, v in cents], dtype=np.float64)
+    c_sq = (cmat * cmat).sum(axis=1)
+
+    @pandas_udf("long")
+    def nearest(s):
+        import numpy as np
+        import pandas as pd
+
+        x = np.stack(s.to_numpy()).astype(np.float64)
+        d = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ cmat.T)
+            + c_sq[None, :]
+        )
+        return pd.Series(cids[d.argmin(axis=1)])
+
+    return vectors.select(
+        "vec_id",
+        *(["label"] if "label" in vectors.columns else []),
+        "embedding",
+        nearest("embedding").cast("int").alias("cid"),
+    )
+
+
+def assign_to_centroids(vectors: DataFrame, centroids: DataFrame, k: int) -> DataFrame:
+    """Route to the right assignment form by k: literal projection
+    (bit-parity, whole-stage codegen) small-k, GEMM pandas UDF past
+    ASSIGN_LITERAL_MAX_K."""
+    if k <= ASSIGN_LITERAL_MAX_K:
+        return assign_literal(vectors, centroids)
+    return assign_vectorized(vectors, centroids)
 
 
 @register(

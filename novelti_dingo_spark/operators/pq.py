@@ -927,7 +927,7 @@ def publish_ivfpq_index(
     spark: SparkSession,
     sf_dir: str,
     base_dir: str,
-    k_cells: int | None = None,
+    k_cells: int | str | None = None,
     residual: bool = True,
     pq_k: int | None = None,
     train_sample: int | None = None,
@@ -1000,7 +1000,7 @@ def publish_ivfpq_index(
     from .hash_sample import hash_sample_df
     from .ivf import (
         K as IVF_K,
-        assign_literal,
+        assign_to_centroids,
         kmeans_fit,
         kmeans_fit_numpy,
     )
@@ -1020,12 +1020,19 @@ def publish_ivfpq_index(
         return now
 
     t0 = _time.perf_counter()
-    if k_cells is None:
-        k_cells = IVF_K
     if pq_k is None:
         pq_k = K
     e = load_table(spark, sf_dir, "embeddings")
     n_corpus = e.count()  # metadata-only on the parquet scan
+    if k_cells == "auto":
+        # geometry scaled to the corpus (round-14 — the fixed default
+        # measurably starves the shortlist at 100M): see
+        # ivf.default_ann_geometry for the rule and the measurements
+        from .ivf import default_ann_geometry
+
+        k_cells, _ = default_ann_geometry(n_corpus)
+    elif k_cells is None:
+        k_cells = IVF_K
     rotation = None
     if opq:
         from .opq import opq_fit, rotate
@@ -1063,7 +1070,8 @@ def publish_ivfpq_index(
     t0 = _mark("coarse_train_s", t0)
     if e.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         e = e.repartition(spark.sparkContext.defaultParallelism)
-    assigned = assign_literal(e, coarse)  # (vec_id, label, embedding, cid)
+    # (vec_id, label, embedding, cid) — GEMM assignment past 128 cells
+    assigned = assign_to_centroids(e, coarse, k_cells)
     if residual:
         pq_input = assigned.join(F.broadcast(coarse), "cid").select(
             "vec_id",
@@ -1444,7 +1452,7 @@ def append_vectors_to_ivfpq_index(
         publish_snapshot_delta,
         read_snapshot_chain,
     )
-    from .ivf import assign_literal as ivf_assign
+    from .ivf import assign_to_centroids
 
     tables, manifest = read_snapshot_chain(spark, base_dir)
     coarse = tables["coarse"]
@@ -1474,7 +1482,7 @@ def append_vectors_to_ivfpq_index(
             new_vectors, R,
             keep=tuple(c for c in ("label",) if c in new_vectors.columns),
         )
-    assigned = ivf_assign(new_vectors, coarse)
+    assigned = assign_to_centroids(new_vectors, coarse, coarse.count())
     if residual:
         pq_input = assigned.join(F.broadcast(coarse), "cid").select(
             "vec_id",

@@ -201,3 +201,47 @@ def test_ivf_batch_serve_window_has_native_group_limit(
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert plan.count("WindowGroupLimit") >= 2
     assert "MapInPandas" not in plan and "ArrowEval" not in plan
+
+
+def test_assign_vectorized_matches_literal_and_routes_by_k(spark, sf_small):
+    """Round-14 (verdict #4 enabler): assign_literal's O(k·dim)-literal
+    plan is interpreted past codegen limits — a 200k-row assignment at
+    k≈1800 measured 25+ minutes vs seconds for the GEMM pandas UDF.
+    The two forms must agree cell-for-cell (same (dist, cid) argmin,
+    ties to lowest cid), and assign_to_centroids must route by k."""
+    from novelti_dingo_spark.operators.ivf import (
+        ASSIGN_LITERAL_MAX_K,
+        assign_literal,
+        assign_to_centroids,
+        assign_vectorized,
+        kmeans_fit_numpy,
+    )
+    from novelti_dingo_spark.sources.io import load_table
+
+    e = load_table(spark, sf_small, "embeddings")
+    cents = kmeans_fit_numpy(e, k=8)
+    lit = {
+        r.vec_id: r.cid for r in assign_literal(e, cents).collect()
+    }
+    gemm = {
+        r.vec_id: r.cid for r in assign_vectorized(e, cents).collect()
+    }
+    assert lit == gemm and len(lit) == e.count()
+    # router: small k -> literal plan (no python udf), large k -> GEMM
+    small = assign_to_centroids(e, cents, 8)
+    assert "pythonUDF" not in small._jdf.queryExecution().executedPlan().toString()
+    big = assign_to_centroids(e, cents, ASSIGN_LITERAL_MAX_K + 1)
+    assert "ArrowEvalPython" in big._jdf.queryExecution().executedPlan().toString()
+
+
+def test_default_ann_geometry_rule():
+    """k ≈ 4·√N clamped to [32, 4096]; n_probe = max(4, k/32) — the
+    measured fix for shortlist starvation at scale (SCALE_MEASURED
+    ann_ivfpq_geometry: recall@10 reranked 0.47 → 0.95 at 200k)."""
+    from novelti_dingo_spark.operators.ivf import default_ann_geometry
+
+    assert default_ann_geometry(50) == (32, 4)  # floor clamp
+    assert default_ann_geometry(200_000) == (1788, 55)
+    k10, np10 = default_ann_geometry(10_000_000)
+    assert k10 == 4096 and np10 == 128
+    assert default_ann_geometry(100_000_000) == (4096, 128)

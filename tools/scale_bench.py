@@ -1216,6 +1216,98 @@ def run_ann_clustered(ns: list[int]) -> None:
     _merge("ann_ivfpq_clustered", res)
 
 
+def run_ann_geometry(ns: list[int]) -> None:
+    """Recall@10 vs INDEX GEOMETRY on clustered corpora (round-14 —
+    the round-13 verdict's #4: the 100M probe proved fixed k_cells=32
+    starves the shortlist; geometry must scale with N). Per corpus
+    size, build the quality variant (residual, pq_k=256) under TWO
+    geometries — the legacy fixed (32 cells, n_probe 4) and
+    ivf.default_ann_geometry's ≈4·√N rule — against the same planted-
+    cluster fixture, exact DuckDB ground truth, 10 queries, rerank=100.
+    Merges under `ann_ivfpq_geometry`, one sub-entry per geometry, so
+    the recall-vs-build curve is recorded instead of asserted."""
+    from novelti_dingo_spark.operators.ivf import default_ann_geometry
+    from novelti_dingo_spark.operators.pq import (
+        ivfpq_knn_from_index,
+        publish_ivfpq_index,
+    )
+    from novelti_dingo_spark.sources.io import load_table
+
+    spark = _spark()
+    n_queries = 10
+    res = {}
+    for n in ns:
+        d = build_embeddings_clustered(n)
+        qvs, truth = _ann_truth(d, n_queries)
+        e = load_table(spark, d, "embeddings")
+        auto_k, auto_np = default_ann_geometry(n)
+        geometries = [("g32", 32, 4)]
+        if (auto_k, auto_np) != (32, 4):
+            geometries.append((f"g{auto_k}", auto_k, auto_np))
+        per_geom = {}
+        for tag, k_cells, n_probe in geometries:
+            base = os.path.join(d, f"ivfpq_res_k256_{tag}")
+            legacy = os.path.join(d, "ivfpq_res_k256")
+            if tag == "g32" and os.path.exists(
+                os.path.join(legacy, "LATEST")
+            ) and not os.path.exists(base):
+                base = legacy  # reuse the round-13 build at this n
+            build_s = None
+            timings: dict = {}
+            if not os.path.exists(os.path.join(base, "LATEST")):
+                t0 = time.perf_counter()
+                publish_ivfpq_index(
+                    spark, d, base, k_cells=k_cells, pq_k=256,
+                    timings=timings,
+                )
+                build_s = round(time.perf_counter() - t0, 3)
+            adc_walls, rr_walls, adc_rec, rr_rec = [], [], [], []
+            for vid, qv in qvs.items():
+                t0 = time.perf_counter()
+                got_adc = {
+                    r.vec_id
+                    for r in ivfpq_knn_from_index(
+                        spark, base, qv, n_probe=n_probe,
+                        exclude_vec_id=vid,
+                    ).collect()
+                }
+                adc_walls.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                got_rr = {
+                    r.vec_id
+                    for r in ivfpq_knn_from_index(
+                        spark, base, qv, n_probe=n_probe, shortlist=100,
+                        rerank=e, exclude_vec_id=vid,
+                    ).collect()
+                }
+                rr_walls.append(time.perf_counter() - t0)
+                adc_rec.append(len(got_adc & truth[vid]) / 10)
+                rr_rec.append(len(got_rr & truth[vid]) / 10)
+            per_geom[tag] = {
+                "k_cells": k_cells,
+                "n_probe": n_probe,
+                "build_s": build_s,
+                "phase_walls": timings or None,
+                "adc_probe_s": round(statistics.median(adc_walls), 3),
+                "rerank_probe_s": round(statistics.median(rr_walls), 3),
+                "recall_at_10_adc": round(statistics.mean(adc_rec), 3),
+                "recall_at_10_reranked": round(
+                    statistics.mean(rr_rec), 3
+                ),
+            }
+            print(f"{n}/geometry/{tag}: {per_geom[tag]}", flush=True)
+        res[str(n)] = {
+            "n_vectors": n,
+            "n_clusters": 1024,
+            "noise": 0.15,
+            "n_queries": n_queries,
+            "pq_k": 256,
+            "auto_rule": "k=clamp(4*sqrt(N),32,4096), n_probe=max(4,k/32)",
+            **per_geom,
+        }
+    _merge("ann_ivfpq_geometry", res)
+
+
 def run_ann_sweep(ns: list[int], probes: list[int] | None = None) -> None:
     """The recall/cost DIAL, measured: for each corpus size, sweep
     n_probe and record (probe_s, recall@10) against the exact brute
@@ -1538,6 +1630,7 @@ def main() -> None:
         "build", "dedup", "gemm", "ann", "ann_sweep", "spatial", "lake",
         "text", "cdc", "skew", "skew_lsh", "ann_pq", "ann_sampled",
         "ann_clustered", "ann_opq", "ann_batch", "ann_clustered_sweep",
+        "ann_geometry",
     ])
     p.add_argument("--k", type=int, nargs="*", default=[1, 5, 25])
     p.add_argument("--n", type=int, nargs="*", default=[2000, 20000, 100000])
@@ -1568,6 +1661,8 @@ def main() -> None:
         run_ann_batch(a.n)
     elif a.family == "ann_clustered_sweep":
         run_ann_clustered_sweep(a.n)
+    elif a.family == "ann_geometry":
+        run_ann_geometry(a.n)
     elif a.family == "spatial":
         run_spatial(a.k)
     elif a.family == "lake":
