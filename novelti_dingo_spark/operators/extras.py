@@ -2052,6 +2052,64 @@ def iceberg_equality_delete_agg(
 
 
 @register(
+    "iceberg_changes_agg",
+    """
+    WITH changes AS (
+      SELECT 'insert' AS change_type, s_acctbal
+      FROM supplier WHERE s_suppkey % 2 = 1
+      UNION ALL
+      SELECT 'delete', s_acctbal FROM supplier WHERE s_nationkey < 5
+    )
+    SELECT change_type, count(*) AS n_rows,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM changes GROUP BY change_type
+    """,
+    survey_rows="S2,ST14,A1,change-data-feed",
+)
+def iceberg_changes_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg INCREMENTAL READ (round-14 — the Iceberg twin of the
+    Delta change feed, closing the CDC interop loop on BOTH open table
+    formats): supplier becomes three snapshots — s0 inserts the
+    even-suppkey half, s1 appends the odd half, s2 position-deletes
+    every s_nationkey<5 row merge-on-read — and
+    read_iceberg_changes(s0) replays what changed after s0: the append
+    contributes ONLY its own added files (O(batch) — manifest entries
+    stamped with the commit's snapshot-id, the incremental-scan
+    contract), the delete resolves its (file, ordinal) parquet against
+    the parent snapshot via the same broadcast ordinal join the MOR
+    reader uses (O(deleted rows), never a table diff). The oracle
+    reconstructs the same multiset declaratively; a feed that loses,
+    duplicates, mis-tags, or re-floods unchanged rows hash-fails.
+    Equality-delete and overwrite-diff legs pinned in
+    tests/test_iceberg.py."""
+    from ..sources.iceberg import (
+        delete_rows_from_iceberg_table,
+        iceberg_snapshots,
+        read_iceberg_changes,
+        write_iceberg_table,
+    )
+
+    base = _delta_fixture_root(spark, sf_dir, "ice_supplier_changes")
+    s = load_table(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(base, "metadata")):
+        write_iceberg_table(s.filter(F.col("s_suppkey") % 2 == 0), base)
+        write_iceberg_table(
+            s.filter(F.col("s_suppkey") % 2 == 1), base, mode="append"
+        )
+        delete_rows_from_iceberg_table(
+            spark, base, "s_nationkey < 5", mode="position"
+        )
+    first = iceberg_snapshots(base)[0]["snapshot_id"]
+    feed = read_iceberg_changes(spark, base, first)
+    return feed.groupBy(
+        F.col("_change_type").alias("change_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
     "weighted_sample_pps",
     f"""
     SELECT doc_id, lang, n_chars,

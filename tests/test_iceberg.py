@@ -1013,3 +1013,67 @@ def test_iceberg_stats_absent_on_old_manifests_is_unprunable(
         spark, base, range_filter={"s_suppkey": (1, 2)}
     )
     assert got.count() == s.count()  # nothing prunable, nothing lost
+
+
+def test_iceberg_incremental_read_all_legs(spark, sf_small, tmp_path):
+    """read_iceberg_changes (round-14): append commits contribute only
+    their own files as inserts; position deletes resolve row-addressed
+    against the parent snapshot; equality deletes semi-join the parent
+    state; overwrites fall back to the exact multiset diff; an empty
+    window returns an empty frame with the feed schema."""
+    from novelti_dingo_spark.sources.iceberg import (
+        delete_rows_from_iceberg_table,
+        read_iceberg_changes,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    s0 = write_iceberg_table(s.filter("s_suppkey <= 5"), base)
+    s1 = write_iceberg_table(
+        s.filter("s_suppkey > 5"), base, mode="append"
+    )
+    s2 = delete_rows_from_iceberg_table(
+        spark, base, "s_nationkey < 13", mode="position"
+    )
+    s3 = delete_rows_from_iceberg_table(
+        spark, base, "s_nationkey >= 20",
+        mode="equality", equality_columns=["s_nationkey"],
+    )
+    feed = read_iceberg_changes(spark, base, s0)
+    cols = list(s.columns)
+    ins = feed.filter(f"_snapshot_id = {s1}")
+    assert ins.select("_change_type").distinct().collect()[0][0] == "insert"
+    assert sorted(map(tuple, ins.select(*cols).collect())) == sorted(
+        map(tuple, s.filter("s_suppkey > 5").collect())
+    )
+    posd = feed.filter(f"_snapshot_id = {s2}").select(*cols)
+    assert sorted(map(tuple, posd.collect())) == sorted(
+        map(tuple, s.filter("s_nationkey < 13").collect())
+    )
+    eqd = feed.filter(f"_snapshot_id = {s3}").select(*cols)
+    assert sorted(map(tuple, eqd.collect())) == sorted(
+        map(
+            tuple,
+            s.filter(
+                "s_nationkey >= 20 AND NOT s_nationkey < 13"
+            ).collect(),
+        )
+    )
+    # overwrite: exact diff both ways
+    s4 = write_iceberg_table(s.limit(2), base, mode="overwrite")
+    ow = read_iceberg_changes(spark, base, s3, s4)
+    per = {
+        r["_change_type"]: r["count"]
+        for r in ow.groupBy("_change_type").count().collect()
+    }
+    live_before = s.filter(
+        "NOT s_nationkey < 13 AND NOT s_nationkey >= 20"
+    ).count()
+    assert per.get("delete", 0) >= live_before - 2
+    assert per.get("insert", 0) <= 2
+    # empty window + unknown snapshot refusal
+    assert read_iceberg_changes(spark, base, s4).count() == 0
+    from novelti_dingo_spark.sources.iceberg import IcebergError
+
+    with pytest.raises(IcebergError):
+        read_iceberg_changes(spark, base, 12345)

@@ -876,6 +876,11 @@ EXPECT = {
     "iceberg_stats_pruned_agg": {
         "partial_agg": True, "no_python_udf": True,
     },
+    # incremental read: per-commit file routing happened DRIVER-side;
+    # append scan + ordinal semi-join + two-phase agg
+    "iceberg_changes_agg": {
+        "partial_agg": True, "no_python_udf": True,
+    },
     # column mapping: physical->logical projection is a scan-side
     # alias; the plan is a plain two-commit scan + two-phase agg
     "delta_column_mapping_agg": {
