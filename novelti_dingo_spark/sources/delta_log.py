@@ -69,6 +69,12 @@ from pyspark.sql.types import StructType
 
 _LOG_DIR = "_delta_log"
 
+# Above this many total deleted rows (summed descriptor cardinality,
+# known before any bitmap decode) the DV anti-join switches from a
+# broadcast relation to a parquet-spilled shuffle join — the twin of
+# iceberg.MOR_BROADCAST_MAX_DELETE_ROWS.
+DV_BROADCAST_MAX_DELETE_ROWS = 5_000_000
+
 
 class UnsupportedDeltaFeature(Exception):
     """The table requires reader features this clean-room reader does
@@ -635,13 +641,19 @@ def read_delta_table(
         DVs (round-13, protocol v3 readerFeature): each DV-bearing add
         names the ordinals to skip in its file. The bitmaps are
         log-tier control metadata only the driver can see — decode
-        them here and apply ONE distributed broadcast LEFT ANTI join
-        on (file basename, `_metadata.row_index`), the same
-        ordinal-join shape as Iceberg position deletes. DV cardinality
-        is bounded by uncompacted deletes (writers compact files once
-        DVs grow), so the broadcast side stays dimension-sized; the
-        descriptor's `cardinality` field is the knob a reader can use
-        to switch strategies if a foreign table ever ships huge DVs."""
+        them here and apply ONE distributed LEFT ANTI join on (file
+        basename, `_metadata.row_index`), the same ordinal-join shape
+        as Iceberg position deletes. DV cardinality is bounded by
+        uncompacted deletes (writers compact files once DVs grow), so
+        the delete relation is usually dimension-sized and BROADCAST;
+        past DV_BROADCAST_MAX_DELETE_ROWS (summed from the
+        descriptors' `cardinality` fields — known before any decode,
+        the round-13 verdict's #7 size guard, Delta half) the
+        positions are instead spilled to a temp parquet ONE DV AT A
+        TIME (driver memory stays bounded by the largest single
+        bitmap, and millions of rows never serialize through py4j)
+        and the anti-join plans as a shuffle join instead of OOMing
+        every executor on a giant broadcast table."""
         dv_adds = {
             p: a for p, a in active.items() if a.get("deletionVector")
         }
@@ -654,18 +666,53 @@ def read_delta_table(
         )
         if not dv_adds:
             return keyed.drop("_dv_pos")
-        rows = []
-        for p in sorted(dv_adds):
-            base = p.split("/")[-1]
-            for pos in _read_dv_positions(
-                table_path, dv_adds[p]["deletionVector"]
-            ):
-                rows.append((base, int(pos)))
-        dels = spark.createDataFrame(
-            rows, "_del_base string, _del_pos long"
+        total_card = sum(
+            int(a["deletionVector"].get("cardinality") or 0)
+            for a in dv_adds.values()
         )
+        if total_card <= DV_BROADCAST_MAX_DELETE_ROWS:
+            rows = []
+            for p in sorted(dv_adds):
+                base = p.split("/")[-1]
+                for pos in _read_dv_positions(
+                    table_path, dv_adds[p]["deletionVector"]
+                ):
+                    rows.append((base, int(pos)))
+            dels = F.broadcast(
+                spark.createDataFrame(
+                    rows, "_del_base string, _del_pos long"
+                )
+            )
+        else:
+            import tempfile
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            spill = tempfile.mkdtemp(prefix="dingo-dv-spill-")
+            for i, p in enumerate(sorted(dv_adds)):
+                base = p.split("/")[-1]
+                positions = _read_dv_positions(
+                    table_path, dv_adds[p]["deletionVector"]
+                )
+                pq.write_table(
+                    pa.table(
+                        {
+                            "_del_base": pa.array(
+                                [base] * len(positions), pa.string()
+                            ),
+                            "_del_pos": pa.array(
+                                positions.astype("int64"), pa.int64()
+                            ),
+                        }
+                    ),
+                    os.path.join(spill, f"part-{i:05d}.parquet"),
+                )
+            dels = spark.read.schema(
+                "_del_base string, _del_pos long"
+            ).parquet(spill)
         return keyed.join(
-            F.broadcast(dels),
+            dels,
             (F.col("_file_base") == F.col("_del_base"))
             & (F.col("_dv_pos") == F.col("_del_pos")),
             "left_anti",

@@ -402,6 +402,49 @@ def test_delta_deletion_vectors_roundtrip(spark, sf_small, tmp_path):
     assert delta_table_version(base) == v_before
 
 
+def test_delta_oversized_dv_relation_falls_back_to_shuffle(
+    spark, sf_small, tmp_path, monkeypatch
+):
+    """Round-14 (verdict #7, Delta half): past
+    DV_BROADCAST_MAX_DELETE_ROWS — summed from the descriptors'
+    cardinality fields, before any bitmap decode — the deleted
+    ordinals spill to a temp parquet one DV at a time and the
+    anti-join plans WITHOUT the broadcast hint, so a foreign table
+    shipping millions of DV rows can neither OOM the executors on a
+    giant broadcast nor serialize millions of tuples through py4j.
+    Results are identical on both strategies."""
+    from novelti_dingo_spark.sources import delta_log as dl
+    from novelti_dingo_spark.sources.delta_log import (
+        delete_rows_from_delta_table,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier").repartition(3)
+    write_delta_table(s, base)
+    delete_rows_from_delta_table(spark, base, "s_suppkey % 2 = 0")
+    want = sorted(
+        map(tuple, s.filter("s_suppkey % 2 <> 0").collect())
+    )
+
+    big = read_delta_table(spark, base)  # under threshold: broadcast
+    assert (
+        "BroadcastHashJoin"
+        in big._jdf.queryExecution().executedPlan().toString()
+    )
+    assert sorted(map(tuple, big.collect())) == want
+
+    monkeypatch.setattr(dl, "DV_BROADCAST_MAX_DELETE_ROWS", 0)
+    small = read_delta_table(spark, base)
+    # no hinted broadcast: the join side is now a parquet relation
+    # whose strategy Catalyst picks from its SIZE stats (a tiny spill
+    # may still auto-broadcast; a multi-GB foreign one cannot) — the
+    # plan must show a parquet scan of the spill, not a LocalTableScan
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "dingo-dv-spill-" in plan
+    assert "LocalTableScan" not in plan
+    assert sorted(map(tuple, small.collect())) == want
+
+
 def test_delta_dv_partitioned_checkpoint_and_inline(spark, sf_small, tmp_path):
     """DVs compose with everything around them: a condition referencing
     the (log-only) partition column works; the DV survives a checkpoint
