@@ -245,6 +245,79 @@ def _read_dv_positions(table_path: str, dv: dict):
     return positions
 
 
+def _dv_anti_join(
+    spark: SparkSession,
+    table_path: str,
+    keyed: DataFrame,
+    dv_adds: dict,
+    pos_col: str,
+) -> DataFrame:
+    """LEFT ANTI join `keyed` — a scan carrying `_file_base` plus the
+    row-ordinal column `pos_col` — against every decoded deletion
+    vector in `dv_adds` ({path: add action}): the shared merge-on-read
+    skip step for the reader AND the row-level verbs (a verb that
+    skips this resurrects DV-dead rows when it rewrites matches).
+
+    Size guard (round-13 verdict #7, Delta half): summed descriptor
+    cardinality — known before any bitmap decode — above
+    DV_BROADCAST_MAX_DELETE_ROWS spills the ordinals to a temp parquet
+    ONE DV AT A TIME (driver memory bounded by the largest single
+    bitmap, nothing serializes through py4j) and lets Catalyst pick
+    the join strategy from the spill's size stats instead of hinting a
+    giant broadcast."""
+    total_card = sum(
+        int(a["deletionVector"].get("cardinality") or 0)
+        for a in dv_adds.values()
+    )
+    if total_card <= DV_BROADCAST_MAX_DELETE_ROWS:
+        rows = []
+        for p in sorted(dv_adds):
+            base = p.split("/")[-1]
+            for pos in _read_dv_positions(
+                table_path, dv_adds[p]["deletionVector"]
+            ):
+                rows.append((base, int(pos)))
+        dels = F.broadcast(
+            spark.createDataFrame(
+                rows, "_del_base string, _del_pos long"
+            )
+        )
+    else:
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        spill = tempfile.mkdtemp(prefix="dingo-dv-spill-")
+        for i, p in enumerate(sorted(dv_adds)):
+            base = p.split("/")[-1]
+            positions = _read_dv_positions(
+                table_path, dv_adds[p]["deletionVector"]
+            )
+            pq.write_table(
+                pa.table(
+                    {
+                        "_del_base": pa.array(
+                            [base] * len(positions), pa.string()
+                        ),
+                        "_del_pos": pa.array(
+                            positions.astype("int64"), pa.int64()
+                        ),
+                    }
+                ),
+                os.path.join(spill, f"part-{i:05d}.parquet"),
+            )
+        dels = spark.read.schema(
+            "_del_base string, _del_pos long"
+        ).parquet(spill)
+    return keyed.join(
+        dels,
+        (F.col("_file_base") == F.col("_del_base"))
+        & (F.col(pos_col) == F.col("_del_pos")),
+        "left_anti",
+    )
+
+
 def _log_path(table_path: str, version: int) -> str:
     return os.path.join(table_path, _LOG_DIR, f"{version:020d}.json")
 
@@ -666,56 +739,8 @@ def read_delta_table(
         )
         if not dv_adds:
             return keyed.drop("_dv_pos")
-        total_card = sum(
-            int(a["deletionVector"].get("cardinality") or 0)
-            for a in dv_adds.values()
-        )
-        if total_card <= DV_BROADCAST_MAX_DELETE_ROWS:
-            rows = []
-            for p in sorted(dv_adds):
-                base = p.split("/")[-1]
-                for pos in _read_dv_positions(
-                    table_path, dv_adds[p]["deletionVector"]
-                ):
-                    rows.append((base, int(pos)))
-            dels = F.broadcast(
-                spark.createDataFrame(
-                    rows, "_del_base string, _del_pos long"
-                )
-            )
-        else:
-            import tempfile
-
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-
-            spill = tempfile.mkdtemp(prefix="dingo-dv-spill-")
-            for i, p in enumerate(sorted(dv_adds)):
-                base = p.split("/")[-1]
-                positions = _read_dv_positions(
-                    table_path, dv_adds[p]["deletionVector"]
-                )
-                pq.write_table(
-                    pa.table(
-                        {
-                            "_del_base": pa.array(
-                                [base] * len(positions), pa.string()
-                            ),
-                            "_del_pos": pa.array(
-                                positions.astype("int64"), pa.int64()
-                            ),
-                        }
-                    ),
-                    os.path.join(spill, f"part-{i:05d}.parquet"),
-                )
-            dels = spark.read.schema(
-                "_del_base string, _del_pos long"
-            ).parquet(spill)
-        return keyed.join(
-            dels,
-            (F.col("_file_base") == F.col("_del_base"))
-            & (F.col("_dv_pos") == F.col("_del_pos")),
-            "left_anti",
+        return _dv_anti_join(
+            spark, table_path, keyed, dv_adds, "_dv_pos"
         ).drop("_dv_pos")
 
     has_dvs = any(a.get("deletionVector") for a in active.values())
@@ -1509,6 +1534,17 @@ def delete_rows_from_delta_table(
                 else F.col(c)
                 for c in [f.name for f in full_schema.fields]
             ],
+        )
+    # rows already dead under existing DVs must be invisible to the
+    # verb: without this anti-join, an UPDATE whose condition matches
+    # a previously-deleted row would RE-APPEND it (resurrection), and
+    # a CDF delete would record an already-dead row as deleted again
+    existing_dvs = {
+        p: a for p, a in active.items() if a.get("deletionVector")
+    }
+    if existing_dvs:
+        keyed = _dv_anti_join(
+            spark, table_path, keyed, existing_dvs, "_pos"
         )
     hits = (
         keyed.filter(cond)

@@ -402,6 +402,39 @@ def test_delta_deletion_vectors_roundtrip(spark, sf_small, tmp_path):
     assert delta_table_version(base) == v_before
 
 
+def test_delta_update_does_not_resurrect_dv_deleted_rows(
+    spark, tmp_path
+):
+    """Regression (round-14): the row-level verbs' keyed scan must
+    skip rows already dead under existing deletion vectors — without
+    the anti-join, an UPDATE whose condition matched a
+    previously-deleted row re-appended it (resurrection), and a
+    second DELETE re-recorded it in the change feed."""
+    from novelti_dingo_spark.sources.delta_log import (
+        delete_rows_from_delta_table,
+        update_delta_table_rows,
+    )
+
+    base = str(tmp_path / "t")
+    df = spark.range(10).selectExpr("id", "id * 10 AS val")
+    write_delta_table(df.coalesce(1), base)
+    delete_rows_from_delta_table(spark, base, "id = 3")
+    update_delta_table_rows(spark, base, "id < 5", {"val": "val + 1"})
+    rows = sorted(
+        (r.id, r.val) for r in read_delta_table(spark, base).collect()
+    )
+    assert all(i != 3 for i, _ in rows)
+    assert rows[:3] == [(0, 1), (1, 11), (2, 21)]
+    # a delete over an already-dead row commits nothing new for it:
+    # the update above rewrote ids 0,1,2,4 — delete id<=3 now kills
+    # only 0,1,2 (3 stays dead, not double-counted)
+    delete_rows_from_delta_table(spark, base, "id <= 3")
+    left = sorted(
+        r.id for r in read_delta_table(spark, base).collect()
+    )
+    assert left == [4, 5, 6, 7, 8, 9]
+
+
 def test_delta_oversized_dv_relation_falls_back_to_shuffle(
     spark, sf_small, tmp_path, monkeypatch
 ):
