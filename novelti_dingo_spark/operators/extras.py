@@ -1897,6 +1897,73 @@ def delta_update_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_merge_agg",
+    """
+    WITH changes AS (
+      SELECT 'update_preimage' AS change_type, s_acctbal
+      FROM supplier WHERE s_nationkey < 10
+      UNION ALL
+      SELECT 'update_postimage', s_acctbal + 5000
+      FROM supplier WHERE s_nationkey < 10
+      UNION ALL
+      SELECT 'insert', s_acctbal FROM supplier WHERE s_nationkey >= 20
+    )
+    SELECT change_type, count(*) AS n_rows,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM changes GROUP BY change_type
+    """,
+    survey_rows="S2,ST14,A1,change-data-feed",
+)
+def delta_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (round-14) — the canonical lakehouse upsert as ONE
+    atomic merge-on-read commit: supplier becomes a CDF-enabled Delta
+    table partitioned by s_nationkey, and one
+    merge_into_delta_table call upserts a source holding (a) every
+    s_nationkey<10 row with s_acctbal+5000 (matched → DV over the old
+    row + re-append) and (b) every s_nationkey>=20 row under a shifted
+    key (unmatched → insert). The gate aggregates the merge commit's
+    change feed per change_type: the preimage line must reproduce the
+    ORIGINAL balances, the postimage line the bumped ones, and the
+    insert line exactly the shifted-key half — a merge that loses a
+    half, double-applies, flips pre/post, or resurrects DV-dead rows
+    hash-fails. Partition moves, ambiguity refusal, no-op
+    non-commits, and column-mapping composition are pinned in
+    tests/test_delta.py."""
+    from ..sources.delta_log import (
+        merge_into_delta_table,
+        read_delta_change_feed,
+        write_delta_table,
+    )
+
+    base = _delta_fixture_root(spark, sf_dir, "delta_supplier_merge")
+    s = load_table(spark, sf_dir, "supplier")
+    cols = s.columns
+    if not os.path.exists(os.path.join(base, "_delta_log")):
+        write_delta_table(
+            s, base, partition_by=["s_nationkey"],
+            enable_change_feed=True,
+        )
+        upd = s.filter(F.col("s_nationkey") < 10).withColumn(
+            "s_acctbal", F.col("s_acctbal") + 5000
+        )
+        ins = s.filter(F.col("s_nationkey") >= 20).withColumn(
+            "s_suppkey", F.col("s_suppkey") + 1_000_000
+        )
+        merge_into_delta_table(
+            spark, base,
+            upd.select(*cols).unionAll(ins.select(*cols)),
+            on=["s_suppkey"],
+        )
+    feed = read_delta_change_feed(spark, base, 1, 1)
+    return feed.groupBy(
+        F.col("_change_type").alias("change_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
     "iceberg_spec_evolution_agg",
     """
     SELECT s_nationkey, count(*) AS n_suppliers,

@@ -1427,6 +1427,266 @@ def read_delta_change_feed(
     return out.select(*out_names)
 
 
+class _VerbScan:
+    """Shared front half of every row-level merge-on-read verb
+    (DELETE / UPDATE / MERGE): the current snapshot replayed, plus one
+    scan of its data files under LOGICAL column names carrying
+    (_file_base, _pos) physical row addresses, typed partition values
+    re-attached, and rows already dead under existing deletion vectors
+    anti-joined away (resurrection guard)."""
+
+    __slots__ = (
+        "active", "meta", "latest", "full_schema", "part_cols",
+        "cmap", "types", "keyed", "base_to_path",
+    )
+
+    def pname(self, c: str) -> str:
+        return self.cmap[c] if self.cmap else c
+
+
+def _verb_scan(spark: SparkSession, table_path: str) -> _VerbScan:
+    ctx = _VerbScan()
+    ctx.active, ctx.meta, ctx.latest = _replay(table_path, None)
+    if not ctx.active:
+        raise DeltaLogError("no data files to modify")
+    ctx.full_schema = StructType.fromJson(
+        json.loads(ctx.meta["schemaString"])
+    )
+    ctx.part_cols = list(ctx.meta.get("partitionColumns", []))
+    ctx.cmap = _column_mapping(ctx.meta)
+    ctx.types = {f.name: f.dataType for f in ctx.full_schema.fields}
+    pname = ctx.pname
+    basenames = [p.split("/")[-1] for p in ctx.active]
+    if len(set(basenames)) != len(basenames):
+        raise UnsupportedDeltaFeature(
+            "data-file basenames are not unique — cannot key "
+            "deletion vectors"
+        )
+    ctx.base_to_path = {p.split("/")[-1]: p for p in ctx.active}
+    # mapped tables scan by physical name; callers speak logical
+    # names, so the scan projects back to logical before any filter
+    data_schema = StructType(
+        [
+            T.StructField(pname(f.name), f.dataType, f.nullable)
+            for f in ctx.full_schema.fields
+            if f.name not in ctx.part_cols
+        ]
+    )
+    paths = [os.path.join(table_path, p) for p in sorted(ctx.active)]
+    keyed = spark.read.schema(data_schema).parquet(*paths).select(
+        *[
+            F.col(pname(f.name)).alias(f.name)
+            for f in ctx.full_schema.fields
+            if f.name not in ctx.part_cols
+        ],
+        F.substring_index(F.col("_metadata.file_path"), "/", -1).alias(
+            "_file_base"
+        ),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+    if ctx.part_cols:
+        # typed partition values ride in on the same broadcast mapping
+        # the reader uses, so conditions may reference them
+        rows = []
+        for p, a in sorted(ctx.active.items()):
+            pv = a.get("partitionValues", {})
+            rows.append(
+                (
+                    p.split("/")[-1],
+                    *[pv.get(pname(c)) for c in ctx.part_cols],
+                )
+            )
+        map_schema = T.StructType(
+            [T.StructField("_file_base", T.StringType())]
+            + [T.StructField(c, T.StringType()) for c in ctx.part_cols]
+        )
+        mapping = spark.createDataFrame(rows, map_schema)
+        keyed = keyed.join(F.broadcast(mapping), "_file_base").select(
+            "_file_base",
+            "_pos",
+            *[
+                F.col(c).cast(ctx.types[c]).alias(c)
+                if c in ctx.part_cols
+                else F.col(c)
+                for c in [f.name for f in ctx.full_schema.fields]
+            ],
+        )
+    # rows already dead under existing DVs must be invisible to the
+    # verb: without this anti-join, an UPDATE/MERGE whose condition
+    # matches a previously-deleted row would RE-APPEND it
+    # (resurrection), and a CDF delete would record an already-dead
+    # row as deleted again
+    existing_dvs = {
+        p: a for p, a in ctx.active.items() if a.get("deletionVector")
+    }
+    if existing_dvs:
+        keyed = _dv_anti_join(
+            spark, table_path, keyed, existing_dvs, "_pos"
+        )
+    ctx.keyed = keyed
+    return ctx
+
+
+def _stage_parquet_files(
+    df: DataFrame,
+    table_path: str,
+    part_cols_phys: list[str],
+    flat_dest: str | None = None,
+    name_prefix: str = "part",
+) -> list[tuple[str, dict, int]]:
+    """Write `df` once into a temp staging dir (Hive layout over
+    `part_cols_phys`, which partitionBy drops from the data files —
+    exactly the spec layout), move every produced parquet under the
+    table, and return (rel_path, partitionValues, size) per file.
+    `flat_dest` (e.g. '_change_data') moves files flat into that dir
+    instead of preserving the partition dirs; partitionValues decode
+    from the Hive path either way (__HIVE_DEFAULT_PARTITION__ → JSON
+    null)."""
+    staging = os.path.join(table_path, f"_staging-{uuid.uuid4().hex}")
+    w = df.write.mode("overwrite")
+    if part_cols_phys:
+        w = w.partitionBy(*part_cols_phys)
+    w.parquet(staging)
+    out: list[tuple[str, dict, int]] = []
+    for root, _dirs, names_ in os.walk(staging):
+        for fname in sorted(names_):
+            if not fname.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(root, staging)
+            pv: dict = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    c, _, v = seg.partition("=")
+                    pv[c] = (
+                        None
+                        if v == "__HIVE_DEFAULT_PARTITION__"
+                        else urllib.parse.unquote(v)
+                    )
+            new_name = (
+                f"{name_prefix}-{uuid.uuid4().hex}.snappy.parquet"
+            )
+            if flat_dest is not None:
+                rel = f"{flat_dest}/{new_name}"
+            elif rel_dir != ".":
+                rel = os.path.join(rel_dir, new_name)
+            else:
+                rel = new_name
+            dst = os.path.join(table_path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(os.path.join(root, fname), dst)
+            out.append(
+                (rel.replace(os.sep, "/"), pv, os.path.getsize(dst))
+            )
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    return out
+
+
+def _write_dv_blob(
+    table_path: str,
+    per_file: dict[str, list[int]],
+    active: dict,
+    base_to_path: dict[str, str],
+) -> dict[str, dict]:
+    """Serialize every affected file's (merged) deletion bitmap into
+    ONE `deletion_vector_<uuid>.bin` (spec storage format: version
+    byte, then per DV <size big-endian><bitmap><crc32>) and return the
+    per-file descriptors. Existing DVs merge in — the spec requires
+    each new DV to supersede, not increment."""
+    import uuid as _uuid
+    import zlib
+
+    from .roaring import serialize_roaring64, z85_encode
+
+    dv_uuid = _uuid.uuid4()
+    blob = bytearray([1])  # DV file format version
+    descriptors: dict[str, dict] = {}
+    for base in sorted(per_file):
+        merged = set(per_file[base])
+        old_dv = active[base_to_path[base]].get("deletionVector")
+        if old_dv:
+            merged.update(
+                int(x) for x in _read_dv_positions(table_path, old_dv)
+            )
+        data = serialize_roaring64(sorted(merged))
+        off = len(blob)
+        blob += struct.pack(">i", len(data))
+        blob += data
+        blob += struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+        descriptors[base] = {
+            "storageType": "u",
+            "pathOrInlineDv": z85_encode(dv_uuid.bytes),
+            "offset": off,
+            "sizeInBytes": len(data),
+            "cardinality": len(merged),
+        }
+    dv_name = f"deletion_vector_{dv_uuid}.bin"
+    tmp = os.path.join(table_path, f".{dv_name}.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "wb") as f:
+        f.write(bytes(blob))
+    os.replace(tmp, os.path.join(table_path, dv_name))
+    return descriptors
+
+
+def _dv_commit_actions(
+    per_file: dict[str, list[int]],
+    base_to_path: dict[str, str],
+    active: dict,
+    descriptors: dict[str, dict],
+    now_ms: int,
+    cmap: dict | None,
+) -> list[dict]:
+    """Protocol upgrade + remove/re-add-with-DV action pairs for every
+    affected file. The v3 upgrade must carry EVERY feature the table
+    uses — a mapped table that dropped columnMapping from
+    readerFeatures here would have conforming readers mis-read it by
+    logical names."""
+    dv_feats = ["deletionVectors"] + (
+        ["columnMapping"] if cmap else []
+    )
+    actions: list[dict] = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": dv_feats,
+                "writerFeatures": dv_feats,
+            }
+        }
+    ]
+    for base in sorted(per_file):
+        p = base_to_path[base]
+        a = active[p]
+        actions.append(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+        new_add = {
+            k: v for k, v in a.items() if k != "deletionVector"
+        }
+        new_add["dataChange"] = True
+        new_add["deletionVector"] = descriptors[base]
+        actions.append({"add": new_add})
+    return actions
+
+
+def _write_commit(
+    table_path: str, version: int, actions: list[dict]
+) -> int:
+    tmp = _log_path(table_path, version) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        for a in actions:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    os.replace(tmp, _log_path(table_path, version))
+    return version
+
+
 def delete_rows_from_delta_table(
     spark: SparkSession,
     table_path: str,
@@ -1457,36 +1717,11 @@ def delete_rows_from_delta_table(
     as `update_postimage` cdc actions. Assignments to partition
     columns refuse (a partition move is a rewrite, not an update).
     `update_delta_table_rows` is the public verb."""
-    import uuid as _uuid
-    import zlib
-
-    from .roaring import serialize_roaring64, z85_encode
-
-    active, meta, latest = _replay(table_path, None)
-    if not active:
-        raise DeltaLogError("no data files to delete from")
-    full_schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    part_cols = list(meta.get("partitionColumns", []))
-    cmap = _column_mapping(meta)
-
-    def pname(c: str) -> str:
-        return cmap[c] if cmap else c
-
-    # mapped tables scan by physical name; `condition` speaks logical
-    # names, so the scan projects back to logical before the filter
-    data_schema = StructType(
-        [
-            T.StructField(pname(f.name), f.dataType, f.nullable)
-            for f in full_schema.fields
-            if f.name not in part_cols
-        ]
-    )
-    basenames = [p.split("/")[-1] for p in active]
-    if len(set(basenames)) != len(basenames):
-        raise UnsupportedDeltaFeature(
-            "data-file basenames are not unique — cannot key "
-            "deletion vectors"
-        )
+    ctx = _verb_scan(spark, table_path)
+    active, meta, latest = ctx.active, ctx.meta, ctx.latest
+    full_schema, part_cols = ctx.full_schema, ctx.part_cols
+    cmap, types, keyed = ctx.cmap, ctx.types, ctx.keyed
+    pname = ctx.pname
     cond = F.expr(condition) if isinstance(condition, str) else condition
     if assignments:
         names = {f.name for f in full_schema.fields}
@@ -1499,53 +1734,6 @@ def delete_rows_from_delta_table(
                 f"assignments to partition columns {parts_touched} — a "
                 "partition move is a rewrite, not a MOR update"
             )
-    types = {f.name: f.dataType for f in full_schema.fields}
-    paths = [os.path.join(table_path, p) for p in sorted(active)]
-    keyed = spark.read.schema(data_schema).parquet(*paths).select(
-        *[
-            F.col(pname(f.name)).alias(f.name)
-            for f in full_schema.fields
-            if f.name not in part_cols
-        ],
-        F.substring_index(F.col("_metadata.file_path"), "/", -1).alias(
-            "_file_base"
-        ),
-        F.col("_metadata.row_index").alias("_pos"),
-    )
-    if part_cols:
-        # typed partition values ride in on the same broadcast mapping
-        # the reader uses, so `condition` may reference them
-        rows = []
-        for p, a in sorted(active.items()):
-            pv = a.get("partitionValues", {})
-            rows.append(
-                (p.split("/")[-1], *[pv.get(pname(c)) for c in part_cols])
-            )
-        map_schema = T.StructType(
-            [T.StructField("_file_base", T.StringType())]
-            + [T.StructField(c, T.StringType()) for c in part_cols]
-        )
-        mapping = spark.createDataFrame(rows, map_schema)
-        keyed = keyed.join(F.broadcast(mapping), "_file_base").select(
-            "_file_base",
-            "_pos",
-            *[
-                F.col(c).cast(types[c]).alias(c) if c in part_cols
-                else F.col(c)
-                for c in [f.name for f in full_schema.fields]
-            ],
-        )
-    # rows already dead under existing DVs must be invisible to the
-    # verb: without this anti-join, an UPDATE whose condition matches
-    # a previously-deleted row would RE-APPEND it (resurrection), and
-    # a CDF delete would record an already-dead row as deleted again
-    existing_dvs = {
-        p: a for p, a in active.items() if a.get("deletionVector")
-    }
-    if existing_dvs:
-        keyed = _dv_anti_join(
-            spark, table_path, keyed, existing_dvs, "_pos"
-        )
     hits = (
         keyed.filter(cond)
         .select("_file_base", "_pos")
@@ -1558,7 +1746,7 @@ def delete_rows_from_delta_table(
     if not per_file:
         return latest
 
-    base_to_path = {p.split("/")[-1]: p for p in active}
+    base_to_path = ctx.base_to_path
     # CHANGE DATA FEED (round-14): on a CDF-enabled table the victim
     # rows are additionally recorded as `cdc` actions — parquet under
     # _change_data/ holding the (physical-named) data columns +
@@ -1641,168 +1829,52 @@ def delete_rows_from_delta_table(
                 for f in full_schema.fields
             ]
         )
-        upd_staging = os.path.join(
-            table_path, f"_staging-{uuid.uuid4().hex}"
-        )
-        w = out.write.mode("overwrite")
-        if part_cols:
-            w = w.partitionBy(*[pname(c) for c in part_cols])
-        w.parquet(upd_staging)
+        phys_parts = [pname(c) for c in part_cols]
+        for rel, pv, size in _stage_parquet_files(
+            out, table_path, phys_parts
+        ):
+            update_adds.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": pv,
+                        "size": size,
+                        "modificationTime": now0,
+                        "dataChange": True,
+                    }
+                }
+            )
         cdf_on = (
             _configuration(meta).get("delta.enableChangeDataFeed")
             == "true"
         )
-        import shutil as _shutil2
-
-        for root, _dirs, names_ in os.walk(upd_staging):
-            for fname in sorted(names_):
-                if not fname.endswith(".parquet"):
-                    continue
-                rel_dir = os.path.relpath(root, upd_staging)
-                pv: dict = {}
-                if rel_dir != ".":
-                    for seg in rel_dir.split(os.sep):
-                        c, _, v = seg.partition("=")
-                        pv[c] = (
-                            None
-                            if v == "__HIVE_DEFAULT_PARTITION__"
-                            else urllib.parse.unquote(v)
-                        )
-                new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
-                rel = (
-                    os.path.join(rel_dir, new_name)
-                    if rel_dir != "."
-                    else new_name
-                )
-                dst = os.path.join(table_path, rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.replace(os.path.join(root, fname), dst)
-                update_adds.append(
-                    {
-                        "add": {
-                            "path": rel.replace(os.sep, "/"),
-                            "partitionValues": pv,
-                            "size": os.path.getsize(dst),
-                            "modificationTime": now0,
-                            "dataChange": True,
-                        }
-                    }
-                )
-        _shutil2.rmtree(upd_staging, ignore_errors=True)
         if cdf_on:
             # postimage rows, grouped per partition value so each cdc
             # action carries exact (physical) partitionValues
             post = out.select(
                 "*", F.lit("update_postimage").alias("_change_type")
             )
-            post_staging = os.path.join(
-                table_path, f"_staging-{uuid.uuid4().hex}"
-            )
-            wp = post.write.mode("overwrite")
-            if part_cols:
-                wp = wp.partitionBy(*[pname(c) for c in part_cols])
-            wp.parquet(post_staging)
-            os.makedirs(
-                os.path.join(table_path, "_change_data"), exist_ok=True
-            )
-            for root, _dirs, names_ in os.walk(post_staging):
-                for fname in sorted(names_):
-                    if not fname.endswith(".parquet"):
-                        continue
-                    rel_dir = os.path.relpath(root, post_staging)
-                    pv = {}
-                    if rel_dir != ".":
-                        for seg in rel_dir.split(os.sep):
-                            c, _, v = seg.partition("=")
-                            pv[c] = (
-                                None
-                                if v == "__HIVE_DEFAULT_PARTITION__"
-                                else urllib.parse.unquote(v)
-                            )
-                    rel = (
-                        "_change_data/"
-                        f"cdc-{uuid.uuid4().hex}.snappy.parquet"
-                    )
-                    os.replace(
-                        os.path.join(root, fname),
-                        os.path.join(table_path, rel),
-                    )
-                    cdc_actions.append(
-                        {
-                            "cdc": {
-                                "path": rel,
-                                "partitionValues": pv,
-                                "size": os.path.getsize(
-                                    os.path.join(table_path, rel)
-                                ),
-                                "dataChange": False,
-                            }
+            for rel, pv, size in _stage_parquet_files(
+                post, table_path, phys_parts,
+                flat_dest="_change_data", name_prefix="cdc",
+            ):
+                cdc_actions.append(
+                    {
+                        "cdc": {
+                            "path": rel,
+                            "partitionValues": pv,
+                            "size": size,
+                            "dataChange": False,
                         }
-                    )
-            _shutil2.rmtree(post_staging, ignore_errors=True)
-    dv_uuid = _uuid.uuid4()
-    blob = bytearray([1])  # DV file format version
-    descriptors: dict[str, dict] = {}
-    for base in sorted(per_file):
-        merged = set(per_file[base])
-        old_dv = active[base_to_path[base]].get("deletionVector")
-        if old_dv:
-            merged.update(
-                int(x) for x in _read_dv_positions(table_path, old_dv)
-            )
-        data = serialize_roaring64(sorted(merged))
-        off = len(blob)
-        blob += struct.pack(">i", len(data))
-        blob += data
-        blob += struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
-        descriptors[base] = {
-            "storageType": "u",
-            "pathOrInlineDv": z85_encode(dv_uuid.bytes),
-            "offset": off,
-            "sizeInBytes": len(data),
-            "cardinality": len(merged),
-        }
-    dv_name = f"deletion_vector_{dv_uuid}.bin"
-    tmp = os.path.join(table_path, f".{dv_name}.tmp-{uuid.uuid4().hex}")
-    with open(tmp, "wb") as f:
-        f.write(bytes(blob))
-    os.replace(tmp, os.path.join(table_path, dv_name))
-
-    now_ms = int(time.time() * 1000)
-    # the v3 upgrade must carry EVERY feature the table uses — a
-    # mapped table that dropped columnMapping from readerFeatures here
-    # would have conforming readers mis-read it by logical names
-    dv_feats = ["deletionVectors"] + (
-        ["columnMapping"] if cmap else []
+                    }
+                )
+    descriptors = _write_dv_blob(
+        table_path, per_file, active, base_to_path
     )
-    actions: list[dict] = [
-        {
-            "protocol": {
-                "minReaderVersion": 3,
-                "minWriterVersion": 7,
-                "readerFeatures": dv_feats,
-                "writerFeatures": dv_feats,
-            }
-        }
-    ]
-    for base in sorted(per_file):
-        p = base_to_path[base]
-        a = active[p]
-        actions.append(
-            {
-                "remove": {
-                    "path": p,
-                    "deletionTimestamp": now_ms,
-                    "dataChange": True,
-                }
-            }
-        )
-        new_add = {
-            k: v for k, v in a.items() if k != "deletionVector"
-        }
-        new_add["dataChange"] = True
-        new_add["deletionVector"] = descriptors[base]
-        actions.append({"add": new_add})
+    now_ms = int(time.time() * 1000)
+    actions = _dv_commit_actions(
+        per_file, base_to_path, active, descriptors, now_ms, cmap
+    )
     actions.extend(update_adds)
     actions.extend(cdc_actions)
     actions.append(
@@ -1815,13 +1887,7 @@ def delete_rows_from_delta_table(
             }
         }
     )
-    version = latest + 1
-    tmp = _log_path(table_path, version) + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w", encoding="utf-8") as f:
-        for a in actions:
-            f.write(json.dumps(a, separators=(",", ":")) + "\n")
-    os.replace(tmp, _log_path(table_path, version))
-    return version
+    return _write_commit(table_path, latest + 1, actions)
 
 
 def update_delta_table_rows(
@@ -1843,6 +1909,233 @@ def update_delta_table_rows(
     return delete_rows_from_delta_table(
         spark, table_path, condition, assignments=assignments
     )
+
+
+def merge_into_delta_table(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str | None = "update",
+    when_not_matched: str | None = "insert",
+) -> int:
+    """MERGE INTO (round-14) — the canonical lakehouse upsert, as ONE
+    atomic merge-on-read commit: target rows whose `on` key tuple
+    appears in `source` are DV-deleted (when_matched 'delete') or
+    DV-deleted and re-appended with the source row's values
+    (when_matched 'update' — a full-row replace, so partition moves
+    work naturally: the old row dies under a DV, the new row lands in
+    its new partition's file); source rows matching no target row are
+    appended (when_not_matched 'insert'). Readers never observe a
+    half-merged state, and time travel to the pre-merge version still
+    reads everything.
+
+    `source` must carry exactly the target's logical columns. Keys
+    compare with SQL equality (NULL keys never match — they insert,
+    matching MERGE semantics). A target row matched by MORE than one
+    source row raises: applying either source row would be
+    nondeterministic, the same ambiguity real MERGE implementations
+    refuse. Matched rows already dead under existing DVs are invisible
+    (resurrection guard in the shared verb scan).
+
+    On a CDF table the commit records the full change vocabulary:
+    update_preimage/update_postimage (or delete) cdc rows for the
+    matched half, insert cdc rows for the appended half — a commit
+    with any cdc action replays ONLY cdc actions, so every changed row
+    must be present. Returns the committed version (the current one,
+    uncommitted, when the merge changes nothing)."""
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(
+            "when_matched must be 'update', 'delete', or None"
+        )
+    if when_not_matched not in ("insert", None):
+        raise ValueError("when_not_matched must be 'insert' or None")
+    if when_matched is None and when_not_matched is None:
+        raise ValueError("merge with no clauses does nothing")
+    if not on:
+        raise ValueError("`on` must name at least one key column")
+
+    ctx = _verb_scan(spark, table_path)
+    cols = [f.name for f in ctx.full_schema.fields]
+    missing = [c for c in cols if c not in source.columns]
+    extra = [c for c in source.columns if c not in cols]
+    if missing or extra:
+        raise ValueError(
+            f"source schema must match the table's logical columns: "
+            f"missing {missing}, unexpected {extra}"
+        )
+    bad_keys = [k for k in on if k not in cols]
+    if bad_keys:
+        raise ValueError(f"`on` keys not in table schema: {bad_keys}")
+    src = source.select(
+        *[F.col(c).cast(ctx.types[c]).alias(c) for c in cols]
+    )
+    s_al = src.select(*[F.col(c).alias(f"_src_{c}") for c in cols])
+    join_cond = None
+    for k in on:
+        c = F.col(k) == F.col(f"_src_{k}")
+        join_cond = c if join_cond is None else (join_cond & c)
+
+    matched = ctx.keyed.join(s_al, join_cond, "inner")
+    hits = (
+        matched.groupBy("_file_base", "_pos")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy("_file_base", "_pos")
+        .collect()
+    ) if when_matched else []
+    dup = [r for r in hits if r["_n"] > 1]
+    if dup:
+        raise DeltaLogError(
+            f"{len(dup)} target row(s) matched by multiple source "
+            "rows — merge is ambiguous (first at file "
+            f"{dup[0]['_file_base']} pos {dup[0]['_pos']})"
+        )
+    per_file: dict[str, list[int]] = {}
+    for r in hits:
+        per_file.setdefault(r["_file_base"], []).append(int(r["_pos"]))
+
+    pname = ctx.pname
+    phys_parts = [pname(c) for c in ctx.part_cols]
+    cdf_on = (
+        _configuration(ctx.meta).get("delta.enableChangeDataFeed")
+        == "true"
+    )
+
+    # one staged write per role; physical column names, spec layout
+    def _phys(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[F.col(c).alias(pname(c)) for c in cols]
+        )
+
+    add_actions: list[dict] = []
+    cdc_actions: list[dict] = []
+    now_ms = int(time.time() * 1000)
+
+    to_append = None
+    if when_matched == "update" and per_file:
+        to_append = matched.select(
+            *[F.col(f"_src_{c}").alias(c) for c in cols]
+        )
+    if when_not_matched == "insert":
+        inserts = src.join(
+            ctx.keyed.select(*on), on=on, how="left_anti"
+        ).select(*cols)
+        # an empty unpartitioned write still produces one 0-row
+        # parquet — which would turn a no-op merge into a commit
+        if inserts.isEmpty():
+            inserts = None
+        else:
+            to_append = (
+                inserts if to_append is None
+                else to_append.unionAll(inserts)
+            )
+        if cdf_on and inserts is not None:
+            ins_cdc = _phys(inserts).select(
+                "*", F.lit("insert").alias("_change_type")
+            )
+            for rel, pv, size in _stage_parquet_files(
+                ins_cdc, table_path, phys_parts,
+                flat_dest="_change_data", name_prefix="cdc",
+            ):
+                cdc_actions.append(
+                    {
+                        "cdc": {
+                            "path": rel,
+                            "partitionValues": pv,
+                            "size": size,
+                            "dataChange": False,
+                        }
+                    }
+                )
+    if to_append is not None:
+        for rel, pv, size in _stage_parquet_files(
+            _phys(to_append), table_path, phys_parts
+        ):
+            add_actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": pv,
+                        "size": size,
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    if not per_file and not add_actions:
+        return ctx.latest  # nothing matched, nothing to insert
+
+    if cdf_on and per_file:
+        pre_type = (
+            "update_preimage" if when_matched == "update" else "delete"
+        )
+        pre = _phys(matched.select(*cols)).select(
+            "*", F.lit(pre_type).alias("_change_type")
+        )
+        for rel, pv, size in _stage_parquet_files(
+            pre, table_path, phys_parts,
+            flat_dest="_change_data", name_prefix="cdc",
+        ):
+            cdc_actions.append(
+                {
+                    "cdc": {
+                        "path": rel,
+                        "partitionValues": pv,
+                        "size": size,
+                        "dataChange": False,
+                    }
+                }
+            )
+        if when_matched == "update":
+            post = _phys(
+                matched.select(
+                    *[F.col(f"_src_{c}").alias(c) for c in cols]
+                )
+            ).select(
+                "*", F.lit("update_postimage").alias("_change_type")
+            )
+            for rel, pv, size in _stage_parquet_files(
+                post, table_path, phys_parts,
+                flat_dest="_change_data", name_prefix="cdc",
+            ):
+                cdc_actions.append(
+                    {
+                        "cdc": {
+                            "path": rel,
+                            "partitionValues": pv,
+                            "size": size,
+                            "dataChange": False,
+                        }
+                    }
+                )
+
+    actions: list[dict] = []
+    if per_file:
+        descriptors = _write_dv_blob(
+            table_path, per_file, ctx.active, ctx.base_to_path
+        )
+        actions.extend(
+            _dv_commit_actions(
+                per_file, ctx.base_to_path, ctx.active, descriptors,
+                now_ms, ctx.cmap,
+            )
+        )
+    actions.extend(add_actions)
+    actions.extend(cdc_actions)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "MERGE",
+                "operationParameters": {
+                    "matched": when_matched or "",
+                    "notMatched": when_not_matched or "",
+                },
+                "engineInfo": "novelti-dingo-spark clean-room writer",
+            }
+        }
+    )
+    return _write_commit(table_path, ctx.latest + 1, actions)
 
 
 def compact_delta_table(spark: SparkSession, table_path: str) -> int:

@@ -1211,3 +1211,170 @@ def test_delta_mor_update_partitioned_and_refusals(
     assert sorted(
         map(tuple, got2.select(*s.columns).collect())
     ) == sorted(map(tuple, want.collect()))
+
+
+def test_delta_merge_upsert(spark, sf_small, tmp_path):
+    """MERGE INTO (round-14): matched rows replaced with the source
+    row (DV over the old, new file for the new), unmatched source rows
+    inserted, all in ONE commit; time travel to the pre-merge version
+    reads the original; a no-op merge commits nothing; a target row
+    matched by two source rows refuses."""
+    from novelti_dingo_spark.sources.delta_log import (
+        merge_into_delta_table,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    write_delta_table(s.repartition(3), base)
+    cols = s.columns
+
+    upd = s.filter("s_nationkey < 10").withColumn(
+        "s_acctbal", F.col("s_acctbal") + 5000
+    )
+    ins = s.filter("s_nationkey >= 20").withColumn(
+        "s_suppkey", F.col("s_suppkey") + 1_000_000
+    )
+    src = upd.select(*cols).unionAll(ins.select(*cols))
+    v = merge_into_delta_table(spark, base, src, on=["s_suppkey"])
+    assert v == 1
+
+    got = read_delta_table(spark, base).select(*cols)
+    want = (
+        s.withColumn(
+            "s_acctbal",
+            F.when(
+                F.col("s_nationkey") < 10, F.col("s_acctbal") + 5000
+            ).otherwise(F.col("s_acctbal")),
+        )
+        .select(*cols)
+        .unionAll(ins.select(*cols))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # pre-merge version untouched (merge-on-read)
+    assert read_delta_table(spark, base, version=0).count() == s.count()
+
+    # no-op: source matches nothing and inserts nothing
+    empty = spark.createDataFrame([], s.schema)
+    assert merge_into_delta_table(spark, base, empty, on=["s_suppkey"]) == 1
+    assert delta_table_version(base) == 1
+
+    # ambiguity: two source rows for one target key
+    one = s.filter("s_suppkey = 1").select(*cols)
+    dup = one.unionAll(
+        one.withColumn("s_acctbal", F.lit(0.0).cast("double"))
+    )
+    with pytest.raises(DeltaLogError, match="multiple source rows"):
+        merge_into_delta_table(spark, base, dup, on=["s_suppkey"])
+
+    # schema mismatch refuses
+    with pytest.raises(ValueError, match="source schema"):
+        merge_into_delta_table(
+            spark, base, src.drop("s_name"), on=["s_suppkey"]
+        )
+
+
+def test_delta_merge_partitioned_with_partition_move(
+    spark, sf_small, tmp_path
+):
+    """A MERGE update is a full-row replace (DV + re-append), so
+    moving a row BETWEEN partitions — which the in-place UPDATE verb
+    refuses — works naturally: the old row dies in its old partition's
+    file, the new one lands in the new partition."""
+    from novelti_dingo_spark.sources.delta_log import (
+        merge_into_delta_table,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    write_delta_table(s, base, partition_by=["s_nationkey"])
+    cols = s.columns
+
+    # move every min-nation supplier to nation 99 and re-balance
+    nk0 = s.agg(F.min("s_nationkey")).collect()[0][0]
+    moved = (
+        s.filter(F.col("s_nationkey") == nk0)
+        .withColumn("s_nationkey", F.lit(99).cast("bigint"))
+        .withColumn("s_acctbal", F.col("s_acctbal") * 2)
+    )
+    n_moved = moved.count()
+    assert n_moved > 0
+    merge_into_delta_table(
+        spark, base, moved.select(*cols), on=["s_suppkey"]
+    )
+    got = read_delta_table(spark, base)
+    assert got.filter(F.col("s_nationkey") == nk0).count() == 0
+    assert got.filter("s_nationkey = 99").count() == n_moved
+    assert got.count() == s.count()
+    # partition pruning on the new partition still works off the log
+    pruned = read_delta_table(
+        spark, base, partition_filter={"s_nationkey": "99"}
+    )
+    assert pruned.count() == n_moved
+
+
+def test_delta_merge_cdf_and_column_mapping(spark, sf_small, tmp_path):
+    """MERGE on a CDF-enabled column-mapped table records the full
+    change vocabulary in one commit: update_preimage/update_postimage
+    for the matched half, insert for the appended half; matched-delete
+    merges record plain deletes."""
+    from novelti_dingo_spark.sources.delta_log import (
+        merge_into_delta_table,
+        read_delta_change_feed,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    write_delta_table(
+        s, base, column_mapping="name", enable_change_feed=True
+    )
+    cols = s.columns
+
+    upd = s.filter("s_nationkey < 5").withColumn(
+        "s_acctbal", F.col("s_acctbal") + 111
+    )
+    ins = s.filter("s_nationkey = 20").withColumn(
+        "s_suppkey", F.col("s_suppkey") + 1_000_000
+    )
+    src = upd.select(*cols).unionAll(ins.select(*cols))
+    v = merge_into_delta_table(spark, base, src, on=["s_suppkey"])
+
+    feed = read_delta_change_feed(spark, base, v, v)
+    per = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_upd, n_ins = upd.count(), ins.count()
+    assert per == {
+        "update_preimage": n_upd,
+        "update_postimage": n_upd,
+        "insert": n_ins,
+    }
+    # preimage carries ORIGINAL balances, postimage the bumped ones
+    pre_sum = (
+        feed.filter("_change_type = 'update_preimage'")
+        .agg(F.round(F.sum("s_acctbal"), 2))
+        .collect()[0][0]
+    )
+    want_pre = (
+        s.filter("s_nationkey < 5")
+        .agg(F.round(F.sum("s_acctbal"), 2))
+        .collect()[0][0]
+    )
+    assert pre_sum == want_pre
+
+    # matched-delete merge: plain delete cdc rows
+    v2 = merge_into_delta_table(
+        spark, base, ins.select(*cols), on=["s_suppkey"],
+        when_matched="delete", when_not_matched=None,
+    )
+    feed2 = read_delta_change_feed(spark, base, v2, v2)
+    assert feed2.select("_change_type").distinct().collect()[0][0] == (
+        "delete"
+    )
+    assert feed2.count() == n_ins
+    got = read_delta_table(spark, base)
+    assert got.filter("s_suppkey > 1000000").count() == 0

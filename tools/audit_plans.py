@@ -895,6 +895,11 @@ EXPECT = {
     "delta_update_agg": {
         "partial_agg": True, "no_python_udf": True,
     },
+    # MERGE INTO: the gate reads the commit's cdc parquet + two-phase
+    # agg; the merge itself committed at fixture-build time
+    "delta_merge_agg": {
+        "partial_agg": True, "no_python_udf": True,
+    },
     # round-11 JDBC ingest: the scan must be the PARTITIONED parallel
     # extraction (numPartitions=4 → one bounded query per task), two-
     # phase agg on top
