@@ -1964,6 +1964,75 @@ def delta_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_merge_agg",
+    """
+    WITH changes AS (
+      SELECT 'insert' AS change_type, s_acctbal + 5000 AS bal
+      FROM supplier WHERE s_nationkey < 10
+      UNION ALL
+      SELECT 'insert', s_acctbal FROM supplier WHERE s_nationkey >= 20
+      UNION ALL
+      SELECT 'delete', s_acctbal FROM supplier WHERE s_nationkey < 10
+    )
+    SELECT change_type, count(*) AS n_rows,
+           round(sum(bal), 2) AS total_bal
+    FROM changes GROUP BY change_type
+    """,
+    survey_rows="S2,ST14,A1,change-data-feed",
+)
+def iceberg_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg MERGE INTO (round-14 — the Delta merge's twin, so BOTH
+    open formats now carry the canonical upsert): supplier becomes a
+    bucket(8, s_suppkey) hidden-partitioned Iceberg table, and ONE
+    merge_into_iceberg_table commit upserts (a) every s_nationkey<10
+    row with s_acctbal+5000 and (b) every s_nationkey>=20 row under a
+    shifted key — an equality-delete manifest over the source keys
+    plus the merged rows' data manifest, both at the commit's
+    sequence number, so the delete scopes to strictly-older files and
+    never the same commit's appends. The gate aggregates
+    read_iceberg_changes across the merge snapshot (the overwrite
+    multiset-diff leg) per change_type: the insert line must hold the
+    bumped + shifted rows, the delete line exactly the original
+    matched rows — a merge that half-applies, resurrects, or
+    mis-scopes the delete against its own appends hash-fails.
+    Partitioned spec reuse, partition moves, atomic manifest shape,
+    and refusals are pinned in tests/test_iceberg.py."""
+    from ..sources.iceberg import (
+        iceberg_snapshots,
+        merge_into_iceberg_table,
+        read_iceberg_changes,
+        write_iceberg_table,
+    )
+
+    base = _delta_fixture_root(spark, sf_dir, "ice_supplier_merge")
+    s = load_table(spark, sf_dir, "supplier")
+    cols = s.columns
+    if not os.path.exists(os.path.join(base, "metadata")):
+        write_iceberg_table(
+            s, base, partition_by=["bucket(8, s_suppkey)"]
+        )
+        upd = s.filter(F.col("s_nationkey") < 10).withColumn(
+            "s_acctbal", F.col("s_acctbal") + 5000
+        )
+        ins = s.filter(F.col("s_nationkey") >= 20).withColumn(
+            "s_suppkey", F.col("s_suppkey") + 1_000_000
+        )
+        merge_into_iceberg_table(
+            spark, base,
+            upd.select(*cols).unionAll(ins.select(*cols)),
+            on=["s_suppkey"],
+        )
+    first = iceberg_snapshots(base)[0]["snapshot_id"]
+    feed = read_iceberg_changes(spark, base, first)
+    return feed.groupBy(
+        F.col("_change_type").alias("change_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
     "iceberg_spec_evolution_agg",
     """
     SELECT s_nationkey, count(*) AS n_suppliers,

@@ -1081,6 +1081,8 @@ def write_iceberg_table(
     table_path: str,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    _delete_files: list[dict] | None = None,
+    _operation: str | None = None,
 ) -> int:
     """Commit `df` as a format-v2 Iceberg snapshot: parquet data files
     (each holding a single partition tuple when partitioned — and, per
@@ -1089,7 +1091,16 @@ def write_iceberg_table(
     references prior manifests on append and only the new one on
     overwrite, and v<N+1>.metadata.json + version-hint.text. Returns
     the new snapshot id. Single-writer discipline (fixtures/egress);
-    a shared catalog needs the spec's atomic metadata swap."""
+    a shared catalog needs the spec's atomic metadata swap.
+
+    `_delete_files` (internal, round-14 — the MERGE hook): data_file
+    records of content=2 equality-delete parquet already placed under
+    data/; they commit in THIS snapshot under their own content=1
+    manifest, stamped with the same sequence number as the new data
+    manifest — so per the v2 scoping rule (deletes apply to strictly
+    OLDER data sequence numbers) they hit every pre-existing file but
+    never the rows this same commit appends. `_operation` overrides
+    the snapshot summary operation (merge commits say 'overwrite')."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     partition_by = list(partition_by or [])
@@ -1205,6 +1216,13 @@ def write_iceberg_table(
             if not name.endswith(".parquet"):
                 continue
             src = os.path.join(staging, name)
+            if (
+                _delete_files is not None
+                and pq.read_metadata(src).num_rows == 0
+            ):
+                # a merge with an empty append half (e.g. matched-
+                # delete only) must not commit 0-row data files
+                continue
             rel = os.path.join("data", f"{uuid.uuid4().hex}.parquet")
             dst = os.path.join(table_path, rel)
             os.replace(src, dst)
@@ -1285,15 +1303,58 @@ def write_iceberg_table(
     else:
         _stage(df, {})
 
-    man_rel = os.path.join("metadata", f"manifest-{uuid.uuid4().hex}.avro")
-    man_abs = os.path.join(table_path, man_rel)
-    write_avro_records(
-        man_abs, _manifest_schema(part_avro_fields), entries
-    )
-
     # commit sequence number (v2): strictly increasing per commit —
     # the scoping key equality deletes join against on read
     seq = int((prior_meta or {}).get("last-sequence-number", 0)) + 1
+
+    new_manifests: list[dict] = []
+    if entries or _delete_files is None:
+        man_rel = os.path.join(
+            "metadata", f"manifest-{uuid.uuid4().hex}.avro"
+        )
+        man_abs = os.path.join(table_path, man_rel)
+        write_avro_records(
+            man_abs, _manifest_schema(part_avro_fields), entries
+        )
+        new_manifests.append(
+            {
+                "manifest_path": man_rel,
+                "manifest_length": os.path.getsize(man_abs),
+                "partition_spec_id": used_spec_id,
+                "content": 0,
+                "added_snapshot_id": snapshot_id,
+                "sequence_number": seq,
+            }
+        )
+    if _delete_files:
+        del_entries = [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "partition": {n: None for n, _ in part_avro_fields},
+                    **rec,
+                },
+            }
+            for rec in _delete_files
+        ]
+        dman_rel = os.path.join(
+            "metadata", f"manifest-del-{uuid.uuid4().hex}.avro"
+        )
+        dman_abs = os.path.join(table_path, dman_rel)
+        write_avro_records(
+            dman_abs, _manifest_schema(part_avro_fields), del_entries
+        )
+        new_manifests.append(
+            {
+                "manifest_path": dman_rel,
+                "manifest_length": os.path.getsize(dman_abs),
+                "partition_spec_id": used_spec_id,
+                "content": 1,
+                "added_snapshot_id": snapshot_id,
+                "sequence_number": seq,
+            }
+        )
     prior_manifests: list[dict] = []
     if prior_meta is not None and mode == "append":
         prev_snap = _resolve_snapshot(prior_meta, None)
@@ -1312,17 +1373,7 @@ def write_iceberg_table(
     write_avro_records(
         os.path.join(table_path, mlist_rel),
         _MANIFEST_LIST_SCHEMA,
-        prior_manifests
-        + [
-            {
-                "manifest_path": man_rel,
-                "manifest_length": os.path.getsize(man_abs),
-                "partition_spec_id": used_spec_id,
-                "content": 0,
-                "added_snapshot_id": snapshot_id,
-                "sequence_number": seq,
-            }
-        ],
+        prior_manifests + new_manifests,
     )
 
     snapshot = {
@@ -1330,7 +1381,7 @@ def write_iceberg_table(
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": mlist_rel,
-        "summary": {"operation": mode},
+        "summary": {"operation": _operation or mode},
         "schema-id": 0,
     }
     if prior_meta is not None:
@@ -1914,3 +1965,200 @@ def read_iceberg_changes(
     for p_ in pieces[1:]:
         out = out.unionAll(p_)
     return out
+
+
+def _partition_by_from_spec(meta: dict) -> list[str]:
+    """The table's current default spec re-expressed as
+    write_iceberg_table partition_by strings, so verbs that append
+    (MERGE) keep writing under the existing spec instead of silently
+    evolving to an unpartitioned one."""
+    id_to_name = {
+        int(f["id"]): f["name"] for f in _schema_json(meta)["fields"]
+    }
+    out: list[str] = []
+    for f in _partition_spec(meta):
+        src = _spec_field_source(f, id_to_name)
+        t = f.get("transform", "identity")
+        if t == "identity":
+            out.append(src)
+            continue
+        m = re.fullmatch(r"(bucket|truncate)\[(\d+)\]", t)
+        if not m:
+            raise UnsupportedIcebergFeature(
+                f"partition transform {t!r} is beyond this writer"
+            )
+        out.append(f"{m.group(1)}({m.group(2)}, {src})")
+    return out
+
+
+def merge_into_iceberg_table(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str | None = "update",
+    when_not_matched: str | None = "insert",
+) -> int:
+    """MERGE INTO (round-14) — the Iceberg twin of
+    delta_log.merge_into_delta_table, as ONE atomic v2 row-delta
+    snapshot: a content=2 EQUALITY-delete file over the `on` key
+    tuples kills the matched target rows, and the merge's surviving
+    rows land as ordinary data files in the SAME commit. Both new
+    manifests carry the commit's sequence number, so per the spec's
+    strictly-older scoping rule the delete hits every pre-existing
+    file but never the rows this commit appends — atomicity falls out
+    of sequence-number scoping rather than a rewrite. Appends reuse
+    the table's current default partition spec (identity / bucket /
+    truncate transforms included).
+
+    The upsert shape (when_matched='update' + when_not_matched=
+    'insert') is the streaming-CDC write pattern: NO match join at
+    all — delete all source keys, append all source rows; key tuples
+    matching nothing delete nothing. 'update'-only and 'insert'-only
+    merges semi/anti-join the current MOR state to scope their half.
+    A duplicate key tuple in the source refuses when updating
+    (nondeterministic merge, mirroring the Delta verb). NULL key
+    components follow the equality-delete reader's null-safe identity
+    semantics (a null source key CAN match a null target key — unlike
+    the Delta verb's SQL equality, where NULLs never match; callers
+    merging on nullable keys should filter). A merge that changes
+    nothing returns the current snapshot id without committing."""
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(
+            "when_matched must be 'update', 'delete', or None"
+        )
+    if when_not_matched not in ("insert", None):
+        raise ValueError("when_not_matched must be 'insert' or None")
+    if when_matched is None and when_not_matched is None:
+        raise ValueError("merge with no clauses does nothing")
+    if not on:
+        raise ValueError("`on` must name at least one key column")
+    from pyspark.sql import functions as F
+
+    meta, _ = _latest_metadata(table_path)
+    snap = _resolve_snapshot(meta, None)
+    cur_id = int(snap["snapshot-id"])
+    schema = _current_schema(meta)
+    cols = [f.name for f in schema.fields]
+    missing = [c for c in cols if c not in source.columns]
+    extra = [c for c in source.columns if c not in cols]
+    if missing or extra:
+        raise ValueError(
+            f"source schema must match the table's columns: "
+            f"missing {missing}, unexpected {extra}"
+        )
+    bad_keys = [k for k in on if k not in cols]
+    if bad_keys:
+        raise ValueError(f"`on` keys not in table schema: {bad_keys}")
+    src = source.select(
+        *[F.col(c).cast(schema[c].dataType).alias(c) for c in cols]
+    )
+    if when_matched == "update":
+        dup = (
+            src.groupBy(*on)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise IcebergError(
+                f"duplicate source key tuple {tuple(dup[0][k] for k in on)} "
+                "— applying either row would be nondeterministic"
+            )
+
+    append_df = None
+    del_keys = None
+    if when_matched == "update" and when_not_matched == "insert":
+        if src.isEmpty():
+            return cur_id
+        append_df, del_keys = src, src.select(*on).distinct()
+    elif when_matched == "update":
+        current_keys = read_iceberg_table(spark, table_path).select(*on)
+        matched = src.join(
+            current_keys.distinct(), on=on, how="left_semi"
+        )
+        if matched.isEmpty():
+            return cur_id
+        append_df, del_keys = matched, matched.select(*on).distinct()
+    elif when_matched == "delete":
+        current_keys = read_iceberg_table(spark, table_path).select(*on)
+        matched_keys = (
+            src.select(*on)
+            .distinct()
+            .join(current_keys, on=on, how="left_semi")
+        )
+        if not matched_keys.isEmpty():
+            del_keys = matched_keys
+        if when_not_matched == "insert":
+            inserts = src.join(
+                current_keys.distinct(), on=on, how="left_anti"
+            )
+            if not inserts.isEmpty():
+                append_df = inserts
+        if del_keys is None and append_df is None:
+            return cur_id
+    else:  # insert-only
+        current_keys = read_iceberg_table(spark, table_path).select(*on)
+        inserts = src.join(
+            current_keys.distinct(), on=on, how="left_anti"
+        )
+        if inserts.isEmpty():
+            return cur_id
+        append_df = inserts
+
+    delete_files = None
+    if del_keys is not None:
+        name_to_id = {
+            f["name"]: int(f["id"])
+            for f in _schema_json(meta)["fields"]
+        }
+        equality_ids = [name_to_id[c] for c in on]
+        staging = os.path.join(
+            table_path, f"_staging-{uuid.uuid4().hex}"
+        )
+        del_keys.orderBy(*on).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        del_rel = os.path.join(
+            "data", f"delete-{uuid.uuid4().hex}.parquet"
+        )
+        moved = False
+        for name in sorted(os.listdir(staging)):
+            if name.endswith(".parquet"):
+                os.replace(
+                    os.path.join(staging, name),
+                    os.path.join(table_path, del_rel),
+                )
+                moved = True
+                break
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        if not moved:
+            raise IcebergError("merge key scan produced no parquet")
+        import pyarrow.parquet as pq
+
+        dst = os.path.join(table_path, del_rel)
+        delete_files = [
+            {
+                "content": 2,
+                "file_path": del_rel,
+                "file_format": "PARQUET",
+                "record_count": pq.read_metadata(dst).num_rows,
+                "file_size_in_bytes": os.path.getsize(dst),
+                "equality_ids": equality_ids,
+                "lower_bounds": None,
+                "upper_bounds": None,
+            }
+        ]
+    if append_df is None:
+        append_df = spark.createDataFrame([], schema)
+    return write_iceberg_table(
+        append_df,
+        table_path,
+        mode="append",
+        partition_by=_partition_by_from_spec(meta),
+        _delete_files=delete_files,
+        _operation="overwrite",
+    )

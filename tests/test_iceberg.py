@@ -1077,3 +1077,165 @@ def test_iceberg_incremental_read_all_legs(spark, sf_small, tmp_path):
 
     with pytest.raises(IcebergError):
         read_iceberg_changes(spark, base, 12345)
+
+
+def test_iceberg_merge_upsert_atomic_snapshot(spark, sf_small, tmp_path):
+    """MERGE INTO (round-14): ONE snapshot carrying an equality-delete
+    manifest over the source keys plus the merged rows' data manifest,
+    both at the commit's sequence number — the delete hits every
+    pre-existing file (strictly-older scoping) but never the rows the
+    same commit appends. Upsert, matched-delete, no-op non-commit,
+    duplicate-key refusal, and schema mismatch."""
+    from novelti_dingo_spark.sources.avro_py import read_avro_records
+    from novelti_dingo_spark.sources.iceberg import (
+        IcebergError,
+        merge_into_iceberg_table,
+        read_iceberg_changes,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    cols = s.columns
+    write_iceberg_table(s.repartition(3), base)
+
+    upd = s.filter("s_nationkey < 10").withColumn(
+        "s_acctbal", F.col("s_acctbal") + 5000
+    )
+    ins = s.filter("s_nationkey >= 20").withColumn(
+        "s_suppkey", F.col("s_suppkey") + 1_000_000
+    )
+    src = upd.select(*cols).unionAll(ins.select(*cols))
+    sid = merge_into_iceberg_table(spark, base, src, on=["s_suppkey"])
+
+    got = read_iceberg_table(spark, base).select(*cols)
+    want = (
+        s.withColumn(
+            "s_acctbal",
+            F.when(
+                F.col("s_nationkey") < 10, F.col("s_acctbal") + 5000
+            ).otherwise(F.col("s_acctbal")),
+        )
+        .select(*cols)
+        .unionAll(ins.select(*cols))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # ONE new snapshot; its manifest list adds exactly one data and
+    # one delete manifest, same sequence number
+    snaps = iceberg_snapshots(base)
+    assert len(snaps) == 2 and snaps[-1]["snapshot_id"] == sid
+    assert snaps[-1]["operation"] == "overwrite"
+    import os as _os
+
+    from novelti_dingo_spark.sources.iceberg import (
+        _abs_path,
+        _latest_metadata,
+        _resolve_snapshot,
+    )
+
+    meta, _ = _latest_metadata(base)
+    snap = _resolve_snapshot(meta, None)
+    _, manifests = read_avro_records(
+        _abs_path(base, snap["manifest-list"])
+    )
+    new_ms = [
+        m for m in manifests if m["added_snapshot_id"] == sid
+    ]
+    assert sorted(m["content"] for m in new_ms) == [0, 1]
+    seqs = {m["sequence_number"] for m in new_ms}
+    assert len(seqs) == 1  # same commit sequence number
+
+    # time travel to the pre-merge snapshot reads the original
+    pre = snaps[0]["snapshot_id"]
+    assert read_iceberg_table(
+        spark, base, snapshot_id=pre
+    ).count() == s.count()
+
+    # incremental changes: overwrite leg derives insert+delete halves
+    per = {
+        r["_change_type"]: r["n"]
+        for r in read_iceberg_changes(spark, base, pre)
+        .groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per == {
+        "insert": upd.count() + ins.count(),
+        "delete": upd.count(),
+    }
+
+    # no-op merge commits nothing
+    empty = spark.createDataFrame([], s.schema)
+    assert merge_into_iceberg_table(
+        spark, base, empty, on=["s_suppkey"]
+    ) == sid
+    assert len(iceberg_snapshots(base)) == 2
+
+    # matched-delete removes the inserted half again
+    merge_into_iceberg_table(
+        spark, base, ins.select(*cols), on=["s_suppkey"],
+        when_matched="delete", when_not_matched=None,
+    )
+    assert (
+        read_iceberg_table(spark, base)
+        .filter("s_suppkey > 1000000")
+        .count()
+        == 0
+    )
+
+    # duplicate source keys refuse when updating
+    one = s.filter("s_suppkey = 1").select(*cols)
+    with pytest.raises(IcebergError, match="duplicate source key"):
+        merge_into_iceberg_table(
+            spark, base,
+            one.unionAll(one.withColumn("s_acctbal", F.lit(0.0))),
+            on=["s_suppkey"],
+        )
+    with pytest.raises(ValueError, match="source schema"):
+        merge_into_iceberg_table(
+            spark, base, src.drop("s_name"), on=["s_suppkey"]
+        )
+
+
+def test_iceberg_merge_partitioned_spec_reuse(spark, sf_small, tmp_path):
+    """MERGE on a hidden-partitioned table appends under the CURRENT
+    default spec (identity + bucket re-derived from the spec, not an
+    accidental unpartitioned spec evolution), and a partition move
+    works: the old row dies under the equality delete, the new row
+    lands in its new partition and is partition-prunable."""
+    from novelti_dingo_spark.sources.iceberg import (
+        _latest_metadata,
+        merge_into_iceberg_table,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    cols = s.columns
+    write_iceberg_table(
+        s, base, partition_by=["s_nationkey", "bucket(4, s_suppkey)"]
+    )
+    nk0 = s.agg(F.min("s_nationkey")).collect()[0][0]
+    moved = (
+        s.filter(F.col("s_nationkey") == nk0)
+        .withColumn("s_nationkey", F.lit(99).cast("bigint"))
+        .withColumn("s_acctbal", F.col("s_acctbal") * 2)
+    )
+    n_moved = moved.count()
+    assert n_moved > 0
+    merge_into_iceberg_table(
+        spark, base, moved.select(*cols), on=["s_suppkey"]
+    )
+    got = read_iceberg_table(spark, base)
+    assert got.filter(F.col("s_nationkey") == nk0).count() == 0
+    assert got.filter("s_nationkey = 99").count() == n_moved
+    assert got.count() == s.count()
+    # no new spec was created: merge reused the default spec
+    meta, _ = _latest_metadata(base)
+    assert len(meta["partition-specs"]) == 1
+    # pruning on the new partition value still works
+    pr = read_iceberg_table(
+        spark, base, partition_filter={"s_nationkey": 99}
+    )
+    assert pr.filter("s_nationkey = 99").count() == n_moved

@@ -900,6 +900,11 @@ EXPECT = {
     "delta_merge_agg": {
         "partial_agg": True, "no_python_udf": True,
     },
+    # Iceberg MERGE: change derivation = two resolved snapshot scans
+    # (exceptAll both ways) + two-phase agg
+    "iceberg_merge_agg": {
+        "partial_agg": True, "no_python_udf": True,
+    },
     # round-11 JDBC ingest: the scan must be the PARTITIONED parallel
     # extraction (numPartitions=4 → one bounded query per task), two-
     # phase agg on top
