@@ -1964,6 +1964,116 @@ def delta_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_restore_agg",
+    """
+    WITH states AS (
+      SELECT 'restored' AS state, s_acctbal FROM supplier
+      UNION ALL
+      SELECT 'deleted', s_acctbal FROM supplier
+      WHERE NOT s_nationkey < 5
+    )
+    SELECT state, count(*) AS n_rows,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM states GROUP BY state
+    """,
+    survey_rows="S2,A1",
+)
+def delta_restore_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE (round-14): supplier (v0) loses every
+    s_nationkey<5 row to a deletion-vector DELETE (v1), then
+    restore_delta_table returns the live state to v0 in one commit
+    (v2) — the DV-bearing adds are replaced by the original DV-less
+    ones, so the deleted rows resurrect WITHOUT rewriting any data
+    file. The gate unions the post-restore current read ('restored' —
+    must be the COMPLETE original table) with the time-travel read of
+    the pre-restore v1 ('deleted' — history must stay intact through
+    the restore) and aggregates both: a restore that loses rows,
+    fails to drop the DVs, or clobbers history hash-fails. Roll
+    forward, idempotent no-op, timestamp resolution, and the
+    vacuumed-target refusal are pinned in tests/test_delta.py."""
+    from ..sources.delta_log import (
+        delete_rows_from_delta_table,
+        read_delta_table,
+        restore_delta_table,
+        write_delta_table,
+    )
+
+    base = _delta_fixture_root(spark, sf_dir, "delta_supplier_restore")
+    s = load_table(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(base, "_delta_log")):
+        write_delta_table(s, base)
+        delete_rows_from_delta_table(spark, base, "s_nationkey < 5")
+        restore_delta_table(spark, base, version=0)
+    cur = read_delta_table(spark, base).select(
+        F.lit("restored").alias("state"), "s_acctbal"
+    )
+    pre = read_delta_table(spark, base, version=1).select(
+        F.lit("deleted").alias("state"), "s_acctbal"
+    )
+    return cur.unionAll(pre).groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
+    "iceberg_rollback_agg",
+    """
+    WITH states AS (
+      SELECT 'rolledback' AS state, s_acctbal FROM supplier
+      UNION ALL
+      SELECT 'deleted', s_acctbal FROM supplier
+      WHERE NOT s_nationkey < 5
+    )
+    SELECT state, count(*) AS n_rows,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM states GROUP BY state
+    """,
+    survey_rows="S2,A1",
+)
+def iceberg_rollback_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ROLLBACK / setCurrentSnapshot (round-14 — the Delta
+    restore's twin, metadata-only because Iceberg snapshots are
+    self-contained pointers): supplier (s0) loses every s_nationkey<5
+    row to a position-delete snapshot (s1), then rollback moves
+    current-snapshot-id back to s0 in a new metadata version — no new
+    snapshot, no data movement. The gate unions the post-rollback
+    current read ('rolledback' — the complete original) with the
+    still-addressable s1 read ('deleted') and aggregates both: a
+    rollback that rewrites history, loses the delete snapshot, or
+    fails to restore the rows hash-fails. Roll-forward and refusals
+    pinned in tests/test_iceberg.py."""
+    from ..sources.iceberg import (
+        delete_rows_from_iceberg_table,
+        iceberg_snapshots,
+        read_iceberg_table,
+        rollback_iceberg_table,
+        write_iceberg_table,
+    )
+
+    base = _delta_fixture_root(spark, sf_dir, "ice_supplier_rollback")
+    s = load_table(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(base, "metadata")):
+        write_iceberg_table(s, base)
+        snap0 = iceberg_snapshots(base)[0]["snapshot_id"]
+        delete_rows_from_iceberg_table(
+            spark, base, "s_nationkey < 5", mode="position"
+        )
+        rollback_iceberg_table(base, snap0)
+    snaps = iceberg_snapshots(base)
+    cur = read_iceberg_table(spark, base).select(
+        F.lit("rolledback").alias("state"), "s_acctbal"
+    )
+    pre = read_iceberg_table(
+        spark, base, snapshot_id=snaps[1]["snapshot_id"]
+    ).select(F.lit("deleted").alias("state"), "s_acctbal")
+    return cur.unionAll(pre).groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
     "iceberg_merge_agg",
     """
     WITH changes AS (

@@ -631,11 +631,48 @@ def delta_table_version(table_path: str) -> int:
     return max(versions[-1] if versions else -1, cps[-1] if cps else -1)
 
 
+def resolve_delta_version_at(table_path: str, timestamp_ms: int) -> int:
+    """TIMESTAMP AS OF resolution: the latest committed version whose
+    commit timestamp is <= `timestamp_ms` — the commitInfo action's
+    `timestamp` when the commit recorded one, else the log file's
+    mtime (the spec's fallback ordering). Raises when the timestamp
+    predates the earliest available commit."""
+    versions = _list_log_versions(table_path)
+    if not versions:
+        raise DeltaLogError(f"empty {_LOG_DIR} in {table_path}")
+    best = None
+    for v in versions:
+        path = _log_path(table_path, v)
+        ts = None
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    ts = a["commitInfo"].get("timestamp")
+                    break
+        if ts is None:
+            ts = int(os.path.getmtime(path) * 1000)
+        if int(ts) <= timestamp_ms:
+            best = v
+        else:
+            break  # commit timestamps are monotonic per spec
+    if best is None:
+        raise DeltaLogError(
+            f"timestamp {timestamp_ms} predates the earliest commit "
+            f"of {table_path}"
+        )
+    return best
+
+
 def read_delta_table(
     spark: SparkSession,
     table_path: str,
     version: int | None = None,
     partition_filter: dict | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Scan a Delta table at `version` (default: latest) by replaying
     its JSON transaction log — active files only, schema from the log's
@@ -646,7 +683,16 @@ def read_delta_table(
     opened. COLUMN-MAPPED tables (mrv 2 / columnMapping feature,
     round-14) scan by each field's physicalName and project back to
     the logical names; partitionValues keys are physical names per the
-    protocol while metaData.partitionColumns stay logical."""
+    protocol while metaData.partitionColumns stay logical.
+    `timestamp_ms` (TIMESTAMP AS OF, round-14) resolves to the latest
+    version committed at or before that instant — mutually exclusive
+    with `version`."""
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError(
+                "version and timestamp_ms are mutually exclusive"
+            )
+        version = resolve_delta_version_at(table_path, timestamp_ms)
     active, meta, _ = _replay(table_path, version)
     raw_schema = StructType.fromJson(json.loads(meta["schemaString"]))
     # logical schema, mapping metadata stripped — what callers see
@@ -2291,6 +2337,111 @@ def compact_delta_table(spark: SparkSession, table_path: str) -> int:
             f.write(json.dumps(a, separators=(",", ":")) + "\n")
     os.replace(tmp, _log_path(table_path, version))
     return version
+
+
+def restore_delta_table(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """RESTORE TABLE … TO VERSION/TIMESTAMP AS OF (round-14): one
+    commit that returns the table's LIVE state to the target
+    version's — removes for files active now but not then, re-adds
+    (with their deletion vectors) for files active then but not now,
+    remove+re-add pairs where the same file's DV changed in between,
+    and the target version's metaData when it differs. History is
+    preserved: the restore is a NEW commit, so time travel to the
+    pre-restore versions keeps working, and a second restore can roll
+    forward again. Restored files (and their DV blobs) must still
+    exist — a restore past VACUUM's horizon refuses loudly instead of
+    committing dangling references. Returns the committed version
+    (the current one when the target state is already live)."""
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError(
+                "version and timestamp_ms are mutually exclusive"
+            )
+        version = resolve_delta_version_at(table_path, timestamp_ms)
+    if version is None:
+        raise ValueError("restore needs version or timestamp_ms")
+    old_active, old_meta, _ = _replay(table_path, version)
+    cur_active, cur_meta, latest = _replay(table_path, None)
+    if version == latest or old_active == cur_active:
+        return latest
+    missing = [
+        p
+        for p in old_active
+        if not os.path.exists(os.path.join(table_path, p))
+    ]
+    for p, a in old_active.items():
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") in ("u", "p"):
+            if not os.path.exists(_dv_absolute_path(table_path, dv)):
+                missing.append(f"{p} (deletion vector)")
+    if missing:
+        raise DeltaLogError(
+            f"cannot restore to version {version}: {len(missing)} "
+            f"referenced file(s) no longer exist (vacuumed?) — first: "
+            f"{missing[0]}"
+        )
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    feats = []
+    if any(a.get("deletionVector") for a in old_active.values()):
+        feats.append("deletionVectors")
+    if _column_mapping(old_meta):
+        feats.append("columnMapping")
+    if feats:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": feats,
+                    "writerFeatures": feats,
+                }
+            }
+        )
+    if old_meta != cur_meta:
+        actions.append({"metaData": old_meta})
+    for p in sorted(set(cur_active) - set(old_active)):
+        actions.append(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    for p in sorted(old_active):
+        if p in cur_active and cur_active[p] == old_active[p]:
+            continue
+        if p in cur_active:  # same file, DV (or stats) changed
+            actions.append(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        add = dict(old_active[p])
+        add["dataChange"] = True
+        actions.append({"add": add})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "RESTORE",
+                "operationParameters": {"version": version},
+                "engineInfo": "novelti-dingo-spark clean-room writer",
+            }
+        }
+    )
+    return _write_commit(table_path, latest + 1, actions)
 
 
 def vacuum_delta_table(

@@ -717,12 +717,68 @@ def iceberg_snapshots(table_path: str) -> list[dict]:
     ]
 
 
+def resolve_iceberg_snapshot_at(
+    table_path: str, timestamp_ms: int
+) -> int:
+    """TIMESTAMP AS OF resolution: the snapshot id of the latest
+    snapshot committed at or before `timestamp_ms`. Raises when the
+    timestamp predates the table's first snapshot."""
+    meta, _ = _latest_metadata(table_path)
+    best = None
+    for s in meta.get("snapshots", []):
+        if int(s["timestamp-ms"]) <= timestamp_ms and (
+            best is None
+            or int(s["timestamp-ms"]) >= int(best["timestamp-ms"])
+        ):
+            best = s
+    if best is None:
+        raise IcebergError(
+            f"timestamp {timestamp_ms} predates the first snapshot "
+            f"of {table_path}"
+        )
+    return int(best["snapshot-id"])
+
+
+def rollback_iceberg_table(table_path: str, snapshot_id: int) -> int:
+    """ROLLBACK / setCurrentSnapshot (round-14): metadata-only — a new
+    metadata.json version whose current-snapshot-id is the target.
+    Every snapshot (including the rolled-past ones) stays in history,
+    so reads resume from the restored state while time travel and a
+    roll-forward remain possible; expire_iceberg_snapshots reclaims
+    the abandoned ones later. The Delta twin is restore_delta_table
+    (which must re-add files because Delta's log is a delta, not a
+    snapshot pointer)."""
+    meta, prior_v = _latest_metadata(table_path)
+    ids = [s["snapshot-id"] for s in meta.get("snapshots", [])]
+    if snapshot_id not in ids:
+        raise IcebergError(
+            f"snapshot {snapshot_id} not in table (have {ids})"
+        )
+    new_meta = dict(meta)
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    md = _metadata_dir(table_path)
+    new_v = prior_v + 1
+    tmp = os.path.join(
+        md, f".v{new_v}.metadata.json.tmp-{uuid.uuid4().hex}"
+    )
+    with open(tmp, "w") as f:
+        json.dump(new_meta, f)
+    os.replace(tmp, os.path.join(md, f"v{new_v}.metadata.json"))
+    hint_tmp = os.path.join(md, f".hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as f:
+        f.write(str(new_v))
+    os.replace(hint_tmp, os.path.join(md, "version-hint.text"))
+    return snapshot_id
+
+
 def read_iceberg_table(
     spark: SparkSession,
     table_path: str,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
     range_filter: dict | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Scan an Iceberg table at a snapshot (default: current) by
     resolving metadata.json → manifest list → manifests → live parquet
@@ -750,7 +806,19 @@ def read_iceberg_table(
     provably misses the predicate never reaches the scan — at scale
     the difference between scanning a partition and scanning a file.
     Same superset semantics as partition_filter: apply the residual
-    predicate for exact row filtering."""
+    predicate for exact row filtering.
+
+    `timestamp_ms` (TIMESTAMP AS OF, round-14) resolves to the latest
+    snapshot committed at or before that instant — mutually exclusive
+    with `snapshot_id`."""
+    if timestamp_ms is not None:
+        if snapshot_id is not None:
+            raise ValueError(
+                "snapshot_id and timestamp_ms are mutually exclusive"
+            )
+        snapshot_id = resolve_iceberg_snapshot_at(
+            table_path, timestamp_ms
+        )
     meta, _ = _latest_metadata(table_path)
     snap = _resolve_snapshot(meta, snapshot_id)
     # current reads use the table's CURRENT schema; a time-travel read

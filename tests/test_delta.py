@@ -1378,3 +1378,59 @@ def test_delta_merge_cdf_and_column_mapping(spark, sf_small, tmp_path):
     assert feed2.count() == n_ins
     got = read_delta_table(spark, base)
     assert got.filter("s_suppkey > 1000000").count() == 0
+
+
+def test_delta_restore_and_timestamp_travel(spark, sf_small, tmp_path):
+    """RESTORE (round-14): one commit returns the live state to an
+    earlier version — DV-deleted rows resurrect because the restored
+    adds replace the DV-bearing ones; history is preserved (time
+    travel to pre-restore versions still works, restore can roll
+    forward again); restoring past VACUUM refuses loudly. TIMESTAMP
+    AS OF resolves commit timestamps monotonically."""
+    import time as _time
+
+    from novelti_dingo_spark.sources.delta_log import (
+        delete_rows_from_delta_table,
+        resolve_delta_version_at,
+        restore_delta_table,
+        vacuum_delta_table,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    n5 = 5
+    write_delta_table(s.limit(n5), base)
+    t0 = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    write_delta_table(s, base, mode="append")
+    delete_rows_from_delta_table(spark, base, "s_suppkey <= 3")
+    n2 = read_delta_table(spark, base).count()
+
+    v = restore_delta_table(spark, base, version=0)
+    assert v == 3
+    assert read_delta_table(spark, base).count() == n5
+    # pre-restore history intact
+    assert read_delta_table(spark, base, version=2).count() == n2
+    # idempotent: restoring to the already-live state commits nothing
+    assert restore_delta_table(spark, base, version=0) == 3
+    assert delta_table_version(base) == 3
+    # roll forward to the deleted state again
+    assert restore_delta_table(spark, base, version=2) == 4
+    assert read_delta_table(spark, base).count() == n2
+
+    # timestamp travel
+    assert resolve_delta_version_at(base, t0) == 0
+    assert read_delta_table(spark, base, timestamp_ms=t0).count() == n5
+    with pytest.raises(DeltaLogError, match="predates"):
+        resolve_delta_version_at(base, 1000)
+    with pytest.raises(ValueError):
+        read_delta_table(spark, base, version=0, timestamp_ms=t0)
+
+    # restore past vacuum refuses: drop the horizon so the files the
+    # overwritten v0..v2 states referenced exclusively are reclaimed
+    base2 = str(tmp_path / "v")
+    write_delta_table(s.limit(3), base2)
+    write_delta_table(s, base2, mode="overwrite")
+    vacuum_delta_table(spark, base2, retain_versions=0)
+    with pytest.raises(DeltaLogError, match="no longer exist"):
+        restore_delta_table(spark, base2, version=0)

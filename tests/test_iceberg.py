@@ -1239,3 +1239,54 @@ def test_iceberg_merge_partitioned_spec_reuse(spark, sf_small, tmp_path):
         spark, base, partition_filter={"s_nationkey": 99}
     )
     assert pr.filter("s_nationkey = 99").count() == n_moved
+
+
+def test_iceberg_rollback_and_timestamp_travel(spark, sf_small, tmp_path):
+    """ROLLBACK (round-14): metadata-only setCurrentSnapshot — reads
+    resume from the restored state, every snapshot stays in history
+    (roll forward works), and TIMESTAMP AS OF resolves snapshot
+    timestamps. The unknown-snapshot and pre-history-timestamp cases
+    refuse."""
+    from novelti_dingo_spark.sources.iceberg import (
+        IcebergError,
+        delete_rows_from_iceberg_table,
+        resolve_iceberg_snapshot_at,
+        rollback_iceberg_table,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    write_iceberg_table(s, base)
+    snaps = iceberg_snapshots(base)
+    snap0, ts0 = snaps[0]["snapshot_id"], snaps[0]["timestamp_ms"]
+    snap1 = delete_rows_from_iceberg_table(
+        spark, base, "s_suppkey <= 3", mode="position"
+    )
+    n_after_delete = read_iceberg_table(spark, base).count()
+    assert n_after_delete < s.count()
+
+    assert rollback_iceberg_table(base, snap0) == snap0
+    assert read_iceberg_table(spark, base).count() == s.count()
+    # history preserved: the delete snapshot is still addressable
+    assert (
+        read_iceberg_table(spark, base, snapshot_id=snap1).count()
+        == n_after_delete
+    )
+    # roll forward again
+    rollback_iceberg_table(base, snap1)
+    assert read_iceberg_table(spark, base).count() == n_after_delete
+
+    # timestamp travel
+    assert resolve_iceberg_snapshot_at(base, ts0) == snap0
+    assert (
+        read_iceberg_table(spark, base, timestamp_ms=ts0).count()
+        == s.count()
+    )
+    with pytest.raises(IcebergError, match="predates"):
+        resolve_iceberg_snapshot_at(base, 1000)
+    with pytest.raises(IcebergError):
+        rollback_iceberg_table(base, 12345)
+    with pytest.raises(ValueError):
+        read_iceberg_table(
+            spark, base, snapshot_id=snap0, timestamp_ms=ts0
+        )

@@ -905,6 +905,13 @@ EXPECT = {
     "iceberg_merge_agg": {
         "partial_agg": True, "no_python_udf": True,
     },
+    # RESTORE / ROLLBACK: two snapshot reads unioned + two-phase agg
+    "delta_restore_agg": {
+        "partial_agg": True, "no_python_udf": True,
+    },
+    "iceberg_rollback_agg": {
+        "partial_agg": True, "no_python_udf": True,
+    },
     # round-11 JDBC ingest: the scan must be the PARTITIONED parallel
     # extraction (numPartitions=4 → one bounded query per task), two-
     # phase agg on top
