@@ -1964,6 +1964,71 @@ def delta_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_rename_agg",
+    """
+    WITH t AS (
+      SELECT s_nationkey, s_acctbal AS account_balance
+      FROM supplier WHERE NOT s_nationkey >= 20
+      UNION ALL
+      SELECT s_nationkey, s_acctbal FROM supplier
+    )
+    SELECT s_nationkey % 5 AS nation_bucket, count(*) AS n_rows,
+           round(sum(account_balance), 2) AS total_bal
+    FROM t GROUP BY s_nationkey % 5
+    """,
+    survey_rows="S2,A1",
+)
+def iceberg_rename_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME COLUMN with field-id resolution (round-14): supplier
+    commits under the original schema, loses its s_nationkey>=20 rows
+    to an EQUALITY delete keyed on the soon-to-be-renamed column, then
+    s_acctbal renames to account_balance (metadata-only — new
+    schema-id, same field ids, zero data movement) and a full shifted-
+    key copy appends under the NEW schema. The read must resolve each
+    file's physical names through its adding snapshot's schema-id: the
+    pre-rename files scan their REAL values under the new name (a
+    by-name scan would silently null them — sum collapses, hash
+    fails), the pre-rename delete parquet still resolves its
+    identifier column, and the two schema generations union under one
+    logical schema. Historical-snapshot naming, position-delete
+    composition, and refusals pinned in tests/test_iceberg.py."""
+    from ..sources.iceberg import (
+        delete_rows_from_iceberg_table,
+        read_iceberg_table,
+        rename_iceberg_column,
+        write_iceberg_table,
+    )
+
+    base = _delta_fixture_root(spark, sf_dir, "ice_supplier_rename")
+    s = load_table(spark, sf_dir, "supplier")
+    cols = s.columns
+    if not os.path.exists(os.path.join(base, "metadata")):
+        write_iceberg_table(s.repartition(2), base)
+        delete_rows_from_iceberg_table(
+            spark, base, "s_nationkey >= 20",
+            mode="equality", equality_columns=["s_nationkey"],
+        )
+        rename_iceberg_column(base, "s_acctbal", "account_balance")
+        new_cols = [
+            "account_balance" if c == "s_acctbal" else c for c in cols
+        ]
+        write_iceberg_table(
+            s.withColumn(
+                "s_suppkey", F.col("s_suppkey") + 1_000_000
+            ).toDF(*new_cols),
+            base,
+            mode="append",
+        )
+    t = read_iceberg_table(spark, base)
+    return t.groupBy(
+        (F.col("s_nationkey") % 5).alias("nation_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("account_balance"), 2).alias("total_bal"),
+    )
+
+
+@register(
     "delta_restore_agg",
     """
     WITH states AS (

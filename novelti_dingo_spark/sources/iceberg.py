@@ -666,6 +666,10 @@ def _live_files(
                 **df_rec,
                 "_seq": int(entry_seq) if entry_seq is not None
                 else manifest_seq,
+                # the ADDING commit — maps to that snapshot's
+                # schema-id for per-file physical-name resolution
+                # after a column rename (round-14)
+                "_snap": int(e.get("snapshot_id") or 0),
             }
             content = int(df_rec.get("content") or 0)
             if content == 2:
@@ -772,6 +776,163 @@ def rollback_iceberg_table(table_path: str, snapshot_id: int) -> int:
     return snapshot_id
 
 
+def _physical_name_groups(
+    meta: dict, schema_json: dict, files: list[dict]
+) -> list[tuple[tuple | None, list[dict]]]:
+    """Group live data files by the PHYSICAL column names they were
+    written with (round-14, rename support): each file's adding
+    snapshot (`_snap` from its manifest entry) pins a schema-id, and a
+    read-schema field is physically named by the SAME-FIELD-ID field
+    of that schema — names change across renames, ids never do. A
+    field id absent from the file's schema (column added later) keeps
+    the read name: the file lacks the column either way and scans as
+    null, the add-column evolution semantics. Files whose snapshot is
+    unknown (expired then carried forward) conservatively assume the
+    read schema's names. Returns [(physical_names | None, files)];
+    None marks the physical==read fast-path group."""
+    snap_sid = {
+        int(s["snapshot-id"]): int(s.get("schema-id", 0))
+        for s in meta.get("snapshots", [])
+    }
+    schemas_by_id = {
+        int(s.get("schema-id", 0)): s for s in meta.get("schemas", [])
+    }
+    read_sid = int(schema_json.get("schema-id", 0))
+    read_fields = schema_json["fields"]
+    read_names = tuple(f["name"] for f in read_fields)
+    by_sid: dict[int, list[dict]] = {}
+    for f in files:
+        sid = snap_sid.get(int(f.get("_snap") or 0), read_sid)
+        by_sid.setdefault(sid, []).append(f)
+    merged: dict[tuple | None, list[dict]] = {}
+    for sid, fs in sorted(by_sid.items()):
+        if sid == read_sid or sid not in schemas_by_id:
+            merged.setdefault(None, []).extend(fs)
+            continue
+        old_names = {
+            int(fld["id"]): fld["name"]
+            for fld in schemas_by_id[sid]["fields"]
+        }
+        phys = tuple(
+            old_names.get(int(fld["id"]), fld["name"])
+            for fld in read_fields
+        )
+        merged.setdefault(
+            None if phys == read_names else phys, []
+        ).extend(fs)
+    return sorted(
+        merged.items(), key=lambda kv: (kv[0] is not None, kv[0] or ())
+    )
+
+
+def _grouped_keyed_scan(
+    spark: SparkSession,
+    table_path: str,
+    meta: dict,
+    schema: T.StructType,
+    schema_json: dict,
+    files: list[dict],
+) -> DataFrame:
+    """One DataFrame over `files` under the read schema's LOGICAL
+    names plus (_file_base, _pos) physical row addresses — the
+    rename-aware scan shared by the reader and the position-delete
+    verb: files group by the physical names their adding snapshot's
+    schema gives them (_physical_name_groups) and union; a single
+    current-names group is exactly the plain one-scan plan."""
+    from pyspark.sql import functions as F
+
+    cols = [f.name for f in schema.fields]
+    scan_groups = _physical_name_groups(meta, schema_json, files)
+
+    def _scan_group(phys, gfiles):
+        gpaths = sorted(
+            _abs_path(table_path, f_["file_path"]) for f_ in gfiles
+        )
+        if phys is None:
+            raw = spark.read.schema(schema).parquet(*gpaths)
+            sel = [F.col(c) for c in cols]
+        else:
+            phys_schema = T.StructType(
+                [
+                    T.StructField(pn, fld.dataType, fld.nullable)
+                    for pn, fld in zip(phys, schema.fields)
+                ]
+            )
+            raw = spark.read.schema(phys_schema).parquet(*gpaths)
+            sel = [
+                F.col(pn).alias(fld.name)
+                for pn, fld in zip(phys, schema.fields)
+            ]
+        return raw.select(
+            *sel,
+            F.substring_index(
+                F.col("_metadata.file_path"), "/", -1
+            ).alias("_file_base"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+
+    scans = [_scan_group(phys, gfiles) for phys, gfiles in scan_groups]
+    out = scans[0]
+    for g in scans[1:]:
+        out = out.unionAll(g)
+    return out
+
+
+def rename_iceberg_column(table_path: str, old: str, new: str) -> int:
+    """RENAME COLUMN (round-14) — Iceberg schema evolution the way the
+    spec means it: a NEW schema entry with the next schema-id whose
+    field keeps its ID but takes the new name, current-schema-id moved
+    — no data file is touched, no snapshot committed. Reads resolve
+    every file's physical names through its adding snapshot's
+    schema-id (field-id identity), so pre-rename files scan correctly
+    under the new name and historical snapshots keep reading under
+    THEIR schema. The Delta twin is rename_delta_column (which needs
+    column mapping because Delta files are name-addressed). Returns
+    the new schema id."""
+    meta, prior_v = _latest_metadata(table_path)
+    cur_id = int(meta.get("current-schema-id", 0))
+    schemas = list(meta.get("schemas", []))
+    cur = next(
+        (s for s in schemas if int(s.get("schema-id", 0)) == cur_id),
+        None,
+    )
+    if cur is None:
+        raise IcebergError(f"current schema {cur_id} not in schemas")
+    names = [f["name"] for f in cur["fields"]]
+    if old not in names:
+        raise IcebergError(f"no column {old!r} (have {names})")
+    if new in names:
+        raise IcebergError(f"column {new!r} already exists")
+    new_id = (
+        max(int(s.get("schema-id", 0)) for s in schemas) + 1
+    )
+    new_schema = {
+        **cur,
+        "schema-id": new_id,
+        "fields": [
+            {**f, "name": new if f["name"] == old else f["name"]}
+            for f in cur["fields"]
+        ],
+    }
+    new_meta = dict(meta)
+    new_meta["schemas"] = schemas + [new_schema]
+    new_meta["current-schema-id"] = new_id
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    md = _metadata_dir(table_path)
+    new_v = prior_v + 1
+    tmp = os.path.join(
+        md, f".v{new_v}.metadata.json.tmp-{uuid.uuid4().hex}"
+    )
+    with open(tmp, "w") as f:
+        json.dump(new_meta, f)
+    os.replace(tmp, os.path.join(md, f"v{new_v}.metadata.json"))
+    hint_tmp = os.path.join(md, f".hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as f:
+        f.write(str(new_v))
+    os.replace(hint_tmp, os.path.join(md, "version-hint.text"))
+    return new_id
+
+
 def read_iceberg_table(
     spark: SparkSession,
     table_path: str,
@@ -827,16 +988,31 @@ def read_iceberg_table(
     schema = _current_schema(
         meta, snap if snapshot_id is not None else None
     )
+    schema_json_used = _schema_json(
+        meta, snap if snapshot_id is not None else None
+    )
     files, pos_deletes, eq_deletes = _live_files(
         table_path, snap, partition_filter, meta,
-        _schema_json(meta, snap if snapshot_id is not None else None),
+        schema_json_used,
         range_filter=range_filter,
     )
     if not files:
         return spark.createDataFrame([], schema)
+    from pyspark.sql import functions as F
+
     paths = sorted(_abs_path(table_path, f["file_path"]) for f in files)
-    scan = spark.read.schema(schema).parquet(*paths)
     cols = [f.name for f in schema.fields]
+    # RENAME-aware scan (round-14): files written before a column
+    # rename carry the OLD physical names — a plain by-name scan would
+    # silently null the renamed column. Each file's adding snapshot
+    # pins a schema-id; same-field-id name resolution through that
+    # schema gives the file group's physical names, and the groups
+    # union under the read schema's names. One group with current
+    # names (the overwhelmingly common case) is exactly the old
+    # single-scan plan.
+    scan = _grouped_keyed_scan(
+        spark, table_path, meta, schema, schema_json_used, files
+    )
     if not pos_deletes and not eq_deletes:
         return scan.select(*cols)
     # Row-level deletes, both v2 flavors, each one distributed LEFT
@@ -844,7 +1020,6 @@ def read_iceberg_table(
     # identity joins on the basename (uuid-unique in practice; verified
     # driver-side, loud refusal otherwise, since URI spelling differs
     # between the writer's recorded path and the scanner's file_path).
-    from pyspark.sql import functions as F
 
     # Delete-relation join strategy (round-14, the round-13 verdict's
     # #7): delete relations are usually KB–MB and broadcast, but a
@@ -870,13 +1045,7 @@ def read_iceberg_table(
             "data-file basenames are not unique — delete matching by "
             "basename would be ambiguous"
         )
-    keyed = scan.select(
-        *cols,
-        F.substring_index(F.col("_metadata.file_path"), "/", -1).alias(
-            "_file_base"
-        ),
-        F.col("_metadata.row_index").alias("_pos"),
-    )
+    keyed = scan  # already carries (_file_base, _pos) per group
     if pos_deletes:
         # POSITION deletes: (file_path, pos) rows naming ordinal
         # positions — Spark's parquet reader exposes exactly that
@@ -928,17 +1097,52 @@ def read_iceberg_table(
                     f"equality_ids reference unknown field id {exc}"
                 ) from None
             groups.setdefault(names, []).append(d)
+        # rename-aware (round-14): a delete parquet written before a
+        # column rename holds the OLD physical names — resolve each
+        # delete file's names through its adding snapshot's schema,
+        # same field-id identity as the data scan
+        snap_sid = {
+            int(s["snapshot-id"]): int(s.get("schema-id", 0))
+            for s in meta.get("snapshots", [])
+        }
+        schemas_by_id = {
+            int(s.get("schema-id", 0)): s
+            for s in meta.get("schemas", [])
+        }
         for names, dels_group in sorted(groups.items()):
             parts = []
             for d in dels_group:
+                d_schema = schemas_by_id.get(
+                    snap_sid.get(int(d.get("_snap") or 0), -1)
+                )
+                d_names = (
+                    {
+                        int(fld["id"]): fld["name"]
+                        for fld in d_schema["fields"]
+                    }
+                    if d_schema is not None
+                    else {}
+                )
+                phys = [
+                    d_names.get(int(i), id_to_name[int(i)])
+                    for i in d["equality_ids"]
+                ]
                 sub = spark.read.schema(
                     T.StructType(
-                        [schema[n] for n in names]
+                        [
+                            T.StructField(
+                                pn, schema[n].dataType, True
+                            )
+                            for pn, n in zip(phys, names)
+                        ]
                     )
                 ).parquet(_abs_path(table_path, d["file_path"]))
                 parts.append(
                     sub.select(
-                        *[F.col(n).alias(f"_eq_{n}") for n in names],
+                        *[
+                            F.col(pn).alias(f"_eq_{n}")
+                            for pn, n in zip(phys, names)
+                        ],
                         F.lit(int(d["_seq"])).alias("_del_seq"),
                     )
                 )
@@ -1450,7 +1654,10 @@ def write_iceberg_table(
         "timestamp-ms": now_ms,
         "manifest-list": mlist_rel,
         "summary": {"operation": _operation or mode},
-        "schema-id": 0,
+        # the snapshot pins the schema it wrote under — after a RENAME
+        # this is how the reader knows which physical names its files
+        # carry (round-14)
+        "schema-id": int((prior_meta or {}).get("current-schema-id", 0)),
     }
     if prior_meta is not None:
         meta = dict(prior_meta)
@@ -1662,25 +1869,21 @@ def delete_rows_from_iceberg_table(
             raise UnsupportedIcebergFeature(
                 "data-file basenames are not unique — cannot key deletes"
             )
-        paths = sorted(
-            _abs_path(table_path, f["file_path"]) for f in files
-        )
         mapping = spark.createDataFrame(
             sorted(base_to_stored.items()),
             "_file_base string, file_path string",
         )
+        # rename-aware (round-14): the hits scan must resolve each
+        # file's physical names through its adding snapshot's schema,
+        # or a condition on a renamed column silently misses every
+        # pre-rename file (the column reads as null)
+        keyed = _grouped_keyed_scan(
+            spark, table_path, meta, schema, _schema_json(meta), files
+        )
         hits = (
-            spark.read.schema(schema).parquet(*paths)
-            .select(
-                F.substring_index(
-                    F.col("_metadata.file_path"), "/", -1
-                ).alias("_file_base"),
-                F.col("_metadata.row_index").alias("pos"),
-                "*",
-            )
-            .filter(cond)
+            keyed.filter(cond)
             .join(F.broadcast(mapping), "_file_base")
-            .select("file_path", "pos")
+            .select("file_path", F.col("_pos").alias("pos"))
             .orderBy("file_path", "pos")  # spec: sorted by file, position
         )
         content = 1
@@ -1802,7 +2005,7 @@ def delete_rows_from_iceberg_table(
             "timestamp-ms": now_ms,
             "manifest-list": mlist_rel,
             "summary": {"operation": "delete"},
-            "schema-id": 0,
+            "schema-id": int(meta.get("current-schema-id", 0)),
         }
     ]
     new_meta["current-snapshot-id"] = snapshot_id

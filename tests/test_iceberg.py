@@ -1290,3 +1290,78 @@ def test_iceberg_rollback_and_timestamp_travel(spark, sf_small, tmp_path):
         read_iceberg_table(
             spark, base, snapshot_id=snap0, timestamp_ms=ts0
         )
+
+
+def test_iceberg_rename_column_field_id_resolution(
+    spark, sf_small, tmp_path
+):
+    """RENAME COLUMN (round-14): metadata-only schema evolution — a
+    new schema-id with the same field ids, no snapshot, no data
+    movement. Reads resolve every file's physical names through its
+    adding snapshot's schema-id (field-id identity): pre-rename data
+    files scan correctly under the new name (NOT as nulls), appends
+    after the rename mix in, equality-delete files written before the
+    rename still resolve, and historical snapshots keep reading under
+    their own schema."""
+    from novelti_dingo_spark.sources.iceberg import (
+        IcebergError,
+        delete_rows_from_iceberg_table,
+        rename_iceberg_column,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    cols = s.columns
+    write_iceberg_table(s.repartition(2), base)
+    pre_snap = iceberg_snapshots(base)[0]["snapshot_id"]
+
+    # an EQUALITY delete committed under the OLD name…
+    delete_rows_from_iceberg_table(
+        spark, base, "s_nationkey >= 20",
+        mode="equality", equality_columns=["s_nationkey"],
+    )
+    n_live = read_iceberg_table(spark, base).count()
+    assert n_live == s.filter("s_nationkey < 20").count()
+
+    # …must still apply after the identifier column is renamed
+    assert rename_iceberg_column(base, "s_nationkey", "nation_id") == 1
+    got = read_iceberg_table(spark, base)
+    assert "nation_id" in got.columns and "s_nationkey" not in got.columns
+    assert got.count() == n_live
+    # values survive the rename — a by-name scan would null them
+    assert sorted(r.nation_id for r in got.collect()) == sorted(
+        r.s_nationkey
+        for r in s.filter("s_nationkey < 20").collect()
+    )
+
+    # historical snapshot reads under ITS schema (old name)
+    old = read_iceberg_table(spark, base, snapshot_id=pre_snap)
+    assert "s_nationkey" in old.columns
+    assert old.count() == s.count()
+
+    # append after the rename: mixed-schema file groups union cleanly
+    new_cols = [
+        "nation_id" if c == "s_nationkey" else c for c in cols
+    ]
+    extra = s.withColumn(
+        "s_suppkey", F.col("s_suppkey") + 100_000
+    ).toDF(*new_cols)
+    write_iceberg_table(extra, base, mode="append")
+    got2 = read_iceberg_table(spark, base)
+    assert got2.count() == n_live + s.count()
+
+    # a position delete filtered on the NEW name hits old files too
+    delete_rows_from_iceberg_table(
+        spark, base, "nation_id < 5", mode="position"
+    )
+    want = (
+        s.filter("s_nationkey < 20").filter("s_nationkey >= 5").count()
+        + s.filter("s_nationkey >= 5").count()
+    )
+    assert read_iceberg_table(spark, base).count() == want
+
+    # refusals
+    with pytest.raises(IcebergError, match="no column"):
+        rename_iceberg_column(base, "nope", "x")
+    with pytest.raises(IcebergError, match="already exists"):
+        rename_iceberg_column(base, "s_name", "nation_id")

@@ -909,6 +909,11 @@ EXPECT = {
     "delta_restore_agg": {
         "partial_agg": True, "no_python_udf": True,
     },
+    # RENAME: two schema-generation scan groups union under logical
+    # names + MOR equality-delete anti-join + two-phase agg
+    "iceberg_rename_agg": {
+        "partial_agg": True, "no_python_udf": True,
+    },
     "iceberg_rollback_agg": {
         "partial_agg": True, "no_python_udf": True,
     },
