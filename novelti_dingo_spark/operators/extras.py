@@ -1964,6 +1964,65 @@ def delta_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_add_drop_column_agg",
+    """
+    WITH t AS (
+      SELECT s_nationkey, CAST(NULL AS DOUBLE) AS quality_score
+      FROM supplier
+      UNION ALL
+      SELECT s_nationkey, 0.5 FROM supplier
+    )
+    SELECT coalesce(quality_score, -1.0) AS score,
+           count(*) AS n_rows,
+           count(DISTINCT s_nationkey) AS n_nations
+    FROM t GROUP BY coalesce(quality_score, -1.0)
+    """,
+    survey_rows="S2,A1",
+)
+def iceberg_add_drop_column_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ADD + DROP COLUMN (round-14, rename's siblings — all three
+    metadata-only schema-id commits): supplier gains an optional
+    quality_score double, a shifted-key copy appends WITH scores, and
+    s_name drops. The read must project the added field as NULL for
+    pre-add files (explicit null, never a by-name bind — a dropped-
+    then-re-added name must not leak stale physical data, pinned in
+    tests), carry real values for post-add files, and stop projecting
+    the dropped field while historical snapshots keep it. The gate
+    groups by the nullable score: a reader that nulls the wrong
+    generation, drops rows, or leaks the dropped column's slot
+    hash-fails."""
+    from ..sources.iceberg import (
+        add_iceberg_column,
+        drop_iceberg_column,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    base = _delta_fixture_root(spark, sf_dir, "ice_supplier_adddrop")
+    s = load_table(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(base, "metadata")):
+        write_iceberg_table(s.repartition(2), base)
+        add_iceberg_column(base, "quality_score", "double")
+        write_iceberg_table(
+            s.withColumn(
+                "s_suppkey", F.col("s_suppkey") + 1_000_000
+            ).withColumn("quality_score", F.lit(0.5)),
+            base,
+            mode="append",
+        )
+        drop_iceberg_column(base, "s_name")
+    t = read_iceberg_table(spark, base)
+    return t.groupBy(
+        F.coalesce(F.col("quality_score"), F.lit(-1.0)).alias("score")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("s_nationkey").alias("n_nations"),
+    )
+
+
+@register(
     "iceberg_rename_agg",
     """
     WITH t AS (

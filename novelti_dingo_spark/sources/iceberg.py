@@ -813,15 +813,23 @@ def _physical_name_groups(
             int(fld["id"]): fld["name"]
             for fld in schemas_by_id[sid]["fields"]
         }
+        # None marks a field id ABSENT from the file's schema (column
+        # added after the file was written): it must project as an
+        # explicit NULL, never bind by name — a dropped-then-re-added
+        # column recycles the NAME but not the id, and the stale
+        # physical column would otherwise leak back in
         phys = tuple(
-            old_names.get(int(fld["id"]), fld["name"])
-            for fld in read_fields
+            old_names.get(int(fld["id"])) for fld in read_fields
         )
         merged.setdefault(
             None if phys == read_names else phys, []
         ).extend(fs)
     return sorted(
-        merged.items(), key=lambda kv: (kv[0] is not None, kv[0] or ())
+        merged.items(),
+        key=lambda kv: (
+            kv[0] is not None,
+            tuple(p or "" for p in (kv[0] or ())),
+        ),
     )
 
 
@@ -856,11 +864,14 @@ def _grouped_keyed_scan(
                 [
                     T.StructField(pn, fld.dataType, fld.nullable)
                     for pn, fld in zip(phys, schema.fields)
+                    if pn is not None
                 ]
             )
             raw = spark.read.schema(phys_schema).parquet(*gpaths)
             sel = [
                 F.col(pn).alias(fld.name)
+                if pn is not None
+                else F.lit(None).cast(fld.dataType).alias(fld.name)
                 for pn, fld in zip(phys, schema.fields)
             ]
         return raw.select(
@@ -914,9 +925,22 @@ def rename_iceberg_column(table_path: str, old: str, new: str) -> int:
             for f in cur["fields"]
         ],
     }
+    return _commit_schema_change(table_path, new_schema)
+
+
+def _commit_schema_change(table_path: str, new_schema: dict) -> int:
+    """Write a new metadata version whose schemas gain `new_schema`
+    and whose current-schema-id points at it — the shared metadata-
+    only commit step of rename/add/drop column."""
+    meta, prior_v = _latest_metadata(table_path)
     new_meta = dict(meta)
-    new_meta["schemas"] = schemas + [new_schema]
-    new_meta["current-schema-id"] = new_id
+    new_meta["schemas"] = list(meta.get("schemas", [])) + [new_schema]
+    new_meta["current-schema-id"] = int(new_schema["schema-id"])
+    if "last-column-id" in new_meta:
+        new_meta["last-column-id"] = max(
+            int(new_meta["last-column-id"]),
+            max(int(f["id"]) for f in new_schema["fields"]),
+        )
     new_meta["last-updated-ms"] = int(time.time() * 1000)
     md = _metadata_dir(table_path)
     new_v = prior_v + 1
@@ -930,7 +954,85 @@ def rename_iceberg_column(table_path: str, old: str, new: str) -> int:
     with open(hint_tmp, "w") as f:
         f.write(str(new_v))
     os.replace(hint_tmp, os.path.join(md, "version-hint.text"))
-    return new_id
+    return int(new_schema["schema-id"])
+
+
+def add_iceberg_column(
+    table_path: str, name: str, iceberg_type: str
+) -> int:
+    """ADD COLUMN (round-14): a new OPTIONAL field under a fresh field
+    id (last-column-id + 1) in a new schema-id — metadata-only. Files
+    written before the add simply lack the field id and scan as null
+    (the spec's evolution semantics, already what the grouped reader
+    does for an id absent from a file's schema). `iceberg_type` is a
+    spec primitive ('long', 'double', 'string', 'int', 'boolean',
+    'date', ...). Returns the new schema id."""
+    meta, _ = _latest_metadata(table_path)
+    cur_id = int(meta.get("current-schema-id", 0))
+    schemas = list(meta.get("schemas", []))
+    cur = next(
+        s for s in schemas if int(s.get("schema-id", 0)) == cur_id
+    )
+    if name in [f["name"] for f in cur["fields"]]:
+        raise IcebergError(f"column {name!r} already exists")
+    new_fid = max(
+        int(meta.get("last-column-id", 0)),
+        max(int(f["id"]) for f in cur["fields"]),
+    ) + 1
+    new_id = max(int(s.get("schema-id", 0)) for s in schemas) + 1
+    new_schema = {
+        **cur,
+        "schema-id": new_id,
+        "fields": list(cur["fields"])
+        + [
+            {
+                "id": new_fid,
+                "name": name,
+                "required": False,
+                "type": iceberg_type,
+            }
+        ],
+    }
+    return _commit_schema_change(table_path, new_schema)
+
+
+def drop_iceberg_column(table_path: str, name: str) -> int:
+    """DROP COLUMN (round-14): the field leaves the current schema in
+    a new schema-id — metadata-only, its id is never reused
+    (last-column-id keeps growing), data files keep the physical
+    column and readers simply stop projecting it. Historical
+    snapshots still read it under their own schema. Refuses on
+    partition-source columns (the spec requires dropping the spec
+    field first) and on the last remaining column."""
+    meta, _ = _latest_metadata(table_path)
+    cur_id = int(meta.get("current-schema-id", 0))
+    schemas = list(meta.get("schemas", []))
+    cur = next(
+        s for s in schemas if int(s.get("schema-id", 0)) == cur_id
+    )
+    names = [f["name"] for f in cur["fields"]]
+    if name not in names:
+        raise IcebergError(f"no column {name!r} (have {names})")
+    if len(names) == 1:
+        raise IcebergError("cannot drop the last column")
+    fid = next(
+        int(f["id"]) for f in cur["fields"] if f["name"] == name
+    )
+    for spec in meta.get("partition-specs", []):
+        for f in spec.get("fields", []):
+            if int(f.get("source-id", -1)) == fid:
+                raise UnsupportedIcebergFeature(
+                    f"column {name!r} is a partition source of spec "
+                    f"{spec.get('spec-id')} — drop the partition "
+                    "field first"
+                )
+    new_id = max(int(s.get("schema-id", 0)) for s in schemas) + 1
+    new_schema = {
+        **cur,
+        "schema-id": new_id,
+        "fields": [f for f in cur["fields"] if f["name"] != name],
+    }
+    return _commit_schema_change(table_path, new_schema)
 
 
 def read_iceberg_table(

@@ -1365,3 +1365,66 @@ def test_iceberg_rename_column_field_id_resolution(
         rename_iceberg_column(base, "nope", "x")
     with pytest.raises(IcebergError, match="already exists"):
         rename_iceberg_column(base, "s_name", "nation_id")
+
+
+def test_iceberg_add_drop_column_schema_evolution(
+    spark, sf_small, tmp_path
+):
+    """ADD/DROP COLUMN (round-14): both metadata-only new-schema-id
+    commits. Added fields scan as null in pre-add files and carry
+    values in post-add appends; dropped fields stop projecting while
+    historical snapshots keep them; ids are never reused
+    (last-column-id grows); partition-source and last-column drops
+    refuse."""
+    from novelti_dingo_spark.sources.iceberg import (
+        IcebergError,
+        UnsupportedIcebergFeature,
+        _latest_metadata,
+        add_iceberg_column,
+        drop_iceberg_column,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    write_iceberg_table(s.repartition(2), base)
+    pre = iceberg_snapshots(base)[0]["snapshot_id"]
+
+    add_iceberg_column(base, "quality_score", "double")
+    got = read_iceberg_table(spark, base)
+    assert "quality_score" in got.columns
+    assert got.filter("quality_score IS NULL").count() == s.count()
+
+    new = s.withColumn(
+        "s_suppkey", F.col("s_suppkey") + 100
+    ).withColumn("quality_score", F.lit(0.5))
+    write_iceberg_table(new, base, mode="append")
+    got2 = read_iceberg_table(spark, base)
+    assert got2.filter("quality_score = 0.5").count() == s.count()
+    assert got2.filter("quality_score IS NULL").count() == s.count()
+
+    drop_iceberg_column(base, "s_name")
+    got3 = read_iceberg_table(spark, base)
+    assert "s_name" not in got3.columns
+    assert got3.count() == 2 * s.count()
+    old = read_iceberg_table(spark, base, snapshot_id=pre)
+    assert "s_name" in old.columns
+    assert "quality_score" not in old.columns
+
+    # a re-added name gets a FRESH id: the old files' s_name data
+    # must NOT leak back in under the recycled name
+    meta, _ = _latest_metadata(base)
+    before_last = int(meta["last-column-id"])
+    add_iceberg_column(base, "s_name", "string")
+    meta2, _ = _latest_metadata(base)
+    assert int(meta2["last-column-id"]) == before_last + 1
+    got4 = read_iceberg_table(spark, base)
+    assert got4.filter("s_name IS NOT NULL").count() == 0
+
+    with pytest.raises(IcebergError, match="already exists"):
+        add_iceberg_column(base, "s_acctbal", "double")
+    with pytest.raises(IcebergError, match="no column"):
+        drop_iceberg_column(base, "nope")
+    base2 = str(tmp_path / "p")
+    write_iceberg_table(s, base2, partition_by=["s_nationkey"])
+    with pytest.raises(UnsupportedIcebergFeature, match="partition"):
+        drop_iceberg_column(base2, "s_nationkey")

@@ -914,6 +914,11 @@ EXPECT = {
     "iceberg_rename_agg": {
         "partial_agg": True, "no_python_udf": True,
     },
+    # ADD/DROP COLUMN: schema-generation groups union (pre-add files
+    # project explicit NULL) + two-phase agg w/ distinct
+    "iceberg_add_drop_column_agg": {
+        "no_python_udf": True,
+    },
     "iceberg_rollback_agg": {
         "partial_agg": True, "no_python_udf": True,
     },
