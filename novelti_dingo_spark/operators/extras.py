@@ -1964,6 +1964,66 @@ def delta_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_add_drop_column_agg",
+    """
+    WITH t AS (
+      SELECT s_nationkey, CAST(NULL AS DOUBLE) AS quality_score
+      FROM supplier
+      UNION ALL
+      SELECT s_nationkey, 0.5 FROM supplier
+    )
+    SELECT coalesce(quality_score, -1.0) AS score,
+           count(*) AS n_rows,
+           count(DISTINCT s_nationkey) AS n_nations
+    FROM t GROUP BY coalesce(quality_score, -1.0)
+    """,
+    survey_rows="S2,A1",
+)
+def delta_add_drop_column_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta ADD + DROP COLUMN (round-14 — the Iceberg twins, so BOTH
+    formats carry the full rename/add/drop evolution verb set):
+    supplier becomes a COLUMN-MAPPED table, gains a nullable
+    quality_score (fresh columnMapping id + uuid physicalName — can
+    never collide with dropped remnants), a shifted-key copy appends
+    WITH scores, and s_name drops (metadata-only; the physical column
+    stays in the files, readers stop projecting it). Pre-add files
+    must null-fill the new field — the mapped reader's footer check
+    now distinguishes legitimately-absent evolved columns from
+    wholesale id-only naming. Same oracle shape as the Iceberg twin;
+    drop-then-re-add no-leak and refusals pinned in
+    tests/test_delta.py."""
+    from ..sources.delta_log import (
+        add_delta_column,
+        drop_delta_column,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    base = _delta_fixture_root(spark, sf_dir, "delta_supplier_adddrop")
+    s = load_table(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(base, "_delta_log")):
+        write_delta_table(s, base, column_mapping="name")
+        add_delta_column(base, "quality_score", "double")
+        write_delta_table(
+            s.withColumn(
+                "s_suppkey", F.col("s_suppkey") + 1_000_000
+            ).withColumn("quality_score", F.lit(0.5)),
+            base,
+            mode="append",
+        )
+        drop_delta_column(base, "s_name")
+    t = read_delta_table(spark, base)
+    return t.groupBy(
+        F.coalesce(F.col("quality_score"), F.lit(-1.0)).alias("score")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("s_nationkey").alias("n_nations"),
+    )
+
+
+@register(
     "iceberg_add_drop_column_agg",
     """
     WITH t AS (

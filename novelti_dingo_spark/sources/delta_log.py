@@ -736,7 +736,11 @@ def read_delta_table(
         # one driver-side footer read: the physical data columns must
         # actually exist in the files (id-mode tables written by other
         # engines could in principle name columns differently and rely
-        # on field-ids alone — refuse rather than return nulls)
+        # on field-ids alone — refuse rather than return nulls). SOME
+        # physical columns may legitimately be absent: a file written
+        # before ADD COLUMN lacks the new field and null-fills, the
+        # protocol's evolution semantics — refuse only when NO mapped
+        # column resolves (wholesale id-only naming).
         import pyarrow.parquet as pq
 
         footer = set(
@@ -744,12 +748,13 @@ def read_delta_table(
                 os.path.join(table_path, sorted(active)[0])
             ).names
         )
-        missing = [n for n in data_schema.fieldNames() if n not in footer]
-        if missing:
+        wanted = data_schema.fieldNames()
+        missing = [n for n in wanted if n not in footer]
+        if missing and len(missing) == len(wanted):
             raise UnsupportedDeltaFeature(
-                f"column-mapped table's parquet lacks physical columns "
-                f"{missing} — field-id-only resolution is beyond this "
-                "reader"
+                f"column-mapped table's parquet lacks every physical "
+                f"column {missing} — field-id-only resolution is "
+                "beyond this reader"
             )
 
     def _keyed_scan(scan: DataFrame) -> DataFrame:
@@ -1194,6 +1199,106 @@ def rename_delta_column(table_path: str, old: str, new: str) -> int:
             f.write(json.dumps(a, separators=(",", ":")) + "\n")
     os.replace(tmp, _log_path(table_path, version))
     return version
+
+
+def _commit_metadata_change(
+    table_path: str, new_meta: dict, operation: str, params: dict
+) -> int:
+    """metaData + commitInfo commit — the shared step of the
+    metadata-only schema verbs (rename/add/drop column)."""
+    latest = delta_table_version(table_path)
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {"metaData": new_meta},
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": operation,
+                "operationParameters": params,
+                "engineInfo": "novelti-dingo-spark clean-room writer",
+            }
+        },
+    ]
+    return _write_commit(table_path, latest + 1, actions)
+
+
+def add_delta_column(
+    table_path: str, name: str, spark_type: str
+) -> int:
+    """ADD COLUMN (round-14) — metadata-only: schemaString gains a
+    NULLABLE field; existing files lack it and scan as null (Delta
+    resolves by name), new writes carry it. On a column-mapped table
+    the field gets a fresh columnMapping id (maxColumnId+1) and a
+    uuid physicalName, so it can never collide with a previously
+    dropped column's remnant physical data. `spark_type` is a Spark
+    type name ('double', 'string', 'bigint', ...). Returns the
+    committed version."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    dt = _parse_datatype_string(spark_type)
+    _, meta, _ = _replay(table_path, None)
+    js = json.loads(meta["schemaString"])
+    names = [f["name"] for f in js["fields"]]
+    if name in names:
+        raise DeltaLogError(f"column {name!r} already exists")
+    fld = json.loads(
+        StructType([T.StructField(name, dt, True)]).json()
+    )["fields"][0]
+    conf = _configuration(meta)
+    if _column_mapping(meta) is not None:
+        max_id = int(conf.get("delta.columnMapping.maxColumnId", 0))
+        fld["metadata"] = {
+            **(fld.get("metadata") or {}),
+            "delta.columnMapping.id": max_id + 1,
+            "delta.columnMapping.physicalName": f"col-{uuid.uuid4()}",
+        }
+        conf = {
+            **conf,
+            "delta.columnMapping.maxColumnId": str(max_id + 1),
+        }
+    js["fields"].append(fld)
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(js, separators=(",", ":"))
+    new_meta["configuration"] = conf
+    return _commit_metadata_change(
+        table_path, new_meta, "ADD COLUMN",
+        {"column": name, "type": spark_type},
+    )
+
+
+def drop_delta_column(table_path: str, name: str) -> int:
+    """DROP COLUMN (round-14) — metadata-only on a COLUMN-MAPPED
+    table: the field leaves schemaString, its physical column stays in
+    the data files and readers stop projecting it; historical versions
+    keep reading it. Refuses on unmapped tables (per the protocol —
+    and a later re-add of the same name would leak the stale physical
+    data back in, since unmapped tables bind by name), on partition
+    columns, and on the last remaining column."""
+    _, meta, _ = _replay(table_path, None)
+    if _column_mapping(meta) is None:
+        raise UnsupportedDeltaFeature(
+            "drop needs delta.columnMapping.mode=name|id — an "
+            "unmapped table binds columns by name, so a re-added "
+            "column would resurrect the dropped data"
+        )
+    js = json.loads(meta["schemaString"])
+    names = [f["name"] for f in js["fields"]]
+    if name not in names:
+        raise DeltaLogError(f"no column {name!r} (have {names})")
+    if len(names) == 1:
+        raise DeltaLogError("cannot drop the last column")
+    if name in (meta.get("partitionColumns") or []):
+        raise UnsupportedDeltaFeature(
+            f"column {name!r} is a partition column — repartition the "
+            "table instead of dropping its key"
+        )
+    js["fields"] = [f for f in js["fields"] if f["name"] != name]
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(js, separators=(",", ":"))
+    new_meta["configuration"] = _configuration(meta)
+    return _commit_metadata_change(
+        table_path, new_meta, "DROP COLUMN", {"column": name}
+    )
 
 
 def _append_actions_to_commit(

@@ -1434,3 +1434,57 @@ def test_delta_restore_and_timestamp_travel(spark, sf_small, tmp_path):
     vacuum_delta_table(spark, base2, retain_versions=0)
     with pytest.raises(DeltaLogError, match="no longer exist"):
         restore_delta_table(spark, base2, version=0)
+
+
+def test_delta_add_drop_column_schema_evolution(
+    spark, sf_small, tmp_path
+):
+    """ADD/DROP COLUMN (round-14): metadata-only metaData commits.
+    Added nullable fields null-fill pre-add files and carry values in
+    later writes; drop needs column mapping (unmapped re-add would
+    resurrect stale data by name) and keeps history readable; a
+    mapped drop-then-re-add gets a FRESH physicalName so no stale
+    physical data leaks back."""
+    from novelti_dingo_spark.sources.delta_log import (
+        add_delta_column,
+        drop_delta_column,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    write_delta_table(s, base)
+    add_delta_column(base, "quality_score", "double")
+    got = read_delta_table(spark, base)
+    assert got.filter("quality_score IS NULL").count() == s.count()
+    new = s.withColumn(
+        "s_suppkey", F.col("s_suppkey") + 100
+    ).withColumn("quality_score", F.lit(0.5))
+    write_delta_table(new, base, mode="append")
+    got2 = read_delta_table(spark, base)
+    assert got2.filter("quality_score = 0.5").count() == s.count()
+    assert got2.filter("quality_score IS NULL").count() == s.count()
+    with pytest.raises(DeltaLogError, match="already exists"):
+        add_delta_column(base, "s_name", "string")
+    with pytest.raises(UnsupportedDeltaFeature, match="columnMapping"):
+        drop_delta_column(base, "s_name")
+
+    # mapped: drop + re-add must NOT leak the old physical column
+    base2 = str(tmp_path / "m")
+    write_delta_table(s, base2, column_mapping="name")
+    v_pre = delta_table_version(base2)
+    drop_delta_column(base2, "s_name")
+    got3 = read_delta_table(spark, base2)
+    assert "s_name" not in got3.columns
+    assert "s_name" in read_delta_table(
+        spark, base2, version=v_pre
+    ).columns
+    add_delta_column(base2, "s_name", "string")
+    got4 = read_delta_table(spark, base2)
+    assert got4.filter("s_name IS NOT NULL").count() == 0
+    # partition-column drop refuses
+    base3 = str(tmp_path / "p")
+    write_delta_table(
+        s, base3, partition_by=["s_nationkey"], column_mapping="name"
+    )
+    with pytest.raises(UnsupportedDeltaFeature, match="partition"):
+        drop_delta_column(base3, "s_nationkey")

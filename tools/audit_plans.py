@@ -919,6 +919,9 @@ EXPECT = {
     "iceberg_add_drop_column_agg": {
         "no_python_udf": True,
     },
+    "delta_add_drop_column_agg": {
+        "no_python_udf": True,
+    },
     "iceberg_rollback_agg": {
         "partial_agg": True, "no_python_udf": True,
     },
