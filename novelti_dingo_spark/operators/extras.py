@@ -1964,6 +1964,61 @@ def delta_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_ref_tag_agg",
+    """
+    WITH states AS (
+      SELECT 'tagged' AS state, s_acctbal FROM supplier
+      WHERE s_suppkey % 2 = 0
+      UNION ALL
+      SELECT 'head', s_acctbal FROM supplier
+    )
+    SELECT state, count(*) AS n_rows,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM states GROUP BY state
+    """,
+    survey_rows="S2,A1",
+)
+def iceberg_ref_tag_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named refs (round-14): the even-suppkey half commits (s0) and
+    is TAGGED 'v1.0', the odd half appends (s1), and EXPIRE with
+    retain_last=1 runs — the tag must PROTECT s0 (the spec's ref
+    retention) or the tagged read loses its files. The gate unions
+    the ref read ('tagged' — exactly the even half, post-expire) with
+    the head read ('head' — everything): an expire that reclaims a
+    tagged snapshot, or a ref resolving to the wrong snapshot,
+    hash-fails. Branch refs, drop-release, and refusals pinned in
+    tests/test_iceberg.py."""
+    from ..sources.iceberg import (
+        create_iceberg_ref,
+        expire_iceberg_snapshots,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+
+    base = _delta_fixture_root(spark, sf_dir, "ice_supplier_refs")
+    s = load_table(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(base, "metadata")):
+        write_iceberg_table(
+            s.filter(F.col("s_suppkey") % 2 == 0), base
+        )
+        create_iceberg_ref(base, "v1.0")
+        write_iceberg_table(
+            s.filter(F.col("s_suppkey") % 2 == 1), base, mode="append"
+        )
+        expire_iceberg_snapshots(base, retain_last=1)
+    tagged = read_iceberg_table(spark, base, ref="v1.0").select(
+        F.lit("tagged").alias("state"), "s_acctbal"
+    )
+    head = read_iceberg_table(spark, base).select(
+        F.lit("head").alias("state"), "s_acctbal"
+    )
+    return tagged.unionAll(head).groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
     "delta_add_drop_column_agg",
     """
     WITH t AS (

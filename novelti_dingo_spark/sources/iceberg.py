@@ -928,6 +928,87 @@ def rename_iceberg_column(table_path: str, old: str, new: str) -> int:
     return _commit_schema_change(table_path, new_schema)
 
 
+def create_iceberg_ref(
+    table_path: str,
+    name: str,
+    snapshot_id: int | None = None,
+    kind: str = "tag",
+) -> int:
+    """Named ref (round-14): `refs[name] = {snapshot-id, type}` in a
+    new metadata version — a TAG (immutable release pointer) or a
+    BRANCH head. Both read via read_iceberg_table(ref=name) and both
+    PROTECT their target from expire_iceberg_snapshots, however old.
+    This writer commits only to main — writing through a branch ref
+    is beyond it (the ref is a named, retained, readable pointer).
+    Defaults to the current snapshot. Returns the pinned snapshot
+    id."""
+    if kind not in ("tag", "branch"):
+        raise ValueError(f"kind must be tag|branch, got {kind!r}")
+    meta, prior_v = _latest_metadata(table_path)
+    ids = [s["snapshot-id"] for s in meta.get("snapshots", [])]
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+    if snapshot_id not in ids:
+        raise IcebergError(
+            f"snapshot {snapshot_id} not in table (have {ids})"
+        )
+    refs = dict(meta.get("refs") or {})
+    if name in refs:
+        raise IcebergError(f"ref {name!r} already exists")
+    refs[name] = {"snapshot-id": int(snapshot_id), "type": kind}
+    new_meta = dict(meta)
+    new_meta["refs"] = refs
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    _write_metadata_version(table_path, new_meta, prior_v + 1)
+    return int(snapshot_id)
+
+
+def drop_iceberg_ref(table_path: str, name: str) -> None:
+    """Remove a named ref; its target snapshot loses expire
+    protection but stays addressable until expired."""
+    meta, prior_v = _latest_metadata(table_path)
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise IcebergError(
+            f"no ref {name!r} (have {sorted(refs)})"
+        )
+    del refs[name]
+    new_meta = dict(meta)
+    new_meta["refs"] = refs
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    _write_metadata_version(table_path, new_meta, prior_v + 1)
+
+
+def list_iceberg_refs(table_path: str) -> dict[str, dict]:
+    """{name: {snapshot_id, type}} of every named ref."""
+    meta, _ = _latest_metadata(table_path)
+    return {
+        n: {
+            "snapshot_id": int(r["snapshot-id"]),
+            "type": r.get("type", "tag"),
+        }
+        for n, r in (meta.get("refs") or {}).items()
+    }
+
+
+def _write_metadata_version(
+    table_path: str, new_meta: dict, new_v: int
+) -> None:
+    """Atomic vN.metadata.json + version-hint swap — the shared
+    commit tail of every metadata-only verb."""
+    md = _metadata_dir(table_path)
+    tmp = os.path.join(
+        md, f".v{new_v}.metadata.json.tmp-{uuid.uuid4().hex}"
+    )
+    with open(tmp, "w") as f:
+        json.dump(new_meta, f)
+    os.replace(tmp, os.path.join(md, f"v{new_v}.metadata.json"))
+    hint_tmp = os.path.join(md, f".hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as f:
+        f.write(str(new_v))
+    os.replace(hint_tmp, os.path.join(md, "version-hint.text"))
+
+
 def _commit_schema_change(table_path: str, new_schema: dict) -> int:
     """Write a new metadata version whose schemas gain `new_schema`
     and whose current-schema-id points at it — the shared metadata-
@@ -1042,6 +1123,7 @@ def read_iceberg_table(
     partition_filter: dict | None = None,
     range_filter: dict | None = None,
     timestamp_ms: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Scan an Iceberg table at a snapshot (default: current) by
     resolving metadata.json → manifest list → manifests → live parquet
@@ -1072,16 +1154,23 @@ def read_iceberg_table(
     predicate for exact row filtering.
 
     `timestamp_ms` (TIMESTAMP AS OF, round-14) resolves to the latest
-    snapshot committed at or before that instant — mutually exclusive
-    with `snapshot_id`."""
+    snapshot committed at or before that instant; `ref` resolves a
+    named tag/branch — each mutually exclusive with `snapshot_id`."""
+    if sum(x is not None for x in (snapshot_id, timestamp_ms, ref)) > 1:
+        raise ValueError(
+            "snapshot_id, timestamp_ms, and ref are mutually exclusive"
+        )
     if timestamp_ms is not None:
-        if snapshot_id is not None:
-            raise ValueError(
-                "snapshot_id and timestamp_ms are mutually exclusive"
-            )
         snapshot_id = resolve_iceberg_snapshot_at(
             table_path, timestamp_ms
         )
+    if ref is not None:
+        refs = list_iceberg_refs(table_path)
+        if ref not in refs:
+            raise IcebergError(
+                f"no ref {ref!r} (have {sorted(refs)})"
+            )
+        snapshot_id = refs[ref]["snapshot_id"]
     meta, _ = _latest_metadata(table_path)
     snap = _resolve_snapshot(meta, snapshot_id)
     # current reads use the table's CURRENT schema; a time-travel read
@@ -1819,9 +1908,17 @@ def expire_iceberg_snapshots(
     snaps = list(meta.get("snapshots", []))
     if retain_last < 1:
         raise ValueError("retain_last must be >= 1")
-    if len(snaps) <= retain_last:
+    # refs protect their targets (round-14): a tagged or branched
+    # snapshot never expires, however old — the spec's retention
+    # contract for named refs
+    ref_ids = {
+        int(r["snapshot-id"]) for r in (meta.get("refs") or {}).values()
+    }
+    kept_ids = {s["snapshot-id"] for s in snaps[-retain_last:]} | ref_ids
+    kept = [s for s in snaps if s["snapshot-id"] in kept_ids]
+    expired = [s for s in snaps if s["snapshot-id"] not in kept_ids]
+    if not expired:
         return []
-    kept, expired = snaps[-retain_last:], snaps[:-retain_last]
     cur = meta.get("current-snapshot-id")
     if cur is not None and cur not in {s["snapshot-id"] for s in kept}:
         raise IcebergError(

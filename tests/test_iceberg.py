@@ -1428,3 +1428,56 @@ def test_iceberg_add_drop_column_schema_evolution(
     write_iceberg_table(s, base2, partition_by=["s_nationkey"])
     with pytest.raises(UnsupportedIcebergFeature, match="partition"):
         drop_iceberg_column(base2, "s_nationkey")
+
+
+def test_iceberg_refs_tags_protect_from_expire(spark, sf_small, tmp_path):
+    """Named refs (round-14): tags/branches pin a snapshot under a
+    name, read via ref=, and PROTECT it from expire_iceberg_snapshots
+    — an old tagged snapshot survives retention while untagged
+    contemporaries expire; dropping the ref releases the
+    protection."""
+    from novelti_dingo_spark.sources.iceberg import (
+        IcebergError,
+        create_iceberg_ref,
+        drop_iceberg_ref,
+        expire_iceberg_snapshots,
+        list_iceberg_refs,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    write_iceberg_table(s.limit(3), base)          # s0
+    write_iceberg_table(s.limit(6), base)          # s1 (overwrite)
+    write_iceberg_table(s, base)                   # s2
+    snaps = iceberg_snapshots(base)
+    s0, s1 = snaps[0]["snapshot_id"], snaps[1]["snapshot_id"]
+
+    assert create_iceberg_ref(base, "v1.0", snapshot_id=s0) == s0
+    create_iceberg_ref(base, "dev", snapshot_id=s1, kind="branch")
+    refs = list_iceberg_refs(base)
+    assert refs["v1.0"] == {"snapshot_id": s0, "type": "tag"}
+    assert refs["dev"]["type"] == "branch"
+
+    # read by ref
+    assert read_iceberg_table(spark, base, ref="v1.0").count() == 3
+    assert read_iceberg_table(spark, base, ref="dev").count() == 6
+    with pytest.raises(IcebergError, match="no ref"):
+        read_iceberg_table(spark, base, ref="nope")
+
+    # expire keep-last-1: the ref'd snapshots SURVIVE
+    expire_iceberg_snapshots(base, retain_last=1)
+    left = {x["snapshot_id"] for x in iceberg_snapshots(base)}
+    assert s0 in left and s1 in left and len(left) == 3
+    assert read_iceberg_table(spark, base, ref="v1.0").count() == 3
+
+    # dropping the refs releases protection; expire reclaims
+    drop_iceberg_ref(base, "v1.0")
+    drop_iceberg_ref(base, "dev")
+    expire_iceberg_snapshots(base, retain_last=1)
+    left2 = {x["snapshot_id"] for x in iceberg_snapshots(base)}
+    assert left2 == {snaps[2]["snapshot_id"]}
+    with pytest.raises(IcebergError):
+        read_iceberg_table(spark, base, snapshot_id=s0)
+    create_iceberg_ref(base, "x")
+    with pytest.raises(IcebergError, match="already exists"):
+        create_iceberg_ref(base, "x")

@@ -922,6 +922,10 @@ EXPECT = {
     "delta_add_drop_column_agg": {
         "no_python_udf": True,
     },
+    # refs: tag read + head read unioned + two-phase agg
+    "iceberg_ref_tag_agg": {
+        "partial_agg": True, "no_python_udf": True,
+    },
     "iceberg_rollback_agg": {
         "partial_agg": True, "no_python_udf": True,
     },
