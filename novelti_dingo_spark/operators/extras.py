@@ -1964,6 +1964,58 @@ def delta_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_txn_exactly_once_agg",
+    """
+    SELECT s_nationkey % 4 AS nation_bucket, count(*) AS n_rows,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier GROUP BY s_nationkey % 4
+    """,
+    survey_rows="S2,ST5,A1",
+)
+def delta_txn_exactly_once_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """txn idempotent writes (round-14 — the protocol's exactly-once
+    streaming-sink contract, the Delta twin of the ledger sink's
+    (checkpoint, epoch) guard): the even-suppkey half commits as
+    (appId='loader', v0) and the odd half as v1, and BOTH epochs are
+    deliberately REPLAYED — the recorded txn versions make the
+    replays skip without committing. The gate aggregates the final
+    table against the plain-supplier oracle: a writer that re-commits
+    a replayed epoch doubles the rows and hash-fails; one that skips
+    a fresh epoch loses the odd half."""
+    from ..sources.delta_log import read_delta_table, write_delta_table
+
+    base = _delta_fixture_root(spark, sf_dir, "delta_supplier_txn")
+    s = load_table(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(base, "_delta_log")):
+        even = s.filter(F.col("s_suppkey") % 2 == 0)
+        odd = s.filter(F.col("s_suppkey") % 2 == 1)
+        write_delta_table(
+            even, base, txn_app_id="loader", txn_version=0
+        )
+        write_delta_table(  # crash-replay of epoch 0: must skip
+            even, base, mode="append",
+            txn_app_id="loader", txn_version=0,
+        )
+        write_delta_table(
+            odd, base, mode="append",
+            txn_app_id="loader", txn_version=1,
+        )
+        write_delta_table(  # replay of epoch 1: must skip
+            odd, base, mode="append",
+            txn_app_id="loader", txn_version=1,
+        )
+    t = read_delta_table(spark, base)
+    return t.groupBy(
+        (F.col("s_nationkey") % 4).alias("nation_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
     "iceberg_ref_tag_agg",
     """
     WITH states AS (

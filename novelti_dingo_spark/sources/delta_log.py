@@ -524,6 +524,16 @@ def write_delta_checkpoint(
                     ]
                 ),
             ),
+            (
+                "txn",
+                pa.struct(
+                    [
+                        ("appId", pa.string()),
+                        ("version", pa.int64()),
+                        ("lastUpdated", pa.int64()),
+                    ]
+                ),
+            ),
         ]
     )
     meta_row = {
@@ -559,9 +569,24 @@ def write_delta_checkpoint(
             "writerFeatures": None,
         }
     rows = [
-        {"protocol": proto_row, "metaData": None, "add": None},
-        {"protocol": None, "metaData": meta_row, "add": None},
+        {"protocol": proto_row, "metaData": None, "add": None,
+         "txn": None},
+        {"protocol": None, "metaData": meta_row, "add": None,
+         "txn": None},
     ]
+    # txn state survives log cleanup through the checkpoint (spec:
+    # checkpoints include the latest txn per appId — round-14)
+    for app_id, v in sorted(delta_txn_versions(table_path).items()):
+        rows.append(
+            {
+                "protocol": None, "metaData": None, "add": None,
+                "txn": {
+                    "appId": app_id,
+                    "version": int(v),
+                    "lastUpdated": None,
+                },
+            }
+        )
     for p in sorted(active):
         a = active[p]
         dv = a.get("deletionVector")
@@ -569,6 +594,7 @@ def write_delta_checkpoint(
             {
                 "protocol": None,
                 "metaData": None,
+                "txn": None,
                 "add": {
                     "path": a["path"],
                     "partitionValues": list(
@@ -620,6 +646,46 @@ def _pv_serialize(v) -> str | None:
     if isinstance(v, bool):
         return "true" if v else "false"
     return str(v)
+
+
+def delta_txn_versions(table_path: str) -> dict[str, int]:
+    """The latest committed `txn` version per application id — the
+    protocol's idempotent-writer state (streaming sinks record
+    (appId, epoch) here so a replayed epoch can be skipped). Seeds
+    from the newest checkpoint's txn rows (foreign checkpoints carry
+    them; ours do since round-14), then replays the JSON commits
+    after it."""
+    versions = _list_log_versions(table_path)
+    cps = _checkpoint_versions(table_path)
+    txns: dict[str, int] = {}
+    start = 0
+    if cps and (not versions or versions[0] > 0):
+        import pyarrow.parquet as pq
+
+        cp = cps[-1]
+        path = os.path.join(
+            table_path, _LOG_DIR, f"{cp:020d}.checkpoint.parquet"
+        )
+        tbl = pq.read_table(path)
+        if "txn" in tbl.schema.names:
+            for r in tbl.column("txn").to_pylist():
+                if r and r.get("appId") is not None:
+                    txns[r["appId"]] = int(r["version"])
+        start = cp + 1
+    for v in versions:
+        if v < start:
+            continue
+        with open(_log_path(table_path, v), encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                t = a.get("txn")
+                if t and t.get("appId") is not None:
+                    prev = txns.get(t["appId"], -1)
+                    txns[t["appId"]] = max(prev, int(t["version"]))
+    return txns
 
 
 def delta_table_version(table_path: str) -> int:
@@ -896,6 +962,8 @@ def write_delta_table(
     partition_by: list[str] | None = None,
     column_mapping: str | None = None,
     enable_change_feed: bool = False,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """Commit `df` to a Delta table at `table_path` per the public
     protocol: stage parquet via Spark's writer, move the part files to
@@ -924,7 +992,24 @@ def write_delta_table(
     plain add/remove commits stay as-is — the spec lets CDF readers
     DERIVE inserts/deletes from dataChange actions — while row-level
     DV deletes additionally record their victim rows as `cdc` actions
-    under `_change_data/`, which `read_delta_change_feed` replays."""
+    under `_change_data/`, which `read_delta_change_feed` replays.
+
+    `txn_app_id`/`txn_version` (round-14) make the write IDEMPOTENT —
+    the protocol's `txn` action: when the table has already recorded
+    this appId at `txn_version` or newer, the write is SKIPPED and the
+    current version returns (a streaming sink replaying an epoch after
+    a crash commits exactly once); otherwise the commit carries the
+    txn action. Checkpoints preserve the txn state across log
+    cleanup."""
+    if txn_version is not None and txn_app_id is None:
+        raise ValueError("txn_version needs txn_app_id")
+    if txn_app_id is not None:
+        if txn_version is None:
+            raise ValueError("txn_app_id needs txn_version")
+        if os.path.isdir(os.path.join(table_path, _LOG_DIR)):
+            recorded = delta_txn_versions(table_path).get(txn_app_id)
+            if recorded is not None and recorded >= txn_version:
+                return delta_table_version(table_path)
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     if column_mapping not in (None, "name", "id"):
@@ -1127,6 +1212,16 @@ def write_delta_table(
             }
         )
     actions.extend(adds)
+    if txn_app_id is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": txn_app_id,
+                    "version": int(txn_version),
+                    "lastUpdated": now_ms,
+                }
+            }
+        )
     actions.append(
         {
             "commitInfo": {

@@ -1488,3 +1488,68 @@ def test_delta_add_drop_column_schema_evolution(
     )
     with pytest.raises(UnsupportedDeltaFeature, match="partition"):
         drop_delta_column(base3, "s_nationkey")
+
+
+def test_delta_txn_idempotent_writes(spark, sf_small, tmp_path):
+    """txn actions (round-14): (appId, version)-keyed idempotent
+    writes — the protocol's exactly-once streaming-sink contract. A
+    replayed epoch skips without committing; a newer epoch commits
+    and advances the recorded version; independent appIds don't
+    interfere; the txn state survives checkpoint + log cleanup."""
+    import os as _os
+
+    from novelti_dingo_spark.sources.delta_log import (
+        delta_txn_versions,
+        write_delta_checkpoint,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    write_delta_table(
+        s.limit(3), base, txn_app_id="job-a", txn_version=0
+    )
+    write_delta_table(
+        s.limit(4), base, mode="append",
+        txn_app_id="job-a", txn_version=1,
+    )
+    n = read_delta_table(spark, base).count()
+    assert n == 7
+    # replayed epochs 0 and 1: both skip, nothing committed
+    v = delta_table_version(base)
+    assert write_delta_table(
+        s, base, mode="append", txn_app_id="job-a", txn_version=1
+    ) == v
+    assert write_delta_table(
+        s, base, mode="append", txn_app_id="job-a", txn_version=0
+    ) == v
+    assert read_delta_table(spark, base).count() == n
+    # another app's epoch 0 is independent
+    write_delta_table(
+        s.limit(2), base, mode="append",
+        txn_app_id="job-b", txn_version=0,
+    )
+    assert read_delta_table(spark, base).count() == n + 2
+    assert delta_txn_versions(base) == {"job-a": 1, "job-b": 0}
+
+    # state survives checkpoint + json cleanup
+    write_delta_checkpoint(base)
+    for ver in range(delta_table_version(base)):
+        p = _os.path.join(base, "_delta_log", f"{ver:020d}.json")
+        if _os.path.exists(p):
+            _os.remove(p)
+    assert delta_txn_versions(base) == {"job-a": 1, "job-b": 0}
+    v2 = delta_table_version(base)
+    assert write_delta_table(
+        s, base, mode="append", txn_app_id="job-a", txn_version=1
+    ) == v2  # still skipped after cleanup
+    # and a NEW epoch still commits
+    write_delta_table(
+        s.limit(1), base, mode="append",
+        txn_app_id="job-a", txn_version=2,
+    )
+    assert delta_txn_versions(base)["job-a"] == 2
+
+    with pytest.raises(ValueError):
+        write_delta_table(s, base, txn_app_id="x")
+    with pytest.raises(ValueError):
+        write_delta_table(s, base, txn_version=1)

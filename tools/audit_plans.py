@@ -926,6 +926,11 @@ EXPECT = {
     "iceberg_ref_tag_agg": {
         "partial_agg": True, "no_python_udf": True,
     },
+    # txn idempotence: plain two-commit scan + two-phase agg (the
+    # replayed epochs committed nothing)
+    "delta_txn_exactly_once_agg": {
+        "partial_agg": True, "no_python_udf": True,
+    },
     "iceberg_rollback_agg": {
         "partial_agg": True, "no_python_udf": True,
     },
