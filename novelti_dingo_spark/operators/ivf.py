@@ -156,13 +156,19 @@ def kmeans_fit_numpy(
     x = np.array([r.emb for r in samp], dtype=np.float64)
     k_eff = min(k, len(x))
     cb = x[:k_eff].copy()
+    x2 = (x ** 2).sum(1)[:, None]
     for _ in range(iterations):
-        d = (
-            (x ** 2).sum(1)[:, None]
-            + (cb ** 2).sum(1)[None, :]
-            - 2.0 * (x @ cb.T)
-        )
-        a = np.argmin(d, axis=1)
+        # blocked assignment: the full sample×k distance matrix is
+        # O(sample·k) doubles (32 GB at sample=1M, k=4096 — an OOM on
+        # the 100M geometry run); ~128 MB blocks keep the peak flat
+        # with BIT-IDENTICAL per-row arithmetic and argmin
+        a = np.empty(len(x), dtype=np.int64)
+        cb2 = (cb ** 2).sum(1)[None, :]
+        step = max(1, 16_000_000 // max(1, k_eff))
+        for i in range(0, len(x), step):
+            xb = x[i:i + step]
+            d = x2[i:i + step] + cb2 - 2.0 * (xb @ cb.T)
+            a[i:i + step] = np.argmin(d, axis=1)
         for c in range(k_eff):
             mask = a == c
             if mask.any():

@@ -1081,6 +1081,7 @@ def write_delta_table(
                 f"df schema {df_shape} does not match the table's "
                 f"recorded schema {t_shape}"
             )
+        _check_constraints(prior_meta, df, "write")
         if mode == "overwrite":
             prior = prior_active
 
@@ -1394,6 +1395,84 @@ def drop_delta_column(table_path: str, name: str) -> int:
     return _commit_metadata_change(
         table_path, new_meta, "DROP COLUMN", {"column": name}
     )
+
+
+def add_delta_constraint(
+    spark: SparkSession, table_path: str, name: str, expr: str
+) -> int:
+    """ADD CONSTRAINT (round-14): records the protocol's CHECK
+    constraint `delta.constraints.<name> = expr` in configuration
+    (minWriterVersion 3) after verifying every EXISTING row satisfies
+    it — a constraint the current data violates refuses instead of
+    committing a lie. Subsequent write/UPDATE/MERGE commits validate
+    new and rewritten rows (SQL semantics: only FALSE violates, NULL
+    passes). Returns the committed version."""
+    t = read_delta_table(spark, table_path)
+    t.select(F.expr(expr))  # syntax/column check up front
+    bad = t.filter(~F.coalesce(F.expr(expr), F.lit(True))).limit(1)
+    rows = bad.collect()
+    if rows:
+        raise DeltaLogError(
+            f"existing rows violate CHECK ({expr}) — first: "
+            f"{rows[0].asDict()}"
+        )
+    _, meta, _ = _replay(table_path, None)
+    conf = _configuration(meta)
+    key = f"delta.constraints.{name}"
+    if key in conf:
+        raise DeltaLogError(f"constraint {name!r} already exists")
+    new_meta = dict(meta)
+    new_meta["configuration"] = {**conf, key: expr}
+    return _commit_metadata_change(
+        table_path, new_meta, "ADD CONSTRAINT",
+        {"name": name, "expr": expr},
+    )
+
+
+def drop_delta_constraint(table_path: str, name: str) -> int:
+    """Remove a CHECK constraint by name."""
+    _, meta, _ = _replay(table_path, None)
+    conf = _configuration(meta)
+    key = f"delta.constraints.{name}"
+    if key not in conf:
+        have = [
+            k.split(".", 2)[2]
+            for k in conf
+            if k.startswith("delta.constraints.")
+        ]
+        raise DeltaLogError(f"no constraint {name!r} (have {have})")
+    new_meta = dict(meta)
+    new_meta["configuration"] = {
+        k: v for k, v in conf.items() if k != key
+    }
+    return _commit_metadata_change(
+        table_path, new_meta, "DROP CONSTRAINT", {"name": name}
+    )
+
+
+def _check_constraints(meta: dict, df: DataFrame, what: str) -> None:
+    """Refuse `df` rows that violate any recorded CHECK constraint
+    (LOGICAL column names; FALSE violates, NULL passes — SQL
+    semantics). One combined filter probe, not one job per
+    constraint."""
+    conf = _configuration(meta)
+    checks = {
+        k.split(".", 2)[2]: v
+        for k, v in conf.items()
+        if k.startswith("delta.constraints.")
+    }
+    if not checks:
+        return
+    cond = None
+    for expr in checks.values():
+        c = ~F.coalesce(F.expr(expr), F.lit(True))
+        cond = c if cond is None else (cond | c)
+    rows = df.filter(cond).limit(1).collect()
+    if rows:
+        raise DeltaLogError(
+            f"{what} violates CHECK constraint(s) "
+            f"{sorted(checks)} — first bad row: {rows[0].asDict()}"
+        )
 
 
 def _append_actions_to_commit(
@@ -2066,6 +2145,7 @@ def delete_rows_from_delta_table(
                     types[c]
                 ),
             )
+        _check_constraints(meta, updated, "UPDATE")
         # stage like the writer: physical column names, hive dirs for
         # the (physical) partition columns — which partitionBy drops
         # from the data files, exactly the spec layout
@@ -2294,6 +2374,7 @@ def merge_into_delta_table(
                     }
                 )
     if to_append is not None:
+        _check_constraints(ctx.meta, to_append, "MERGE")
         for rel, pv, size in _stage_parquet_files(
             _phys(to_append), table_path, phys_parts
         ):

@@ -1553,3 +1553,52 @@ def test_delta_txn_idempotent_writes(spark, sf_small, tmp_path):
         write_delta_table(s, base, txn_app_id="x")
     with pytest.raises(ValueError):
         write_delta_table(s, base, txn_version=1)
+
+
+def test_delta_check_constraints(spark, sf_small, tmp_path):
+    """CHECK constraints (round-14): add refuses when existing rows
+    violate; once recorded, write/UPDATE/MERGE refuse violating rows
+    (SQL semantics — FALSE violates, NULL passes); drop releases."""
+    from novelti_dingo_spark.sources.delta_log import (
+        add_delta_constraint,
+        drop_delta_constraint,
+        merge_into_delta_table,
+        update_delta_table_rows,
+    )
+
+    base = str(tmp_path / "t")
+    s = load_table(spark, sf_small, "supplier")
+    write_delta_table(s, base)
+    v = add_delta_constraint(
+        spark, base, "nation_range", "s_nationkey BETWEEN 0 AND 24"
+    )
+    assert v == 1
+    # an add the data violates refuses
+    with pytest.raises(DeltaLogError, match="existing rows violate"):
+        add_delta_constraint(spark, base, "neg", "s_acctbal < 0")
+    with pytest.raises(DeltaLogError, match="already exists"):
+        add_delta_constraint(spark, base, "nation_range", "1 = 1")
+
+    bad = s.withColumn("s_nationkey", F.lit(99).cast("int"))
+    with pytest.raises(DeltaLogError, match="violates CHECK"):
+        write_delta_table(bad, base, mode="append")
+    with pytest.raises(DeltaLogError, match="violates CHECK"):
+        update_delta_table_rows(
+            spark, base, "s_suppkey = 1", {"s_nationkey": "99"}
+        )
+    with pytest.raises(DeltaLogError, match="violates CHECK"):
+        merge_into_delta_table(
+            spark, base, bad.select(*s.columns), on=["s_suppkey"]
+        )
+    # conforming rows still flow, and NULL passes (SQL semantics)
+    ok = s.limit(2).withColumn(
+        "s_suppkey", F.col("s_suppkey") + 1000
+    ).withColumn("s_nationkey", F.lit(None).cast("int"))
+    write_delta_table(ok, base, mode="append")
+    assert read_delta_table(spark, base).count() == s.count() + 2
+
+    drop_delta_constraint(base, "nation_range")
+    write_delta_table(bad, base, mode="append")  # now allowed
+    assert read_delta_table(spark, base).count() == 2 * s.count() + 2
+    with pytest.raises(DeltaLogError, match="no constraint"):
+        drop_delta_constraint(base, "nope")
