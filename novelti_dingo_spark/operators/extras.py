@@ -1964,6 +1964,71 @@ def delta_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_check_constraint_agg",
+    """
+    WITH t AS (
+      SELECT s_nationkey, s_acctbal FROM supplier
+      UNION ALL
+      SELECT s_nationkey, s_acctbal + 100 FROM supplier
+      WHERE s_nationkey < 10
+    )
+    SELECT s_nationkey % 3 AS nation_bucket, count(*) AS n_rows,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM t GROUP BY s_nationkey % 3
+    """,
+    survey_rows="S2,A1,L9",
+)
+def delta_check_constraint_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHECK constraints (round-14) — the lakehouse data-quality gate
+    a training pipeline runs at ingest: supplier commits, the
+    constraint `s_nationkey BETWEEN 0 AND 24` records (after
+    verifying the existing rows), a VIOLATING append (nationkey 99)
+    is attempted and must refuse WITHOUT committing, then a
+    conforming shifted-balance half appends. The gate aggregates the
+    final table: enforcement that lets the bad batch through doubles
+    the row count, enforcement that blocks valid rows loses the
+    conforming half — either hash-fails. UPDATE/MERGE enforcement,
+    NULL semantics, and drop-release pinned in tests/test_delta.py."""
+    from ..sources.delta_log import (
+        DeltaLogError,
+        add_delta_constraint,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    base = _delta_fixture_root(spark, sf_dir, "delta_supplier_chk")
+    s = load_table(spark, sf_dir, "supplier")
+    if not os.path.exists(os.path.join(base, "_delta_log")):
+        write_delta_table(s, base)
+        add_delta_constraint(
+            spark, base, "nation_range", "s_nationkey BETWEEN 0 AND 24"
+        )
+        bad = s.withColumn("s_nationkey", F.lit(99).cast(
+            dict(s.dtypes)["s_nationkey"]
+        ))
+        try:
+            write_delta_table(bad, base, mode="append")
+            raise AssertionError("violating append was not refused")
+        except DeltaLogError:
+            pass
+        ok = (
+            s.filter(F.col("s_nationkey") < 10)
+            .withColumn("s_suppkey", F.col("s_suppkey") + 1_000_000)
+            .withColumn("s_acctbal", F.col("s_acctbal") + 100)
+        )
+        write_delta_table(ok.select(*s.columns), base, mode="append")
+    t = read_delta_table(spark, base)
+    return t.groupBy(
+        (F.col("s_nationkey") % 3).alias("nation_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
     "delta_txn_exactly_once_agg",
     """
     SELECT s_nationkey % 4 AS nation_bucket, count(*) AS n_rows,

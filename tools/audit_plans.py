@@ -931,6 +931,11 @@ EXPECT = {
     "delta_txn_exactly_once_agg": {
         "partial_agg": True, "no_python_udf": True,
     },
+    # CHECK constraint: final-state scan + two-phase agg (the
+    # violating append refused at fixture-build time)
+    "delta_check_constraint_agg": {
+        "partial_agg": True, "no_python_udf": True,
+    },
     "iceberg_rollback_agg": {
         "partial_agg": True, "no_python_udf": True,
     },
