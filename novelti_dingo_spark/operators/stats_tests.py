@@ -664,11 +664,52 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
         )
     )
-    rep = pts.select(
-        "o_orderkey",
-        "x",
-        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b"),
-    ).select(F.expr(_BOOT_W).alias("w"), "x", "b")
+    # Round-14 (guide §1.2 step 2, per-task work): the one-shot
+    # `F.expr(_BOOT_W)` CASE chain re-evaluated the md5 uniform in
+    # every WHEN branch — up to 8 md5 calls × 8 digit extractions per
+    # (row, replicate); codegen's conditional-branch subexpression
+    # elimination does not hoist them. Stage the SAME arithmetic
+    # through named columns instead: one md5 per (row, replicate), one
+    # digit-fold `u`, then the CASE compares a plain column. Catalyst
+    # keeps the staged projections (CollapseProject refuses to inline
+    # non-cheap aliases referenced more than once), so the md5 runs
+    # once. Bit-identical: identical expressions, identical
+    # left-to-right fold order, identical CASE thresholds — the oracle
+    # hash match at both SFs is the witness. Honest measurement
+    # (sf0.1, noop, warm median): wall UNCHANGED at ~4.2 s — codegen's
+    # runtime subexpression elimination was already deduping the md5;
+    # kept because the single evaluation is now guaranteed at the plan
+    # level (interpreted fallback, codegen size limits) and the plan
+    # shrinks 2.5× (64 md5 refs → 1).
+    digit_fold = " + ".join(
+        f"(instr('0123456789abcdef', substr(_h, {i}, 1)) - 1)"
+        f" * power(16.0, -{i})"
+        for i in range(1, 9)
+    )
+    case_w = (
+        "(CASE "
+        + " ".join(
+            f"WHEN _u < {c!r} THEN {k}"
+            for k, c in enumerate(_POISSON_CUM)
+        )
+        + " ELSE 8 END)"
+    )
+    rep = (
+        pts.select(
+            "o_orderkey",
+            "x",
+            F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b"),
+        )
+        .withColumn(
+            "_h",
+            F.expr(
+                "md5(CAST(o_orderkey AS STRING) || '_' ||"
+                " CAST(b AS STRING))"
+            ),
+        )
+        .withColumn("_u", F.expr(f"({digit_fold})"))
+        .select(F.expr(case_w).alias("w"), "x", "b")
+    )
     means = rep.groupBy("b").agg(
         (
             F.sum(F.col("w") * F.col("x")).cast("double") / F.sum("w")
