@@ -60,7 +60,7 @@ def pagerank(
     n = nodes.count()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     teleport = (1.0 - damping) / n
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             cedges.join(ranks, cedges.src == ranks.node)
             .select(F.col("dst").alias("node"), (F.col("rank") * F.col("w")).alias("c"))
@@ -71,7 +71,19 @@ def pagerank(
         # covers all nodes — no outer-join null handling needed
         ranks = contrib.select(
             "node", (F.lit(teleport) + F.lit(damping) * F.col("inflow")).alias("rank")
-        ).localCheckpoint()
+        )
+        # Round-14 (guide §5 — localCheckpoint cuts lineage, but each
+        # call is an EAGER job): the loop has NO data-dependent guard
+        # (fixed iteration count), so materializing every round is pure
+        # overhead — checkpoint every 3rd round instead. Lineage depth
+        # stays bounded (≤3 join+agg layers per checkpointed job),
+        # computed values are unchanged (checkpoint placement never
+        # alters the float sequence — same plan, same partitioning),
+        # and the job count drops ~3×. Loops with isEmpty()/count()
+        # guards (CC, BFS, k-core) must keep per-round checkpoints —
+        # the guard forces materialization anyway.
+        if it % 3 == 2 or it == iterations - 1:
+            ranks = ranks.localCheckpoint()
     return ranks
 
 

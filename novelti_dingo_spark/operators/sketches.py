@@ -133,21 +133,25 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # CMS prune: estimate >= true, so est*1e6 <= tau*total proves not-HH
+    # CMS prune: estimate >= true, so est*1e6 <= tau*total proves not-HH.
+    # `kept` carries `total` along (constant across rows) so the final
+    # filter needs no second instantiation of the n subtree — the
+    # recount stage joins the survivor list once and has everything.
     cms = cms_build(big, "bg")
     kept = (
         cms_estimate(cand, "bg", cms)
         .crossJoin(F.broadcast(n))
         .filter(F.col("est") * 1_000_000 > PPM_THRESHOLD * F.col("total"))
-        .select("bg")
+        .select("bg", "total")
     )
 
-    # exact recount of survivors only
+    # exact recount of survivors only: `kept` is distinct by bg (a
+    # groupBy output), so the broadcast inner join is the same row set
+    # the left_semi + second crossJoin produced, with total attached
     return (
-        big.join(F.broadcast(kept), "bg", "left_semi")
-        .groupBy("bg")
+        big.join(F.broadcast(kept), "bg")
+        .groupBy("bg", "total")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .crossJoin(F.broadcast(n))
         .filter(F.col("cnt") * 1_000_000 > PPM_THRESHOLD * F.col("total"))
         .select("bg", "cnt", F.expr("cnt * 1000000L div total").alias("ppm"))
     )
