@@ -14,21 +14,44 @@ def tokens(text: Column | str) -> Column:
     return F.split(F.col(text) if isinstance(text, str) else text, " ")
 
 
+def bound(arr: Column, body) -> Column:
+    """Evaluate `arr` ONCE per row and pass it to `body` as a bound
+    lambda variable.
+
+    Round-14 (guide §1.2 step 2 — per-task work): Spark does not hoist
+    loop-invariant subexpressions out of higher-order-function lambdas,
+    so `transform(sequence(...), i -> f(split(text), i))` re-splits the
+    whole text for EVERY element — O(tokens²) character work per doc.
+    Wrapping the invariant in a 1-element array and transforming over it
+    binds it to a NamedLambdaVariable, evaluated once: measured 2.21 s →
+    0.26 s (8.5×) for the sf0.1 bigram explode. Null/empty semantics are
+    unchanged — `array(x)` is a 1-element array even when x is null, the
+    inner body sees the same value `f` saw, and `[0]` unwraps the single
+    result."""
+    return F.transform(F.array(arr), body)[0]
+
+
 def token_bigrams(text: Column | str) -> Column:
     """Adjacent-token bigrams as 'w1 w2' strings (n-gram shingling)."""
-    t = tokens(text)
-    return F.transform(
-        F.sequence(F.lit(1), F.size(t) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    return bound(
+        tokens(text),
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        ),
     )
 
 
 def shingles(text: Column | str, k: int = 3) -> Column:
     """k-token shingles as strings, for MinHash signatures."""
-    t = tokens(text)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+    return bound(
+        tokens(text),
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+        ),
     )
 
 
@@ -37,10 +60,12 @@ def shingle_md5s(text: Column | str, k: int = 5) -> Column:
     hash used by contamination checks and near-dup clustering; production
     swap: xxhash64 for 8-byte keys). Docs shorter than one shingle yield
     an empty array — filter `size(tokens) >= k` at the call site."""
-    t = tokens(text)
-    return F.transform(
-        F.sequence(F.lit(1), F.size(t) - (k - 1)),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, k))),
+    return bound(
+        tokens(text),
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.size(t) - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, k))),
+        ),
     )
 
 

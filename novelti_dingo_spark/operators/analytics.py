@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..barrier import barrier
 from ..registry import register
 from ..sources.io import load_table
 
@@ -531,7 +532,11 @@ def basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The n_both >= 2 support floor keeps the output at signal-bearing
     pairs (singleton co-occurrence is noise at any scale)."""
-    li = (
+    # Round-14 (guide §3.3/§5): the distinct basket-line relation is
+    # referenced five times (total, frequency table, both self-join
+    # sides) — materialize the one distinct shuffle per invocation
+    # instead of replaying it per reference
+    li = barrier(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()

@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text_funcs import SHINGLE5_MD5_SQL, shingle_md5s, tokens
+from ..functions.text_funcs import (
+    SHINGLE5_MD5_SQL,
+    bound,
+    shingle_md5s,
+    tokens,
+)
 from ..registry import register
 from ..sources.io import load_table
 
@@ -61,9 +66,13 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercises both branches; real-corpus values are Gopher's 0.3-ish."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    # Round-14: bound() — split once per row, not per bigram
+    grams = bound(
+        toks,
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+        ),
     )
     exploded = (
         d.filter(F.size(toks) >= 2)

@@ -24,6 +24,7 @@ from ..functions.text_funcs import (
     token_bigrams,
     tokens,
 )
+from ..barrier import barrier
 from ..registry import register
 from ..sources.io import load_table
 
@@ -275,17 +276,32 @@ def jaccard_pairs_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (and every task retry) produces the identical bijective mapping.
     from .rank import with_global_rank
 
-    dfreq = with_global_rank(
+    # Round-14 (guide §3.3/§5 — materialize multiply-referenced
+    # intermediates to truncate the plan): with_global_rank fences its
+    # local row number behind monotonically_increasing_id, which is
+    # NONDETERMINISTIC, so Catalyst can never prove the dfreq / prefix /
+    # d_ids subtrees equal across their 2 instantiations each —
+    # measured executed plan at sf0.1: 12 parquet scans, 28 exchanges,
+    # 0 ReusedExchange; every noop execution re-derived the corpus
+    # explode + vocab rank up to 12×. localCheckpoint each shared
+    # intermediate ONCE per invocation (computed fresh from parquet on
+    # every call — nothing persists across runs): the checkpoint both
+    # deduplicates the subtree and cuts the nondeterministic lineage, so
+    # every instantiation reads the identical materialized rows (the gid
+    # mapping was already deterministic-by-value; now it is shared by
+    # construction). After: 0 scans in the executed verify plan (all
+    # inputs checkpoint-backed), end-to-end 36.2 s → ~8 s.
+    dfreq = barrier(with_global_rank(
         g.groupBy("gram").agg(F.count(F.lit(1)).alias("df")),
         ["gram"],
         rank_col="gid",
-    )
+    ))
     ranked = g.join(F.broadcast(dfreq), "gram").select(
         "doc_id", "gram", "gid", "df"
     )
     w = Window.partitionBy("doc_id").orderBy("df", "gram")
     sz = Window.partitionBy("doc_id")
-    prefix = (
+    prefix = barrier(
         ranked.select(
             "doc_id",
             "gid",
@@ -336,7 +352,7 @@ def jaccard_pairs_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # verification arrays in interned-id space (bijective → identical
     # intersection/union counts, cheaper long-array intersects)
-    d_ids = (
+    d_ids = barrier(
         g.join(F.broadcast(dfreq.select("gram", "gid")), "gram")
         .groupBy("doc_id")
         .agg(F.collect_list("gid").alias("grams_i"))
@@ -862,7 +878,14 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = d.filter(F.size(toks) >= 5).select("doc_id", shingle).distinct()
     a = x.select(F.col("doc_id").alias("a_id"), "h")
     b = x.select(F.col("doc_id").alias("b_id"), "h")
-    return (
+    # Round-14 (guide §3.3/§5): every consumer (CC, big-star, PageRank,
+    # BFS, k-core, triangles) references this relation from SEVERAL plan
+    # subtrees (self-joins, per-iteration lineage) — without a barrier
+    # each reference replays the shingle explode + bucket self-join +
+    # groupBy. The edge list is tiny (pairs of near-dup doc ids);
+    # materialize it once per invocation. Deterministic content, so
+    # results are unchanged; recomputed from parquet on every call.
+    return barrier(
         a.join(b, "h")
         .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
@@ -1203,7 +1226,11 @@ def edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "gram", "gpos")
-    prefix = (
+    # Round-14: the prefix relation (7 grams/doc) feeds BOTH sides
+    # of the candidate self-join — materialize once per invocation
+    # instead of replaying the explode + df join + window twice
+    # (same barrier rationale as jaccard_pairs_prefix_filter)
+    prefix = barrier(
         grams.join(F.broadcast(dfreq), "gram")
         .select(
             "doc_id", "gram", "gpos", F.row_number().over(w).alias("rk")

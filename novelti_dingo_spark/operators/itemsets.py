@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..barrier import barrier
 from ..registry import register
 from ..sources.io import load_table
 
@@ -74,7 +75,11 @@ def frequent_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     part dim rides a broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    baskets = (
+    # Round-14 (guide §3.3/§5): the basket relation feeds the total
+    # count, the Apriori singleton pass AND the pruned candidate
+    # generation — materialize the distinct once per invocation
+    # instead of replaying the join+distinct three times
+    baskets = barrier(
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("br"))
         .distinct()

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import dot
+from ..barrier import barrier
 from ..registry import register
 from ..sources.io import load_table
 
@@ -111,7 +112,16 @@ def kmeans_fit(vectors: DataFrame, k: int = K, iterations: int = ITERATIONS) -> 
     centroids = init
     for _ in range(iterations):
         centroids = _recompute(_assign(vectors, centroids))
-    return centroids
+    # Round-14 (guide §3.3/§5 — materialize multiply-referenced
+    # intermediates): callers reference the trained centroids in several
+    # plan subtrees (assignment, residuals, probe scoring); without a
+    # materialization barrier each reference re-instantiates the FULL
+    # Lloyd's iteration tree — measured ivf_pq_residual_knn_top10 plan:
+    # 192 parquet scans / 424 exchanges. The model is k rows of
+    # control-plane data; checkpoint it once per fit (recomputed from
+    # parquet on every call — nothing cached across invocations). Values
+    # are bit-identical: the checkpoint stores what the loop computed.
+    return barrier(centroids)
 
 
 def kmeans_fit_numpy(

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..barrier import barrier
 from ..registry import register
 from ..sources.io import load_table
 
@@ -112,7 +113,11 @@ def pq_fit(
     )
     for _ in range(iterations):
         codebooks = _recompute(_assign(subs, codebooks))
-    return codebooks
+    # Round-14: same materialization barrier as ivf.kmeans_fit — the
+    # M×k-row codebook is referenced by encode + LUT subtrees; without
+    # it each reference replays the whole training loop (see the
+    # kmeans_fit comment for the measured plan explosion).
+    return barrier(codebooks)
 
 
 def pq_encode(vectors: DataFrame, codebooks: DataFrame) -> DataFrame:

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text_funcs import tokens
+from ..functions.text_funcs import bound, tokens
 from ..registry import register
 from ..sources.io import load_table
 
@@ -221,10 +221,16 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs shorter than one shingle are excluded on both sides."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
+    # Round-14 (guide §1.2 step 2): bind the split array once — the
+    # in-lambda `toks` reference re-split the text per element (see
+    # functions.text_funcs.bound).
     fp = F.array_min(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 4),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 5))),
+        bound(
+            toks,
+            lambda t: F.transform(
+                F.sequence(F.lit(1), F.size(t) - 4),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, 5))),
+            ),
         )
     )
     return (
@@ -293,9 +299,13 @@ def _winnow_sel(d: DataFrame) -> DataFrame:
     per-window min tie-break deterministic on both engines)."""
     toks = tokens("text")
     n_grams = (F.size(toks) - 4).cast("long")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 4),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 5))),
+    # Round-14: bound() — split once per row, not per gram
+    grams = bound(
+        toks,
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.size(t) - 4),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, 5))),
+        ),
     )
     rows = (
         d.filter(F.size(toks) >= 8)

@@ -14,12 +14,20 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 from audit_plans import AUDIT_EXEMPT, EXPECT, audit  # noqa: E402
 
 from novelti_dingo_spark import registry
+from novelti_dingo_spark.barrier import no_barriers
 from novelti_dingo_spark.plans import explain_formatted
 
 
 def _plan(spark, name, sf_dir):
-    df = registry.all_specs()[name].fn(spark, sf_dir)
-    return explain_formatted(df)
+    # Round-14: audit with materialization barriers DISABLED — a
+    # localCheckpoint truncates the visible lineage to the final
+    # segment, hiding the audited properties (partial agg, join
+    # strategy, scan width) inside checkpointed subtrees. With barriers
+    # off the plan contains every operator that executes; the barrier
+    # only splits execution into stages (see novelti_dingo_spark.barrier).
+    with no_barriers():
+        df = registry.all_specs()[name].fn(spark, sf_dir)
+        return explain_formatted(df)
 
 
 def test_all_audited_plans_hold(spark, sf_med):

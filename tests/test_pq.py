@@ -604,8 +604,15 @@ def test_publish_residual_norm_rides_the_write(
     pq_mod.publish_ivfpq_index(spark, sf_small, base, k_cells=8)
     monkeypatch.undo()
     passes = len(os.listdir(str(d))) / n_parts
-    assert passes == 6, (
-        f"publish evaluated the source {passes} times, expected 6 — "
+    # Round-14: pq_fit/kmeans_fit now end in an EAGER localCheckpoint of
+    # the k-row model (the plan-explosion fix — every downstream
+    # reference used to re-instantiate the whole Lloyd's subtree). The
+    # codebook collect therefore reads the checkpoint instead of
+    # re-evaluating the training subtree over the sampled source:
+    # 6 passes → 5. A separate norm aggregate re-appearing would still
+    # add ~2 passes on top of this pin.
+    assert passes == 5, (
+        f"publish evaluated the source {passes} times, expected 5 — "
         "a separate norm aggregate re-appearing would add ~2 passes "
         "(the full assign+join+residual plan re-run once more)"
     )

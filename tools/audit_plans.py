@@ -17,6 +17,7 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO_ROOT)
 
 from novelti_dingo_spark import registry  # noqa: E402
+from novelti_dingo_spark.barrier import no_barriers  # noqa: E402
 from novelti_dingo_spark.plans import explain_formatted  # noqa: E402
 from novelti_dingo_spark.session import get_spark  # noqa: E402
 
@@ -1316,8 +1317,12 @@ def main() -> int:
     sections = []
     failures = 0
     for name in EXPECT:
-        df = specs[name].fn(spark, sf_dir)
-        plan = explain_formatted(df)
+        # Round-14: audit with materialization barriers disabled so
+        # checkpoint-truncated subtrees stay visible (see
+        # novelti_dingo_spark.barrier and tests/test_plans.py::_plan)
+        with no_barriers():
+            df = specs[name].fn(spark, sf_dir)
+            plan = explain_formatted(df)
         problems = audit(name, plan)
         if EXPECT[name].get("codegen_compiles"):
             # execute with codegen fallback DISABLED: any generated-code
