@@ -1226,11 +1226,12 @@ def edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "gram", "gpos")
-    # Round-14: the prefix relation (7 grams/doc) feeds BOTH sides
-    # of the candidate self-join — materialize once per invocation
-    # instead of replaying the explode + df join + window twice
-    # (same barrier rationale as jaccard_pairs_prefix_filter)
-    prefix = barrier(
+    # Round-14: a barrier() here was measured and REVERTED — the two
+    # prefix instantiations overlap across cores (independent subtrees),
+    # so materializing cost more than it saved (1.94 s → 2.56 s
+    # warm+build) and the checkpointed relation lost the size estimate
+    # that kept downstream joins broadcast (bhj 10 → 6 in the plan).
+    prefix = (
         grams.join(F.broadcast(dfreq), "gram")
         .select(
             "doc_id", "gram", "gpos", F.row_number().over(w).alias("rk")

@@ -60,6 +60,16 @@ def heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     float in the predicate, so the cut is engine-exact."""
     d = load_table(spark, sf_dir, "documents")
     big = d.select("doc_id", F.explode(token_bigrams("text")).alias("bg"))
+    # Round-14: measured and deliberately left alone. Two restructures
+    # were tried and both LOST on the measured warm median: deriving
+    # total from the frequency table (Σ cnt, hoping for ReusedExchange:
+    # 815 ms) and a tokenize-only Σ size(bigrams) scan (465 ms) vs
+    # 428 ms for this shape — exchange reuse does not fire across the
+    # broadcast boundary, and chaining the total into the broadcast
+    # build serializes stages that here overlap across cores. The
+    # bound() fix (functions/text_funcs) already took this query
+    # 2.59 s → 0.43 s; the remaining 2 corpus passes are independent
+    # subtrees the scheduler runs concurrently.
     n = big.agg(F.count(F.lit(1)).alias("total"))
     f = big.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
     return (

@@ -23,13 +23,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
-from ..functions.vector import dot, dot_unrolled
+from ..functions.vector import dot
 from ..registry import register
 from ..sources.io import load_table
 
 _DOT_SQL = "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
-
-_DIM = 64  # corpus dimensionality (module docstring; pq.py's DIM twin)
 
 # query-vector cache: (corpus path, file identity) -> 64-float list (or
 # None if absent). The vector is a query PARAMETER (1 row); fetching it
@@ -207,11 +205,7 @@ def knn_allpairs_label_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "neighbor_id",
-            # Round-14: unrolled codegen dot (see functions.vector) —
-            # IEEE-identical to the HOF fold, oracle re-checked
-            F.round(dot_unrolled("embedding", "b_emb", _DIM), 6).alias(
-                "cos_sim"
-            ),
+            F.round(dot("embedding", "b_emb"), 6).alias("cos_sim"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
@@ -345,10 +339,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "neighbor_id",
-            # Round-14: unrolled codegen dot, IEEE-identical (see above)
-            F.round(dot_unrolled("embedding", "b_emb", _DIM), 6).alias(
-                "cos_sim"
-            ),
+            F.round(dot("embedding", "b_emb"), 6).alias("cos_sim"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
@@ -484,8 +475,7 @@ def embedding_neardup_lsh_pairs(
     eb = emb_df.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
     )
-    # Round-14: unrolled codegen dot, IEEE-identical (see functions.vector)
-    sim = dot_unrolled("emb_a", "emb_b", _DIM)
+    sim = dot("emb_a", "emb_b")
     return (
         cands.join(ea, "vec_a")
         .join(eb, "vec_b")
