@@ -172,37 +172,76 @@ def train_als(
     ratings: DataFrame,
     iterations: int = ITERATIONS,
     lam: float = LAMBDA,
+    with_history: bool = True,
 ) -> tuple[DataFrame, DataFrame, list[dict]]:
     """(user_factors, item_factors, per-iteration telemetry). Telemetry
     rows carry rmse over observed ratings and the regularized objective
     (sse + λ·(Σ‖x‖² + Σ‖y‖²)) — alternating ridge solves provably
-    never increase the objective, which the tests pin."""
-    # Round-14 (guide §5 caching note / §1.2 step 1): `ratings` is an
-    # input to EVERY half-step join and every telemetry job — 3 jobs per
-    # iteration, 12+ per training — and it is itself a join + grouped
-    # agg over lineitem×orders. Un-checkpointed, each job re-ran that
-    # aggregation from parquet. One localCheckpoint materializes it
-    # once per training run (recomputed on every fresh call — nothing
-    # persists across runs). Measured sf0.1 with the batched solve
-    # already in: als_top_recs 18.6 s → 16.9 s (convergence noisier,
-    # ~20 s → 16–22 s; the per-job floor now dominates).
-    ratings = ratings.localCheckpoint()
+    never increase the objective, which the tests pin.
+
+    Round-14 round 2 of the loop-shape work (guide §1.2 step 1, §2.4,
+    §2.6): the previous shape ran 14 EAGER jobs per training (a
+    localCheckpoint per half-step and a telemetry `.head()` per
+    iteration), and every half-step/telemetry join re-shuffled the
+    ratings by its join key — 4 shuffles of the full rating relation
+    per key across the run. At sf0.01 the training time barely dropped
+    vs sf0.1 (8.5 s vs 14 s for 10× less data): the job floor, not
+    data, dominated. Three changes, results bit-identical (pinned by
+    the captured before/after row sets at both SFs + tests/test_als.py):
+
+    - **Lazy checkpoints** (`localCheckpoint(eager=False)`): each
+      half-step still materializes exactly once (the RDD is persisted
+      on first computation, later references read the cache, lineage
+      still truncates), but materialization rides whichever job first
+      needs it instead of being its own eager job. A whole training
+      now runs as ONE Spark job whose independent stages overlap
+      across cores (§2.6).
+    - **Shared partitioned ratings** (§2.4 "operations keyed the same
+      way share one exchange"): `ratings` is repartitioned+sorted by
+      `item` and by `user` ONCE; all `iterations` half-step sort-merge
+      joins on that key reuse the checkpointed partitioning/ordering —
+      ratings cross the network once per key per training instead of
+      once per iteration (at 100 TB that is the dominant byte saving;
+      partition counts stay AQE/`shuffle.partitions`-driven, nothing
+      is tuned to the local core count).
+    - **Deferred telemetry**: the per-iteration 1-row sse/norm plans
+      are unioned and collected in ONE action after the loop (they
+      only reference checkpointed factor tables, so nothing replays);
+      with_history=False (the serving query, which never read the
+      history) skips building them entirely — §1.2: don't compute
+      things you throw away.
+    """
+    ratings = ratings.localCheckpoint(eager=False)
+    # sortWithinPartitions: the checkpoint also preserves outputOrdering,
+    # so each iteration's sort-merge join skips its ratings-side sort.
+    r_by_item = (
+        ratings.repartition("item")
+        .sortWithinPartitions("item")
+        .localCheckpoint(eager=False)
+    )
+    r_by_user = (
+        ratings.repartition("user")
+        .sortWithinPartitions("user")
+        .localCheckpoint(eager=False)
+    )
     item_f = init_factors(
         ratings.select("item").distinct(), "item"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # the user side needs no init: the first half-step solves it from
     # the item init (standard ALS ordering)
     user_f = None
-    history: list[dict] = []
+    telemetry: list[DataFrame] = []
     for it in range(iterations):
         user_f = _solve_side(
-            ratings, item_f, "user", "item", lam
-        ).localCheckpoint()
+            r_by_item, item_f, "user", "item", lam
+        ).localCheckpoint(eager=False)
         item_f = _solve_side(
-            ratings, user_f, "item", "user", lam
-        ).localCheckpoint()
+            r_by_user, user_f, "item", "user", lam
+        ).localCheckpoint(eager=False)
+        if not with_history:
+            continue
         scored = (
-            ratings.join(
+            r_by_user.join(
                 user_f.select(
                     F.col("id").alias("user"), F.col("factor").alias("xu")
                 ),
@@ -216,10 +255,7 @@ def train_als(
             )
             .select("rating", _dot("xu", "yi").alias("pred"))
         )
-        # one driver action per iteration, not three: the sse/count agg
-        # and the two 1-row norm sums cross-join into a single 1-row
-        # plan (round-14 — each .head() was a separate Spark job)
-        err = (
+        telemetry.append(
             scored.agg(
                 F.sum(
                     (F.col("rating") - F.col("pred"))
@@ -229,19 +265,24 @@ def train_als(
             )
             .crossJoin(_sq_norm_sum(user_f).select(F.col("s").alias("su")))
             .crossJoin(_sq_norm_sum(item_f).select(F.col("s").alias("si")))
-            .head()
+            .select(F.lit(it).alias("it"), "sse", "n", "su", "si")
         )
-        reg = float(err["su"]) + float(err["si"])
+    history: list[dict] = []
+    if with_history:
         import math
+        from functools import reduce
 
-        history.append(
-            {
-                "iteration": it,
-                "rmse": math.sqrt(float(err["sse"]) / int(err["n"])),
-                "objective": float(err["sse"]) + lam * reg,
-                "n_ratings": int(err["n"]),
-            }
-        )
+        rows = reduce(lambda a, b: a.unionAll(b), telemetry).collect()
+        for err in sorted(rows, key=lambda r: r["it"]):
+            reg = float(err["su"]) + float(err["si"])
+            history.append(
+                {
+                    "iteration": int(err["it"]),
+                    "rmse": math.sqrt(float(err["sse"]) / int(err["n"])),
+                    "objective": float(err["sse"]) + lam * reg,
+                    "n_ratings": int(err["n"]),
+                }
+            )
     return user_f, item_f, history
 
 
@@ -291,7 +332,10 @@ def als_top_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     r = ratings_table(spark, sf_dir)
-    user_f, item_f, _ = train_als(r)
+    # with_history=False: this query never reads the telemetry — don't
+    # compute it (round-14, guide §1.2 "don't compute things you throw
+    # away"; the convergence query is the one that reports it)
+    user_f, item_f, _ = train_als(r, with_history=False)
     heavy = (
         r.groupBy("user")
         .agg(F.sum("rating").alias("w"))
