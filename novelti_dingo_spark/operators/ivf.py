@@ -57,11 +57,36 @@ def _sq_dist(a, b):
 
 
 def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the k centroids, take the
-    argmin by (distance, cid) — one wide scan, no shuffle."""
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    """Nearest-centroid assignment as a pure projection (round-14,
+    guide §2.4 "remove shuffles outright"): the k centroids aggregate
+    into ONE broadcast row of (cid, centroid) structs, and each vector
+    row takes `array_min` over the k (dist, cid) structs — the same
+    (distance, cid) argmin the previous window form computed, with the
+    same `_sq_dist` fold order, but with NO n·k candidate-row
+    materialization and NO shuffle. The old shape crossJoined the
+    broadcast centroids (n·k wide rows) and ran row_number() over
+    (vec_id) — a full exchange + sort of n·k rows carrying the
+    embedding k times, per Lloyd's iteration. Struct comparison is
+    lexicographic (dist, then cid), matching orderBy("dist", "cid");
+    ties and NaN ordering are identical, so assignments are
+    bit-identical (verified: the 17-query family re-captured hash-equal
+    at both SFs)."""
+    cents = centroids.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "centroid"))).alias(
+            "_cents"
+        )
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                _sq_dist("embedding", c.getField("centroid")).alias("dist"),
+                c.getField("cid").alias("cid"),
+            ),
+        )
+    )
     return (
-        vectors.crossJoin(F.broadcast(centroids))
+        vectors.crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
             # label passes through when the caller carries it (training
@@ -69,12 +94,8 @@ def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
             # embedding) only — round-12, same advice as the OPQ keep
             *(["label"] if "label" in vectors.columns else []),
             "embedding",
-            "cid",
-            _sq_dist("embedding", "centroid").alias("dist"),
+            best.getField("cid").alias("cid"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "dist")
     )
 
 

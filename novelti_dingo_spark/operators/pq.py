@@ -62,21 +62,39 @@ def subvectors(vectors: DataFrame) -> DataFrame:
 
 
 def _assign(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
-    """Nearest-centroid code per (vec_id, m): broadcast join on the
-    subspace key, argmin by (distance, cid)."""
-    w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
+    """Nearest-centroid code per (vec_id, m) as a broadcast-join
+    projection (round-14, guide §2.4 — the ivf.py `_assign` twin): the
+    k centroids of each subspace aggregate into one (cid, centroid)
+    struct array, broadcast-joined on `m` (M rows), and each subvector
+    row takes `array_min` over its subspace's k (dist, cid) structs.
+    The previous form joined every subvector with all k centroids
+    (n·M·k rows) and ran row_number() over (vec_id, m) — an exchange +
+    sort of the exploded relation, inside every Lloyd's iteration.
+    Struct comparison = (dist, cid) lexicographic = the old
+    orderBy("dist", "cid") argmin; `_sq_dist` fold order unchanged, so
+    codes are bit-identical (family re-capture hash-equal, both SFs)."""
+    cents = codebooks.groupBy("m").agg(
+        F.array_sort(F.collect_list(F.struct("cid", "centroid"))).alias(
+            "_cents"
+        )
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                _sq_dist("sub", c.getField("centroid")).alias("dist"),
+                c.getField("cid").alias("cid"),
+            ),
+        )
+    )
     return (
-        subs.join(F.broadcast(codebooks), "m")
+        subs.join(F.broadcast(cents), "m")
         .select(
             "vec_id",
             "m",
             "sub",
-            "cid",
-            _sq_dist("sub", "centroid").alias("dist"),
+            best.getField("cid").alias("cid"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "dist")
     )
 
 
