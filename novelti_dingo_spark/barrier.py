@@ -31,11 +31,16 @@ from pyspark.sql import DataFrame
 _ENABLED = True
 
 
-def barrier(df: DataFrame) -> DataFrame:
-    """Eagerly materialize `df` (localCheckpoint) so downstream
-    references share one computation — identity under `no_barriers()`
-    so plan audits see the full lineage."""
-    return df.localCheckpoint() if _ENABLED else df
+def barrier(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize `df` (localCheckpoint) so downstream references
+    share one computation — identity under `no_barriers()` so plan
+    audits see the full lineage. `eager=False` defers materialization
+    to the first job that needs it (the RDD is persisted on first
+    computation and lineage still truncates): use it inside
+    driver-side loops where an eager checkpoint would be its own
+    Spark job per iteration (guide §2.6 — one job whose independent
+    stages overlap beats a chain of small jobs)."""
+    return df.localCheckpoint(eager=eager) if _ENABLED else df
 
 
 @contextmanager

@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..barrier import barrier
 from ..registry import register
 from ..sources.io import load_table
 from .pq import _assign, pq_fit, subvectors
@@ -52,6 +53,17 @@ def rotate(e: DataFrame, R: np.ndarray, keep: tuple = ()) -> DataFrame:
     """(vec_id, embedding ← R·x, *keep): one broadcast GEMM per Arrow
     batch. `keep` passes extra columns through untouched (the publish
     path keeps `label` so the downstream assign contract holds)."""
+    if np.array_equal(R, np.eye(len(R))):
+        # Round-14 (guide §1.2 "don't compute things you throw away" /
+        # §4.1): opq_fit's first alternation rotates by the identity —
+        # x @ I is exactly x in IEEE (x_i·1 + Σ 0), so the corpus-wide
+        # pandas-UDF GEMM pass is a no-op crossing the Python boundary
+        # for nothing. Emit the cast projection instead; bit-identical.
+        return e.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            *keep,
+        )
     Rt = R.T.copy()  # x @ Rᵀ == (R·x)ᵀ rows
 
     @F.pandas_udf("array<double>")
@@ -108,23 +120,33 @@ def opq_fit(
     e: DataFrame,
     opq_iterations: int = OPQ_ITERATIONS,
     pq_iterations: int = 2,
-) -> tuple[np.ndarray, DataFrame]:
+    return_rotated: bool = False,
+) -> tuple:
     """Alternate (codebooks | R) minimization. Returns (R[64,64],
-    codebooks DataFrame in rotated space). R starts at identity, so
-    iteration 0's codebooks equal plain PQ — every subsequent step can
-    only reduce the quantization objective it alternates on."""
+    codebooks DataFrame in rotated space) — with `return_rotated`,
+    additionally the final rotated corpus, barriered, so the caller's
+    encode pass reuses the rotation already paid here instead of
+    running a fourth corpus-wide GEMM (round-14, guide §1.2 step 1).
+    R starts at identity, so iteration 0's codebooks equal plain PQ —
+    every subsequent step can only reduce the quantization objective
+    it alternates on."""
     R = np.eye(DIM)
     codebooks = None
+    rot = None
     for _ in range(opq_iterations):
-        rot = rotate(e, R)
+        # barrier: `rot` feeds pq_fit AND _reconstruct — un-barriered,
+        # each reference re-ran the rotation GEMM over the corpus
+        rot = barrier(rotate(e, R), eager=False)
         codebooks = pq_fit(rot, iterations=pq_iterations)
         xhat = _reconstruct(rot, codebooks)
         C = _cross_moment(e, xhat)
         U, _s, Vt = np.linalg.svd(C)
         R = Vt.T @ U.T  # Procrustes: maximizes tr(R·C)
     # refit codebooks for the final R (the pair the encoder will use)
-    rot = rotate(e, R)
+    rot = barrier(rotate(e, R), eager=False)
     codebooks = pq_fit(rot, iterations=pq_iterations)
+    if return_rotated:
+        return R, codebooks, rot
     return R, codebooks
 
 
@@ -158,8 +180,12 @@ def opq_knn(
     addition is the 64×64 rotation applied to corpus (once, at index
     build) and query (once, at plan time)."""
     e = load_table(spark, sf_dir, "embeddings")
-    R, codebooks = opq_fit(e.select("vec_id", "embedding"))
-    rot = rotate(e, R)
+    # return_rotated: the final rotated corpus comes back barriered
+    # from the fit — the encode below reuses it instead of paying a
+    # fourth corpus-wide rotation GEMM (round-14)
+    R, codebooks, rot = opq_fit(
+        e.select("vec_id", "embedding"), return_rotated=True
+    )
     codes = _assign(subvectors(rot), codebooks).select("vec_id", "m", "cid")
     q = subvectors(rot.filter(F.col("vec_id") == 0)).select(
         "m", F.col("sub").alias("q_sub")

@@ -120,7 +120,13 @@ def pq_fit(
     the code rate — 16 = 4-bit codes (the cheap default), 256 = the
     classic 1-byte-code FAISS operating point (8× the resolution for
     2× the code bytes; publish_ivfpq_index exposes it as pq_k)."""
-    subs = subvectors(vectors)
+    # Round-14 (guide §3.3/§5): `subs` is referenced by the init window
+    # AND by every Lloyd's iteration's assignment — and when `vectors`
+    # is an OPQ-rotated corpus the subtree contains a corpus-wide
+    # pandas-UDF GEMM, re-executed per reference without a barrier. A
+    # lazy barrier materializes the explode (and any rotation under it)
+    # once per fit.
+    subs = barrier(subvectors(vectors), eager=False)
     w = Window.partitionBy("m").orderBy(F.xxhash64("vec_id"), "vec_id")
     codebooks = (
         subs.withColumn("rn", F.row_number().over(w))

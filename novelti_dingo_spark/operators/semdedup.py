@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..barrier import barrier
 from ..registry import register
 from ..sources.io import load_table
 from .ivf import ITERATIONS, K, _assign, _recompute, _sq_dist, kmeans_fit
@@ -56,7 +57,14 @@ def kmeans_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = kmeans_fit(e, iterations=0)  # init only
     rows = []
     for it in range(ITERATIONS):
-        assigned = _assign(e, centroids)
+        # Round-14 (guide §3.3/§5): `assigned` feeds BOTH the inertia
+        # aggregate and the next centroids, and `centroids` feeds both
+        # the assignment and the inertia join — un-barriered, iteration
+        # i's inertia plan re-derived every earlier iteration's chain
+        # (O(iters²) assignment evaluations across the final union).
+        # Lazy barriers (localCheckpoint(eager=False)) share each
+        # subtree once and keep the whole telemetry a single job.
+        assigned = barrier(_assign(e, centroids), eager=False)
         # re-derive the distance the argmin used (assignment drops it):
         # join back to the centroid of the winning cell — k rows, broadcast
         inertia = (
@@ -72,7 +80,7 @@ def kmeans_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows.append(inertia)
-        centroids = _recompute(assigned)
+        centroids = barrier(_recompute(assigned), eager=False)
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
