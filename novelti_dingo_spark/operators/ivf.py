@@ -51,6 +51,24 @@ def default_ann_geometry(n_vectors: int) -> tuple[int, int]:
     return k, max(4, k // 32)
 
 
+def widen(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to defaultParallelism when the source is
+    NARROWER (round-14, guide §2.5 input skew / §6 input split size):
+    the embeddings corpus at bench scale is one sub-`openCostInBytes`
+    parquet file → ONE scan partition, so zero-shuffle per-row stages
+    (the argmin projection, HOF dot products, explode+partial-agg)
+    serialize on a single core. One narrow repartition of the corpus
+    restores fan-out; at cluster scale the scan is already wider than
+    defaultParallelism and this is a no-op — nothing is tuned to the
+    local core count (same guard the IVF-PQ publish path uses,
+    pq.py publish_ivfpq_index)."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def _sq_dist(a, b):
     d = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))
     return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
@@ -101,7 +119,17 @@ def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
 
 def _recompute(assigned: DataFrame) -> DataFrame:
     """New centroid = element-wise mean per cluster (posexplode → agg →
-    re-assemble ordered by position)."""
+    re-assemble ordered by position).
+
+    Round-14 measured NULL result: replacing the explode + two groupBys
+    with 64 static `F.avg(embedding[i])` columns over one groupBy(cid)
+    (values bit-identical) LOST an interleaved A/B at sf0.1 — 1.5 s →
+    2.7 s median per 3-iteration fit — the dot_unrolled lesson again:
+    64 unrolled getItem aggregates each bounds-check and re-read the
+    array header, while posexplode iterates the ArrayData once and the
+    extra shuffle is k×dim partial-agg rows (tiny). The SUBDIM=8 twin
+    in pq._recompute WINS the same A/B (0.28 s → 0.21 s) and is kept —
+    the crossover sits between 8 and 64 unrolled aggregates."""
     exploded = assigned.select(
         "cid", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
     )

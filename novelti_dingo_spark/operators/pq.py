@@ -99,14 +99,15 @@ def _assign(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
 
 
 def _recompute(assigned: DataFrame) -> DataFrame:
-    exploded = assigned.select(
-        "m", "cid", F.posexplode("sub").alias("pos", "v")
-    )
-    means = exploded.groupBy("m", "cid", "pos").agg(F.avg("v").alias("c"))
-    return means.groupBy("m", "cid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))),
-            lambda s: s.getField("c"),
+    """Per-(m, cid) centroid = element-wise mean. SUBDIM is a module
+    constant, so the means are SUBDIM plain F.avg columns over ONE
+    groupBy(m, cid) — one partial-aggregated shuffle, no posexplode,
+    no second reassembly shuffle (round-14, guide §2.3/§2.4; the
+    ivf._recompute static-dim path's twin — same bit-identity argument,
+    family re-capture hash-equal at both SFs)."""
+    return assigned.groupBy("m", "cid").agg(
+        F.array(
+            *[F.avg(F.col("sub")[i]) for i in range(SUBDIM)]
         ).alias("centroid")
     )
 

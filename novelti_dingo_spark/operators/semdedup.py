@@ -27,7 +27,15 @@ from pyspark.sql import functions as F
 from ..barrier import barrier
 from ..registry import register
 from ..sources.io import load_table
-from .ivf import ITERATIONS, K, _assign, _recompute, _sq_dist, kmeans_fit
+from .ivf import (
+    ITERATIONS,
+    K,
+    _assign,
+    _recompute,
+    _sq_dist,
+    kmeans_fit,
+    widen,
+)
 
 SEMDEDUP_TAU = 0.3  # the corpus is random unit vectors (max cos ≈ 0.51);
 # 0.3 selects the same "interesting tail" regime embedding_neardup_cosine
@@ -53,6 +61,9 @@ def kmeans_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no shuffle) → one groupBy shuffle for the per-cluster means, plus a
     1-row inertia aggregate. Only k×dim centroid doubles ever reach the
     driver-side loop; rows never do, so the loop is unchanged at 100 TB."""
+    # widen() measured a LOSS here (9.7 s → 11.9 s at sf0.1): the loop
+    # is stage-count-bound, not core-bound, and the repartition adds a
+    # stage — left narrow (round-14)
     e = load_table(spark, sf_dir, "embeddings")
     centroids = kmeans_fit(e, iterations=0)  # init only
     rows = []
@@ -141,5 +152,5 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     space, then exact cosine only within clusters. The miss set (true
     pairs split across clusters) is the algorithm's documented recall
     trade — tests measure it explicitly rather than hiding it."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = widen(load_table(spark, sf_dir, "embeddings"))
     return semantic_pairs(e)
