@@ -27,7 +27,7 @@ from ..functions.text_funcs import (
     tokens,
 )
 from ..registry import register
-from ..sources.io import load_table
+from ..sources.io import load_table, widen
 
 
 @register(
@@ -64,7 +64,9 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     along as group keys (bit-identical doubles, never rounded).
     Thresholds (0.8 / 0.2) are tuned so the 31-word synthetic vocabulary
     exercises both branches; real-corpus values are Gopher's 0.3-ish."""
-    d = load_table(spark, sf_dir, "documents")
+    # widen: one-partition scan serialized the tokenize/bigram HOFs
+    # (round-14; all aggregates integer counts — order-insensitive)
+    d = widen(load_table(spark, sf_dir, "documents"))
     toks = tokens("text")
     # Round-14: bound() — split once per row, not per bigram
     grams = bound(

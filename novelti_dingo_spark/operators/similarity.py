@@ -189,9 +189,22 @@ def knn_bruteforce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_allpairs_label_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: batch kNN join — per-vector top-3 within the same label block.
     The label equi-key turns the quadratic all-pairs into per-block hash
-    joins; at 100 TB the block key would be an LSH bucket instead."""
+    joins; at 100 TB the block key would be an LSH bucket instead.
+
+    Round-14 (guide §2.5/§6): the planner broadcasts the right side, so
+    the join + all ~420k interpreted HOF dots STREAM through the left
+    scan's partitioning — and the sf0.1 embeddings file is ONE scan
+    partition, so the whole pair evaluation ran on a single core.
+    (Salting the join key was measured first and did nothing — a
+    broadcast join has no reduce side to spread.) widen() round-robins
+    the streamed side to defaultParallelism before the join — a no-op
+    when the scan is already wide. Per-pair arithmetic untouched
+    (rows re-verified equal; oracle hash re-checked both SFs).
+    Interleaved A/B at sf0.1: 3.43 s → 0.57 s median."""
+    from .ivf import widen
+
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(
+    a = widen(e).select(
         F.col("vec_id"), F.col("label"), F.col("embedding")
     )
     b = e.select(

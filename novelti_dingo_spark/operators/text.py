@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text_funcs import bound, tokens
 from ..registry import register
-from ..sources.io import load_table
+from ..sources.io import load_table, widen
 
 # Stopword list for quality scoring / lang-id (the corpus vocabulary is
 # 31 English-ish tokens; see FIXTURES.md).
@@ -219,7 +219,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5: content fingerprint = min(md5) over 5-token shingles (the
     1-hash core of winnowing/MinHash). md5 hex matches across engines;
     docs shorter than one shingle are excluded on both sides."""
-    d = load_table(spark, sf_dir, "documents")
+    # widen: per-doc shingle md5 chain off the one-partition scan
+    # (round-14; array_min — order-insensitive)
+    d = widen(load_table(spark, sf_dir, "documents"))
     toks = tokens("text")
     # Round-14 (guide §1.2 step 2): bind the split array once — the
     # in-lambda `toks` reference re-split the text per element (see
@@ -290,7 +292,8 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     single exchange end-to-end, no self-joins; cross-doc fingerprint
     matching downstream is an equi-join on fingerprint (the same
     bucketed shape as every dedup family here, never pairwise)."""
-    return winnow_fingerprints_df(load_table(spark, sf_dir, "documents"))
+    # widen: round-14, same rationale as doc_fingerprint
+    return winnow_fingerprints_df(widen(load_table(spark, sf_dir, "documents")))
 
 
 def _winnow_sel(d: DataFrame) -> DataFrame:

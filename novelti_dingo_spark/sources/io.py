@@ -101,6 +101,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return reader.parquet(path)
 
 
+def widen(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to defaultParallelism when the source is
+    NARROWER (round-14, guide §2.5 input skew / §6 input split size): a
+    sub-`openCostInBytes` parquet file is ONE scan partition (and a
+    single row group cannot split), so zero-shuffle per-row stages —
+    HOF folds, explodes, hash chains, broadcast-join probes — serialize
+    on a single core no matter the cluster width. One narrow
+    repartition restores fan-out; when the scan is already at least as
+    wide as defaultParallelism this is a no-op, so nothing is tuned to
+    the local core count. Apply ONLY where downstream aggregation is
+    order-insensitive (counts, min/max, exact ints/decimals, per-row
+    outputs): round-robin placement changes partial-aggregation order,
+    which would drift float sums at ulp level.
+
+    Identity under `no_barriers()` (like barrier()): the plan audits
+    pin each operator's SEMANTIC shuffle structure; widen's fan-out
+    repartition is execution shaping, not algorithm, and would
+    otherwise appear once per subtree instantiation."""
+    from ..barrier import _ENABLED as _barriers_on
+
+    if not _barriers_on:
+        return df
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def fixture_tag(sf_dir: str) -> str:
     """Cache tag for derived /tmp fixture roots (lake fixtures, inverted
     indexes, ORC/Avro copies): the sf_dir basename PLUS an 8-hex digest
