@@ -573,7 +573,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each doc reduces to ONE long before any shuffle; banding joins
     on 1-byte sub-keys. The token→bit tally is a (doc, bit) grouBy —
     corpus×32 rows, map-side combined."""
-    d = load_table(spark, sf_dir, "documents")
+    d = widen(load_table(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
     tok = tok.select("doc_id", F.xxhash64("token").alias("h"))
     # shift amounts must be Python literals (shiftright rejects Columns),

@@ -673,6 +673,8 @@ def spatial_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark side uses the HOF-folded crossings (pip_crossings_hof_sql)
     so the fused scan->agg stage compiles under Janino's 64 KB method
     limit; the unrolled twin remains the DuckDB oracle text."""
+    # round-14: widen() measured NO change here (1.88 s → 1.88 s A/B)
+    # — the time is not in the scan stage; left narrow
     c = _points(spark, sf_dir, "customer", "c_custkey")
     pid = F.expr(_pip_case_hof_sql("lat", "lon"))
     return (

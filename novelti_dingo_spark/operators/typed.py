@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.io import load_table
+from ..sources.io import load_table, widen
 
 
 @register(
@@ -42,7 +42,9 @@ def decimal_exact_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decimal aggregation is still a map-side-combinable partial agg (sums
     of unscaled longs under the hood), so the 100 TB shape is identical
     to the double version; only the cents are different."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # widen: decimal partial sums off the 3-split lineitem scan
+    # (round-14; decimal arithmetic is exact — order-insensitive)
+    li = widen(load_table(spark, sf_dir, "lineitem"))
     qty = F.col("l_quantity").cast("decimal(12,2)")
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = F.col("l_discount").cast("decimal(4,2)")
