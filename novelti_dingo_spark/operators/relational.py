@@ -497,6 +497,9 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     within tolerance, so the DuckDB oracle (exact count + TRUE) hash-checks
     both the grouping AND the estimator's accuracy. The exact column is the
     oracle witness only — a production rollup keeps just the sketch."""
+    # round-14: widen() measured a WASH here (1.47 s vs 1.46 s
+    # interleaved A/B — the distinct expansion re-shuffles anyway);
+    # left narrow
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderstatus")

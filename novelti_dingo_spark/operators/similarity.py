@@ -337,7 +337,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: top-3 neighbors per vector, probing only the vector's LSH
     bucket (8 hyperplanes → 256 buckets). Sub-linear candidate sets; the
     bucket join is an equi-join, so it shuffles once on bucket id."""
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
+    # widen: same single-task broadcast-join streaming as
+    # knn_allpairs_label_top3 (round-14; per-row dots + deterministic
+    # top-k — order-insensitive)
+    from ..sources.io import widen
+
+    e = widen(load_table(spark, sf_dir, "embeddings")).withColumn(
         "bucket", lsh_bucket(F.col("embedding"))
     )
     a = e.select("vec_id", "bucket", "embedding")
@@ -510,5 +515,9 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos ≈ 0.51) the output is empty — identically to the exact path at
     the same threshold, which the test asserts; the planted-corpus test
     proves full recall + candidate collapse where near-dups exist."""
+    # round-14: widen() measured a LOSS here (1.61 s → 1.92 s
+    # interleaved A/B) — the merge-hinted SMJ re-shuffles on
+    # (table_idx, bucket) regardless, so the repartition is pure
+    # overhead; left narrow
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_neardup_lsh_pairs(e, threshold=0.9)
