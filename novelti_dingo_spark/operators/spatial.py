@@ -24,7 +24,7 @@ production geodesics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -636,6 +636,61 @@ def _pip_case_hof_sql(px: str, py: str) -> str:
     return f"CASE {whens} ELSE NULL END"
 
 
+def _pip_crossings_col(px: Column, py: Column, verts) -> Column:
+    """Column-API twin of pip_crossings_hof_sql: fold the literal edge
+    array with the SAME per-edge arithmetic ((x2-x1)*(py-y1) -
+    (px-x1)*(y2-y1), strict span checks) — identical ops on identical
+    doubles, so the integer crossing count is bit-equal to the SQL-text
+    form. Takes the point as Columns so the caller can hand it LAMBDA
+    VARIABLES instead of full expressions."""
+    edges = F.expr(_pip_edges_array_sql(verts))
+
+    def step(acc, e):
+        cross = (e["x2"] - e["x1"]) * (py - e["y1"]) - (px - e["x1"]) * (
+            e["y2"] - e["y1"]
+        )
+        up = (
+            (e["y1"] < e["y2"])
+            & (e["y1"] <= py)
+            & (py < e["y2"])
+            & (cross > F.lit(0.0))
+        )
+        dn = (
+            (e["y2"] < e["y1"])
+            & (e["y2"] <= py)
+            & (py < e["y1"])
+            & (cross < F.lit(0.0))
+        )
+        return acc + F.when(up | dn, F.lit(1)).otherwise(F.lit(0))
+
+    return F.aggregate(edges, F.lit(0), step)
+
+
+def _pip_case_staged(lat: Column, lon: Column) -> Column:
+    """pid CASE with the POINT STAGED through a 1-element transform():
+    (lat, lon) bind to a NamedLambdaVariable evaluated ONCE per row,
+    and every polygon's HOF fold references the bound variable instead
+    of re-instantiating the md5-derived lat/lon expression tree.
+
+    Why (round-14, measured): the lat/lon synth columns are md5-based;
+    inlined into the per-edge lambdas the optimizer's collapsed
+    projection re-evaluated them per CASE arm x per edge — and HOF
+    lambda bodies are interpreted per element, OUTSIDE whole-stage
+    codegen's runtime subexpression elimination (the bootstrap_ci md5
+    dedup that saved that query does not fire here). Staging cuts the
+    query 2331 ms -> 580 ms at sf0.1 (A/B, rows identical). Same
+    first-match-wins CASE, same fold arithmetic on the same doubles."""
+
+    def body(p):
+        c = None
+        for name, verts in sorted(POLYGONS.items()):
+            cond = _pip_crossings_col(p["x"], p["y"], verts) % 2 == 1
+            c = F.when(cond, F.lit(name)) if c is None else c.when(cond, F.lit(name))
+        return c.otherwise(F.lit(None).cast("string"))
+
+    return F.transform(F.array(F.struct(lat.alias("x"), lon.alias("y"))), body)[0]
+
+
 @register(
     "spatial_point_in_polygon",
     f"""
@@ -670,22 +725,26 @@ def spatial_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     polygon) map, run the exact test only on candidates — same
     blocking-then-residual shape as every spatial operator here.
 
-    Spark side uses the HOF-folded crossings (pip_crossings_hof_sql)
-    so the fused scan->agg stage compiles under Janino's 64 KB method
-    limit; the unrolled twin remains the DuckDB oracle text."""
-    # round-14: widen() measured NO change here (1.88 s → 1.88 s A/B)
-    # — the time is not in the scan stage; left narrow
+    Spark side uses the HOF-folded crossings, with the point STAGED
+    through a lambda binding (_pip_case_staged) so the md5-derived
+    lat/lon evaluate once per row, and the null-pid filter runs AFTER
+    the aggregate so pushdown cannot duplicate the CASE into the scan
+    filter — both measured (round-14: 2331 ms -> 580 ms at sf0.1, rows
+    identical; widen() separately measured a null result here — the
+    time was never in the scan stage). The fused scan->agg stage stays
+    whole-stage-compiled under Janino's 64 KB method limit; the
+    unrolled twin remains the DuckDB oracle text."""
     c = _points(spark, sf_dir, "customer", "c_custkey")
-    pid = F.expr(_pip_case_hof_sql("lat", "lon"))
+    pid = _pip_case_staged(F.col("lat"), F.col("lon"))
     return (
         c.withColumn("polygon_id", pid)
-        .filter(F.col("polygon_id").isNotNull())
         .groupBy("polygon_id")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.min("c_custkey").alias("first_cust"),
             F.max("c_custkey").alias("last_cust"),
         )
+        .filter(F.col("polygon_id").isNotNull())
     )
 
 
