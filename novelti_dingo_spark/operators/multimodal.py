@@ -40,7 +40,7 @@ from pyspark.sql.types import (
 )
 
 from ..registry import register
-from ..sources.io import load_table
+from ..sources.io import load_table, widen
 
 
 @register(
@@ -248,7 +248,11 @@ def _packed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.Series(out)
 
-    d = load_table(spark, sf_dir, "documents")
+    # widen: the per-row byte synthesis (and every downstream header
+    # parse) otherwise serializes on the one-partition documents scan
+    # (guide §2.5/§4); per-row outputs, order-insensitive downstream.
+    # Only doc_id is needed — prune before the repartition ships rows.
+    d = widen(load_table(spark, sf_dir, "documents").select("doc_id"))
     return d.select("doc_id", synth("doc_id").alias("payload"))
 
 

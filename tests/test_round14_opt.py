@@ -116,3 +116,36 @@ def test_widen_preserves_rows_and_is_audit_transparent(spark):
     )
     with no_barriers():
         assert widen(df) is df
+
+
+def test_keyed_widen_grouped_map_single_exchange(spark):
+    """keyed_widen must (a) preserve the row multiset, (b) keep every
+    key's rows in one partition (grouped-map correctness), (c) satisfy
+    the grouped-map's required distribution so Spark inserts NO second
+    exchange, and (d) be identity under no_barriers()."""
+    from novelti_dingo_spark.sources.io import keyed_widen
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 37).alias("k")
+    ).coalesce(1)
+    kw = keyed_widen(df, "k")
+    assert sorted(r.id for r in kw.collect()) == list(range(1000))
+    # each key entirely within one partition
+    spread = (
+        kw.withColumn("p", F.spark_partition_id())
+        .groupBy("k")
+        .agg(F.count_distinct("p").alias("np"))
+        .agg(F.max("np"))
+        .collect()[0][0]
+    )
+    assert spread == 1
+
+    def ident(pdf):
+        return pdf
+
+    gm = kw.groupBy("k").applyInPandas(ident, "id long, k long")
+    plan = gm._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
+    with no_barriers():
+        assert keyed_widen(df, "k") is df
