@@ -1240,6 +1240,12 @@ def edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so materializing cost more than it saved (1.94 s → 2.56 s
     # warm+build) and the checkpointed relation lost the size estimate
     # that kept downstream joins broadcast (bhj 10 → 6 in the plan).
+    # A second restructure (compute prefix ONCE, groupBy(gram) +
+    # collect_list postings + HOF ordered-pair expansion instead of the
+    # self-join) also LOST: 2.50 → 3.25 s warm A/B, rows identical —
+    # the interpreted pair-expansion lambda costs more than the
+    # duplicated-but-parallel broadcast legs. Stage-count-bound; the
+    # self-join shape stays.
     prefix = (
         grams.join(F.broadcast(dfreq), "gram")
         .select(
