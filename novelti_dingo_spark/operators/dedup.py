@@ -32,6 +32,14 @@ from ..sources.io import load_table, widen
 # the MinHash-LSH verifier, so tests can compare their outputs directly.
 JACCARD_THRESHOLD = 0.5
 
+# PPJoin verification: when the interned gram vocabulary spans at most
+# this many 64-bit words (vocab ≤ 64·this), per-doc gram sets become
+# fixed-width bitmaps and pair intersection is Σ popcount(a&b) — ~1.4×
+# off the array_intersect verify (measured at sf0.1). Beyond it the
+# array form is used: on a natural vocabulary the bitmap would be wide
+# and sparse, and prefix filtering prunes candidates anyway.
+BITMAP_MAX_WORDS = 64
+
 
 @register(
     "exact_dedup_docs",
@@ -226,10 +234,12 @@ def jaccard_pairs_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: df groupBy (vocab-sized, two-phase) → rank join → per-doc
     prefix via row_number ≤ p → equi-join on prefix gram with the FULL
-    PPJoin pruning stack → verify ONLY candidates with array_intersect
-    on the two gram arrays (each pair exactly once). No GEMM, no
-    all-pairs: candidate volume is bounded by prefix-gram collisions
-    AFTER length + positional pruning, and verification is
+    PPJoin pruning stack → verify ONLY candidates (each pair exactly
+    once): fixed-width bitmaps + popcount when the interned vocabulary
+    is small (≤ 64·BITMAP_MAX_WORDS grams — this corpus: 931 grams,
+    W=15 words), array_intersect on the interned arrays otherwise. No
+    GEMM, no all-pairs: candidate volume is bounded by prefix-gram
+    collisions AFTER length + positional pruning, and verification is
     |candidates|, not n².
 
     Why the extra PPJoin filters (round-9 profile at sf0.1): the bare
@@ -355,21 +365,65 @@ def jaccard_pairs_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # verification arrays in interned-id space (bijective → identical
-    # intersection/union counts, cheaper long-array intersects)
-    d_ids = barrier(
+    # verification in interned-id space (bijective → identical
+    # intersection/union counts). Round-14 (§4.4-adjacent, measured):
+    # when the interned vocabulary is small enough — gid range within
+    # BITMAP_MAX_WORDS 64-bit words — each doc's gram SET becomes a
+    # fixed-width bitmap and the per-pair intersection is
+    # Σ bit_count(ma[w] & mb[w]) over W words instead of an
+    # array_intersect hash-set build over ~2·|grams| elements: 6.7 →
+    # 5.0 s warm at sf0.1 on the 931-gram corpus (W=15), rows
+    # identical. The gid bounds come from the barrier-backed
+    # vocab-sized dfreq (one ms-scale driver action per invocation —
+    # control metadata, recomputed from parquet every run). On a
+    # natural large vocabulary the guard falls through to the
+    # array-intersect form — the bitmap is a small-universe
+    # specialization, not the scale posture.
+    gid_lo, gid_hi = dfreq.agg(F.min("gid"), F.max("gid")).first()
+    n_words = int(gid_hi - gid_lo) // 64 + 1
+    ids = (
         g.join(F.broadcast(dfreq.select("gram", "gid")), "gram")
         .groupBy("doc_id")
         .agg(F.collect_list("gid").alias("grams_i"))
     )
-    ga = d_ids.select(
-        F.col("doc_id").alias("doc_a"), F.col("grams_i").alias("ga")
-    )
-    gb = d_ids.select(
-        F.col("doc_id").alias("doc_b"), F.col("grams_i").alias("gb")
-    )
-    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
-    union = (F.size("ga") + F.size("gb")).cast("double") - inter
+    if n_words <= BITMAP_MAX_WORDS:
+        bitmap = F.expr(
+            f"""transform(sequence(0, {n_words - 1}, 1), wd ->
+              aggregate(filter(grams_i,
+                               x -> CAST((x - {gid_lo}) DIV 64 AS INT) = wd),
+                        0L,
+                        (acc, x) ->
+                          acc | shiftleft(1L,
+                                          CAST((x - {gid_lo}) % 64 AS INT))))"""
+        )
+        d_ids = barrier(
+            ids.select(
+                "doc_id", F.size("grams_i").alias("nn"), bitmap.alias("bm")
+            )
+        )
+        ga = d_ids.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("nn").alias("na"), F.col("bm").alias("ma"),
+        )
+        gb = d_ids.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("nn").alias("nb"), F.col("bm").alias("mb"),
+        )
+        inter = F.expr(
+            "aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)),"
+            " 0, (acc, v) -> acc + v)"
+        ).cast("double")
+        union = (F.col("na") + F.col("nb")).cast("double") - inter
+    else:
+        d_ids = barrier(ids)
+        ga = d_ids.select(
+            F.col("doc_id").alias("doc_a"), F.col("grams_i").alias("ga")
+        )
+        gb = d_ids.select(
+            F.col("doc_id").alias("doc_b"), F.col("grams_i").alias("gb")
+        )
+        inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+        union = (F.size("ga") + F.size("gb")).cast("double") - inter
     return (
         cand.join(ga, "doc_a")
         .join(gb, "doc_b")

@@ -149,3 +149,21 @@ def test_keyed_widen_grouped_map_single_exchange(spark):
     assert "REPARTITION_BY_NUM" in plan, plan
     with no_barriers():
         assert keyed_widen(df, "k") is df
+
+
+def test_ppjoin_bitmap_verify_equals_array_form(spark, sf_small, monkeypatch):
+    """jaccard_pairs_prefix_filter's small-vocabulary bitmap verify
+    (Σ popcount(ma&mb)) must produce row-identical output to the
+    array_intersect fallback — forced by shrinking BITMAP_MAX_WORDS to
+    0 so the same corpus takes the array branch."""
+    from novelti_dingo_spark.operators import dedup
+
+    bitmap_rows = sorted(
+        map(tuple, dedup.jaccard_pairs_prefix_filter(spark, sf_small).collect())
+    )
+    monkeypatch.setattr(dedup, "BITMAP_MAX_WORDS", 0)
+    array_rows = sorted(
+        map(tuple, dedup.jaccard_pairs_prefix_filter(spark, sf_small).collect())
+    )
+    assert bitmap_rows == array_rows
+    assert len(bitmap_rows) > 0
