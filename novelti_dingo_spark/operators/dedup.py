@@ -379,14 +379,29 @@ def jaccard_pairs_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # natural large vocabulary the guard falls through to the
     # array-intersect form — the bitmap is a small-universe
     # specialization, not the scale posture.
-    gid_lo, gid_hi = dfreq.agg(F.min("gid"), F.max("gid")).first()
-    n_words = int(gid_hi - gid_lo) // 64 + 1
+    # round-15 ADVICE fixes: (a) an EMPTY corpus makes the bounds probe
+    # return (None, None) — int(None - None) raised TypeError where the
+    # array branch returns the empty result gracefully; (b) under
+    # no_barriers() (plan audits) dfreq is not checkpointed, so the
+    # eager driver-side probe would recompute the full explode+rank
+    # subtree just to pick a verify branch — skip the probe and take
+    # the data-independent array branch there (the audit pins the
+    # natural-vocabulary posture; the bitmap is an execution-time
+    # specialization).
+    from ..barrier import _ENABLED as _barriers_on
+
+    gid_lo = gid_hi = None
+    if _barriers_on:
+        gid_lo, gid_hi = dfreq.agg(F.min("gid"), F.max("gid")).first()
+    n_words = (
+        int(gid_hi - gid_lo) // 64 + 1 if gid_hi is not None else None
+    )
     ids = (
         g.join(F.broadcast(dfreq.select("gram", "gid")), "gram")
         .groupBy("doc_id")
         .agg(F.collect_list("gid").alias("grams_i"))
     )
-    if n_words <= BITMAP_MAX_WORDS:
+    if n_words is not None and n_words <= BITMAP_MAX_WORDS:
         bitmap = F.expr(
             f"""transform(sequence(0, {n_words - 1}, 1), wd ->
               aggregate(filter(grams_i,

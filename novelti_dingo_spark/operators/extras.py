@@ -48,7 +48,14 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     one task per group (3 groups) — switch to `approx_percentile`
     (t-digest, mergeable partials) there; kept exact for the oracle."""
     li = load_table(spark, sf_dir, "lineitem")
-    src = li.select("l_returnflag", "l_extendedprice")
+    # round-15 ADVICE fix: F.percentile ignores NULLs, but row_number
+    # ranks them (nulls first) and count() would include them — filter
+    # non-null so the order statistics keep F.percentile's semantics on
+    # a corpus that ever carries NULL prices (TPC-H has none, so the
+    # oracle hash is unchanged; the predicate pushes to the scan).
+    src = li.select("l_returnflag", "l_extendedprice").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
     w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
     rn = src.withColumn("i", F.row_number().over(w) - 1)
     cnt = src.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
@@ -414,25 +421,42 @@ def sql_scalar_function(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_argminmax_mode",
     """
-    SELECT o_orderstatus,
-           arg_max(o_orderkey, o_totalprice) AS priciest_order,
-           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
-           mode(o_orderpriority)             AS top_priority,
-           round(max(o_totalprice), 2)       AS max_price
-    FROM orders GROUP BY o_orderstatus
+    SELECT o.o_orderstatus,
+           arg_max(o.o_orderkey, o.o_totalprice) AS priciest_order,
+           arg_min(o.o_orderkey, o.o_totalprice) AS cheapest_order,
+           md.top_priority                       AS top_priority,
+           round(max(o.o_totalprice), 2)         AS max_price
+    FROM orders o
+    JOIN (
+      SELECT o_orderstatus, o_orderpriority AS top_priority
+      FROM (
+        SELECT o_orderstatus, o_orderpriority,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY count(*) DESC,
+                                           o_orderpriority) AS rn
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+      ) WHERE rn = 1
+    ) md ON o.o_orderstatus = md.o_orderstatus
+    GROUP BY o.o_orderstatus, md.top_priority
     """,
     survey_rows="A1,argminmax",
 )
 def agg_argminmax_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+: positional aggregates — max_by/min_by (arg_max/arg_min) and
-    mode. Deterministic on this corpus (extrema and mode winners verified
-    unique per group); on tie-prone data pair them with a tiebreaker
-    struct instead."""
+    mode. Extrema winners are verified unique per group on this corpus;
+    the MODE is NOT (sf0.001 has a 111-vs-111 priority tie in status P,
+    round 15), and a tied `mode()` is nondeterministic in BOTH engines
+    (winner follows aggregation-map merge order, which shifts with
+    machine load — observed flipping between gate runs). Pin the
+    tie-break explicitly: Spark's mode(deterministic=True) returns the
+    LOWEST value among the most frequent; the oracle mirrors it with
+    ORDER BY count(*) DESC, value ASC. Untied groups (every group at
+    sf0.01/sf0.1 and F/O at sf0.001) are unchanged."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
         F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
-        F.mode("o_orderpriority").alias("top_priority"),
+        F.mode("o_orderpriority", True).alias("top_priority"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
 
