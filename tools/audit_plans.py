@@ -49,11 +49,14 @@ EXPECT = {
     "window_topk_per_user": {"single_shuffle": True, "no_python_udf": True},
     "sessionize_30min": {"single_shuffle": True, "no_python_udf": True},
     "topk_orders": {"take_ordered": True},
-    # round 9: corpus pinned in memory (serving-index design) — the plan
-    # must read the cache, not re-scan parquet, and stay codegen'd
+    # round 15: corpus rebuilt per invocation (barrier(widen(scan)) —
+    # the round-14 verdict retired the cross-invocation .cache()); with
+    # barriers off the audit sees the raw parquet scan, which must stay
+    # pruned to the 3 used columns and codegen'd, no cache in the plan
     "knn_bruteforce_top10": {
         "no_python_udf": True, "take_ordered": True,
-        "plan_must_contain": ["InMemoryTableScan"],
+        "plan_must_not_contain": ["InMemoryTableScan"],
+        "max_scan_cols": 3,
         "codegen_compiles": True,
     },
     "exact_dedup_survivors": {"partial_agg": True},
