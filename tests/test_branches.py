@@ -99,8 +99,6 @@ def test_stream_tails_a_named_branch(spark, sf_small, tmp_path):
     """A subscriber with option('branch', name) follows the branch's
     commits and never sees main's — the streaming face of branch
     isolation."""
-    import time
-
     from novelti_dingo_spark.sources.lake_stream import (
         register_lake_stream_source,
     )
@@ -124,27 +122,27 @@ def test_stream_tails_a_named_branch(spark, sf_small, tmp_path):
         .start()
     )
 
-    def poll(expect, budget=60):
-        n = -1
-        for _ in range(budget):
-            time.sleep(0.5)
-            try:
-                n = spark.read.parquet(sink).count()
-            except Exception:
-                n = 0
-            if n >= expect:
-                break
-        return n
+    def settled_count():
+        # processAllAvailable blocks until every offset visible at the
+        # time of the call has been committed to the sink — a
+        # deterministic sync point regardless of machine load (the old
+        # fixed-interval sleep poll flaked whenever the 300 ms trigger
+        # was starved by concurrent suites).
+        q.processAllAvailable()
+        try:
+            return spark.read.parquet(sink).count()
+        except Exception:
+            return 0
 
     try:
-        assert poll(100) == 100  # the shared base
+        assert settled_count() == 100  # the shared base
         publish_append(o.limit(150), base)  # main moves: not ours
         publish_append(
             o.filter(F.col("o_orderkey") > 10_000_000), base, branch="exp"
         )  # empty branch append — a commit, zero rows
         publish_append(o.limit(130), base, branch="exp")
         # only the BRANCH commits arrive (130 rows; main's 150 never do)
-        assert poll(100 + 130) == 230
+        assert settled_count() == 230
     finally:
         q.stop()
 

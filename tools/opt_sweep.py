@@ -12,6 +12,14 @@ Writes OPT_SWEEP_r14.json keyed by query name:
    bhj, smj, shj, nlj, cartesian, scans, codegen_spans}
 
 Usage: python tools/opt_sweep.py [--sf-dir DIR] [--runs K] [names...]
+
+Round-15 `--e2e` mode (round-14 verdict #2): time fn() BUILD + one
+noop-sink execution as ONE number per run, k runs per query, report
+median + all samples. This is the honest metric for trainer-style
+queries (ALS, k-means) whose work happens inside fn() — driver-side
+loops, eager checkpoints, telemetry collects — which the build/warm
+split above attributes to build_ms and then re-times only the final
+tiny plan as warm_ms.
 """
 
 from __future__ import annotations
@@ -57,6 +65,11 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--e2e", action="store_true",
+        help="time fn() build + one noop execution as ONE end-to-end "
+        "number per run (trainer queries do their work inside fn())",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -65,6 +78,36 @@ def main() -> None:
     specs = registry.all_specs()
     names = args.names or list(specs)
     out: dict[str, dict] = {}
+    if args.e2e:
+        for i, name in enumerate(names):
+            spec = specs[name]
+            spark.sparkContext.setJobDescription(f"sweep-e2e:{name}")
+            try:
+                samples = []
+                for _ in range(args.runs):
+                    t0 = time.perf_counter()
+                    df = spec.fn(spark, args.sf_dir)
+                    df.write.format("noop").mode("overwrite").save()
+                    samples.append(
+                        round((time.perf_counter() - t0) * 1000, 1)
+                    )
+                out[name] = {
+                    "e2e_ms": round(statistics.median(samples), 1),
+                    "e2e_ms_runs": samples,
+                }
+                print(
+                    f"[{i+1}/{len(names)}] {name}: e2e_ms="
+                    f"{out[name]['e2e_ms']:.0f} runs={samples}",
+                    flush=True,
+                )
+            except Exception as e:  # noqa: BLE001
+                out[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+                print(f"[{i+1}/{len(names)}] {name}: ERROR {e}", flush=True)
+        path = args.out or os.path.join(REPO_ROOT, "OPT_SWEEP_E2E.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        print(f"wrote {path} ({len(out)} queries)")
+        return
     for i, name in enumerate(names):
         spec = specs[name]
         spark.sparkContext.setJobDescription(f"sweep:{name}")
