@@ -46,15 +46,30 @@ def pagerank(
     """PageRank over an undirected pair list → (node, rank), ranks
     summing to 1. Symmetrizes the edges, starts uniform, then runs the
     fixed-length power iteration: rank' = (1-d)/N + d * Σ_in rank/deg."""
-    edges = pairs.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).unionAll(pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+    # Round-15 (guide §3.3/§5 + §2.6, the ALS one-job pattern): the
+    # symmetrized edge list derives from the caller's `pairs` subtree —
+    # for pagerank_doc_centrality that is the full MinHash-LSH near-dup
+    # join — and was previously instantiated THREE times (the cedges
+    # checkpoint, nodes.count(), and the ranks init feeding iteration
+    # 1's plan until the first rank checkpoint truncated it). Barrier
+    # it once; every consumer reads the single materialization. The
+    # count() is the one unavoidable driver action (teleport needs N),
+    # and it doubles as the edges materialization job.
+    edges = (
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .unionAll(
+            pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # contribution edges carry 1/deg once, not per-iteration
+    # contribution edges carry 1/deg once, not per-iteration; lazy —
+    # materializes inside the first job that reads it instead of being
+    # its own eager job (§2.6: one job whose stages overlap)
     cedges = (
         edges.join(deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n = nodes.count()
@@ -82,8 +97,15 @@ def pagerank(
         # and the job count drops ~3×. Loops with isEmpty()/count()
         # guards (CC, BFS, k-core) must keep per-round checkpoints —
         # the guard forces materialization anyway.
+        # Round-15: eager → LAZY (the ALS pattern): each checkpoint
+        # still materializes exactly once (persist-on-first-compute,
+        # lineage truncates), but the whole 15-iteration training now
+        # runs as ONE Spark job instead of 5+ sequential ones, so
+        # independent stages overlap across cores. Measured e2e (noop
+        # sink, n=3 medians): 4.63 s → see OPTIMIZATION_r15.md;
+        # rows captured identical before/after.
         if it % 3 == 2 or it == iterations - 1:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
