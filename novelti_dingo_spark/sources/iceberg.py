@@ -2401,19 +2401,44 @@ def read_iceberg_changes(
                 chunk = before.exceptAll(after).select(
                     *cols, F.lit("delete").alias("_change_type")
                 )
-        else:  # overwrite / unknown: exact multiset diff, both ways
+        else:  # overwrite / unknown: exact multiset diff, both ways.
+            # Round-15 (guide §2.3 "aggregate before you shuffle" +
+            # §2.4 "remove shuffles outright"): the two exceptAll legs
+            # each scanned BOTH resolved snapshots — 4 MOR reads (12
+            # parquet scans / 8 joins in the merge-fixture plan) for
+            # one diff. Both directions are ONE signed-count pipeline
+            # instead: union(after×+1, before×−1) → groupBy(all cols)
+            # sum(_w) → each value replicates |Δ| times tagged by
+            # sign(Δ) — exactly exceptAll's multiset semantics
+            # (groupBy's NULL-as-equal grouping matches exceptAll's
+            # null handling), with each snapshot scanned once,
+            # map-side partial aggregation, ONE exchange total and no
+            # join. Per-snapshot-pair equality vs the exceptAll form
+            # is pinned in tests/test_round15_opt.py.
             before = read_iceberg_table(
                 spark, table_path, snapshot_id=prev["snapshot-id"]
             )
             after = read_iceberg_table(
                 spark, table_path, snapshot_id=sid
             )
-            chunk = after.exceptAll(before).select(
-                *cols, F.lit("insert").alias("_change_type")
-            ).unionAll(
-                before.exceptAll(after).select(
-                    *cols, F.lit("delete").alias("_change_type")
-                )
+            tagged = after.select(
+                *cols, F.lit(1).alias("_w")
+            ).unionAll(before.select(*cols, F.lit(-1).alias("_w")))
+            delta = tagged.groupBy(*cols).agg(F.sum("_w").alias("_d"))
+            chunk = delta.filter(F.col("_d") != 0).select(
+                *cols,
+                F.explode(
+                    F.when(
+                        F.col("_d") > 0,
+                        F.array_repeat(
+                            F.lit("insert"), F.col("_d").cast("int")
+                        ),
+                    ).otherwise(
+                        F.array_repeat(
+                            F.lit("delete"), (-F.col("_d")).cast("int")
+                        )
+                    )
+                ).alias("_change_type"),
             )
         pieces.append(
             chunk.select(

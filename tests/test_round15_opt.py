@@ -181,6 +181,65 @@ def test_mode_tie_break_is_deterministic(spark, tmp_path):
     assert got == {"X": "a", "Y": "z"}
 
 
+def test_iceberg_overwrite_diff_equals_exceptall(spark, sf_small, tmp_path):
+    """Round-15: the overwrite leg of read_iceberg_changes computes the
+    multiset diff as ONE signed-count aggregation (union ±1 → groupBy →
+    replicate |Δ|) instead of two exceptAll pipelines that scanned both
+    resolved snapshots twice. Pin exact multiset equality against the
+    exceptAll form on a real merge commit (which snapshots as an
+    overwrite)."""
+    from pyspark.sql import functions as F
+
+    from novelti_dingo_spark.sources.iceberg import (
+        iceberg_snapshots,
+        merge_into_iceberg_table,
+        read_iceberg_changes,
+        read_iceberg_table,
+        write_iceberg_table,
+    )
+    from novelti_dingo_spark.sources.io import load_table
+
+    base = str(tmp_path / "ice")
+    s = load_table(spark, sf_small, "supplier")
+    cols = s.columns
+    write_iceberg_table(s, base)
+    upd = s.filter(F.col("s_nationkey") < 10).withColumn(
+        "s_acctbal", F.col("s_acctbal") + 5000
+    )
+    ins = s.filter(F.col("s_nationkey") >= 20).withColumn(
+        "s_suppkey", F.col("s_suppkey") + 1_000_000
+    )
+    merge_into_iceberg_table(
+        spark, base, upd.select(*cols).unionAll(ins.select(*cols)),
+        on=["s_suppkey"],
+    )
+    snaps = iceberg_snapshots(base)
+    got = sorted(
+        tuple(r)
+        for r in read_iceberg_changes(
+            spark, base, snaps[0]["snapshot_id"]
+        ).collect()
+    )
+    before = read_iceberg_table(
+        spark, base, snapshot_id=snaps[0]["snapshot_id"]
+    )
+    after = read_iceberg_table(
+        spark, base, snapshot_id=snaps[1]["snapshot_id"]
+    )
+    sid = snaps[1]["snapshot_id"]
+    ref = (
+        after.exceptAll(before)
+        .select(*cols, F.lit("insert").alias("_change_type"))
+        .unionAll(
+            before.exceptAll(after)
+            .select(*cols, F.lit("delete").alias("_change_type"))
+        )
+        .select("*", F.lit(int(sid)).cast("long").alias("_snapshot_id"))
+    )
+    want = sorted(tuple(r) for r in ref.collect())
+    assert got == want and len(got) > 0
+
+
 def test_percentile_order_stats_ignore_nulls(spark, tmp_path):
     """agg_stats_moments' order-statistics percentile must match
     F.percentile's NULL handling (ignore them) — round-15 ADVICE fix.
